@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see SURVEY.md §7 + FIXTURES.md.
+  *
+  * `queries` maps every operator declared in SURVEY.md §2B to a runnable
+  * DataFrame program over the fixture tables; `oracleSql` holds the
+  * DuckDB-equivalent SQL the driver hash-compares against (omitted only
+  * for ops that are not SQL-expressible — those get rows-only checks).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on sf0.001; driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    Functions.registerAll(spark)
+    operators.Relational.q02RevenueByNation(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    operators.Relational.queries
+
+  /** DuckDB-equivalent ANSI SQL per query key (same column names). */
+  def oracleSql: Map[String, String] =
+    operators.Relational.oracles
 }

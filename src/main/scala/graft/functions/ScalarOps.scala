@@ -1,0 +1,134 @@
+package graft.functions
+
+import java.text.Normalizer
+import java.util.regex.Pattern
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure JVM implementations of the reference's scalar functions.
+  *
+  * Each function reproduces the semantics of a cited line range in
+  * /root/reference/netlify/functions/fetchRumors.js or index.html; the
+  * Catalyst `Expression` wrappers in [[Scalars]] call these statics from
+  * both `nullSafeEval` and generated code, so interpreted and codegen
+  * paths are identical by construction.
+  */
+object ScalarOps {
+
+  private val WS = Pattern.compile("\\s+")
+
+  /** Whitespace-normalize + trim (ref fetchRumors.js:32). */
+  def clean(s: String): String =
+    if (s == null) "" else WS.matcher(s).replaceAll(" ").trim
+
+  private val Combining = Pattern.compile("[\\u0300-\\u036f]")
+  private val NonAlnum = Pattern.compile("[^a-z0-9]+")
+  private val EdgeUnderscore = Pattern.compile("^_+|_+$")
+
+  /** Tag-slug builder (ref fetchRumors.js:33-38): clean → Unicode NFD →
+    * strip combining diacritics U+0300..U+036F (exactly that range, as the
+    * reference does — not all of \p{M}) → lowercase → `&` → " and " →
+    * non-[a-z0-9] runs → `_` → trim `_`.
+    */
+  def slugify(q: String): String = {
+    val nfd = Normalizer.normalize(clean(q), Normalizer.Form.NFD)
+    val stripped = Combining.matcher(nfd).replaceAll("")
+    val lowered = stripped.toLowerCase(java.util.Locale.ROOT).replace("&", " and ")
+    EdgeUnderscore.matcher(NonAlnum.matcher(lowered).replaceAll("_")).replaceAll("")
+  }
+
+  private val DateAnywhere = Pattern.compile("([A-Za-z]+)\\s+(\\d{1,2}),\\s+(\\d{4})")
+  private val MonthNums: Map[String, Int] = Map(
+    "january" -> 1, "february" -> 2, "march" -> 3, "april" -> 4,
+    "may" -> 5, "june" -> 6, "july" -> 7, "august" -> 8,
+    "september" -> 9, "october" -> 10, "november" -> 11, "december" -> 12)
+
+  /** Parse "Month DD, YYYY" anywhere in text → "YYYY-MM-DD", "" on no/bad
+    * match or unknown month name (ref fetchRumors.js:41-50).
+    */
+  def extractIsoDate(txt: String): String = {
+    if (txt == null) return ""
+    val m = DateAnywhere.matcher(txt)
+    if (!m.find()) return ""
+    MonthNums.get(m.group(1).toLowerCase(java.util.Locale.ROOT)) match {
+      case None => ""
+      case Some(mm) =>
+        val dd = m.group(2).toInt
+        f"${m.group(3)}%s-$mm%02d-$dd%02d"
+    }
+  }
+
+  private val IsoStrict = Pattern.compile("^(\\d{4})-(\\d{2})-(\\d{2})$")
+  private val MonthAbbrevs = Array(
+    "Jan.", "Feb.", "Mar.", "Apr.", "May", "Jun.",
+    "Jul.", "Aug.", "Sep.", "Oct.", "Nov.", "Dec.")
+
+  /** "YYYY-MM-DD" → "Oct. 15, 2025" (ref fetchRumors.js:153-159). Note the
+    * nonstandard abbreviations: bare "May", "Sep." (not Java's "Sept"),
+    * trailing periods — so this is NOT date_format('MMM'). Day is
+    * non-padded. Returns "" for non-matching input; months outside 1..12
+    * also yield "" (the reference would render "undefined" — we treat it
+    * as invalid input).
+    */
+  def fmtMonthAbbrev(dateStr: String): String = {
+    if (dateStr == null) return ""
+    val m = IsoStrict.matcher(dateStr)
+    if (!m.matches()) return ""
+    val mon = m.group(2).toInt
+    if (mon < 1 || mon > 12) return ""
+    s"${MonthAbbrevs(mon - 1)} ${m.group(3).toInt}, ${m.group(1)}"
+  }
+
+  /** HTML-escape `& < > " '` (ref index.html:49). */
+  def htmlEscape(s: String): String = {
+    if (s == null) return ""
+    val sb = new java.lang.StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&'  => sb.append("&amp;")
+        case '<'  => sb.append("&lt;")
+        case '>'  => sb.append("&gt;")
+        case '"'  => sb.append("&quot;")
+        case '\'' => sb.append("&#039;")
+        case c    => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private val AnchorEnd = Pattern.compile(
+    "<a[^>]*href=\"([^\"]+)\"[^>]*>([^<]+)</a>\\s*$", Pattern.CASE_INSENSITIVE)
+  private val TrailingSlashes = Pattern.compile("/+$")
+
+  /** True iff the snippet ends with an anchor whose href (trailing-/
+    * stripped) equals the item url, or whose visible text equals
+    * sourceName case-insensitively (ref fetchRumors.js:162-172).
+    */
+  def endsWithSource(snippetHtml: String, url: String, sourceName: String): Boolean = {
+    if (url == null || url.isEmpty) return false
+    val u = TrailingSlashes.matcher(url).replaceAll("")
+    val txt = if (snippetHtml == null) "" else snippetHtml.trim
+    val m = AnchorEnd.matcher(txt)
+    if (!m.find()) return false
+    val href = TrailingSlashes.matcher(m.group(1)).replaceAll("")
+    val label = clean(m.group(2))
+    href == u || (sourceName != null &&
+      label.toLowerCase(java.util.Locale.ROOT) == sourceName.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  // ---- UTF8String adapters (called from generated code) ----
+  def slugifyU(s: UTF8String): UTF8String =
+    UTF8String.fromString(slugify(s.toString))
+  def extractIsoDateU(s: UTF8String): UTF8String =
+    UTF8String.fromString(extractIsoDate(s.toString))
+  def fmtMonthAbbrevU(s: UTF8String): UTF8String =
+    UTF8String.fromString(fmtMonthAbbrev(s.toString))
+  def htmlEscapeU(s: UTF8String): UTF8String =
+    UTF8String.fromString(htmlEscape(s.toString))
+  def cleanU(s: UTF8String): UTF8String =
+    UTF8String.fromString(clean(s.toString))
+  def endsWithSourceU(snippet: UTF8String, url: UTF8String, name: UTF8String): Boolean =
+    endsWithSource(snippet.toString, url.toString, name.toString)
+}

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst `Expression`s for the reference's five custom scalar
+  * functions (SURVEY.md §2B "Scalar fns", ops 12-18 in §2A). Native
+  * expressions, not UDFs: `doGenCode` emits a static call into
+  * [[ScalarOps]], so they participate in whole-stage codegen with no
+  * closure serialization or boxing beyond UTF8String↔String.
+  */
+abstract class StringUnaryOp extends UnaryExpression {
+  /** Name of the static method on ScalarOps (UTF8String → UTF8String). */
+  def staticName: String
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = evalU(v.asInstanceOf[UTF8String])
+  def evalU(s: UTF8String): UTF8String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScalarOps.$staticName($c)")
+}
+
+/** `slugify(s)` — ref fetchRumors.js:33-38. */
+case class Slugify(child: Expression) extends StringUnaryOp {
+  override def staticName: String = "slugifyU"
+  override def evalU(s: UTF8String): UTF8String = ScalarOps.slugifyU(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "slugify"
+}
+
+/** `extract_iso_date(s)` — ref fetchRumors.js:41-50. */
+case class ExtractIsoDate(child: Expression) extends StringUnaryOp {
+  override def staticName: String = "extractIsoDateU"
+  override def evalU(s: UTF8String): UTF8String = ScalarOps.extractIsoDateU(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "extract_iso_date"
+}
+
+/** `fmt_month_abbrev(s)` — ref fetchRumors.js:153-159. */
+case class FmtMonthAbbrev(child: Expression) extends StringUnaryOp {
+  override def staticName: String = "fmtMonthAbbrevU"
+  override def evalU(s: UTF8String): UTF8String = ScalarOps.fmtMonthAbbrevU(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "fmt_month_abbrev"
+}
+
+/** `html_escape(s)` — ref index.html:49. */
+case class HtmlEscape(child: Expression) extends StringUnaryOp {
+  override def staticName: String = "htmlEscapeU"
+  override def evalU(s: UTF8String): UTF8String = ScalarOps.htmlEscapeU(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "html_escape"
+}
+
+/** `clean(s)` whitespace-normalize — ref fetchRumors.js:32. */
+case class CleanWs(child: Expression) extends StringUnaryOp {
+  override def staticName: String = "cleanU"
+  override def evalU(s: UTF8String): UTF8String = ScalarOps.cleanU(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "clean_ws"
+}
+
+/** `ends_with_source(snippet_html, url, source_name)` — ref
+  * fetchRumors.js:162-172 (`bodyAlreadyHasSource`).
+  */
+case class EndsWithSource(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(s: Any, u: Any, n: Any): Any =
+    ScalarOps.endsWithSourceU(
+      s.asInstanceOf[UTF8String], u.asInstanceOf[UTF8String], n.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.ScalarOps.endsWithSourceU($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Expression = copy(a, b, c)
+  override def prettyName: String = "ends_with_source"
+}
+
+/** Column-API + SQL-registry surface for the custom scalars. */
+object Scalars {
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+
+  def slugify(c: Column): Column = col(Slugify(ex(c)))
+  def extract_iso_date(c: Column): Column = col(ExtractIsoDate(ex(c)))
+  def fmt_month_abbrev(c: Column): Column = col(FmtMonthAbbrev(ex(c)))
+  def html_escape(c: Column): Column = col(HtmlEscape(ex(c)))
+  def clean_ws(c: Column): Column = col(CleanWs(ex(c)))
+  def ends_with_source(snippet: Column, url: Column, name: Column): Column =
+    col(EndsWithSource(ex(snippet), ex(url), ex(name)))
+
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("slugify", es => Slugify(es.head), "built-in")
+    r.createOrReplaceTempFunction("extract_iso_date", es => ExtractIsoDate(es.head), "built-in")
+    r.createOrReplaceTempFunction("fmt_month_abbrev", es => FmtMonthAbbrev(es.head), "built-in")
+    r.createOrReplaceTempFunction("html_escape", es => HtmlEscape(es.head), "built-in")
+    r.createOrReplaceTempFunction("clean_ws", es => CleanWs(es.head), "built-in")
+    r.createOrReplaceTempFunction("ends_with_source",
+      es => EndsWithSource(es(0), es(1), es(2)), "built-in")
+  }
+}

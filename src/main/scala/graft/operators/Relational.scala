@@ -1,0 +1,759 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Engine
+
+/** Relational core of the engine (SURVEY.md §2B): joins of every type,
+  * partial+final hash aggregation, window functions, set ops, sorts with
+  * deterministic ties, offset/limit, scalar/date/JSON functions — each as
+  * a named query over the fixture tables with a DuckDB oracle in
+  * [[Relational.oracles]].
+  *
+  * Numeric-parity rules (applied to every query so the driver's
+  * hash-compare is deterministic across engines):
+  *   - money aggregates are summed as DECIMAL(12,2) (exact and
+  *     order-independent — shuffle/partition order can't change a digit,
+  *     which is also the correct design at 100 TB where float sums are
+  *     nondeterministic across retries) and then cast to DOUBLE once, so
+  *     both engines emit the identical float64;
+  *   - means/ratios are computed as double(exact decimal sum) / count —
+  *     one double division of identical inputs is bit-exact everywhere;
+  *   - integer sums are pinned to BIGINT on both sides (DuckDB's
+  *     sum(BIGINT) natively widens to HUGEINT);
+  *   - every query ends in an ORDER BY over a unique key, and timestamp
+  *     arithmetic compares unix microseconds exactly.
+  *
+  * Scale notes are per-query in the scaladoc: what shuffles, what
+  * broadcasts, and why the plan survives 1000 executors.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  /** DECIMAL(12,2) cast — exact representation of the 2-dp money/qty
+    * doubles in the fixtures; keeps product precision within 38 digits
+    * on both engines (12,2 × 13,2 → ≤(26,4); × again ≤(38,6)).
+    */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact decimal sum emitted as double (identical bits both engines). */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact mean: double(exact sum) / count. */
+  private def davg(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+
+  private val one = lit(1).cast(DecimalType(12, 2))
+
+  /** revenue item: extendedprice * (1 - discount), exact decimal. */
+  private def revItem: Column =
+    dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+
+  // ---------------------------------------------------------------
+  // Aggregation
+  // ---------------------------------------------------------------
+
+  /** q01: TPC-H Q1-style pricing summary. One wide shuffle on the group
+    * keys (6 groups) with map-side partial aggregation — at 100 TB the
+    * shuffle moves only #partitions × 6 tiny rows. Scan prunes to 7
+    * columns + pushes the shipdate filter into parquet.
+    */
+  val q01PricingSummary: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revItem).cast("double").as("sum_disc_price"),
+        sum(revItem * (one + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q02: revenue per nation — 3-way join. `nation` (25 rows) and
+    * `customer` are broadcast (at true 100 TB scale customer would be
+    * bucketed instead — the orders⋈lineitem side stays a shuffle join on
+    * orderkey either way, which AQE can skew-split).
+    */
+  val q02RevenueByNation: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(revItem).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q03: top-10 orders by revenue. Aggregate-then-join keeps the join
+    * input small; the global top-k is a TakeOrderedAndProject (no full
+    * sort materialization).
+    */
+  val q03TopOrders: Q = (s, dir) => {
+    val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(revItem).cast("double").as("revenue"))
+    t(s, dir, "orders")
+      .join(rev, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** q21: multi-distinct aggregation per market segment (Spark plans
+    * count(distinct) with an Expand + two-phase agg — dedup happens
+    * before the wide shuffle, so it scales).
+    */
+  val q21DistinctAgg: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q22: ROLLUP over (returnflag, linestatus); NULL group keys coalesced
+    * to 'ALL' so NULL-ordering differences can't bite.
+    */
+  val q22Rollup: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** q23: CUBE over (orderstatus, orderpriority). */
+  val q23Cube: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  // ---------------------------------------------------------------
+  // Joins
+  // ---------------------------------------------------------------
+
+  /** q04: LEFT SEMI — orders having a late-shipped lineitem (ship > 60
+    * days after order date). Semi-join avoids materializing the multi-
+    * match fact side.
+    */
+  val q04SemiJoin: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val late = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q05: LEFT ANTI — customers with no orders, counted per nation. */
+  val q05AntiJoin: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q06: LEFT OUTER join + two-level aggregation: distribution of
+    * order counts per customer (0-order customers included via the outer
+    * join; the second agg is tiny).
+    */
+  val q06LeftJoinHistogram: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val o = t(s, dir, "orders").select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders"))
+  }
+
+  /** q07: FULL OUTER join of per-nation customer counts vs supplier
+    * counts (both sides pre-aggregated → the outer join is tiny).
+    */
+  val q07FullOuter: Q = (s, dir) => {
+    val cn = t(s, dir, "customer").groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("c_cnt"))
+    val sn = t(s, dir, "supplier").groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("s_cnt"))
+    cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("c_cnt"), lit(0L)).as("customers"),
+        coalesce(col("s_cnt"), lit(0L)).as("suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** q08: CROSS join of two small dims (region × distinct order status)
+    * — cross joins are only ever sane on broadcast-size inputs, which
+    * this is by construction.
+    */
+  val q08CrossJoin: Q = (s, dir) => {
+    val r = t(s, dir, "region").select(col("r_name"))
+    val st = t(s, dir, "orders").select(col("o_orderstatus")).distinct()
+    r.crossJoin(st)
+      .select(col("r_name"), col("o_orderstatus"),
+        concat_ws("/", col("r_name"), col("o_orderstatus")).as("cell"))
+      .orderBy(col("r_name"), col("o_orderstatus"))
+  }
+
+  /** q09: range self-join on events — pairs of events from the same user
+    * within 60s. Equi on user_id (the shuffle key) + time-range residual;
+    * at scale the equi key keeps this a hash join, not a cross product.
+    */
+  val q09RangeJoin: Q = (s, dir) => {
+    val e1 = t(s, dir, "events").select(
+      col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val e2 = t(s, dir, "events").select(
+      col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    e1.join(e2,
+        col("a_user") === col("b_user") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 60 SECONDS"))
+      .groupBy(col("a_user").as("user_id"))
+      .agg(count(lit(1)).as("pairs_within_60s"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q10: theta join (equi + inequality residual): lineitems whose
+    * quantity exceeds the part size, per brand.
+    */
+  val q10ThetaJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_size"), col("p_brand"))
+    li.join(broadcast(p),
+        col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  // ---------------------------------------------------------------
+  // Window functions
+  // ---------------------------------------------------------------
+
+  /** q11: ranking trio — top-3 orders per customer by price. row_number
+    * ties pinned by orderkey; rank/dense_rank left on the price ordering
+    * alone (deterministic for equal keys by definition).
+    */
+  val q11WindowRank: Q = (s, dir) => {
+    val wRn = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wRk = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(wRn).as("rn"),
+        rank().over(wRk).as("rk"),
+        dense_rank().over(wRk).as("drk"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** q12: lag/lead of order price within each customer's order history. */
+  val q12WindowLagLead: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** q13: running decimal sum + 4-row moving average per supplier.
+    * Decimal frame sums keep the incremental window evaluation exact on
+    * both engines; emitted as double. The fixture lineitem has NO unique
+    * key (duplicate (orderkey, linenumber) pairs exist), so the window
+    * order resolves ties down to l_extendedprice — remaining ties are
+    * full duplicates whose outputs are interchangeable — and the final
+    * ORDER BY pins those with running_price.
+    */
+  val q13RunningSum: Q = (s, dir) => {
+    val ord = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc, col("l_extendedprice").asc)
+    val running = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val moving = ord.rowsBetween(-3, Window.currentRow)
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_extendedprice"))).over(running).cast("double").as("running_price"),
+        (sum(dec(col("l_extendedprice"))).over(moving).cast("double") /
+          count(lit(1)).over(moving)).as("moving_avg4"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_price"))
+  }
+
+  /** q14: stateful fill-forward (the reference's date fill-forward scan,
+    * SURVEY §2A#6, re-expressed relationally): last purchase value
+    * carried forward over each user's event stream.
+    */
+  val q14FillForward: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+          .over(w).as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q15: distribution windows — ntile/percent_rank/cume_dist of part
+    * retail price within each brand.
+    */
+  val q15Distribution: Q = (s, dir) => {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").asc, col("p_partkey").asc)
+    t(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
+  // ---------------------------------------------------------------
+  // Sort / limit / dedup / set ops
+  // ---------------------------------------------------------------
+
+  /** q16: the reference's skip-newest window (§2A#27): global sort,
+    * OFFSET 1, LIMIT 8, deterministic ties.
+    */
+  val q16OffsetLimit: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(1)
+      .limit(8)
+  }
+
+  /** q17: UNION ALL (bag semantics, §2A#23) of customer and supplier
+    * nation keys, then counted.
+    */
+  val q17UnionAll: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.unionAll(sup)
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** q18: INTERSECT (set semantics). */
+  val q18Intersect: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.intersect(sup).orderBy(col("nationkey"))
+  }
+
+  /** q19: EXCEPT (set semantics). */
+  val q19Except: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.except(sup).orderBy(col("nationkey"))
+  }
+
+  /** q20: order-sensitive first-wins dedup (§2A#25): earliest order per
+    * (custkey, status), ties broken by orderkey — row_number over an
+    * explicit arrival order, never bare dropDuplicates (which keeps an
+    * arbitrary row under shuffles).
+    */
+  val q20FirstWinsDedup: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_custkey"), col("o_orderstatus"))
+  }
+
+  // ---------------------------------------------------------------
+  // Scalar / date / JSON functions
+  // ---------------------------------------------------------------
+
+  /** q24: string-function gauntlet over part (all codegen'd builtins —
+    * narrow ops fused into one WholeStageCodegen span with the scan).
+    */
+  val q24StringFuncs: Q = (s, dir) => {
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("upper_name"),
+        substring(col("p_name"), 1, 8).as("prefix8"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("brand_num"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        base64(col("p_name").cast("binary")).as("name_b64"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+        regexp_replace(col("p_type"), "[aeiou]", "").as("no_vowels"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** q25: date/time functions over orders, plus the custom
+    * fmt_month_abbrev (ref fetchRumors.js:153-159) on the ISO date.
+    */
+  val q25DateFuncs: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_date"),
+        graft.functions.Scalars.fmt_month_abbrev(
+          date_format(col("o_orderdate"), "yyyy-MM-dd")).as("pretty_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q26: JSON extraction over events.props + aggregation (sum pinned to
+    * BIGINT on both engines).
+    */
+  val q26Json: Q = (s, dir) => {
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q27: CASE WHEN banding of customer balances. */
+  val q27CaseWhen: Q = (s, dir) => {
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 3000, "low")
+          .when(col("c_acctbal") < 7000, "mid")
+          .otherwise("high").as("band"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("band"))
+  }
+
+  /** q28: the reference's custom scalars (§2A#12-18) as native Catalyst
+    * expressions over part names: slugify, html_escape, extract_iso_date.
+    */
+  val q28CustomScalars: Q = (s, dir) => {
+    import graft.functions.Scalars._
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        slugify(col("p_name")).as("slug"),
+        html_escape(concat(col("p_name"), lit(" & <\"tags\">"))).as("escaped"),
+        extract_iso_date(
+          concat(lit("posted January "), (col("p_size") % 28 + 1).cast("string"),
+            lit(", 2024 by editor"))).as("iso_from_text"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** q29: batch analog of a tumbling event-time window (1 h) — the same
+    * grouping Structured Streaming produces with window(ts, '1 hour'),
+    * verified against DuckDB time_bucket.
+    */
+  val q29TumblingWindow: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** q30: sessionization in batch — session = run of events per user with
+    * gaps < 30 min (lag + cumulative sum of gap flags), then per-session
+    * stats. Gap compared in unix microseconds (exact on both engines).
+    * The batch twin of the streaming session window.
+    */
+  val q30Sessionize: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_revenue_by_nation" -> q02RevenueByNation,
+    "q03_top_orders" -> q03TopOrders,
+    "q04_semi_join" -> q04SemiJoin,
+    "q05_anti_join" -> q05AntiJoin,
+    "q06_left_join_histogram" -> q06LeftJoinHistogram,
+    "q07_full_outer" -> q07FullOuter,
+    "q08_cross_join" -> q08CrossJoin,
+    "q09_range_join" -> q09RangeJoin,
+    "q10_theta_join" -> q10ThetaJoin,
+    "q11_window_rank" -> q11WindowRank,
+    "q12_window_lag_lead" -> q12WindowLagLead,
+    "q13_running_sum" -> q13RunningSum,
+    "q14_fill_forward" -> q14FillForward,
+    "q15_distribution" -> q15Distribution,
+    "q16_offset_limit" -> q16OffsetLimit,
+    "q17_union_all" -> q17UnionAll,
+    "q18_intersect" -> q18Intersect,
+    "q19_except" -> q19Except,
+    "q20_first_wins_dedup" -> q20FirstWinsDedup,
+    "q21_distinct_agg" -> q21DistinctAgg,
+    "q22_rollup" -> q22Rollup,
+    "q23_cube" -> q23Cube,
+    "q24_string_funcs" -> q24StringFuncs,
+    "q25_date_funcs" -> q25DateFuncs,
+    "q26_json" -> q26Json,
+    "q27_case_when" -> q27CaseWhen,
+    "q28_custom_scalars" -> q28CustomScalars,
+    "q29_tumbling_window" -> q29TumblingWindow,
+    "q30_sessionize" -> q30Sessionize)
+
+  private val decSum = (c: String) =>
+    s"CAST(sum(CAST($c AS DECIMAL(12,2))) AS DOUBLE)"
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  /** DuckDB oracle SQL, one per query, same column names + ORDER BY. */
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${decSum("l_quantity")} AS sum_qty,
+        |  ${decSum("l_extendedprice")} AS sum_base_price,
+        |  CAST(sum($revSql) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum($revSql * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        |  ${decSum("l_quantity")} / count(*) AS avg_qty,
+        |  ${decSum("l_extendedprice")} / count(*) AS avg_price,
+        |  ${decSum("l_discount")} / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_by_nation" ->
+      s"""SELECT n_name, CAST(sum($revSql) AS DOUBLE) AS revenue, count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q03_top_orders" ->
+      s"""SELECT o_orderkey, o_orderstatus, revenue FROM orders
+        |JOIN (SELECT l_orderkey, CAST(sum($revSql) AS DOUBLE) AS revenue
+        |      FROM lineitem GROUP BY l_orderkey) r ON o_orderkey = l_orderkey
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT n_name, count(*) AS n_customers FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q06_left_join_histogram" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_custkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY n_orders ORDER BY n_orders""".stripMargin,
+    "q07_full_outer" ->
+      """SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |  coalesce(c_cnt, 0) AS customers, coalesce(s_cnt, 0) AS suppliers
+        |FROM (SELECT c_nationkey, count(*) AS c_cnt FROM customer GROUP BY c_nationkey) cn
+        |FULL OUTER JOIN (SELECT s_nationkey, count(*) AS s_cnt FROM supplier GROUP BY s_nationkey) sn
+        |  ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q08_cross_join" ->
+      """SELECT r_name, o_orderstatus, r_name || '/' || o_orderstatus AS cell
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "q09_range_join" ->
+      """SELECT a.user_id AS user_id, count(*) AS pairs_within_60s
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q10_theta_join" ->
+      s"""SELECT p_brand, count(*) AS n_items, ${decSum("l_extendedprice")} AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q11_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+        |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk,
+        |    dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drk
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q12_window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q13_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) OVER w_run AS DOUBLE) AS running_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) OVER w_mov AS DOUBLE) / count(*) OVER w_mov AS moving_avg4
+        |FROM lineitem
+        |WINDOW
+        |  w_run AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_extendedprice ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_mov AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_extendedprice ASC ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_price""".stripMargin,
+    "q14_fill_forward" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q15_distribution" ->
+      """SELECT p_brand, p_partkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+    "q16_offset_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 8 OFFSET 1""".stripMargin,
+    "q17_union_all" ->
+      """SELECT nationkey, count(*) AS n_rows FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q18_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q19_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q20_first_wins_dedup" ->
+      """SELECT o_custkey, o_orderstatus, o_orderkey, o_orderdate FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderstatus ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey, o_orderstatus""".stripMargin,
+    "q21_distinct_agg" ->
+      s"""SELECT c_mktsegment,
+        |  count(DISTINCT c_nationkey) AS n_nations,
+        |  count(DISTINCT o_orderstatus) AS n_statuses,
+        |  count(*) AS n_orders,
+        |  ${decSum("o_totalprice")} AS sum_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q22_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_rows, ${decSum("l_quantity")} AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q23_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders, ${decSum("o_totalprice")} AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q24_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS upper_name,
+        |  substring(p_name, 1, 8) AS prefix8,
+        |  p_brand || '|' || p_type AS brand_type,
+        |  CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
+        |  len(string_split(p_name, ' ')) AS n_words,
+        |  to_base64(p_name::BLOB) AS name_b64,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+        |  regexp_replace(p_type, '[aeiou]', '', 'g') AS no_vowels
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q25_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  quarter(o_orderdate) AS q, dayofyear(o_orderdate) AS doy,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+        |  ['Jan.','Feb.','Mar.','Apr.','May','Jun.','Jul.','Aug.','Sep.','Oct.','Nov.','Dec.'][month(o_orderdate)]
+        |    || ' ' || CAST(day(o_orderdate) AS VARCHAR) || ', ' || CAST(year(o_orderdate) AS VARCHAR) AS pretty_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q26_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q27_case_when" ->
+      s"""SELECT band, count(*) AS n_customers, ${decSum("c_acctbal")} AS sum_bal
+        |FROM (SELECT c_acctbal,
+        |        CASE WHEN c_acctbal < 0 THEN 'negative'
+        |             WHEN c_acctbal < 3000 THEN 'low'
+        |             WHEN c_acctbal < 7000 THEN 'mid'
+        |             ELSE 'high' END AS band
+        |      FROM customer)
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q28_custom_scalars" ->
+      """SELECT p_partkey,
+        |  regexp_replace(regexp_replace(replace(lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))), '&', ' and '), '[^a-z0-9]+', '_', 'g'), '^_+|_+$', '', 'g') AS slug,
+        |  replace(replace(replace(replace(replace(p_name || ' & <"tags">', '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), chr(39), '&#039;') AS escaped,
+        |  '2024-01-' || lpad(CAST(p_size % 28 + 1 AS VARCHAR), 2, '0') AS iso_from_text
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q29_tumbling_window" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events, ${decSum("value")} AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q30_sessionize" ->
+      """SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |    FROM (SELECT *, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |          FROM events)))
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+}
