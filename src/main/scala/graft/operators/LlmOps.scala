@@ -1,0 +1,460 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** LLM-training-data pipeline operators (SURVEY.md §2B "LLM-pipeline";
+  * driver north star BASELINE.json): text analysis, exact + near
+  * deduplication (MinHash+LSH, SimHash, n-gram Jaccard), embedding
+  * similarity search (brute-force and LSH-bucketed ANN) — over the
+  * documents/embeddings fixtures, each with a DuckDB oracle.
+  *
+  * Portability backbone: a 60-bit stable hash derived from md5 — the
+  * identical value is computable in DuckDB (`('0x'||substr(md5(s),1,15))
+  * ::BIGINT`), so MinHash signatures, SimHash bits, and LSH buckets
+  * hash-match across engines with no float involvement.
+  *
+  * Scale design (100 TB): everything here is shuffle-minimal —
+  * signatures are computed map-side (narrow), LSH candidate generation
+  * shuffles only (band-key, doc_id) pairs instead of O(n²) text pairs,
+  * and verification joins are equi-joins on band keys that AQE can
+  * re-balance. Brute-force cosine exists as the correctness baseline;
+  * the hyperplane-LSH variant is the scale path (bucket equi-join).
+  */
+object LlmOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  // ---- shared constants (mirrored verbatim into the oracles) ----
+
+  /** Modulus for MinHash permutations (30-bit prime: products with the
+    * 60-bit base hash stay < 2^63 on both engines).
+    */
+  val P = 1000000007L
+  val MinhashA: Seq[Long] = Seq(999999937L, 999999893L, 999999883L, 999999797L,
+    999999761L, 999999757L, 999999751L, 999999739L)
+  val MinhashB: Seq[Long] = Seq(15485863L, 32452843L, 49979687L, 67867967L,
+    86028121L, 104395301L, 122949823L, 141650939L)
+  val NumHashes = 8
+  val NumBands = 4 // 2 rows per band
+  val JaccardThreshold = 0.5
+
+  val StopEn = Seq("the", "and", "of", "to", "in", "is", "that", "for")
+  val StopEs = Seq("el", "la", "de", "que", "y", "en", "los", "por")
+  val StopFr = Seq("le", "une", "et", "les", "des", "dans", "un", "pour")
+  val StopDe = Seq("der", "die", "und", "das", "von", "zu", "mit", "den")
+
+  // ---- SQL fragments, Spark dialect ----
+
+  /** 60-bit stable hash of a string expression (Spark dialect). */
+  def hashS(x: String): String =
+    s"cast(conv(substring(md5(cast($x as binary)),1,15),16,10) as bigint)"
+
+  /** Whitespace tokens of lowered text. */
+  val toksS = "split(trim(lower(text)), '\\\\s+')"
+
+  /** 3-word shingles over a `tok` array column (1-indexed element_at). */
+  val shinglesS =
+    "transform(sequence(1, size(tok)-2), i -> concat(element_at(tok,i), ' ', element_at(tok,i+1), ' ', element_at(tok,i+2)))"
+
+  private def minhashS(i: Int): String =
+    s"array_min(transform(sh, s -> (${MinhashA(i)}L * (${hashS("s")} % ${P}L) + ${MinhashB(i)}L) % ${P}L))"
+
+  private def arr(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("array(", ", ", ")")
+
+  private def stopCountS(list: Seq[String]): String =
+    s"size(filter(tok, x -> array_contains(${arr(list)}, x)))"
+
+  /** documents with tok column (tokenization is the one shared scan). */
+  private def docsTok(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("tok", expr(toksS))
+
+  private def docsShingled(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir)
+      .filter(size(col("tok")) >= 3)
+      .withColumn("sh", expr(shinglesS))
+
+  /** MinHash signature columns mh0..mh7 (map-side only — no shuffle). */
+  private def docsSigned(s: SparkSession, dir: String): DataFrame =
+    (0 until NumHashes).foldLeft(docsShingled(s, dir)) { (df, i) =>
+      df.withColumn(s"mh$i", expr(minhashS(i)))
+    }
+
+  // ---------------------------------------------------------------
+  // Text analysis
+  // ---------------------------------------------------------------
+
+  /** q40: per-document text statistics + quality score. All ratios are
+    * int/int double divisions — bit-exact across engines.
+    */
+  val q40TextStats: Q = (s, dir) => {
+    docsTok(s, dir)
+      .withColumn("n_tokens", size(col("tok")).cast("long"))
+      .withColumn("n_alpha", length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("n_tokens"), col("n_alpha"),
+        (col("n_alpha").cast("double") / col("n_chars")).as("alpha_ratio"),
+        (length(col("text")).cast("double") / col("n_tokens")).as("avg_token_span"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q41: n-gram-heuristic language ID — stopword hit counts per
+    * language, argmax with a fixed priority tie-break.
+    */
+  val q41LangId: Q = (s, dir) => {
+    docsTok(s, dir)
+      .withColumn("s_en", expr(stopCountS(StopEn)).cast("long"))
+      .withColumn("s_es", expr(stopCountS(StopEs)).cast("long"))
+      .withColumn("s_fr", expr(stopCountS(StopFr)).cast("long"))
+      .withColumn("s_de", expr(stopCountS(StopDe)).cast("long"))
+      .withColumn("lang_guess",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
+          .when(col("s_fr") >= col("s_de"), "fr")
+          .otherwise("de"))
+      .select(col("doc_id"), col("s_en"), col("s_es"), col("s_fr"), col("s_de"),
+        col("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q42: token counting — whitespace tokens and a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single punctuation).
+    */
+  val q42TokenCount: Q = (s, dir) => {
+    docsTok(s, dir)
+      .select(col("doc_id"),
+        size(col("tok")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .cast("long").as("bpe_tokens"),
+        (length(col("text")).cast("double") /
+          size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")))
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q43: document fingerprinting — md5 of normalized text plus a
+    * rolling min-hash over char 8-grams (winnowing-style content
+    * fingerprint robust to reordering at the edges).
+    */
+  val q43Fingerprint: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .withColumn("norm", expr("trim(lower(text))"))
+      .filter(length(col("norm")) >= 8)
+      .select(col("doc_id"),
+        md5(col("norm").cast("binary")).as("md5_fp"),
+        expr(s"array_min(transform(sequence(1, length(norm)-7), i -> ${hashS("substring(norm, i, 8)")}))")
+          .as("min_gram_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // Deduplication
+  // ---------------------------------------------------------------
+
+  /** q44: exact dedup by content hash — canonical = min doc_id per
+    * hash group (a single hash-shuffle; the standard 100 TB exact-dedup
+    * shape: group by digest, keep one).
+    */
+  val q44ExactDedup: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("canonical_doc_id"), col("content_hash"), col("n_copies"))
+      .orderBy(col("canonical_doc_id"))
+  }
+
+  /** q45: MinHash + LSH near-dup pairs. Shingle → 8-hash signature
+    * (map-side), 4 bands × 2 rows → band-key equi-join for candidates,
+    * then exact Jaccard verification ≥ 0.5. The only shuffle carries
+    * (band_key, doc_id) pairs — never O(n²) and never full text.
+    */
+  val q45MinhashLsh: Q = (s, dir) => {
+    val signed = docsSigned(s, dir)
+      .select((Seq(col("doc_id"), array_distinct(col("sh")).as("shd")) ++
+        (0 until NumHashes).map(i => col(s"mh$i"))): _*)
+    val bands = signed.selectExpr("doc_id", "shd",
+      "stack(4, 0, concat(mh0, ':', mh1), 1, concat(mh2, ':', mh3), 2, concat(mh4, ':', mh5), 3, concat(mh6, ':', mh7)) as (band, bkey)")
+    val a = bands.select(col("doc_id").as("doc_a"), col("shd").as("sh_a"),
+      col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("shd").as("sh_b"),
+      col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q46: 32-bit SimHash — per-token hash bits voted ±1, majority sign
+    * per bit position. Explode + two-level aggregation is map-side
+    * combinable, so the shuffle carries (doc_id, bit, partial-sum).
+    */
+  val q46Simhash: Q = (s, dir) => {
+    docsTok(s, dir)
+      .select(col("doc_id"), explode(col("tok")).as("token"))
+      .withColumn("hv", expr(hashS("token")))
+      .select(col("doc_id"), col("hv"), explode(expr("sequence(0, 31)")).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("(hv >> b) & 1") === 1, 1).otherwise(-1)).as("vote"))
+      .withColumn("bit", when(col("vote") > 0, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(bit, b)")).cast("long").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q47: blocked n-gram Jaccard — exact pairwise similarity within
+    * cheap blocks (same lang, nearby ids) as the quadratic-safe
+    * formulation; top pairs by similarity.
+    */
+  val q47NgramJaccard: Q = (s, dir) => {
+    val sh = docsTok(s, dir)
+      .filter(size(col("tok")) >= 3)
+      .withColumn("shd", array_distinct(expr(shinglesS)))
+      .select(col("doc_id"), col("lang"), col("shd"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("shd").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("shd").as("sh_b"))
+    a.join(b, col("lang") === col("lang_b") &&
+        col("doc_b") > col("doc_a") && col("doc_b") - col("doc_a") <= 25)
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") > 0)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  // ---------------------------------------------------------------
+  // Similarity search over embeddings
+  // ---------------------------------------------------------------
+
+  /** Cosine similarity between two double-cast float arrays (Spark SQL
+    * fragment; sequential left-fold sum, rounded to 6dp for cross-engine
+    * rank stability).
+    */
+  private def cosineS(a: String, b: String): String =
+    s"""round(
+       |  aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)
+       |  / (sqrt(aggregate($a, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))
+       |     * sqrt(aggregate($b, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))), 6)""".stripMargin
+
+  /** q48: brute-force cosine top-k (k=5) for query vectors vec_id<10 —
+    * the correctness baseline for ANN. Ranking is on the ROUNDED score
+    * (+ vec_id tiebreak) so order is engine-independent. At scale this
+    * is a broadcast of the query set against a partitioned scan of the
+    * corpus — linear, not quadratic, in corpus size.
+    */
+  val q48CosineTopk: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", expr(cosineS("qe", "embedding")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** q49: per-label embedding statistics (norms exact-summed via
+    * decimal after rounding, so group aggregation order can't bite).
+    */
+  val q49EmbeddingStats: Q = (s, dir) => {
+    t(s, dir, "embeddings")
+      .withColumn("norm", expr(
+        "round(sqrt(aggregate(embedding, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))), 6)"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("norm").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("avg_norm"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"))
+      .orderBy(col("label"))
+  }
+
+  /** q50: LSH-bucketed ANN — 8 deterministic integer hyperplanes (hash-
+    * derived weights), sign-bit bucket signature, candidates = same
+    * bucket, then exact cosine re-rank (top-1 per query). The scale
+    * path: bucket equi-join instead of cross product.
+    */
+  val q50AnnLsh: Q = (s, dir) => {
+    // hyperplane weight for plane i, dim j: hash("hp:i:j") % 2001 - 1000
+    def planeS(i: Int): String =
+      s"""aggregate(zip_with(embedding, sequence(0, 63), (x, j) -> cast(${hashS(s"concat('hp:$i:', j)")} % 2001 - 1000 as double) * cast(x as double)), cast(0 as double), (acc, v) -> acc + v)"""
+    val bucketExpr = (0 until 8).map(i => s"(case when ${planeS(i)} > 0 then 1 else 0 end) * ${1 << i}").mkString(" + ")
+    val e = t(s, dir, "embeddings").withColumn("bucket", expr(bucketExpr))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val cand = e.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", expr(cosineS("qe", "embedding")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("bucket"), col("vec_id").as("nn_vec_id"), col("score"))
+      .orderBy(col("qid"))
+  }
+
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q40_text_stats" -> q40TextStats,
+    "q41_langid" -> q41LangId,
+    "q42_token_count" -> q42TokenCount,
+    "q43_fingerprint" -> q43Fingerprint,
+    "q44_exact_dedup" -> q44ExactDedup,
+    "q45_minhash_lsh" -> q45MinhashLsh,
+    "q46_simhash" -> q46Simhash,
+    "q47_ngram_jaccard" -> q47NgramJaccard,
+    "q48_cosine_topk" -> q48CosineTopk,
+    "q49_embedding_stats" -> q49EmbeddingStats,
+    "q50_ann_lsh" -> q50AnnLsh)
+
+  // ---- DuckDB oracle dialect fragments ----
+
+  private def hashD(x: String): String =
+    s"(('0x' || substring(md5($x),1,15))::BIGINT)"
+  private val toksD = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val shinglesD =
+    "list_transform(range(1, len(tok)-1), i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])"
+  private def minhashD(i: Int): String =
+    s"list_min(list_transform(sh, s -> (${MinhashA(i)} * (${hashD("s")} % $P) + ${MinhashB(i)}) % $P))"
+  private def listD(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+  private def stopCountD(list: Seq[String]): String =
+    s"len(list_filter(tok, x -> list_contains(${listD(list)}, x)))"
+  private val sigD =
+    s"""WITH toks AS (SELECT *, $toksD AS tok FROM documents),
+       |sh AS (SELECT *, $shinglesD AS sh FROM toks WHERE len(tok) >= 3),
+       |sig AS (SELECT doc_id, list_distinct(sh) AS shd,
+       |  ${(0 until NumHashes).map(i => s"${minhashD(i)} AS mh$i").mkString(", ")}
+       |  FROM sh)""".stripMargin
+  private def cosineD(a: String, b: String): String =
+    s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
+
+  val oracles: Map[String, String] = Map(
+    "q40_text_stats" ->
+      s"""SELECT doc_id, lang, n_chars,
+        |  len(tok)::BIGINT AS n_tokens,
+        |  length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::BIGINT AS n_alpha,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / n_chars AS alpha_ratio,
+        |  CAST(length(text) AS DOUBLE) / len(tok) AS avg_token_span
+        |FROM (SELECT *, $toksD AS tok FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q41_langid" ->
+      s"""SELECT doc_id,
+        |  ${stopCountD(StopEn)}::BIGINT AS s_en, ${stopCountD(StopEs)}::BIGINT AS s_es,
+        |  ${stopCountD(StopFr)}::BIGINT AS s_fr, ${stopCountD(StopDe)}::BIGINT AS s_de,
+        |  CASE WHEN ${stopCountD(StopEn)} >= ${stopCountD(StopEs)} AND ${stopCountD(StopEn)} >= ${stopCountD(StopFr)} AND ${stopCountD(StopEn)} >= ${stopCountD(StopDe)} THEN 'en'
+        |       WHEN ${stopCountD(StopEs)} >= ${stopCountD(StopFr)} AND ${stopCountD(StopEs)} >= ${stopCountD(StopDe)} THEN 'es'
+        |       WHEN ${stopCountD(StopFr)} >= ${stopCountD(StopDe)} THEN 'fr'
+        |       ELSE 'de' END AS lang_guess
+        |FROM (SELECT *, $toksD AS tok FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q42_token_count" ->
+      s"""SELECT doc_id,
+        |  len(tok)::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens,
+        |  CAST(length(text) AS DOUBLE) / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS chars_per_token
+        |FROM (SELECT *, $toksD AS tok FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q43_fingerprint" ->
+      s"""SELECT doc_id, md5(norm) AS md5_fp,
+        |  list_min(list_transform(range(1, length(norm)-6), i -> ${hashD("substring(norm, i, 8)")})) AS min_gram_hash
+        |FROM (SELECT doc_id, trim(lower(text)) AS norm FROM documents)
+        |WHERE length(norm) >= 8
+        |ORDER BY doc_id""".stripMargin,
+    "q44_exact_dedup" ->
+      """SELECT min(doc_id) AS canonical_doc_id, md5(text) AS content_hash,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY canonical_doc_id""".stripMargin,
+    "q45_minhash_lsh" ->
+      s"""$sigD,
+        |bands AS (
+        |  SELECT doc_id, shd, b.band, CASE b.band
+        |    WHEN 0 THEN CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)
+        |    WHEN 1 THEN CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)
+        |    WHEN 2 THEN CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR)
+        |    ELSE CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR) END AS bkey
+        |  FROM sig, (SELECT unnest(range(4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shd AS sh_a, b.shd AS sh_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / len(list_distinct(sh_a || sh_b)) AS jaccard
+        |FROM cand
+        |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / len(list_distinct(sh_a || sh_b)) >= $JaccardThreshold
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q46_simhash" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksD) AS token FROM documents),
+        |h AS (SELECT doc_id, ${hashD("token")} AS hv FROM t),
+        |bits AS (
+        |  SELECT doc_id, b.b,
+        |    CASE WHEN sum(CASE WHEN ((hv >> b.b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM h, (SELECT unnest(range(32)) AS b) b GROUP BY doc_id, b.b)
+        |SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q47_ngram_jaccard" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, lang, list_distinct($shinglesD) AS shd
+        |  FROM (SELECT doc_id, lang, $toksD AS tok FROM documents)
+        |  WHERE len(tok) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) / len(list_distinct(a.shd || b.shd)) AS jaccard
+        |FROM s a JOIN s b ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 25
+        |WHERE CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) / len(list_distinct(a.shd || b.shd)) > 0
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    "q48_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qid, vec_id, ${cosineD("qe", "embedding")} AS score
+        |  FROM embeddings, q WHERE vec_id != qid),
+        |ranked AS (
+        |  SELECT qid, vec_id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |SELECT qid, vec_id, score, rn FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
+    "q49_embedding_stats" ->
+      """SELECT label, count(*) AS n_vectors,
+        |  CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_norm,
+        |  min(norm) AS min_norm, max(norm) AS max_norm
+        |FROM (SELECT label,
+        |        round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6) AS norm
+        |      FROM embeddings)
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "q50_ann_lsh" ->
+      s"""WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    ${(0 until 8).map { i =>
+               val h = hashD(s"'hp:$i:' || j")
+               s"(CASE WHEN list_aggregate(list_transform(range(0, 64), j -> ($h % 2001 - 1000) * embedding[j+1]::DOUBLE), 'sum') > 0 THEN 1 ELSE 0 END) * ${1 << i}"
+             }.mkString(" + ")} AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 50),
+        |cand AS (
+        |  SELECT q.qid, b.bucket, b.vec_id, ${cosineD("q.qe", "b.embedding")} AS score
+        |  FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.qid),
+        |ranked AS (
+        |  SELECT qid, bucket, vec_id AS nn_vec_id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+        |  FROM cand)
+        |SELECT qid, bucket, nn_vec_id, score FROM ranked WHERE rn = 1
+        |ORDER BY qid""".stripMargin)
+}
