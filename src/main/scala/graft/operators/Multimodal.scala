@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** Multimodal-column plumbing (SURVEY.md §2B extension; builder brief):
+  * image/audio/video as opaque `binary` columns with typed metadata,
+  * processed by a batched decode/feature-extract stage.
+  *
+  * The Spark-side plumbing is real and tested: a typed Dataset of
+  * (doc_id, mime, payload bytes), `mapPartitions` with an explicit batch
+  * loop (the Scala analog of a vectorized/Pandas UDF: decode cost is
+  * amortized per batch, memory is bounded by batch size, and the stage
+  * is embarrassingly parallel per partition — exactly the shape a 100 TB
+  * media pipeline needs). The DECODE ITSELF IS A STUB: the container has
+  * no image/audio codecs, so `decodeBatch` computes deterministic fake
+  * features derived from the raw bytes (documented below) instead of
+  * invoking a codec. Swap `decodeBatch`'s body for a real codec call and
+  * nothing else changes.
+  */
+object Multimodal {
+
+  /** Input row: media payload + typed metadata. */
+  case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
+
+  /** Output row of the decode/feature stage. */
+  case class MediaFeatures(
+      doc_id: Long,
+      mime: String,
+      n_bytes: Long,
+      checksum: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      h0: Long, h1: Long, h2: Long, h3: Long,
+      h4: Long, h5: Long, h6: Long, h7: Long)
+
+  /** Batch size for the decode loop — the unit a real codec would be
+    * handed (mirrors pandas-UDF batch shape).
+    */
+  val DecodeBatchSize = 64
+
+  /** STUB decode: deterministic fake features from raw bytes.
+    *   checksum  = sum of unsigned byte values
+    *   width     = 1 + checksum % 640, height = 1 + checksum % 480
+    *   n_frames  = 1 for images; 1 + n_bytes/1000 for audio/video
+    *   h0..h7    = histogram of (byte >>> 5) buckets
+    * A real implementation would replace ONLY this function with a codec
+    * (e.g. javax.imageio / ffmpeg bindings) — signature unchanged.
+    */
+  def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = batch.map { r =>
+    val bytes = r.payload
+    var checksum = 0L
+    val hist = new Array[Long](8)
+    var i = 0
+    while (i < bytes.length) {
+      val u = bytes(i) & 0xff
+      checksum += u
+      hist(u >>> 5) += 1
+      i += 1
+    }
+    val frames =
+      if (r.mime == "image/png") 1 else (1 + bytes.length / 1000)
+    MediaFeatures(r.doc_id, r.mime, bytes.length.toLong, checksum,
+      1 + (checksum % 640).toInt, 1 + (checksum % 480).toInt, frames,
+      hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7))
+  }
+
+  /** Build the media table from documents: payload = utf8 bytes of text
+    * (a deterministic stand-in for real blobs), mime assigned by
+    * doc_id % 3. At scale this would be `spark.read.format("binaryFile")`
+    * or a parquet table with a binary column — the downstream stages are
+    * identical.
+    */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Engine.table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("mime"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** The decode/feature pipeline: batched mapPartitions over the typed
+    * Dataset. No shuffle — narrow, codegen-boundary only at the typed
+    * map; output is a DataFrame ready for relational post-processing.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(b => decodeBatch(b))
+    }
+  }
+
+  /** q51: the full multimodal pipeline as a declared query (oracle
+    * mirrors the stub arithmetic over char codes — payloads are ASCII).
+    */
+  val q51MediaFeatures: (SparkSession, String) => DataFrame = (s, dir) =>
+    extractFeatures(mediaTable(s, dir)).toDF().orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_media_features" -> q51MediaFeatures)
+
+  val oracles: Map[String, String] = Map(
+    "q51_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |         ELSE 'video/mp4' END AS mime,
+        |    text,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    list_transform(range(1, length(text) + 1), i -> ord(substring(text, i, 1))) AS codes
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, mime, n_bytes,
+        |    CAST(list_aggregate(codes, 'sum') AS BIGINT) AS checksum,
+        |    codes
+        |  FROM m)
+        |SELECT doc_id, mime, n_bytes, checksum,
+        |  CAST(1 + checksum % 640 AS INT) AS width,
+        |  CAST(1 + checksum % 480 AS INT) AS height,
+        |  CAST(CASE WHEN mime = 'image/png' THEN 1 ELSE 1 + n_bytes // 1000 END AS INT) AS n_frames,
+        |  CAST(len(list_filter(codes, c -> c // 32 = 0)) AS BIGINT) AS h0,
+        |  CAST(len(list_filter(codes, c -> c // 32 = 1)) AS BIGINT) AS h1,
+        |  CAST(len(list_filter(codes, c -> c // 32 = 2)) AS BIGINT) AS h2,
+        |  CAST(len(list_filter(codes, c -> c // 32 = 3)) AS BIGINT) AS h3,
+        |  CAST(len(list_filter(codes, c -> c // 32 = 4)) AS BIGINT) AS h4,
+        |  CAST(len(list_filter(codes, c -> c // 32 = 5)) AS BIGINT) AS h5,
+        |  CAST(len(list_filter(codes, c -> c // 32 = 6)) AS BIGINT) AS h6,
+        |  CAST(len(list_filter(codes, c -> c // 32 = 7)) AS BIGINT) AS h7
+        |FROM f ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events fixture (SURVEY.md §2B
+  * "Streaming"). Every transformation is written against a plain
+  * DataFrame, so the identical code runs in batch (where `withWatermark`
+  * is a no-op) and under a streaming source — the batch run IS the
+  * correctness oracle (see EventStreamsSpec).
+  *
+  * Scale notes: event-time windows + watermarks bound state size (late
+  * data beyond the watermark is dropped, closed windows are evicted);
+  * session windows and the custom flatMapGroupsWithState state are keyed
+  * by user_id, so state shards across executors with the shuffle.
+  */
+object EventStreams {
+
+  /** Typed event row (ts in micros precision). */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Per-user running state for the custom stateful op. */
+  case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling 1-hour window counts per event type, 10-min watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour window every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+
+  /** Session windows with a 30-minute gap, per user (the streaming twin
+    * of Relational.q30Sessionize).
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Watermarked streaming dedup on (user_id, event_type) — late
+    * duplicates beyond the watermark may reappear, duplicates within it
+    * are dropped (dropDuplicatesWithinWatermark semantics).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Custom stateful operator: running per-user totals via
+    * flatMapGroupsWithState (Update mode) — emits the refreshed
+    * aggregate on every input batch.
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAgg, UserAgg](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserAgg(userId, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Events fixture as a typed Dataset (batch side). */
+  def batchEvents(s: SparkSession, dir: String): Dataset[Event] = {
+    import s.implicits._
+    graft.Engine.table(s, dir, "events").as[Event]
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Streaming/batch consistency oracle (SURVEY.md §5 item 5): the events
+  * fixture replayed through a MemoryStream must produce the same
+  * windowed aggregates as the identical transformation run in batch.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = Engine.session(master = "local[4]")
+
+  private def streamOf(events: Seq[Event]): MemoryStream[Event] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    ms.addData(events)
+    ms
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private lazy val fixture: Seq[Event] = {
+    import spark.implicits._
+    EventStreams.batchEvents(spark, dir).orderBy(col("ts")).collect().toSeq
+  }
+
+  test("tumbling window: streaming == batch") {
+    val ms = streamOf(fixture)
+    val q = EventStreams.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streaming = sortedRows(spark.table("tumbling_out"))
+      val batch = sortedRows(EventStreams.tumblingCounts(
+        EventStreams.batchEvents(spark, dir).toDF()))
+      assert(streaming == batch)
+      assert(streaming.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sliding window: streaming == batch") {
+    val ms = streamOf(fixture)
+    val q = EventStreams.slidingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streaming = sortedRows(spark.table("sliding_out"))
+      val batch = sortedRows(EventStreams.slidingCounts(
+        EventStreams.batchEvents(spark, dir).toDF()))
+      assert(streaming == batch)
+      assert(streaming.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session window: streaming == batch") {
+    val ms = streamOf(fixture)
+    val q = EventStreams.sessionCounts(ms.toDF())
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streaming = sortedRows(spark.table("session_out"))
+      val batch = sortedRows(EventStreams.sessionCounts(
+        EventStreams.batchEvents(spark, dir).toDF()))
+      assert(streaming == batch)
+      assert(streaming.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark drops in-watermark duplicates") {
+    val base = fixture.take(20)
+    val dups = base.map(e => e.copy(event_id = e.event_id + 100000)) // same (user, type)
+    val ms = streamOf(base ++ dups)
+    val q = EventStreams.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").count()
+      val distinctKeys = base.map(e => (e.user_id, e.event_type)).distinct.size
+      assert(got == distinctKeys)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState running totals match batch groupBy") {
+    import spark.implicits._
+    val ms = streamOf(fixture)
+    val q = EventStreams.runningUserTotals(ms.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // last update per user == batch aggregate
+      val streaming = spark.table("state_out")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val batch = EventStreams.batchEvents(spark, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streaming == batch)
+    } finally q.stop()
+  }
+}
