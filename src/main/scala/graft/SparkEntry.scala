@@ -11,16 +11,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on sf0.001; driver smoke-checks rows > 0. */
+  /** Flagship: the reference's signature query — crawl → fill-forward →
+    * filter → dedup → sort → skip-newest window → payload — over the
+    * bundled frozen corpus (rows > 0 smoke-checked by the driver).
+    */
   def entry(spark: SparkSession): DataFrame = {
     Functions.registerAll(spark)
-    operators.Relational.q02RevenueByNation(spark, "/root/testdata/sf0.001")
+    operators.RumorPipeline.q60RumorPipeline(spark, "/root/testdata/sf0.001")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.LlmOps.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++ operators.RumorPipeline.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names). */
   def oracleSql: Map[String, String] =

@@ -90,7 +90,7 @@ object ScalarOps {
         case '<'  => sb.append("&lt;")
         case '>'  => sb.append("&gt;")
         case '"'  => sb.append("&quot;")
-        case '\'' => sb.append("&#039;")
+        case '\'' => sb.append("&#39;")
         case c    => sb.append(c)
       }
       i += 1

@@ -739,7 +739,7 @@ object Relational {
     "q28_custom_scalars" ->
       """SELECT p_partkey,
         |  regexp_replace(regexp_replace(replace(lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))), '&', ' and '), '[^a-z0-9]+', '_', 'g'), '^_+|_+$', '', 'g') AS slug,
-        |  replace(replace(replace(replace(replace(p_name || ' & <"tags">', '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), chr(39), '&#039;') AS escaped,
+        |  replace(replace(replace(replace(replace(p_name || ' & <"tags">', '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), chr(39), '&#39;') AS escaped,
         |  '2024-01-' || lpad(CAST(p_size % 28 + 1 AS VARCHAR), 2, '0') AS iso_from_text
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q29_tumbling_window" ->

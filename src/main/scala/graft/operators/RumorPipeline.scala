@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ScalarOps, Scalars}
+import graft.sources.RumorSource
+import graft.sources.RumorSource.PageProvider
+
+/** The reference's signature query pipeline, end-to-end, Spark-first
+  * (SURVEY.md §2A ops 3-27, §3 E1): element-row scan → stateful date
+  * fill-forward → item predicate → last-anchor source extraction →
+  * sanitizing projection → per-page/per-tag caps → per-tag incremental
+  * dedup → union → global sort (date desc, deterministic ties) →
+  * order-sensitive first-wins dedup → skip-newest offset/limit window →
+  * payload projection → JSON envelope + Presto-block HTML sinks.
+  *
+  * Order sensitivity (SURVEY §1.4): Spark relations are unordered, so
+  * crawl encounter order is carried explicitly as
+  * (subject_idx, page_no, doc_pos) and every dedup/sort pins ties on it
+  * — never bare dropDuplicates. At 100 TB the same pipeline shape holds:
+  * the fill-forward window partitions by (slug, page) — thousands of
+  * independent partitions — and dedups shuffle only the 152-char key
+  * plus the order triple.
+  */
+object RumorPipeline {
+
+  /** Crawl records (ref fetchRumors.js:110-117) from element rows:
+    * fill-forward the running date within each (slug, page), consume the
+    * date-header rows, keep ≥15-char p/li items with a date, extract the
+    * last-anchor source.
+    */
+  def crawlRecords(rows: DataFrame): DataFrame = {
+    val pageOrder = Window.partitionBy(col("slug"), col("page_no"))
+      .orderBy(col("doc_pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows
+      .withColumn("date",
+        last(when(col("iso_date") =!= "", col("iso_date")), ignoreNulls = true)
+          .over(pageOrder))
+      // date-header rows are consumed (fetchRumors.js:97 `continue`)
+      .filter(col("iso_date") === "")
+      // item predicate (fetchRumors.js:99-101)
+      .filter(col("tag").isin("p", "li") &&
+        col("date").isNotNull && length(col("text")) >= 15)
+      .select(
+        col("slug"), col("subject_idx"), col("page_no"), col("doc_pos"),
+        col("text").as("title"),
+        col("para_html").as("snippet_html"),
+        col("last_href").as("url"),
+        // sourceName defaults to HoopsHype (fetchRumors.js:106)
+        coalesce(nullif(col("last_text"), lit("")), lit("HoopsHype")).as("sourceName"),
+        col("date"),
+        col("last_text").as("lastAnchorText"))
+  }
+
+  /** Per-page cap (80, fetchRumors.js:119), per-tag incremental
+    * first-seen-wins dedup (fetchRumors.js:141-145), and the per-tag
+    * 150-item page cutoff (fetchRumors.js:148: the page that crosses 150
+    * is fully kept; later pages are not crawled).
+    */
+  def perTagDedup(records: DataFrame): DataFrame = {
+    val keyed = records.withColumn("key",
+      concat_ws("::", col("date"), substring(col("title"), 1, 120), col("url")))
+    val pageCap = Window.partitionBy(col("slug"), col("page_no"))
+      .orderBy(col("doc_pos").asc)
+    val firstSeen = Window.partitionBy(col("slug"), col("key"))
+      .orderBy(col("page_no").asc, col("doc_pos").asc)
+    val deduped = keyed
+      .withColumn("rn_page", row_number().over(pageCap))
+      .filter(col("rn_page") <= 80)
+      .withColumn("rn_key", row_number().over(firstSeen))
+      .filter(col("rn_key") === 1)
+    // 150-cap: keep pages whose preceding pages' cumulative deduped
+    // count is still below 150
+    val pageCounts = deduped.groupBy(col("slug"), col("page_no"))
+      .agg(count(lit(1)).as("page_items"))
+    val cumBefore = Window.partitionBy(col("slug")).orderBy(col("page_no").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keptPages = pageCounts
+      .withColumn("cum_before", coalesce(sum(col("page_items")).over(cumBefore), lit(0L)))
+      .filter(col("cum_before") < 150)
+      .select(col("slug").as("kp_slug"), col("page_no").as("kp_page"))
+    deduped.join(broadcast(keptPages),
+        col("slug") === col("kp_slug") && col("page_no") === col("kp_page"), "left_semi")
+      .drop("rn_page", "rn_key")
+  }
+
+  /** Global sort (date desc, crawl-order ties — SURVEY §1.4-3) +
+    * order-sensitive first-wins dedup (fetchRumors.js:187-196).
+    */
+  def globalDedupSorted(merged: DataFrame): DataFrame = {
+    val firstWins = Window.partitionBy(col("key"))
+      .orderBy(col("subject_idx").asc, col("page_no").asc, col("doc_pos").asc)
+    merged
+      .withColumn("rn_global", row_number().over(firstWins))
+      .filter(col("rn_global") === 1)
+      .drop("rn_global")
+      .orderBy(col("date").desc, col("subject_idx").asc,
+        col("page_no").asc, col("doc_pos").asc)
+  }
+
+  /** Skip newest, take next 8 (fetchRumors.js:199) + payload projection
+    * (fetchRumors.js:202-209) via the native scalar expressions.
+    */
+  def payload(sortedDedup: DataFrame): DataFrame = {
+    sortedDedup
+      .offset(1).limit(8)
+      .select(
+        col("date"),
+        Scalars.fmt_month_abbrev(col("date")).as("date_pretty"),
+        col("snippet_html"),
+        col("sourceName"),
+        col("url").as("sourceUrl"),
+        Scalars.ends_with_source(col("snippet_html"), col("url"), col("sourceName"))
+          .as("suppressSource"))
+  }
+
+  /** Full pipeline: subjects string (comma-separated, ref
+    * fetchRumors.js:179) → 8-row payload DataFrame.
+    */
+  def run(spark: SparkSession, provider: PageProvider, q: String): DataFrame = {
+    val subjects = q.split(",").map(ScalarOps.clean).filter(_.nonEmpty).toSeq
+    val slugs = subjects.map(ScalarOps.slugify)
+    val rows = RumorSource.elementRows(spark, provider, slugs)
+    payload(globalDedupSorted(perTagDedup(crawlRecords(rows))))
+  }
+
+  // ---------------------------------------------------------------
+  // Sinks
+  // ---------------------------------------------------------------
+
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  /** JSON response envelope {subject, items[]} (fetchRumors.js:211-214,
+    * 220-226), field order matching JSON.stringify of the reference's
+    * payload objects.
+    */
+  def jsonEnvelope(subject: String, items: DataFrame): String = {
+    val rows = items.collect().map { r =>
+      s"""{"date":${jsonStr(r.getAs[String]("date"))},""" +
+        s""""date_pretty":${jsonStr(r.getAs[String]("date_pretty"))},""" +
+        s""""snippet_html":${jsonStr(r.getAs[String]("snippet_html"))},""" +
+        s""""sourceName":${jsonStr(r.getAs[String]("sourceName"))},""" +
+        s""""sourceUrl":${jsonStr(r.getAs[String]("sourceUrl"))},""" +
+        s""""suppressSource":${r.getAs[Boolean]("suppressSource")}}"""
+    }
+    s"""{"subject":${jsonStr(subject)},"items":[${rows.mkString(",")}]}"""
+  }
+
+  /** Footer renderer (ref index.html:52-61). */
+  def footerHtml(datePretty: String, sourceName: String, sourceUrl: String,
+      suppressSource: Boolean): String = {
+    val date = ScalarOps.htmlEscape(datePretty)
+    if (suppressSource) s""" <span class="footer">| $date</span>"""
+    else {
+      val name = if (sourceName.isEmpty) "Source" else sourceName
+      val src =
+        if (sourceUrl.nonEmpty)
+          s"""<a href="$sourceUrl" target="_blank" rel="noopener">${ScalarOps.htmlEscape(name)}</a>"""
+        else ScalarOps.htmlEscape(name)
+      s""" <span class="footer">$src | $date</span>"""
+    }
+  }
+
+  /** Presto block sink (ref index.html:63-80) — byte-identical to the
+    * reference's template literals including indentation.
+    */
+  def prestoBlock(subject: String, items: DataFrame): String = {
+    val paras = items.collect().map { r =>
+      val body = r.getAs[String]("snippet_html")
+      val footer = footerHtml(r.getAs[String]("date_pretty"),
+        r.getAs[String]("sourceName"), r.getAs[String]("sourceUrl"),
+        r.getAs[Boolean]("suppressSource"))
+      "<p class=\"hh-item\" style=\"border-left:4px solid #e31d1a;padding-left:12px;margin:10px 0;font-size:15px;line-height:1.35;\">\n        " +
+        body + footer + "\n      </p>"
+    }.mkString("\n")
+    val heading = s"More on ${ScalarOps.htmlEscape(subject)}"
+    "<div class=\"hh-block\">\n  <h2 style=\"font-family:Georgia,'Times New Roman',Times,serif;font-weight:700;font-size:20px;line-height:1.2;margin:0 0 10px;\">" +
+      heading + "</h2>\n  " + paras + "\n</div>"
+  }
+
+  // ---------------------------------------------------------------
+
+  /** Bundled-fixture corpus (src/main/resources/rumor_corpus). */
+  def bundledProvider: PageProvider =
+    new RumorSource.ClasspathCorpus("/rumor_corpus")
+
+  val DefaultSubjects = "Jalen Brunson, New York Knicks"
+
+  /** q60: the flagship reference query over the bundled frozen corpus
+    * (input is HTML, not parquet → rows-only driver check; golden tests
+    * pin exact values).
+    */
+  val q60RumorPipeline: (SparkSession, String) => DataFrame = (s, _) =>
+    run(s, bundledProvider, DefaultSubjects)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_rumor_pipeline" -> q60RumorPipeline)
+}

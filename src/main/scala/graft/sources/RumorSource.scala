@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.ScalarOps
+
+/** Paginated tag-page source (ref fetchRumors.js:126-151): for each slug
+  * crawls pages 1..maxPages from a corpus, stopping a tag's pagination at
+  * the first fetch error (missing page) with items-so-far kept — the
+  * reference's permissive error semantics (fetchRumors.js:133-137).
+  *
+  * The corpus stands in for the HTTP origin (zero-egress environment):
+  * a [[PageProvider]] is the fetchText boundary. Scale path: this is
+  * where a DataSource V2 `TableProvider` with one `InputPartition` per
+  * (slug, page) would stream real pages with `SupportsPushDownLimit` for
+  * the per-tag early-stop (SURVEY §2A#1-2, §4) — the downstream
+  * element-row schema is identical, so swapping providers touches
+  * nothing else. The HTML parse itself runs distributed in a flatMap
+  * over the page documents.
+  */
+object RumorSource {
+
+  val MaxPages = 10
+
+  /** The fetch boundary: None = fetch error (ends that tag's crawl). */
+  trait PageProvider extends Serializable {
+    def fetch(slug: String, page: Int): Option[String]
+  }
+
+  /** Directory corpus: {dir}/{slug}/page{n}.html */
+  final class DirCorpus(dir: String) extends PageProvider {
+    def fetch(slug: String, page: Int): Option[String] = {
+      val p = Paths.get(dir, slug, s"page$page.html")
+      if (Files.isReadable(p)) Some(Files.readString(p)) else None
+    }
+  }
+
+  /** Classpath corpus: {prefix}/{slug}/page{n}.html (bundled fixtures). */
+  final class ClasspathCorpus(prefix: String) extends PageProvider {
+    def fetch(slug: String, page: Int): Option[String] = {
+      val in = getClass.getResourceAsStream(s"$prefix/$slug/page$page.html")
+      if (in == null) None
+      else {
+        try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+        finally in.close()
+      }
+    }
+  }
+
+  /** One fetched page document. */
+  case class PageDoc(slug: String, subject_idx: Int, page_no: Int, html: String)
+
+  /** One element row of the parsed page scan — the stable interface
+    * between HTML and the relational pipeline (FIXTURES.md §B).
+    */
+  case class ElementRow(
+      slug: String, subject_idx: Int, page_no: Int, doc_pos: Int,
+      tag: String, text: String, iso_date: String,
+      last_href: String, last_text: String, para_html: String)
+
+  /** Crawl page documents for the given slugs (sequential per tag, as the
+    * reference is; tags themselves could crawl in parallel — the
+    * reference is fully sequential, fetchRumors.js:185).
+    */
+  def crawlPages(provider: PageProvider, slugs: Seq[String]): Seq[PageDoc] = {
+    val out = ArrayBuffer.empty[PageDoc]
+    for ((slug, idx) <- slugs.zipWithIndex) {
+      var page = 1
+      var stopped = false
+      while (!stopped && page <= MaxPages) {
+        provider.fetch(slug, page) match {
+          case Some(html) => out += PageDoc(slug, idx, page, html); page += 1
+          case None => stopped = true // fetch error = end of data for tag
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Parse one page into element rows (the JSDOM walk of
+    * fetchRumors.js:89-117, relationalized; document order carried as
+    * doc_pos per SURVEY §1.4).
+    */
+  def parsePage(doc: PageDoc): Seq[ElementRow] = {
+    val dom = HtmlDom.parse(doc.html)
+    val cont = HtmlDom.container(dom)
+    cont.descendants.zipWithIndex.map { case (el, pos) =>
+      val text = ScalarOps.clean(el.textContent)
+      val iso = ScalarOps.extractIsoDate(text)
+      val isItem = el.tag == "p" || el.tag == "li"
+      val lastA = if (isItem) el.anchors.lastOption else None
+      ElementRow(
+        doc.slug, doc.subject_idx, doc.page_no, pos, el.tag, text, iso,
+        lastA.flatMap(_.attr("href")).getOrElse(""),
+        lastA.map(a => ScalarOps.clean(a.textContent)).getOrElse(""),
+        if (isItem) HtmlDom.paragraphHtml(el) else "")
+    }
+  }
+
+  /** The distributed element-row scan: pages are parallelized (one task
+    * can hold many pages; parse happens in executors) and exploded into
+    * element rows.
+    */
+  def elementRows(spark: SparkSession, provider: PageProvider,
+      slugs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val pages = crawlPages(provider, slugs)
+    if (pages.isEmpty) spark.emptyDataset[ElementRow].toDF()
+    else spark.createDataset(pages)
+      .repartition(math.min(pages.size, 32))
+      .flatMap(parsePage _)
+      .toDF()
+  }
+}

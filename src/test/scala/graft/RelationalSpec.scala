@@ -21,8 +21,11 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
-  test("every query has oracle SQL") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  test("every query has oracle SQL (except non-SQL-expressible inputs)") {
+    // q60 reads the frozen HTML corpus, not parquet — rows-only check by
+    // design; exact values are pinned by RumorPipelineSpec goldens.
+    val rowsOnly = Set("q60_rumor_pipeline")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries missing oracles: $missing")
   }
 

@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RumorPipeline
+import graft.sources.{HtmlDom, RumorSource}
+
+/** Reference-semantics golden tests (SURVEY.md §5 item 3): the frozen
+  * corpus through the full pipeline, each assertion pinned to a cited
+  * behavior in /root/reference.
+  */
+class RumorPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session(master = "local[4]")
+
+  private lazy val result =
+    RumorPipeline.run(spark, RumorPipeline.bundledProvider,
+      RumorPipeline.DefaultSubjects).collect()
+
+  test("returns exactly 8 rows (slice(1,9), fetchRumors.js:199)") {
+    assert(result.length == 8)
+  }
+
+  test("the globally newest item was skipped (index 0 dropped)") {
+    // newest = Oct 16 MSG recap; first returned row is the second Oct 16 item
+    assert(result.head.getAs[String]("date") == "2025-10-16")
+    assert(!result.exists(_.getAs[String]("sourceUrl") == "https://www.msg.com/recap"))
+  }
+
+  test("dates are descending with crawl-order ties (SURVEY §1.4)") {
+    val dates = result.map(_.getAs[String]("date")).toSeq
+    assert(dates == dates.sorted.reverse)
+    assert(dates == Seq("2025-10-16", "2025-10-15", "2025-10-15", "2025-10-15",
+      "2025-10-15", "2025-10-15", "2025-10-14", "2025-10-14"))
+  }
+
+  test("cross-tag duplicate removed exactly once (fetchRumors.js:189-196)") {
+    val trades = result.filter(
+      _.getAs[String]("sourceUrl") == "https://www.nypost.com/brunson-trade/")
+    assert(trades.length == 1)
+  }
+
+  test("date_pretty uses the reference month table (fetchRumors.js:157)") {
+    assert(result.head.getAs[String]("date_pretty") == "Oct. 16, 2025")
+  }
+
+  test("no-anchor items default sourceName=HoopsHype, url empty (fetchRumors.js:105-106)") {
+    val noAnchor = result.filter(_.getAs[String]("sourceUrl") == "")
+    assert(noAnchor.length == 3)
+    assert(noAnchor.forall(_.getAs[String]("sourceName") == "HoopsHype"))
+  }
+
+  test("<15-char items are dropped (fetchRumors.js:101)") {
+    assert(!result.exists(_.getAs[String]("snippet_html").contains("Short one")))
+  }
+
+  test("paragraphHTML flattens non-anchor markup, keeps sanitized anchors (fetchRumors.js:59-73)") {
+    val trade = result.find(
+      _.getAs[String]("sourceUrl") == "https://www.nypost.com/brunson-trade/").get
+    val snippet = trade.getAs[String]("snippet_html")
+    assert(!snippet.contains("<b>") && !snippet.contains("<i>"))
+    assert(snippet.contains("League sources confirm talks are ongoing."))
+    assert(snippet.contains(
+      """<a href="https://www.nypost.com/brunson-trade/" target="_blank">NY Post</a>"""))
+    assert(snippet.endsWith("has the details."))
+  }
+
+  test("suppressSource by trailing anchor href; false when text follows (fetchRumors.js:162-172)") {
+    def flag(url: String): Boolean = result.find(
+      _.getAs[String]("sourceUrl") == url).get.getAs[Boolean]("suppressSource")
+    assert(flag("https://www.espn.com/nba/story1")) // ends with the anchor
+    assert(!flag("https://www.nypost.com/brunson-trade/")) // text after anchor
+    assert(flag("https://hoopshype.com/rumor/brunson-scout/")) // trailing-/ normalization
+    assert(!flag("https://www.sny.tv/knicks-practice")) // text after anchor
+  }
+
+  test("JSON envelope matches reference field order (fetchRumors.js:202-226)") {
+    val df = RumorPipeline.run(spark, RumorPipeline.bundledProvider,
+      RumorPipeline.DefaultSubjects)
+    val json = RumorPipeline.jsonEnvelope(RumorPipeline.DefaultSubjects, df)
+    assert(json.startsWith("""{"subject":"Jalen Brunson, New York Knicks","items":[{"date":"2025-10-16","date_pretty":"Oct. 16, 2025","snippet_html":"The front office"""))
+    assert(json.contains(""""suppressSource":true"""))
+    assert(json.endsWith("]}"))
+  }
+
+  test("Presto block sink matches reference template (index.html:63-80)") {
+    val df = RumorPipeline.run(spark, RumorPipeline.bundledProvider,
+      RumorPipeline.DefaultSubjects)
+    val block = RumorPipeline.prestoBlock(RumorPipeline.DefaultSubjects, df)
+    assert(block.startsWith("""<div class="hh-block">
+  <h2 style="font-family:Georgia,'Times New Roman',Times,serif;font-weight:700;font-size:20px;line-height:1.2;margin:0 0 10px;">More on Jalen Brunson, New York Knicks</h2>"""))
+    assert(block.count(_ == '\n') >= 8)
+    assert(block.split("<p class=\"hh-item\"").length == 9) // 8 items
+    assert(block.contains(""" <span class="footer">| Oct. 15, 2025</span>""")) // suppressed footer
+    assert(block.contains(
+      """<a href="https://www.sny.tv/knicks-practice" target="_blank" rel="noopener">SNY</a> | Oct. 14, 2025"""))
+    assert(block.endsWith("</div>"))
+  }
+
+  // ---- edge cases over a generated directory corpus ----
+
+  private def writeCorpus(pages: Map[(String, Int), String]): Path = {
+    val dir = Files.createTempDirectory("rumor_corpus_test")
+    pages.foreach { case ((slug, page), html) =>
+      val d = dir.resolve(slug)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve(s"page$page.html"), html)
+    }
+    dir
+  }
+
+  private def page(items: String): String =
+    s"<html><body><main>$items</main></body></html>"
+
+  test("item before any date header is dropped (fetchRumors.js:100)") {
+    val dir = writeCorpus(Map(("team", 1) -> page(
+      """<p>This item appears before any date header exists on the page.</p>
+        |<h3>March 3, 2024</h3>
+        |<p>This one appears after the header and must be kept here.</p>""".stripMargin)))
+    val rows = RumorPipeline.run(spark, new RumorSource.DirCorpus(dir.toString), "Team")
+    // pipeline output after slice(1,9): 2 items -> dedup 2 -> skip newest -> 1
+    // but both share the date; tie order = doc order; item 1 dropped as "newest"
+    val all = RumorPipeline.globalDedupSorted(RumorPipeline.perTagDedup(
+      RumorPipeline.crawlRecords(RumorSource.elementRows(
+        spark, new RumorSource.DirCorpus(dir.toString), Seq("team"))))).collect()
+    assert(all.length == 1)
+    assert(all.head.getAs[String]("title").startsWith("This one appears after"))
+  }
+
+  test("per-page cap keeps exactly 80 items (fetchRumors.js:119)") {
+    val items = (1 to 85).map(i =>
+      s"<p>Generated rumor item number $i with enough length to pass the filter.</p>")
+      .mkString("\n")
+    val dir = writeCorpus(Map(("team", 1) -> page(s"<h3>March 3, 2024</h3>\n$items")))
+    val n = RumorPipeline.perTagDedup(RumorPipeline.crawlRecords(
+      RumorSource.elementRows(spark, new RumorSource.DirCorpus(dir.toString), Seq("team")))).count()
+    assert(n == 80)
+  }
+
+  test("per-tag 150 cap: crossing page kept, later pages dropped (fetchRumors.js:148)") {
+    def pageN(p: Int): String = page(s"<h3>March $p, 2024</h3>\n" +
+      (1 to 60).map(i =>
+        s"<p>Page $p generated rumor item number $i with plenty of length.</p>").mkString("\n"))
+    val dir = writeCorpus((1 to 4).map(p => ("team", p) -> pageN(p)).toMap)
+    val n = RumorPipeline.perTagDedup(RumorPipeline.crawlRecords(
+      RumorSource.elementRows(spark, new RumorSource.DirCorpus(dir.toString), Seq("team")))).count()
+    assert(n == 180) // pages 1-3 kept (cum before page4 = 180 >= 150)
+  }
+
+  test("missing page stops pagination, earlier pages kept (fetchRumors.js:133-137)") {
+    val dir = writeCorpus(Map(
+      ("team", 1) -> page("<h3>March 3, 2024</h3><p>Item from the first page, long enough.</p>"),
+      ("team", 3) -> page("<h3>March 4, 2024</h3><p>Item from the third page, long enough.</p>")))
+    val all = RumorPipeline.perTagDedup(RumorPipeline.crawlRecords(
+      RumorSource.elementRows(spark, new RumorSource.DirCorpus(dir.toString), Seq("team")))).collect()
+    assert(all.length == 1)
+    assert(all.head.getAs[String]("title").contains("first page"))
+  }
+
+  test("empty and single-item results through slice(1,9) (fetchRumors.js:199)") {
+    val dir = writeCorpus(Map(("team", 1) -> page(
+      "<h3>March 3, 2024</h3><p>The only rumor item present on this page.</p>")))
+    val one = RumorPipeline.run(spark, new RumorSource.DirCorpus(dir.toString), "Team")
+    assert(one.count() == 0) // n<=1 -> empty after skipping newest
+    val none = RumorPipeline.run(spark, new RumorSource.DirCorpus(dir.toString), "Nonexistent Team")
+    assert(none.count() == 0)
+  }
+
+  test("HtmlDom container fallback chain (fetchRumors.js:79-84)") {
+    val byMain = HtmlDom.container(HtmlDom.parse("<body><main><p>x</p></main></body>"))
+    assert(byMain.tag == "main")
+    val byId = HtmlDom.container(HtmlDom.parse("<body><div id=\"content\"><p>x</p></div></body>"))
+    assert(byId.attr("id").contains("content"))
+    val byClass = HtmlDom.container(HtmlDom.parse("<body><div class=\"wrap container\"><p>x</p></div></body>"))
+    assert(byClass.attr("class").contains("wrap container"))
+    val byBody = HtmlDom.container(HtmlDom.parse("<body><p>just a body</p></body>"))
+    assert(byBody.tag == "body")
+  }
+
+  test("paragraphHTML: anchors nested in non-anchors flatten away (fetchRumors.js:61-70)") {
+    val el = HtmlDom.parse("<body><p>Start <b>bold <a href=\"https://x.com\">link</a></b> end. " +
+      "<a href=\"https://y.com\" rel=\"nofollow\" class=\"c\">Keep</a></p></body>")
+      .descendants.find(_.tag == "p").get
+    val out = HtmlDom.paragraphHtml(el)
+    assert(out == """Start bold link end. <a href="https://y.com" target="_blank">Keep</a>""")
+  }
+}

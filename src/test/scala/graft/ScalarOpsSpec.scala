@@ -82,12 +82,12 @@ class ScalarOpsSpec extends AnyFunSuite {
   // htmlEscape — ref index.html:49
   test("htmlEscape escapes the five chars") {
     assert(ScalarOps.htmlEscape("""a & b < c > d " e ' f""") ==
-      "a &amp; b &lt; c &gt; d &quot; e &#039; f")
+      "a &amp; b &lt; c &gt; d &quot; e &#39; f")
   }
   test("htmlEscape output has no raw specials (property)") {
     forAll(Gen.asciiPrintableStr) { s =>
       val out = ScalarOps.htmlEscape(s)
-      !out.replaceAll("&(amp|lt|gt|quot|#039);", "").exists("&<>\"'".contains(_))
+      !out.replaceAll("&(amp|lt|gt|quot|#39);", "").exists("&<>\"'".contains(_))
     }
   }
 
