@@ -118,7 +118,34 @@ object ScalarOps {
       label.toLowerCase(java.util.Locale.ROOT) == sourceName.toLowerCase(java.util.Locale.ROOT))
   }
 
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit stable hash: the first 15 hex digits of md5 as a long —
+    * numerically identical to Spark SQL's
+    * `conv(substring(md5(s),1,15),16,10)` and DuckDB's
+    * `('0x'||substring(md5(s),1,15))::BIGINT`, so it is the portable
+    * hashing backbone for MinHash/SimHash/fingerprints (LlmOps).
+    */
+  def stableHash64(bytes: Array[Byte]): Long = {
+    val d = Md5.get()
+    d.reset()
+    val h = d.digest(bytes)
+    // first 15 hex chars == top 60 bits of the first 8 bytes (big-endian)
+    val v = ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
+      ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |
+      ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+    v >>> 4
+  }
+
+  def stableHash64(s: String): Long =
+    stableHash64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   // ---- UTF8String adapters (called from generated code) ----
+  def stableHash64U(s: UTF8String): Long = stableHash64(s.getBytes)
   def slugifyU(s: UTF8String): UTF8String =
     UTF8String.fromString(slugify(s.toString))
   def extractIsoDateU(s: UTF8String): UTF8String =

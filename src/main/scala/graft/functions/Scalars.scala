@@ -63,6 +63,21 @@ case class CleanWs(child: Expression) extends StringUnaryOp {
   override def prettyName: String = "clean_ws"
 }
 
+/** 60-bit md5-prefix stable hash (see ScalarOps.stableHash64) — the
+  * engine's portable hash for MinHash/SimHash/fingerprints; equals
+  * `cast(conv(substring(md5(s),1,15),16,10) as bigint)` but in one
+  * codegen'd call instead of a 4-deep interpreted chain.
+  */
+case class StableHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    ScalarOps.stableHash64U(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScalarOps.stableHash64U($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "stable_hash64"
+}
+
 /** `ends_with_source(snippet_html, url, source_name)` — ref
   * fetchRumors.js:162-172 (`bodyAlreadyHasSource`).
   */
@@ -91,6 +106,7 @@ object Scalars {
   def clean_ws(c: Column): Column = col(CleanWs(ex(c)))
   def ends_with_source(snippet: Column, url: Column, name: Column): Column =
     col(EndsWithSource(ex(snippet), ex(url), ex(name)))
+  def stable_hash64(c: Column): Column = col(StableHash64(ex(c)))
 
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
@@ -101,5 +117,6 @@ object Scalars {
     r.createOrReplaceTempFunction("clean_ws", es => CleanWs(es.head), "built-in")
     r.createOrReplaceTempFunction("ends_with_source",
       es => EndsWithSource(es(0), es(1), es(2)), "built-in")
+    r.createOrReplaceTempFunction("stable_hash64", es => StableHash64(es.head), "built-in")
   }
 }

@@ -52,9 +52,12 @@ object LlmOps {
 
   // ---- SQL fragments, Spark dialect ----
 
-  /** 60-bit stable hash of a string expression (Spark dialect). */
-  def hashS(x: String): String =
-    s"cast(conv(substring(md5(cast($x as binary)),1,15),16,10) as bigint)"
+  /** 60-bit stable hash of a string expression (Spark dialect) — the
+    * native StableHash64 expression (one call, vs a 4-deep interpreted
+    * md5/substring/conv chain inside HOF lambdas, which cannot be
+    * codegen'd or CSE'd).
+    */
+  def hashS(x: String): String = s"stable_hash64($x)"
 
   /** Whitespace tokens of lowered text. */
   val toksS = "split(trim(lower(text)), '\\\\s+')"
@@ -63,8 +66,13 @@ object LlmOps {
   val shinglesS =
     "transform(sequence(1, size(tok)-2), i -> concat(element_at(tok,i), ' ', element_at(tok,i+1), ' ', element_at(tok,i+2)))"
 
+  /** Permuted min over the precomputed base-hash array `hsh` — the md5
+    * base hash is computed ONCE per shingle (higher-order-function
+    * lambdas are interpreted, so Catalyst can't CSE a hash repeated in 8
+    * separate minhash expressions; factoring it out is an 8× saving).
+    */
   private def minhashS(i: Int): String =
-    s"array_min(transform(sh, s -> (${MinhashA(i)}L * (${hashS("s")} % ${P}L) + ${MinhashB(i)}L) % ${P}L))"
+    s"array_min(transform(hsh, h -> (${MinhashA(i)}L * h + ${MinhashB(i)}L) % ${P}L))"
 
   private def arr(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("array(", ", ", ")")
@@ -72,9 +80,14 @@ object LlmOps {
   private def stopCountS(list: Seq[String]): String =
     s"size(filter(tok, x -> array_contains(${arr(list)}, x)))"
 
-  /** documents with tok column (tokenization is the one shared scan). */
-  private def docsTok(s: SparkSession, dir: String): DataFrame =
+  /** documents with tok column (tokenization is the one shared scan).
+    * Registers the engine's custom functions so stable_hash64 resolves
+    * inside expr() lambdas under any session (idempotent).
+    */
+  private def docsTok(s: SparkSession, dir: String): DataFrame = {
+    graft.Functions.registerAll(s)
     t(s, dir, "documents").withColumn("tok", expr(toksS))
+  }
 
   private def docsShingled(s: SparkSession, dir: String): DataFrame =
     docsTok(s, dir)
@@ -83,8 +96,10 @@ object LlmOps {
 
   /** MinHash signature columns mh0..mh7 (map-side only — no shuffle). */
   private def docsSigned(s: SparkSession, dir: String): DataFrame =
-    (0 until NumHashes).foldLeft(docsShingled(s, dir)) { (df, i) =>
-      df.withColumn(s"mh$i", expr(minhashS(i)))
+    (0 until NumHashes).foldLeft(
+      docsShingled(s, dir)
+        .withColumn("hsh", expr(s"transform(sh, s -> ${hashS("s")} % ${P}L)"))) {
+      (df, i) => df.withColumn(s"mh$i", expr(minhashS(i)))
     }
 
   // ---------------------------------------------------------------
@@ -141,16 +156,30 @@ object LlmOps {
 
   /** q43: document fingerprinting — md5 of normalized text plus a
     * rolling min-hash over char 8-grams (winnowing-style content
-    * fingerprint robust to reordering at the edges).
+    * fingerprint robust to reordering at the edges). The per-gram hash
+    * loop runs as a typed mapPartitions (tight JVM loop over ~400 grams
+    * per doc) sharing ScalarOps.stableHash64 with the SQL expression —
+    * an interpreted HOF here costs ~30 µs/gram, the loop ~0.3 µs.
     */
   val q43Fingerprint: Q = (s, dir) => {
+    import s.implicits._
     t(s, dir, "documents")
       .withColumn("norm", expr("trim(lower(text))"))
       .filter(length(col("norm")) >= 8)
-      .select(col("doc_id"),
-        md5(col("norm").cast("binary")).as("md5_fp"),
-        expr(s"array_min(transform(sequence(1, length(norm)-7), i -> ${hashS("substring(norm, i, 8)")}))")
-          .as("min_gram_hash"))
+      .select(col("doc_id"), md5(col("norm").cast("binary")).as("md5_fp"), col("norm"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, fp, norm) =>
+        var mn = Long.MaxValue
+        var i = 0
+        val last = norm.length - 8
+        while (i <= last) {
+          val h = graft.functions.ScalarOps.stableHash64(norm.substring(i, i + 8))
+          if (h < mn) mn = h
+          i += 1
+        }
+        (id, fp, mn)
+      })
+      .toDF("doc_id", "md5_fp", "min_gram_hash")
       .orderBy(col("doc_id"))
   }
 
@@ -215,23 +244,51 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
-  /** q47: blocked n-gram Jaccard — exact pairwise similarity within
-    * cheap blocks (same lang, nearby ids) as the quadratic-safe
-    * formulation; top pairs by similarity.
+  /** q47: blocked n-gram Jaccard as a SET-SIMILARITY JOIN: explode
+    * distinct shingles, equi-join on (lang, shingle) with the cheap
+    * block predicates, count matches per pair → |A∩B|, and derive
+    * Jaccard from precomputed set sizes (|A∪B| = |A|+|B|−|A∩B|).
+    *
+    * Why not per-pair array_intersect: Catalyst pushes a jaccard>0
+    * filter into the join condition ahead of the cheap range predicates
+    * and evaluates O(candidate-pairs) full array intersections — 155 s
+    * at sf0.1. The explode-join shape shuffles only (shingle, doc_id,
+    * size) rows, aggregates map-side, and is the formulation that holds
+    * at 100 TB (pairs sharing no shingle are never materialized — which
+    * also IS the jaccard > 0 predicate).
     */
   val q47NgramJaccard: Q = (s, dir) => {
+    import s.implicits._
     val sh = docsTok(s, dir)
       .filter(size(col("tok")) >= 3)
-      .withColumn("shd", array_distinct(expr(shinglesS)))
-      .select(col("doc_id"), col("lang"), col("shd"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("shd").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("shd").as("sh_b"))
-    a.join(b, col("lang") === col("lang_b") &&
+      .select(col("doc_id"), col("lang"), col("tok"))
+      .as[(Long, String, Seq[String])]
+      // typed flatMap: tight JVM shingle loop (the HOF expression costs
+      // ~3 ms/doc interpreted; this is ~100x cheaper and shuffles the
+      // identical rows)
+      .flatMap { case (id, lang, tok) =>
+        val arr = tok.sliding(3).map(_.mkString(" ")).toArray.distinct
+        arr.iterator.map(sg => (id, lang, arr.length, sg))
+      }
+      .toDF("doc_id", "lang", "sz", "shingle")
+    // Block the id-range predicate into the equi key: doc_a within 25
+    // below doc_b spans at most blocks {blk(doc_b)-1, blk(doc_b)}, so
+    // the b side probes two blocks and frequent shingles no longer
+    // produce cross-corpus pair blowup.
+    val a = sh.select(col("doc_id").as("doc_a"), col("lang"),
+      col("sz").as("sz_a"), col("shingle"),
+      floor(col("doc_id") / 25).as("blk"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("sz").as("sz_b"), col("shingle").as("shingle_b"),
+      explode(array(floor(col("doc_id") / 25), floor(col("doc_id") / 25) - 1))
+        .as("blk_b"))
+    a.join(b, col("lang") === col("lang_b") && col("shingle") === col("shingle_b") &&
+        col("blk") === col("blk_b") &&
         col("doc_b") > col("doc_a") && col("doc_b") - col("doc_a") <= 25)
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") > 0)
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(50)
@@ -297,6 +354,7 @@ object LlmOps {
     def planeS(i: Int): String =
       s"""aggregate(zip_with(embedding, sequence(0, 63), (x, j) -> cast(${hashS(s"concat('hp:$i:', j)")} % 2001 - 1000 as double) * cast(x as double)), cast(0 as double), (acc, v) -> acc + v)"""
     val bucketExpr = (0 until 8).map(i => s"(case when ${planeS(i)} > 0 then 1 else 0 end) * ${1 << i}").mkString(" + ")
+    graft.Functions.registerAll(s) // stable_hash64 inside the lambdas
     val e = t(s, dir, "embeddings").withColumn("bucket", expr(bucketExpr))
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
