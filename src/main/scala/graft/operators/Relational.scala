@@ -272,6 +272,14 @@ object Relational {
   /** q11: ranking trio — top-3 orders per customer by price. row_number
     * ties pinned by orderkey; rank/dense_rank left on the price ordering
     * alone (deterministic for equal keys by definition).
+    *
+    * The rn filter is applied IMMEDIATELY after the row_number window so
+    * Catalyst's InferWindowGroupLimit turns it into a per-group top-k
+    * pushdown (each group stops after 3 rows instead of materializing
+    * the whole partition — the difference between shuffling k rows and
+    * shuffling everything at 100 TB). rank/dense_rank computed after the
+    * filter are identical: a surviving row's rank depends only on rows
+    * ordered at-or-before it, all of which survive rn<=3.
     */
   val q11WindowRank: Q = (s, dir) => {
     val wRn = Window.partitionBy(col("o_custkey"))
@@ -279,10 +287,13 @@ object Relational {
     val wRk = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
     t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-        row_number().over(wRn).as("rn"),
+        row_number().over(wRn).as("rn"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"),
         rank().over(wRk).as("rk"),
         dense_rank().over(wRk).as("drk"))
-      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"), col("rk"), col("drk"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 
@@ -522,9 +533,40 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q31: array-building aggregates — collect_set (sorted for
+    * determinism) and min_by/max_by argmin-aggregates per nation.
+    */
+  val q31CollectAgg: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    c.groupBy(col("c_nationkey"))
+      .agg(
+        sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        min_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("poorest"),
+        max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("richest"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** q32: approximate distinct counting (HyperLogLog++) next to the
+    * exact count — HLL internals differ across engines, so this is a
+    * rows-only check by design; the spec asserts the ±5% rsd bound
+    * instead.
+    */
+  val q32ApproxDistinct: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q31_collect_agg" -> q31CollectAgg,
+    "q32_approx_distinct" -> q32ApproxDistinct,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_revenue_by_nation" -> q02RevenueByNation,
     "q03_top_orders" -> q03TopOrders,
@@ -561,8 +603,21 @@ object Relational {
   private val revSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
-  /** DuckDB oracle SQL, one per query, same column names + ORDER BY. */
+  /** DuckDB oracle SQL, one per query, same column names + ORDER BY.
+    * (q32 approx-distinct is rows-only: HLL sketches are engine-specific.)
+    */
   val oracles: Map[String, String] = Map(
+    "q31_collect_agg" ->
+      """SELECT g.c_nationkey, g.segments, p.poorest, r.richest, g.n_customers FROM
+        |  (SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |          count(*) AS n_customers FROM customer GROUP BY c_nationkey) g
+        |JOIN (SELECT c_nationkey, c_name AS poorest FROM customer
+        |      QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC) = 1) p
+        |  USING (c_nationkey)
+        |JOIN (SELECT c_nationkey, c_name AS richest FROM customer
+        |      QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey DESC) = 1) r
+        |  USING (c_nationkey)
+        |ORDER BY g.c_nationkey""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  ${decSum("l_quantity")} AS sum_qty,

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the properties that make these queries
+  * survive a 100 TB / 1000-executor scale-up (SURVEY.md §4). A plan that
+  * silently loses its pushdown, broadcast, or top-k shortcut would still
+  * pass value checks; these tests pin the plan shape itself.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = Engine.session(master = "local[4]")
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def codegenPlan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.CodegenMode)
+
+  test("q01: shipdate predicate reaches the parquet scan, columns pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
+    // only 7 of 11 lineitem columns are read
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_partkey"), "unused column not pruned from scan")
+  }
+
+  test("q02: dimension joins are broadcast, fact join is not a nested loop") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q03: global top-10 is TakeOrderedAndProject, not a full sort") {
+    assert(plan("q03_top_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "no partial aggregation found")
+  }
+
+  test("q11: rank filter uses WindowGroupLimit (per-group top-k pushdown)") {
+    assert(plan("q11_window_rank").contains("WindowGroupLimit"))
+  }
+
+  // NB: CodegenMode on a not-yet-executed AQE plan with a top-level
+  // global sort reports "Found 0 WholeStageCodegen subtrees" (stages
+  // collapse only at execution), so codegen is asserted on the
+  // scan→project stage without the final presentation sort.
+  private def codegenSubtrees(df: org.apache.spark.sql.DataFrame): Int = {
+    val s = df.queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    "Found (\\d+) WholeStageCodegen".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(0)
+  }
+
+  test("q24: narrow string pipeline is whole-stage codegen'd") {
+    import org.apache.spark.sql.functions._
+    val df = Engine.table(spark, dir, "part")
+      .select(upper(col("p_name")).as("u"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("n"),
+        base64(col("p_name").cast("binary")).as("b"))
+    assert(codegenSubtrees(df) >= 1)
+  }
+
+  test("q44: exact dedup is a single hash-shuffle") {
+    val p = plan("q44_exact_dedup")
+    assert(p.split("Exchange").length - 1 <= 2,
+      s"too many shuffles in exact dedup:\n$p")
+  }
+
+  test("q47: set-similarity join is an equi hash join, never a cross product") {
+    val p = plan("q47_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q48: query side is broadcast against the corpus scan") {
+    assert(plan("q48_cosine_topk").contains("BroadcastExchange"))
+  }
+
+  test("custom scalar expressions do not break whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Scalars._
+    val df = Engine.table(spark, dir, "part")
+      .select(slugify(col("p_name")).as("slug"),
+        html_escape(col("p_type")).as("esc"),
+        stable_hash64(col("p_name")).as("h"))
+    assert(codegenSubtrees(df) >= 1)
+    // the generated code actually calls into the static impls
+    assert(df.queryExecution
+      .explainString(org.apache.spark.sql.execution.CodegenMode)
+      .contains("graft.functions.ScalarOps"))
+  }
+}

@@ -24,7 +24,8 @@ class RelationalSpec extends AnyFunSuite {
   test("every query has oracle SQL (except non-SQL-expressible inputs)") {
     // q60 reads the frozen HTML corpus, not parquet — rows-only check by
     // design; exact values are pinned by RumorPipelineSpec goldens.
-    val rowsOnly = Set("q60_rumor_pipeline")
+    // q32: HLL sketch values are engine-specific (accuracy asserted below)
+    val rowsOnly = Set("q60_rumor_pipeline", "q32_approx_distinct")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries missing oracles: $missing")
   }
@@ -46,6 +47,15 @@ class RelationalSpec extends AnyFunSuite {
     val n = df.count()
     val keys = df.select("o_custkey", "o_orderstatus").distinct().count()
     assert(n == keys)
+  }
+
+  test("q32 approx_count_distinct is within HLL++ error of exact") {
+    val rows = SparkEntry.queries("q32_approx_distinct")(spark, dir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1, s"approx=$approx exact=$exact")
+    }
   }
 
   test("custom scalar expressions work via SQL registration too") {
