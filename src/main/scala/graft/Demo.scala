@@ -13,7 +13,7 @@ object Demo {
       else operators.RumorPipeline.DefaultSubjects
     val spark = Engine.session(master = "local[4]", appName = "graft-demo")
     val items = operators.RumorPipeline.run(
-      spark, operators.RumorPipeline.bundledProvider, subjects)
+      spark, operators.RumorPipeline.BundledCorpus, subjects)
     println("=== JSON envelope ===")
     println(operators.RumorPipeline.jsonEnvelope(subjects, items))
     println("=== Presto block ===")

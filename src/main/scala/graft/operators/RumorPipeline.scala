@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{ScalarOps, Scalars}
 import graft.sources.RumorSource
-import graft.sources.RumorSource.PageProvider
 
 /** The reference's signature query pipeline, end-to-end, Spark-first
   * (SURVEY.md §2A ops 3-27, §3 E1): element-row scan → stateful date
@@ -118,12 +117,18 @@ object RumorPipeline {
   }
 
   /** Full pipeline: subjects string (comma-separated, ref
-    * fetchRumors.js:179) → 8-row payload DataFrame.
+    * fetchRumors.js:179) → 8-row payload DataFrame. `corpusSpec` is
+    * "dir:<path>" or "classpath:<prefix>" (see RumorPagesSource).
     */
-  def run(spark: SparkSession, provider: PageProvider, q: String): DataFrame = {
+  def run(spark: SparkSession, corpusSpec: String, q: String): DataFrame = {
     val subjects = q.split(",").map(ScalarOps.clean).filter(_.nonEmpty).toSeq
     val slugs = subjects.map(ScalarOps.slugify)
-    val rows = RumorSource.elementRows(spark, provider, slugs)
+    if (slugs.isEmpty) {
+      import spark.implicits._
+      return payload(globalDedupSorted(perTagDedup(crawlRecords(
+        spark.emptyDataset[RumorSource.ElementRow].toDF()))))
+    }
+    val rows = RumorSource.elementRows(spark, corpusSpec, slugs)
     payload(globalDedupSorted(perTagDedup(crawlRecords(rows))))
   }
 
@@ -195,9 +200,8 @@ object RumorPipeline {
 
   // ---------------------------------------------------------------
 
-  /** Bundled-fixture corpus (src/main/resources/rumor_corpus). */
-  def bundledProvider: PageProvider =
-    new RumorSource.ClasspathCorpus("/rumor_corpus")
+  /** Bundled-fixture corpus spec (src/main/resources/rumor_corpus). */
+  val BundledCorpus = "classpath:/rumor_corpus"
 
   val DefaultSubjects = "Jalen Brunson, New York Knicks"
 
@@ -206,7 +210,7 @@ object RumorPipeline {
     * pin exact values).
     */
   val q60RumorPipeline: (SparkSession, String) => DataFrame = (s, _) =>
-    run(s, bundledProvider, DefaultSubjects)
+    run(s, BundledCorpus, DefaultSubjects)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_rumor_pipeline" -> q60RumorPipeline)

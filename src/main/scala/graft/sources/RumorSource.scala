@@ -102,18 +102,16 @@ object RumorSource {
     }
   }
 
-  /** The distributed element-row scan: pages are parallelized (one task
-    * can hold many pages; parse happens in executors) and exploded into
-    * element rows.
+  /** The distributed element-row scan through the DataSource V2 source
+    * (RumorPagesSource): one input partition per (slug, page), fetch +
+    * parse in executors, limit pushdown supported. `corpusSpec` is
+    * "dir:<path>" or "classpath:<prefix>".
     */
-  def elementRows(spark: SparkSession, provider: PageProvider,
-      slugs: Seq[String]): DataFrame = {
-    import spark.implicits._
-    val pages = crawlPages(provider, slugs)
-    if (pages.isEmpty) spark.emptyDataset[ElementRow].toDF()
-    else spark.createDataset(pages)
-      .repartition(math.min(pages.size, 32))
-      .flatMap(parsePage _)
-      .toDF()
-  }
+  def elementRows(spark: SparkSession, corpusSpec: String,
+      slugs: Seq[String]): DataFrame =
+    spark.read.format("graft.sources.RumorPagesSource")
+      .option("corpus", corpusSpec)
+      .option("slugs", slugs.mkString(","))
+      .option("maxPages", MaxPages.toString)
+      .load()
 }

@@ -17,7 +17,7 @@ class RumorPipelineSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Engine.session(master = "local[4]")
 
   private lazy val result =
-    RumorPipeline.run(spark, RumorPipeline.bundledProvider,
+    RumorPipeline.run(spark, RumorPipeline.BundledCorpus,
       RumorPipeline.DefaultSubjects).collect()
 
   test("returns exactly 8 rows (slice(1,9), fetchRumors.js:199)") {
@@ -78,7 +78,7 @@ class RumorPipelineSpec extends AnyFunSuite {
   }
 
   test("JSON envelope matches reference field order (fetchRumors.js:202-226)") {
-    val df = RumorPipeline.run(spark, RumorPipeline.bundledProvider,
+    val df = RumorPipeline.run(spark, RumorPipeline.BundledCorpus,
       RumorPipeline.DefaultSubjects)
     val json = RumorPipeline.jsonEnvelope(RumorPipeline.DefaultSubjects, df)
     assert(json.startsWith("""{"subject":"Jalen Brunson, New York Knicks","items":[{"date":"2025-10-16","date_pretty":"Oct. 16, 2025","snippet_html":"The front office"""))
@@ -87,7 +87,7 @@ class RumorPipelineSpec extends AnyFunSuite {
   }
 
   test("Presto block sink matches reference template (index.html:63-80)") {
-    val df = RumorPipeline.run(spark, RumorPipeline.bundledProvider,
+    val df = RumorPipeline.run(spark, RumorPipeline.BundledCorpus,
       RumorPipeline.DefaultSubjects)
     val block = RumorPipeline.prestoBlock(RumorPipeline.DefaultSubjects, df)
     assert(block.startsWith("""<div class="hh-block">
@@ -120,12 +120,12 @@ class RumorPipelineSpec extends AnyFunSuite {
       """<p>This item appears before any date header exists on the page.</p>
         |<h3>March 3, 2024</h3>
         |<p>This one appears after the header and must be kept here.</p>""".stripMargin)))
-    val rows = RumorPipeline.run(spark, new RumorSource.DirCorpus(dir.toString), "Team")
+    val rows = RumorPipeline.run(spark, s"dir:$dir", "Team")
     // pipeline output after slice(1,9): 2 items -> dedup 2 -> skip newest -> 1
     // but both share the date; tie order = doc order; item 1 dropped as "newest"
     val all = RumorPipeline.globalDedupSorted(RumorPipeline.perTagDedup(
       RumorPipeline.crawlRecords(RumorSource.elementRows(
-        spark, new RumorSource.DirCorpus(dir.toString), Seq("team"))))).collect()
+        spark, s"dir:$dir", Seq("team"))))).collect()
     assert(all.length == 1)
     assert(all.head.getAs[String]("title").startsWith("This one appears after"))
   }
@@ -136,7 +136,7 @@ class RumorPipelineSpec extends AnyFunSuite {
       .mkString("\n")
     val dir = writeCorpus(Map(("team", 1) -> page(s"<h3>March 3, 2024</h3>\n$items")))
     val n = RumorPipeline.perTagDedup(RumorPipeline.crawlRecords(
-      RumorSource.elementRows(spark, new RumorSource.DirCorpus(dir.toString), Seq("team")))).count()
+      RumorSource.elementRows(spark, s"dir:$dir", Seq("team")))).count()
     assert(n == 80)
   }
 
@@ -146,7 +146,7 @@ class RumorPipelineSpec extends AnyFunSuite {
         s"<p>Page $p generated rumor item number $i with plenty of length.</p>").mkString("\n"))
     val dir = writeCorpus((1 to 4).map(p => ("team", p) -> pageN(p)).toMap)
     val n = RumorPipeline.perTagDedup(RumorPipeline.crawlRecords(
-      RumorSource.elementRows(spark, new RumorSource.DirCorpus(dir.toString), Seq("team")))).count()
+      RumorSource.elementRows(spark, s"dir:$dir", Seq("team")))).count()
     assert(n == 180) // pages 1-3 kept (cum before page4 = 180 >= 150)
   }
 
@@ -155,7 +155,7 @@ class RumorPipelineSpec extends AnyFunSuite {
       ("team", 1) -> page("<h3>March 3, 2024</h3><p>Item from the first page, long enough.</p>"),
       ("team", 3) -> page("<h3>March 4, 2024</h3><p>Item from the third page, long enough.</p>")))
     val all = RumorPipeline.perTagDedup(RumorPipeline.crawlRecords(
-      RumorSource.elementRows(spark, new RumorSource.DirCorpus(dir.toString), Seq("team")))).collect()
+      RumorSource.elementRows(spark, s"dir:$dir", Seq("team")))).collect()
     assert(all.length == 1)
     assert(all.head.getAs[String]("title").contains("first page"))
   }
@@ -163,10 +163,19 @@ class RumorPipelineSpec extends AnyFunSuite {
   test("empty and single-item results through slice(1,9) (fetchRumors.js:199)") {
     val dir = writeCorpus(Map(("team", 1) -> page(
       "<h3>March 3, 2024</h3><p>The only rumor item present on this page.</p>")))
-    val one = RumorPipeline.run(spark, new RumorSource.DirCorpus(dir.toString), "Team")
+    val one = RumorPipeline.run(spark, s"dir:$dir", "Team")
     assert(one.count() == 0) // n<=1 -> empty after skipping newest
-    val none = RumorPipeline.run(spark, new RumorSource.DirCorpus(dir.toString), "Nonexistent Team")
+    val none = RumorPipeline.run(spark, s"dir:$dir", "Nonexistent Team")
     assert(none.count() == 0)
+  }
+
+  test("DSv2 source: one input partition per (slug, page); limit pushdown") {
+    val df = RumorSource.elementRows(spark, RumorPipeline.BundledCorpus,
+      Seq("jalen_brunson", "new_york_knicks"))
+    assert(df.rdd.getNumPartitions == 3) // 2 jb pages + 1 knicks page
+    val lim = df.limit(5)
+    assert(lim.queryExecution.executedPlan.toString.contains("pushedLimit=5"))
+    assert(lim.count() == 5)
   }
 
   test("HtmlDom container fallback chain (fetchRumors.js:79-84)") {
