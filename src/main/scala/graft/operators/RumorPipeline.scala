@@ -133,6 +133,58 @@ object RumorPipeline {
   }
 
   // ---------------------------------------------------------------
+  // Observability + API boundary (ref §2A#31-34)
+  // ---------------------------------------------------------------
+
+  /** Debug counters (ref fetchRumors.js:90,122,212 — the ?debug=1
+    * envelope): scannedNodes via df.observe on the element scan (metrics
+    * ride the same job, no extra pass), stage counts via explicit
+    * actions as the reference's accumulators would report.
+    */
+  case class DebugInfo(
+      subjects: Seq[String], slugs: Seq[String], scannedNodes: Long,
+      parsedItems: Long, totalMerged: Long, totalAfterDedup: Long,
+      returning: Long)
+
+  /** The handler boundary (ref fetchRumors.js:174-218): validates q
+    * (400-equivalent error envelope on empty, fetchRumors.js:177), runs
+    * the pipeline, renders the JSON envelope, optionally with debug
+    * counters.
+    */
+  def handle(spark: SparkSession, corpusSpec: String, q: String,
+      debug: Boolean = false): String = {
+    val qClean = ScalarOps.clean(q)
+    if (qClean.isEmpty) return """{"error":"Missing q"}"""
+    try {
+      if (!debug) return jsonEnvelope(qClean, run(spark, corpusSpec, qClean))
+      val subjects = qClean.split(",").map(ScalarOps.clean).filter(_.nonEmpty).toSeq
+      val slugs = subjects.map(ScalarOps.slugify)
+      val obs = org.apache.spark.sql.Observation()
+      val rows = RumorSource.elementRows(spark, corpusSpec, slugs)
+        .observe(obs, count(lit(1)).as("scannedNodes"))
+      val records = crawlRecords(rows)
+      val merged = perTagDedup(records)
+      val afterDedup = globalDedupSorted(merged)
+      val items = payload(afterDedup)
+      val returning = items.count() // triggers the observed scan too
+      val dbg = DebugInfo(subjects, slugs,
+        obs.get("scannedNodes").asInstanceOf[Long],
+        records.count(), merged.count(), afterDedup.count(), returning)
+      val base = jsonEnvelope(qClean, items)
+      val dbgJson =
+        s""""debug":{"subjects":[${dbg.subjects.map(jsonStr).mkString(",")}],""" +
+          s""""slugs":[${dbg.slugs.map(jsonStr).mkString(",")}],""" +
+          s""""scannedNodes":${dbg.scannedNodes},"parsedItems":${dbg.parsedItems},""" +
+          s""""totalMerged":${dbg.totalMerged},"totalAfterDedup":${dbg.totalAfterDedup},""" +
+          s""""returning":${dbg.returning}}"""
+      base.dropRight(1) + "," + dbgJson + "}"
+    } catch {
+      case e: Exception => // 500-equivalent (ref fetchRumors.js:215-217)
+        s"""{"error":${jsonStr(Option(e.getMessage).getOrElse("Unknown error"))}}"""
+    }
+  }
+
+  // ---------------------------------------------------------------
   // Sinks
   // ---------------------------------------------------------------
 

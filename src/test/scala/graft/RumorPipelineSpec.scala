@@ -169,6 +169,22 @@ class RumorPipelineSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("handle(): validation, debug counters via df.observe (fetchRumors.js:174-218)") {
+    assert(RumorPipeline.handle(spark, RumorPipeline.BundledCorpus, "  ") ==
+      """{"error":"Missing q"}""")
+    val dbg = RumorPipeline.handle(spark, RumorPipeline.BundledCorpus,
+      RumorPipeline.DefaultSubjects, debug = true)
+    assert(dbg.contains(""""debug":{"subjects":["Jalen Brunson","New York Knicks"]"""))
+    assert(dbg.contains(""""slugs":["jalen_brunson","new_york_knicks"]"""))
+    assert(dbg.contains(""""returning":8"""))
+    // 13 parsed -> 12 after per-tag dedup -> 11 after global cross-tag dedup
+    assert(dbg.contains(""""parsedItems":13"""))
+    assert(dbg.contains(""""totalMerged":12"""))
+    assert(dbg.contains(""""totalAfterDedup":11"""))
+    val scanned = """"scannedNodes":(\d+)""".r.findFirstMatchIn(dbg).get.group(1).toInt
+    assert(scanned > 20) // every element of all 3 pages was walked
+  }
+
   test("DSv2 source: one input partition per (slug, page); limit pushdown") {
     val df = RumorSource.elementRows(spark, RumorPipeline.BundledCorpus,
       Seq("jalen_brunson", "new_york_knicks"))
