@@ -562,11 +562,47 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q33: AS-OF join — each non-purchase event joined to the same
+    * user's most recent prior-or-equal purchase. Spark lacks a native
+    * as-of join; rather than a quadratic range join, this composes
+    * built-ins (brief preference (a)): union both sides, one
+    * fill-forward window over the merged stream, keep probe rows —
+    * a single shuffle on user_id, linear in events. DuckDB oracle uses
+    * its native ASOF JOIN.
+    */
+  val q33AsofJoin: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val probes = e.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        lit(null).cast("double").as("p_value"), lit(1).as("is_probe"))
+    // one build row per (user, ts) — keeps DuckDB's ASOF tie behavior
+    // out of the comparison (and makes the operator deterministic)
+    val wb = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val builds = e.filter(col("event_type") === "purchase")
+      .withColumn("rnb", row_number().over(wb)).filter(col("rnb") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("p_value"), lit(0).as("is_probe"))
+    // merged stream ordered by (ts, is_probe, event_id): a build row at
+    // the same ts sorts before probes (<= as-of semantics)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_probe").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probes.unionAll(builds)
+      .withColumn("last_purchase_value",
+        last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("event_id"), col("user_id"), col("last_purchase_value"))
+      .filter(col("last_purchase_value").isNotNull)
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q31_collect_agg" -> q31CollectAgg,
     "q32_approx_distinct" -> q32ApproxDistinct,
+    "q33_asof_join" -> q33AsofJoin,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_revenue_by_nation" -> q02RevenueByNation,
     "q03_top_orders" -> q03TopOrders,
@@ -618,6 +654,15 @@ object Relational {
         |      QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey DESC) = 1) r
         |  USING (c_nationkey)
         |ORDER BY g.c_nationkey""".stripMargin,
+    "q33_asof_join" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, value AS p_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type != 'purchase')
+        |SELECT p.event_id, p.user_id, b.p_value AS last_purchase_value
+        |FROM p ASOF JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  ${decSum("l_quantity")} AS sum_qty,
