@@ -369,9 +369,34 @@ object LlmOps {
       .orderBy(col("qid"))
   }
 
+  /** q52: cosine top-k via the custom BoundedTopK TypedImperativeAggregate
+    * — same result as q48, but per-group k-heaps with map-side partial
+    * aggregation instead of a window sort: each task keeps at most k
+    * entries per query, the shuffle carries k-sized buffers, and no
+    * candidate set is ever fully sorted. The scale path for similarity
+    * search (SURVEY §7 M6).
+    */
+  val q52CosineTopkAgg: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", expr(cosineS("qe", "embedding")))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.top_k(
+        struct(col("score"), col("vec_id")), 5).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("qid"), col("entry.id").as("vec_id"),
+        col("entry.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   // ---------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q52_cosine_topk_agg" -> q52CosineTopkAgg,
     "q40_text_stats" -> q40TextStats,
     "q41_langid" -> q41LangId,
     "q42_token_count" -> q42TokenCount,
@@ -406,6 +431,17 @@ object LlmOps {
     s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
 
   val oracles: Map[String, String] = Map(
+    "q52_cosine_topk_agg" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qid, vec_id, ${cosineD("qe", "embedding")} AS score
+        |  FROM embeddings, q WHERE vec_id != qid),
+        |ranked AS (
+        |  SELECT qid, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS INT) AS rn
+        |  FROM scored)
+        |SELECT qid, vec_id, score, rn FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
     "q40_text_stats" ->
       s"""SELECT doc_id, lang, n_chars,
         |  len(tok)::BIGINT AS n_tokens,

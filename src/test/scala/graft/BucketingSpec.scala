@@ -26,6 +26,19 @@ class BucketingSpec extends AnyFunSuite {
     spark.sparkContext.setLogLevel("WARN")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse locations persist — clear orphaned dirs first
+    for (t <- Seq("orders_bkt", "customer_bkt")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     try {
     val o = Engine.table(spark, dir, "orders")
     val c = Engine.table(spark, dir, "customer")
