@@ -183,6 +183,32 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q54: composite quality score — the filter a training-data pipeline
+    * applies before ingestion: token-count saturation, punctuation
+    * pressure, stopword presence, alphabetic density, combined with
+    * fixed weights and banded. All terms are int/int double divisions
+    * combined in identical order on both engines → bit-exact.
+    */
+  val q54QualityScore: Q = (s, dir) => {
+    docsTok(s, dir)
+      .withColumn("n_tokens", size(col("tok")))
+      .withColumn("n_alpha", length(regexp_replace(lower(col("text")), "[^a-z]", "")))
+      .withColumn("n_punct",
+        length(col("text")) - length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")))
+      .withColumn("n_stop", expr(stopCountS(StopEn)))
+      .withColumn("quality", expr(
+        """0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+          | + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+          | + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens)
+          | + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars)""".stripMargin))
+      .withColumn("band",
+        when(col("quality") >= 0.8, "high")
+          .when(col("quality") >= 0.6, "medium")
+          .otherwise("low"))
+      .select(col("doc_id"), col("quality"), col("band"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------
   // Deduplication
   // ---------------------------------------------------------------
@@ -397,6 +423,7 @@ object LlmOps {
 
   val queries: Map[String, Q] = Map(
     "q52_cosine_topk_agg" -> q52CosineTopkAgg,
+    "q54_quality_score" -> q54QualityScore,
     "q40_text_stats" -> q40TextStats,
     "q41_langid" -> q41LangId,
     "q42_token_count" -> q42TokenCount,
@@ -431,6 +458,29 @@ object LlmOps {
     s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
 
   val oracles: Map[String, String] = Map(
+    "q54_quality_score" ->
+      s"""SELECT doc_id,
+        |  0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+        |   + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+        |   + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens)
+        |   + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars) AS quality,
+        |  CASE WHEN 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+        |         + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+        |         + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens)
+        |         + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars) >= 0.8 THEN 'high'
+        |       WHEN 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+        |         + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+        |         + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens)
+        |         + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars) >= 0.6 THEN 'medium'
+        |       ELSE 'low' END AS band
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    len(tok) AS n_tokens,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+        |    length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
+        |    ${stopCountD(StopEn)} AS n_stop
+        |  FROM (SELECT *, $toksD AS tok FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "q52_cosine_topk_agg" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |scored AS (

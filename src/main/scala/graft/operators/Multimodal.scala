@@ -102,8 +102,33 @@ object Multimodal {
   val q51MediaFeatures: (SparkSession, String) => DataFrame = (s, dir) =>
     extractFeatures(mediaTable(s, dir)).toDF().orderBy(col("doc_id"))
 
+  /** q53: frame sampling + resize planning over the decoded media —
+    * every video/audio frame becomes a row (posexplode over the frame
+    * range), with a deterministic per-frame feature (stable hash of
+    * doc:frame — where a codec would emit the frame embedding) and the
+    * resize-target dims (fit into 224×224 preserving aspect). The
+    * explode shape is the real thing: frame extraction at scale IS
+    * an explode from media rows to frame rows.
+    */
+  val q53MediaFrames: (SparkSession, String) => DataFrame = (s, dir) => {
+    graft.Functions.registerAll(s)
+    extractFeatures(mediaTable(s, dir)).toDF()
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        posexplode(expr("sequence(1, n_frames)")).as(Seq("pos", "frame_no")))
+      .withColumn("frame_hash",
+        expr(s"stable_hash64(concat(doc_id, ':', frame_no)) % 1000000"))
+      .withColumn("scale",
+        least(lit(224.0) / col("width"), lit(224.0) / col("height"), lit(1.0)))
+      .select(col("doc_id"), col("frame_no").cast("int").as("frame_no"),
+        col("frame_hash"),
+        greatest(lit(1L), floor(col("width") * col("scale"))).cast("int").as("out_w"),
+        greatest(lit(1L), floor(col("height") * col("scale"))).cast("int").as("out_h"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q51_media_features" -> q51MediaFeatures)
+    "q51_media_features" -> q51MediaFeatures,
+    "q53_media_frames" -> q53MediaFrames)
 
   val oracles: Map[String, String] = Map(
     "q51_media_features" ->
@@ -133,5 +158,29 @@ object Multimodal {
         |  CAST(len(list_filter(codes, c -> c // 32 = 5)) AS BIGINT) AS h5,
         |  CAST(len(list_filter(codes, c -> c // 32 = 6)) AS BIGINT) AS h6,
         |  CAST(len(list_filter(codes, c -> c // 32 = 7)) AS BIGINT) AS h7
-        |FROM f ORDER BY doc_id""".stripMargin)
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q53_media_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |         ELSE 'video/mp4' END AS mime,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    CAST(list_aggregate(list_transform(range(1, length(text) + 1), i -> ord(substring(text, i, 1))), 'sum') AS BIGINT) AS checksum
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(1 + checksum % 640 AS INT) AS width,
+        |    CAST(1 + checksum % 480 AS INT) AS height,
+        |    CAST(CASE WHEN mime = 'image/png' THEN 1 ELSE 1 + n_bytes // 1000 END AS INT) AS n_frames
+        |  FROM m),
+        |fr AS (
+        |  SELECT doc_id, width, height, unnest(generate_series(1, n_frames)) AS frame_no FROM f),
+        |sc AS (
+        |  SELECT *, least(224.0 / width, 224.0 / height, 1.0) AS scale FROM fr)
+        |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+        |  (('0x' || substring(md5(doc_id || ':' || frame_no),1,15))::BIGINT) % 1000000 AS frame_hash,
+        |  CAST(greatest(1, floor(width * scale)) AS INT) AS out_w,
+        |  CAST(greatest(1, floor(height * scale)) AS INT) AS out_h
+        |FROM sc ORDER BY doc_id, frame_no""".stripMargin)
 }

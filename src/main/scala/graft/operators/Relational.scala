@@ -597,12 +597,39 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q34: TPC-H Q5-adapted — local-supplier revenue for ASIA in 1997:
+    * a 6-way join (two facts + four dims). The dims chain (customer →
+    * nation → region, supplier) broadcasts; the fact⋈fact join shuffles
+    * on orderkey; the c_nationkey = s_nationkey residual makes it a
+    * "local supplier" join. Classic star-join shape at scale.
+    */
+  val q34LocalSupplierVolume: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").filter(
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revItem).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
   // ---------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q31_collect_agg" -> q31CollectAgg,
     "q32_approx_distinct" -> q32ApproxDistinct,
     "q33_asof_join" -> q33AsofJoin,
+    "q34_local_supplier_volume" -> q34LocalSupplierVolume,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_revenue_by_nation" -> q02RevenueByNation,
     "q03_top_orders" -> q03TopOrders,
@@ -654,6 +681,17 @@ object Relational {
         |      QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey DESC) = 1) r
         |  USING (c_nationkey)
         |ORDER BY g.c_nationkey""".stripMargin,
+    "q34_local_supplier_volume" ->
+      s"""SELECT n_name, CAST(sum($revSql) AS DOUBLE) AS revenue, count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        | AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        | AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q33_asof_join" ->
       """WITH b AS (
         |  SELECT user_id, ts, value AS p_value FROM (
