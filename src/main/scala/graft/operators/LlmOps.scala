@@ -44,6 +44,10 @@ object LlmOps {
   val NumHashes = 8
   val NumBands = 4 // 2 rows per band
   val JaccardThreshold = 0.5
+  /** Cosine near-dup cut, calibrated to the fixture corpus (max pairwise
+    * cosine ~0.51, p99.9 ~0.38 — real embedding corpora would use ~0.9).
+    */
+  val CosineNearDupThreshold = 0.4
 
   val StopEn = Seq("the", "and", "of", "to", "in", "is", "that", "for")
   val StopEs = Seq("el", "la", "de", "que", "y", "en", "los", "por")
@@ -320,6 +324,30 @@ object LlmOps {
       .limit(50)
   }
 
+  /** q55: SimHash near-dup PAIRS — the O(n) use of the q46 signatures:
+    * band the 32-bit simhash into four 8-bit keys (a pair within
+    * hamming distance 3 must agree on ≥1 band), candidate pairs via
+    * band equi-join, verify with bit_count(xor) ≤ 3. The banding is the
+    * same pigeonhole trick production simhash dedup uses at scale.
+    */
+  val q55SimhashPairs: Q = (s, dir) => {
+    val sig = q46Simhash(s, dir) // doc_id, simhash
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "array(concat('b0:', shiftright(simhash, 0) & 255), concat('b1:', shiftright(simhash, 8) & 255), " +
+          "concat('b2:', shiftright(simhash, 16) & 255), concat('b3:', shiftright(simhash, 24) & 255))"))
+        .as("bkey"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("bkey"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+      col("bkey").as("bkey_b"))
+    a.join(b, col("bkey") === col("bkey_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---------------------------------------------------------------
   // Similarity search over embeddings
   // ---------------------------------------------------------------
@@ -421,9 +449,34 @@ object LlmOps {
 
   // ---------------------------------------------------------------
 
+  /** q56: embedding-cosine near-dup dedup — the vector twin of MinHash
+    * dedup: hyperplane-LSH buckets (reusing q50's deterministic planes)
+    * generate candidates, exact cosine ≥ the corpus-calibrated threshold confirms, and each near-dup
+    * pair yields a keep/drop decision (keep min vec_id). At corpus scale
+    * only bucket-mates are ever compared.
+    */
+  val q56CosineNearDup: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    def planeS(i: Int): String =
+      s"""aggregate(zip_with(embedding, sequence(0, 63), (x, j) -> cast(${hashS(s"concat('hp:$i:', j)")} % 2001 - 1000 as double) * cast(x as double)), cast(0 as double), (acc, v) -> acc + v)"""
+    val bucketExpr = (0 until 8).map(i =>
+      s"(case when ${planeS(i)} > 0 then 1 else 0 end) * ${1 << i}").mkString(" + ")
+    val e = t(s, dir, "embeddings").withColumn("bucket", expr(bucketExpr))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .withColumn("score", expr(cosineS("emb_a", "emb_b")))
+      .filter(col("score") >= CosineNearDupThreshold)
+      .select(col("vec_a").as("keep_vec_id"), col("vec_b").as("drop_vec_id"), col("score"))
+      .orderBy(col("keep_vec_id"), col("drop_vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q52_cosine_topk_agg" -> q52CosineTopkAgg,
     "q54_quality_score" -> q54QualityScore,
+    "q55_simhash_pairs" -> q55SimhashPairs,
+    "q56_cosine_near_dup" -> q56CosineNearDup,
     "q40_text_stats" -> q40TextStats,
     "q41_langid" -> q41LangId,
     "q42_token_count" -> q42TokenCount,
@@ -458,6 +511,42 @@ object LlmOps {
     s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
 
   val oracles: Map[String, String] = Map(
+    "q55_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksD) AS token FROM documents),
+        |h AS (SELECT doc_id, ${hashD("token")} AS hv FROM t),
+        |bits AS (
+        |  SELECT doc_id, b.b,
+        |    CASE WHEN sum(CASE WHEN ((hv >> b.b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM h, (SELECT unnest(range(32)) AS b) b GROUP BY doc_id, b.b),
+        |sig AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
+        |        FROM bits GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, simhash, unnest([
+        |    'b0:' || ((simhash >> 0) & 255), 'b1:' || ((simhash >> 8) & 255),
+        |    'b2:' || ((simhash >> 16) & 255), 'b3:' || ((simhash >> 24) & 255)]) AS bkey
+        |  FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sig_a, b.simhash AS sig_b
+        |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q56_cosine_near_dup" ->
+      s"""WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    ${(0 until 8).map { i =>
+               val h = hashD(s"'hp:$i:' || j")
+               s"(CASE WHEN list_aggregate(list_transform(range(0, 64), j -> ($h % 2001 - 1000) * embedding[j+1]::DOUBLE), 'sum') > 0 THEN 1 ELSE 0 END) * ${1 << i}"
+             }.mkString(" + ")} AS bucket
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+        |    ${cosineD("a.embedding", "b2.embedding")} AS score
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |SELECT vec_a AS keep_vec_id, vec_b AS drop_vec_id, score
+        |FROM cand WHERE score >= $CosineNearDupThreshold
+        |ORDER BY keep_vec_id, drop_vec_id""".stripMargin,
     "q54_quality_score" ->
       s"""SELECT doc_id,
         |  0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
