@@ -597,6 +597,22 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q35: explicit GROUPING SETS — ((returnflag, linestatus), (returnflag),
+    * (linestatus)) without the grand total (which distinguishes it from
+    * rollup/cube in q22/q23).
+    */
+  val q35GroupingSets: Q = (s, dir) => {
+    Engine.registerViews(s, dir)
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
   /** q34: TPC-H Q5-adapted — local-supplier revenue for ASIA in 1997:
     * a 6-way join (two facts + four dims). The dims chain (customer →
     * nation → region, supplier) broadcasts; the fact⋈fact join shuffles
@@ -630,6 +646,7 @@ object Relational {
     "q32_approx_distinct" -> q32ApproxDistinct,
     "q33_asof_join" -> q33AsofJoin,
     "q34_local_supplier_volume" -> q34LocalSupplierVolume,
+    "q35_grouping_sets" -> q35GroupingSets,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_revenue_by_nation" -> q02RevenueByNation,
     "q03_top_orders" -> q03TopOrders,
@@ -681,6 +698,13 @@ object Relational {
         |      QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey DESC) = 1) r
         |  USING (c_nationkey)
         |ORDER BY g.c_nationkey""".stripMargin,
+    "q35_grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_rows, ${decSum("l_quantity")} AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "q34_local_supplier_volume" ->
       s"""SELECT n_name, CAST(sum($revSql) AS DOUBLE) AS revenue, count(*) AS n_items
         |FROM lineitem
