@@ -38,6 +38,11 @@ object Engine {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.registerAll(spark)
+    // extensions only apply at session construction; wire the engine's
+    // optimizer rules into pre-existing sessions too
+    if (!spark.experimental.extraOptimizations.contains(SimplifyEndsWithSource))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SimplifyEndsWithSource
     spark
   }
 

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Fresh-JVM proof that the engine installs purely via
+  * `spark.sql.extensions=graft.GraftExtensions`: the custom functions
+  * resolve in plain spark.sql with NO registerAll call, and the injected
+  * optimizer rule folds empty-url ends_with_source at plan time.
+  *
+  * Usage: sbt "runMain graft.ExtensionsDemo"
+  */
+object ExtensionsDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-demo")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = spark.sql(
+      """SELECT slugify('Nikola Jokić') AS slug,
+        |  fmt_month_abbrev('2025-05-07') AS pretty,
+        |  stable_hash64('x') AS h,
+        |  ends_with_source('snippet', '', 'name') AS ews""".stripMargin)
+    val row = r.head()
+    println(s"FUNCTIONS slug=${row.getString(0)} pretty=${row.getString(1)} " +
+      s"h=${row.getLong(2)} ews=${row.getBoolean(3)}")
+    val folded = !r.queryExecution.optimizedPlan.toString.contains("ends_with_source")
+    println(s"RULE_FOLDED=$folded")
+    spark.stop()
+  }
+}
