@@ -40,6 +40,14 @@ object Relational {
   /** DECIMAL(12,2) cast — exact representation of the 2-dp money/qty
     * doubles in the fixtures; keeps product precision within 38 digits
     * on both engines (12,2 × 13,2 → ≤(26,4); × again ≤(38,6)).
+    *
+    * Measured tradeoff (sf0.1, warm): decimal group-sums run ~2× slower
+    * than scaled-integer ("cents") long sums (1.07 s vs 0.53 s for the
+    * q01 aggregate set). Decimal is kept deliberately: identical
+    * exactness guarantees, simpler oracle parity, and the headline
+    * queries stay well inside the bench envelope. If a future round
+    * needs the 2×, switch dsum to sum(round(x*100)::long)/100.0 on both
+    * engines.
     */
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 

@@ -146,6 +146,19 @@ object RumorPipeline {
       parsedItems: Long, totalMerged: Long, totalAfterDedup: Long,
       returning: Long)
 
+  /** The full HTTP response envelope (ref fetchRumors.js:220-226
+    * `json(code, body)`): status code + content-type header + body.
+    */
+  def handleHttp(spark: SparkSession, corpusSpec: String, q: String,
+      debug: Boolean = false): (Int, Map[String, String], String) = {
+    val body = handle(spark, corpusSpec, q, debug)
+    val code =
+      if (body == """{"error":"Missing q"}""") 400
+      else if (body.startsWith("""{"error":""")) 500
+      else 200
+    (code, Map("Content-Type" -> "application/json"), body)
+  }
+
   /** The handler boundary (ref fetchRumors.js:174-218): validates q
     * (400-equivalent error envelope on empty, fetchRumors.js:177), runs
     * the pipeline, renders the JSON envelope, optionally with debug

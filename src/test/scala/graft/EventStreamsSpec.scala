@@ -94,6 +94,27 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-based streaming source (readStream.parquet) == batch") {
+    // nanos timestamps forbid direct streaming parquet read; replay the
+    // converted events as a file stream from a temp dir
+    val tmp = java.nio.file.Files.createTempDirectory("events_stream").toString
+    val batch = EventStreams.batchEvents(spark, dir).toDF()
+    batch.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp)
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streaming = sortedRows(spark.table("file_stream_out"))
+      val expected = sortedRows(EventStreams.tumblingCounts(batch))
+      assert(streaming == expected && streaming.nonEmpty)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals match batch groupBy") {
     import spark.implicits._
     val ms = streamOf(fixture)
