@@ -472,11 +472,56 @@ object LlmOps {
       .orderBy(col("keep_vec_id"), col("drop_vec_id"))
   }
 
+  /** Number of IVF coarse centroids (deterministic: the first
+    * NumCentroids vectors by vec_id — a real build would Lloyd-iterate;
+    * the indexing/search shape is identical).
+    */
+  val NumCentroids = 16
+
+  /** q57: IVF (inverted-file) ANN — the other scale path next to
+    * hyperplane LSH (q50): a coarse quantizer assigns every vector to
+    * its nearest centroid (broadcast n × K cross product), queries probe
+    * ONLY their own centroid's inverted list (nprobe=1), exact cosine
+    * re-ranks within the list. Search cost drops from O(n) to O(n/K)
+    * per query; recall is traded via nprobe.
+    */
+  val q57AnnIvf: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val e = t(s, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    def assign(df: DataFrame, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cscore").desc, col("cent_id").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("cscore", expr(cosineS("embedding", "cent")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .drop("cscore", "crn", "cent")
+    }
+    val corpus = assign(e, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val probes = assign(e.filter(col("vec_id") < 10), "vec_id")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cent_id").as("q_cent"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    corpus.join(probes, col("cent_id") === col("q_cent"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", expr(cosineS("qe", "embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cent_id"), col("vec_id"), col("score"),
+        col("rn").cast("int").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q52_cosine_topk_agg" -> q52CosineTopkAgg,
     "q54_quality_score" -> q54QualityScore,
     "q55_simhash_pairs" -> q55SimhashPairs,
     "q56_cosine_near_dup" -> q56CosineNearDup,
+    "q57_ann_ivf" -> q57AnnIvf,
     "q40_text_stats" -> q40TextStats,
     "q41_langid" -> q41LangId,
     "q42_token_count" -> q42TokenCount,
@@ -511,6 +556,20 @@ object LlmOps {
     s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
 
   val oracles: Map[String, String] = Map(
+    "q57_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < $NumCentroids),
+        |corpus AS (
+        |  SELECT vec_id, embedding, cent_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineD("e.embedding", "c.cent")} DESC, c.cent_id ASC) AS crn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE crn = 1),
+        |probes AS (SELECT vec_id AS qid, embedding AS qe, cent_id AS q_cent FROM corpus WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT p.qid, s.cent_id, s.vec_id, ${cosineD("p.qe", "s.embedding")} AS score
+        |  FROM corpus s JOIN probes p ON s.cent_id = p.q_cent AND s.vec_id != p.qid)
+        |SELECT qid, cent_id, vec_id, score, CAST(rn AS INT) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn FROM scored)
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "q55_simhash_pairs" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksD) AS token FROM documents),
         |h AS (SELECT doc_id, ${hashD("token")} AS hv FROM t),
