@@ -29,6 +29,7 @@ object Bench {
     Functions.registerAll(spark)
 
     def exec(name: String): Double = {
+      System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -26,27 +26,43 @@ object HtmlDom {
     def attr(name: String): Option[String] =
       attrs.find(_._1 == name).map(_._2)
 
-    /** Concatenated descendant text (DOM textContent). */
+    /** Concatenated descendant text (DOM textContent). Iterative —
+      * pathological nesting depth must not overflow the stack (found by
+      * HtmlDomFuzzSpec).
+      */
     def textContent: String = {
       val sb = new StringBuilder
-      def walk(n: Node): Unit = n match {
-        case TextNode(t) => sb.append(t)
-        case e: Elem => e.children.foreach(walk)
+      val stack = ArrayBuffer.empty[Node]
+      var i = children.length - 1
+      while (i >= 0) { stack += children(i); i -= 1 }
+      while (stack.nonEmpty) {
+        stack.remove(stack.length - 1) match {
+          case TextNode(t) => sb.append(t)
+          case e: Elem =>
+            var j = e.children.length - 1
+            while (j >= 0) { stack += e.children(j); j -= 1 }
+        }
       }
-      children.foreach(walk)
       sb.toString
     }
 
     /** All descendant elements in document (pre-)order — the
-      * querySelectorAll("*") snapshot of fetchRumors.js:89.
+      * querySelectorAll("*") snapshot of fetchRumors.js:89. Iterative.
       */
     def descendants: Vector[Elem] = {
       val out = ArrayBuffer.empty[Elem]
-      def walk(e: Elem): Unit = e.children.foreach {
-        case c: Elem => out += c; walk(c)
-        case _ =>
+      val stack = ArrayBuffer.empty[Node]
+      var i = children.length - 1
+      while (i >= 0) { stack += children(i); i -= 1 }
+      while (stack.nonEmpty) {
+        stack.remove(stack.length - 1) match {
+          case e: Elem =>
+            out += e
+            var j = e.children.length - 1
+            while (j >= 0) { stack += e.children(j); j -= 1 }
+          case _ =>
+        }
       }
-      walk(this)
       out.toVector
     }
 
@@ -198,16 +214,30 @@ object HtmlDom {
     * loop. Output is whitespace-normalized innerHTML.
     */
   def paragraphHtml(el: Elem): String = {
-    def serialize(n: Node): String = n match {
-      case TextNode(t) => encodeText(t)
-      case a: Elem if a.tag == "a" =>
-        val attrs = a.attr("href") match {
-          case Some(h) => s""" href="$h" target="_blank""""
-          case None => ""
-        }
-        s"<a$attrs>${a.children.map(serialize).mkString}</a>"
-      case other: Elem => encodeText(other.textContent)
+    // iterative serialize (nested-anchor chains must not overflow)
+    sealed trait Item
+    final case class Visit(n: Node) extends Item
+    final case class Emit(s: String) extends Item
+    val sb = new StringBuilder
+    val stack = ArrayBuffer.empty[Item]
+    var i = el.children.length - 1
+    while (i >= 0) { stack += Visit(el.children(i)); i -= 1 }
+    while (stack.nonEmpty) {
+      stack.remove(stack.length - 1) match {
+        case Emit(s) => sb.append(s)
+        case Visit(TextNode(t)) => sb.append(encodeText(t))
+        case Visit(a: Elem) if a.tag == "a" =>
+          val attrs = a.attr("href") match {
+            case Some(h) => s""" href="$h" target="_blank""""
+            case None => ""
+          }
+          sb.append(s"<a$attrs>")
+          stack += Emit("</a>")
+          var j = a.children.length - 1
+          while (j >= 0) { stack += Visit(a.children(j)); j -= 1 }
+        case Visit(other: Elem) => sb.append(encodeText(other.textContent))
+      }
     }
-    ScalarOps.clean(el.children.map(serialize).mkString)
+    ScalarOps.clean(sb.toString)
   }
 }
