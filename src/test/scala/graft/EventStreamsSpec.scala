@@ -79,6 +79,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped (append mode)") {
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, v: Double) =
+      Event(id, Timestamp.valueOf(t), user_id = 1L, event_type = "click", v, "{}")
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: three events in the 10:00 window
+      ms.addData(Seq(ev(1, "2024-01-01 10:01:00", 1), ev(2, "2024-01-01 10:02:00", 1),
+        ev(3, "2024-01-01 10:03:00", 1)))
+      q.processAllAvailable()
+      // batch 2: event at 12:00 advances the watermark to 11:50 —
+      // the 10:00 window closes and is emitted
+      ms.addData(Seq(ev(4, "2024-01-01 12:00:00", 1)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(5, "2024-01-01 12:00:01", 1))) // extra trigger to flush
+      q.processAllAvailable()
+      val emitted = spark.table("late_out")
+        .filter(col("window_start") === "2024-01-01 10:00:00")
+        .select(col("n_events")).collect()
+      assert(emitted.map(_.getLong(0)).toSeq == Seq(3))
+      // batch 3: LATE event for the closed 10:00 window — must be dropped
+      ms.addData(Seq(ev(6, "2024-01-01 10:04:00", 99)))
+      q.processAllAvailable()
+      val after = spark.table("late_out")
+        .filter(col("window_start") === "2024-01-01 10:00:00")
+        .select(col("n_events")).collect()
+      assert(after.map(_.getLong(0)).toSeq == Seq(3),
+        "late event re-opened or re-emitted a closed window")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark drops in-watermark duplicates") {
     val base = fixture.take(20)
     val dups = base.map(e => e.copy(event_id = e.event_id + 100000)) // same (user, type)
