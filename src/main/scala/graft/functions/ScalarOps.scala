@@ -144,6 +144,37 @@ object ScalarOps {
   def stableHash64(s: String): Long =
     stableHash64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Rabin-Karp rolling-hash parameters (shared with the DuckDB oracle:
+    * gram hash = Σ code(c_i)·B^(7-i) mod M over 8-char windows).
+    */
+  val RollB = 257L
+  val RollM = 1000000007L
+  val RollB7: Long = { // B^7 mod M
+    var p = 1L; for (_ <- 0 until 7) p = p * RollB % RollM; p
+  }
+
+  /** Minimum Rabin-Karp hash over all 8-char windows of s — a TRUE
+    * rolling computation: each step updates the previous window's hash
+    * in O(1) (subtract the outgoing char's B^7 term, shift, add the
+    * incoming char) instead of rehashing 8 chars. Returns -1 if
+    * s.length < 8. ASCII inputs (code == byte == char).
+    */
+  def minRollingHash(s: String): Long = {
+    val n = s.length
+    if (n < 8) return -1L
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h * RollB + s.charAt(i)) % RollM; i += 1 }
+    var mn = h
+    while (i < n) {
+      val out = s.charAt(i - 8).toLong
+      h = ((h - out * RollB7 % RollM + RollM) % RollM * RollB + s.charAt(i)) % RollM
+      if (h < mn) mn = h
+      i += 1
+    }
+    mn
+  }
+
   // ---- UTF8String adapters (called from generated code) ----
   def stableHash64U(s: UTF8String): Long = stableHash64(s.getBytes)
   def slugifyU(s: UTF8String): UTF8String =

@@ -181,9 +181,10 @@ object LlmOps {
           if (h < mn) mn = h
           i += 1
         }
-        (id, fp, mn)
+        // true Rabin-Karp rolling fingerprint: O(1) per window step
+        (id, fp, mn, graft.functions.ScalarOps.minRollingHash(norm))
       })
-      .toDF("doc_id", "md5_fp", "min_gram_hash")
+      .toDF("doc_id", "md5_fp", "min_gram_hash", "rolling_fp")
       .orderBy(col("doc_id"))
   }
 
@@ -665,12 +666,22 @@ object LlmOps {
         |  CAST(length(text) AS DOUBLE) / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS chars_per_token
         |FROM (SELECT *, $toksD AS tok FROM documents)
         |ORDER BY doc_id""".stripMargin,
-    "q43_fingerprint" ->
+    "q43_fingerprint" -> {
+      // Rabin-Karp gram hash, direct polynomial form (same values the
+      // Spark side computes via O(1) rolling updates)
+      val pows = (0 to 7).map { k =>
+        var p = 1L; (0 until k).foreach(_ => p = p * 257L % 1000000007L); p
+      }
+      val rollTerm = (0 to 7)
+        .map(j => s"ord(substring(norm, i+$j, 1))::BIGINT * ${pows(7 - j)}")
+        .mkString("(", " + ", ") % 1000000007")
       s"""SELECT doc_id, md5(norm) AS md5_fp,
-        |  list_min(list_transform(range(1, length(norm)-6), i -> ${hashD("substring(norm, i, 8)")})) AS min_gram_hash
+        |  list_min(list_transform(range(1, length(norm)-6), i -> ${hashD("substring(norm, i, 8)")})) AS min_gram_hash,
+        |  list_min(list_transform(range(1, length(norm)-6), i -> $rollTerm)) AS rolling_fp
         |FROM (SELECT doc_id, trim(lower(text)) AS norm FROM documents)
         |WHERE length(norm) >= 8
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin
+    },
     "q44_exact_dedup" ->
       """SELECT min(doc_id) AS canonical_doc_id, md5(text) AS content_hash,
         |  count(*) AS n_copies
