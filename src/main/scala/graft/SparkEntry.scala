@@ -28,5 +28,5 @@ object SparkEntry {
   /** DuckDB-equivalent ANSI SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.LlmOps.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++ operators.RumorPipeline.oracles
 }

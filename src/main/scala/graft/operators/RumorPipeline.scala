@@ -272,11 +272,103 @@ object RumorPipeline {
 
   /** q60: the flagship reference query over the bundled frozen corpus
     * (input is HTML, not parquet → rows-only driver check; golden tests
-    * pin exact values).
+    * pin exact values; q61 is the oracle-checked parquet twin).
     */
   val q60RumorPipeline: (SparkSession, String) => DataFrame = (s, _) =>
     run(s, BundledCorpus, DefaultSubjects)
 
+  /** The frozen element-row scan of the bundled corpus, dumped once to
+    * parquet (graft.FixtureDump) so the full relational pipeline is
+    * DuckDB-reproducible.
+    */
+  val ElementRowsFixture = "/root/repo/fixtures/element_rows.parquet"
+
+  /** q61: parquet twin of q60 — identical relational pipeline
+    * (fill-forward → item predicate → caps → per-tag dedup → global
+    * first-wins dedup → sort → skip-newest offset/limit → payload with
+    * the custom scalars), but reading the frozen element-row parquet so
+    * the driver's DuckDB oracle verifies every stage end-to-end.
+    */
+  val q61RumorRelational: (SparkSession, String) => DataFrame = (s, _) =>
+    payload(globalDedupSorted(perTagDedup(crawlRecords(
+      s.read.parquet(ElementRowsFixture)))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q60_rumor_pipeline" -> q60RumorPipeline)
+    "q60_rumor_pipeline" -> q60RumorPipeline,
+    "q61_rumor_relational" -> q61RumorRelational)
+
+  /** SQL reproduction of fmt_month_abbrev over a strict ISO string (same
+    * month-array trick as q25's oracle).
+    */
+  // single line: this gets interpolated into a stripMargin string, where
+  // a continuation line starting with "||" would lose its first pipe
+  private val prettySql =
+    """['Jan.','Feb.','Mar.','Apr.','May','Jun.','Jul.','Aug.','Sep.','Oct.','Nov.','Dec.'][CAST(substr("date",6,2) AS INT)] || ' ' || CAST(CAST(substr("date",9,2) AS INT) AS VARCHAR) || ', ' || substr("date",1,4)"""
+
+  /** SQL reproduction of ends_with_source (ScalarOps.endsWithSource):
+    * trailing-anchor regex, trailing-slash-insensitive href compare OR
+    * case-insensitive cleaned-label == sourceName.
+    */
+  private val anchorRe = """<a[^>]*href="([^"]+)"[^>]*>([^<]+)</a>\s*$"""
+  private val suppressSql =
+    s"""(CASE
+       |   WHEN url = '' THEN FALSE
+       |   WHEN regexp_extract(trim(snippet_html), '$anchorRe', 1, 'i') = '' THEN FALSE
+       |   ELSE regexp_replace(regexp_extract(trim(snippet_html), '$anchorRe', 1, 'i'), '/+$$', '')
+       |          = regexp_replace(url, '/+$$', '')
+       |     OR lower(trim(regexp_replace(regexp_extract(trim(snippet_html), '$anchorRe', 2, 'i'), '\\s+', ' ', 'g')))
+       |          = lower("sourceName")
+       | END)""".stripMargin
+
+  /** DuckDB oracle for q61: the whole pipeline in SQL over the same
+    * parquet (fill-forward last_value IGNORE NULLS, row_number dedups,
+    * windowed 150-cap, LIMIT 8 OFFSET 1, scalar reproductions).
+    */
+  val oracles: Map[String, String] = Map(
+    "q61_rumor_relational" ->
+      s"""WITH src AS (
+         |  SELECT * FROM read_parquet('$ElementRowsFixture')
+         |), dated AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN iso_date <> '' THEN iso_date END IGNORE NULLS)
+         |      OVER (PARTITION BY slug, page_no ORDER BY doc_pos ASC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "date"
+         |  FROM src
+         |), records AS (
+         |  SELECT slug, subject_idx, page_no, doc_pos,
+         |    text AS title, para_html AS snippet_html, last_href AS url,
+         |    coalesce(nullif(last_text, ''), 'HoopsHype') AS "sourceName", "date"
+         |  FROM dated
+         |  WHERE iso_date = '' AND tag IN ('p','li')
+         |    AND "date" IS NOT NULL AND length(text) >= 15
+         |), keyed AS (
+         |  SELECT *, concat_ws('::', "date", substr(title, 1, 120), url) AS key
+         |  FROM records
+         |), paged AS (
+         |  SELECT * FROM keyed
+         |  QUALIFY row_number() OVER (PARTITION BY slug, page_no ORDER BY doc_pos ASC) <= 80
+         |), dedup1 AS (
+         |  SELECT * FROM paged
+         |  QUALIFY row_number() OVER (PARTITION BY slug, key ORDER BY page_no ASC, doc_pos ASC) = 1
+         |), kept_pages AS (
+         |  SELECT slug, page_no FROM (
+         |    SELECT slug, page_no,
+         |      coalesce(sum(page_items) OVER (PARTITION BY slug ORDER BY page_no ASC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |    FROM (SELECT slug, page_no, count(*) AS page_items
+         |          FROM dedup1 GROUP BY slug, page_no))
+         |  WHERE cum_before < 150
+         |), capped AS (
+         |  SELECT d.* FROM dedup1 d
+         |  JOIN kept_pages k ON d.slug = k.slug AND d.page_no = k.page_no
+         |), global_dedup AS (
+         |  SELECT * FROM capped
+         |  QUALIFY row_number() OVER (PARTITION BY key
+         |    ORDER BY subject_idx ASC, page_no ASC, doc_pos ASC) = 1
+         |)
+         |SELECT "date", $prettySql AS date_pretty, snippet_html,
+         |  "sourceName", url AS "sourceUrl", $suppressSql AS "suppressSource"
+         |FROM global_dedup
+         |ORDER BY "date" DESC, subject_idx ASC, page_no ASC, doc_pos ASC
+         |LIMIT 8 OFFSET 1""".stripMargin)
 }

@@ -25,9 +25,9 @@ class RelationalSpec extends AnyFunSuite {
 
   test("every query has oracle SQL (except non-SQL-expressible inputs)") {
     // q60 reads the frozen HTML corpus, not parquet — rows-only check by
-    // design; exact values are pinned by RumorPipelineSpec goldens.
-    // q32: HLL sketch values are engine-specific (accuracy asserted below)
-    val rowsOnly = Set("q60_rumor_pipeline", "q32_approx_distinct")
+    // design; exact values are pinned by RumorPipelineSpec goldens (and
+    // q61 is its parquet twin with a full oracle).
+    val rowsOnly = Set("q60_rumor_pipeline")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries missing oracles: $missing")
   }
@@ -54,9 +54,10 @@ class RelationalSpec extends AnyFunSuite {
   test("q32 approx_count_distinct is within HLL++ error of exact") {
     val rows = SparkEntry.queries("q32_approx_distinct")(spark, dir).collect()
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.1, s"approx=$approx exact=$exact")
+      assert(r.getAs[Long]("parts_within_5pct") == 1L,
+        s"parts estimate outside 5% for ${r.getAs[String]("l_returnflag")}")
+      assert(r.getAs[Long]("orders_within_5pct") == 1L,
+        s"orders estimate outside 5% for ${r.getAs[String]("l_returnflag")}")
     }
   }
 
