@@ -175,8 +175,49 @@ object ScalarOps {
     mn
   }
 
+  /** Minimum stableHash64 over all 8-char windows of s (winnowing-style
+    * content fingerprint; the strong-hash companion to minRollingHash).
+    * Returns -1 if s.length < 8.
+    */
+  def minGramHash(s: String): Long = {
+    val n = s.length
+    if (n < 8) return -1L
+    var mn = Long.MaxValue
+    var i = 0
+    val last = n - 8
+    while (i <= last) {
+      val h = stableHash64(s.substring(i, i + 8))
+      if (h < mn) mn = h
+      i += 1
+    }
+    mn
+  }
+
+  private val SpaceU = UTF8String.fromString(" ")
+
+  /** Distinct 3-word shingles of a token array, first-occurrence order
+    * (== tokens.sliding(3).map(_.mkString(" ")).distinct). Operates on
+    * Catalyst ArrayData so the DistinctShingles3 expression stays inside
+    * whole-stage codegen with no Dataset encoder boundary.
+    */
+  def distinctShingles3(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + 2 < n) {
+      out.add(UTF8String.concatWs(SpaceU,
+        arr.getUTF8String(i), arr.getUTF8String(i + 1), arr.getUTF8String(i + 2)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
   // ---- UTF8String adapters (called from generated code) ----
   def stableHash64U(s: UTF8String): Long = stableHash64(s.getBytes)
+  def minGramHashU(s: UTF8String): Long = minGramHash(s.toString)
+  def minRollingHashU(s: UTF8String): Long = minRollingHash(s.toString)
   def slugifyU(s: UTF8String): UTF8String =
     UTF8String.fromString(slugify(s.toString))
   def extractIsoDateU(s: UTF8String): UTF8String =

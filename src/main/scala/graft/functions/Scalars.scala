@@ -78,6 +78,52 @@ case class StableHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "stable_hash64"
 }
 
+/** `min_gram_hash(s)` — minimum stable_hash64 over all 8-char windows
+  * (winnowing-style fingerprint). Codegen'd: the ~n-window loop runs as
+  * one static call inside whole-stage codegen instead of an interpreted
+  * HOF (~100× cheaper) or a typed mapPartitions (which would break the
+  * codegen stage with an encoder boundary).
+  */
+case class MinGramHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    ScalarOps.minGramHashU(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScalarOps.minGramHashU($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "min_gram_hash"
+}
+
+/** `min_rolling_hash(s)` — minimum Rabin-Karp rolling hash over 8-char
+  * windows, O(1) per step (see ScalarOps.minRollingHash). Codegen'd.
+  */
+case class MinRollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    ScalarOps.minRollingHashU(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScalarOps.minRollingHashU($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "min_rolling_hash"
+}
+
+/** `distinct_shingles3(tok)` — distinct 3-word shingles of a token
+  * array in first-occurrence order. Codegen'd replacement for the
+  * interpreted transform(sequence(...), ...) HOF chain (and for a typed
+  * flatMap, which would break whole-stage codegen).
+  */
+case class DistinctShingles3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ScalarOps.distinctShingles3(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScalarOps.distinctShingles3($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "distinct_shingles3"
+}
+
 /** `ends_with_source(snippet_html, url, source_name)` — ref
   * fetchRumors.js:162-172 (`bodyAlreadyHasSource`).
   */
@@ -107,6 +153,9 @@ object Scalars {
   def ends_with_source(snippet: Column, url: Column, name: Column): Column =
     col(EndsWithSource(ex(snippet), ex(url), ex(name)))
   def stable_hash64(c: Column): Column = col(StableHash64(ex(c)))
+  def min_gram_hash(c: Column): Column = col(MinGramHash(ex(c)))
+  def min_rolling_hash(c: Column): Column = col(MinRollingHash(ex(c)))
+  def distinct_shingles3(c: Column): Column = col(DistinctShingles3(ex(c)))
 
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
@@ -118,5 +167,8 @@ object Scalars {
     r.createOrReplaceTempFunction("ends_with_source",
       es => EndsWithSource(es(0), es(1), es(2)), "built-in")
     r.createOrReplaceTempFunction("stable_hash64", es => StableHash64(es.head), "built-in")
+    r.createOrReplaceTempFunction("min_gram_hash", es => MinGramHash(es.head), "built-in")
+    r.createOrReplaceTempFunction("min_rolling_hash", es => MinRollingHash(es.head), "built-in")
+    r.createOrReplaceTempFunction("distinct_shingles3", es => DistinctShingles3(es.head), "built-in")
   }
 }

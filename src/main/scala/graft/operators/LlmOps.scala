@@ -93,10 +93,14 @@ object LlmOps {
     t(s, dir, "documents").withColumn("tok", expr(toksS))
   }
 
+  /** Distinct shingles via the codegen'd DistinctShingles3 expression
+    * (minhash is invariant to duplicate shingles, so hashing the
+    * distinct set computes the same signature over fewer elements).
+    */
   private def docsShingled(s: SparkSession, dir: String): DataFrame =
     docsTok(s, dir)
       .filter(size(col("tok")) >= 3)
-      .withColumn("sh", expr(shinglesS))
+      .withColumn("sh", graft.functions.Scalars.distinct_shingles3(col("tok")))
 
   /** MinHash signature columns mh0..mh7 (map-side only — no shuffle). */
   private def docsSigned(s: SparkSession, dir: String): DataFrame =
@@ -161,30 +165,21 @@ object LlmOps {
   /** q43: document fingerprinting — md5 of normalized text plus a
     * rolling min-hash over char 8-grams (winnowing-style content
     * fingerprint robust to reordering at the edges). The per-gram hash
-    * loop runs as a typed mapPartitions (tight JVM loop over ~400 grams
-    * per doc) sharing ScalarOps.stableHash64 with the SQL expression —
-    * an interpreted HOF here costs ~30 µs/gram, the loop ~0.3 µs.
+    * loops run as codegen'd Catalyst expressions (MinGramHash /
+    * MinRollingHash — tight static-call loops inside whole-stage
+    * codegen): an interpreted HOF here costs ~30 µs/gram and a typed
+    * mapPartitions would pay an encoder boundary per row; the native
+    * expressions keep the loop AND the single codegen stage.
     */
   val q43Fingerprint: Q = (s, dir) => {
-    import s.implicits._
     t(s, dir, "documents")
       .withColumn("norm", expr("trim(lower(text))"))
       .filter(length(col("norm")) >= 8)
-      .select(col("doc_id"), md5(col("norm").cast("binary")).as("md5_fp"), col("norm"))
-      .as[(Long, String, String)]
-      .mapPartitions(_.map { case (id, fp, norm) =>
-        var mn = Long.MaxValue
-        var i = 0
-        val last = norm.length - 8
-        while (i <= last) {
-          val h = graft.functions.ScalarOps.stableHash64(norm.substring(i, i + 8))
-          if (h < mn) mn = h
-          i += 1
-        }
+      .select(col("doc_id"),
+        md5(col("norm").cast("binary")).as("md5_fp"),
+        graft.functions.Scalars.min_gram_hash(col("norm")).as("min_gram_hash"),
         // true Rabin-Karp rolling fingerprint: O(1) per window step
-        (id, fp, mn, graft.functions.ScalarOps.minRollingHash(norm))
-      })
-      .toDF("doc_id", "md5_fp", "min_gram_hash", "rolling_fp")
+        graft.functions.Scalars.min_rolling_hash(col("norm")).as("rolling_fp"))
       .orderBy(col("doc_id"))
   }
 
@@ -258,15 +253,18 @@ object LlmOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q46: 32-bit SimHash — per-token hash bits voted ±1, majority sign
-    * per bit position. Explode + two-level aggregation is map-side
-    * combinable, so the shuffle carries (doc_id, bit, partial-sum).
+  /** q46: 60-bit SimHash — per-token hash bits voted ±1, majority sign
+    * per bit position, over the full width of the portable
+    * stable_hash64 (60 usable bits). Explode + two-level aggregation is
+    * map-side combinable, so the shuffle carries (doc_id, bit,
+    * partial-sum). 60 bits keeps the signature birthday-safe to ~2^30
+    * documents (a 32-bit signature collides from ~65k docs).
     */
   val q46Simhash: Q = (s, dir) => {
     docsTok(s, dir)
       .select(col("doc_id"), explode(col("tok")).as("token"))
       .withColumn("hv", expr(hashS("token")))
-      .select(col("doc_id"), col("hv"), explode(expr("sequence(0, 31)")).as("b"))
+      .select(col("doc_id"), col("hv"), explode(expr("sequence(0, 59)")).as("b"))
       .groupBy(col("doc_id"), col("b"))
       .agg(sum(when(expr("(hv >> b) & 1") === 1, 1).otherwise(-1)).as("vote"))
       .withColumn("bit", when(col("vote") > 0, 1L).otherwise(0L))
@@ -289,19 +287,15 @@ object LlmOps {
     * also IS the jaccard > 0 predicate).
     */
   val q47NgramJaccard: Q = (s, dir) => {
-    import s.implicits._
+    // distinct_shingles3 is a codegen'd expression: the tight JVM
+    // shingle loop of a typed flatMap (the HOF chain costs ~3 ms/doc
+    // interpreted) without the flatMap's encoder boundary — the scan,
+    // shingling and explode stay in one whole-stage-codegen span.
     val sh = docsTok(s, dir)
       .filter(size(col("tok")) >= 3)
-      .select(col("doc_id"), col("lang"), col("tok"))
-      .as[(Long, String, Seq[String])]
-      // typed flatMap: tight JVM shingle loop (the HOF expression costs
-      // ~3 ms/doc interpreted; this is ~100x cheaper and shuffles the
-      // identical rows)
-      .flatMap { case (id, lang, tok) =>
-        val arr = tok.sliding(3).map(_.mkString(" ")).toArray.distinct
-        arr.iterator.map(sg => (id, lang, arr.length, sg))
-      }
-      .toDF("doc_id", "lang", "sz", "shingle")
+      .withColumn("shd", graft.functions.Scalars.distinct_shingles3(col("tok")))
+      .select(col("doc_id"), col("lang"), size(col("shd")).as("sz"),
+        explode(col("shd")).as("shingle"))
     // Block the id-range predicate into the equi key: doc_a within 25
     // below doc_b spans at most blocks {blk(doc_b)-1, blk(doc_b)}, so
     // the b side probes two blocks and frequent shingles no longer
@@ -326,17 +320,26 @@ object LlmOps {
   }
 
   /** q55: SimHash near-dup PAIRS — the O(n) use of the q46 signatures:
-    * band the 32-bit simhash into four 8-bit keys (a pair within
-    * hamming distance 3 must agree on ≥1 band), candidate pairs via
-    * band equi-join, verify with bit_count(xor) ≤ 3. The banding is the
-    * same pigeonhole trick production simhash dedup uses at scale.
+    * band the 60-bit simhash into four 15-bit keys (a pair within
+    * hamming distance 3 must agree on ≥1 band — 4 bands, ≤3 flipped
+    * bits, pigeonhole), candidate pairs via band equi-join, verify with
+    * bit_count(xor) ≤ 3.
+    *
+    * Scale argument: 15-bit bands give 32768 buckets per band, so at
+    * n documents a band bucket holds ~n/2^15 docs and candidate pairs
+    * grow as 4·n²/2^15 only for *uniformly random* signatures — and
+    * real near-dup clusters dominate that term, which is exactly the
+    * work the operator must do. The previous 8-bit banding (256
+    * buckets) degenerated toward all-pairs beyond ~10^5 docs; 15-bit
+    * banding holds to ~10^9 (bucket occupancy 30k at n=10^9, each
+    * bucket joined independently and shuffle-partitioned by key).
     */
   val q55SimhashPairs: Q = (s, dir) => {
     val sig = q46Simhash(s, dir) // doc_id, simhash
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(expr(
-        "array(concat('b0:', shiftright(simhash, 0) & 255), concat('b1:', shiftright(simhash, 8) & 255), " +
-          "concat('b2:', shiftright(simhash, 16) & 255), concat('b3:', shiftright(simhash, 24) & 255))"))
+        "array(concat('b0:', shiftright(simhash, 0) & 32767), concat('b1:', shiftright(simhash, 15) & 32767), " +
+          "concat('b2:', shiftright(simhash, 30) & 32767), concat('b3:', shiftright(simhash, 45) & 32767))"))
         .as("bkey"))
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("bkey"))
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
@@ -577,13 +580,13 @@ object LlmOps {
         |bits AS (
         |  SELECT doc_id, b.b,
         |    CASE WHEN sum(CASE WHEN ((hv >> b.b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
-        |  FROM h, (SELECT unnest(range(32)) AS b) b GROUP BY doc_id, b.b),
+        |  FROM h, (SELECT unnest(range(60)) AS b) b GROUP BY doc_id, b.b),
         |sig AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
         |        FROM bits GROUP BY doc_id),
         |banded AS (
         |  SELECT doc_id, simhash, unnest([
-        |    'b0:' || ((simhash >> 0) & 255), 'b1:' || ((simhash >> 8) & 255),
-        |    'b2:' || ((simhash >> 16) & 255), 'b3:' || ((simhash >> 24) & 255)]) AS bkey
+        |    'b0:' || ((simhash >> 0) & 32767), 'b1:' || ((simhash >> 15) & 32767),
+        |    'b2:' || ((simhash >> 30) & 32767), 'b3:' || ((simhash >> 45) & 32767)]) AS bkey
         |  FROM sig),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -710,7 +713,7 @@ object LlmOps {
         |bits AS (
         |  SELECT doc_id, b.b,
         |    CASE WHEN sum(CASE WHEN ((hv >> b.b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
-        |  FROM h, (SELECT unnest(range(32)) AS b) b GROUP BY doc_id, b.b)
+        |  FROM h, (SELECT unnest(range(60)) AS b) b GROUP BY doc_id, b.b)
         |SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q47_ngram_jaccard" ->

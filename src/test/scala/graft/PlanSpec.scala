@@ -81,6 +81,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q48_cosine_topk").contains("BroadcastExchange"))
   }
 
+  test("q43: fingerprint loops are native expressions — no encoder boundary") {
+    val p = plan("q43_fingerprint")
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+      s"q43 should not leave the codegen'd row pipeline:\n$p")
+    import org.apache.spark.sql.functions._
+    import graft.functions.Scalars._
+    val df = Engine.table(spark, dir, "documents")
+      .select(min_gram_hash(lower(col("text"))).as("g"),
+        min_rolling_hash(lower(col("text"))).as("r"))
+    assert(codegenSubtrees(df) >= 1)
+  }
+
+  test("q47: shingling is a native expression — no encoder boundary") {
+    val p = plan("q47_ngram_jaccard")
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+      s"q47 should not leave the codegen'd row pipeline:\n$p")
+  }
+
   test("custom scalar expressions do not break whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.Scalars._

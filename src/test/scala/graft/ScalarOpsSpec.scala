@@ -111,4 +111,28 @@ class ScalarOpsSpec extends AnyFunSuite {
     assert(ScalarOps.clean("  a\t\n b   c ") == "a b c")
     assert(ScalarOps.clean(null) == "")
   }
+
+  // fingerprint expressions
+  test("minGramHash equals brute-force min over 8-char windows (property)") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val expected =
+        if (s.length < 8) -1L
+        else s.sliding(8).map(ScalarOps.stableHash64).min
+      ScalarOps.minGramHash(s) == expected
+    }
+  }
+  test("distinctShingles3 equals sliding(3).distinct (property)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val word = Gen.oneOf("a", "bb", "ccc", "dd", "e")
+    forAll(Gen.listOf(word)) { toks =>
+      val in = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): AnyRef).toArray)
+      val got = ScalarOps.distinctShingles3(in)
+      val exp =
+        if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == exp
+    }
+  }
 }
