@@ -54,51 +54,77 @@ object RumorPipeline {
         col("last_text").as("lastAnchorText"))
   }
 
-  /** Per-page cap (80, fetchRumors.js:119), per-tag incremental
-    * first-seen-wins dedup (fetchRumors.js:141-145), and the per-tag
-    * 150-item page cutoff (fetchRumors.js:148: the page that crosses 150
-    * is fully kept; later pages are not crawled).
+  /** Dedup key + per-page cap (80, fetchRumors.js:119) — the rows the
+    * reference's parseTagPage returns per page (its
+    * `dbg.parsedItemsOnPage` counts exactly these).
     */
-  def perTagDedup(records: DataFrame): DataFrame = {
+  def pageCapped(records: DataFrame): DataFrame = {
     val keyed = records.withColumn("key",
       concat_ws("::", col("date"), substring(col("title"), 1, 120), col("url")))
     val pageCap = Window.partitionBy(col("slug"), col("page_no"))
       .orderBy(col("doc_pos").asc)
-    val firstSeen = Window.partitionBy(col("slug"), col("key"))
-      .orderBy(col("page_no").asc, col("doc_pos").asc)
-    val deduped = keyed
+    keyed
       .withColumn("rn_page", row_number().over(pageCap))
       .filter(col("rn_page") <= 80)
-      .withColumn("rn_key", row_number().over(firstSeen))
-      .filter(col("rn_key") === 1)
-    // 150-cap: keep pages whose preceding pages' cumulative deduped
-    // count is still below 150
-    val pageCounts = deduped.groupBy(col("slug"), col("page_no"))
-      .agg(count(lit(1)).as("page_items"))
-    val cumBefore = Window.partitionBy(col("slug")).orderBy(col("page_no").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val keptPages = pageCounts
-      .withColumn("cum_before", coalesce(sum(col("page_items")).over(cumBefore), lit(0L)))
-      .filter(col("cum_before") < 150)
-      .select(col("slug").as("kp_slug"), col("page_no").as("kp_page"))
-    deduped.join(broadcast(keptPages),
-        col("slug") === col("kp_slug") && col("page_no") === col("kp_page"), "left_semi")
-      .drop("rn_page", "rn_key")
   }
 
-  /** Global sort (date desc, crawl-order ties — SURVEY §1.4-3) +
-    * order-sensitive first-wins dedup (fetchRumors.js:187-196).
+  /** Per-page cap + per-tag incremental first-seen-wins dedup
+    * (fetchRumors.js:141-145) + the per-tag 150-item page cutoff
+    * (fetchRumors.js:148: the page that crosses 150 is fully kept;
+    * later pages are not crawled).
     */
-  def globalDedupSorted(merged: DataFrame): DataFrame = {
+  def perTagDedup(records: DataFrame): DataFrame =
+    perTagDedupCapped(pageCapped(records))
+
+  /** The dedup/cutoff stages over already page-capped records (split
+    * from [[perTagDedup]] so the debug path can observe the
+    * parsedItemsOnPage boundary).
+    *
+    * The 150-cap is a single range-frame window — the count of this
+    * slug's deduped items on STRICTLY EARLIER pages (RANGE to
+    * page_no−1), so the page that crosses 150 is fully kept
+    * (fetchRumors.js:148). Deliberately NOT the per-page
+    * group-count + rejoin formulation: that plants the source subtree
+    * twice in the physical plan, and for a crawl source a double scan
+    * means every page fetched twice (asserted once-per-page by
+    * RumorPipelineSpec's counting corpus).
+    */
+  def perTagDedupCapped(capped: DataFrame): DataFrame = {
+    val firstSeen = Window.partitionBy(col("slug"), col("key"))
+      .orderBy(col("page_no").asc, col("doc_pos").asc)
+    val cumBefore = Window.partitionBy(col("slug"))
+      .orderBy(col("page_no").asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    capped
+      .withColumn("rn_key", row_number().over(firstSeen))
+      .filter(col("rn_key") === 1)
+      .withColumn("cum_before", count(lit(1)).over(cumBefore))
+      .filter(col("cum_before") < 150)
+      .drop("rn_page", "rn_key", "cum_before")
+  }
+
+  /** Order-sensitive first-wins dedup (fetchRumors.js:187-196), unsorted
+    * (split out so the debug observe can sit below the presentation
+    * sort — a downstream LIMIT only pulls limit+offset rows through
+    * plan nodes ABOVE the sort barrier, which would undercount).
+    */
+  def globalDedup(merged: DataFrame): DataFrame = {
     val firstWins = Window.partitionBy(col("key"))
       .orderBy(col("subject_idx").asc, col("page_no").asc, col("doc_pos").asc)
     merged
       .withColumn("rn_global", row_number().over(firstWins))
       .filter(col("rn_global") === 1)
       .drop("rn_global")
-      .orderBy(col("date").desc, col("subject_idx").asc,
-        col("page_no").asc, col("doc_pos").asc)
   }
+
+  /** Global-dedup sort order (date desc, crawl-order ties — SURVEY §1.4-3). */
+  def globalSort(deduped: DataFrame): DataFrame =
+    deduped.orderBy(col("date").desc, col("subject_idx").asc,
+      col("page_no").asc, col("doc_pos").asc)
+
+  /** Global sort + order-sensitive first-wins dedup. */
+  def globalDedupSorted(merged: DataFrame): DataFrame =
+    globalSort(globalDedup(merged))
 
   /** Skip newest, take next 8 (fetchRumors.js:199) + payload projection
     * (fetchRumors.js:202-209) via the native scalar expressions.
@@ -136,16 +162,6 @@ object RumorPipeline {
   // Observability + API boundary (ref §2A#31-34)
   // ---------------------------------------------------------------
 
-  /** Debug counters (ref fetchRumors.js:90,122,212 — the ?debug=1
-    * envelope): scannedNodes via df.observe on the element scan (metrics
-    * ride the same job, no extra pass), stage counts via explicit
-    * actions as the reference's accumulators would report.
-    */
-  case class DebugInfo(
-      subjects: Seq[String], slugs: Seq[String], scannedNodes: Long,
-      parsedItems: Long, totalMerged: Long, totalAfterDedup: Long,
-      returning: Long)
-
   /** The full HTTP response envelope (ref fetchRumors.js:220-226
     * `json(code, body)`): status code + content-type header + body.
     */
@@ -159,41 +175,75 @@ object RumorPipeline {
     (code, Map("Content-Type" -> "application/json"), body)
   }
 
-  /** The handler boundary (ref fetchRumors.js:174-218): validates q
-    * (400-equivalent error envelope on empty, fetchRumors.js:177), runs
-    * the pipeline, renders the JSON envelope, optionally with debug
-    * counters.
+  /** Per-page fetch-error entries in crawl order (ref fetchRumors.js:136
+    * `dbg[page{n}Error_{slug}]`): for each slug, the first missing page
+    * ≤ maxPages gets an error keyed like the reference, with the
+    * reference's fetchText message shape `HTTP 404 for {crawl url}`
+    * (fetchRumors.js:54). Existence-probe only — no bodies fetched.
+    */
+  def pageErrors(corpusSpec: String, slugs: Seq[String]): Seq[(String, String)] =
+    try {
+      val provider = graft.sources.RumorPagesSource.providerFromSpec(corpusSpec)
+      slugs.flatMap { slug =>
+        (1 to RumorSource.MaxPages).find(p => !provider.exists(slug, p)).map { p =>
+          s"page${p}Error_$slug" -> s"HTTP 404 for ${RumorSource.crawlUrl(slug, p)}"
+        }
+      }
+    } catch {
+      // total: this also renders inside the 500 catch handler, where a
+      // bad corpus spec must not replace the error envelope with a throw
+      case _: Exception => Seq.empty
+    }
+
+  /** The handler boundary (ref fetchRumors.js:174-218): validates the
+    * TRIMMED raw q (fetchRumors.js:175-177 — the envelope echoes qRaw,
+    * not the whitespace-collapsed clean), runs the pipeline, renders the
+    * JSON envelope, optionally with debug counters.
+    *
+    * Debug counters ride ONE job: every stage boundary carries a
+    * `df.observe` CollectMetrics node, so the single payload collect
+    * populates scannedNodes / parsedItemsOnPage (the reference's key,
+    * fetchRumors.js:122) / totalMerged / totalAfterDedup — where the
+    * reference's accumulators tally the same single pass. (Previously
+    * this re-ran the pipeline per counter: 5 crawls at scale.)
     */
   def handle(spark: SparkSession, corpusSpec: String, q: String,
       debug: Boolean = false): String = {
-    val qClean = ScalarOps.clean(q)
-    if (qClean.isEmpty) return """{"error":"Missing q"}"""
+    val qRaw = if (q == null) "" else q.trim
+    if (qRaw.isEmpty) return """{"error":"Missing q"}"""
+    val subjects = qRaw.split(",").map(ScalarOps.clean).filter(_.nonEmpty).toSeq
+    val slugs = subjects.map(ScalarOps.slugify)
+    def dbgPrefix: String =
+      s""""subjects":[${subjects.map(jsonStr).mkString(",")}],""" +
+        s""""slugs":[${slugs.map(jsonStr).mkString(",")}]""" +
+        pageErrors(corpusSpec, slugs)
+          .map { case (k, v) => s",${jsonStr(k)}:${jsonStr(v)}" }.mkString
     try {
-      if (!debug) return jsonEnvelope(qClean, run(spark, corpusSpec, qClean))
-      val subjects = qClean.split(",").map(ScalarOps.clean).filter(_.nonEmpty).toSeq
-      val slugs = subjects.map(ScalarOps.slugify)
-      val obs = org.apache.spark.sql.Observation()
+      if (!debug) return jsonEnvelope(qRaw, run(spark, corpusSpec, qRaw))
+      import org.apache.spark.sql.Observation
+      val oScan = Observation(); val oParsed = Observation()
+      val oMerged = Observation(); val oDedup = Observation()
       val rows = RumorSource.elementRows(spark, corpusSpec, slugs)
-        .observe(obs, count(lit(1)).as("scannedNodes"))
-      val records = crawlRecords(rows)
-      val merged = perTagDedup(records)
-      val afterDedup = globalDedupSorted(merged)
-      val items = payload(afterDedup)
-      val returning = items.count() // triggers the observed scan too
-      val dbg = DebugInfo(subjects, slugs,
-        obs.get("scannedNodes").asInstanceOf[Long],
-        records.count(), merged.count(), afterDedup.count(), returning)
-      val base = jsonEnvelope(qClean, items)
+        .observe(oScan, count(lit(1)).as("n"))
+      val capped = pageCapped(crawlRecords(rows))
+        .observe(oParsed, count(lit(1)).as("n"))
+      val merged = perTagDedupCapped(capped)
+        .observe(oMerged, count(lit(1)).as("n"))
+      val afterDedup = globalDedup(merged)
+        .observe(oDedup, count(lit(1)).as("n"))
+      val rows8 = payload(globalSort(afterDedup)).collect() // the ONE action
+      val base = jsonEnvelopeRows(qRaw, rows8)
+      def n(o: Observation): Long = o.get("n").asInstanceOf[Long]
       val dbgJson =
-        s""""debug":{"subjects":[${dbg.subjects.map(jsonStr).mkString(",")}],""" +
-          s""""slugs":[${dbg.slugs.map(jsonStr).mkString(",")}],""" +
-          s""""scannedNodes":${dbg.scannedNodes},"parsedItems":${dbg.parsedItems},""" +
-          s""""totalMerged":${dbg.totalMerged},"totalAfterDedup":${dbg.totalAfterDedup},""" +
-          s""""returning":${dbg.returning}}"""
+        s""""debug":{$dbgPrefix,""" +
+          s""""scannedNodes":${n(oScan)},"parsedItemsOnPage":${n(oParsed)},""" +
+          s""""totalMerged":${n(oMerged)},"totalAfterDedup":${n(oDedup)},""" +
+          s""""returning":${rows8.length}}"""
       base.dropRight(1) + "," + dbgJson + "}"
     } catch {
-      case e: Exception => // 500-equivalent (ref fetchRumors.js:215-217)
-        s"""{"error":${jsonStr(Option(e.getMessage).getOrElse("Unknown error"))}}"""
+      case e: Exception => // 500 envelope includes debug (ref fetchRumors.js:216)
+        s"""{"error":${jsonStr(Option(e.getMessage).getOrElse("Unknown error"))},""" +
+          s""""debug":{$dbgPrefix}}"""
     }
   }
 
@@ -219,8 +269,12 @@ object RumorPipeline {
     * 220-226), field order matching JSON.stringify of the reference's
     * payload objects.
     */
-  def jsonEnvelope(subject: String, items: DataFrame): String = {
-    val rows = items.collect().map { r =>
+  def jsonEnvelope(subject: String, items: DataFrame): String =
+    jsonEnvelopeRows(subject, items.collect())
+
+  def jsonEnvelopeRows(subject: String,
+      collected: Array[org.apache.spark.sql.Row]): String = {
+    val rows = collected.map { r =>
       s"""{"date":${jsonStr(r.getAs[String]("date"))},""" +
         s""""date_pretty":${jsonStr(r.getAs[String]("date_pretty"))},""" +
         s""""snippet_html":${jsonStr(r.getAs[String]("snippet_html"))},""" +

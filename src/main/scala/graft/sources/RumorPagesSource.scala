@@ -58,15 +58,31 @@ object RumorPagesSource {
     StructField("last_text", StringType, nullable = false),
     StructField("para_html", StringType, nullable = false)))
 
-  /** Build a provider from its option spec ("dir:<path>" /
-    * "classpath:<prefix>").
+  /** Provider-scheme registry: "<scheme>:<rest>" → factory(rest).
+    * Built-ins: dir, classpath. Additional schemes (an HTTP origin, a
+    * counting test double) register here; on a real cluster the
+    * registration must run in executor JVMs too (e.g. from a library
+    * static initializer), since readers resolve the spec locally.
     */
-  def providerFromSpec(spec: String): RumorSource.PageProvider =
-    if (spec.startsWith("dir:")) new RumorSource.DirCorpus(spec.stripPrefix("dir:"))
-    else if (spec.startsWith("classpath:"))
-      new RumorSource.ClasspathCorpus(spec.stripPrefix("classpath:"))
-    else throw new IllegalArgumentException(
-      s"corpus spec must be dir:<path> or classpath:<prefix>, got '$spec'")
+  private val schemes =
+    new java.util.concurrent.ConcurrentHashMap[String, String => RumorSource.PageProvider]()
+  registerScheme("dir", p => new RumorSource.DirCorpus(p))
+  registerScheme("classpath", p => new RumorSource.ClasspathCorpus(p))
+
+  def registerScheme(name: String, factory: String => RumorSource.PageProvider): Unit =
+    schemes.put(name, factory)
+
+  /** Build a provider from its option spec ("dir:<path>",
+    * "classpath:<prefix>", or any registered scheme).
+    */
+  def providerFromSpec(spec: String): RumorSource.PageProvider = {
+    val i = spec.indexOf(':')
+    val factory = if (i > 0) schemes.get(spec.substring(0, i)) else null
+    if (factory == null) throw new IllegalArgumentException(
+      s"corpus spec must be <scheme>:<rest> with a registered scheme " +
+        s"(${schemes.keySet()}), got '$spec'")
+    factory(spec.substring(i + 1))
+  }
 }
 
 final class RumorPagesTable(corpusSpec: String, slugsCsv: String, maxPages: Int)
@@ -97,17 +113,18 @@ final class RumorPagesScan(corpusSpec: String, slugsCsv: String, maxPages: Int,
     s"RumorPagesScan(corpus=$corpusSpec, slugs=$slugsCsv, maxPages=$maxPages" +
       (if (limit != Int.MaxValue) s", pushedLimit=$limit)" else ")")
 
-  /** Sequential existence probe per slug; first missing page ends the
-    * tag (permissive error semantics).
+  /** Sequential EXISTENCE probe per slug (PageProvider.exists — stat /
+    * HEAD, never a body read); first missing page ends the tag
+    * (permissive error semantics). Bodies are fetched exactly once, in
+    * the executors' readers.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val provider = RumorPagesSource.providerFromSpec(corpusSpec)
     val slugs = slugsCsv.split(",").map(_.trim).filter(_.nonEmpty)
     slugs.zipWithIndex.flatMap { case (slug, idx) =>
       Iterator.from(1).take(maxPages)
-        .map(p => (p, provider.fetch(slug, p)))
-        .takeWhile(_._2.isDefined)
-        .map { case (p, _) => RumorPagePartition(slug, idx, p) }
+        .takeWhile(p => provider.exists(slug, p))
+        .map(p => RumorPagePartition(slug, idx, p))
         .toSeq
     }.toArray
   }

@@ -27,21 +27,51 @@ object RumorSource {
 
   val MaxPages = 10
 
+  /** The reference's crawl origin (fetchRumors.js:14). */
+  val PreviewOrigin = "http://preview.hoopshype.com"
+
+  /** JS `encodeURIComponent` semantics (unescaped: A-Za-z0-9 -_.!~*'()),
+    * which differ from java.net.URLEncoder (form encoding: space→+ and
+    * !'()~ escaped). Used for the crawl-URL slug segment
+    * (fetchRumors.js:131).
+    */
+  def encodeUriComponent(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+      .replace("+", "%20").replace("%21", "!").replace("%27", "'")
+      .replace("%28", "(").replace("%29", ")").replace("%7E", "~")
+
+  /** Tag-page URL templating (fetchRumors.js:131): page 1 is the bare
+    * tag path; later pages append `page/{n}/`.
+    */
+  def crawlUrl(slug: String, page: Int): String =
+    s"$PreviewOrigin/rumors/tag/${encodeUriComponent(slug)}/" +
+      (if (page > 1) s"page/$page/" else "")
+
   /** The fetch boundary: None = fetch error (ends that tag's crawl). */
   trait PageProvider extends Serializable {
     def fetch(slug: String, page: Int): Option[String]
+
+    /** Existence-only probe, used at DSv2 planning time so the driver
+      * never pays for page bodies (executors fetch each page exactly
+      * once). Override with a cheap check (stat / HEAD); the default
+      * falls back to a full fetch for providers without one.
+      */
+    def exists(slug: String, page: Int): Boolean = fetch(slug, page).isDefined
   }
 
   /** Directory corpus: {dir}/{slug}/page{n}.html */
-  final class DirCorpus(dir: String) extends PageProvider {
+  class DirCorpus(dir: String) extends PageProvider {
     def fetch(slug: String, page: Int): Option[String] = {
       val p = Paths.get(dir, slug, s"page$page.html")
       if (Files.isReadable(p)) Some(Files.readString(p)) else None
     }
+    /** stat, not read: planning cost is metadata-only. */
+    override def exists(slug: String, page: Int): Boolean =
+      Files.isReadable(Paths.get(dir, slug, s"page$page.html"))
   }
 
   /** Classpath corpus: {prefix}/{slug}/page{n}.html (bundled fixtures). */
-  final class ClasspathCorpus(prefix: String) extends PageProvider {
+  class ClasspathCorpus(prefix: String) extends PageProvider {
     def fetch(slug: String, page: Int): Option[String] = {
       val in = getClass.getResourceAsStream(s"$prefix/$slug/page$page.html")
       if (in == null) None
@@ -50,6 +80,9 @@ object RumorSource {
         finally in.close()
       }
     }
+    /** resource-URL lookup, not stream read. */
+    override def exists(slug: String, page: Int): Boolean =
+      getClass.getResource(s"$prefix/$slug/page$page.html") != null
   }
 
   /** One fetched page document. */

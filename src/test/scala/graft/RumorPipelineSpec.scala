@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.RumorPipeline
-import graft.sources.{HtmlDom, RumorSource}
+import graft.sources.{HtmlDom, RumorPagesSource, RumorSource}
 
 /** Reference-semantics golden tests (SURVEY.md §5 item 3): the frozen
   * corpus through the full pipeline, each assertion pinned to a cited
@@ -178,11 +178,45 @@ class RumorPipelineSpec extends AnyFunSuite {
     assert(dbg.contains(""""slugs":["jalen_brunson","new_york_knicks"]"""))
     assert(dbg.contains(""""returning":8"""))
     // 13 parsed -> 12 after per-tag dedup -> 11 after global cross-tag dedup
-    assert(dbg.contains(""""parsedItems":13"""))
+    // (parsedItemsOnPage is the reference's key name, fetchRumors.js:122)
+    assert(dbg.contains(""""parsedItemsOnPage":13"""))
     assert(dbg.contains(""""totalMerged":12"""))
     assert(dbg.contains(""""totalAfterDedup":11"""))
     val scanned = """"scannedNodes":(\d+)""".r.findFirstMatchIn(dbg).get.group(1).toInt
     assert(scanned > 20) // every element of all 3 pages was walked
+    // page-error keys (fetchRumors.js:136): first missing page per slug,
+    // message shaped like fetchText's error (fetchRumors.js:54)
+    assert(dbg.contains(
+      """"page3Error_jalen_brunson":"HTTP 404 for http://preview.hoopshype.com/rumors/tag/jalen_brunson/page/3/""""))
+    assert(dbg.contains(
+      """"page2Error_new_york_knicks":"HTTP 404 for http://preview.hoopshype.com/rumors/tag/new_york_knicks/page/2/""""))
+  }
+
+  test("handle() echoes the trimmed RAW q as subject (fetchRumors.js:175,211)") {
+    val out = RumorPipeline.handle(spark, RumorPipeline.BundledCorpus,
+      "  Jalen  Brunson ")
+    // internal whitespace preserved in the echo; cleaned only for slugs
+    assert(out.startsWith("""{"subject":"Jalen  Brunson","""))
+  }
+
+  test("handle(debug=true) runs ONE job — each page fetched once") {
+    CountingCorpus.reset()
+    RumorPagesSource.registerScheme("counting", p => new CountingCorpus(p))
+    val spec = "counting:" + RumorPipeline.BundledCorpus.stripPrefix("classpath:")
+    val dbg = RumorPipeline.handle(spark, spec, RumorPipeline.DefaultSubjects,
+      debug = true)
+    assert(dbg.contains(""""returning":8"""))
+    // 3 pages, one body read each (previously the debug path re-ran the
+    // pipeline per counter: 5 crawls = 15 fetches)
+    assert(CountingCorpus.fetches.get() == 3,
+      s"debug envelope cost ${CountingCorpus.fetches.get()} fetches for 3 pages")
+  }
+
+  test("500 envelope carries debug context (fetchRumors.js:216)") {
+    // an unregistered corpus scheme throws inside the pipeline
+    val out = RumorPipeline.handle(spark, "bogus:/nowhere", "Some Team")
+    assert(out.startsWith("""{"error":"""))
+    assert(out.contains(""""debug":{"subjects":["Some Team"],"slugs":["some_team"]"""))
   }
 
   test("DSv2 source: one input partition per (slug, page); limit pushdown") {
@@ -192,6 +226,24 @@ class RumorPipelineSpec extends AnyFunSuite {
     val lim = df.limit(5)
     assert(lim.queryExecution.executedPlan.toString.contains("pushedLimit=5"))
     assert(lim.count() == 5)
+  }
+
+  test("DSv2 source: exactly ONE body fetch per page end-to-end (plan probes are stat-only)") {
+    CountingCorpus.reset()
+    RumorPagesSource.registerScheme("counting",
+      prefix => new CountingCorpus(prefix))
+    val prefix = RumorPipeline.BundledCorpus.stripPrefix("classpath:")
+    val df = spark.read.format("graft.sources.RumorPagesSource")
+      .option("corpus", s"counting:$prefix")
+      .option("slugs", "jalen_brunson,new_york_knicks")
+      .option("maxPages", "10").load()
+    assert(df.count() > 0)
+    // 3 existing pages fetched once each in readers; planning probed
+    // existence only (Spark may re-plan, so the probe count is only
+    // bounded below — what matters is bodies were read exactly once)
+    assert(CountingCorpus.fetches.get() == 3,
+      s"expected 3 body fetches, got ${CountingCorpus.fetches.get()}")
+    assert(CountingCorpus.probes.get() >= 5)
   }
 
   test("HtmlDom container fallback chain (fetchRumors.js:79-84)") {
@@ -212,4 +264,26 @@ class RumorPipelineSpec extends AnyFunSuite {
     val out = HtmlDom.paragraphHtml(el)
     assert(out == """Start bold link end. <a href="https://y.com" target="_blank">Keep</a>""")
   }
+}
+
+/** Classpath corpus instrumented with static counters (valid in local
+  * mode: planner and readers share the JVM) — proves the planning probe
+  * never reads a body and readers fetch each page exactly once.
+  */
+final class CountingCorpus(prefix: String)
+    extends RumorSource.ClasspathCorpus(prefix) {
+  override def fetch(slug: String, page: Int): Option[String] = {
+    CountingCorpus.fetches.incrementAndGet()
+    super.fetch(slug, page)
+  }
+  override def exists(slug: String, page: Int): Boolean = {
+    CountingCorpus.probes.incrementAndGet()
+    super.exists(slug, page)
+  }
+}
+
+object CountingCorpus {
+  val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+  val probes = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { fetches.set(0); probes.set(0) }
 }
