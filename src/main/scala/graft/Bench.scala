@@ -28,26 +28,45 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Functions.registerAll(spark)
 
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+
+    /** Seconds, or -1 sentinel if the query threw (a failed query must
+      * not masquerade as a fast pass in the JSON).
+      */
     def exec(name: String): Double = {
       System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+          -1.0
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // warmup: smallest query, absorbs JVM/codegen startup
     exec("q18_intersect")
+    failed.clear()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failures = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failures":$failures,"sf":"$sfDir"}"""
+    println(line)
+    // sbt buries stdout in [info] noise; a dedicated file keeps the JSON
+    // machine-readable for the driver
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
+    }
     spark.stop()
   }
 }

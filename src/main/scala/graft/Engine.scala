@@ -59,9 +59,12 @@ object Engine {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
+      // FLOOR division (div truncates toward zero): pre-epoch nanos
+      // must round down to match DuckDB's ns→µs conversion
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+          org.apache.spark.sql.functions.expr(
+            "ts div 1000 + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")))
     else df
   }
 

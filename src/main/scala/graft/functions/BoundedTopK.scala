@@ -104,6 +104,22 @@ case class BoundedTopK(
     StructField("id", LongType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
+
+  /** Analysis-time type check: the update path casts to
+    * struct<double,long>, so reject anything else with a clear error
+    * instead of an execution-time ClassCastException.
+    */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StructType(Array(a, b))
+          if a.dataType == DoubleType && b.dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"top_k expects struct<double,long> (score, id), got ${other.sql}")
+    }
+  }
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren.head)
   override def withNewMutableAggBufferOffset(offset: Int): BoundedTopK =

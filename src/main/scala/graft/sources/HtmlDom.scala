@@ -191,6 +191,14 @@ object HtmlDom {
   private def encodeText(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  /** HTML attribute-value serialization (the spec rules JSDOM's
+    * innerHTML applies): escape `&` and `"` — entities were decoded at
+    * parse time, so a crawled href containing either must not break out
+    * of the quoted attribute in the sanitized snippet.
+    */
+  private def encodeAttr(s: String): String =
+    s.replace("&", "&amp;").replace("\"", "&quot;")
+
   /** Container selection fallback chain (ref fetchRumors.js:79-84):
     * main → #content → .content → .container → body.
     */
@@ -228,7 +236,7 @@ object HtmlDom {
         case Visit(TextNode(t)) => sb.append(encodeText(t))
         case Visit(a: Elem) if a.tag == "a" =>
           val attrs = a.attr("href") match {
-            case Some(h) => s""" href="$h" target="_blank""""
+            case Some(h) => s""" href="${encodeAttr(h)}" target="_blank""""
             case None => ""
           }
           sb.append(s"<a$attrs>")

@@ -68,6 +68,9 @@ object RumorPagesSource {
     new java.util.concurrent.ConcurrentHashMap[String, String => RumorSource.PageProvider]()
   registerScheme("dir", p => new RumorSource.DirCorpus(p))
   registerScheme("classpath", p => new RumorSource.ClasspathCorpus(p))
+  // "http://origin" / "https://origin" — rest includes the leading "//"
+  registerScheme("http", rest => new HttpCorpus("http:" + rest))
+  registerScheme("https", rest => new HttpCorpus("https:" + rest))
 
   def registerScheme(name: String, factory: String => RumorSource.PageProvider): Unit =
     schemes.put(name, factory)

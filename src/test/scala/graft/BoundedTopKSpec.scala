@@ -51,4 +51,13 @@ class BoundedTopKSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(out == Map(1L -> 1, 2L -> 1)) // null score skipped
   }
+
+  test("top_k rejects non-struct<double,long> input at analysis time") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("g", "s")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy(col("g")).agg(top_k(struct(col("s"), col("g")), 3)).collect()
+    }
+    assert(e.getMessage.contains("struct<double,long>"))
+  }
 }

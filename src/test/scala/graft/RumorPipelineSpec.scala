@@ -257,6 +257,15 @@ class RumorPipelineSpec extends AnyFunSuite {
     assert(byBody.tag == "body")
   }
 
+  test("paragraphHTML: href attribute value is serialized escaped (JSDOM innerHTML)") {
+    val el = HtmlDom.parse(
+      "<body><p>x <a href=\"https://x.com/?a=1&amp;b=&quot;q&quot;\">link</a></p></body>")
+      .descendants.find(_.tag == "p").get
+    // parse decoded the entities; serialization must re-escape & and "
+    assert(HtmlDom.paragraphHtml(el) ==
+      """x <a href="https://x.com/?a=1&amp;b=&quot;q&quot;" target="_blank">link</a>""")
+  }
+
   test("paragraphHTML: anchors nested in non-anchors flatten away (fetchRumors.js:61-70)") {
     val el = HtmlDom.parse("<body><p>Start <b>bold <a href=\"https://x.com\">link</a></b> end. " +
       "<a href=\"https://y.com\" rel=\"nofollow\" class=\"c\">Keep</a></p></body>")
