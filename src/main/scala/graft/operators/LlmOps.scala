@@ -476,36 +476,67 @@ object LlmOps {
       .orderBy(col("keep_vec_id"), col("drop_vec_id"))
   }
 
-  /** Number of IVF coarse centroids (deterministic: the first
-    * NumCentroids vectors by vec_id — a real build would Lloyd-iterate;
-    * the indexing/search shape is identical).
+  /** Number of IVF coarse centroids (seeded deterministically from the
+    * first NumCentroids vectors by vec_id, then refined by one Lloyd
+    * iteration — see q57).
     */
   val NumCentroids = 16
 
-  /** q57: IVF (inverted-file) ANN — the other scale path next to
-    * hyperplane LSH (q50): a coarse quantizer assigns every vector to
-    * its nearest centroid (broadcast n × K cross product), queries probe
-    * ONLY their own centroid's inverted list (nprobe=1), exact cosine
-    * re-ranks within the list. Search cost drops from O(n) to O(n/K)
-    * per query; recall is traded via nprobe.
+  /** Embedding dimensionality of the fixture corpus. */
+  val EmbDim = 64
+
+  /** Queries probe their 2 nearest centroids' inverted lists (recall
+    * knob; 1 = cheapest, K = brute force).
     */
-  val q57AnnIvf: Q = (s, dir) => {
+  val NProbe = 2
+
+  /** q57: IVF (inverted-file) ANN — the other scale path next to
+    * hyperplane LSH (q50): seed K centroids deterministically, refine
+    * with ONE Lloyd iteration, assign every vector to its nearest
+    * refined centroid (broadcast n × K), queries probe their NProbe
+    * nearest centroids' inverted lists, exact cosine re-ranks within.
+    * Search cost O(nprobe · n/K) per query; recall traded via nprobe.
+    *
+    * The Lloyd mean is computed in EXACT arithmetic so it is
+    * bit-identical in any engine regardless of aggregation order:
+    * components scale by 2^20 (exact — float32 mantissa is 24 bits,
+    * double carries 53) and round to integers, integer sums are
+    * order-independent, and the mean is one double division chain. A
+    * float mean would hash-diverge across partitionings.
+    */
+  val q57AnnIvf: Q = (s, dir) => annIvf(s, dir, NProbe)
+
+  /** IVF search with an explicit nprobe (recall scales with it — see
+    * ScaleTechniquesSpec's recall assertion against brute force).
+    */
+  def annIvf(s: SparkSession, dir: String, nprobeN: Int): DataFrame = {
     graft.Functions.registerAll(s)
     val e = t(s, dir, "embeddings")
-    val cents = e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    def assign(df: DataFrame, idCol: String): DataFrame = {
+    def assign(df: DataFrame, cents: DataFrame, idCol: String, nprobe: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("cscore").desc, col("cent_id").asc)
       df.crossJoin(broadcast(cents))
         .withColumn("cscore", expr(cosineS("embedding", "cent")))
         .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
-        .drop("cscore", "crn", "cent")
+        .filter(col("crn") <= nprobe)
+        .drop("cscore", "cent")
     }
-    val corpus = assign(e, "vec_id")
+    val seeds = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    // one Lloyd iteration: exact per-dimension means of the seed
+    // assignment (empty clusters drop out on both engines alike)
+    val cents = assign(e, seeds, "vec_id", 1)
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cent_id"), col("dim"))
+      .agg(sum(expr("cast(round(cast(x as double) * 1048576) as bigint)")).as("sx"),
+        count(lit(1)).as("n"))
+      .withColumn("c", col("sx").cast("double") / col("n") / lit(1048576.0))
+      .groupBy(col("cent_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+        .as("cent"))
+    val corpus = assign(e, cents, "vec_id", 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
-    val probes = assign(e.filter(col("vec_id") < 10), "vec_id")
+    val probes = assign(e.filter(col("vec_id") < 10), cents, "vec_id", nprobeN)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("cent_id").as("q_cent"))
     val w = Window.partitionBy(col("qid"))
@@ -561,13 +592,29 @@ object LlmOps {
 
   val oracles: Map[String, String] = Map(
     "q57_ann_ivf" ->
-      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < $NumCentroids),
+      s"""WITH seeds AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < $NumCentroids),
+        |asg0 AS (
+        |  SELECT vec_id, embedding, cent_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineD("e.embedding", "c.cent")} DESC, c.cent_id ASC) AS crn
+        |    FROM embeddings e CROSS JOIN seeds c) WHERE crn = 1),
+        |lloyd AS (
+        |  SELECT cent_id, d.i - 1 AS dim,
+        |    CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 1048576.0 AS c
+        |  FROM asg0, (SELECT unnest(range(1, $EmbDim + 1)) AS i) d
+        |  GROUP BY cent_id, d.i),
+        |cents AS (SELECT cent_id, list(c ORDER BY dim) AS cent FROM lloyd GROUP BY cent_id),
         |corpus AS (
         |  SELECT vec_id, embedding, cent_id FROM (
         |    SELECT e.vec_id, e.embedding, c.cent_id,
         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineD("e.embedding", "c.cent")} DESC, c.cent_id ASC) AS crn
         |    FROM embeddings e CROSS JOIN cents c) WHERE crn = 1),
-        |probes AS (SELECT vec_id AS qid, embedding AS qe, cent_id AS q_cent FROM corpus WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT vec_id AS qid, embedding AS qe, cent_id AS q_cent FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineD("e.embedding", "c.cent")} DESC, c.cent_id ASC) AS crn
+        |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE crn <= $NProbe),
         |scored AS (
         |  SELECT p.qid, s.cent_id, s.vec_id, ${cosineD("p.qe", "s.embedding")} AS score
         |  FROM corpus s JOIN probes p ON s.cent_id = p.q_cent AND s.vec_id != p.qid)

@@ -151,6 +151,47 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint restart: closed windows emitted exactly once across stop/restart") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ev(id: Long, t: String) =
+      Event(id, Timestamp.valueOf(t), user_id = 1L, event_type = "click", 1.0, "{}")
+    val srcDir = java.nio.file.Files.createTempDirectory("restart_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("restart_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("restart_ck").toString
+    val schema = spark.emptyDataset[Event].toDF().schema
+    def runToCompletion(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .transform(EventStreams.tumblingCounts)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // phase 1: two events in the 10:00 window; stop before it closes
+    Seq(ev(1, "2024-01-01 10:01:00"), ev(2, "2024-01-01 10:02:00"))
+      .toDF().write.mode("append").parquet(srcDir)
+    runToCompletion()
+    // phase 2 (restart from checkpoint): 12:00 events advance the
+    // watermark past the 10:00 window → it closes and emits
+    Seq(ev(3, "2024-01-01 12:00:00"), ev(4, "2024-01-01 12:05:00"))
+      .toDF().write.mode("append").parquet(srcDir)
+    runToCompletion()
+    // phase 3 (second restart): close the 12:00 window too
+    Seq(ev(5, "2024-01-01 15:00:00")).toDF().write.mode("append").parquet(srcDir)
+    runToCompletion()
+    val out = spark.read.parquet(outDir)
+      .select(col("window_start").cast("string"), col("n_events")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // exactly-once across two restart boundaries: each closed window
+    // appears once, with counts spanning the pre/post-restart events
+    assert(out.count(_._1 == "2024-01-01 10:00:00") == 1)
+    assert(out.find(_._1 == "2024-01-01 10:00:00").get._2 == 2L)
+    assert(out.count(_._1 == "2024-01-01 12:00:00") == 1)
+    assert(out.find(_._1 == "2024-01-01 12:00:00").get._2 == 2L)
+  }
+
   test("flatMapGroupsWithState running totals match batch groupBy") {
     import spark.implicits._
     val ms = streamOf(fixture)

@@ -51,4 +51,21 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .filter(year(col("o_orderdate")) === 1997).count()
     assert(pruned.count() == expected && expected > 0)
   }
+
+  test("IVF recall: nprobe=2 >= nprobe=1, measured against brute force") {
+    import graft.operators.LlmOps
+    // exact top-3 neighbors per query from the brute-force baseline
+    val exact = SparkEntry.queries("q48_cosine_topk")(spark, dir)
+      .filter(col("rn") <= 3).select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int): Double = {
+      val got = LlmOps.annIvf(spark, dir, nprobe)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+    assert(r2 > 0.3, s"nprobe=2 recall $r2 suspiciously low")
+  }
 }
