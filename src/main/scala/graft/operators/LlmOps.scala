@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -551,8 +551,100 @@ object LlmOps {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Per-language sampling rates (percent) for q58 — a training-data
+    * mixing recipe (upsample scarce languages, downsample the head).
+    */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 50, "es" -> 25, "fr" -> 25, "de" -> 10)
+
+  /** q58: DETERMINISTIC stratified sampling — the reproducible
+    * train-data mixing primitive. Selection is a pure function of the
+    * document id (portable 60-bit hash mod 100 against the stratum's
+    * rate), so the sample is stable across runs, engines, partitionings
+    * and cluster sizes — unlike rand()-based sampling, which can never
+    * be oracle-checked or reproduced. Map-side only: no shuffle before
+    * the presentation sort.
+    */
+  val q58StratifiedSample: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val rateExpr = SampleRates.foldRight(lit(0): Column) { case ((l, r), acc) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    t(s, dir, "documents")
+      .withColumn("bucket", expr(s"${hashS("concat('sample:', doc_id)")} % 100"))
+      .withColumn("rate", rateExpr)
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q59: vocabulary construction — token frequencies with a min-count
+    * floor and a top-100 cut. The canonical map-side-combinable shape:
+    * explode shuffles only (token, partial-count); ties pinned on the
+    * token string for cross-engine rank stability.
+    */
+  val q59VocabTopK: Q = (s, dir) => {
+    docsTok(s, dir)
+      .select(explode(col("tok")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 3)
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(100)
+  }
+
+  /** q62: near-dup CLUSTER assignment — connected components over the
+    * q55 SimHash pair graph by iterative min-label propagation, then a
+    * keep/drop verdict per doc (keep = cluster minimum). Pairs alone
+    * don't dedup a corpus: A~B and B~C must collapse to ONE kept doc
+    * even when A~C wasn't a candidate pair.
+    *
+    * The loop converges in O(component diameter) rounds (near-dup
+    * clusters are shallow — single digits even at corpus scale), each
+    * round one shuffle on doc_id. At 10^9+ nodes with adversarial
+    * diameters the same loop upgrades to the large-star/small-star
+    * optimization (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") without changing the contract. DuckDB oracle: the
+    * same fixpoint via a recursive CTE.
+    */
+  val q62NearDupClusters: Q = (s, dir) => {
+    val pairs = q55SimhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    // undirected edge list, both directions
+    val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    var labels = docs.withColumn("label", col("doc_id"))
+    var changed = 1L
+    while (changed > 0) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(viaEdges, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("doc_id") =!= col("label")).cast("bigint").as("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q52_cosine_topk_agg" -> q52CosineTopkAgg,
+    "q58_stratified_sample" -> q58StratifiedSample,
+    "q59_vocab_topk" -> q59VocabTopK,
+    "q62_neardup_clusters" -> q62NearDupClusters,
     "q54_quality_score" -> q54QualityScore,
     "q55_simhash_pairs" -> q55SimhashPairs,
     "q56_cosine_near_dup" -> q56CosineNearDup,
@@ -590,6 +682,28 @@ object LlmOps {
   private def cosineD(a: String, b: String): String =
     s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
 
+  /** Shared CTE chain: tokens → 60-bit simhash → 4×15-bit banding →
+    * candidate pairs (used by q55 and as the edge source of q62).
+    */
+  private val simhashPairCtesD =
+    s"""t AS (SELECT doc_id, unnest($toksD) AS token FROM documents),
+       |h AS (SELECT doc_id, ${hashD("token")} AS hv FROM t),
+       |bits AS (
+       |  SELECT doc_id, b.b,
+       |    CASE WHEN sum(CASE WHEN ((hv >> b.b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM h, (SELECT unnest(range(60)) AS b) b GROUP BY doc_id, b.b),
+       |sig AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
+       |        FROM bits GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, simhash, unnest([
+       |    'b0:' || ((simhash >> 0) & 32767), 'b1:' || ((simhash >> 15) & 32767),
+       |    'b2:' || ((simhash >> 30) & 32767), 'b3:' || ((simhash >> 45) & 32767)]) AS bkey
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sig_a, b.simhash AS sig_b
+       |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q57_ann_ivf" ->
       s"""WITH seeds AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < $NumCentroids),
@@ -622,26 +736,37 @@ object LlmOps {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn FROM scored)
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "q55_simhash_pairs" ->
-      s"""WITH t AS (SELECT doc_id, unnest($toksD) AS token FROM documents),
-        |h AS (SELECT doc_id, ${hashD("token")} AS hv FROM t),
-        |bits AS (
-        |  SELECT doc_id, b.b,
-        |    CASE WHEN sum(CASE WHEN ((hv >> b.b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
-        |  FROM h, (SELECT unnest(range(60)) AS b) b GROUP BY doc_id, b.b),
-        |sig AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
-        |        FROM bits GROUP BY doc_id),
-        |banded AS (
-        |  SELECT doc_id, simhash, unnest([
-        |    'b0:' || ((simhash >> 0) & 32767), 'b1:' || ((simhash >> 15) & 32767),
-        |    'b2:' || ((simhash >> 30) & 32767), 'b3:' || ((simhash >> 45) & 32767)]) AS bkey
-        |  FROM sig),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    a.simhash AS sig_a, b.simhash AS sig_b
-        |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      s"""WITH $simhashPairCtesD
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q58_stratified_sample" ->
+      s"""SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket FROM (
+        |  SELECT doc_id, lang,
+        |    ${hashD("'sample:' || doc_id")} % 100 AS bucket,
+        |    CASE lang ${SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")} ELSE 0 END AS rate
+        |  FROM documents)
+        |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    "q59_vocab_topk" ->
+      s"""SELECT token, count(*) AS freq
+        |FROM (SELECT unnest($toksD) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token HAVING count(*) >= 3
+        |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+    "q62_neardup_clusters" ->
+      s"""WITH RECURSIVE $simhashPairCtesD,
+        |pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |comp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+        |  CAST(c.doc_id != c.cluster_id AS BIGINT) AS is_duplicate
+        |FROM comp c JOIN sizes s USING (cluster_id) ORDER BY c.doc_id""".stripMargin,
     "q56_cosine_near_dup" ->
       s"""WITH b AS (
         |  SELECT vec_id, embedding,
