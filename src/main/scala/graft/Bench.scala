@@ -52,7 +52,12 @@ object Bench {
     exec("q18_intersect")
     failed.clear()
 
+    // optional subset filter for targeted perf work:
+    // SPARK_GRAFT_QUERIES=q62_neardup_clusters,q55_simhash_pairs
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

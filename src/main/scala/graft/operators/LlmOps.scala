@@ -610,30 +610,52 @@ object LlmOps {
     */
   val q62NearDupClusters: Q = (s, dir) => {
     val pairs = q55SimhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    // undirected edge list, both directions
+    // undirected edge list, both directions. The iteration runs over
+    // NON-SINGLETON nodes only (nodes with at least one near-dup edge —
+    // a small fraction of any real corpus); singleton docs join in
+    // afterward as their own clusters, paying zero loop cost.
     val edges = pairs.unionAll(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
-    val docs = t(s, dir, "documents").select(col("doc_id"))
-    var labels = docs.withColumn("label", col("doc_id"))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
     var changed = 1L
     while (changed > 0) {
-      // each node adopts min(own label, neighbors' labels)
+      // each node adopts min(own label, neighbors' labels) ...
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(viaEdges, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).count()
+      val propagated = labels.withColumnRenamed("label", "old")
+        .join(viaEdges, Seq("doc_id"))
+        .select(col("doc_id"), col("old"),
+          least(col("old"), col("nbr_label")).as("label"))
+      // ... then pointer-jumps: label(v) := label(label(v)). Plain
+      // propagation needs O(component diameter) rounds — near-dup
+      // CHAINS (doc_i ~ doc_i+1) make the diameter linear in cluster
+      // size; with path compression convergence is logarithmic. One
+      // jump only: each jump doubles the references to the round's
+      // un-materialized subtree, so compounding them re-computes the
+      // propagation join exponentially (measured 5× slower with two).
+      val jumped = propagated.join(
+          propagated.select(col("doc_id").as("label"), col("label").as("j")),
+          Seq("label"))
+        .select(col("doc_id"), col("old"), col("j").as("label"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = jumped
+        .observe(obs, sum((col("label") =!= col("old")).cast("long")).as("changed"))
+        .select(col("doc_id"), col("label"))
+        .localCheckpoint(true) // ONE action: materialize + cut lineage + metric
+      changed = obs.get("changed").asInstanceOf[Long]
+      labels.unpersist()
       labels = next
     }
     edges.unpersist()
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("label"))
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val all = docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+    val sizes = all.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"),
         (col("doc_id") =!= col("label")).cast("bigint").as("is_duplicate"))

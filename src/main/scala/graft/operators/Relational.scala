@@ -673,7 +673,18 @@ object Relational {
 
   // ---------------------------------------------------------------
 
+  /** q63: interval join (batch twin of the stream-stream
+    * clickPurchaseJoin — EventStreamsSpec proves streaming == batch on
+    * the same function; this row makes the semantics driver-verified).
+    */
+  val q63IntervalJoin: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    graft.streaming.EventStreams.clickPurchaseJoin(e, e)
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q63_interval_join" -> q63IntervalJoin,
     "q31_collect_agg" -> q31CollectAgg,
     "q32_approx_distinct" -> q32ApproxDistinct,
     "q33_asof_join" -> q33AsofJoin,
@@ -719,6 +730,13 @@ object Relational {
     * (q32 approx-distinct is rows-only: HLL sketches are engine-specific.)
     */
   val oracles: Map[String, String] = Map(
+    "q63_interval_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+        |  p.ts AS purchase_ts, p.value
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q31_collect_agg" ->
       """SELECT g.c_nationkey, g.segments, p.poorest, r.richest, g.n_customers FROM
         |  (SELECT c_nationkey,

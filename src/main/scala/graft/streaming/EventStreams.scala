@@ -84,6 +84,33 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream INTERVAL JOIN: each click matched to the same user's
+    * purchases in the preceding hour. Both sides carry watermarks, so
+    * Spark derives a bounded state-retention window from the join's
+    * time bounds (purchases older than watermark + 1h are evicted) —
+    * the state never grows with stream length. Works identically on two
+    * batch DataFrames (see the equivalence spec), which is the
+    * cross-check that the streaming semantics are the relational ones.
+    */
+  def clickPurchaseJoin(clicksIn: DataFrame, purchasesIn: DataFrame): DataFrame = {
+    val clicks = clicksIn
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = purchasesIn
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("value"))
+  }
+
   /** Events fixture as a typed Dataset (batch side). */
   def batchEvents(s: SparkSession, dir: String): Dataset[Event] = {
     import s.implicits._

@@ -192,6 +192,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.find(_._1 == "2024-01-01 12:00:00").get._2 == 2L)
   }
 
+  test("stream-stream interval join == batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(fixture)
+    purchases.addData(fixture)
+    val q = EventStreams.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streaming = sortedRows(spark.table("ss_join_out"))
+      val batch = EventStreams.batchEvents(spark, dir).toDF()
+      val expected = sortedRows(EventStreams.clickPurchaseJoin(batch, batch))
+      assert(streaming == expected && streaming.nonEmpty)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals match batch groupBy") {
     import spark.implicits._
     val ms = streamOf(fixture)
