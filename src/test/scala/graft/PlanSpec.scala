@@ -99,6 +99,26 @@ class PlanSpec extends AnyFunSuite {
       s"q47 should not leave the codegen'd row pipeline:\n$p")
   }
 
+  test("q58: sample reads only the needed columns; selection is map-side") {
+    val p = plan("q58_stratified_sample")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("text"), "sampling must not read document bodies")
+    // one exchange only: the presentation sort (selection itself never shuffles)
+    assert(p.split("Exchange").length - 1 <= 1, s"sampling shuffled:\n$p")
+  }
+
+  test("q59: vocab count aggregates map-side before the shuffle") {
+    val p = plan("q59_vocab_topk")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no partial aggregation in vocab build:\n$p")
+  }
+
+  test("q63: interval join is a hash/merge equi-join on user, not a cross product") {
+    val p = plan("q63_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated:\n$p")
+  }
+
   test("custom scalar expressions do not break whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.Scalars._
