@@ -662,11 +662,67 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Training-sequence capacity for q64 (tokens per packed sequence). */
+  val PackCapacity = 2048L
+
+  /** q64: sequence-PACKING plan — assign documents to fixed-capacity
+    * training sequences by sequential fill: each doc goes to the pack
+    * where its first token lands (docs may straddle a boundary; the
+    * offset says where). Packing runs PER LANGUAGE — the running total
+    * is a window partitioned by the stratum, so packing parallelizes
+    * across strata instead of serializing the corpus through one global
+    * cumulative sum (the single-partition global cumsum is the classic
+    * scale-killer here).
+    */
+  val q64SequencePacking: Q = (s, dir) => {
+    val cumBefore = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docsTok(s, dir)
+      .select(col("doc_id"), col("lang"), size(col("tok")).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(cumBefore), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("cum_before") / PackCapacity).cast("long").as("pack_id"),
+        (col("cum_before") % PackCapacity).as("pack_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q65: TF-IDF top terms per document — tf from an exploded
+    * (doc, token) count, df from the token's distinct-doc count, idf =
+    * ln(N/df). The score is ROUNDED to 6dp and ranked on the rounded
+    * value with a token tie-break, so ulp-level libm differences across
+    * engines can't reorder ranks (same discipline as the cosine ops).
+    */
+  val q65TfIdf: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val n = docs.count() // corpus size: a literal on both sides
+    val tf = docsTok(s, dir)
+      .select(col("doc_id"), explode(col("tok")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(lit(n.toDouble) / col("df").cast("double")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("token"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q52_cosine_topk_agg" -> q52CosineTopkAgg,
     "q58_stratified_sample" -> q58StratifiedSample,
     "q59_vocab_topk" -> q59VocabTopK,
     "q62_neardup_clusters" -> q62NearDupClusters,
+    "q64_sequence_packing" -> q64SequencePacking,
+    "q65_tfidf" -> q65TfIdf,
     "q54_quality_score" -> q54QualityScore,
     "q55_simhash_pairs" -> q55SimhashPairs,
     "q56_cosine_near_dup" -> q56CosineNearDup,
@@ -775,6 +831,32 @@ object LlmOps {
         |WHERE length(token) > 0
         |GROUP BY token HAVING count(*) >= 3
         |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+    "q64_sequence_packing" ->
+      s"""SELECT doc_id, lang, n_tokens,
+        |  CAST(floor(cum_before / $PackCapacity) AS BIGINT) AS pack_id,
+        |  CAST(cum_before % $PackCapacity AS BIGINT) AS pack_offset
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM (SELECT doc_id, lang, CAST(len($toksD) AS BIGINT) AS n_tokens
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "q65_tfidf" ->
+      s"""WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($toksD) AS token FROM documents)
+        |  WHERE length(token) > 0 GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    round(CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN df USING (token), n)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q62_neardup_clusters" ->
       s"""WITH RECURSIVE $simhashPairCtesD,
         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3),
