@@ -60,6 +60,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("stable_hash64"),
       info("stable_hash64", classOf[StableHash64]),
       (es: Seq[Expression]) => StableHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("min_gram_hash"),
+      info("min_gram_hash", classOf[MinGramHash]),
+      (es: Seq[Expression]) => MinGramHash(es.head)))
+    e.injectFunction((FunctionIdentifier("min_rolling_hash"),
+      info("min_rolling_hash", classOf[MinRollingHash]),
+      (es: Seq[Expression]) => MinRollingHash(es.head)))
+    e.injectFunction((FunctionIdentifier("distinct_shingles3"),
+      info("distinct_shingles3", classOf[DistinctShingles3]),
+      (es: Seq[Expression]) => DistinctShingles3(es.head)))
     e.injectOptimizerRule(_ => SimplifyEndsWithSource)
   }
 }

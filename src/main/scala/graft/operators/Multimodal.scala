@@ -126,11 +126,59 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
+  /** q66: ingestion validation + quarantine — the gate a multimodal
+    * pipeline applies before paying for decode: payload size bounds,
+    * known-mime check, leading-byte sanity. Every doc gets a verdict
+    * and the FIRST failing check as its quarantine reason (deterministic
+    * check order), so the quarantine table is auditable. Narrow,
+    * map-side, runs before any codec cost.
+    */
+  val q66MediaQuarantine: (SparkSession, String) => DataFrame = (s, dir) => {
+    Engine.table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("mime"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        ascii(col("text")).as("first_code"))
+      .withColumn("reason",
+        when(col("n_bytes") < 10, "too_small")
+          .when(col("n_bytes") > 100000, "too_large")
+          .when(!col("mime").isin("image/png", "audio/wav", "video/mp4"),
+            "unknown_mime")
+          .when(col("first_code") < 32 || col("first_code") > 126,
+            "non_ascii_start")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("mime"), col("n_bytes"), col("reason"),
+        (col("reason") === "ok").cast("bigint").as("is_valid"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_media_features" -> q51MediaFeatures,
-    "q53_media_frames" -> q53MediaFrames)
+    "q53_media_frames" -> q53MediaFrames,
+    "q66_media_quarantine" -> q66MediaQuarantine)
 
   val oracles: Map[String, String] = Map(
+    "q66_media_quarantine" ->
+      """SELECT doc_id, mime, n_bytes, reason,
+        |  CAST(reason = 'ok' AS BIGINT) AS is_valid
+        |FROM (
+        |  SELECT doc_id, mime, n_bytes,
+        |    CASE WHEN n_bytes < 10 THEN 'too_small'
+        |         WHEN n_bytes > 100000 THEN 'too_large'
+        |         WHEN mime NOT IN ('image/png', 'audio/wav', 'video/mp4') THEN 'unknown_mime'
+        |         WHEN first_code < 32 OR first_code > 126 THEN 'non_ascii_start'
+        |         ELSE 'ok' END AS reason
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |           WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |           ELSE 'video/mp4' END AS mime,
+        |      CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |      ord(substring(text, 1, 1)) AS first_code
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "q51_media_features" ->
       """WITH m AS (
         |  SELECT doc_id,
