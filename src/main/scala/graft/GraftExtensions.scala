@@ -69,6 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("distinct_shingles3"),
       info("distinct_shingles3", classOf[DistinctShingles3]),
       (es: Seq[Expression]) => DistinctShingles3(es.head)))
+    e.injectFunction((FunctionIdentifier("shingles2"),
+      info("shingles2", classOf[Shingles2]),
+      (es: Seq[Expression]) => Shingles2(es.head)))
     e.injectOptimizerRule(_ => SimplifyEndsWithSource)
   }
 }

@@ -214,6 +214,25 @@ object ScalarOps {
       out.toArray(new Array[AnyRef](out.size)))
   }
 
+  /** All 2-word shingles of a token array, in order, WITH duplicates
+    * (multiplicities matter for LM counts — the distinct variant is
+    * [[distinctShingles3]]).
+    */
+  def shingles2(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](n - 1)
+    var i = 0
+    while (i + 1 < n) {
+      out(i) = UTF8String.concatWs(SpaceU,
+        arr.getUTF8String(i), arr.getUTF8String(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // ---- UTF8String adapters (called from generated code) ----
   def stableHash64U(s: UTF8String): Long = stableHash64(s.getBytes)
   def minGramHashU(s: UTF8String): Long = minGramHash(s.toString)

@@ -124,6 +124,21 @@ case class DistinctShingles3(child: Expression) extends UnaryExpression {
   override def prettyName: String = "distinct_shingles3"
 }
 
+/** `shingles2(tok)` — ordered 2-word shingles WITH duplicates
+  * (multiplicities feed LM bigram counts). Codegen'd.
+  */
+case class Shingles2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ScalarOps.shingles2(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScalarOps.shingles2($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "shingles2"
+}
+
 /** `ends_with_source(snippet_html, url, source_name)` — ref
   * fetchRumors.js:162-172 (`bodyAlreadyHasSource`).
   */
@@ -156,6 +171,7 @@ object Scalars {
   def min_gram_hash(c: Column): Column = col(MinGramHash(ex(c)))
   def min_rolling_hash(c: Column): Column = col(MinRollingHash(ex(c)))
   def distinct_shingles3(c: Column): Column = col(DistinctShingles3(ex(c)))
+  def shingles2(c: Column): Column = col(Shingles2(ex(c)))
 
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
@@ -170,5 +186,6 @@ object Scalars {
     r.createOrReplaceTempFunction("min_gram_hash", es => MinGramHash(es.head), "built-in")
     r.createOrReplaceTempFunction("min_rolling_hash", es => MinRollingHash(es.head), "built-in")
     r.createOrReplaceTempFunction("distinct_shingles3", es => DistinctShingles3(es.head), "built-in")
+    r.createOrReplaceTempFunction("shingles2", es => Shingles2(es.head), "built-in")
   }
 }

@@ -716,8 +716,42 @@ object LlmOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** q67: perplexity-style LM scoring — the CCNet-shape pretraining
+    * filter: build corpus bigram/unigram counts, score each document by
+    * its average add-one-smoothed bigram log-likelihood
+    * avg ln((c(w1 w2)+1)/(c(w1)+V)). Two count shuffles (bigram,
+    * unigram — both map-side combinable) + one join back per doc
+    * bigram; the score is rounded to 6dp so cross-engine double-sum
+    * ordering (ulp-scale drift) cannot flip a comparison downstream.
+    */
+  val q67LmScore: Q = (s, dir) => {
+    // codegen'd shingles2 + substring_index: the struct-building HOF
+    // formulation is interpreted per element and measured ~2× slower
+    val docBi = docsTok(s, dir)
+      .filter(size(col("tok")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.Scalars.shingles2(col("tok"))).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val uni = docsTok(s, dir)
+      .select(explode(col("tok")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.count() // |V|: a literal on both sides
+    val bi = docBi.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    docBi
+      .join(bi, Seq("bigram"))
+      .join(uni, Seq("w1"))
+      .withColumn("ll",
+        log((col("c2").cast("double") + 1.0) /
+          (col("c1").cast("double") + vocab.toDouble)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("ll")) / count(lit(1)), 6).as("avg_ll"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q52_cosine_topk_agg" -> q52CosineTopkAgg,
+    "q67_lm_score" -> q67LmScore,
     "q58_stratified_sample" -> q58StratifiedSample,
     "q59_vocab_topk" -> q59VocabTopK,
     "q62_neardup_clusters" -> q62NearDupClusters,
@@ -831,6 +865,22 @@ object LlmOps {
         |WHERE length(token) > 0
         |GROUP BY token HAVING count(*) >= 3
         |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+    "q67_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $toksD AS tok FROM documents),
+        |uni AS (
+        |  SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(tok) AS w1 FROM toks) GROUP BY w1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |doc_bi AS (
+        |  SELECT doc_id,
+        |    tok[r.i] AS w1, tok[r.i] || ' ' || tok[r.i+1] AS bigram
+        |  FROM toks, LATERAL unnest(range(1, len(tok))) AS r(i)
+        |  WHERE len(tok) >= 2),
+        |bi AS (SELECT bigram, count(*) AS c2 FROM doc_bi GROUP BY bigram)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(ln((CAST(c2 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v.v))) / count(*), 6) AS avg_ll
+        |FROM doc_bi JOIN bi USING (bigram) JOIN uni USING (w1), v
+        |GROUP BY doc_id, v.v ORDER BY doc_id""".stripMargin,
     "q64_sequence_packing" ->
       s"""SELECT doc_id, lang, n_tokens,
         |  CAST(floor(cum_before / $PackCapacity) AS BIGINT) AS pack_id,

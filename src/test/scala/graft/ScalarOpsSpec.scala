@@ -121,6 +121,21 @@ class ScalarOpsSpec extends AnyFunSuite {
       ScalarOps.minGramHash(s) == expected
     }
   }
+  test("shingles2 equals sliding(2) with duplicates (property)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val word = Gen.oneOf("a", "bb", "ccc", "a", "e")
+    forAll(Gen.listOf(word)) { toks =>
+      val in = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): AnyRef).toArray)
+      val got = ScalarOps.shingles2(in)
+      val exp =
+        if (toks.length < 2) Seq.empty
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == exp
+    }
+  }
+
   test("distinctShingles3 equals sliding(3).distinct (property)") {
     import org.apache.spark.unsafe.types.UTF8String
     import org.apache.spark.sql.catalyst.util.GenericArrayData
