@@ -175,37 +175,39 @@ object RumorPipeline {
     (code, Map("Content-Type" -> "application/json"), body)
   }
 
-  /** Per-page fetch-error entries in crawl order (ref fetchRumors.js:136
-    * `dbg[page{n}Error_{slug}]`): for each slug, the first missing page
-    * ≤ maxPages gets an error keyed like the reference, with the
-    * reference's fetchText message shape `HTTP 404 for {crawl url}`
-    * (fetchRumors.js:54). Existence-probe only — no bodies fetched.
+  /** First missing page per slug (1-based; MaxPages+1 when all pages
+    * exist) via the provider's existence probe — no bodies fetched.
+    * Total: failures read as "no pages", so this is safe to render
+    * inside the 500 catch handler.
     */
-  def pageErrors(corpusSpec: String, slugs: Seq[String]): Seq[(String, String)] =
+  def firstMissingPage(corpusSpec: String, slugs: Seq[String]): Map[String, Int] =
     try {
       val provider = graft.sources.RumorPagesSource.providerFromSpec(corpusSpec)
-      slugs.flatMap { slug =>
-        (1 to RumorSource.MaxPages).find(p => !provider.exists(slug, p)).map { p =>
-          s"page${p}Error_$slug" -> s"HTTP 404 for ${RumorSource.crawlUrl(slug, p)}"
-        }
-      }
-    } catch {
-      // total: this also renders inside the 500 catch handler, where a
-      // bad corpus spec must not replace the error envelope with a throw
-      case _: Exception => Seq.empty
-    }
+      slugs.map { slug =>
+        slug -> (1 to RumorSource.MaxPages)
+          .find(p => !provider.exists(slug, p))
+          .getOrElse(RumorSource.MaxPages + 1)
+      }.toMap
+    } catch { case _: Exception => slugs.map(_ -> 1).toMap }
 
   /** The handler boundary (ref fetchRumors.js:174-218): validates the
     * TRIMMED raw q (fetchRumors.js:175-177 — the envelope echoes qRaw,
     * not the whitespace-collapsed clean), runs the pipeline, renders the
     * JSON envelope, optionally with debug counters.
     *
-    * Debug counters ride ONE job: every stage boundary carries a
-    * `df.observe` CollectMetrics node, so the single payload collect
-    * populates scannedNodes / parsedItemsOnPage (the reference's key,
-    * fetchRumors.js:122) / totalMerged / totalAfterDedup — where the
-    * reference's accumulators tally the same single pass. (Previously
-    * this re-ran the pipeline per counter: 5 crawls at scale.)
+    * Debug counters ride ONE job and reproduce the reference's
+    * SEQUENTIAL crawl semantics exactly, even though the scan itself is
+    * parallel: the reference stops a tag at the first fetch error OR
+    * once its deduped items reach 150 — whichever comes first — so its
+    * dbg counts only the pages actually fetched, and it records a
+    * page{n}Error key only if the cap didn't stop the crawl before page
+    * n (fetchRumors.js:133-148). Our DSv2 scan reads every existing
+    * page in parallel (bounded by the 10-page cap; results are
+    * identical because the 150-cap filter discards the rest), so the
+    * observes collect PER-(slug,page) sums and the driver re-applies
+    * the reference's stop rule when assembling the envelope: pages
+    * fetched = up to the cap-crossing page if the tag crossed 150,
+    * otherwise every existing page.
     */
   def handle(spark: SparkSession, corpusSpec: String, q: String,
       debug: Boolean = false): String = {
@@ -213,37 +215,79 @@ object RumorPipeline {
     if (qRaw.isEmpty) return """{"error":"Missing q"}"""
     val subjects = qRaw.split(",").map(ScalarOps.clean).filter(_.nonEmpty).toSeq
     val slugs = subjects.map(ScalarOps.slugify)
-    def dbgPrefix: String =
+    // the catch path renders ONLY crawl-independent context — the
+    // reference's 500 dbg is whatever accumulated before the throw, and
+    // issuing fresh network probes from an error handler could block on
+    // the very origin that just failed
+    def dbgBase: String =
       s""""subjects":[${subjects.map(jsonStr).mkString(",")}],""" +
-        s""""slugs":[${slugs.map(jsonStr).mkString(",")}]""" +
-        pageErrors(corpusSpec, slugs)
-          .map { case (k, v) => s",${jsonStr(k)}:${jsonStr(v)}" }.mkString
+        s""""slugs":[${slugs.map(jsonStr).mkString(",")}]"""
     try {
       if (!debug) return jsonEnvelope(qRaw, run(spark, corpusSpec, qRaw))
       import org.apache.spark.sql.Observation
+      val missing = firstMissingPage(corpusSpec, slugs)
       val oScan = Observation(); val oParsed = Observation()
       val oMerged = Observation(); val oDedup = Observation()
+      // per-(slug,page) conditional sums: small (|slugs| × 10 columns),
+      // and they let the driver reconstruct the sequential counters
+      def perPage(): Seq[org.apache.spark.sql.Column] =
+        for (si <- slugs.indices; p <- 1 to RumorSource.MaxPages) yield
+          sum(when(col("slug") === slugs(si) && col("page_no") === p, 1L)
+            .otherwise(0L)).as(s"c_${si}_$p")
       val rows = RumorSource.elementRows(spark, corpusSpec, slugs)
-        .observe(oScan, count(lit(1)).as("n"))
+        .observe(oScan, count(lit(1)).as("n"), perPage(): _*)
       val capped = pageCapped(crawlRecords(rows))
-        .observe(oParsed, count(lit(1)).as("n"))
+        .observe(oParsed, count(lit(1)).as("n"), perPage(): _*)
+      val mergedObsCols = slugs.indices.flatMap { si =>
+        Seq(sum(when(col("slug") === slugs(si), 1L).otherwise(0L)).as(s"m_$si"),
+          max(when(col("slug") === slugs(si), col("page_no"))).as(s"mp_$si"))
+      }
       val merged = perTagDedupCapped(capped)
-        .observe(oMerged, count(lit(1)).as("n"))
+        .observe(oMerged, count(lit(1)).as("n"), mergedObsCols: _*)
       val afterDedup = globalDedup(merged)
         .observe(oDedup, count(lit(1)).as("n"))
       val rows8 = payload(globalSort(afterDedup)).collect() // the ONE action
       val base = jsonEnvelopeRows(qRaw, rows8)
       def n(o: Observation): Long = o.get("n").asInstanceOf[Long]
+      def metric(o: Observation, k: String): Long = o.get(k) match {
+        case null => 0L
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      // reference stop rule per slug: crossed the 150-cap after page
+      // mp_i (the crossing page always contributes >=1 deduped item),
+      // else fetched every existing page
+      val fetchedThrough = slugs.indices.map { si =>
+        val capCrossed = metric(oMerged, s"m_$si") >= 150
+        if (capCrossed) metric(oMerged, s"mp_$si").toInt
+        else missing(slugs(si)) - 1
+      }
+      def seqSum(o: Observation): Long =
+        slugs.indices.map { si =>
+          (1 to fetchedThrough(si)).map(p => metric(o, s"c_${si}_$p")).sum
+        }.sum
+      val errs = slugs.indices.flatMap { si =>
+        val slug = slugs(si)
+        val m = missing(slug)
+        // error recorded only if the crawl actually reached the missing
+        // page (cap didn't break first) — fetchRumors.js:133-148
+        if (m <= RumorSource.MaxPages && fetchedThrough(si) == m - 1 &&
+          metric(oMerged, s"m_$si") < 150)
+          Some(s"page${m}Error_$slug" ->
+            s"HTTP 404 for ${RumorSource.crawlUrl(slug, m)}")
+        else None
+      }
       val dbgJson =
-        s""""debug":{$dbgPrefix,""" +
-          s""""scannedNodes":${n(oScan)},"parsedItemsOnPage":${n(oParsed)},""" +
+        s""""debug":{$dbgBase""" +
+          errs.map { case (k, v) => s",${jsonStr(k)}:${jsonStr(v)}" }.mkString +
+          s""","scannedNodes":${seqSum(oScan)},"parsedItemsOnPage":${seqSum(oParsed)},""" +
           s""""totalMerged":${n(oMerged)},"totalAfterDedup":${n(oDedup)},""" +
           s""""returning":${rows8.length}}"""
       base.dropRight(1) + "," + dbgJson + "}"
     } catch {
       case e: Exception => // 500 envelope includes debug (ref fetchRumors.js:216)
         s"""{"error":${jsonStr(Option(e.getMessage).getOrElse("Unknown error"))},""" +
-          s""""debug":{$dbgPrefix}}"""
+          s""""debug":{$dbgBase}}"""
     }
   }
 

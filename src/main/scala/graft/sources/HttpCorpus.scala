@@ -43,12 +43,9 @@ final class HttpCorpus(origin: String, authPair: Option[String])
     .connectTimeout(Duration.ofSeconds(10))
     .build()
 
-  private def pagePath(slug: String, page: Int): String =
-    s"/rumors/tag/${RumorSource.encodeUriComponent(slug)}/" +
-      (if (page > 1) s"page/$page/" else "")
-
   private def builder(slug: String, page: Int): HttpRequest.Builder = {
-    val b = HttpRequest.newBuilder(URI.create(origin + pagePath(slug, page)))
+    val b = HttpRequest.newBuilder(
+      URI.create(origin + RumorSource.crawlPath(slug, page)))
       .timeout(Duration.ofSeconds(30))
       .header("user-agent", HttpCorpus.UserAgent)
       .header("accept-language", "en-US,en;q=0.9")
@@ -70,8 +67,16 @@ final class HttpCorpus(origin: String, authPair: Option[String])
         builder(slug, page).method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
         HttpResponse.BodyHandlers.discarding())
       val sc = res.statusCode()
-      if (sc == 405 || sc == 501) fetch(slug, page).isDefined // no HEAD support
-      else sc >= 200 && sc < 300
+      if (sc == 405 || sc == 501) {
+        // origin rejects HEAD: probe with a single-byte ranged GET and
+        // discard the body — never a full download at planning time
+        // (206 = range honored; 200 = range ignored but body dropped
+        // unread by the discarding handler)
+        val r = client.send(
+          builder(slug, page).header("range", "bytes=0-0").GET().build(),
+          HttpResponse.BodyHandlers.discarding())
+        r.statusCode() >= 200 && r.statusCode() < 300
+      } else sc >= 200 && sc < 300
     } catch { case _: Exception => false }
 }
 

@@ -40,12 +40,17 @@ object RumorSource {
       .replace("+", "%20").replace("%21", "!").replace("%27", "'")
       .replace("%28", "(").replace("%29", ")").replace("%7E", "~")
 
-  /** Tag-page URL templating (fetchRumors.js:131): page 1 is the bare
-    * tag path; later pages append `page/{n}/`.
+  /** Tag-page path templating (fetchRumors.js:131): page 1 is the bare
+    * tag path; later pages append `page/{n}/`. Single source of truth —
+    * both the live HttpCorpus requests and the debug-envelope error
+    * messages build on this, so they can never drift apart.
     */
-  def crawlUrl(slug: String, page: Int): String =
-    s"$PreviewOrigin/rumors/tag/${encodeUriComponent(slug)}/" +
+  def crawlPath(slug: String, page: Int): String =
+    s"/rumors/tag/${encodeUriComponent(slug)}/" +
       (if (page > 1) s"page/$page/" else "")
+
+  def crawlUrl(slug: String, page: Int): String =
+    PreviewOrigin + crawlPath(slug, page)
 
   /** The fetch boundary: None = fetch error (ends that tag's crawl). */
   trait PageProvider extends Serializable {

@@ -192,6 +192,23 @@ class RumorPipelineSpec extends AnyFunSuite {
       """"page2Error_new_york_knicks":"HTTP 404 for http://preview.hoopshype.com/rumors/tag/new_york_knicks/page/2/""""))
   }
 
+  test("debug counters honor the reference's sequential stop rule at the 150-cap") {
+    // 4 pages x 60 unique items: cap crossed after page 3 (60+60+60=180
+    // >= 150) -> reference never fetches page 4 and, with page 5
+    // missing, records NO page error (fetchRumors.js:133-148)
+    def capPage(pageNo: Int): String = page(
+      "<h3>March 3, 2024</h3>" + (1 to 60).map { i =>
+        s"<p>Cap-test rumor item number ${(pageNo - 1) * 60 + i} with text.</p>"
+      }.mkString)
+    val dir = writeCorpus((1 to 4).map(p => ("team", p) -> capPage(p)).toMap)
+    val dbg = RumorPipeline.handle(spark, s"dir:$dir", "Team", debug = true)
+    // pages 1-3 only: 3 date headers + 180 items scanned, 180 parsed
+    assert(dbg.contains(""""scannedNodes":183"""), dbg)
+    assert(dbg.contains(""""parsedItemsOnPage":180"""), dbg)
+    assert(dbg.contains(""""totalMerged":180"""), dbg)
+    assert(!dbg.contains("page5Error"), "cap-stopped crawl must not report a page error")
+  }
+
   test("handle() echoes the trimmed RAW q as subject (fetchRumors.js:175,211)") {
     val out = RumorPipeline.handle(spark, RumorPipeline.BundledCorpus,
       "  Jalen  Brunson ")
