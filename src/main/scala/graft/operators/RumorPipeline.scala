@@ -61,7 +61,11 @@ object RumorPipeline {
   def pageCapped(records: DataFrame): DataFrame = {
     val keyed = records.withColumn("key",
       concat_ws("::", col("date"), substring(col("title"), 1, 120), col("url")))
-    val pageCap = Window.partitionBy(col("slug"), col("page_no"))
+    // windows key on subject_idx (the CRAWL), not the slug string: the
+    // reference runs collectFromOneTag per subject, so duplicate
+    // subjects crawl the same tag with independent caps/seen-sets —
+    // identical under the normal 1:1 subject↔slug mapping
+    val pageCap = Window.partitionBy(col("subject_idx"), col("page_no"))
       .orderBy(col("doc_pos").asc)
     keyed
       .withColumn("rn_page", row_number().over(pageCap))
@@ -90,9 +94,9 @@ object RumorPipeline {
     * RumorPipelineSpec's counting corpus).
     */
   def perTagDedupCapped(capped: DataFrame): DataFrame = {
-    val firstSeen = Window.partitionBy(col("slug"), col("key"))
+    val firstSeen = Window.partitionBy(col("subject_idx"), col("key"))
       .orderBy(col("page_no").asc, col("doc_pos").asc)
-    val cumBefore = Window.partitionBy(col("slug"))
+    val cumBefore = Window.partitionBy(col("subject_idx"))
       .orderBy(col("page_no").asc)
       .rangeBetween(Window.unboundedPreceding, -1)
     capped
@@ -228,19 +232,22 @@ object RumorPipeline {
       val missing = firstMissingPage(corpusSpec, slugs)
       val oScan = Observation(); val oParsed = Observation()
       val oMerged = Observation(); val oDedup = Observation()
-      // per-(slug,page) conditional sums: small (|slugs| × 10 columns),
-      // and they let the driver reconstruct the sequential counters
+      // per-(subject,page) conditional sums: small (|slugs| × 10
+      // columns), and they let the driver reconstruct the sequential
+      // counters. Keyed on subject_idx, not the slug string — duplicate
+      // subjects crawl the same tag twice (like the reference) and must
+      // count separately
       def perPage(): Seq[org.apache.spark.sql.Column] =
         for (si <- slugs.indices; p <- 1 to RumorSource.MaxPages) yield
-          sum(when(col("slug") === slugs(si) && col("page_no") === p, 1L)
+          sum(when(col("subject_idx") === si && col("page_no") === p, 1L)
             .otherwise(0L)).as(s"c_${si}_$p")
       val rows = RumorSource.elementRows(spark, corpusSpec, slugs)
         .observe(oScan, count(lit(1)).as("n"), perPage(): _*)
       val capped = pageCapped(crawlRecords(rows))
         .observe(oParsed, count(lit(1)).as("n"), perPage(): _*)
       val mergedObsCols = slugs.indices.flatMap { si =>
-        Seq(sum(when(col("slug") === slugs(si), 1L).otherwise(0L)).as(s"m_$si"),
-          max(when(col("slug") === slugs(si), col("page_no"))).as(s"mp_$si"))
+        Seq(sum(when(col("subject_idx") === si, 1L).otherwise(0L)).as(s"m_$si"),
+          max(when(col("subject_idx") === si, col("page_no"))).as(s"mp_$si"))
       }
       val merged = perTagDedupCapped(capped)
         .observe(oMerged, count(lit(1)).as("n"), mergedObsCols: _*)

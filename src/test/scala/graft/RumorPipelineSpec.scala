@@ -209,6 +209,17 @@ class RumorPipelineSpec extends AnyFunSuite {
     assert(!dbg.contains("page5Error"), "cap-stopped crawl must not report a page error")
   }
 
+  test("duplicate subjects crawl independently, global dedup collapses them") {
+    // reference: collectFromOneTag runs once per SUBJECT with its own
+    // seen-set; the global first-wins dedup then removes cross-crawl
+    // copies — the result equals a single-subject crawl
+    val one = RumorPipeline.run(spark, RumorPipeline.BundledCorpus,
+      "Jalen Brunson").collect().map(_.toString)
+    val dup = RumorPipeline.run(spark, RumorPipeline.BundledCorpus,
+      "Jalen Brunson, Jalen Brunson").collect().map(_.toString)
+    assert(dup.toSeq == one.toSeq)
+  }
+
   test("handle() echoes the trimmed RAW q as subject (fetchRumors.js:175,211)") {
     val out = RumorPipeline.handle(spark, RumorPipeline.BundledCorpus,
       "  Jalen  Brunson ")
