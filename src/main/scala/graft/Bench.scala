@@ -54,8 +54,15 @@ object Bench {
 
     // optional subset filter for targeted perf work:
     // SPARK_GRAFT_QUERIES=q62_neardup_clusters,q55_simhash_pairs
+    // (empty/blank = no filter; unknown names are reported, not ignored)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { set =>
+      val unknown = set -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] unknown query names in filter: ${unknown.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> exec(n))

@@ -650,10 +650,17 @@ object LlmOps {
           Seq("label"))
         .select(col("doc_id"), col("old"), col("j").as("label"))
       val obs = org.apache.spark.sql.Observation()
+      // ONE action per round: materialize + cut lineage + metric.
+      // localCheckpoint every round is deliberate: letting the logical
+      // plan grow between checkpoints (cache+count hybrid) re-analyzes
+      // an ever-larger plan each round — measured 8× slower over 10
+      // rounds. The checkpoint blocks (|nodes| rows × rounds) are freed
+      // asynchronously by the ContextCleaner once the loop's references
+      // drop; Dataset.unpersist cannot free them earlier.
       val next = jumped
         .observe(obs, sum((col("label") =!= col("old")).cast("long")).as("changed"))
         .select(col("doc_id"), col("label"))
-        .localCheckpoint(true) // ONE action: materialize + cut lineage + metric
+        .localCheckpoint(true)
       changed = obs.get("changed").asInstanceOf[Long]
       labels.unpersist()
       labels = next

@@ -134,9 +134,13 @@ object Multimodal {
     * map-side, runs before any codec cost.
     */
   val q66MediaQuarantine: (SparkSession, String) => DataFrame = (s, dir) => {
+    // wider mime universe than mediaTable's %3 so the unknown-mime gate
+    // actually fires on fixture data (every 7th doc arrives with a type
+    // the decode stage doesn't support)
     Engine.table(s, dir, "documents")
       .select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image/png")
+        when(col("doc_id") % 7 === 0, "application/octet-stream")
+          .when(col("doc_id") % 3 === 0, "image/png")
           .when(col("doc_id") % 3 === 1, "audio/wav")
           .otherwise("video/mp4").as("mime"),
         octet_length(col("text")).cast("long").as("n_bytes"),
@@ -172,7 +176,8 @@ object Multimodal {
         |         ELSE 'ok' END AS reason
         |  FROM (
         |    SELECT doc_id,
-        |      CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |      CASE WHEN doc_id % 7 = 0 THEN 'application/octet-stream'
+        |           WHEN doc_id % 3 = 0 THEN 'image/png'
         |           WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |           ELSE 'video/mp4' END AS mime,
         |      CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -179,21 +179,6 @@ object RumorPipeline {
     (code, Map("Content-Type" -> "application/json"), body)
   }
 
-  /** First missing page per slug (1-based; MaxPages+1 when all pages
-    * exist) via the provider's existence probe — no bodies fetched.
-    * Total: failures read as "no pages", so this is safe to render
-    * inside the 500 catch handler.
-    */
-  def firstMissingPage(corpusSpec: String, slugs: Seq[String]): Map[String, Int] =
-    try {
-      val provider = graft.sources.RumorPagesSource.providerFromSpec(corpusSpec)
-      slugs.map { slug =>
-        slug -> (1 to RumorSource.MaxPages)
-          .find(p => !provider.exists(slug, p))
-          .getOrElse(RumorSource.MaxPages + 1)
-      }.toMap
-    } catch { case _: Exception => slugs.map(_ -> 1).toMap }
-
   /** The handler boundary (ref fetchRumors.js:174-218): validates the
     * TRIMMED raw q (fetchRumors.js:175-177 — the envelope echoes qRaw,
     * not the whitespace-collapsed clean), runs the pipeline, renders the
@@ -229,7 +214,6 @@ object RumorPipeline {
     try {
       if (!debug) return jsonEnvelope(qRaw, run(spark, corpusSpec, qRaw))
       import org.apache.spark.sql.Observation
-      val missing = firstMissingPage(corpusSpec, slugs)
       val oScan = Observation(); val oParsed = Observation()
       val oMerged = Observation(); val oDedup = Observation()
       // per-(subject,page) conditional sums: small (|slugs| × 10
@@ -261,13 +245,25 @@ object RumorPipeline {
         case l: java.lang.Long => l.longValue()
         case i: java.lang.Integer => i.longValue()
       }
+      // page presence comes from the SAME scan the counters observe —
+      // the last page with any scanned element (the scan's planner stops
+      // at the first missing page, so observed pages are a prefix). A
+      // separate probe round could disagree with what the scan actually
+      // read on a flaky live origin, fabricating errors and
+      // undercounting. (A fetched page with an empty container is
+      // indistinguishable from a missing one here — both contribute
+      // zero nodes.)
+      val lastScanned = slugs.indices.map { si =>
+        (RumorSource.MaxPages to 1 by -1)
+          .find(p => metric(oScan, s"c_${si}_$p") > 0).getOrElse(0)
+      }
       // reference stop rule per slug: crossed the 150-cap after page
       // mp_i (the crossing page always contributes >=1 deduped item),
       // else fetched every existing page
       val fetchedThrough = slugs.indices.map { si =>
         val capCrossed = metric(oMerged, s"m_$si") >= 150
         if (capCrossed) metric(oMerged, s"mp_$si").toInt
-        else missing(slugs(si)) - 1
+        else lastScanned(si)
       }
       def seqSum(o: Observation): Long =
         slugs.indices.map { si =>
@@ -275,18 +271,20 @@ object RumorPipeline {
         }.sum
       val errs = slugs.indices.flatMap { si =>
         val slug = slugs(si)
-        val m = missing(slug)
+        val m = lastScanned(si) + 1
         // error recorded only if the crawl actually reached the missing
         // page (cap didn't break first) — fetchRumors.js:133-148
-        if (m <= RumorSource.MaxPages && fetchedThrough(si) == m - 1 &&
-          metric(oMerged, s"m_$si") < 150)
+        if (m <= RumorSource.MaxPages && metric(oMerged, s"m_$si") < 150)
           Some(s"page${m}Error_$slug" ->
             s"HTTP 404 for ${RumorSource.crawlUrl(slug, m)}")
         else None
       }
+      // duplicate subjects produce the same key; the reference's dbg is
+      // a JS object, so later assignments collapse — keep one
+      val errsDeduped = errs.distinctBy(_._1)
       val dbgJson =
         s""""debug":{$dbgBase""" +
-          errs.map { case (k, v) => s",${jsonStr(k)}:${jsonStr(v)}" }.mkString +
+          errsDeduped.map { case (k, v) => s",${jsonStr(k)}:${jsonStr(v)}" }.mkString +
           s""","scannedNodes":${seqSum(oScan)},"parsedItemsOnPage":${seqSum(oParsed)},""" +
           s""""totalMerged":${n(oMerged)},"totalAfterDedup":${n(oDedup)},""" +
           s""""returning":${rows8.length}}"""
