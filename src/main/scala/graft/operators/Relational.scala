@@ -673,6 +673,52 @@ object Relational {
 
   // ---------------------------------------------------------------
 
+  /** q36: exact discrete percentiles (p50/p95 of quantity per
+    * returnflag) via the rank-position formulation — row_number over the
+    * sorted group, pick the value at ceil(q·n). Engine-independent by
+    * construction (percentile_disc semantics; interpolating variants
+    * differ across engines), and the window shape is the same
+    * distributed sort a native percentile agg performs.
+    */
+  val q36Percentiles: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("qty").asc)
+    val wc = Window.partitionBy(col("l_returnflag"))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("qty"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("rn") === ceil(col("cnt") * 0.5), col("qty"))).as("p50"),
+        max(when(col("rn") === ceil(col("cnt") * 0.95), col("qty"))).as("p95"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q37: correlated subqueries — customers above their own nation's
+    * average balance (correlated scalar agg) that have at least one
+    * order (correlated EXISTS). Written in SQL so Catalyst's
+    * decorrelation (RewriteCorrelatedScalarSubquery + rewrite of EXISTS
+    * into a semi join) does the planning — the point of the operator.
+    */
+  val q37Correlated: Q = (s, dir) => {
+    Engine.registerViews(s, dir)
+    s.sql(Relational.q37Sql)
+  }
+
+  /** One ANSI string runs verbatim on BOTH engines (the exact-mean
+    * parity form: exact decimal sum, one double division).
+    */
+  val q37Sql: String =
+    """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+      |FROM customer c
+      |WHERE CAST(c_acctbal AS DOUBLE) >
+      |      (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+      |       FROM customer c2
+      |       WHERE c2.c_nationkey = c.c_nationkey)
+      |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   /** q63: interval join (batch twin of the stream-stream
     * clickPurchaseJoin — EventStreamsSpec proves streaming == batch on
     * the same function; this row makes the semantics driver-verified).
@@ -684,6 +730,8 @@ object Relational {
   }
 
   val queries: Map[String, Q] = Map(
+    "q36_percentiles" -> q36Percentiles,
+    "q37_correlated" -> q37Correlated,
     "q63_interval_join" -> q63IntervalJoin,
     "q31_collect_agg" -> q31CollectAgg,
     "q32_approx_distinct" -> q32ApproxDistinct,
@@ -730,6 +778,18 @@ object Relational {
     * (q32 approx-distinct is rows-only: HLL sketches are engine-specific.)
     */
   val oracles: Map[String, String] = Map(
+    "q36_percentiles" ->
+      """SELECT l_returnflag,
+        |  max(CASE WHEN rn = ceil(cnt * 0.5) THEN qty END) AS p50,
+        |  max(CASE WHEN rn = ceil(cnt * 0.95) THEN qty END) AS p95,
+        |  count(*) AS n_rows
+        |FROM (
+        |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS DOUBLE) ASC) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q37_correlated" -> q37Sql,
     "q63_interval_join" ->
       """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
         |  p.ts AS purchase_ts, p.value

@@ -119,6 +119,15 @@ class PlanSpec extends AnyFunSuite {
       s"interval join degenerated:\n$p")
   }
 
+  test("q37: correlated subqueries decorrelate to joins, never per-row replans") {
+    val p = plan("q37_correlated")
+    // the scalar agg becomes an aggregate+join, EXISTS becomes a semi
+    // join; nothing should survive as a nested-loop or cartesian shape
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery did not decorrelate:\n$p")
+    assert(p.contains("Join"), s"expected decorrelated joins:\n$p")
+  }
+
   test("custom scalar expressions do not break whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.Scalars._
