@@ -765,8 +765,63 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Sampling temperature for q68 (the multilingual exponent — 0.7 is
+    * the mBERT/XLM-R-style default that upsamples scarce languages).
+    */
+  val SamplingAlpha = 0.7
+
+  /** q68: temperature-based mixture weights — the multilingual sampling
+    * recipe: q_l ∝ p_l^α over language shares p_l, α < 1 flattening the
+    * distribution; weight_l = q_l/p_l is each language's up/down-
+    * sampling factor. Tiny aggregate (|langs| rows); every ratio is
+    * computed in the same literal order on both engines and rounded to
+    * 6dp so pow()'s last-ulp differences cannot leak into the hash.
+    */
+  val q68MixtureWeights: Q = (s, dir) => {
+    val counts = t(s, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy()
+    counts
+      .withColumn("total", sum(col("n_docs")).over(w))
+      .withColumn("p", col("n_docs").cast("double") / col("total").cast("double"))
+      .withColumn("pa", pow(col("p"), SamplingAlpha))
+      .withColumn("q", col("pa") / sum(col("pa")).over(w))
+      .select(col("lang"), col("n_docs"),
+        round(col("p"), 6).as("p"),
+        round(col("q"), 6).as("q"),
+        round(col("q") / col("p"), 6).as("weight"))
+      .orderBy(col("lang"))
+  }
+
+  /** q69: benchmark DECONTAMINATION — flag training documents sharing
+    * 3-gram shingles with a held-out benchmark set (docs 0-19 stand in
+    * for the eval suite). The join runs on 60-bit shingle hashes —
+    * map-side shingling, one equi-join shuffle carrying (hash, doc_id),
+    * never document text and never all-pairs; the canonical
+    * contamination-scan shape at corpus scale.
+    */
+  val q69Decontaminate: Q = (s, dir) => {
+    val shingled = docsShingled(s, dir)
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+      .withColumn("h", expr(hashS("shingle")))
+    val bench = shingled.filter(col("doc_id") < 20)
+      .select(col("h")).distinct()
+    shingled.filter(col("doc_id") >= 20)
+      .join(bench, Seq("h"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= 3)
+      .select(col("doc_id"), col("shared_shingles"), col("n_shingles"),
+        round(col("shared_shingles").cast("double") /
+          col("n_shingles").cast("double"), 6).as("overlap_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q52_cosine_topk_agg" -> q52CosineTopkAgg,
+    "q68_mixture_weights" -> q68MixtureWeights,
+    "q69_decontaminate" -> q69Decontaminate,
     "q67_lm_score" -> q67LmScore,
     "q58_stratified_sample" -> q58StratifiedSample,
     "q59_vocab_topk" -> q59VocabTopK,
@@ -881,6 +936,31 @@ object LlmOps {
         |WHERE length(token) > 0
         |GROUP BY token HAVING count(*) >= 3
         |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+    "q68_mixture_weights" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |p AS (SELECT lang, n_docs,
+        |        CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) AS p
+        |      FROM c),
+        |pa AS (SELECT *, pow(p, $SamplingAlpha) AS pa FROM p)
+        |SELECT lang, n_docs, round(p, 6) AS p,
+        |  round(pa / sum(pa) OVER (), 6) AS q,
+        |  round((pa / sum(pa) OVER ()) / p, 6) AS weight
+        |FROM pa ORDER BY lang""".stripMargin,
+    "q69_decontaminate" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, len(shd) AS n_shingles, unnest(shd) AS shingle
+        |  FROM (SELECT doc_id, list_distinct($shinglesD) AS shd
+        |        FROM (SELECT doc_id, $toksD AS tok FROM documents)
+        |        WHERE len(tok) >= 3)),
+        |h AS (SELECT doc_id, n_shingles, ${hashD("shingle")} AS h FROM sh),
+        |bench AS (SELECT DISTINCT h FROM h WHERE doc_id < 20)
+        |SELECT doc_id, count(*) AS shared_shingles, n_shingles,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS overlap_ratio
+        |FROM h JOIN bench USING (h)
+        |WHERE doc_id >= 20
+        |GROUP BY doc_id, n_shingles
+        |HAVING count(*) >= 3
+        |ORDER BY doc_id""".stripMargin,
     "q67_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, $toksD AS tok FROM documents),
         |uni AS (
