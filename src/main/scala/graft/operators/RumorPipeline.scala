@@ -245,17 +245,25 @@ object RumorPipeline {
         case l: java.lang.Long => l.longValue()
         case i: java.lang.Integer => i.longValue()
       }
-      // page presence comes from the SAME scan the counters observe —
-      // the last page with any scanned element (the scan's planner stops
-      // at the first missing page, so observed pages are a prefix). A
-      // separate probe round could disagree with what the scan actually
-      // read on a flaky live origin, fabricating errors and
-      // undercounting. (A fetched page with an empty container is
-      // indistinguishable from a missing one here — both contribute
-      // zero nodes.)
+      // page presence = max of two signals, each covering the other's
+      // blind spot: the OBSERVED scan (last page with any scanned
+      // element — authoritative for what was actually read, immune to
+      // transient probe failures on a live origin) and an existence
+      // PROBE (stat/HEAD — sees an existing page whose container parsed
+      // to zero elements, which the observation cannot distinguish from
+      // a missing page).
+      val probedLast: Map[String, Int] =
+        try {
+          val provider = graft.sources.RumorPagesSource.providerFromSpec(corpusSpec)
+          slugs.distinct.map { slug =>
+            slug -> (1 to RumorSource.MaxPages)
+              .takeWhile(p => provider.exists(slug, p)).size
+          }.toMap
+        } catch { case _: Exception => Map.empty.withDefaultValue(0) }
       val lastScanned = slugs.indices.map { si =>
-        (RumorSource.MaxPages to 1 by -1)
+        val observed = (RumorSource.MaxPages to 1 by -1)
           .find(p => metric(oScan, s"c_${si}_$p") > 0).getOrElse(0)
+        math.max(observed, probedLast.getOrElse(slugs(si), 0))
       }
       // reference stop rule per slug: crossed the 150-cap after page
       // mp_i (the crossing page always contributes >=1 deduped item),

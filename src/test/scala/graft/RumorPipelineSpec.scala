@@ -220,6 +220,17 @@ class RumorPipelineSpec extends AnyFunSuite {
     assert(dup.toSeq == one.toSeq)
   }
 
+  test("existing-but-empty trailing page: no fabricated error, real 404 reported") {
+    // page 2 exists but its container has zero elements — the reference
+    // fetches it without error and the real failure is page 3
+    val dir = writeCorpus(Map(
+      ("team", 1) -> page("<h3>March 3, 2024</h3><p>The only real rumor item on page one.</p>"),
+      ("team", 2) -> page("")))
+    val dbg = RumorPipeline.handle(spark, s"dir:$dir", "Team", debug = true)
+    assert(!dbg.contains("page2Error"), s"fabricated error for an existing page: $dbg")
+    assert(dbg.contains(""""page3Error_team":"HTTP 404"""), dbg)
+  }
+
   test("handle() echoes the trimmed RAW q as subject (fetchRumors.js:175,211)") {
     val out = RumorPipeline.handle(spark, RumorPipeline.BundledCorpus,
       "  Jalen  Brunson ")
