@@ -74,10 +74,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failures":$failures,"sf":"$sfDir"}"""
     println(line)
-    // sbt buries stdout in [info] noise; a dedicated file keeps the JSON
-    // machine-readable for the driver
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
+    // sbt buries stdout in [info] noise (and truncates long lines in some
+    // capture modes); a file keeps the JSON machine-readable. Always
+    // written to bench_out.json in the working directory, plus wherever
+    // SPARK_GRAFT_BENCH_OUT points.
+    val outs = Seq("bench_out.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    outs.foreach { path =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
+      catch { case e: Exception => System.err.println(s"[bench] write $path: $e") }
     }
     spark.stop()
   }

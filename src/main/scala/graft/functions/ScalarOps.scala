@@ -233,6 +233,144 @@ object ScalarOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  // ---- similarity-family kernels (LlmOps hot paths) ----
+  // Each replaces an interpreted higher-order-function chain (HOF lambdas
+  // are evaluated per element with no codegen or CSE — measured ~30 µs per
+  // element) with one static call inside whole-stage codegen. The
+  // arithmetic mirrors the DuckDB oracle formulations term for term.
+
+  /** MinHash permutation parameters (8 permutations (a·h + b) mod P over
+    * the 60-bit base hash; P is a 30-bit prime so a·h stays < 2^63).
+    * LlmOps mirrors these into the oracle SQL — keep in sync.
+    */
+  val MinhashP = 1000000007L
+  val MinhashA: Array[Long] = Array(999999937L, 999999893L, 999999883L,
+    999999797L, 999999761L, 999999757L, 999999751L, 999999739L)
+  val MinhashB: Array[Long] = Array(15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L, 141650939L)
+
+  /** 60-bit SimHash of a token array: stableHash64 per token, each bit
+    * position voted +1/−1 across tokens, majority (> 0) sign → bit.
+    * SimHash is per-document state — this computes it map-side in one
+    * pass, where the explode(token)×explode(bit) formulation shuffles
+    * 60 rows per token through two aggregations. Integer votes and the
+    * same > 0 rule make it bit-identical to that formulation (and to
+    * the DuckDB oracle).
+    */
+  def simhash60(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = stableHash64(arr.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  /** 8-permutation MinHash signature of a shingle array: one pass over
+    * the shingles, hashing each ONCE and tracking all 8 permuted minima
+    * (the HOF form pays 8 separate interpreted transform+array_min
+    * passes). Empty input yields Long.MaxValue entries — callers filter
+    * size ≥ 1 upstream (docsShingled requires ≥ 3 tokens).
+    */
+  def minhash8(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(MinhashA.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = stableHash64(arr.getUTF8String(i).getBytes) % MinhashP
+      var k = 0
+      while (k < mins.length) {
+        val v = (MinhashA(k) * h + MinhashB(k)) % MinhashP
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** Cosine similarity of two numeric arrays, accumulated exactly like
+    * the three sequential aggregate() folds it replaces (index-order
+    * double adds into independent dot/normA/normB accumulators) so the
+    * value is bit-identical to the HOF formulation and to DuckDB's
+    * list_cosine_similarity over DOUBLE[]. Element nulls are not
+    * handled (fixture arrays are non-null; the HOF form would return
+    * null). Callers round to 6dp and rank on the rounded score.
+    */
+  def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      aFloat: Boolean, bFloat: Boolean): Double = {
+    val la = a.numElements()
+    val lb = b.numElements()
+    val n = if (la < lb) la else lb
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    var na = 0.0
+    i = 0
+    while (i < la) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      na += x * x
+      i += 1
+    }
+    var nb = 0.0
+    i = 0
+    while (i < lb) {
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Deterministic hyperplane weights for the 8-plane LSH bucket:
+    * w(i)(j) = stableHash64("hp:i:j") % 2001 − 1000 — the exact values
+    * the oracle derives per row; here they are computed once per JVM.
+    */
+  private lazy val HpW: Array[Array[Double]] =
+    Array.tabulate(8, 64)((i, j) => (stableHash64(s"hp:$i:$j") % 2001 - 1000).toDouble)
+
+  /** 8-hyperplane sign bucket of a 64-dim embedding: bit i set iff
+    * w_i · x > 0, dot products accumulated in index order (identical to
+    * the aggregate(zip_with(...)) fold it replaces, which re-derived all
+    * 512 hash weights per ROW interpreted).
+    */
+  def hyperplaneBucket64(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      aFloat: Boolean): Int = {
+    var bucket = 0
+    var i = 0
+    while (i < 8) {
+      val w = HpW(i)
+      var acc = 0.0
+      var j = 0
+      val n = math.min(a.numElements(), 64)
+      while (j < n) {
+        val x = if (aFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        acc += w(j) * x
+        j += 1
+      }
+      if (acc > 0) bucket |= 1 << i
+      i += 1
+    }
+    bucket
+  }
+
   // ---- UTF8String adapters (called from generated code) ----
   def stableHash64U(s: UTF8String): Long = stableHash64(s.getBytes)
   def minGramHashU(s: UTF8String): Long = minGramHash(s.toString)

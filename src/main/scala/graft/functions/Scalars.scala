@@ -139,6 +139,83 @@ case class Shingles2(child: Expression) extends UnaryExpression {
   override def prettyName: String = "shingles2"
 }
 
+/** `simhash60(tok)` — 60-bit SimHash of a token array (see
+  * ScalarOps.simhash60). SimHash is per-document state, so the whole
+  * signature computes map-side in one codegen'd call — no explode, no
+  * shuffle — while remaining bit-identical to the exploded two-level
+  * aggregation formulation the DuckDB oracle uses.
+  */
+case class Simhash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    ScalarOps.simhash60(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScalarOps.simhash60($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "simhash60"
+}
+
+/** `minhash8(sh)` — 8-permutation MinHash signature of a shingle array
+  * in one codegen'd pass (vs 8 interpreted transform+array_min HOFs).
+  */
+case class Minhash8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType,
+      containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ScalarOps.minhash8(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScalarOps.minhash8($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "minhash8"
+}
+
+/** `cosine_sim(a, b)` — cosine similarity of two float/double arrays,
+  * bit-identical to the sequential aggregate() folds it replaces (see
+  * ScalarOps.cosine). Rounding to 6dp stays OUTSIDE (Spark's round), so
+  * cross-engine rank discipline is unchanged.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+  private def isF(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ScalarOps.cosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isF(left), isF(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ScalarOps.cosine($a, $b, ${isF(left)}, ${isF(right)})")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression): Expression = copy(a, b)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** `hyperplane_bucket64(emb)` — 8-hyperplane LSH sign bucket with the
+  * deterministic hash-derived weights precomputed once per JVM (the HOF
+  * form re-derived 512 hashes per row, interpreted).
+  */
+case class HyperplaneBucket64(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+  private def isF: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(v: Any): Any =
+    ScalarOps.hyperplaneBucket64(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScalarOps.hyperplaneBucket64($c, $isF)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "hyperplane_bucket64"
+}
+
 /** `ends_with_source(snippet_html, url, source_name)` — ref
   * fetchRumors.js:162-172 (`bodyAlreadyHasSource`).
   */
@@ -172,6 +249,10 @@ object Scalars {
   def min_rolling_hash(c: Column): Column = col(MinRollingHash(ex(c)))
   def distinct_shingles3(c: Column): Column = col(DistinctShingles3(ex(c)))
   def shingles2(c: Column): Column = col(Shingles2(ex(c)))
+  def simhash60(c: Column): Column = col(Simhash60(ex(c)))
+  def minhash8(c: Column): Column = col(Minhash8(ex(c)))
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def hyperplane_bucket64(c: Column): Column = col(HyperplaneBucket64(ex(c)))
 
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
@@ -187,5 +268,9 @@ object Scalars {
     r.createOrReplaceTempFunction("min_rolling_hash", es => MinRollingHash(es.head), "built-in")
     r.createOrReplaceTempFunction("distinct_shingles3", es => DistinctShingles3(es.head), "built-in")
     r.createOrReplaceTempFunction("shingles2", es => Shingles2(es.head), "built-in")
+    r.createOrReplaceTempFunction("simhash60", es => Simhash60(es.head), "built-in")
+    r.createOrReplaceTempFunction("minhash8", es => Minhash8(es.head), "built-in")
+    r.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("hyperplane_bucket64", es => HyperplaneBucket64(es.head), "built-in")
   }
 }

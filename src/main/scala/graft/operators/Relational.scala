@@ -567,24 +567,32 @@ object Relational {
     */
   val q32ApproxDistinct: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
-    // Exact and approx counts are SEPARATE aggregations joined on the
-    // tiny group key: mixing countDistinct with approx_count_distinct in
-    // one agg makes the distinct-expand plan carry the HLL sketch buffer
-    // (16 KB at rsd=0.01) per *distinct-value* group in the partial
-    // phase — ~26 GB of buffers at sf0.1, measured GC collapse. Split,
-    // the sketches exist only for the 3 final groups.
-    val exact = li.groupBy(col("l_returnflag"))
+    // ONE scan + ONE pre-dedup feeds both exact counts and both HLL
+    // sketches: stack() tags each row with its key family, the (flag,
+    // tag, key) dedup shares its shuffle between exact and approx, and —
+    // because approx_count_distinct is insertion-idempotent — the sketch
+    // over deduped rows is identical to the sketch over raw rows while
+    // existing only for the 6 (flag, tag) final groups. A combined
+    // countDistinct×2 + approx agg would instead carry a sketch buffer
+    // per distinct-value PARTIAL group (~26 GB at sf0.1, measured GC
+    // collapse).
+    // rsd=0.015 resolves to HLL precision p=13 (true rsd ~1.15%), so
+    // the 5% contract bound sits ~4.3 standard errors out — still
+    // deterministic-in-practice at every SF (default rsd=0.05 is ~1
+    // sigma and *should* sometimes miss), at half the p=14 register
+    // file, whose 1536-word aggregation buffer dominated this query's
+    // runtime via codegen size, not data.
+    val dedup = li.selectExpr("l_returnflag",
+      "stack(2, 'p', l_partkey, 'o', l_orderkey) as (tag, key)").distinct()
+    val agged = dedup.groupBy(col("l_returnflag"), col("tag"))
+      .agg(count(lit(1)).as("exact"),
+        approx_count_distinct(col("key"), 0.015).as("approx"))
+    agged.groupBy(col("l_returnflag"))
       .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
-    // rsd=0.01: the 5% contract bound is then ~5 standard errors out,
-    // so the boolean is deterministic-in-practice at every SF (the
-    // default rsd=0.05 means ~1 sigma — it *should* sometimes miss)
-    val approx = li.groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
-    exact.join(approx, Seq("l_returnflag"))
+        max(when(col("tag") === "p", col("exact"))).as("exact_parts"),
+        max(when(col("tag") === "o", col("exact"))).as("exact_orders"),
+        max(when(col("tag") === "p", col("approx"))).as("approx_parts"),
+        max(when(col("tag") === "o", col("approx"))).as("approx_orders"))
       .select(
         col("l_returnflag"), col("exact_parts"), col("exact_orders"),
         (abs(col("approx_parts").cast("double") - col("exact_parts").cast("double")) <=
@@ -674,24 +682,29 @@ object Relational {
   // ---------------------------------------------------------------
 
   /** q36: exact discrete percentiles (p50/p95 of quantity per
-    * returnflag) via the rank-position formulation — row_number over the
-    * sorted group, pick the value at ceil(q·n). Engine-independent by
-    * construction (percentile_disc semantics; interpolating variants
-    * differ across engines), and the window shape is the same
-    * distributed sort a native percentile agg performs.
+    * returnflag), DISTRIBUTED: aggregate (flag, qty) → count first (one
+    * map-side-combinable shuffle over the DISTINCT value domain — ~50
+    * quantities per flag regardless of row count), then rank-select over
+    * the cumulative counts: pN is the smallest qty whose cumulative
+    * count reaches ceil(N·n). Identical to percentile_disc / the
+    * row_number-at-ceil(q·n) formulation, but the windows see distinct
+    * VALUES, not rows — a row-level window partitioned by the 3-value
+    * returnflag would push n/3 rows through one task's sort forever.
     */
   val q36Percentiles: Q = (s, dir) => {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("qty").asc)
-    val wc = Window.partitionBy(col("l_returnflag"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("qty").asc)
+    val wAll = Window.partitionBy(col("l_returnflag"))
     t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("double").as("qty"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(wc))
+      .groupBy(col("l_returnflag"), col("qty"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("cnt", sum(col("c")).over(wAll))
       .groupBy(col("l_returnflag"))
       .agg(
-        max(when(col("rn") === ceil(col("cnt") * 0.5), col("qty"))).as("p50"),
-        max(when(col("rn") === ceil(col("cnt") * 0.95), col("qty"))).as("p95"),
-        count(lit(1)).as("n_rows"))
+        min(when(col("cum") >= ceil(col("cnt") * 0.5), col("qty"))).as("p50"),
+        min(when(col("cum") >= ceil(col("cnt") * 0.95), col("qty"))).as("p95"),
+        max(col("cnt")).as("n_rows"))
       .orderBy(col("l_returnflag"))
   }
 
