@@ -56,6 +56,12 @@ object FixtureDump {
     val spark = Engine.session()
     val slugs = RumorPipeline.DefaultSubjects.split(",")
       .map(ScalarOps.clean).filter(_.nonEmpty).map(ScalarOps.slugify).toSeq
+    // The q61 DuckDB oracle keys its per-page-cap / per-tag-dedup /
+    // 150-cap windows on slug while the Spark pipeline keys them on
+    // subject_idx; parity relies on the fixture's slug↔subject_idx
+    // mapping being 1:1 (duplicate subjects would diverge silently).
+    require(slugs.distinct.size == slugs.size,
+      s"fixture subjects must slugify to distinct slugs, got $slugs")
     val rows = RumorSource.elementRows(spark, RumorPipeline.BundledCorpus, slugs)
       .unionByName(spark.createDataFrame(syntheticRows))
     val tmp = Files.createTempDirectory("element_rows_").toString

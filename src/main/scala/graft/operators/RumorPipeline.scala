@@ -390,9 +390,17 @@ object RumorPipeline {
 
   /** The frozen element-row scan of the bundled corpus, dumped once to
     * parquet (graft.FixtureDump) so the full relational pipeline is
-    * DuckDB-reproducible.
+    * DuckDB-reproducible. Resolved relative to the repo root (override
+    * with -Dgraft.fixtures.dir= or GRAFT_FIXTURES_DIR for checkouts
+    * whose working directory isn't the repo root); the absolute path is
+    * interpolated into the q61 oracle SQL, so Spark and DuckDB always
+    * read the same file.
     */
-  val ElementRowsFixture = "/root/repo/fixtures/element_rows.parquet"
+  val ElementRowsFixture: String =
+    sys.props.get("graft.fixtures.dir")
+      .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
+      .getOrElse(new java.io.File("fixtures").getAbsolutePath)
+      .stripSuffix("/") + "/element_rows.parquet"
 
   /** q61: parquet twin of q60 — identical relational pipeline
     * (fill-forward → item predicate → caps → per-tag dedup → global

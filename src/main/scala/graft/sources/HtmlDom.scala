@@ -186,18 +186,22 @@ object HtmlDom {
   private def decodeEntities(s: String): String =
     if (!s.contains('&')) s
     else s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
-      .replace("&#39;", "'").replace("&#039;", "'").replace("&amp;", "&")
+      .replace("&#39;", "'").replace("&#039;", "'").replace("&nbsp;", "\u00a0")
+      .replace("&amp;", "&")
 
   private def encodeText(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    s.replace("&", "&amp;").replace("\u00a0", "&nbsp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
 
   /** HTML attribute-value serialization (the spec rules JSDOM's
-    * innerHTML applies): escape `&` and `"` — entities were decoded at
-    * parse time, so a crawled href containing either must not break out
-    * of the quoted attribute in the sanitized snippet.
+    * innerHTML applies): escape `&`, U+00A0 (the HTML serialization
+    * algorithm emits non-breaking space as `&nbsp;` in both text and
+    * attribute values) and `"` — entities were decoded at parse time, so
+    * a crawled href containing any of these must not break out of the
+    * quoted attribute in the sanitized snippet.
     */
   private def encodeAttr(s: String): String =
-    s.replace("&", "&amp;").replace("\"", "&quot;")
+    s.replace("&", "&amp;").replace("\u00a0", "&nbsp;").replace("\"", "&quot;")
 
   /** Container selection fallback chain (ref fetchRumors.js:79-84):
     * main → #content → .content → .container → body.

@@ -69,9 +69,15 @@ final class HttpCorpus(origin: String, authPair: Option[String])
       val sc = res.statusCode()
       if (sc == 405 || sc == 501) {
         // origin rejects HEAD: probe with a single-byte ranged GET and
-        // discard the body — never a full download at planning time
-        // (206 = range honored; 200 = range ignored but body dropped
-        // unread by the discarding handler)
+        // discard the body (206 = range honored). CAVEAT: an origin that
+        // ALSO ignores Range returns 200 with the full body, which the
+        // discarding handler drops client-side but which still crosses
+        // the wire — the "never a full download at planning time"
+        // guarantee holds only for HEAD- or range-honoring origins
+        // (the request's 30 s timeout bounds the worst case). Note also
+        // that handle(debug=true) runs its own existence sweep on top of
+        // the planning probe — one extra HEAD per (slug, page) on debug
+        // requests only.
         val r = client.send(
           builder(slug, page).header("range", "bytes=0-0").GET().build(),
           HttpResponse.BodyHandlers.discarding())

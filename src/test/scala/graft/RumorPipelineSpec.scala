@@ -305,6 +305,16 @@ class RumorPipelineSpec extends AnyFunSuite {
       """x <a href="https://x.com/?a=1&amp;b=&quot;q&quot;" target="_blank">link</a>""")
   }
 
+  test("paragraphHTML: U+00A0 serializes as &nbsp; in text and attributes (HTML serialization spec)") {
+    val el = HtmlDom.parse(
+      "<body><p>a\u00a0b <a href=\"https://x.com/p\u00a0q\">c&nbsp;d</a></p></body>")
+      .descendants.find(_.tag == "p").get
+    // &nbsp; decoded at parse time; serialization re-emits the entity in
+    // both text nodes and attribute values, as JSDOM innerHTML does
+    assert(HtmlDom.paragraphHtml(el) ==
+      "a&nbsp;b <a href=\"https://x.com/p&nbsp;q\" target=\"_blank\">c&nbsp;d</a>")
+  }
+
   test("paragraphHTML: anchors nested in non-anchors flatten away (fetchRumors.js:61-70)") {
     val el = HtmlDom.parse("<body><p>Start <b>bold <a href=\"https://x.com\">link</a></b> end. " +
       "<a href=\"https://y.com\" rel=\"nofollow\" class=\"c\">Keep</a></p></body>")
