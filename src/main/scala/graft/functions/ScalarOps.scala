@@ -300,6 +300,44 @@ object ScalarOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** Longest run of identical consecutive tokens in a token array —
+    * the Gopher-style "max repeated run" repetition signal (one pass,
+    * per-document, map-side). Empty input → 0.
+    */
+  def tokenMaxRun(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    var best = 1L
+    var run = 1L
+    var prev = arr.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      if (cur.equals(prev)) { run += 1; if (run > best) best = run }
+      else { run = 1; prev = cur }
+      i += 1
+    }
+    best
+  }
+
+  /** Occurrence count of the most frequent token in a token array (the
+    * "top token fraction" numerator). One hash-map pass, per-document,
+    * map-side. Empty input → 0.
+    */
+  def tokenTopCount(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val c = counts.merge(arr.getUTF8String(i), 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
   /** Cosine similarity of two numeric arrays, accumulated exactly like
     * the three sequential aggregate() folds it replaces (index-order
     * double adds into independent dot/normA/normB accumulators) so the

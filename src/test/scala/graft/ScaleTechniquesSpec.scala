@@ -66,6 +66,6 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
     val r1 = recall(1); val r2 = recall(2)
     assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
-    assert(r2 > 0.3, s"nprobe=2 recall $r2 suspiciously low")
+    assert(r2 >= 0.5, s"nprobe=2 recall $r2 below 0.5")
   }
 }
