@@ -913,9 +913,54 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language token budget for q72 (the fixture corpus holds ~5k
+    * tokens per language, so a 2k budget selects roughly the top-quality
+    * half and exercises the boundary logic).
+    */
+  val TokenBudgetPerLang = 2000L
+
+  /** q72: token-budget data MIXING — the selection step of a training
+    * run: take documents per language in quality order (q54's score)
+    * until each language's token budget is filled; a document is
+    * selected iff it STARTS within budget (the packing rule, so the
+    * boundary document straddles rather than vanishes).
+    *
+    * The greedy cumulative sum is computed WITHOUT a per-stratum
+    * row-level window (the q64 trap): (1) aggregate (lang, quality) →
+    * token sums — the window that ranks quality groups runs over the
+    * DISTINCT quality domain (bounded by the 6dp score space, not the
+    * corpus); (2) the within-group doc window partitions by
+    * (lang, quality) — corpus-proportional parallelism. Grouping on the
+    * double quality key is safe because q54's score is bit-identical
+    * across engines (its own oracle proves it).
+    */
+  val q72TokenBudget: Q = (s, dir) => {
+    val d = docsTok(s, dir)
+      .select(col("doc_id"), col("lang"), size(col("tok")).cast("long").as("n_tokens"))
+      .join(q54QualityScore(s, dir).select(col("doc_id"), col("quality")), Seq("doc_id"))
+    val wGrp = Window.partitionBy(col("lang")).orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grp = d.groupBy(col("lang"), col("quality"))
+      .agg(sum(col("n_tokens")).as("qt"))
+      .withColumn("grp_before", coalesce(sum(col("qt")).over(wGrp), lit(0L)))
+      .select(col("lang"), col("quality"), col("grp_before"))
+    val wDoc = Window.partitionBy(col("lang"), col("quality"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(grp, Seq("lang", "quality"))
+      .withColumn("cum_before",
+        col("grp_before") + coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
+      .withColumn("selected",
+        (col("cum_before") < TokenBudgetPerLang).cast("bigint"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+        col("cum_before"), col("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q70_repetition_stats" -> q70RepetitionStats,
     "q71_perplexity_buckets" -> q71PerplexityBuckets,
+    "q72_token_budget" -> q72TokenBudget,
     "q52_cosine_topk_agg" -> q52CosineTopkAgg,
     "q68_mixture_weights" -> q68MixtureWeights,
     "q69_decontaminate" -> q69Decontaminate,
@@ -1121,6 +1166,34 @@ object LlmOps {
         |FROM base b JOIN mr m USING (doc_id) JOIN tc t USING (doc_id)
         |  JOIN sh s USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    "q72_token_budget" ->
+      s"""WITH qsrc AS (
+        |  SELECT doc_id, n_chars, len(tok) AS n_tokens_q,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+        |    length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
+        |    ${stopCountD(StopEn)} AS n_stop
+        |  FROM (SELECT *, $toksD AS tok FROM documents)),
+        |q AS (SELECT doc_id,
+        |  0.3 * least(1.0, CAST(n_tokens_q AS DOUBLE) / 50.0)
+        |   + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+        |   + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens_q)
+        |   + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars) AS quality
+        |  FROM qsrc),
+        |t AS (SELECT doc_id, lang, CAST(len($toksD) AS BIGINT) AS n_tokens FROM documents),
+        |d AS (SELECT t.doc_id, t.lang, t.n_tokens, q.quality FROM t JOIN q USING (doc_id)),
+        |grp AS (SELECT lang, quality, sum(n_tokens) AS qt FROM d GROUP BY lang, quality),
+        |g2 AS (SELECT lang, quality,
+        |  coalesce(sum(qt) OVER (PARTITION BY lang ORDER BY quality DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp_before
+        |  FROM grp),
+        |dd AS (SELECT d.doc_id, d.lang, d.n_tokens, d.quality,
+        |  CAST(g2.grp_before + coalesce(sum(d.n_tokens) OVER (
+        |    PARTITION BY d.lang, d.quality ORDER BY d.doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM d JOIN g2 USING (lang, quality))
+        |SELECT doc_id, lang, n_tokens, quality, cum_before,
+        |  CAST(cum_before < $TokenBudgetPerLang AS BIGINT) AS selected
+        |FROM dd ORDER BY doc_id""".stripMargin,
     "q71_perplexity_buckets" ->
       s"""WITH $lmCtesD,
         |scored AS (
