@@ -625,12 +625,17 @@ object LlmOps {
     * and Beyond") without changing the contract. DuckDB oracle: the
     * same fixpoint via a recursive CTE.
     */
-  val q62NearDupClusters: Q = (s, dir) => {
-    val pairs = q55SimhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    // undirected edge list, both directions. The iteration runs over
-    // NON-SINGLETON nodes only (nodes with at least one near-dup edge —
-    // a small fraction of any real corpus); singleton docs join in
-    // afterward as their own clusters, paying zero loop cost.
+  /** Distributed connected components over an undirected pair list
+    * (doc_a, doc_b) → (doc_id, label) with label = component minimum,
+    * one row per NON-SINGLETON node (nodes with at least one edge — a
+    * small fraction of any real corpus; singletons join in afterward at
+    * zero loop cost). Iterative min-label propagation with one pointer
+    * jump per round; O(log diameter) rounds, one action per round.
+    * Tested directly on synthetic chain/star/multi-component graphs
+    * (ConnectedComponentsSpec) and end-to-end via q62's recursive-CTE
+    * oracle.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
     // right-sizing the loop's partitioning to the GRAPH (orders of
     // magnitude smaller than the corpus — 2.6k edges at sf0.1, ~n_dup at
     // any scale) is AQE's job: every per-round exchange is coalesced to
@@ -680,6 +685,12 @@ object LlmOps {
       labels = next
     }
     edges.unpersist()
+    labels
+  }
+
+  val q62NearDupClusters: Q = (s, dir) => {
+    val pairs = q55SimhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(pairs)
     val docs = t(s, dir, "documents").select(col("doc_id"))
     val all = docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
