@@ -107,6 +107,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Exchange").length - 1 <= 1, s"sampling shuffled:\n$p")
   }
 
+  test("q46: SimHash signatures compute map-side — only the presentation sort shuffles") {
+    // per-document Simhash60 kernel: no explode, no aggregation; the one
+    // Exchange is the final orderBy (was: explode(token)×explode(bit)
+    // through two aggregations — three shuffles of 60 rows per token)
+    val p = plan("q46_simhash")
+    assert(p.split("Exchange").length - 1 <= 1, s"signature computation shuffled:\n$p")
+    assert(!p.contains("Generate"), s"no explode expected:\n$p")
+  }
+
+  test("q70: repetition stats are a narrow projection — only the presentation sort shuffles") {
+    val p = plan("q70_repetition_stats")
+    assert(p.split("Exchange").length - 1 <= 1, s"repetition stats shuffled:\n$p")
+    assert(!p.contains("Generate"), s"no explode expected:\n$p")
+  }
+
+  test("q36: percentile windows operate on distinct values after a partial-agg shuffle") {
+    val p = plan("q36_percentiles")
+    // the (flag, qty) count aggregation runs BEFORE any Window — windows
+    // see the distinct value domain, not rows
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no map-side combine before the percentile window:\n$p")
+  }
+
+  test("q64: chunk offsets broadcast back to the corpus (two-level prefix sum)") {
+    assert(plan("q64_sequence_packing").contains("BroadcastExchange"),
+      "chunk-offset table should broadcast, not shuffle the corpus")
+  }
+
+  test("q65/q67: corpus-size literals are broadcast 1-row aggregates, not driver actions") {
+    // the count lives IN the plan (broadcast cross join of a 1-row
+    // aggregate) instead of a driver-side count() job per query
+    assert(plan("q65_tfidf").contains("BroadcastNestedLoopJoin BuildRight, Cross"))
+    assert(plan("q67_lm_score").contains("BroadcastNestedLoopJoin BuildRight, Cross"))
+  }
+
   test("q59: vocab count aggregates map-side before the shuffle") {
     val p = plan("q59_vocab_topk")
     assert(p.contains("partial_count") || p.contains("partial"),
