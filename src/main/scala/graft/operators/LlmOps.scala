@@ -968,10 +968,39 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q73: the composed INGEST-SELECT pipeline — what a training run
+    * actually executes end-to-end: exact dedup (keep the canonical
+    * min-doc_id copy per content hash), quality gate (q54 score ≥ 0.6),
+    * repetition gate (q70 signals clean). One dedup shuffle; both gates
+    * are map-side kernel projections joined on doc_id. Demonstrates that
+    * the operator family composes into one Catalyst plan — filters and
+    * column pruning flow across the operator boundaries.
+    */
+  val q73IngestSelect: Q = (s, dir) => {
+    val canonical = t(s, dir, "documents")
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val quality = q54QualityScore(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val repetition = q70RepetitionStats(s, dir)
+      .select(col("doc_id"), col("repetitive"))
+    docsTok(s, dir)
+      .select(col("doc_id"), col("lang"), size(col("tok")).cast("long").as("n_tokens"))
+      .join(canonical, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .join(repetition, Seq("doc_id"))
+      .filter(col("quality") >= 0.6 && col("repetitive") === 0)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q70_repetition_stats" -> q70RepetitionStats,
     "q71_perplexity_buckets" -> q71PerplexityBuckets,
     "q72_token_budget" -> q72TokenBudget,
+    "q73_ingest_select" -> q73IngestSelect,
     "q52_cosine_topk_agg" -> q52CosineTopkAgg,
     "q68_mixture_weights" -> q68MixtureWeights,
     "q69_decontaminate" -> q69Decontaminate,
@@ -1017,6 +1046,45 @@ object LlmOps {
        |  FROM sh)""".stripMargin
   private def cosineD(a: String, b: String): String =
     s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
+
+  /** Shared CTE pair (qsrc, q) computing the q54 quality score per doc
+    * (q54 inline, q72 ordering key, q73 gate).
+    */
+  private val qualityCtesD =
+    s"""qsrc AS (
+       |  SELECT doc_id, n_chars, len(tok) AS n_tokens_q,
+       |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+       |    length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
+       |    ${stopCountD(StopEn)} AS n_stop
+       |  FROM (SELECT *, $toksD AS tok FROM documents)),
+       |q AS (SELECT doc_id,
+       |  0.3 * least(1.0, CAST(n_tokens_q AS DOUBLE) / 50.0)
+       |   + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+       |   + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens_q)
+       |   + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars) AS quality
+       |  FROM qsrc)""".stripMargin
+
+  /** Shared CTE chain (base → flat → runs → mr → tc) for the q70
+    * repetition signals (q70 inline, q73 gate).
+    */
+  private val repCtesD =
+    s"""base AS (
+       |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens, tok
+       |  FROM (SELECT doc_id, $toksD AS tok FROM documents)
+       |  WHERE len(tok) >= 3),
+       |flat AS (
+       |  SELECT doc_id, r.i AS i, tok[r.i] AS t
+       |  FROM base, LATERAL unnest(range(1, len(tok)+1)) AS r(i)),
+       |runs AS (
+       |  SELECT doc_id, t,
+       |    i - row_number() OVER (PARTITION BY doc_id, t ORDER BY i) AS grp
+       |  FROM flat),
+       |mr AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_run FROM (
+       |         SELECT doc_id, count(*) AS c FROM runs GROUP BY doc_id, t, grp)
+       |       GROUP BY doc_id),
+       |tc AS (SELECT doc_id, max(c) AS top_c FROM (
+       |         SELECT doc_id, count(*) AS c FROM flat GROUP BY doc_id, t)
+       |       GROUP BY doc_id)""".stripMargin
 
   /** Shared CTE chain for the bigram LM (q67 scoring, q71 buckets):
     * tokens → unigram counts → vocab size → per-doc bigrams → bigram
@@ -1150,23 +1218,7 @@ object LlmOps {
         |FROM doc_bi JOIN bi USING (bigram) JOIN uni USING (w1), v
         |GROUP BY doc_id, v.v ORDER BY doc_id""".stripMargin,
     "q70_repetition_stats" ->
-      s"""WITH base AS (
-        |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens, tok
-        |  FROM (SELECT doc_id, $toksD AS tok FROM documents)
-        |  WHERE len(tok) >= 3),
-        |flat AS (
-        |  SELECT doc_id, r.i AS i, tok[r.i] AS t
-        |  FROM base, LATERAL unnest(range(1, len(tok)+1)) AS r(i)),
-        |runs AS (
-        |  SELECT doc_id, t,
-        |    i - row_number() OVER (PARTITION BY doc_id, t ORDER BY i) AS grp
-        |  FROM flat),
-        |mr AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_run FROM (
-        |         SELECT doc_id, count(*) AS c FROM runs GROUP BY doc_id, t, grp)
-        |       GROUP BY doc_id),
-        |tc AS (SELECT doc_id, max(c) AS top_c FROM (
-        |         SELECT doc_id, count(*) AS c FROM flat GROUP BY doc_id, t)
-        |       GROUP BY doc_id),
+      s"""WITH $repCtesD,
         |sh AS (SELECT doc_id, len(list_distinct($shinglesD)) AS nd FROM base)
         |SELECT b.doc_id, b.n_tokens,
         |  round(CAST(1 AS DOUBLE) - CAST(s.nd AS DOUBLE) / CAST(b.n_tokens - 2 AS DOUBLE), 6) AS dup_3gram_ratio,
@@ -1178,18 +1230,7 @@ object LlmOps {
         |  JOIN sh s USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
     "q72_token_budget" ->
-      s"""WITH qsrc AS (
-        |  SELECT doc_id, n_chars, len(tok) AS n_tokens_q,
-        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
-        |    length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
-        |    ${stopCountD(StopEn)} AS n_stop
-        |  FROM (SELECT *, $toksD AS tok FROM documents)),
-        |q AS (SELECT doc_id,
-        |  0.3 * least(1.0, CAST(n_tokens_q AS DOUBLE) / 50.0)
-        |   + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-        |   + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens_q)
-        |   + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars) AS quality
-        |  FROM qsrc),
+      s"""WITH $qualityCtesD,
         |t AS (SELECT doc_id, lang, CAST(len($toksD) AS BIGINT) AS n_tokens FROM documents),
         |d AS (SELECT t.doc_id, t.lang, t.n_tokens, q.quality FROM t JOIN q USING (doc_id)),
         |grp AS (SELECT lang, quality, sum(n_tokens) AS qt FROM d GROUP BY lang, quality),
@@ -1205,6 +1246,21 @@ object LlmOps {
         |SELECT doc_id, lang, n_tokens, quality, cum_before,
         |  CAST(cum_before < $TokenBudgetPerLang AS BIGINT) AS selected
         |FROM dd ORDER BY doc_id""".stripMargin,
+    "q73_ingest_select" ->
+      s"""WITH $qualityCtesD,
+        |$repCtesD,
+        |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |rep AS (
+        |  SELECT b.doc_id,
+        |    CAST(round(CAST(t2.top_c AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6) > 0.1
+        |         OR m.max_run >= 3 AS BIGINT) AS repetitive
+        |  FROM base b JOIN mr m USING (doc_id) JOIN tc t2 USING (doc_id)),
+        |t AS (SELECT doc_id, lang, CAST(len($toksD) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT t.doc_id, t.lang, t.n_tokens, q.quality
+        |FROM t JOIN canon USING (doc_id) JOIN q USING (doc_id)
+        |  JOIN rep USING (doc_id)
+        |WHERE q.quality >= 0.6 AND rep.repetitive = 0
+        |ORDER BY t.doc_id""".stripMargin,
     "q71_perplexity_buckets" ->
       s"""WITH $lmCtesD,
         |scored AS (
