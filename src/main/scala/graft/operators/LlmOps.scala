@@ -49,6 +49,15 @@ object LlmOps {
     */
   val CosineNearDupThreshold = 0.4
 
+  /** q74: a bigram must occur this often corpus-wide to be scored. */
+  val MinCollocCount = 5L
+  /** q76: a 3-gram present in at least this many documents is
+    * boilerplate; a doc whose distinct-shingle boilerplate fraction
+    * exceeds the threshold is flagged.
+    */
+  val BoilerplateDf = 5L
+  val BoilerplateFracThreshold = 0.2
+
   val StopEn = Seq("the", "and", "of", "to", "in", "is", "that", "for")
   val StopEs = Seq("el", "la", "de", "que", "y", "en", "los", "por")
   val StopFr = Seq("le", "une", "et", "les", "des", "dans", "un", "pour")
@@ -996,7 +1005,103 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q74: PMI collocation mining — score every bigram that occurs at
+    * least [[MinCollocCount]] times by pointwise mutual information
+    * `ln((c2/M) / ((c1a/N)*(c1b/N)))` (the classic phrase-detection /
+    * tokenizer-merge-candidate pass over a corpus). Shapes: one
+    * bigram-keyed count shuffle (map-side combinable) REUSED for both
+    * the filtered table and the total M (a 1-row aggregate over the
+    * grouped counts, never a second corpus scan); one token-keyed
+    * unigram count joined twice (w1/w2) — vocab-sized, so AQE
+    * broadcasts it at any corpus scale; totals ride broadcast 1-row
+    * cross joins. Nothing here is keyed on a constant-cardinality
+    * column.
+    */
+  val q74PmiCollocations: Q = (s, dir) => {
+    val docBi = docsTok(s, dir)
+      .filter(size(col("tok")) >= 2)
+      .select(explode(graft.functions.Scalars.shingles2(col("tok"))).as("bigram"))
+    val biAll = docBi.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val uni = docsTok(s, dir)
+      .select(explode(col("tok")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val totN = uni.agg(sum(col("c1")).cast("double").as("n"))
+    val totM = biAll.agg(sum(col("c2")).cast("double").as("m"))
+    biAll.filter(col("c2") >= MinCollocCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1a"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1b"), Seq("w2"))
+      .crossJoin(broadcast(totN))
+      .crossJoin(broadcast(totM))
+      .withColumn("pmi", round(log(
+        (col("c2").cast("double") / col("m")) /
+          ((col("c1a").cast("double") / col("n")) * (col("c1b").cast("double") / col("n")))), 6))
+      .select(col("bigram"), col("c2"), col("pmi"))
+      .orderBy(col("bigram"))
+  }
+
+  /** q75: per-source unigram KL divergence against the corpus
+    * distribution — the data-mixing diagnostic behind domain
+    * reweighting (DoReMi-style): sources whose token distribution
+    * diverges from the mix get up/down-weighted. Shapes: ONE
+    * (source,word)-keyed count shuffle feeds everything — per-source
+    * totals, corpus word counts, and the grand total are all
+    * re-aggregations of that grouped table (map-side combinable,
+    * strictly smaller each step), so the corpus is scanned once and
+    * nothing re-keys on raw rows. The corpus word table joins on the
+    * vocab-sized key; the grand total broadcasts.
+    */
+  val q75SourceMixKl: Q = (s, dir) => {
+    val sc = docsTok(s, dir)
+      .select(col("source"), explode(col("tok")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt_sw"))
+    val st = sc.groupBy(col("source")).agg(sum(col("cnt_sw")).as("n_tokens_src"))
+    val cw = sc.groupBy(col("w")).agg(sum(col("cnt_sw")).as("cnt_w"))
+    val totN = cw.agg(sum(col("cnt_w")).cast("double").as("n_total"))
+    sc.join(st, Seq("source"))
+      .join(cw, Seq("w"))
+      .crossJoin(broadcast(totN))
+      .withColumn("term",
+        (col("cnt_sw").cast("double") / col("n_tokens_src")) *
+          log((col("cnt_sw").cast("double") / col("n_tokens_src")) /
+            (col("cnt_w").cast("double") / col("n_total"))))
+      .groupBy(col("source"))
+      .agg(max(col("n_tokens_src")).as("n_tokens"), round(sum(col("term")), 6).as("kl"))
+      .orderBy(col("source"))
+  }
+
+  /** q76: boilerplate n-gram detection — a 3-gram appearing in ≥
+    * [[BoilerplateDf]] distinct documents is boilerplate (the
+    * template/navigation-chrome signal of the Gopher rule family);
+    * each doc reports the boilerplate fraction of its distinct
+    * shingles and a flag at [[BoilerplateFracThreshold]]. Shapes:
+    * distinct shingles come from the codegen'd DistinctShingles3
+    * kernel (map-side, no explode-dedup shuffle); one shingle-keyed DF
+    * count; the doc←df join is a shingle-keyed equi-join (the df table
+    * is shingle-vocab-sized and carries only (shingle, df)); the
+    * per-doc rollup re-keys on doc_id. All counts are map-side
+    * combinable; no threshold materializes a driver-side set.
+    */
+  val q76BoilerplateNgrams: Q = (s, dir) => {
+    val ds = docsShingled(s, dir).select(col("doc_id"), explode(col("sh")).as("s"))
+    val df = ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    ds.join(df, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= BoilerplateDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_shingles").cast("double"), 6))
+      .withColumn("boilerplate",
+        (col("boiler_frac") > BoilerplateFracThreshold).cast("bigint"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q74_pmi_collocations" -> q74PmiCollocations,
+    "q75_source_mix_kl" -> q75SourceMixKl,
+    "q76_boilerplate_ngrams" -> q76BoilerplateNgrams,
     "q70_repetition_stats" -> q70RepetitionStats,
     "q71_perplexity_buckets" -> q71PerplexityBuckets,
     "q72_token_budget" -> q72TokenBudget,
@@ -1217,6 +1322,53 @@ object LlmOps {
         |  round(sum(ln((CAST(c2 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v.v))) / count(*), 6) AS avg_ll
         |FROM doc_bi JOIN bi USING (bigram) JOIN uni USING (w1), v
         |GROUP BY doc_id, v.v ORDER BY doc_id""".stripMargin,
+    "q74_pmi_collocations" ->
+      s"""WITH toks AS (SELECT doc_id, $toksD AS tok FROM documents),
+        |doc_bi AS (
+        |  SELECT tok[r.i] || ' ' || tok[r.i+1] AS bigram
+        |  FROM toks, LATERAL unnest(range(1, len(tok))) AS r(i)
+        |  WHERE len(tok) >= 2),
+        |bi_all AS (SELECT bigram, count(*) AS c2 FROM doc_bi GROUP BY bigram),
+        |uni AS (SELECT w, count(*) AS c1
+        |        FROM (SELECT unnest(tok) AS w FROM toks) GROUP BY w),
+        |nt AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+        |mt AS (SELECT CAST(sum(c2) AS DOUBLE) AS m FROM bi_all)
+        |SELECT b.bigram, b.c2,
+        |  round(ln((CAST(b.c2 AS DOUBLE) / mt.m) /
+        |    ((CAST(a.c1 AS DOUBLE) / nt.n) * (CAST(bb.c1 AS DOUBLE) / nt.n))), 6) AS pmi
+        |FROM bi_all b
+        |  JOIN uni a ON a.w = string_split(b.bigram, ' ')[1]
+        |  JOIN uni bb ON bb.w = string_split(b.bigram, ' ')[-1]
+        |  , nt, mt
+        |WHERE b.c2 >= $MinCollocCount
+        |ORDER BY bigram""".stripMargin,
+    "q75_source_mix_kl" ->
+      s"""WITH sw AS (SELECT source, unnest($toksD) AS w FROM documents),
+        |sc AS (SELECT source, w, count(*) AS cnt_sw FROM sw GROUP BY source, w),
+        |st AS (SELECT source, CAST(sum(cnt_sw) AS BIGINT) AS n_tokens_src
+        |       FROM sc GROUP BY source),
+        |cw AS (SELECT w, CAST(sum(cnt_sw) AS BIGINT) AS cnt_w FROM sc GROUP BY w),
+        |nt AS (SELECT CAST(sum(cnt_w) AS DOUBLE) AS n_total FROM cw)
+        |SELECT sc.source, max(st.n_tokens_src) AS n_tokens,
+        |  round(sum((CAST(sc.cnt_sw AS DOUBLE) / st.n_tokens_src) *
+        |    ln((CAST(sc.cnt_sw AS DOUBLE) / st.n_tokens_src) /
+        |       (CAST(cw.cnt_w AS DOUBLE) / nt.n_total))), 6) AS kl
+        |FROM sc JOIN st USING (source) JOIN cw USING (w), nt
+        |GROUP BY sc.source ORDER BY source""".stripMargin,
+    "q76_boilerplate_ngrams" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct($shinglesD) AS shd
+        |            FROM (SELECT doc_id, $toksD AS tok FROM documents)
+        |            WHERE len(tok) >= 3),
+        |ds AS (SELECT doc_id, unnest(shd) AS s FROM sh),
+        |df AS (SELECT s, count(*) AS df FROM ds GROUP BY s)
+        |SELECT ds.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN df.df >= $BoilerplateDf THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  round(CAST(sum(CASE WHEN df.df >= $BoilerplateDf THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS boiler_frac,
+        |  CAST(round(CAST(sum(CASE WHEN df.df >= $BoilerplateDf THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) > $BoilerplateFracThreshold AS BIGINT) AS boilerplate
+        |FROM ds JOIN df USING (s)
+        |GROUP BY ds.doc_id ORDER BY doc_id""".stripMargin,
     "q70_repetition_stats" ->
       s"""WITH $repCtesD,
         |sh AS (SELECT doc_id, len(list_distinct($shinglesD)) AS nd FROM base)

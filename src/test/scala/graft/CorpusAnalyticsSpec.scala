@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LlmOps
+
+/** Hand-computable synthetic corpora for the corpus-analytics trio:
+  * q74 PMI collocations, q75 per-source KL divergence, q76 boilerplate
+  * n-gram detection. The sf oracles prove engine parity; these pin the
+  * MATH (known counts → known PMI/KL/fractions) on inputs small enough
+  * to verify by hand.
+  */
+class CorpusAnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session(master = "local[4]")
+
+  /** Writes docs as a documents.parquet table and returns the dir. */
+  private def corpus(docs: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-corpus").toString
+    docs.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("q74: PMI of a bigram that always co-occurs is ln((c2/M)/((c1a/N)(c1b/N)))") {
+    // 5 docs of "a b": uni a=5 b=5 (N=10), bigram "a b" c2=5 (M=5)
+    // PMI = ln((5/5) / ((5/10)*(5/10))) = ln(4)
+    val dir = corpus((1L to 5L).map(i => (i, "a b", "en", "s0")))
+    val got = rows(LlmOps.q74PmiCollocations(spark, dir))
+    assert(got == Seq(Seq("a b", 5L, BigDecimal(math.log(4.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("q74: bigrams under the min count are not scored") {
+    // "c d" occurs once (< MinCollocCount) → only "a b" survives
+    val dir = corpus((1L to 5L).map(i => (i, "a b", "en", "s0")) :+ (6L, "c d", "en", "s0"))
+    val got = rows(LlmOps.q74PmiCollocations(spark, dir))
+    assert(got.map(_.head) == Seq("a b"))
+    assert(got.head(2).asInstanceOf[Double] > 0.0)
+  }
+
+  test("q75: a source distributed identically to the corpus has KL 0") {
+    val dir = corpus(Seq(
+      (1L, "x y", "en", "sa"),
+      (2L, "x y", "en", "sb")))
+    val got = rows(LlmOps.q75SourceMixKl(spark, dir))
+    assert(got == Seq(Seq("sa", 2L, 0.0), Seq("sb", 2L, 0.0)))
+  }
+
+  test("q75: a skewed source diverges positively; token totals are per source") {
+    // sa is all-x (4 tokens), sb is all-y (2 tokens); corpus = 4x + 2y
+    // KL(sa) = 1 * ln(1 / (4/6)) = ln(1.5); KL(sb) = ln(3)
+    val dir = corpus(Seq(
+      (1L, "x x x x", "en", "sa"),
+      (2L, "y y", "en", "sb")))
+    val got = rows(LlmOps.q75SourceMixKl(spark, dir))
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      Seq("sa", 4L, r6(math.log(6.0 / 4.0))),
+      Seq("sb", 2L, r6(math.log(3.0)))))
+  }
+
+  test("q76: a shingle in >= BoilerplateDf docs flags the docs containing it") {
+    // 5 docs share "a b c" (df=5) with unique tails; doc 6 is all-unique.
+    // Shared docs: 3 distinct shingles, 1 boilerplate → frac 1/3 > 0.2.
+    val shared = (1L to 5L).map(i => (i, s"a b c u$i v$i", "en", "s0"))
+    val dir = corpus(shared :+ (6L, "p q r s", "en", "s0"))
+    val got = rows(LlmOps.q76BoilerplateNgrams(spark, dir)).map(r => (r(0), r(1), r(2), r(3), r(4)))
+    val sharedExpect = (1L to 5L).map(i => (i, 3L, 1L, 0.333333, 1L))
+    assert(got == sharedExpect :+ ((6L, 2L, 0L, 0.0, 0L)))
+  }
+
+  test("q76: docs under 3 tokens are excluded (no shingles to judge)") {
+    val dir = corpus(Seq((1L, "a b", "en", "s0"), (2L, "a b c", "en", "s0")))
+    val got = rows(LlmOps.q76BoilerplateNgrams(spark, dir))
+    assert(got.map(_.head) == Seq(2L))
+  }
+}
