@@ -227,18 +227,25 @@ object LlmOps {
     * fixed weights and banded. All terms are int/int double divisions
     * combined in identical order on both engines → bit-exact.
     */
+  /** Adds the q54 composite `quality` column (plus its intermediates,
+    * suffixed _q) to a frame carrying (text, n_chars, tok) — shared by
+    * q54 and the q73 single-pass pipeline so the score is the same
+    * expression tree (hence bit-identical doubles) in both.
+    */
+  private def withQualityScore(df: DataFrame): DataFrame = df
+    .withColumn("n_tokens_q", size(col("tok")))
+    .withColumn("n_alpha", length(regexp_replace(lower(col("text")), "[^a-z]", "")))
+    .withColumn("n_punct",
+      length(col("text")) - length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")))
+    .withColumn("n_stop", expr(stopCountS(StopEn)))
+    .withColumn("quality", expr(
+      """0.3 * least(1.0, CAST(n_tokens_q AS DOUBLE) / 50.0)
+        | + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+        | + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens_q)
+        | + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars)""".stripMargin))
+
   val q54QualityScore: Q = (s, dir) => {
-    docsTok(s, dir)
-      .withColumn("n_tokens", size(col("tok")))
-      .withColumn("n_alpha", length(regexp_replace(lower(col("text")), "[^a-z]", "")))
-      .withColumn("n_punct",
-        length(col("text")) - length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")))
-      .withColumn("n_stop", expr(stopCountS(StopEn)))
-      .withColumn("quality", expr(
-        """0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
-          | + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-          | + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens)
-          | + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars)""".stripMargin))
+    withQualityScore(docsTok(s, dir))
       .withColumn("band",
         when(col("quality") >= 0.8, "high")
           .when(col("quality") >= 0.6, "medium")
@@ -883,20 +890,28 @@ object LlmOps {
     * projection at any corpus size. Ratios are int/int double divisions
     * rounded to 6dp (cross-engine bit-stable).
     */
+  /** Adds the q70 repetition signals to a frame carrying tok and a
+    * long `n_tokens` >= 3 — shared by q70 and the q73 single-pass
+    * pipeline so the `repetitive` verdict is the same expression tree
+    * in both.
+    */
+  private def withRepetitionSignals(df: DataFrame): DataFrame = df
+    .withColumn("n_shingles", col("n_tokens") - 2)
+    .withColumn("dup_3gram_ratio", round(
+      lit(1.0) - size(graft.functions.Scalars.distinct_shingles3(col("tok")))
+        .cast("double") / col("n_shingles").cast("double"), 6))
+    .withColumn("max_run", graft.functions.Scalars.token_max_run(col("tok")))
+    .withColumn("top_token_frac", round(
+      graft.functions.Scalars.token_top_count(col("tok")).cast("double") /
+        col("n_tokens").cast("double"), 6))
+    .withColumn("repetitive",
+      (col("top_token_frac") > 0.1 || col("max_run") >= 3).cast("bigint"))
+
   val q70RepetitionStats: Q = (s, dir) => {
-    docsTok(s, dir)
-      .withColumn("n_tokens", size(col("tok")).cast("long"))
-      .filter(col("n_tokens") >= 3)
-      .withColumn("n_shingles", col("n_tokens") - 2)
-      .withColumn("dup_3gram_ratio", round(
-        lit(1.0) - size(graft.functions.Scalars.distinct_shingles3(col("tok")))
-          .cast("double") / col("n_shingles").cast("double"), 6))
-      .withColumn("max_run", graft.functions.Scalars.token_max_run(col("tok")))
-      .withColumn("top_token_frac", round(
-        graft.functions.Scalars.token_top_count(col("tok")).cast("double") /
-          col("n_tokens").cast("double"), 6))
-      .withColumn("repetitive",
-        (col("top_token_frac") > 0.1 || col("max_run") >= 3).cast("bigint"))
+    withRepetitionSignals(
+      docsTok(s, dir)
+        .withColumn("n_tokens", size(col("tok")).cast("long"))
+        .filter(col("n_tokens") >= 3))
       .select(col("doc_id"), col("n_tokens"), col("dup_3gram_ratio"),
         col("max_run"), col("top_token_frac"), col("repetitive"))
       .orderBy(col("doc_id"))
@@ -980,27 +995,39 @@ object LlmOps {
   /** q73: the composed INGEST-SELECT pipeline — what a training run
     * actually executes end-to-end: exact dedup (keep the canonical
     * min-doc_id copy per content hash), quality gate (q54 score ≥ 0.6),
-    * repetition gate (q70 signals clean). One dedup shuffle; both gates
-    * are map-side kernel projections joined on doc_id. Demonstrates that
-    * the operator family composes into one Catalyst plan — filters and
-    * column pruning flow across the operator boundaries.
+    * repetition gate (q70 signals clean). Single-pass shape: ONE base
+    * projection computes content hash, quality, and repetition signals
+    * in the same scan (all map-side kernels, shared via
+    * withQualityScore/withRepetitionSignals so the gates are
+    * bit-identical to q54/q70); the canonical set is a map-side-combined
+    * groupBy over that projection (partial aggregation collapses
+    * duplicate hashes per task, so mass-duplicated texts can't skew a
+    * reducer — the window-over-hash formulation was rejected for exactly
+    * that reason) semi-joined back on the uniform doc_id key. Both
+    * gates filter BEFORE the join, shrinking its probe side.
+    *
+    * The >= 3-token floor commutes with the dedup: identical texts have
+    * identical token counts, so a hash group is entirely inside or
+    * entirely outside the floor and min-per-group is unchanged — which
+    * keeps this equivalent to gating q54/q70/canonical independently
+    * (the oracle's formulation).
     */
   val q73IngestSelect: Q = (s, dir) => {
-    val canonical = t(s, dir, "documents")
+    val base = withQualityScore(
+      withRepetitionSignals(
+        docsTok(s, dir)
+          .withColumn("n_tokens", size(col("tok")).cast("long"))
+          .filter(col("n_tokens") >= 3)))
       .withColumn("content_hash", md5(col("text").cast("binary")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+        col("repetitive"), col("content_hash"))
+    val canonical = base
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val quality = q54QualityScore(s, dir)
-      .select(col("doc_id"), col("quality"))
-    val repetition = q70RepetitionStats(s, dir)
-      .select(col("doc_id"), col("repetitive"))
-    docsTok(s, dir)
-      .select(col("doc_id"), col("lang"), size(col("tok")).cast("long").as("n_tokens"))
-      .join(canonical, Seq("doc_id"))
-      .join(quality, Seq("doc_id"))
-      .join(repetition, Seq("doc_id"))
+    base
       .filter(col("quality") >= 0.6 && col("repetitive") === 0)
+      .join(canonical, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
       .orderBy(col("doc_id"))
   }
@@ -1082,6 +1109,13 @@ object LlmOps {
     * is shingle-vocab-sized and carries only (shingle, df)); the
     * per-doc rollup re-keys on doc_id. All counts are map-side
     * combinable; no threshold materializes a driver-side set.
+    *
+    * Deliberate shape: a count-over-window(shingle) formulation would
+    * fold the df computation into one scan, but boilerplate shingles
+    * are BY DEFINITION the hottest keys (present in millions of docs),
+    * and window skew cannot be split — whereas this equi-join's skewed
+    * keys are handled by AQE skew-join and the df aggregate collapses
+    * map-side. The price is a second scan of one pruned column.
     */
   val q76BoilerplateNgrams: Q = (s, dir) => {
     val ds = docsShingled(s, dir).select(col("doc_id"), explode(col("sh")).as("s"))

@@ -166,6 +166,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), s"expected decorrelated joins:\n$p")
   }
 
+  // AQE resolves exchange reuse at runtime, so these properties are
+  // only visible on the executed final plan (the Initial Plan section
+  // repeats the un-reused original and is stripped before counting).
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  private def scans(p: String): Int = "Scan parquet".r.findAllIn(p).size
+
+  test("q73: ingest-select is single-pass — two pruned scans, dedup via semi join") {
+    val p = finalPlan("q73_ingest_select")
+    assert(scans(p) == 2, s"expected base + canonical scans only:\n$p")
+    assert(p.contains("LeftSemi"), s"canonical set should semi-join back:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q74: bigram/unigram count exchanges are computed once and reused") {
+    val p = finalPlan("q74_pmi_collocations")
+    assert(p.contains("ReusedExchange"),
+      s"totals should reuse the count exchanges, not rescan:\n$p")
+    assert(scans(p) <= 2, s"PMI should scan the corpus at most twice:\n$p")
+  }
+
+  test("q75: the (source,word) count exchange feeds every downstream aggregate") {
+    val p = finalPlan("q75_source_mix_kl")
+    assert(p.contains("ReusedExchange"), s"per-source/corpus totals should reuse:\n$p")
+    assert(scans(p) <= 2, s"KL should scan the corpus at most twice:\n$p")
+  }
+
+  test("q76: boilerplate df join is an equi-join (AQE-splittable), never a cross product") {
+    val p = finalPlan("q76_boilerplate_ngrams")
+    assert(scans(p) <= 2)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("custom scalar expressions do not break whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.Scalars._
