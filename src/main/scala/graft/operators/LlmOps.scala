@@ -1132,7 +1132,46 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q77: embedding outlier detection — score every vector by cosine
+    * similarity to its label centroid, then flag |z| > 2 within the
+    * label (the corrupt-embedding / mislabeled-vector curation filter).
+    * Shapes: the centroid is a posexplode → (label, dim) average — the
+    * group count is label×dim (constant), but partial aggregation
+    * collapses each map task to ≤ label×dim rows, so shuffle volume is
+    * tasks×groups, never corpus-sized, and no window ever partitions by
+    * label. Centroids and per-label score moments are tiny and
+    * broadcast; scoring itself is the codegen'd CosineSim kernel in a
+    * narrow map. Three pruned scans (centroid, score, moments) — the
+    * moment pass rides a broadcast join so there is no exchange to
+    * reuse, and caching a 100 TB scored table would cost more than the
+    * rescan.
+    */
+  val q77EmbeddingOutliers: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i")).agg(avg(col("v")).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("sc"))
+      .withColumn("centroid", expr("transform(sc, x -> x.c)"))
+      .select(col("label"), col("centroid"))
+    val scored = e
+      .join(broadcast(cent), Seq("label"))
+      .withColumn("cos_centroid",
+        round(graft.functions.Scalars.cosine_sim(col("embedding"), col("centroid")), 6))
+      .select(col("vec_id"), col("label"), col("cos_centroid"))
+    val moments = scored.groupBy(col("label"))
+      .agg(avg(col("cos_centroid")).as("mu"), stddev(col("cos_centroid")).as("sd"))
+    scored
+      .join(broadcast(moments), Seq("label"))
+      .withColumn("z", round((col("cos_centroid") - col("mu")) / col("sd"), 6))
+      .withColumn("outlier", (abs(col("z")) > 2.0).cast("bigint"))
+      .select(col("vec_id"), col("label"), col("cos_centroid"), col("z"), col("outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q77_embedding_outliers" -> q77EmbeddingOutliers,
     "q74_pmi_collocations" -> q74PmiCollocations,
     "q75_source_mix_kl" -> q75SourceMixKl,
     "q76_boilerplate_ngrams" -> q76BoilerplateNgrams,
@@ -1356,6 +1395,24 @@ object LlmOps {
         |  round(sum(ln((CAST(c2 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v.v))) / count(*), 6) AS avg_ll
         |FROM doc_bi JOIN bi USING (bigram) JOIN uni USING (w1), v
         |GROUP BY doc_id, v.v ORDER BY doc_id""".stripMargin,
+    "q77_embedding_outliers" ->
+      s"""WITH ex AS (
+        |  SELECT vec_id, label, r.i AS i, embedding[r.i]::DOUBLE AS v
+        |  FROM embeddings, LATERAL unnest(range(1, len(embedding)+1)) AS r(i)),
+        |cent AS (SELECT label, list(c ORDER BY i) AS centroid FROM (
+        |           SELECT label, i, avg(v) AS c FROM ex GROUP BY label, i)
+        |         GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) AS cos_centroid
+        |  FROM embeddings e JOIN cent c USING (label)),
+        |mo AS (SELECT label, avg(cos_centroid) AS mu, stddev(cos_centroid) AS sd
+        |       FROM scored GROUP BY label)
+        |SELECT s.vec_id, s.label, s.cos_centroid,
+        |  round((s.cos_centroid - mo.mu) / mo.sd, 6) AS z,
+        |  CAST(abs(round((s.cos_centroid - mo.mu) / mo.sd, 6)) > 2.0 AS BIGINT) AS outlier
+        |FROM scored s JOIN mo USING (label)
+        |ORDER BY s.vec_id""".stripMargin,
     "q74_pmi_collocations" ->
       s"""WITH toks AS (SELECT doc_id, $toksD AS tok FROM documents),
         |doc_bi AS (

@@ -82,4 +82,35 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     val got = rows(LlmOps.q76BoilerplateNgrams(spark, dir))
     assert(got.map(_.head) == Seq(2L))
   }
+
+  /** Writes vecs as an embeddings.parquet table and returns the dir. */
+  private def embCorpus(vecs: Seq[(Long, Seq[Float], Int)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-emb").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q77: the one vector pointing away from its label centroid is the outlier") {
+    // 9 copies of e_x and one e_y under label 0: centroid ~ [0.9, 0.1],
+    // the e_y vector sits ~2.8 sample stddevs below the mean cosine
+    val vecs = (1L to 9L).map(i => (i, Seq(1f, 0f), 0)) :+ (10L, Seq(0f, 1f), 0)
+    val got = rows(LlmOps.q77EmbeddingOutliers(spark, embCorpus(vecs)))
+      .map(r => (r(0).asInstanceOf[Long], r(4).asInstanceOf[Long]))
+    assert(got == (1L to 9L).map(i => (i, 0L)) :+ ((10L, 1L)))
+  }
+
+  test("q77: z-scores are computed within label, not across the corpus") {
+    // label 0 has an outlier; label 1's tight cluster must not be
+    // dragged into label 0's moments (its own z-scores stay small)
+    val l0 = (1L to 9L).map(i => (i, Seq(1f, 0f), 0)) :+ (10L, Seq(0f, 1f), 0)
+    val l1 = (11L to 18L).map(i => (i, Seq(0.6f, 0.8f), 1)) :+
+      (19L, Seq(0.5f, 0.9f), 1) :+ (20L, Seq(0.7f, 0.7f), 1)
+    val got = rows(LlmOps.q77EmbeddingOutliers(spark, embCorpus(l0 ++ l1)))
+      .map(r => (r(0).asInstanceOf[Long], r(4).asInstanceOf[Long])).toMap
+    assert(got(10L) == 1L)
+    assert((11L to 20L).forall(i => got(i) == 0L),
+      "label-1 vectors wrongly flagged against label-0 moments")
+  }
 }
