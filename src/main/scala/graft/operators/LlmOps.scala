@@ -232,7 +232,7 @@ object LlmOps {
     * q54 and the q73 single-pass pipeline so the score is the same
     * expression tree (hence bit-identical doubles) in both.
     */
-  private def withQualityScore(df: DataFrame): DataFrame = df
+  private[graft] def withQualityScore(df: DataFrame): DataFrame = df
     .withColumn("n_tokens_q", size(col("tok")))
     .withColumn("n_alpha", length(regexp_replace(lower(col("text")), "[^a-z]", "")))
     .withColumn("n_punct",
@@ -895,7 +895,7 @@ object LlmOps {
     * pipeline so the `repetitive` verdict is the same expression tree
     * in both.
     */
-  private def withRepetitionSignals(df: DataFrame): DataFrame = df
+  private[graft] def withRepetitionSignals(df: DataFrame): DataFrame = df
     .withColumn("n_shingles", col("n_tokens") - 2)
     .withColumn("dup_3gram_ratio", round(
       lit(1.0) - size(graft.functions.Scalars.distinct_shingles3(col("tok")))

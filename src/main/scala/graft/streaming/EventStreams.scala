@@ -116,4 +116,29 @@ object EventStreams {
     import s.implicits._
     graft.Engine.table(s, dir, "events").as[Event]
   }
+
+  /** Streaming twin of the q73 ingest gate, for documents arriving on
+    * a stream (columns ts, doc_id, text, lang, n_chars): exact dedup by
+    * content hash within the watermark (the ONLY stateful piece — state
+    * is bounded by the watermark horizon, not the corpus), then the
+    * same quality and repetition gates as batch, reused from LlmOps so
+    * the expressions are identical kernel projections (narrow,
+    * stateless, codegen'd). Emits content-derived columns only, so the
+    * output is invariant to which duplicate the dedup keeps.
+    */
+  def streamingIngestGate(docs: DataFrame): DataFrame = {
+    val base = graft.operators.LlmOps.withQualityScore(
+      graft.operators.LlmOps.withRepetitionSignals(
+        docs
+          .withColumn("tok", expr(graft.operators.LlmOps.toksS))
+          .withColumn("n_tokens", size(col("tok")).cast("long"))
+          .filter(col("n_tokens") >= 3)))
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+    base
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .filter(col("quality") >= 0.6 && col("repetitive") === 0)
+      .select(col("content_hash"), col("lang"), col("n_tokens"),
+        round(col("quality"), 6).as("quality"))
+  }
 }

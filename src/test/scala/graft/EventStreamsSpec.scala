@@ -230,4 +230,47 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streaming == batch)
     } finally q.stop()
   }
+
+  test("streaming ingest gate: dedup + quality + repetition gates == batch twin") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    import graft.operators.LlmOps
+    def doc(id: Long, t: String, text: String) =
+      StreamDoc(id, Timestamp.valueOf(t), text, "en", text.length.toLong)
+    val good = "the and of to in is that for quick brown lazy dog wolf bird fish stone"
+    val docs = Seq(
+      doc(1, "2024-01-01 10:00:00", good),
+      doc(2, "2024-01-01 10:01:00", good), // in-watermark duplicate
+      doc(3, "2024-01-01 10:02:00", "x!! y?? z,, w.. v!! u??"), // low quality
+      doc(4, "2024-01-01 10:03:00", "spam spam spam spam spam spam spam spam")) // repetitive
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamDoc]
+    ms.addData(docs)
+    val q = EventStreams.streamingIngestGate(ms.toDF())
+      .writeStream.format("memory").queryName("ingest_gate_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streaming = sortedRows(spark.table("ingest_gate_out"))
+      val batchDf = docs.toDF()
+      val batch = sortedRows(
+        LlmOps.withQualityScore(LlmOps.withRepetitionSignals(
+            batchDf
+              .withColumn("tok", expr(LlmOps.toksS))
+              .withColumn("n_tokens", size(col("tok")).cast("long"))
+              .filter(col("n_tokens") >= 3)))
+          .withColumn("content_hash", md5(col("text").cast("binary")))
+          .dropDuplicates("content_hash")
+          .filter(col("quality") >= 0.6 && col("repetitive") === 0)
+          .select(col("content_hash"), col("lang"), col("n_tokens"),
+            round(col("quality"), 6).as("quality")))
+      assert(streaming == batch)
+      // exactly the good document survives, once
+      assert(streaming.size == 1)
+    } finally q.stop()
+  }
 }
+
+/** Document arriving on a stream (ingest-gate twin input). */
+case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String,
+    lang: String, n_chars: Long)
