@@ -51,6 +51,14 @@ object LlmOps {
 
   /** q74: a bigram must occur this often corpus-wide to be scored. */
   val MinCollocCount = 5L
+  /** q78: chunk width and stride in tokens (overlap = width − stride). */
+  val ChunkSize = 32
+  val ChunkStride = 24
+  /** q80: BM25 parameters and the fixed benchmark query. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms = Seq("spark", "table", "join", "vector")
+  val Bm25TopK = 20
   /** q76: a 3-gram present in at least this many documents is
     * boilerplate; a doc whose distinct-shingle boilerplate fraction
     * exceeds the threshold is flagged.
@@ -1170,7 +1178,112 @@ object LlmOps {
       .orderBy(col("vec_id"))
   }
 
+  /** q78: sliding-window document chunking — the embedding/RAG
+    * preprocessing step: split every document into [[ChunkSize]]-token
+    * windows advancing by [[ChunkStride]] (so consecutive chunks
+    * overlap by ChunkSize−ChunkStride tokens). Entirely map-side —
+    * sequence/slice/array_join are codegen'd builtins, the explode
+    * multiplies rows by ~n_tokens/stride with no shuffle at all, and
+    * chunk ordinals are per-document (never a global or per-stratum
+    * window). The output partitioning is inherited from the scan, which
+    * is exactly what a downstream embedding pass wants.
+    */
+  val q78Chunking: Q = (s, dir) => {
+    docsTok(s, dir)
+      .withColumn("n_tokens", size(col("tok")).cast("long"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("chunk_idx",
+        explode(expr(s"sequence(0L, (n_tokens - 1) DIV $ChunkStride)")))
+      .withColumn("chunk_start", col("chunk_idx") * ChunkStride + 1)
+      .withColumn("chunk_tok",
+        expr(s"slice(tok, chunk_start, $ChunkSize)"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        size(col("chunk_tok")).cast("long").as("n_chunk_tokens"),
+        array_join(col("chunk_tok"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** q79: the corpus report card — per-source rollup of the whole
+    * quality family: doc counts, exact-duplicate rate, mean quality,
+    * repetitive share, mean length (what a data-curation team reviews
+    * before a training run; restricted to the >= 3-token docs the
+    * repetition signals are defined on). Shapes: ONE base scan (the q73
+    * projection), then the q32 discipline for the distinct-hash count —
+    * aggregate (source, hash) FIRST (map-side combinable; collapses
+    * duplicate groups early) and roll level-2 sums up from the grouped
+    * table, so no distinct-expand ever carries per-doc rows and every
+    * mean is an exact sum over counted rows. No window, no join.
+    */
+  val q79CorpusReport: Q = (s, dir) => {
+    val base = withQualityScore(
+      withRepetitionSignals(
+        docsTok(s, dir)
+          .withColumn("n_tokens", size(col("tok")).cast("long"))
+          .filter(col("n_tokens") >= 3)))
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .select(col("source"), col("content_hash"), col("n_tokens"),
+        col("quality"), col("repetitive"))
+    base
+      .groupBy(col("source"), col("content_hash"))
+      .agg(count(lit(1)).as("cnt"), sum(col("quality")).as("sq"),
+        sum(col("repetitive")).as("sr"), sum(col("n_tokens")).as("stk"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"), count(lit(1)).as("n_distinct"),
+        sum(col("sq")).as("sq"), sum(col("sr")).as("sr"), sum(col("stk")).as("stk"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        round(col("sq") / col("n_docs").cast("double"), 6).as("mean_quality"),
+        round(col("sr").cast("double") / col("n_docs").cast("double"), 6)
+          .as("pct_repetitive"),
+        round(col("stk").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** q80: BM25 retrieval scoring — rank the corpus against a term
+    * query with the Lucene-variant BM25 (idf = ln(1 + (N−df+0.5)/
+    * (df+0.5)), k1/b saturation on tf and length). Shapes: the explode
+    * is filtered to query terms BEFORE the (doc, term) count shuffle,
+    * so shuffle volume is matching tokens only — the corpus-wide
+    * totals (N, avgdl) are a broadcast 1-row aggregate, df is a
+    * re-aggregation of the tf table (query-term-sized, broadcast
+    * back), dl rides the tf rows as a max (constant per doc, no join
+    * back to the corpus), and the final top-k is
+    * TakeOrderedAndProject, never a global sort. Ranking compares
+    * 6dp-rounded scores with a doc_id tie-break (cross-engine
+    * deterministic).
+    */
+  val q80Bm25: Q = (s, dir) => {
+    val toks = docsTok(s, dir)
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(size(col("tok"))).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks
+      .withColumn("dl", size(col("tok")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("tok")).as("w"))
+      .filter(col("w").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n") - col("df").cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5)) *
+          (col("tf").cast("double") * (Bm25K1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q79_corpus_report" -> q79CorpusReport,
+    "q80_bm25" -> q80Bm25,
+    "q78_chunking" -> q78Chunking,
     "q77_embedding_outliers" -> q77EmbeddingOutliers,
     "q74_pmi_collocations" -> q74PmiCollocations,
     "q75_source_mix_kl" -> q75SourceMixKl,
@@ -1395,6 +1508,67 @@ object LlmOps {
         |  round(sum(ln((CAST(c2 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v.v))) / count(*), 6) AS avg_ll
         |FROM doc_bi JOIN bi USING (bigram) JOIN uni USING (w1), v
         |GROUP BY doc_id, v.v ORDER BY doc_id""".stripMargin,
+    "q79_corpus_report" ->
+      s"""WITH $qualityCtesD,
+        |$repCtesD,
+        |rep2 AS (
+        |  SELECT b.doc_id,
+        |    CAST(round(CAST(t2.top_c AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6) > 0.1
+        |         OR m.max_run >= 3 AS BIGINT) AS repetitive
+        |  FROM base b JOIN mr m USING (doc_id) JOIN tc t2 USING (doc_id)),
+        |d AS (
+        |  SELECT doc.source, md5(doc.text) AS content_hash, b.n_tokens,
+        |    q.quality, r2.repetitive
+        |  FROM documents doc
+        |    JOIN base b USING (doc_id)
+        |    JOIN q USING (doc_id)
+        |    JOIN rep2 r2 USING (doc_id)),
+        |l1 AS (
+        |  SELECT source, content_hash, count(*) AS cnt, sum(quality) AS sq,
+        |    CAST(sum(repetitive) AS BIGINT) AS sr, CAST(sum(n_tokens) AS BIGINT) AS stk
+        |  FROM d GROUP BY source, content_hash),
+        |l2 AS (
+        |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+        |    sum(sq) AS sq, CAST(sum(sr) AS BIGINT) AS sr, CAST(sum(stk) AS BIGINT) AS stk
+        |  FROM l1 GROUP BY source)
+        |SELECT source, n_docs, n_distinct,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+        |  round(sq / CAST(n_docs AS DOUBLE), 6) AS mean_quality,
+        |  round(CAST(sr AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pct_repetitive,
+        |  round(CAST(stk AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_tokens
+        |FROM l2 ORDER BY source""".stripMargin,
+    "q80_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, $toksD AS tok FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                 CAST(sum(len(tok)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+        |tf AS (
+        |  SELECT doc_id, w, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl, unnest(tok) AS w FROM toks)
+        |  WHERE w IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+        |  GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+        |SELECT doc_id,
+        |  round(sum(
+        |    ln(1.0 + (stats.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf.tf AS DOUBLE) * ($Bm25K1 + 1.0)) /
+        |    (CAST(tf.tf AS DOUBLE) +
+        |      $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6) AS bm25
+        |FROM tf JOIN df USING (w), stats
+        |GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
+    "q78_chunking" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, $toksD AS tok FROM documents)
+        |  WHERE len(tok) >= 1)
+        |SELECT doc_id, r.i AS chunk_idx,
+        |  r.i * $ChunkStride + 1 AS chunk_start,
+        |  CAST(len(list_slice(tok, r.i * $ChunkStride + 1,
+        |    least(r.i * $ChunkStride + $ChunkSize, n_tokens))) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(tok, r.i * $ChunkStride + 1,
+        |    least(r.i * $ChunkStride + $ChunkSize, n_tokens)), ' ') AS chunk_text
+        |FROM toks, LATERAL unnest(range(0, (n_tokens - 1) // $ChunkStride + 1)) AS r(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q77_embedding_outliers" ->
       s"""WITH ex AS (
         |  SELECT vec_id, label, r.i AS i, embedding[r.i]::DOUBLE AS v

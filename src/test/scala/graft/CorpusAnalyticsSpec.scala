@@ -83,6 +83,40 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(got.map(_.head) == Seq(2L))
   }
 
+  test("q78: sliding chunks advance by the stride and truncate at the end") {
+    // 40 tokens, width 32 / stride 24: chunk 0 = tokens 1-32,
+    // chunk 1 = tokens 25-40 (16 tokens, overlapping 8)
+    val toks = (1 to 40).map(i => s"t$i")
+    val dir = corpus(Seq((1L, toks.mkString(" "), "en", "s0"), (2L, "a b c", "en", "s0")))
+    val got = rows(LlmOps.q78Chunking(spark, dir))
+    assert(got == Seq(
+      Seq(1L, 0L, 1L, 32L, toks.take(32).mkString(" ")),
+      Seq(1L, 1L, 25L, 16L, toks.drop(24).mkString(" ")),
+      Seq(2L, 0L, 1L, 3L, "a b c")))
+  }
+
+  test("q79: duplicate rate and counts roll up per source") {
+    val dup = "the quick brown fox and the lazy dog of winter for that"
+    val dir = corpus(Seq(
+      (1L, dup, "en", "sa"), (2L, dup, "en", "sa"),
+      (3L, "one two three four five six seven eight nine ten eleven stone", "en", "sa"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu", "en", "sb")))
+    val got = rows(LlmOps.q79CorpusReport(spark, dir))
+      .map(r => (r(0), r(1), r(2), r(3)))
+    assert(got == Seq(("sa", 3L, 2L, 0.333333), ("sb", 1L, 1L, 0.0)))
+    val meanTokens = rows(LlmOps.q79CorpusReport(spark, dir)).map(_(6))
+    assert(meanTokens == Seq(12.0, 12.0))
+  }
+
+  test("q80: docs matching more query terms outrank single-term docs; no-term docs are absent") {
+    val dir = corpus(Seq(
+      (1L, "spark table join vector alpha beta gamma delta epsilon zeta", "en", "s0"),
+      (2L, "spark alpha beta gamma delta epsilon zeta eta theta iota", "en", "s0"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s0")))
+    val got = rows(LlmOps.q80Bm25(spark, dir)).map(_(0).asInstanceOf[Long])
+    assert(got == Seq(1L, 2L), "expected all-terms doc first, no-terms doc absent")
+  }
+
   /** Writes vecs as an embeddings.parquet table and returns the dir. */
   private def embCorpus(vecs: Seq[(Long, Seq[Float], Int)]): String = {
     import spark.implicits._
