@@ -636,80 +636,119 @@ object LlmOps {
   }
 
   /** q62: near-dup CLUSTER assignment — connected components over the
-    * q55 SimHash pair graph by iterative min-label propagation, then a
-    * keep/drop verdict per doc (keep = cluster minimum). Pairs alone
-    * don't dedup a corpus: A~B and B~C must collapse to ONE kept doc
-    * even when A~C wasn't a candidate pair.
-    *
-    * The loop converges in O(component diameter) rounds (near-dup
-    * clusters are shallow — single digits even at corpus scale), each
-    * round one shuffle on doc_id. At 10^9+ nodes with adversarial
-    * diameters the same loop upgrades to the large-star/small-star
-    * optimization (Kiveris et al., "Connected Components in MapReduce
-    * and Beyond") without changing the contract. DuckDB oracle: the
-    * same fixpoint via a recursive CTE.
+    * q55 SimHash pair graph, then a keep/drop verdict per doc (keep =
+    * cluster minimum). Pairs alone don't dedup a corpus: A~B and B~C
+    * must collapse to ONE kept doc even when A~C wasn't a candidate
+    * pair. DuckDB oracle: the same fixpoint via a recursive CTE.
     */
+  /** Edge-count cutoff for the single-aggregation union-find fast path
+    * in [[connectedComponents]]: 2^19 (long,long) edges ≈ 8 MB — the
+    * same order as `spark.sql.autoBroadcastJoinThreshold`, i.e. "small
+    * enough to sit in one task's memory without question". Near-dup
+    * candidate graphs are ~n_dup edges, orders of magnitude smaller
+    * than the corpus (2.6k at sf0.1), so real corpora take the fast
+    * path until the dup graph alone passes half a million edges.
+    */
+  val SmallGraphEdgeLimit: Long = 1L << 19
+
   /** Distributed connected components over an undirected pair list
     * (doc_a, doc_b) → (doc_id, label) with label = component minimum,
     * one row per NON-SINGLETON node (nodes with at least one edge — a
     * small fraction of any real corpus; singletons join in afterward at
-    * zero loop cost). Iterative min-label propagation with one pointer
-    * jump per round; O(log diameter) rounds, one action per round.
-    * Tested directly on synthetic chain/star/multi-component graphs
-    * (ConnectedComponentsSpec) and end-to-end via q62's recursive-CTE
-    * oracle.
+    * zero cost). Two regimes, picked by one cheap count on the cached
+    * pair list:
+    *
+    *  - `≤ smallLimit` edges: ONE aggregation — per-partition partial
+    *    union-finds merged into a single reduce task
+    *    ([[graft.functions.UnionFindAgg]]). No loop, no per-round
+    *    checkpoint/codegen, no driver collect; the labels never leave
+    *    the executors.
+    *  - larger graphs: alternating large-star/small-star rounds
+    *    (Kiveris et al., "Connected Components in MapReduce and
+    *    Beyond") — O(log n) rounds regardless of component diameter,
+    *    per-round shuffles proportional to the edge set, one
+    *    materialization per round.
+    *
+    * Both paths are tested on the same synthetic chain/star/
+    * multi-component graphs (ConnectedComponentsSpec forces each) and
+    * end-to-end via q62's recursive-CTE oracle.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    // right-sizing the loop's partitioning to the GRAPH (orders of
-    // magnitude smaller than the corpus — 2.6k edges at sf0.1, ~n_dup at
-    // any scale) is AQE's job: every per-round exchange is coalesced to
-    // the graph's actual byte size, so no blocking count() is needed to
-    // pick a partition count up front.
-    val edges = pairs.unionAll(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).cache()
-    var changed = 1L
-    while (changed > 0) {
-      // each node adopts min(own label, neighbors' labels) ...
-      val viaEdges = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("label")).as("nbr_label"))
-      val propagated = labels.withColumnRenamed("label", "old")
-        .join(viaEdges, Seq("doc_id"))
-        .select(col("doc_id"), col("old"),
-          least(col("old"), col("nbr_label")).as("label"))
-      // ... then pointer-jumps: label(v) := label(label(v)). Plain
-      // propagation needs O(component diameter) rounds — near-dup
-      // CHAINS (doc_i ~ doc_i+1) make the diameter linear in cluster
-      // size; with path compression convergence is logarithmic. One
-      // jump only: each jump doubles the references to the round's
-      // un-materialized subtree, so compounding them re-computes the
-      // propagation join exponentially (measured 5× slower with two).
-      val jumped = propagated.join(
-          propagated.select(col("doc_id").as("label"), col("label").as("j")),
-          Seq("label"))
-        .select(col("doc_id"), col("old"), col("j").as("label"))
+  def connectedComponents(
+      pairs: DataFrame,
+      smallLimit: Long = SmallGraphEdgeLimit): DataFrame = {
+    val p = pairs.toDF("src", "dst").persist()
+    val nEdges = p.count()
+    val out =
+      if (nEdges <= smallLimit) {
+        p.agg(graft.functions.UnionFindAgg
+            .union_find_labels(col("src"), col("dst")).as("ls"))
+          .localCheckpoint(true) // one row — materialize so p can be freed
+          .select(explode(col("ls")).as("e"))
+          .select(col("e.node").as("doc_id"), col("e.label").as("label"))
+      } else largeSmallStarCC(p)
+    p.unpersist()
+    out
+  }
+
+  /** Large-star/small-star connected components (big-graph path).
+    * Invariant: the edge set is kept canonical (a < b, distinct). Each
+    * round applies large-star (every node points its larger neighbors
+    * at its neighborhood minimum) then small-star (every node's smaller
+    * neighbors collapse onto the minimum), materialized once via
+    * localCheckpoint. Converged when the edge set reaches its fixpoint:
+    * a disjoint union of stars whose centers are the component minima.
+    * Round count is O(log n) (Kiveris et al. Thm 4.4) — the 64-round
+    * guard is a correctness backstop, not a tuning knob.
+    */
+  private def largeSmallStarCC(pairs: DataFrame): DataFrame = {
+    var edges = pairs.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = edges.count()
+    var converged = nEdges == 0
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64,
+        "large-star/small-star did not converge in 64 rounds")
+      // large-star: for each node u, m = min(N(u) ∪ {u}); emit (m, v)
+      // for every larger neighbor v > u. Keeps canonical a < b since
+      // m ≤ u < v.
+      val nbrs = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val ls = nbrs.join(lsMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+      // small-star: group canonical edges by their larger endpoint b;
+      // m = min of b's smaller neighbors; collapse N(b) ∪ {b} onto m.
+      val ssMin = ls.groupBy(col("b")).agg(min(col("a")).as("m"))
+      val ss = ls.join(ssMin, Seq("b"))
+        .filter(col("a") =!= col("m"))
+        .select(col("m").as("a"), col("a").as("b"))
+        .unionAll(ssMin.select(col("m").as("a"), col("b")))
+        .distinct()
+      // ONE materialization per round (count rides the checkpoint via
+      // observe); equality check = same count + empty (new \ old),
+      // which together imply set equality.
       val obs = org.apache.spark.sql.Observation()
-      // ONE action per round: materialize + cut lineage + metric.
-      // localCheckpoint every round is deliberate: letting the logical
-      // plan grow between checkpoints (cache+count hybrid) re-analyzes
-      // an ever-larger plan each round — measured 8× slower over 10
-      // rounds. The checkpoint blocks (|nodes| rows × rounds) are freed
-      // asynchronously by the ContextCleaner once the loop's references
-      // drop; Dataset.unpersist cannot free them earlier.
-      val next = jumped
-        .observe(obs, sum((col("label") =!= col("old")).cast("long")).as("changed"))
-        .select(col("doc_id"), col("label"))
-        .localCheckpoint(true)
-      changed = obs.get("changed").asInstanceOf[Long]
-      labels.unpersist()
-      labels = next
+      val next = ss.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+      val nNext = obs.get("n").asInstanceOf[Long]
+      converged = nNext == nEdges &&
+        next.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      edges.unpersist()
+      edges = next
+      nEdges = nNext
     }
-    edges.unpersist()
-    labels
+    // fixpoint stars: center a = component min labels itself; the
+    // groupBy-min is defensive canonicalization, not extra semantics.
+    edges.select(col("b").as("doc_id"), col("a").as("label"))
+      .unionAll(edges.select(col("a").as("doc_id"), col("a").as("label")))
+      .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
   }
 
   val q62NearDupClusters: Q = (s, dir) => {
