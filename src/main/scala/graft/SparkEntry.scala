@@ -23,10 +23,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.LlmOps.queries ++
-      operators.Multimodal.queries ++ operators.RumorPipeline.queries
+      operators.Multimodal.queries ++ operators.RumorPipeline.queries ++
+      sources.TrainingShards.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.LlmOps.oracles ++
-      operators.Multimodal.oracles ++ operators.RumorPipeline.oracles
+      operators.Multimodal.oracles ++ operators.RumorPipeline.oracles ++
+      sources.TrainingShards.oracles
 }

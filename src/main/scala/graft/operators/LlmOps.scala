@@ -910,6 +910,15 @@ object LlmOps {
     * map-side shingling, one equi-join shuffle carrying (hash, doc_id),
     * never document text and never all-pairs; the canonical
     * contamination-scan shape at corpus scale.
+    *
+    * Before that shuffle, the training side is pruned by a runtime
+    * Bloom filter built from the benchmark side's hash set
+    * ([[graft.functions.RuntimeBloom]]): at 100 TB almost every corpus
+    * shingle misses the (tiny) benchmark set, so the probe drops them
+    * map-side and the shuffle carries only might-match rows. The exact
+    * join after the probe makes Bloom false positives invisible —
+    * results are bit-identical with the filter on or off
+    * (PlanSpec asserts the probe sits on the training side).
     */
   val q69Decontaminate: Q = (s, dir) => {
     val shingled = docsShingled(s, dir)
@@ -918,7 +927,8 @@ object LlmOps {
       .withColumn("h", expr(hashS("shingle")))
     val bench = shingled.filter(col("doc_id") < 20)
       .select(col("h")).distinct()
-    shingled.filter(col("doc_id") >= 20)
+    graft.functions.RuntimeBloom.prunedBySmall(
+        shingled.filter(col("doc_id") >= 20), col("h"), bench, col("h"))
       .join(bench, Seq("h"))
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("shared_shingles"))

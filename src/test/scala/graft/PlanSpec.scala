@@ -203,6 +203,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q69: training side carries a runtime Bloom probe before the contamination join") {
+    val p = finalPlan("q69_decontaminate")
+    // the probe must survive into the executed plan (map-side, pre-shuffle) ...
+    assert(p.contains("might_contain"),
+      s"expected a bloom might_contain probe on the training side:\n$p")
+    // ... and the exact equi-join must still run after it (the bloom is
+    // a superset filter, not the join itself)
+    assert(p.contains("Join"), s"expected the exact contamination join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q81: shard write parallelism is corpus-proportional (REBALANCE, no single-task funnel)") {
+    val p = graft.sources.TrainingShards
+      .shardPlan(Engine.table(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
+    // the write-side exchange must be an AQE-splittable rebalance on the
+    // partition keys — a repartition would pin one task per (lang,bucket)
+    // group however large, a coalesce(1) would serialize the whole write
+    assert(p.contains("REBALANCE_PARTITIONS_BY_COL"),
+      s"expected a rebalance exchange on (lang, bucket):\n$p")
+    assert(!p.contains("SinglePartition") && !p.contains("Coalesce"),
+      s"shard write must never funnel through one task:\n$p")
+  }
+
   test("custom scalar expressions do not break whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.Scalars._
