@@ -547,15 +547,35 @@ object LlmOps {
   def annIvf(s: SparkSession, dir: String, nprobeN: Int): DataFrame = {
     graft.Functions.registerAll(s)
     val e = t(s, dir, "embeddings")
-    def assign(df: DataFrame, cents: DataFrame, idCol: String, nprobe: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("cscore").desc, col("cent_id").asc)
+    // nprobe=1 (every corpus/Lloyd assignment): nearest centroid via
+    // max_by — a hash aggregation (map-side combinable, one buffer per
+    // vector), NOT a row_number window, which would sort the full n×K
+    // candidate set per assignment; three assignments per build makes
+    // that the whole query's cost. Tie policy matches the window form:
+    // highest score, then lowest cent_id (the negated id in the
+    // comparator struct).
+    def assign1(df: DataFrame, cents: DataFrame, idCol: String): DataFrame =
       df.crossJoin(broadcast(cents))
         .withColumn("cscore", cosineC(col("embedding"), col("cent")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= nprobe)
-        .drop("cscore", "cent")
-    }
+        .groupBy(col(idCol))
+        .agg(max_by(
+          struct(col("embedding"), col("cent_id")),
+          struct(col("cscore"), (-col("cent_id")).as("nc"))).as("best"))
+        .select(col(idCol), col("best.embedding").as("embedding"),
+          col("best.cent_id").as("cent_id"))
+    // nprobe>1 (the 10 probe vectors only): the window form on a
+    // probe-sized input
+    def assign(df: DataFrame, cents: DataFrame, idCol: String, nprobe: Int): DataFrame =
+      if (nprobe == 1) assign1(df, cents, idCol)
+      else {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("cscore").desc, col("cent_id").asc)
+        df.crossJoin(broadcast(cents))
+          .withColumn("cscore", cosineC(col("embedding"), col("cent")))
+          .withColumn("crn", row_number().over(w))
+          .filter(col("crn") <= nprobe)
+          .drop("cscore", "cent")
+      }
     val seeds = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
     // Lloyd refinement step: exact per-dimension means of an assignment
@@ -572,9 +592,14 @@ object LlmOps {
           .as("cent"))
     // two Lloyd iterations (each a broadcast n×K assignment + exact
     // mean; iteration count is a build-quality knob, not a correctness
-    // one — the exact arithmetic keeps every iteration oracle-matched)
-    val cents1 = lloydStep(assign(e, seeds, "vec_id", 1))
-    val cents = lloydStep(assign(e, cents1, "vec_id", 1))
+    // one — the exact arithmetic keeps every iteration oracle-matched).
+    // Each centroid table is K rows — localCheckpoint materializes it
+    // once so the next iteration (and the corpus + probe assignments,
+    // which both broadcast `cents`) start from a flat 24-row RDD
+    // instead of re-optimizing and re-broadcasting the whole upstream
+    // Lloyd lineage.
+    val cents1 = lloydStep(assign(e, seeds, "vec_id", 1)).localCheckpoint(true)
+    val cents = lloydStep(assign(e, cents1, "vec_id", 1)).localCheckpoint(true)
     val corpus = assign(e, cents, "vec_id", 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
     val probes = assign(e.filter(col("vec_id") < 10), cents, "vec_id", nprobeN)
@@ -925,10 +950,13 @@ object LlmOps {
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
         explode(col("sh")).as("shingle"))
       .withColumn("h", expr(hashS("shingle")))
-    val bench = shingled.filter(col("doc_id") < 20)
-      .select(col("h")).distinct()
+    val benchRaw = shingled.filter(col("doc_id") < 20).select(col("h"))
+    val bench = benchRaw.distinct()
+    // the bloom is built over the RAW bench hashes (insertion is
+    // idempotent, so skipping the distinct exchange changes nothing);
+    // the exact join keeps the distinct set
     graft.functions.RuntimeBloom.prunedBySmall(
-        shingled.filter(col("doc_id") >= 20), col("h"), bench, col("h"))
+        shingled.filter(col("doc_id") >= 20), col("h"), benchRaw, col("h"))
       .join(bench, Seq("h"))
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("shared_shingles"))

@@ -582,17 +582,22 @@ object Relational {
     // sigma and *should* sometimes miss), at half the p=14 register
     // file, whose 1536-word aggregation buffer dominated this query's
     // runtime via codegen size, not data.
+    // the (tag, key) pair is bit-packed into ONE long (LSB = key
+    // family) so the dedup shuffle ships (flag, long) instead of
+    // (flag, string, long) — same dedup semantics, ~30% narrower rows
+    // on the only full-width exchange in the query; the sketch hashes
+    // `k2 div 2` = the original key, so estimates are unchanged
     val dedup = li.selectExpr("l_returnflag",
-      "stack(2, 'p', l_partkey, 'o', l_orderkey) as (tag, key)").distinct()
-    val agged = dedup.groupBy(col("l_returnflag"), col("tag"))
+      "stack(2, l_partkey * 2 + 1, l_orderkey * 2) as (k2)").distinct()
+    val agged = dedup.groupBy(col("l_returnflag"), (col("k2") % 2).as("is_p"))
       .agg(count(lit(1)).as("exact"),
-        approx_count_distinct(col("key"), 0.015).as("approx"))
+        approx_count_distinct(expr("k2 div 2"), 0.015).as("approx"))
     agged.groupBy(col("l_returnflag"))
       .agg(
-        max(when(col("tag") === "p", col("exact"))).as("exact_parts"),
-        max(when(col("tag") === "o", col("exact"))).as("exact_orders"),
-        max(when(col("tag") === "p", col("approx"))).as("approx_parts"),
-        max(when(col("tag") === "o", col("approx"))).as("approx_orders"))
+        max(when(col("is_p") === 1, col("exact"))).as("exact_parts"),
+        max(when(col("is_p") === 0, col("exact"))).as("exact_orders"),
+        max(when(col("is_p") === 1, col("approx"))).as("approx_parts"),
+        max(when(col("is_p") === 0, col("approx"))).as("approx_orders"))
       .select(
         col("l_returnflag"), col("exact_parts"), col("exact_orders"),
         (abs(col("approx_parts").cast("double") - col("exact_parts").cast("double")) <=
