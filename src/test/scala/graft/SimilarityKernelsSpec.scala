@@ -91,6 +91,55 @@ class SimilarityKernelsSpec extends AnyFunSuite {
     assert(e.filter(col("hof") =!= col("kernel")).isEmpty)
   }
 
+  test("LSH band recall tracks the 1-(1-s^r)^b curve at controlled Jaccard levels") {
+    // q45's banding: 8 minhashes in b=4 bands of r=2 rows, so a pair
+    // with Jaccard s becomes a candidate with p(s) = 1-(1-s^2)^4.
+    // Synthetic pairs with EXACT Jaccard: shingle sets of size k
+    // sharing m elements => s = m/(2k-m); 200 pairs per level, each
+    // with disjoint shingle vocabularies, so the empirical candidate
+    // rate is a 200-draw estimate of p(s). Assert it within 4 sigma
+    // (plus a 5% floor) of the curve — a broken band key, permutation
+    // constant, or hash would push recall far outside that envelope.
+    import spark.implicits._
+    val k = 40
+    val pairsPerLevel = 200
+    val levels = Seq(38, 30, 20, 10) // s = .905, .600, .333, .143
+    val rows = for {
+      m <- levels
+      p <- 0 until pairsPerLevel
+      side <- 0 to 1
+    } yield {
+      val common = (0 until m).map(i => s"m${m}_p${p}_c$i")
+      val unique = (0 until (k - m)).map(i => s"m${m}_p${p}_s${side}_u$i")
+      (m, p, side, common ++ unique)
+    }
+    val sigs = rows.toDF("m", "pair", "side", "sh")
+      .withColumn("mhs", Scalars.minhash8(col("sh")))
+      .select(col("m"), col("pair"), col("side"), col("mhs"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getSeq[Long](3)))
+      .toMap
+    def candidate(m: Int, p: Int): Boolean = {
+      val a = sigs((m, p, 0)); val b = sigs((m, p, 1))
+      (0 until 4).exists(j => a(2 * j) == b(2 * j) && a(2 * j + 1) == b(2 * j + 1))
+    }
+    val measured = levels.map { m =>
+      m -> (0 until pairsPerLevel).count(p => candidate(m, p)).toDouble / pairsPerLevel
+    }.toMap
+    val expected = levels.map { m =>
+      val s = m.toDouble / (2 * k - m)
+      m -> (1.0 - math.pow(1.0 - s * s, 4))
+    }.toMap
+    levels.foreach { m =>
+      val p = expected(m)
+      val tol = math.max(0.05, 4.0 * math.sqrt(p * (1 - p) / pairsPerLevel))
+      assert(math.abs(measured(m) - p) <= tol,
+        s"m=$m: measured ${measured(m)} vs curve $p (tol $tol)")
+    }
+    // recall must be monotone in similarity
+    assert(levels.map(measured) == levels.map(measured).sorted.reverse)
+  }
+
   test("kernels run inside whole-stage codegen") {
     val df = docsTok
       .filter(size(col("tok")) >= 3)
