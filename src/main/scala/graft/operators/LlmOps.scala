@@ -776,17 +776,25 @@ object LlmOps {
       .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
   }
 
-  val q62NearDupClusters: Q = (s, dir) => {
+  /** Cluster assignment per doc (shared by q62 and q85): component
+    * minimum as the cluster id, singletons labelling themselves (a
+    * left join against the corpus — component labels exist only for
+    * nodes with at least one edge), plus the cluster size.
+    */
+  private def clusterAssignments(s: SparkSession, dir: String): DataFrame = {
     val pairs = q55SimhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
     val labels = connectedComponents(pairs)
     val docs = t(s, dir, "documents").select(col("doc_id"))
     val all = docs.join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
-    val sizes = all.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    all.join(sizes, Seq("label"))
-      .select(col("doc_id"), col("label").as("cluster_id"),
-        col("cluster_size"),
-        (col("doc_id") =!= col("label")).cast("bigint").as("is_duplicate"))
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = all.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, Seq("cluster_id"))
+  }
+
+  val q62NearDupClusters: Q = (s, dir) => {
+    clusterAssignments(s, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") =!= col("cluster_id")).cast("bigint").as("is_duplicate"))
       .orderBy(col("doc_id"))
   }
 
@@ -1357,7 +1365,152 @@ object LlmOps {
       .limit(Bm25TopK)
   }
 
+  /** q82: passage width in tokens (non-overlapping — stride = width). */
+  val PassageSize = 8
+  /** q82/oracle key packing: (doc_id, pidx) → doc_id·2^20 + pidx. Safe
+    * while pidx < 2^20 (a 8M-token doc) and doc_id < 2^43; a corpus
+    * with wider ids would switch the min to a struct ordering.
+    */
+  val PassageKeyShift = 1048576L
+
+  /** q82: passage-level exact dedup — the RefinedWeb/CCNet line-dedup
+    * generalized to fixed [[PassageSize]]-token windows: a passage is a
+    * duplicate if the same token window appeared earlier in the corpus
+    * (first occurrence = minimum (doc_id, pidx), encoded as one long so
+    * the winner is a plain `min`). Shapes for 100 TB: the explode is
+    * map-side (the passage TEXT never survives the projection — only
+    * its 60-bit stable hash), the one wide shuffle carries (doc_id,
+    * pidx, phash) triples partitioned by phash (window min = the
+    * standard first-wins shape), and the per-doc rollup is a
+    * map-side-combinable count/sum. Output: per-doc passage counts and
+    * the duplicated-passage ratio a curation pass filters on.
+    */
+  val q82PassageDedup: Q = (s, dir) => {
+    val key = col("doc_id") * lit(PassageKeyShift) + col("pidx")
+    docsTok(s, dir)
+      .withColumn("n_tokens", size(col("tok")).cast("long"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("pidx", explode(expr(s"sequence(0L, (n_tokens - 1) DIV $PassageSize)")))
+      .select(col("doc_id"), col("pidx"),
+        expr(hashS(s"array_join(slice(tok, CAST(pidx * $PassageSize + 1 AS INT), $PassageSize), ' ')"))
+          .as("phash"))
+      .withColumn("okey", min(key).over(Window.partitionBy(col("phash"))))
+      .withColumn("is_dup", (key =!= col("okey")).cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"), sum(col("is_dup")).as("n_dup_passages"))
+      .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
+        round(col("n_dup_passages").cast("double") / col("n_passages").cast("double"), 6)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q83: PII patterns — RE2-compatible (no backreferences/lookaround)
+    * so the identical pattern string runs in Spark's Java regex and the
+    * oracle's RE2. The fixture corpus carries no PII, so the query
+    * seeds deterministic spans derived from doc_id ([[PiiSeedSql]],
+    * dialect-shared) — the redaction kernel is genuinely exercised on
+    * every row rather than vacuously matching nothing.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Seed expression (valid verbatim in BOTH dialects: `concat`,
+    * `CAST(.. AS STRING)` and `lpad` agree) appending one email, one
+    * phone and one IPv4 to every document, all functions of doc_id.
+    */
+  val PiiSeedSql: String =
+    "concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com call 555-', " +
+      "lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-', " +
+      "lpad(CAST((doc_id * 7) % 10000 AS STRING), 4, '0'), ' from 10.', " +
+      "CAST(doc_id % 256 AS STRING), '.0.', CAST((doc_id * 3) % 256 AS STRING))"
+
+  /** q83: PII redaction — the scrub every training-data pipeline runs
+    * before tokenization: count and mask emails, phone numbers and
+    * IPv4s. Entirely map-side (codegen'd regexp_count/regexp_replace
+    * builtins — no UDF, no shuffle at all; output partitioning is the
+    * scan's), so it composes into any ingest at zero shuffle cost.
+    * Masking is sequential email → phone → IP (each replacement removes
+    * its own digits, so later patterns can't re-match masked spans).
+    */
+  val q83PiiRedact: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .withColumn("seeded", expr(PiiSeedSql))
+      .select(col("doc_id"),
+        regexp_count(col("seeded"), lit(EmailRe)).cast("bigint").as("n_emails"),
+        regexp_count(col("seeded"), lit(PhoneRe)).cast("bigint").as("n_phones"),
+        regexp_count(col("seeded"), lit(IpRe)).cast("bigint").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("seeded"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          IpRe, "<IP>").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q84: fixed-point scale for the reconstruction-error sum — per-term
+    * squared errors are rounded to 1e-12 and summed as BIGINTs, so the
+    * sum is exact and order-independent on both engines (a double sum
+    * would depend on each engine's fold order in its last bits).
+    */
+  val QuantFx = 1000000000000L
+
+  /** q84: int8 scalar quantization of the embedding column — the
+    * compression step before an ANN index ships to serving: per-vector
+    * min/max affine map onto 0..255 codes, plus the reconstruction RMSE
+    * that decides whether scalar quantization suffices or PQ is needed.
+    * Entirely map-side (HOF transform/aggregate over the vector — no
+    * shuffle, no UDF); per-vector state only, so it scales linearly and
+    * composes with any embedding scan. Degenerate constant vectors
+    * (scale 0) quantize to code 0 by definition rather than NaN.
+    */
+  val q84EmbeddingQuant: Q = (s, dir) => {
+    t(s, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("mn", expr("array_min(v)"))
+      .withColumn("mx", expr("array_max(v)"))
+      .withColumn("scl", expr("(mx - mn) / 255.0D"))
+      .withColumn("q", expr(
+        "transform(v, x -> CASE WHEN scl = 0D THEN 0L ELSE CAST(round((x - mn) / scl) AS BIGINT) END)"))
+      .withColumn("errfx", expr(
+        s"aggregate(zip_with(v, q, (x, c) -> CAST(round(pow(x - (mn + c * scl), 2) * $QuantFx) AS BIGINT)), 0L, (a, e) -> a + e)"))
+      .select(col("vec_id"),
+        round(col("mn"), 6).as("v_min"),
+        round(col("mx"), 6).as("v_max"),
+        expr("aggregate(q, 0L, (a, c) -> a + c)").as("q_sum"),
+        expr(s"round(sqrt(CAST(errfx AS DOUBLE) / $QuantFx / size(v)), 6)").as("recon_rmse"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q85: near-dup cluster representative selection — the step after
+    * q62's cluster assignment in a real dedup pass: instead of keeping
+    * the minimum doc_id, keep the BEST document of each cluster (q54
+    * quality score, doc_id tie-break) and drop the rest. Shapes: the
+    * quality join is doc_id-equi (co-partitioned with the assignment),
+    * the per-cluster argmax is a row_number window partitioned by
+    * cluster_id — cluster count is corpus-scale but each partition is a
+    * cluster (tiny), so the window never skews. Ranking compares the
+    * full-precision score (bit-identical on both engines); only the
+    * output is rounded.
+    */
+  val q85ClusterReps: Q = (s, dir) => {
+    val quality = withQualityScore(docsTok(s, dir)).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clusterAssignments(s, dir)
+      .join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"),
+        round(col("quality"), 6).as("quality"),
+        (col("rn") === 1).cast("bigint").as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q82_passage_dedup" -> q82PassageDedup,
+    "q83_pii_redact" -> q83PiiRedact,
+    "q84_embedding_quant" -> q84EmbeddingQuant,
+    "q85_cluster_reps" -> q85ClusterReps,
     "q79_corpus_report" -> q79CorpusReport,
     "q80_bm25" -> q80Bm25,
     "q78_chunking" -> q78Chunking,
@@ -1494,6 +1647,60 @@ object LlmOps {
        |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q82_passage_dedup" ->
+      s"""WITH p AS (
+        |  SELECT doc_id, r.i AS pidx,
+        |    ${hashD(s"array_to_string(list_slice(tok, r.i * $PassageSize + 1, least(r.i * $PassageSize + $PassageSize, n)), ' ')")} AS phash
+        |  FROM (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n
+        |        FROM (SELECT doc_id, $toksD AS tok FROM documents)
+        |        WHERE len(tok) >= 1),
+        |       LATERAL unnest(range(0, (n - 1) // $PassageSize + 1)) AS r(i)),
+        |k AS (SELECT doc_id, phash, doc_id * $PassageKeyShift + pidx AS pkey FROM p),
+        |o AS (SELECT doc_id, pkey, min(pkey) OVER (PARTITION BY phash) AS okey FROM k)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  CAST(sum(CAST(pkey != okey AS BIGINT)) AS BIGINT) AS n_dup_passages,
+        |  round(CAST(sum(CAST(pkey != okey AS BIGINT)) AS DOUBLE) / count(*), 6) AS dup_ratio
+        |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q83_pii_redact" ->
+      s"""WITH s AS (SELECT doc_id, $PiiSeedSql AS seeded FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(seeded, '$EmailRe')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(seeded, '$PhoneRe')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(seeded, '$IpRe')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(seeded,
+        |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$IpRe', '<IP>', 'g') AS redacted
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q84_embedding_quant" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+        |        (list_max(v) - list_min(v)) / 255.0 AS scl FROM v),
+        |qq AS (SELECT *, list_transform(v, x ->
+        |         CASE WHEN scl = 0 THEN 0 ELSE CAST(round((x - mn) / scl) AS BIGINT) END) AS q
+        |       FROM m),
+        |e AS (SELECT vec_id, mn, mx, q, CAST(len(v) AS BIGINT) AS n,
+        |        CAST(list_aggregate(list_transform(range(1, len(v)+1), i ->
+        |          CAST(round(pow(v[i] - (mn + q[i] * scl), 2) * $QuantFx) AS BIGINT)), 'sum') AS BIGINT) AS errfx
+        |      FROM qq)
+        |SELECT vec_id, round(mn, 6) AS v_min, round(mx, 6) AS v_max,
+        |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+        |  round(sqrt(CAST(errfx AS DOUBLE) / $QuantFx / n), 6) AS recon_rmse
+        |FROM e ORDER BY vec_id""".stripMargin,
+    "q85_cluster_reps" ->
+      s"""WITH RECURSIVE $simhashPairCtesD,
+        |pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |comp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+        |$qualityCtesD,
+        |r AS (SELECT c.doc_id, c.cluster_id, q.quality,
+        |        row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+        |      FROM comp c JOIN q USING (doc_id))
+        |SELECT doc_id, cluster_id, round(quality, 6) AS quality, CAST(rn = 1 AS BIGINT) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q57_ann_ivf" ->
       s"""WITH seeds AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < $NumCentroids),
         |asg0 AS (
