@@ -1506,7 +1506,52 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q86: the index/batch split — docs below this id form the standing
+    * corpus index ("yesterday's corpus"); the rest are the incoming
+    * batch ("today's crawl").
+    */
+  val IncrementalSplit = 300L
+
+  /** q86: incremental near-dup — the production dedup shape at 100 TB:
+    * a standing index is never re-deduped against itself; each incoming
+    * batch is checked against it. The index side is only the (doc_id,
+    * simhash) manifest — two longs per historical doc, NOT the corpus
+    * text — banded into four 15-bit keys exactly like q55; the batch
+    * joins it band-equi (never all-pairs), verification is
+    * bit_count(xor) ≤ 3, and the per-batch-doc verdict (match count +
+    * nearest index doc) is a map-side-combinable aggregation. Every
+    * batch doc gets a row (left join), so downstream filters can keep
+    * or route non-dups without a second scan.
+    */
+  val q86IncrementalNearDup: Q = (s, dir) => {
+    val sig = simhashSigs(s, dir) // cached manifest: (doc_id, simhash)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "array(concat('b0:', shiftright(simhash, 0) & 32767), concat('b1:', shiftright(simhash, 15) & 32767), " +
+          "concat('b2:', shiftright(simhash, 30) & 32767), concat('b3:', shiftright(simhash, 45) & 32767))"))
+        .as("bkey"))
+    val idx = banded.filter(col("doc_id") < IncrementalSplit)
+      .select(col("doc_id").as("idx_doc"), col("simhash").as("sig_i"), col("bkey"))
+    val batch = banded.filter(col("doc_id") >= IncrementalSplit)
+      .select(col("doc_id"), col("simhash").as("sig_b"), col("bkey"))
+    val matches = batch.join(idx, Seq("bkey"))
+      .filter(expr("bit_count(sig_b ^ sig_i) <= 3"))
+      .select(col("doc_id"), col("idx_doc")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_index_matches"),
+        min(col("idx_doc")).as("nearest_index_doc"))
+    t(s, dir, "documents").filter(col("doc_id") >= IncrementalSplit)
+      .select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_index_matches"), lit(0L)).as("n_index_matches"),
+        coalesce(col("nearest_index_doc"), lit(-1L)).as("nearest_index_doc"),
+        col("n_index_matches").isNotNull.cast("bigint").as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q86_incremental_neardup" -> q86IncrementalNearDup,
     "q82_passage_dedup" -> q82PassageDedup,
     "q83_pii_redact" -> q83PiiRedact,
     "q84_embedding_quant" -> q84EmbeddingQuant,
@@ -1647,6 +1692,24 @@ object LlmOps {
        |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q86_incremental_neardup" ->
+      s"""WITH $simhashPairCtesD,
+        |m AS (
+        |  SELECT b.doc_id AS doc_id, i.doc_id AS idx_doc
+        |  FROM banded b JOIN banded i ON b.bkey = i.bkey
+        |  WHERE b.doc_id >= $IncrementalSplit AND i.doc_id < $IncrementalSplit
+        |    AND bit_count(xor(b.simhash, i.simhash)) <= 3
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*) AS n_index_matches,
+        |          min(idx_doc) AS nearest_index_doc
+        |        FROM m GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_index_matches, 0) AS BIGINT) AS n_index_matches,
+        |  CAST(coalesce(a.nearest_index_doc, -1) AS BIGINT) AS nearest_index_doc,
+        |  CAST(a.doc_id IS NOT NULL AS BIGINT) AS is_dup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= $IncrementalSplit) d
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q82_passage_dedup" ->
       s"""WITH p AS (
         |  SELECT doc_id, r.i AS pidx,

@@ -122,6 +122,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 3L, 1L)))
   }
 
+  // ---- q86 incremental near-dup (IncrementalSplit = 300) ----
+
+  test("q86: a batch doc matching an index doc is flagged with its nearest match; others pass") {
+    // doc 300 repeats doc 1's tokens (hamming 0 → banded match);
+    // doc 301 is unrelated. Only batch docs (>= 300) appear.
+    val text = (1 to 12).map(i => s"n$i").mkString(" ")
+    val dir = corpus(Seq(
+      (1L, text, "en", "s0"),
+      (300L, text, "en", "s0"),
+      (301L, "completely different words entirely", "en", "s0")))
+    val got = rows(LlmOps.q86IncrementalNearDup(spark, dir))
+    assert(got == Seq(
+      Seq(300L, 1L, 1L, 1L),
+      Seq(301L, 0L, -1L, 0L)))
+  }
+
+  test("q86: batch docs never match EACH OTHER — only the index") {
+    // docs 300 and 301 are identical to each other but unlike any
+    // index doc: within-batch duplication is q44/q62's job, not q86's.
+    val text = (1 to 12).map(i => s"m$i").mkString(" ")
+    val dir = corpus(Seq(
+      (1L, "some standing index content here", "en", "s0"),
+      (300L, text, "en", "s0"),
+      (301L, text, "en", "s0")))
+    val got = rows(LlmOps.q86IncrementalNearDup(spark, dir))
+    assert(got == Seq(
+      Seq(300L, 0L, -1L, 0L),
+      Seq(301L, 0L, -1L, 0L)))
+  }
+
   test("q85: equal quality falls back to the min doc_id tie-break") {
     val text = (1 to 10).map(i => s"e$i").mkString(" ")
     val dir = corpus(Seq((1L, text, "en", "s0"), (2L, text, "en", "s0")))
