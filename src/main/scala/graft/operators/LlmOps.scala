@@ -701,7 +701,14 @@ object LlmOps {
   def connectedComponents(
       pairs: DataFrame,
       smallLimit: Long = SmallGraphEdgeLimit): DataFrame = {
-    val p = pairs.toDF("src", "dst").persist()
+    // Self-loops and null endpoints are dropped ONCE here so both
+    // regimes agree: a node whose only edge is (x,x) is a singleton and
+    // emits no row (callers label singletons via their left join), on
+    // the fast path exactly as on the large/small-star path.
+    val p = pairs.toDF("src", "dst")
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .persist()
     val nEdges = p.count()
     val out =
       if (nEdges <= smallLimit) {
@@ -1519,9 +1526,11 @@ object LlmOps {
     * text — banded into four 15-bit keys exactly like q55; the batch
     * joins it band-equi (never all-pairs), verification is
     * bit_count(xor) ≤ 3, and the per-batch-doc verdict (match count +
-    * nearest index doc) is a map-side-combinable aggregation. Every
-    * batch doc gets a row (left join), so downstream filters can keep
-    * or route non-dups without a second scan.
+    * the TRUE nearest index doc — min_by over (hamming, idx_doc), so
+    * the closest signature wins and equal distances break by id) is a
+    * map-side-combinable aggregation. Every batch doc gets a row (left
+    * join), so downstream filters can keep or route non-dups without a
+    * second scan.
     */
   val q86IncrementalNearDup: Q = (s, dir) => {
     val sig = simhashSigs(s, dir) // cached manifest: (doc_id, simhash)
@@ -1536,16 +1545,22 @@ object LlmOps {
       .select(col("doc_id"), col("simhash").as("sig_b"), col("bkey"))
     val matches = batch.join(idx, Seq("bkey"))
       .filter(expr("bit_count(sig_b ^ sig_i) <= 3"))
-      .select(col("doc_id"), col("idx_doc")).distinct()
+      // hamming is a function of the two signatures, so the distinct
+      // triple set == the distinct pair set (band multiplicity dies)
+      .select(col("doc_id"), col("idx_doc"),
+        expr("bit_count(sig_b ^ sig_i)").as("hamming")).distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_index_matches"),
-        min(col("idx_doc")).as("nearest_index_doc"))
+        min_by(col("idx_doc"), struct(col("hamming"), col("idx_doc")))
+          .as("nearest_index_doc"),
+        min(col("hamming")).as("nearest_hamming"))
     t(s, dir, "documents").filter(col("doc_id") >= IncrementalSplit)
       .select(col("doc_id"))
       .join(matches, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_index_matches"), lit(0L)).as("n_index_matches"),
         coalesce(col("nearest_index_doc"), lit(-1L)).as("nearest_index_doc"),
+        coalesce(col("nearest_hamming"), lit(-1L)).as("nearest_hamming"),
         col("n_index_matches").isNotNull.cast("bigint").as("is_dup"))
       .orderBy(col("doc_id"))
   }
@@ -1695,17 +1710,21 @@ object LlmOps {
     "q86_incremental_neardup" ->
       s"""WITH $simhashPairCtesD,
         |m AS (
-        |  SELECT b.doc_id AS doc_id, i.doc_id AS idx_doc
+        |  SELECT b.doc_id AS doc_id, i.doc_id AS idx_doc,
+        |    bit_count(xor(b.simhash, i.simhash)) AS hamming
         |  FROM banded b JOIN banded i ON b.bkey = i.bkey
         |  WHERE b.doc_id >= $IncrementalSplit AND i.doc_id < $IncrementalSplit
         |    AND bit_count(xor(b.simhash, i.simhash)) <= 3
-        |  GROUP BY 1, 2),
+        |  GROUP BY 1, 2, 3),
+        |mm AS (SELECT *, min(hamming) OVER (PARTITION BY doc_id) AS mh FROM m),
         |agg AS (SELECT doc_id, count(*) AS n_index_matches,
-        |          min(idx_doc) AS nearest_index_doc
-        |        FROM m GROUP BY doc_id)
+        |          min(CASE WHEN hamming = mh THEN idx_doc END) AS nearest_index_doc,
+        |          min(hamming) AS nearest_hamming
+        |        FROM mm GROUP BY doc_id)
         |SELECT d.doc_id,
         |  CAST(coalesce(a.n_index_matches, 0) AS BIGINT) AS n_index_matches,
         |  CAST(coalesce(a.nearest_index_doc, -1) AS BIGINT) AS nearest_index_doc,
+        |  CAST(coalesce(a.nearest_hamming, -1) AS BIGINT) AS nearest_hamming,
         |  CAST(a.doc_id IS NOT NULL AS BIGINT) AS is_dup
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= $IncrementalSplit) d
         |LEFT JOIN agg a ON d.doc_id = a.doc_id

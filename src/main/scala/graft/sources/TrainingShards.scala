@@ -83,7 +83,9 @@ object TrainingShards {
         .map(_.getPath).filter(_.getName.startsWith("part-"))
         .sortBy(_.getName)
       parts.zipWithIndex.foreach { case (p, i) =>
-        fs.rename(p, new Path(d.getPath, f"shard-$i%05d.parquet"))
+        val dst = new Path(d.getPath, f"shard-$i%05d.parquet")
+        require(fs.rename(p, dst),
+          s"shard rename failed: $p -> $dst (deterministic naming contract broken)")
       }
     }
   }

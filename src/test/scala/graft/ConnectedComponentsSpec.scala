@@ -70,6 +70,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       val got = cc(limit, Seq((3L, 4L), (4L, 3L), (3L, 4L), (4L, 5L)))
       assert(got == Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
     }
+
+    test(s"[$pathName] self-loops are ignored: a self-loop-only node is a singleton") {
+      // (9,9) must not surface 9 as a labelled node in EITHER regime —
+      // both filter self-loops before branching, so callers treat it as
+      // a singleton via their left join (labelling itself)
+      val got = cc(limit, Seq((9L, 9L), (1L, 2L), (2L, 2L)))
+      assert(got == Map(1L -> 1L, 2L -> 1L))
+    }
   }
 
   test("both paths agree on a random-ish 200-node multi-component graph") {

@@ -134,8 +134,8 @@ class CurationOpsSpec extends AnyFunSuite {
       (301L, "completely different words entirely", "en", "s0")))
     val got = rows(LlmOps.q86IncrementalNearDup(spark, dir))
     assert(got == Seq(
-      Seq(300L, 1L, 1L, 1L),
-      Seq(301L, 0L, -1L, 0L)))
+      Seq(300L, 1L, 1L, 0L, 1L), // identical tokens → hamming 0
+      Seq(301L, 0L, -1L, -1L, 0L)))
   }
 
   test("q86: batch docs never match EACH OTHER — only the index") {
@@ -148,8 +148,8 @@ class CurationOpsSpec extends AnyFunSuite {
       (301L, text, "en", "s0")))
     val got = rows(LlmOps.q86IncrementalNearDup(spark, dir))
     assert(got == Seq(
-      Seq(300L, 0L, -1L, 0L),
-      Seq(301L, 0L, -1L, 0L)))
+      Seq(300L, 0L, -1L, -1L, 0L),
+      Seq(301L, 0L, -1L, -1L, 0L)))
   }
 
   test("q85: equal quality falls back to the min doc_id tie-break") {
