@@ -1,0 +1,344 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Engine
+
+/** Production data-pipeline operators around the corpus lifecycle —
+  * the operations that sit BETWEEN the analytics (Relational) and the
+  * content ops (LlmOps) in a 100 TB training-data system: snapshot
+  * diffing, deterministic dataset splitting, slowly-changing-dimension
+  * history, cross-source score normalization, funnel analysis, and
+  * rolling event-time features.
+  *
+  * Scale notes are per-query in the scaladoc: what shuffles, what
+  * broadcasts, and why the plan survives 1000 executors. Shared
+  * discipline with the rest of the engine: content-derived hashes
+  * (stable_hash64) for anything that must be reproducible across runs,
+  * engines, and partitionings; decimal-exact sums for float parity;
+  * windows only over per-entity or distinct-domain partitions, never
+  * corpus-wide.
+  */
+object PipelineOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  // ---------------------------------------------------------------
+  // q87 — snapshot delta (CDC over corpus manifests)
+  // ---------------------------------------------------------------
+
+  /** q87: snapshot delta — the incremental-ingest primitive: given
+    * yesterday's corpus snapshot and today's, classify every doc_id as
+    * added / deleted / changed / unchanged by comparing content hashes.
+    *
+    * At 100 TB the full texts never meet: each snapshot's scan hashes
+    * its text MAP-SIDE into a (doc_id, hash64) manifest — 16 bytes per
+    * document — and only the manifests join (full outer, doc_id-equi,
+    * sort-merge; both sides shuffle-partition on the same key so AQE
+    * can also co-locate repeated runs). The delta output then drives
+    * downstream incremental work (re-embed changed docs, tombstone
+    * deleted ones) without rescanning the unchanged 99%.
+    *
+    * Fixture derivation (deterministic, no extra tables): old snapshot
+    * omits doc_id % 13 == 5 ("added today"), new snapshot omits
+    * doc_id % 11 == 7 ("deleted today"), and docs with doc_id % 7 == 0
+    * carry revised text in the new snapshot ("changed").
+    */
+  val q87SnapshotDelta: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), expr("stable_hash64(text)").as("old_hash"))
+    val neu = docs.filter(col("doc_id") % 11 =!= 7)
+      .withColumn("new_text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), expr("stable_hash64(new_text)").as("new_hash"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "deleted")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("old_hash"), lit(-1L)).as("old_hash"),
+        coalesce(col("new_hash"), lit(-1L)).as("new_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // q88 — deterministic dataset split + shuffle shards
+  // ---------------------------------------------------------------
+
+  /** q88: train/val/test split + shuffle-shard assignment — both pure
+    * functions of the doc_id (stable_hash64 with distinct salts), so
+    * the assignment is reproducible across runs, engines, cluster
+    * sizes, and input partitionings, and adding documents never moves
+    * an existing one between splits (the property rand()-based splits
+    * lack). The ord_key doubles as the within-shard shuffle order for
+    * training: sorting each shard by it yields a deterministic global
+    * permutation without any corpus-wide sort or window — the whole
+    * operator is a narrow map over the scan (zero shuffles; the plan
+    * is one WholeStageCodegen span over the parquet scan).
+    */
+  val q88DatasetSplit: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    t(s, dir, "documents")
+      .withColumn("h", expr("stable_hash64(concat('split:', doc_id)) % 100"))
+      .select(col("doc_id"),
+        when(col("h") < 96, "train").when(col("h") < 98, "val")
+          .otherwise("test").as("split"),
+        expr("stable_hash64(concat('ord:', doc_id)) % 64").as("shard"),
+        expr("stable_hash64(concat('ord:', doc_id))").as("ord_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // q89 — SCD2 interval history (events as a change feed)
+  // ---------------------------------------------------------------
+
+  /** q89: slowly-changing-dimension (type 2) history — treat each
+    * user's event stream as a change feed and materialize validity
+    * intervals: each event's state is valid from its timestamp until
+    * the user's next event (NULL = still current). The standard
+    * warehouse primitive for "what was this entity's state at time T"
+    * (the as-of join q33 is its read side).
+    *
+    * One shuffle on user_id; the lead() window runs inside per-user
+    * partitions — entity history is bounded (thousands of rows), never
+    * corpus-scale, so the window sort cannot skew a task. Ordering ties
+    * (same-timestamp events) are pinned by event_id so the interval
+    * chain is deterministic.
+    */
+  val q89Scd2History: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("bigint").as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // q90 — per-source quantile normalization of quality scores
+  // ---------------------------------------------------------------
+
+  /** q90: per-source quantile normalization — quality scores are not
+    * comparable across sources (a 0.7 from a curated source ≠ 0.7 from
+    * a crawl), so mixing pipelines normalize each doc's score to its
+    * within-source CDF position before applying a global threshold.
+    *
+    * Scale shape (the q71 rank-select trick generalized): the CDF is
+    * NEVER a row-level window — scores are quantized to 4 dp, counted
+    * per (source, bucket) with map-side combine, and the cumulative
+    * window runs over the DISTINCT (source, bucket) domain — at most
+    * sources × 10^4 rows whatever the corpus size. Documents then
+    * hash-join back on (source, bucket) to pick up their normalized
+    * score. quantile = P(score' <= mine) within source, inclusive.
+    */
+  val q90QuantileNorm: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val docs = LlmOps.withQualityScore(
+      t(s, dir, "documents").withColumn("tok", expr(LlmOps.toksS)))
+      .withColumn("qb", round(col("quality"), 4))
+      .select(col("doc_id"), col("source"), col("quality"), col("qb"))
+    val buckets = docs.groupBy(col("source"), col("qb"))
+      .agg(count(lit(1)).as("cnt"))
+    val bySource = Window.partitionBy(col("source")).orderBy(col("qb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = buckets
+      .withColumn("cum", sum(col("cnt")).over(bySource))
+      .withColumn("total", sum(col("cnt"))
+        .over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("qb"),
+        round(col("cum").cast("double") / col("total"), 6).as("q_norm"))
+    docs.join(cdf, Seq("source", "qb"))
+      .select(col("doc_id"), col("source"),
+        round(col("quality"), 6).as("quality"), col("q_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // q91 — funnel conversion (view → click → purchase)
+  // ---------------------------------------------------------------
+
+  /** q91: ordered funnel — per user, the first view, the first click
+    * AT OR AFTER that view, and the first purchase at or after that
+    * click (stage order enforced, not just presence). The product
+    * analytics staple over event streams.
+    *
+    * Three user-keyed min-aggregations chained by equi-joins, all
+    * co-partitioned on user_id — one shuffle key throughout, every
+    * aggregation map-side combinable, no windows, no per-user sorts.
+    * Each stage's input is pre-filtered to one event_type before its
+    * shuffle, so stage N moves only the rows that survived stage N-1.
+    */
+  val q91Funnel: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val users = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") >= col("first_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") >= col("first_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+    users
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        col("first_view"), col("first_click"), col("first_purchase"),
+        col("first_purchase").isNotNull.cast("bigint").as("converted"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // q92 — rolling event-time features (range frame)
+  // ---------------------------------------------------------------
+
+  /** q92: rolling 1-hour features per event — for every event, the
+    * count and exact sum of the same user's STRICTLY PRECEDING events
+    * within the last hour (the leakage-safe feature shape for training:
+    * the frame excludes the current instant, so a model scored at t
+    * sees only information available before t).
+    *
+    * A RANGE frame over unix-microseconds inside per-user partitions —
+    * one shuffle on user_id, per-user sorted frames, no corpus-wide
+    * sort. The sum is decimal-exact (order-independent), so the result
+    * is reproducible under any partitioning; a float sum over a
+    * reordered frame would not be. Same-microsecond peers fall outside
+    * the [-1h, -1µs] frame for each other symmetrically, keeping the
+    * result independent of tie order.
+    */
+  val q92RollingFeatures: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc)
+      .rangeBetween(-3600000000L, -1L)
+    t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("n_prev_1h", count(lit(1)).over(w))
+      .withColumn("sum_prev_1h",
+        coalesce(sum(dec(col("value"))).over(w).cast("double"), lit(0.0)))
+      .select(col("event_id"), col("user_id"), col("n_prev_1h"),
+        col("sum_prev_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q87_snapshot_delta" -> q87SnapshotDelta,
+    "q88_dataset_split" -> q88DatasetSplit,
+    "q89_scd2_history" -> q89Scd2History,
+    "q90_quantile_norm" -> q90QuantileNorm,
+    "q91_funnel" -> q91Funnel,
+    "q92_rolling_features" -> q92RollingFeatures)
+
+  // ---- DuckDB oracle dialect fragments ----
+
+  private def hashD(x: String): String =
+    s"(('0x' || substring(md5($x),1,15))::BIGINT)"
+
+  private val qualityD =
+    """0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+      | + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+      | + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens)
+      | + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars)""".stripMargin
+
+  private val qualityCteD = {
+    val stops = LlmOps.StopEn.map(x => s"'$x'").mkString("[", ", ", "]")
+    s"""qual AS (
+       |  SELECT doc_id, source, $qualityD AS quality FROM (
+       |    SELECT doc_id, source, n_chars,
+       |      len(tok) AS n_tokens,
+       |      length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+       |      length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
+       |      len(list_filter(tok, x -> list_contains($stops, x))) AS n_stop
+       |    FROM (SELECT *, string_split_regex(trim(lower(text)), '\\s+') AS tok
+       |          FROM documents)))""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q87_snapshot_delta" ->
+      s"""WITH old AS (
+        |  SELECT doc_id, ${hashD("text")} AS old_hash
+        |  FROM documents WHERE doc_id % 13 != 5),
+        |neu AS (
+        |  SELECT doc_id,
+        |    ${hashD("text || (CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END)")} AS new_hash
+        |  FROM documents WHERE doc_id % 11 != 7)
+        |SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+        |  CASE WHEN old.doc_id IS NULL THEN 'added'
+        |       WHEN neu.doc_id IS NULL THEN 'deleted'
+        |       WHEN old_hash != new_hash THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(old_hash, -1) AS old_hash,
+        |  coalesce(new_hash, -1) AS new_hash
+        |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q88_dataset_split" ->
+      s"""SELECT doc_id,
+        |  CASE WHEN ${hashD("'split:' || doc_id")} % 100 < 96 THEN 'train'
+        |       WHEN ${hashD("'split:' || doc_id")} % 100 < 98 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  ${hashD("'ord:' || doc_id")} % 64 AS shard,
+        |  ${hashD("'ord:' || doc_id")} AS ord_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q89_scd2_history" ->
+      """SELECT user_id, event_id, event_type, value,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    AS BIGINT) AS is_current
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "q90_quantile_norm" ->
+      s"""WITH $qualityCteD,
+        |d AS (SELECT doc_id, source, quality, round(quality, 4) AS qb FROM qual),
+        |b AS (SELECT source, qb, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |cdf AS (
+        |  SELECT source, qb,
+        |    round(CAST(sum(cnt) OVER (PARTITION BY source ORDER BY qb
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / sum(cnt) OVER (PARTITION BY source), 6) AS q_norm
+        |  FROM b)
+        |SELECT d.doc_id, d.source, round(d.quality, 6) AS quality, cdf.q_norm
+        |FROM d JOIN cdf ON d.source = cdf.source AND d.qb = cdf.qb
+        |ORDER BY d.doc_id""".stripMargin,
+    "q91_funnel" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.first_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.first_click GROUP BY 1)
+        |SELECT u.user_id, u.n_events, v.first_view, c.first_click, p.first_purchase,
+        |  CAST(p.first_purchase IS NOT NULL AS BIGINT) AS converted
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+    "q92_rolling_features" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_prev_1h,
+        |  coalesce(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE), 0.0)
+        |    AS sum_prev_1h
+        |FROM (SELECT *, epoch_us(ts) AS us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin)
+}

@@ -227,6 +227,41 @@ class PlanSpec extends AnyFunSuite {
       s"shard write must never funnel through one task:\n$p")
   }
 
+  test("q88: split/shard assignment is pure map-side — only the presentation sort shuffles") {
+    val p = plan("q88_dataset_split")
+    assert(p.split("Exchange").length - 1 <= 1,
+      s"split assignment must not shuffle:\n$p")
+    assert(!p.contains("text"), "split assignment must not read document bodies")
+  }
+
+  test("q87: snapshot manifests join doc_id-equi, texts hash map-side") {
+    val p = plan("q87_snapshot_delta")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"manifest diff degenerated:\n$p")
+    // the full-outer manifest join must see only (doc_id, hash) columns —
+    // the text dies inside the project under each scan
+    assert(p.contains("FullOuter"), s"expected a full-outer manifest join:\n$p")
+  }
+
+  test("q90: CDF windows run over the distinct (source, bucket) domain, not rows") {
+    val p = plan("q90_quantile_norm")
+    // the count aggregation (with map-side combine) runs BEFORE any Window
+    assert(p.contains("partial_count"),
+      s"no map-side combine before the CDF window:\n$p")
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
+      s"window should consume the bucket aggregate (plan prints top-down):\n$p")
+  }
+
+  test("q91: funnel is chained equi-joins on user_id — no windows, no cross products") {
+    val p = plan("q91_funnel")
+    assert(!p.contains("Window"), s"funnel must not use row windows:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"stage minima should combine map-side:\n$p")
+  }
+
   test("custom scalar expressions do not break whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.Scalars._
