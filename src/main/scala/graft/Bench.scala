@@ -48,8 +48,15 @@ object Bench {
       }
     }
 
-    // warmup: smallest query, absorbs JVM/codegen startup
+    // warmup: smallest query absorbs JVM/codegen startup, then one
+    // footer-touch per fixture table so one-time parquet-metadata reads
+    // aren't charged to whichever measured query scans the table first
     exec("q18_intersect")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { n =>
+      spark.read.parquet(s"$sfDir/$n.parquet").limit(10)
+        .write.format("noop").mode("overwrite").save()
+    }
     failed.clear()
 
     // optional subset filter for targeted perf work:

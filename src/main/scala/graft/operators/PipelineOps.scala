@@ -147,8 +147,10 @@ object PipelineOps {
     */
   val q90QuantileNorm: Q = (s, dir) => {
     graft.Functions.registerAll(s)
-    val docs = LlmOps.withQualityScore(
-      t(s, dir, "documents").withColumn("tok", expr(LlmOps.toksS)))
+    // cached quality manifest: this query references it twice (bucket
+    // counts + the join back), so without the cache the regex/stopword
+    // scoring scan would run twice
+    val docs = LlmOps.qualityTable(s, dir)
       .withColumn("qb", round(col("quality"), 4))
       .select(col("doc_id"), col("source"), col("quality"), col("qb"))
     val buckets = docs.groupBy(col("source"), col("qb"))
