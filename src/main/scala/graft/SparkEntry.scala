@@ -24,11 +24,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.LlmOps.queries ++
       operators.Multimodal.queries ++ operators.RumorPipeline.queries ++
-      operators.PipelineOps.queries ++ sources.TrainingShards.queries
+      operators.PipelineOps.queries ++ operators.GraphOps.queries ++
+      operators.IndexOps.queries ++ sources.TrainingShards.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.LlmOps.oracles ++
       operators.Multimodal.oracles ++ operators.RumorPipeline.oracles ++
-      operators.PipelineOps.oracles ++ sources.TrainingShards.oracles
+      operators.PipelineOps.oracles ++ operators.GraphOps.oracles ++
+      operators.IndexOps.oracles ++ sources.TrainingShards.oracles
 }

@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** Graph analytics over data-derived graphs — the iterative-algorithm
+  * surface of the engine (the near-dup connected components in LlmOps
+  * is the third member of this family).
+  *
+  * The demo graph is the co-purchase graph: parts are nodes, and two
+  * parts are linked when they appear in at least [[CoPurchaseMinOrders]]
+  * common orders. It is built from `lineitem` alone, is deterministic,
+  * and keeps non-trivial structure at every fixture scale (hundreds to
+  * thousands of nodes/edges, triangles present).
+  *
+  * Determinism discipline for the oracle: PageRank runs entirely in
+  * FIXED-POINT integer arithmetic (scaled longs, truncating division) —
+  * integer sums are order-independent, so the result is bit-identical
+  * across engines, partitionings, and cluster sizes. A floating-point
+  * PageRank can never be hash-compared (per-partition sum order drifts).
+  */
+object GraphOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  /** Two parts are co-purchased when they share at least this many
+    * orders (calibrated so the fixture graph is sparse but connected:
+    * ~2.3k edges at sf0.001, ~3.4k at sf0.01).
+    */
+  val CoPurchaseMinOrders = 2L
+
+  /** PageRank fixed-point scale (1e12: rank mass per node stays ≥ 1e8
+    * at a million nodes, so truncating division keeps ~8 significant
+    * digits; 85 × total mass ≈ 8.5e13 is far from long overflow).
+    */
+  val PrScale = 1000000000000L
+
+  /** PageRank iterations (build-quality knob, not a correctness one —
+    * the fixed-point arithmetic keeps every iteration oracle-matched).
+    */
+  val PageRankIters = 3
+
+  /** Canonical co-purchase edge list (pa < pb, n_orders ≥ cut).
+    *
+    * Scale shape: the per-order pair expansion is quadratic in BASKET
+    * size, not corpus size — baskets are bounded (an order has O(10)
+    * items), so the expansion is a constant-factor flatMap. The pair
+    * counting groupBy is map-side combinable; only (pa, pb, partial
+    * count) triples shuffle. A skewed "mega-basket" would be the one
+    * hazard at 100 TB; AQE skew-join handles the downstream joins and
+    * the expansion itself can be capped per order upstream if a source
+    * ever produces unbounded baskets.
+    */
+  private[operators] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val lp = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val a = lp.select(col("okey"), col("part").as("pa"))
+    val b = lp.select(col("okey").as("okey_b"), col("part").as("pb"))
+    a.join(b, col("okey") === col("okey_b") && col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= CoPurchaseMinOrders)
+      .select(col("pa"), col("pb"))
+  }
+
+  /** q93: PageRank over the co-purchase graph — [[PageRankIters]]
+    * damped iterations (d = 0.85) in fixed-point longs.
+    *
+    * Per iteration: ONE shuffle (the contribution sum, map-side
+    * combinable) plus a co-partitioned join back to the node table —
+    * the edge list and the rank table hash-partition on the same key,
+    * so AQE reuses the layout across iterations. The symmetrized graph
+    * has no dangling nodes (every node has out-degree ≥ 1), so no
+    * dangling-mass redistribution step is needed. Teleport and damping
+    * are integer expressions: r' = (0.15·S)/n + (85·Σ r_u div deg_u)
+    * div 100, all truncating long division — identical on both engines.
+    *
+    * Input: canonical undirected edge list (columns (pa, pb), pa < pb)
+    * → (node, deg, rank_fp).
+    */
+  def pageRank(e0: DataFrame, iters: Int = PageRankIters): DataFrame = {
+    val edges = e0.toDF("pa", "pb")
+      .select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e0.toDF("pa", "pb")
+        .select(col("pb").as("src"), col("pa").as("dst")))
+      .persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nRow = deg.agg(count(lit(1)).as("n"))
+    // node table: degree + per-corpus constants (teleport term, r0);
+    // n arrives as a broadcast 1-row aggregate — one job, no collect
+    val base = deg.select(col("src").as("node"), col("deg"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("tele", expr(s"(($PrScale * 15) div 100) div n"))
+      .withColumn("r", expr(s"$PrScale div n"))
+      .select(col("node"), col("deg"), col("tele"), col("r"))
+    val ranks = (1 to iters).foldLeft(base) { (r, _) =>
+      r.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), expr("r div deg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("cin"))
+        .join(base.select(col("node"), col("deg"), col("tele")), Seq("node"))
+        .withColumn("r", expr("tele + (85 * cin) div 100"))
+        .select(col("node"), col("deg"), col("tele"), col("r"))
+    }
+    ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
+  }
+
+  val q93PageRank: Q = (s, dir) => {
+    pageRank(coPurchaseEdges(s, dir))
+      .select(col("node").as("part_id"), col("deg"), col("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("part_id").asc)
+  }
+
+  /** q94: per-node triangle count + clustering coefficient over the
+    * co-purchase graph — the basket-coherence / community-structure
+    * diagnostic.
+    *
+    * Scale shape (Suri & Vassilvitskii, "Counting Triangles and the
+    * Curse of the Last Reducer"): edges are ORIENTED from the
+    * lower-(degree, id) endpoint to the higher, so every wedge is
+    * enumerated at its lowest-degree vertex — the wedge fan-out is
+    * bounded by graph arboricity instead of max degree, which is what
+    * kills the naive formulation on power-law graphs (a celebrity node
+    * with degree 1e6 would otherwise enumerate 1e12 wedges in one
+    * task). Both joins are equi-joins; nothing is ever all-pairs.
+    *
+    * Input: canonical undirected edge list (columns (pa, pb), pa < pb)
+    * → (node, deg, n_triangles, clustering).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e0 = edges.toDF("pa", "pb").persist()
+    val deg = e0.select(col("pa").as("node"))
+      .unionAll(e0.select(col("pb").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient each canonical edge low→high by (degree, id)
+    val withDeg = e0
+      .join(deg.select(col("node").as("pa"), col("deg").as("dega")), Seq("pa"))
+      .join(deg.select(col("node").as("pb"), col("deg").as("degb")), Seq("pb"))
+    val oriented = withDeg.select(
+      when(col("dega") < col("degb") ||
+        (col("dega") === col("degb") && col("pa") < col("pb")),
+        struct(col("pa").as("lo"), col("pb").as("hi")))
+        .otherwise(struct(col("pb").as("lo"), col("pa").as("hi")))
+        .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+    // wedges at the low vertex; id-ordered so each wedge appears once
+    val l = oriented.select(col("lo").as("u"), col("hi").as("v"))
+    val r = oriented.select(col("lo").as("u2"), col("hi").as("w"))
+    val wedges = l.join(r, col("u") === col("u2") && col("v") < col("w"))
+      .select(col("u"), col("v"), col("w"))
+    // close the wedge against the canonical edge list (either direction)
+    val tri = wedges.join(e0,
+      least(col("v"), col("w")) === col("pa") &&
+        greatest(col("v"), col("w")) === col("pb"))
+      .select(col("u"), col("v"), col("w"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2, round(
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  val q94Triangles: Q = (s, dir) => {
+    triangleStats(coPurchaseEdges(s, dir))
+      .select(col("node").as("part_id"), col("deg"), col("n_triangles"),
+        col("clustering"))
+      .orderBy(col("part_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q93_pagerank" -> q93PageRank,
+    "q94_triangles" -> q94Triangles)
+
+  // ---- DuckDB oracle dialect ----
+
+  /** Shared CTE chain: distinct (order, part) → canonical co-purchase
+    * edges (mirrors [[coPurchaseEdges]] verbatim).
+    */
+  private val edgeCtesD =
+    s"""lp AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+       |e0 AS (
+       |  SELECT a.part AS pa, b.part AS pb
+       |  FROM lp a JOIN lp b ON a.okey = b.okey AND a.part < b.part
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoPurchaseMinOrders)""".stripMargin
+
+  /** One unrolled fixed-point PageRank iteration (same integer formula
+    * as the Spark side; `//` is DuckDB's truncating division for the
+    * positive operands used here, matching Spark's `div`).
+    */
+  private def prIterD(prev: String, curr: String): String =
+    s"""$curr AS (
+       |  SELECT d.node, d.deg, d.tele,
+       |    d.tele + (85 * sum(r.r // r.deg)) // 100 AS r
+       |  FROM $prev r JOIN edges e ON r.node = e.src
+       |  JOIN $prev d ON d.node = e.dst
+       |  GROUP BY d.node, d.deg, d.tele)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q93_pagerank" ->
+      s"""WITH $edgeCtesD,
+        |edges AS (SELECT pa AS src, pb AS dst FROM e0
+        |          UNION ALL SELECT pb, pa FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |n AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT src AS node, deg,
+        |         (($PrScale * 15) // 100) // n.n AS tele,
+        |         $PrScale // n.n AS r
+        |       FROM deg, n),
+        |${prIterD("r0", "r1")},
+        |${prIterD("r1", "r2")},
+        |${prIterD("r2", "r3")}
+        |SELECT node AS part_id, deg, r AS rank_fp FROM r3
+        |ORDER BY rank_fp DESC, part_id ASC""".stripMargin,
+    "q94_triangles" ->
+      s"""WITH $edgeCtesD,
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |          SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0)
+        |        GROUP BY node),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e0 e1 JOIN e0 e2 ON e2.pa = e1.pb
+        |  JOIN e0 e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |pn AS (SELECT node, count(*) AS n_triangles FROM (
+        |         SELECT unnest([a, b, c]) AS node FROM tri)
+        |       GROUP BY node)
+        |SELECT deg.node AS part_id, deg.deg,
+        |  coalesce(pn.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.deg >= 2 THEN round(
+        |    2.0 * coalesce(pn.n_triangles, 0) / (deg.deg * (deg.deg - 1)), 6)
+        |  ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN pn USING (node)
+        |ORDER BY part_id""".stripMargin)
+}

@@ -564,38 +564,48 @@ object LlmOps {
   /** IVF search with an explicit nprobe (recall scales with it — see
     * ScaleTechniquesSpec's recall assertion against brute force).
     */
-  def annIvf(s: SparkSession, dir: String, nprobeN: Int): DataFrame = {
-    graft.Functions.registerAll(s)
-    val e = t(s, dir, "embeddings")
-    // nprobe=1 (every corpus/Lloyd assignment): nearest centroid via
-    // max_by — a hash aggregation (map-side combinable, one buffer per
-    // vector), NOT a row_number window, which would sort the full n×K
-    // candidate set per assignment; three assignments per build makes
-    // that the whole query's cost. Tie policy matches the window form:
-    // highest score, then lowest cent_id (the negated id in the
-    // comparator struct).
-    def assign1(df: DataFrame, cents: DataFrame, idCol: String): DataFrame =
+  // nprobe=1 (every corpus/Lloyd assignment): nearest centroid via
+  // max_by — a hash aggregation (map-side combinable, one buffer per
+  // vector), NOT a row_number window, which would sort the full n×K
+  // candidate set per assignment; three assignments per build makes
+  // that the whole query's cost. Tie policy matches the window form:
+  // highest score, then lowest cent_id (the negated id in the
+  // comparator struct).
+  private def ivfAssign1(df: DataFrame, cents: DataFrame, idCol: String): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .withColumn("cscore", cosineC(col("embedding"), col("cent")))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col("embedding"), col("cent_id")),
+        struct(col("cscore"), (-col("cent_id")).as("nc"))).as("best"))
+      .select(col(idCol), col("best.embedding").as("embedding"),
+        col("best.cent_id").as("cent_id"))
+
+  // nprobe>1 (the 10 probe vectors only): the window form on a
+  // probe-sized input
+  private def ivfAssign(df: DataFrame, cents: DataFrame, idCol: String,
+      nprobe: Int): DataFrame =
+    if (nprobe == 1) ivfAssign1(df, cents, idCol)
+    else {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cscore").desc, col("cent_id").asc)
       df.crossJoin(broadcast(cents))
         .withColumn("cscore", cosineC(col("embedding"), col("cent")))
-        .groupBy(col(idCol))
-        .agg(max_by(
-          struct(col("embedding"), col("cent_id")),
-          struct(col("cscore"), (-col("cent_id")).as("nc"))).as("best"))
-        .select(col(idCol), col("best.embedding").as("embedding"),
-          col("best.cent_id").as("cent_id"))
-    // nprobe>1 (the 10 probe vectors only): the window form on a
-    // probe-sized input
-    def assign(df: DataFrame, cents: DataFrame, idCol: String, nprobe: Int): DataFrame =
-      if (nprobe == 1) assign1(df, cents, idCol)
-      else {
-        val w = Window.partitionBy(col(idCol))
-          .orderBy(col("cscore").desc, col("cent_id").asc)
-        df.crossJoin(broadcast(cents))
-          .withColumn("cscore", cosineC(col("embedding"), col("cent")))
-          .withColumn("crn", row_number().over(w))
-          .filter(col("crn") <= nprobe)
-          .drop("cscore", "cent")
-      }
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= nprobe)
+        .drop("cscore", "cent")
+    }
+
+  /** The refined IVF centroid table (cent_id, cent) — seeds from the
+    * first K vectors, two exact-arithmetic Lloyd iterations (see
+    * [[q57AnnIvf]]'s scaladoc for why the mean is computed in scaled
+    * longs). K rows, localCheckpoint'ed so every consumer broadcasts a
+    * flat table instead of replaying the Lloyd lineage. Shared by the
+    * IVF search (q57) and SemDeDup (q96).
+    */
+  private[operators] def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
+    graft.Functions.registerAll(s)
+    val e = t(s, dir, "embeddings")
     val seeds = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
     // Lloyd refinement step: exact per-dimension means of an assignment
@@ -618,11 +628,17 @@ object LlmOps {
     // which both broadcast `cents`) start from a flat 24-row RDD
     // instead of re-optimizing and re-broadcasting the whole upstream
     // Lloyd lineage.
-    val cents1 = lloydStep(assign(e, seeds, "vec_id", 1)).localCheckpoint(true)
-    val cents = lloydStep(assign(e, cents1, "vec_id", 1)).localCheckpoint(true)
-    val corpus = assign(e, cents, "vec_id", 1)
+    val cents1 = lloydStep(ivfAssign(e, seeds, "vec_id", 1)).localCheckpoint(true)
+    lloydStep(ivfAssign(e, cents1, "vec_id", 1)).localCheckpoint(true)
+  }
+
+  def annIvf(s: SparkSession, dir: String, nprobeN: Int): DataFrame = {
+    graft.Functions.registerAll(s)
+    val e = t(s, dir, "embeddings")
+    val cents = ivfCentroids(s, dir)
+    val corpus = ivfAssign(e, cents, "vec_id", 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
-    val probes = assign(e.filter(col("vec_id") < 10), cents, "vec_id", nprobeN)
+    val probes = ivfAssign(e.filter(col("vec_id") < 10), cents, "vec_id", nprobeN)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("cent_id").as("q_cent"))
     val w = Window.partitionBy(col("qid"))
@@ -635,6 +651,47 @@ object LlmOps {
       .select(col("qid"), col("cent_id"), col("vec_id"), col("score"),
         col("rn").cast("int").as("rn"))
       .orderBy(col("qid"), col("rn"))
+  }
+
+  /** SemDeDup cosine threshold (q96) — calibrated to the fixture corpus
+    * like [[CosineNearDupThreshold]]; real embedding corpora run ~0.9+.
+    */
+  val SemDedupTau = 0.35
+
+  /** q96: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication") — the
+    * CLUSTER-scoped variant of embedding near-dup removal: k-means
+    * clusters the corpus (the q57 IVF build, reused verbatim), then
+    * near-duplicate pairs are sought ONLY within each cluster, and a
+    * vector is dropped when a lower-id cluster-mate sits above the
+    * cosine threshold. Complements q56 (hyperplane-LSH candidates):
+    * LSH bounds candidates by bucket collisions, SemDeDup by cluster
+    * size — the latter is what the published web-scale pipelines run.
+    *
+    * Scale shape: the within-cluster pair join is an equi-join on
+    * cent_id, so pair cost is Σ|cluster|² — bounded by keeping K
+    * proportional to corpus size (n/K docs per cluster); nothing is
+    * ever all-pairs. The centroid table is K rows and broadcasts.
+    */
+  val q96SemDedup: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val e = t(s, dir, "embeddings")
+    val corpus = ivfAssign(e, ivfCentroids(s, dir), "vec_id", 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val a = corpus.select(col("cent_id"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = corpus.select(col("cent_id").as("cent_b"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val dupOf = a.join(b, col("cent_id") === col("cent_b") && col("va") < col("vb"))
+      .withColumn("score", cosineC(col("ea"), col("eb")))
+      .filter(col("score") >= SemDedupTau)
+      .groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("dup_of"))
+    corpus.select(col("vec_id"), col("cent_id"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.cast("bigint").as("kept"))
+      .orderBy(col("vec_id"))
   }
 
   /** Per-language sampling rates (percent) for q58 — a training-data
@@ -1627,6 +1684,7 @@ object LlmOps {
     "q55_simhash_pairs" -> q55SimhashPairs,
     "q56_cosine_near_dup" -> q56CosineNearDup,
     "q57_ann_ivf" -> q57AnnIvf,
+    "q96_semdedup" -> q96SemDedup,
     "q40_text_stats" -> q40TextStats,
     "q41_langid" -> q41LangId,
     "q42_token_count" -> q42TokenCount,
@@ -1659,6 +1717,37 @@ object LlmOps {
        |  FROM sh)""".stripMargin
   private def cosineD(a: String, b: String): String =
     s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
+
+  /** Shared IVF-build CTE chain (seeds → 2 Lloyd iterations → final
+    * cents → full-corpus assignment), mirroring [[ivfCentroids]] +
+    * [[ivfAssign]]; used by the q57 search oracle and q96 SemDeDup.
+    */
+  private lazy val ivfCtesD = {
+    def asgD(cents: String): String =
+      s"""  SELECT vec_id, embedding, cent_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineD("e.embedding", "c.cent")} DESC, c.cent_id ASC) AS crn
+         |    FROM embeddings e CROSS JOIN $cents c) WHERE crn = 1""".stripMargin
+    def lloydD(asg: String): String =
+      s"""  SELECT cent_id, d.i - 1 AS dim,
+         |    CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1048576.0 AS c
+         |  FROM $asg, (SELECT unnest(range(1, $EmbDim + 1)) AS i) d
+         |  GROUP BY cent_id, d.i""".stripMargin
+    s"""seeds AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < $NumCentroids),
+       |asg0 AS (
+       |${asgD("seeds")}),
+       |lloyd1 AS (
+       |${lloydD("asg0")}),
+       |cents1 AS (SELECT cent_id, list(c ORDER BY dim) AS cent FROM lloyd1 GROUP BY cent_id),
+       |asg1 AS (
+       |${asgD("cents1")}),
+       |lloyd2 AS (
+       |${lloydD("asg1")}),
+       |cents AS (SELECT cent_id, list(c ORDER BY dim) AS cent FROM lloyd2 GROUP BY cent_id),
+       |corpus AS (
+       |${asgD("cents")})""".stripMargin
+  }
 
   /** Shared CTE pair (qsrc, q) computing the q54 quality score per doc
     * (q54 inline, q72 ordering key, q73 gate).
@@ -1815,37 +1904,21 @@ object LlmOps {
         |      FROM comp c JOIN q USING (doc_id))
         |SELECT doc_id, cluster_id, round(quality, 6) AS quality, CAST(rn = 1 AS BIGINT) AS kept
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q96_semdedup" ->
+      s"""WITH $ivfCtesD,
+        |pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM corpus a JOIN corpus b
+        |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |  WHERE ${cosineD("a.embedding", "b.embedding")} >= $SemDedupTau),
+        |d AS (SELECT vb AS vec_id, min(va) AS dup_of FROM pairs GROUP BY 1)
+        |SELECT c.vec_id, c.cent_id,
+        |  coalesce(d.dup_of, -1) AS dup_of,
+        |  CAST(d.vec_id IS NULL AS BIGINT) AS kept
+        |FROM corpus c LEFT JOIN d USING (vec_id)
+        |ORDER BY c.vec_id""".stripMargin,
     "q57_ann_ivf" ->
-      s"""WITH seeds AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < $NumCentroids),
-        |asg0 AS (
-        |  SELECT vec_id, embedding, cent_id FROM (
-        |    SELECT e.vec_id, e.embedding, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineD("e.embedding", "c.cent")} DESC, c.cent_id ASC) AS crn
-        |    FROM embeddings e CROSS JOIN seeds c) WHERE crn = 1),
-        |lloyd1 AS (
-        |  SELECT cent_id, d.i - 1 AS dim,
-        |    CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
-        |      / count(*) / 1048576.0 AS c
-        |  FROM asg0, (SELECT unnest(range(1, $EmbDim + 1)) AS i) d
-        |  GROUP BY cent_id, d.i),
-        |cents1 AS (SELECT cent_id, list(c ORDER BY dim) AS cent FROM lloyd1 GROUP BY cent_id),
-        |asg1 AS (
-        |  SELECT vec_id, embedding, cent_id FROM (
-        |    SELECT e.vec_id, e.embedding, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineD("e.embedding", "c.cent")} DESC, c.cent_id ASC) AS crn
-        |    FROM embeddings e CROSS JOIN cents1 c) WHERE crn = 1),
-        |lloyd2 AS (
-        |  SELECT cent_id, d.i - 1 AS dim,
-        |    CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
-        |      / count(*) / 1048576.0 AS c
-        |  FROM asg1, (SELECT unnest(range(1, $EmbDim + 1)) AS i) d
-        |  GROUP BY cent_id, d.i),
-        |cents AS (SELECT cent_id, list(c ORDER BY dim) AS cent FROM lloyd2 GROUP BY cent_id),
-        |corpus AS (
-        |  SELECT vec_id, embedding, cent_id FROM (
-        |    SELECT e.vec_id, e.embedding, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineD("e.embedding", "c.cent")} DESC, c.cent_id ASC) AS crn
-        |    FROM embeddings e CROSS JOIN cents c) WHERE crn = 1),
+      s"""WITH $ivfCtesD,
         |probes AS (
         |  SELECT vec_id AS qid, embedding AS qe, cent_id AS q_cent FROM (
         |    SELECT e.vec_id, e.embedding, c.cent_id,

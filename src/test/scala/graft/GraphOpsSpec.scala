@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+/** Direct tests for the graph-analytics operators behind q93/q94 —
+  * synthetic graphs with hand-checkable structure, independent of the
+  * co-purchase edge derivation (which the q93/q94 oracles cover).
+  */
+class GraphOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session(master = "local[4]")
+
+  private def pr(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.pageRank(edges.toDF("pa", "pb"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+  }
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    GraphOps.triangleStats(edges.toDF("pa", "pb"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  /** Reference implementation of the SAME fixed-point recurrence
+    * (plain Scala, single-threaded) — the operator must match it
+    * exactly, which is the whole point of integer PageRank.
+    */
+  private def prRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg.size.toLong
+    val tele = ((GraphOps.PrScale * 15) / 100) / n
+    var r = deg.keys.map(k => k -> GraphOps.PrScale / n).toMap
+    for (_ <- 1 to iters) {
+      val cin = sym.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = r.keys.map(k => k -> (tele + (85 * cin(k)) / 100)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the single-threaded fixed-point reference") {
+    // two components: a 4-cycle with a chord, and a 3-star
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L))
+    assert(pr(edges) == prRef(edges, 3))
+    assert(pr(edges, 5) == prRef(edges, 5))
+  }
+
+  test("pageRank ranks the hub of a star above its leaves") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val got = pr(star)
+    assert(got(1L) > got(2L))
+    assert(got(2L) == got(3L) && got(3L) == got(4L) && got(4L) == got(5L))
+  }
+
+  test("pageRank is deterministic under input permutation") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+    assert(pr(edges) == pr(edges.reverse))
+  }
+
+  test("triangleStats counts K4 and ignores a pendant edge") {
+    // K4 (every node in 3 triangles, clustering 1.0) plus pendant 4-5
+    val k4 = for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)
+    val got = tri(k4 :+ (4L, 5L))
+    assert(got(1L) == (3L, 3L) && got(2L) == (3L, 3L) && got(3L) == (3L, 3L))
+    assert(got(4L) == (4L, 3L)) // degree 4 via the pendant, same 3 triangles
+    assert(got(5L) == (1L, 0L))
+  }
+
+  test("triangleStats: triangle-free graphs count zero everywhere") {
+    // 6-cycle: no triangles, all degrees 2
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 6L))
+    val got = tri(cycle)
+    assert(got.values.forall { case (d, t) => d == 2L && t == 0L })
+  }
+
+  test("triangleStats counts each triangle once under skewed degrees") {
+    // hub 1 connected to 2..8; triangle edges only among (2,3),(3,4):
+    // triangles (1,2,3), (1,3,4) — hub in 2, node 3 in 2, nodes 2/4 in 1
+    val hub = (2L to 8L).map(1L -> _)
+    val got = tri(hub ++ Seq((2L, 3L), (3L, 4L)))
+    assert(got(1L) == (7L, 2L))
+    assert(got(3L) == (3L, 2L))
+    assert(got(2L) == (2L, 1L) && got(4L) == (2L, 1L))
+    assert((5L to 8L).forall(n => got(n) == (1L, 0L)))
+  }
+}
