@@ -56,18 +56,37 @@ object GraphOps {
     * the expansion itself can be capped per order upstream if a source
     * ever produces unbounded baskets.
     */
-  private[operators] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val lp = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
-    val a = lp.select(col("okey"), col("part").as("pa"))
-    val b = lp.select(col("okey").as("okey_b"), col("part").as("pb"))
-    a.join(b, col("okey") === col("okey_b") && col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= CoPurchaseMinOrders)
-      .select(col("pa"), col("pb"))
-  }
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[operators] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrElseUpdate((s, dir), {
+      // basket form, not a self-join: ONE shuffle groups each order's
+      // distinct parts (collect_set dedups map-side), then the ordered
+      // pairs explode map-side from the sorted basket — a self-join on
+      // l_orderkey would shuffle the scan twice and materialize the
+      // join; this ships each basket once. The quadratic pair fan-out
+      // is per-basket (bounded, O(10) items), never per-corpus.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> named_struct('pa', x, 'pb', y))))"))
+          .as("e"))
+        .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= CoPurchaseMinOrders)
+        .select(col("pa"), col("pb"))
+        // the thresholded edge list is ~n_edges ≪ the pair expansion
+        // (3.6k rows at sf0.1): materialize it eagerly ONCE — q93's
+        // iterations and q94's wedge joins then plan against a flat
+        // in-memory table instead of replaying the expansion per
+        // reference, and the pair-count scan never runs twice across
+        // the q93/q94 pair (same per-(session, dir) discipline as the
+        // LlmOps signature caches)
+        .localCheckpoint(true)
+    })
 
   /** q93: PageRank over the co-purchase graph — [[PageRankIters]]
     * damped iterations (d = 0.85) in fixed-point longs.
@@ -89,16 +108,24 @@ object GraphOps {
       .select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e0.toDF("pa", "pb")
         .select(col("pb").as("src"), col("pa").as("dst")))
-      .persist()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nRow = deg.agg(count(lit(1)).as("n"))
     // node table: degree + per-corpus constants (teleport term, r0);
-    // n arrives as a broadcast 1-row aggregate — one job, no collect
+    // n arrives as a broadcast 1-row aggregate — one job, no collect.
+    // Materialized once (node-table-sized): every iteration references
+    // it twice, and a deep uncached lineage would replay the degree
+    // aggregation 2×iters times and nest the codegen correspondingly.
     val base = deg.select(col("src").as("node"), col("deg"))
       .crossJoin(broadcast(nRow))
       .withColumn("tele", expr(s"(($PrScale * 15) div 100) div n"))
       .withColumn("r", expr(s"$PrScale div n"))
       .select(col("node"), col("deg"), col("tele"), col("r"))
+      .localCheckpoint(true)
+    // each round materializes its (node-table-sized) rank table so the
+    // next round plans two flat-table joins instead of a lineage that
+    // re-runs every earlier round's shuffles and recompiles their
+    // codegen (the q62 connected-components lesson: per-round fixed
+    // cost dominates small graphs — keep rounds flat and shallow)
     val ranks = (1 to iters).foldLeft(base) { (r, _) =>
       r.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), expr("r div deg").as("contrib"))
@@ -107,6 +134,7 @@ object GraphOps {
         .join(base.select(col("node"), col("deg"), col("tele")), Seq("node"))
         .withColumn("r", expr("tele + (85 * cin) div 100"))
         .select(col("node"), col("deg"), col("tele"), col("r"))
+        .localCheckpoint(true)
     }
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
   }
@@ -134,7 +162,9 @@ object GraphOps {
     * → (node, deg, n_triangles, clustering).
     */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e0 = edges.toDF("pa", "pb").persist()
+    // edge-list-sized; referenced three times below (degrees, wedge
+    // sides via `oriented`, and the closing join) — materialize once
+    val e0 = edges.toDF("pa", "pb").localCheckpoint(true)
     val deg = e0.select(col("pa").as("node"))
       .unionAll(e0.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

@@ -603,7 +603,16 @@ object LlmOps {
     * flat table instead of replaying the Lloyd lineage. Shared by the
     * IVF search (q57) and SemDeDup (q96).
     */
-  private[operators] def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
+  private val centsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[operators] def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    // K rows, localCheckpoint'ed — cached per (session, dir) because an
+    // indexing pipeline builds its coarse quantizer once and both q57
+    // (search) and q96 (SemDeDup) consume the same build
+    centsCache.getOrElseUpdate((s, dir), buildIvfCentroids(s, dir))
+
+  private def buildIvfCentroids(s: SparkSession, dir: String): DataFrame = {
     graft.Functions.registerAll(s)
     val e = t(s, dir, "embeddings")
     val seeds = e.filter(col("vec_id") < NumCentroids)
