@@ -582,16 +582,22 @@ object Relational {
     // sigma and *should* sometimes miss), at half the p=14 register
     // file, whose 1536-word aggregation buffer dominated this query's
     // runtime via codegen size, not data.
-    // the (tag, key) pair is bit-packed into ONE long (LSB = key
-    // family) so the dedup shuffle ships (flag, long) instead of
-    // (flag, string, long) — same dedup semantics, ~30% narrower rows
-    // on the only full-width exchange in the query; the sketch hashes
-    // `k2 div 2` = the original key, so estimates are unchanged
-    val dedup = li.selectExpr("l_returnflag",
-      "stack(2, l_partkey * 2 + 1, l_orderkey * 2) as (k2)").distinct()
-    val agged = dedup.groupBy(col("l_returnflag"), (col("k2") % 2).as("is_p"))
+    // the whole (flag, tag, key) triple is bit-packed into ONE long —
+    // key × 512 + family bit × 256 + ascii(flag) (the flag is a single
+    // char, so it round-trips through ascii()/char() with no dictionary
+    // join) — and the dedup shuffle ships just that long: one 8-byte
+    // fixed-width column on the only full-width exchange in the query,
+    // vs (string, long) rows costing ~3× in UnsafeRow bytes and string
+    // comparisons. The sketch hashes `k3 div 512` = the original key,
+    // so estimates are unchanged.
+    val dedup = li.selectExpr(
+      "stack(2, l_partkey * 512 + 256 + ascii(l_returnflag), l_orderkey * 512 + ascii(l_returnflag)) as (k3)")
+      .distinct()
+    val agged = dedup
+      .groupBy(expr("char(k3 % 256)").as("l_returnflag"),
+        expr("(k3 div 256) % 2").as("is_p"))
       .agg(count(lit(1)).as("exact"),
-        approx_count_distinct(expr("k2 div 2"), 0.015).as("approx"))
+        approx_count_distinct(expr("k3 div 512"), 0.015).as("approx"))
     agged.groupBy(col("l_returnflag"))
       .agg(
         max(when(col("is_p") === 1, col("exact"))).as("exact_parts"),
