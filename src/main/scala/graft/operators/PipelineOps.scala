@@ -240,13 +240,136 @@ object PipelineOps {
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------
+  // q101 — rolling engagement (DAU / WAU / stickiness)
+  // ---------------------------------------------------------------
+
+  /** q101: rolling engagement — per day: distinct active users (DAU),
+    * distinct users active in the trailing 7 days (WAU), and the
+    * DAU/WAU stickiness ratio. The product-health staple over event
+    * streams.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (user, day) pairs
+    * first (map-side combinable — the raw event stream dies in the
+    * scan), and the sliding window is an EXPLODE of each active day
+    * onto the ≤ 7 report days it supports, re-counted per day — the
+    * standard exact rolling-distinct shape (a naive per-day
+    * `COUNT(DISTINCT) OVER RANGE` re-scans the window; sliding
+    * distinct doesn't compose incrementally without a sketch). Days
+    * ride as integers (days since epoch) so the offset arithmetic is
+    * identical on both engines.
+    */
+  val q101Engagement: Q = (s, dir) => {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")).as("dd"))
+      .distinct()
+    val dau = ud.groupBy(col("dd")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(dd, dd + 6)")).as("dd"))
+      .distinct()
+      .groupBy(col("dd")).agg(count(lit(1)).as("wau_7d"))
+    dau.join(wau, Seq("dd"))
+      .select(date_add(lit("1970-01-01").cast("date"), col("dd").cast("int")).as("day"),
+        col("dau"), col("wau_7d"),
+        round(col("dau").cast("double") / col("wau_7d"), 4).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  // ---------------------------------------------------------------
+  // q102 — referential-integrity audit
+  // ---------------------------------------------------------------
+
+  /** q102: star-schema integrity audit — per declared relationship:
+    * child row count, violation count, violation ratio. FK violations
+    * are orphaned child rows (left-anti against the parent's key);
+    * uniqueness violations are excess rows beyond distinct keys
+    * (`count(*) − count(DISTINCT key)` — nonzero here: the fixture
+    * lineitem intentionally carries duplicate (orderkey, linenumber)
+    * pairs). The dbt-test shape run AT the warehouse's scale: each
+    * anti-join is an equi-join Catalyst plans as broadcast when the
+    * parent is dimension-sized, and every branch prunes to its key
+    * columns at the scan.
+    */
+  val q102IntegrityAudit: Q = (s, dir) => {
+    def fk(child: DataFrame, childRel: String, ck: String,
+        parent: DataFrame, pk: String, label: String): DataFrame = {
+      val orphans = child.select(col(ck))
+        .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      child.agg(count(lit(1)).as("n_rows")).crossJoin(orphans)
+        .select(lit(childRel).as("rel"), lit(label).as("test"),
+          col("n_rows"), col("n_violations"),
+          round(col("n_violations").cast("double") / col("n_rows"), 6).as("ratio"))
+    }
+    def unique(child: DataFrame, childRel: String, keyExpr: Column,
+        label: String): DataFrame =
+      child.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(keyExpr)).as("n_violations"))
+        .select(lit(childRel).as("rel"), lit(label).as("test"),
+          col("n_rows"), col("n_violations"),
+          round(col("n_violations").cast("double") / col("n_rows"), 6).as("ratio"))
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    fk(li, "lineitem", "l_orderkey", o, "o_orderkey", "fk_orders")
+      .unionAll(fk(li, "lineitem", "l_partkey", t(s, dir, "part"), "p_partkey", "fk_part"))
+      .unionAll(fk(li, "lineitem", "l_suppkey", t(s, dir, "supplier"), "s_suppkey", "fk_supplier"))
+      .unionAll(fk(o, "orders", "o_custkey", t(s, dir, "customer"), "c_custkey", "fk_customer"))
+      .unionAll(unique(li, "lineitem",
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")), "unique_pk"))
+      .unionAll(unique(o, "orders", col("o_orderkey"), "unique_pk"))
+      .orderBy(col("rel"), col("test"))
+  }
+
+  // ---------------------------------------------------------------
+  // q103 — column profiler
+  // ---------------------------------------------------------------
+
+  /** q103: table profiling — per column: rows, nulls, exact distinct
+    * count, and (numeric columns) min/max/decimal-exact mean. The
+    * input side of schema drift detection and NULL-rate alerts; at
+    * 100 TB each branch prunes the scan to ONE column and the
+    * aggregations are all map-side combinable (exact distinct is the
+    * one shuffle, keyed on the profiled column itself).
+    */
+  val q103ColumnProfile: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    def num(c: String): DataFrame =
+      li.agg(count(lit(1)).as("n_rows"),
+        sum(col(c).isNull.cast("bigint")).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min_v"),
+        max(col(c)).cast("double").as("max_v"),
+        round(sum(col(c).cast(DecimalType(18, 6))).cast("double") /
+          count(col(c)), 6).as("mean_v"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_v"), col("max_v"), col("mean_v"))
+    def str(c: String): DataFrame =
+      li.agg(count(lit(1)).as("n_rows"),
+        sum(col(c).isNull.cast("bigint")).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), lit(null).cast("double").as("min_v"),
+          lit(null).cast("double").as("max_v"),
+          lit(null).cast("double").as("mean_v"))
+    num("l_quantity")
+      .unionAll(num("l_extendedprice"))
+      .unionAll(num("l_discount"))
+      .unionAll(num("l_tax"))
+      .unionAll(str("l_returnflag"))
+      .unionAll(str("l_linestatus"))
+      .orderBy(col("column"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q87_snapshot_delta" -> q87SnapshotDelta,
     "q88_dataset_split" -> q88DatasetSplit,
     "q89_scd2_history" -> q89Scd2History,
     "q90_quantile_norm" -> q90QuantileNorm,
     "q91_funnel" -> q91Funnel,
-    "q92_rolling_features" -> q92RollingFeatures)
+    "q92_rolling_features" -> q92RollingFeatures,
+    "q101_engagement" -> q101Engagement,
+    "q102_integrity_audit" -> q102IntegrityAudit,
+    "q103_column_profile" -> q103ColumnProfile)
 
   // ---- DuckDB oracle dialect fragments ----
 
@@ -342,5 +465,67 @@ object PipelineOps {
         |FROM (SELECT *, epoch_us(ts) AS us FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |  RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q101_engagement" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd
+        |  FROM events),
+        |dau AS (SELECT dd, count(*) AS dau FROM ud GROUP BY 1),
+        |w AS (
+        |  SELECT DISTINCT user_id, dd + r.i AS dd
+        |  FROM ud, LATERAL unnest(range(0, 7)) AS r(i)),
+        |wau AS (SELECT dd, count(*) AS wau_7d FROM w GROUP BY 1)
+        |SELECT DATE '1970-01-01' + CAST(dau.dd AS INT) AS day,
+        |  dau.dau, wau.wau_7d,
+        |  round(CAST(dau.dau AS DOUBLE) / wau.wau_7d, 4) AS stickiness
+        |FROM dau JOIN wau USING (dd)
+        |ORDER BY day""".stripMargin,
+    "q102_integrity_audit" ->
+      """WITH
+        |f1 AS (SELECT 'lineitem' AS rel, 'fk_orders' AS test,
+        |  (SELECT count(*) FROM lineitem) AS n_rows,
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_violations),
+        |f2 AS (SELECT 'lineitem', 'fk_part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN part p
+        |     ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)),
+        |f3 AS (SELECT 'lineitem', 'fk_supplier',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+        |     ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)),
+        |f4 AS (SELECT 'orders', 'fk_customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)),
+        |u1 AS (SELECT 'lineitem', 'unique_pk', count(*),
+        |  count(*) - count(DISTINCT l_orderkey || ':' || l_linenumber)
+        |  FROM lineitem),
+        |u2 AS (SELECT 'orders', 'unique_pk', count(*),
+        |  count(*) - count(DISTINCT o_orderkey) FROM orders),
+        |allr AS (
+        |  SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL
+        |  SELECT * FROM f3 UNION ALL SELECT * FROM f4 UNION ALL
+        |  SELECT * FROM u1 UNION ALL SELECT * FROM u2)
+        |SELECT rel, test, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  round(CAST(n_violations AS DOUBLE) / n_rows, 6) AS ratio
+        |FROM allr ORDER BY rel, test""".stripMargin,
+    "q103_column_profile" ->
+      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CAST($c IS NULL AS BIGINT)) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+           |  round(CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count($c), 6) AS mean_v
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nUNION ALL\n") +
+        Seq("l_returnflag", "l_linestatus").map { c =>
+          s"""SELECT '$c', count(*),
+             |  CAST(sum(CAST($c IS NULL AS BIGINT)) AS BIGINT),
+             |  count(DISTINCT $c),
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+             |FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")))
 }

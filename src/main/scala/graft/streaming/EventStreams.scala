@@ -111,6 +111,41 @@ object EventStreams {
         col("purchase_ts"), col("value"))
   }
 
+  /** Hot-key thresholds for [[hotKeyMonitor]] (defaults sit ~2.5× the
+    * fixture's mean per-(hour, type) rate at sf0.001, so typical
+    * buckets stay quiet and the busiest fire; production deployments
+    * set these from the q100 skew report's mean_cnt).
+    */
+  val HotKeyMinEvents = 3L
+  val HotKeyMinUsers = 3L
+
+  /** Streaming hot-key monitor — the STREAMING twin of the q100 skew
+    * report: per tumbling hour and key (event_type), the event count
+    * and approximate distinct actors; emit only keys crossing either
+    * threshold. The alert that fires BEFORE tomorrow's batch job
+    * discovers the skew.
+    *
+    * One windowed aggregation (streaming forbids chained aggs, so the
+    * share-of-window form is out by construction): count is map-side
+    * combinable, distinct actors ride an HLL sketch
+    * (approx_count_distinct — insertion-idempotent and
+    * order-independent, so streaming == batch exactly; an exact
+    * count(DISTINCT) is not available under incremental execution).
+    * Watermark bounds state to open windows.
+    */
+  def hotKeyMonitor(events: DataFrame,
+      minEvents: Long = HotKeyMinEvents,
+      minUsers: Long = HotKeyMinUsers): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("n_users"))
+      .filter(col("n_events") >= minEvents ||
+        col("n_users") >= minUsers)
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("n_users"))
+
   /** Events fixture as a typed Dataset (batch side). */
   def batchEvents(s: SparkSession, dir: String): Dataset[Event] = {
     import s.implicits._

@@ -231,6 +231,25 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hot-key monitor: streaming == batch, only crossing keys emitted") {
+    val ms = streamOf(fixture)
+    val q = EventStreams.hotKeyMonitor(ms.toDF())
+      .writeStream.format("memory").queryName("hotkey_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streaming = sortedRows(spark.table("hotkey_out"))
+      val batch = sortedRows(EventStreams.hotKeyMonitor(
+        EventStreams.batchEvents(spark, dir).toDF()))
+      assert(streaming == batch)
+      assert(streaming.nonEmpty)
+      // the thresholds actually filter: some (window, key) pairs are cold
+      val all = EventStreams.batchEvents(spark, dir).toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type")).count().count()
+      assert(streaming.size < all)
+    } finally q.stop()
+  }
+
   test("streaming ingest gate: dedup + quality + repetition gates == batch twin") {
     import java.sql.Timestamp
     import spark.implicits._
