@@ -703,11 +703,85 @@ object LlmOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Anchor set size for q104 (vec_id < this are mined). */
+  val HardNegAnchors = 30
+
+  /** q104: contrastive-pair mining — for each anchor vector: the best
+    * SAME-label positive and the best DIFFERENT-label hard negative by
+    * cosine, plus the margin between them. The training-data op behind
+    * embedding-model fine-tuning (hard negatives are what make
+    * contrastive batches informative; easy random negatives teach
+    * nothing).
+    *
+    * Scale shape: the anchor set broadcasts against one partitioned
+    * corpus scan (linear, not quadratic — same discipline as q48), and
+    * both arg-max selections are max_by HASH aggregations (map-side
+    * combinable, one buffer per anchor) rather than per-anchor sort
+    * windows. Corpus-scale anchor sets would swap the broadcast for
+    * the IVF/LSH candidate generation (q50/q57) unchanged.
+    */
+  val q104HardNegatives: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val anchors = e.filter(col("vec_id") < HardNegAnchors)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val scored = e.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", cosineC(col("qe"), col("embedding")))
+    def best(df: DataFrame, idName: String, scoreName: String): DataFrame =
+      df.groupBy(col("qid"))
+        .agg(max_by(
+          struct(col("vec_id"), col("score")),
+          struct(col("score"), (-col("vec_id")).as("nv"))).as("b"))
+        .select(col("qid"), col("b.vec_id").as(idName),
+          col("b.score").as(scoreName))
+    val pos = best(scored.filter(col("label") === col("qlabel")), "pos_id", "pos_score")
+    val neg = best(scored.filter(col("label") =!= col("qlabel")), "neg_id", "neg_score")
+    pos.join(neg, Seq("qid"))
+      .select(col("qid"), col("pos_id"), col("pos_score"),
+        col("neg_id"), col("neg_score"),
+        round(col("pos_score") - col("neg_score"), 6).as("margin"))
+      .orderBy(col("qid"))
+  }
+
   /** Per-language sampling rates (percent) for q58 — a training-data
     * mixing recipe (upsample scarce languages, downsample the head).
     */
   val SampleRates: Seq[(String, Int)] =
     Seq("en" -> 50, "es" -> 25, "fr" -> 25, "de" -> 10)
+
+  /** Per-stratum sample size for q105. */
+  val WeightedSampleK = 5
+
+  /** q105: weighted sampling without replacement (Efraimidis-Spirakis
+    * A-ES), deterministic: each doc draws a hash-derived uniform u and
+    * ranks by ln(u)/w (the log form of the u^(1/w) key — monotone, so
+    * the top-k is identical), w = the q54 quality score; the top
+    * [[WeightedSampleK]] per language win. P(selection) ∝ weight, yet
+    * the sample is a pure function of the corpus — reproducible across
+    * runs, engines, and partitionings, unlike rand()-based weighted
+    * sampling (same discipline as q58, which this generalizes from
+    * uniform to weighted draws).
+    *
+    * Scale shape: key computation is map-side; the top-k per stratum
+    * is a WindowGroupLimit over per-language partitions (rank ≤ k
+    * pushes the limit into the sort). Corpus-scale stratum counts keep
+    * parallelism ∝ strata; a single global sort never happens.
+    */
+  val q105WeightedSample: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val scored = qualityTable(s, dir)
+      .withColumn("u",
+        (expr(s"${hashS("concat('es:', doc_id)")} % 1000000") + 0.5) / 1000000.0)
+      .withColumn("skey", round(log(col("u")) / col("quality"), 6))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= WeightedSampleK)
+      .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"),
+        col("skey"), col("rk").cast("int").as("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
 
   /** q58: DETERMINISTIC stratified sampling — the reproducible
     * train-data mixing primitive. Selection is a pure function of the
@@ -1694,6 +1768,8 @@ object LlmOps {
     "q56_cosine_near_dup" -> q56CosineNearDup,
     "q57_ann_ivf" -> q57AnnIvf,
     "q96_semdedup" -> q96SemDedup,
+    "q104_hard_negatives" -> q104HardNegatives,
+    "q105_weighted_sample" -> q105WeightedSample,
     "q40_text_stats" -> q40TextStats,
     "q41_langid" -> q41LangId,
     "q42_token_count" -> q42TokenCount,
@@ -1926,6 +2002,51 @@ object LlmOps {
         |  CAST(d.vec_id IS NULL AS BIGINT) AS kept
         |FROM corpus c LEFT JOIN d USING (vec_id)
         |ORDER BY c.vec_id""".stripMargin,
+    "q104_hard_negatives" ->
+      s"""WITH a AS (
+        |  SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+        |  FROM embeddings WHERE vec_id < $HardNegAnchors),
+        |s AS (
+        |  SELECT a.qid, a.qlabel, e.vec_id, e.label,
+        |    ${cosineD("a.qe", "e.embedding")} AS score
+        |  FROM embeddings e CROSS JOIN a WHERE e.vec_id != a.qid),
+        |p AS (
+        |  SELECT qid, vec_id AS pos_id, score AS pos_score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+        |  FROM s WHERE label = qlabel),
+        |n AS (
+        |  SELECT qid, vec_id AS neg_id, score AS neg_score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+        |  FROM s WHERE label != qlabel)
+        |SELECT p.qid, p.pos_id, p.pos_score, n.neg_id, n.neg_score,
+        |  round(p.pos_score - n.neg_score, 6) AS margin
+        |FROM p JOIN n ON p.qid = n.qid
+        |WHERE p.rn = 1 AND n.rn = 1
+        |ORDER BY p.qid""".stripMargin,
+    "q105_weighted_sample" ->
+      s"""WITH qs AS (
+        |  SELECT doc_id, lang, n_chars, len(tok) AS n_tokens,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+        |    length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
+        |    ${stopCountD(StopEn)} AS n_stop
+        |  FROM (SELECT *, $toksD AS tok FROM documents)),
+        |q AS (SELECT doc_id, lang,
+        |  0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+        |   + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+        |   + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens)
+        |   + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars) AS quality
+        |  FROM qs),
+        |k AS (
+        |  SELECT doc_id, lang, quality,
+        |    round(ln((${hashD("'es:' || doc_id")} % 1000000 + 0.5) / 1000000.0)
+        |      / quality, 6) AS skey
+        |  FROM q),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY skey DESC, doc_id ASC) AS rk FROM k)
+        |SELECT doc_id, lang, round(quality, 6) AS quality, skey,
+        |  CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= $WeightedSampleK
+        |ORDER BY lang, rk""".stripMargin,
     "q57_ann_ivf" ->
       s"""WITH $ivfCtesD,
         |probes AS (
