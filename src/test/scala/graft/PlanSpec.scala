@@ -262,6 +262,53 @@ class PlanSpec extends AnyFunSuite {
       s"stage minima should combine map-side:\n$p")
   }
 
+  test("q95: the verify pass filters the scan by the broadcast candidate set") {
+    val p = finalPlan("q95_heavy_hitters")
+    // pass 2's exact count must consume only candidate rows: the
+    // semi-join against the k-sized candidate list is a broadcast, so
+    // the full per-item count table never shuffles
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate filter should be a broadcast semi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q98: fuzzy-join candidates come from a gram equi-join, never all-pairs") {
+    val p = finalPlan("q98_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"blocking must keep the verify off the cross product:\n$p")
+  }
+
+  test("q99: pair counts aggregate map-side over the word-frequency table") {
+    val p = finalPlan("q99_bpe_pairs")
+    // corpus text is touched exactly once (one documents scan); the
+    // pair explosion runs over the vocabulary-sized word table
+    assert(scans(p) == 1, s"BPE counting should scan the corpus once:\n$p")
+    assert(p.contains("partial_"), s"pair counts should map-side combine:\n$p")
+  }
+
+  test("q101: engagement collapses raw events before the window explode") {
+    val p = finalPlan("q101_engagement")
+    assert(scans(p) <= 2, s"DAU/WAU derive from (user, day) pairs:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q103: each profile branch prunes its scan to the profiled column") {
+    val p = finalPlan("q103_column_profile")
+    // every numeric branch reads exactly its one column (plus nothing)
+    assert(p.contains("ReadSchema: struct<l_quantity:double>"),
+      s"quantity branch should read only l_quantity:\n$p")
+    assert(p.contains("ReadSchema: struct<l_returnflag:string>"),
+      s"returnflag branch should read only l_returnflag:\n$p")
+  }
+
+  test("q104: anchors broadcast against one corpus scan; arg-max is a hash agg") {
+    val p = finalPlan("q104_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"anchor set should broadcast:\n$p")
+    assert(p.contains("max_by"), s"selection should be max_by hash agg, not a window:\n$p")
+    assert(!p.toLowerCase.contains("window"), s"no per-anchor sort windows:\n$p")
+  }
+
   test("custom scalar expressions do not break whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.Scalars._
