@@ -43,6 +43,9 @@ object Engine {
     if (!spark.experimental.extraOptimizations.contains(SimplifyEndsWithSource))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SimplifyEndsWithSource
+    if (!spark.experimental.extraOptimizations.contains(BandedLevenshtein))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BandedLevenshtein
     spark
   }
 

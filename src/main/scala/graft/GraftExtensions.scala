@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Abs, And, Expression, ExpressionInfo, GreaterThanOrEqual, Length, LessThan, LessThanOrEqual, Levenshtein, Literal, Subtract}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BooleanType, StringType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions._
@@ -23,6 +23,44 @@ object SimplifyEndsWithSource extends Rule[LogicalPlan] {
     case EndsWithSource(_, Literal(u: UTF8String, StringType), _)
         if u != null && u.numChars() == 0 =>
       Literal(false, BooleanType)
+  }
+}
+
+/** Optimizer rule for similarity-join verify predicates:
+  * `levenshtein(a, b) <= k` (the shape every blocked fuzzy join emits,
+  * e.g. q98) computes the FULL O(|a|·|b|) edit-distance matrix per
+  * candidate pair and then compares. Rewritten to the conjunction
+  *
+  *   abs(length(a) - length(b)) <= k AND levenshtein(a, b, k) >= 0
+  *
+  * which is equivalent (edit distance is bounded below by the length
+  * difference, and Spark's 3-arg banded Levenshtein returns -1 exactly
+  * when the distance exceeds the threshold) but costs O(1) for pairs
+  * the length guard rejects and O(k·min(|a|,|b|)) — a k-wide band of
+  * the matrix — for the rest. `lev < k` folds the same way with k−1.
+  * Null propagation is preserved: any null operand makes both the
+  * original and the rewrite null.
+  *
+  * Only non-negative integer-literal thresholds rewrite (a column-
+  * valued threshold can't prove k ≥ 0 at plan time; banded Levenshtein
+  * requires it).
+  */
+object BandedLevenshtein extends Rule[LogicalPlan] {
+  private def banded(a: Expression, b: Expression, k: Int): Expression =
+    And(
+      LessThanOrEqual(Abs(Subtract(Length(a), Length(b))),
+        Literal(k, IntegerType)),
+      GreaterThanOrEqual(
+        Levenshtein(a, b, Some(Literal(k, IntegerType))),
+        Literal(0, IntegerType)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case LessThanOrEqual(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
+        if k >= 0 => banded(a, b, k)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
+        if k >= 0 => banded(a, b, k)
+    case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
+        if k >= 1 => banded(a, b, k - 1)
   }
 }
 
@@ -73,5 +111,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingles2", classOf[Shingles2]),
       (es: Seq[Expression]) => Shingles2(es.head)))
     e.injectOptimizerRule(_ => SimplifyEndsWithSource)
+    e.injectOptimizerRule(_ => BandedLevenshtein)
   }
 }

@@ -139,6 +139,7 @@ object IndexOps {
     * skew-join splits any hot gram's partition.
     */
   val q98FuzzyJoin: Q = (s, dir) => {
+    graft.Functions.registerAll(s) // wires the BandedLevenshtein rule
     val dirty = t(s, dir, "part")
       .withColumn("pos", (col("p_partkey") % (length(col("p_name")) - 2) + 2)
         .cast("int"))

@@ -32,6 +32,41 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.collect().forall(r => r.isNullAt(1)))
   }
 
+  test("levenshtein <= k rewrites to length guard + banded form") {
+    val df = Engine.table(spark, "/root/testdata/sf0.001", "part")
+      .filter(levenshtein(col("p_name"), lit("small ring")) <= 2)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("levenshtein(p_name"),
+      s"levenshtein should survive (banded):\n$optimized")
+    assert(optimized.contains("Some(2)) >= 0"),
+      s"expected the 3-arg threshold form compared to 0:\n$optimized")
+    assert(optimized.contains("abs("),
+      s"expected the length-difference guard:\n$optimized")
+  }
+
+  test("banded rewrite preserves results and null semantics") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("kitten", "sitting"),   // dist 3
+      ("kitten", "mitten"),    // dist 1
+      ("abc", "abc"),          // dist 0
+      ("abc", "abcdefgh"),     // length gap 5 > k
+      (null.asInstanceOf[String], "abc"),
+      ("abc", null.asInstanceOf[String])).toDF("a", "b")
+    // projection (not filter): null must stay null through the rewrite
+    val flags = pairs
+      .select(col("a"), col("b"), (levenshtein(col("a"), col("b")) <= 2).as("f"))
+      .collect().map(r => if (r.isNullAt(2)) None else Some(r.getBoolean(2)))
+    assert(flags.toSeq == Seq(
+      Some(false), Some(true), Some(true), Some(false), None, None))
+    // filtered form agrees with the unoptimized semantics
+    val kept = pairs.filter(levenshtein(col("a"), col("b")) <= 2).count()
+    assert(kept == 2)
+    // strict < uses k-1
+    val strict = pairs.filter(levenshtein(col("a"), col("b")) < 1).count()
+    assert(strict == 1) // only the exact match
+  }
+
   test("GraftExtensions installs into a fresh extensions container") {
     // full end-to-end (fresh session via spark.sql.extensions config) is
     // driven by graft.ExtensionsDemo in a separate JVM — a shared test
