@@ -360,7 +360,104 @@ object PipelineOps {
       .orderBy(col("column"))
   }
 
+  // ---------------------------------------------------------------
+  // q106 — incremental aggregate maintenance (CDC-driven view refresh)
+  // ---------------------------------------------------------------
+
+  /** q106: incremental materialized-view maintenance — refresh the
+    * per-language (n_docs, total_tokens) aggregate from yesterday's
+    * stored aggregate plus ONLY the delta documents, never rescanning
+    * the unchanged corpus. The q87 CDC classification drives which
+    * rows contribute: added docs add their new counts, deleted docs
+    * subtract their old counts, changed docs apply the difference.
+    *
+    * The CORRECTNESS claim is the oracle itself: the query computes
+    * the refreshed aggregate incrementally, the oracle computes it
+    * directly from the new snapshot — a hash match proves incremental
+    * == full recompute exactly (counts are integers, so there is no
+    * float-drift escape hatch).
+    *
+    * Scale shape: at 100 TB the old aggregate is a stored
+    * strata-sized table and the delta side is the day's changed docs;
+    * tokenization runs ONLY over delta rows (here the delta text scan
+    * is pruned by the manifest classification before any `tok` work),
+    * and every aggregation is map-side combinable on `lang`.
+    */
+  val q106IncrementalAgg: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val docs = t(s, dir, "documents")
+    def ntok(c: Column): Column =
+      size(split(trim(lower(c)), "\\s+")).cast("long")
+    // old snapshot (q87's fixture derivation) and its stored aggregate
+    val old = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), col("lang"), ntok(col("text")).as("nt"))
+    val oldAgg = old.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("toks"))
+    // delta rows with their old/new token contributions. Existence
+    // flags reuse q87's modular membership — no manifest join needed
+    // for the fixture derivation, and the non-delta 99% short-circuits
+    // to a zero contribution before tokenization.
+    val inOld = col("doc_id") % 13 =!= 5
+    val inNew = col("doc_id") % 11 =!= 7
+    val changed = col("doc_id") % 7 === 0
+    val delta = docs
+      .filter((inOld && !inNew) || (!inOld && inNew) || (inOld && inNew && changed))
+      .select(col("lang"),
+        when(!inOld && inNew, 1L).when(inOld && !inNew, -1L)
+          .otherwise(0L).as("d_docs"),
+        (when(inNew, ntok(when(changed, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))).otherwise(0L)
+          - when(inOld, ntok(col("text"))).otherwise(0L)).as("d_toks"))
+      .groupBy(col("lang"))
+      .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_toks")).as("d_toks"))
+    oldAgg.join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("toks"), lit(0L)) + coalesce(col("d_toks"), lit(0L)))
+          .as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  // ---------------------------------------------------------------
+  // q107 — zone-map statistics + predicate skip estimate
+  // ---------------------------------------------------------------
+
+  /** Zone width (docs per zone) and the sample predicate's threshold
+    * for the skip estimate.
+    */
+  val ZoneDocs = 64L
+  val ZoneTokenPredicate = 40L
+
+  /** q107: data-skipping zone maps — per zone (file-sized doc_id
+    * range): row count, min/max token length, distinct languages, and
+    * whether the sample predicate `n_tokens >= 40` could skip the
+    * zone entirely (max below the threshold). The stats-collection
+    * pass behind lakehouse file pruning: the zone map is ~corpus/64
+    * rows, and a query planner consults IT instead of the data — the
+    * skip flag here is exactly the file-elimination decision.
+    *
+    * One map-side-combinable aggregation keyed on the zone id; no
+    * joins, no windows.
+    */
+  val q107ZoneMap: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    t(s, dir, "documents")
+      .select((col("doc_id") / ZoneDocs).cast("long").as("zone"),
+        expr(s"cast(size(split(trim(lower(text)), '\\\\s+')) as bigint)").as("nt"),
+        col("lang"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("nt")).as("min_tokens"), max(col("nt")).as("max_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("skippable",
+        (col("max_tokens") < ZoneTokenPredicate).cast("bigint"))
+      .orderBy(col("zone"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q106_incremental_agg" -> q106IncrementalAgg,
+    "q107_zone_map" -> q107ZoneMap,
     "q87_snapshot_delta" -> q87SnapshotDelta,
     "q88_dataset_split" -> q88DatasetSplit,
     "q89_scd2_history" -> q89Scd2History,
@@ -396,6 +493,25 @@ object PipelineOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q106_incremental_agg" ->
+      // the oracle is the FULL recompute over the new snapshot — a
+      // hash match proves the incremental refresh is exact
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(lower(
+        |    text || (CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END))), '\s+')))
+        |    AS BIGINT) AS total_tokens
+        |FROM documents WHERE doc_id % 11 != 7
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q107_zone_map" ->
+      s"""SELECT zone, count(*) AS n_docs,
+        |  min(nt) AS min_tokens, max(nt) AS max_tokens,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(max(nt) < $ZoneTokenPredicate AS BIGINT) AS skippable
+        |FROM (
+        |  SELECT doc_id // $ZoneDocs AS zone, lang,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS nt
+        |  FROM documents)
+        |GROUP BY zone ORDER BY zone""".stripMargin,
     "q87_snapshot_delta" ->
       s"""WITH old AS (
         |  SELECT doc_id, ${hashD("text")} AS old_hash
