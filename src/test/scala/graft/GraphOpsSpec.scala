@@ -63,6 +63,53 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(pr(edges) == pr(edges.reverse))
   }
 
+  test("pageRank matches the reference on random graphs (property)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(25)
+      // random canonical edges over n nodes, dense enough to connect most
+      val edges = (for {
+        a <- 0L until n
+        b <- (a + 1) until n
+        if rnd.nextDouble() < 0.25
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val got = pr(edges)
+        val want = prRef(edges, 3)
+        assert(got == want, s"trial $trial (n=$n, ${edges.size} edges)")
+        // total mass stays ≈ PrScale: integer truncation only loses,
+        // never creates, rank
+        assert(got.values.sum <= GraphOps.PrScale)
+      }
+    }
+  }
+
+  test("triangleStats matches a brute-force reference on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val n = 6 + rnd.nextInt(15)
+      val edges = (for {
+        a <- 1L to n
+        b <- (a + 1) to n
+        if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val es = edges.toSet
+        def connected(x: Long, y: Long) = es.contains((math.min(x, y), math.max(x, y)))
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.map { u =>
+          val nbrs = nodes.filter(v => v != u && connected(u, v))
+          val t = (for {
+            i <- nbrs.indices; j <- (i + 1) until nbrs.size
+            if connected(nbrs(i), nbrs(j))
+          } yield 1).size.toLong
+          u -> (nbrs.size.toLong, t)
+        }.toMap
+        assert(tri(edges) == want, s"trial $trial (n=$n, ${edges.size} edges)")
+      }
+    }
+  }
+
   test("triangleStats counts K4 and ignores a pendant edge") {
     // K4 (every node in 3 triangles, clustering 1.0) plus pendant 4-5
     val k4 = for {
