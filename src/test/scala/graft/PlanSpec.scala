@@ -309,6 +309,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("window"), s"no per-anchor sort windows:\n$p")
   }
 
+  test("q107: zone map is one pruned scan, no joins, map-side combinable") {
+    val p = finalPlan("q107_zone_map")
+    assert(scans(p) == 1, s"zone map should be a single pass:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      s"scan should prune to the three needed columns:\n$p")
+    assert(!p.contains("Join"), s"no joins expected:\n$p")
+  }
+
   test("custom scalar expressions do not break whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.Scalars._
