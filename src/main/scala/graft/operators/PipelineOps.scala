@@ -455,7 +455,95 @@ object PipelineOps {
       .orderBy(col("zone"))
   }
 
+  // ---------------------------------------------------------------
+  // q109 — pivot (long → wide)
+  // ---------------------------------------------------------------
+
+  /** Event-type domain for the q109 pivot — EXPLICIT so the pivot is
+    * one pass (without the value list, `pivot()` runs a distinct scan
+    * first to discover the domain — a full extra corpus pass at
+    * 100 TB) and so the output schema is pinned for the oracle.
+    */
+  val PivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q109: pivot — per-user event counts, one column per event type
+    * plus the total. The long→wide reshaping step feature pipelines
+    * run before model joins. One map-side-combinable aggregation; the
+    * pivot is columnar bookkeeping on top of the same shuffle a plain
+    * groupBy would do.
+    */
+  val q109Pivot: Q = (s, dir) => {
+    val wide = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", PivotEventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotEventTypes)
+    wide
+      .withColumn("total",
+        PivotEventTypes.map(col).reduce(_ + _))
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // q110 — time-grid linear interpolation
+  // ---------------------------------------------------------------
+
+  /** q110: resample each user's event values onto the hourly grid by
+    * LINEAR INTERPOLATION between the bracketing events (NULL outside
+    * the user's observed range) — the feature-alignment step that
+    * turns irregular event streams into fixed-step model inputs; q14's
+    * fill-forward is the step-function variant, this is the continuous
+    * one.
+    *
+    * Shape: same-instant events pre-average (decimal-exact), the grid
+    * unions in as null-valued rows, and ONE window pass per direction
+    * inside per-user partitions carries the bracketing (value, time)
+    * pairs — `last(ignoreNulls)` looking back, `first(ignoreNulls)`
+    * looking forward; ties at grid==event order the event first so an
+    * exactly-hit grid point returns the event value. No joins, no
+    * per-user loops; partitions are per-entity, never corpus-wide.
+    */
+  val q110Interpolate: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy(col("user_id"), col("us"))
+      .agg((sum(dec(col("value"))).cast("double") / count(lit(1))).as("v"))
+    val hourUs = 3600000000L
+    val range = ev.agg(
+      ((min(col("us")) / hourUs).cast("long") * hourUs).as("g0"),
+      ((max(col("us")) / hourUs).cast("long") * hourUs).as("g1"))
+    val users = ev.select(col("user_id")).distinct()
+    val grid = users.crossJoin(broadcast(range))
+      .select(col("user_id"),
+        explode(expr(s"sequence(g0, g1, $hourUs)")).as("us"))
+      .withColumn("is_grid", lit(1))
+    val unioned = ev.withColumn("is_grid", lit(0))
+      .select(col("user_id"), col("us"), col("v"), col("is_grid"))
+      .unionAll(grid.select(col("user_id"), col("us"),
+        lit(null).cast("double").as("v"), col("is_grid")))
+    val order = Seq(col("us").asc, col("is_grid").asc)
+    val back = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val evUs = when(col("is_grid") === 0, col("us"))
+    val interp = unioned
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pu", last(evUs, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nu", first(evUs, ignoreNulls = true).over(fwd))
+      .filter(col("is_grid") === 1)
+      .withColumn("interp",
+        round(col("pv") + (col("nv") - col("pv")) *
+          ((col("us") - col("pu")).cast("double") / (col("nu") - col("pu"))), 6))
+    interp.select(col("user_id"),
+      timestamp_micros(col("us")).as("grid_ts"), col("interp"))
+      .orderBy(col("user_id"), col("grid_ts"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q109_pivot" -> q109Pivot,
+    "q110_interpolate" -> q110Interpolate,
     "q106_incremental_agg" -> q106IncrementalAgg,
     "q107_zone_map" -> q107ZoneMap,
     "q87_snapshot_delta" -> q87SnapshotDelta,
@@ -493,6 +581,43 @@ object PipelineOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q109_pivot" ->
+      s"""SELECT user_id,
+        |${PivotEventTypes.map(t =>
+             s"  CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+             .mkString(",\n")},
+        |  count(*) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q110_interpolate" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT (min(us) // 3600000000) * 3600000000 AS g0,
+        |             (max(us) // 3600000000) * 3600000000 AS g1 FROM ev),
+        |grid AS (
+        |  SELECT u.user_id, unnest(range(r.g0, r.g1 + 1, 3600000000)) AS us,
+        |    1 AS is_grid
+        |  FROM (SELECT DISTINCT user_id FROM ev) u, r),
+        |un AS (
+        |  SELECT user_id, us, v, 0 AS is_grid FROM ev
+        |  UNION ALL
+        |  SELECT user_id, us, NULL, is_grid FROM grid),
+        |w AS (
+        |  SELECT *,
+        |    last_value(v IGNORE NULLS) OVER back AS pv,
+        |    last_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS) OVER back AS pu,
+        |    first_value(v IGNORE NULLS) OVER fwd AS nv,
+        |    first_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS) OVER fwd AS nu
+        |  FROM un
+        |  WINDOW back AS (PARTITION BY user_id ORDER BY us, is_grid
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         fwd AS (PARTITION BY user_id ORDER BY us, is_grid
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, make_timestamp(us) AS grid_ts,
+        |  round(pv + (nv - pv) * (CAST(us - pu AS DOUBLE) / (nu - pu)), 6) AS interp
+        |FROM w WHERE is_grid = 1
+        |ORDER BY user_id, grid_ts""".stripMargin,
     "q106_incremental_agg" ->
       // the oracle is the FULL recompute over the new snapshot — a
       // hash match proves the incremental refresh is exact
