@@ -317,6 +317,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no joins expected:\n$p")
   }
 
+  test("q110: interpolation windows are per-user, never a global single partition") {
+    val p = finalPlan("q110_interpolate")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("user_id")),
+      s"every window must partition on the entity key:\n${windows.mkString("\n")}")
+  }
+
   test("custom scalar expressions do not break whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.Scalars._
