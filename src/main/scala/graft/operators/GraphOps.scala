@@ -104,10 +104,14 @@ object GraphOps {
     * → (node, deg, rank_fp).
     */
   def pageRank(e0: DataFrame, iters: Int = PageRankIters): DataFrame = {
-    val edges = e0.toDF("pa", "pb")
-      .select(col("pa").as("src"), col("pb").as("dst"))
-      .unionAll(e0.toDF("pa", "pb")
-        .select(col("pb").as("src"), col("pa").as("dst")))
+    // null endpoints and self-loops are dropped ONCE here (same hygiene
+    // as connectedComponents): a (x, x) edge would otherwise feed rank
+    // back to its own node and a null would form a phantom node
+    val e = e0.toDF("pa", "pb")
+      .filter(col("pa").isNotNull && col("pb").isNotNull &&
+        col("pa") =!= col("pb"))
+    val edges = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nRow = deg.agg(count(lit(1)).as("n"))
     // node table: degree + per-corpus constants (teleport term, r0);
@@ -163,8 +167,13 @@ object GraphOps {
     */
   def triangleStats(edges: DataFrame): DataFrame = {
     // edge-list-sized; referenced three times below (degrees, wedge
-    // sides via `oriented`, and the closing join) — materialize once
-    val e0 = edges.toDF("pa", "pb").localCheckpoint(true)
+    // sides via `oriented`, and the closing join) — materialize once.
+    // Null endpoints / self-loops dropped with the same policy as
+    // pageRank and connectedComponents.
+    val e0 = edges.toDF("pa", "pb")
+      .filter(col("pa").isNotNull && col("pb").isNotNull &&
+        col("pa") =!= col("pb"))
+      .localCheckpoint(true)
     val deg = e0.select(col("pa").as("node"))
       .unionAll(e0.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

@@ -63,6 +63,21 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(pr(edges) == pr(edges.reverse))
   }
 
+  test("self-loops and null endpoints are ignored by both operators") {
+    import spark.implicits._
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val noisy = Seq(
+      (Some(1L), Some(2L)), (Some(2L), Some(3L)), (Some(1L), Some(3L)),
+      (Some(2L), Some(2L)), (None, Some(5L)), (Some(6L), None))
+    val prClean = pr(clean)
+    val prNoisy = GraphOps.pageRank(noisy.toDF("pa", "pb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(prNoisy == prClean)
+    val triNoisy = GraphOps.triangleStats(noisy.toDF("pa", "pb"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(triNoisy == tri(clean))
+  }
+
   test("pageRank matches the reference on random graphs (property)") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 5) {
