@@ -25,14 +25,14 @@ object SparkEntry {
     operators.Relational.queries ++ operators.LlmOps.queries ++
       operators.Multimodal.queries ++ operators.RumorPipeline.queries ++
       operators.PipelineOps.queries ++ operators.GraphOps.queries ++
-      operators.IndexOps.queries ++ sources.TrainingShards.queries ++
-      sources.JsonlCorpus.queries
+      operators.IndexOps.queries ++ operators.StatsOps.queries ++
+      sources.TrainingShards.queries ++ sources.JsonlCorpus.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.LlmOps.oracles ++
       operators.Multimodal.oracles ++ operators.RumorPipeline.oracles ++
       operators.PipelineOps.oracles ++ operators.GraphOps.oracles ++
-      operators.IndexOps.oracles ++ sources.TrainingShards.oracles ++
-      sources.JsonlCorpus.oracles
+      operators.IndexOps.oracles ++ operators.StatsOps.oracles ++
+      sources.TrainingShards.oracles ++ sources.JsonlCorpus.oracles
 }

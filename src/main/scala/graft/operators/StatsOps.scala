@@ -1,0 +1,332 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Engine
+
+/** Statistical analytics over the fixture tables — the closed-form
+  * statistics a data platform computes ON the corpus (trends,
+  * correlations, anomaly flags, digit-distribution audits, path
+  * mining).
+  *
+  * Shared determinism discipline: every statistic is assembled from
+  * EXACT sufficient statistics — decimal/integer sums that are
+  * order-independent under any partitioning — with the floating-point
+  * arithmetic confined to one final per-group expression. A running
+  * float mean/variance would hash-diverge across engines; Σx, Σx²,
+  * Σxy in decimal cannot.
+  */
+object StatsOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(28, 8))
+
+  // ---------------------------------------------------------------
+  // q111 — per-group OLS regression (trend per source)
+  // ---------------------------------------------------------------
+
+  /** q111: ordinary-least-squares slope/intercept of quality against
+    * log-length, per source — "does this source's quality rise or fall
+    * with document length", the per-stratum trend screen run before
+    * choosing length cutoffs.
+    *
+    * One map-side-combinable aggregation per source collecting the
+    * five sufficient statistics (n, Σx, Σy, Σxy, Σx²); slope and
+    * intercept are one final double expression per group. x = rounded
+    * log-token-count and y = rounded quality keep the decimal sums
+    * exact cross-engine.
+    */
+  val q111GroupRegression: Q = (s, dir) => {
+    val q = LlmOps.qualityTable(s, dir)
+      .select(col("source"),
+        round(log(col("n_tokens").cast("double")), 6).as("x"),
+        round(col("quality"), 6).as("y"))
+    q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("y"))).as("sxy"),
+        sum(dec(col("x") * col("x"))).as("sxx"))
+      .select(col("source"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy").cast("double") -
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            col("sx").cast("double")) / col("n"), 6).as("intercept"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------
+  // q112 — correlation matrix
+  // ---------------------------------------------------------------
+
+  /** Numeric columns correlated pairwise in q112. */
+  val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** q112: Pearson correlation matrix over the lineitem measures —
+    * ONE pass collecting every pairwise sufficient statistic (the
+    * aggregation carries Σxᵢ, Σxᵢ², Σxᵢxⱼ for all pairs — 4 + 4 + 6
+    * decimal buffers, constant-size whatever the corpus), then the
+    * 4×4 matrix unpivots from a single row. The feature-redundancy
+    * screen before model training.
+    */
+  val q112CorrMatrix: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val sums = li.agg(
+      count(lit(1)).as("n"),
+      CorrCols.map(c => sum(dec(col(c))).as(s"s_$c")) ++
+        CorrCols.map(c => sum(dec(col(c)) * dec(col(c))).as(s"ss_$c")) ++
+        (for {
+          i <- CorrCols.indices; j <- (i + 1) until CorrCols.size
+        } yield sum(dec(col(CorrCols(i))) * dec(col(CorrCols(j))))
+          .as(s"sp_${CorrCols(i)}_${CorrCols(j)}")): _*)
+    def corr(a: String, b: String): Column = {
+      val sp = if (CorrCols.indexOf(a) < CorrCols.indexOf(b))
+        col(s"sp_${a}_$b") else col(s"sp_${b}_$a")
+      val cov = (col("n") * sp - col(s"s_$a") * col(s"s_$b")).cast("double")
+      val va = (col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")).cast("double")
+      val vb = (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")).cast("double")
+      round(cov / sqrt(va * vb), 6)
+    }
+    val cells = for { a <- CorrCols; b <- CorrCols } yield
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        (if (a == b) lit(1.0) else corr(a, b)).as("pearson"))
+    sums.select(explode(array(cells: _*)).as("c"))
+      .select(col("c.col_a"), col("c.col_b"), col("c.pearson"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  // ---------------------------------------------------------------
+  // q113 — z-score anomaly flags
+  // ---------------------------------------------------------------
+
+  /** q113: per-user z-score anomaly detection — events whose value
+    * sits more than 2σ from the user's own mean (population σ from
+    * exact sums). The per-entity outlier screen; broadcast-free: the
+    * per-user statistics join back co-partitioned on user_id.
+    */
+  val q113Anomalies: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val stats = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("sv"),
+        sum(dec(col("value")) * dec(col("value"))).as("svv"))
+      .select(col("user_id"),
+        (col("sv").cast("double") / col("n")).as("mean"),
+        (sqrt((col("n") * col("svv") - col("sv") * col("sv")).cast("double")) /
+          col("n").cast("double")).as("sd"))
+    e.join(stats, Seq("user_id"))
+      .withColumn("z", round((col("value") - col("mean")) / col("sd"), 6))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("event_id"), col("user_id"),
+        col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // q114 — Benford digit audit (chi-square)
+  // ---------------------------------------------------------------
+
+  /** q114: first-digit distribution audit — observed leading-digit
+    * counts of line prices vs the Benford expectation, with each
+    * digit's chi-square contribution. The fraud/synthetic-data screen
+    * (q95 finds WHICH digit is hot; this quantifies the whole
+    * distribution's deviation). Counts are exact integers; expected
+    * shares are log10 constants — all double arithmetic is per-row
+    * on final values.
+    */
+  val q114BenfordAudit: Q = (s, dir) => {
+    val digits = t(s, dir, "lineitem")
+      .select(substring(floor(col("l_extendedprice")).cast("bigint")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+    val nRow = digits.agg(count(lit(1)).as("n_total"))
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("p_benford",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("expected", round(col("p_benford") * col("n_total"), 2))
+      .withColumn("chi2",
+        round(pow(col("observed") - col("expected"), 2) / col("expected"), 6))
+      .select(col("digit"), col("observed"), col("expected"),
+        col("p_benford"), col("chi2"))
+      .orderBy(col("digit"))
+  }
+
+  // ---------------------------------------------------------------
+  // q115 — session path mining
+  // ---------------------------------------------------------------
+
+  /** Session gap (microseconds) shared with the q30 sessionization. */
+  val SessionGapUs = 1800000000L
+
+  /** q115: behavioral path mining — the most common 3-step event-type
+    * sequences WITHIN a session (30-minute gap sessionization, order
+    * pinned by (ts, event_id)). The product-analytics "what do users
+    * do next" staple.
+    *
+    * Shape: sessionization is the q30 gap-window inside per-user
+    * partitions; each session's ordered type list assembles with ONE
+    * ordered collect per session (sessions are bounded, never
+    * corpus-scale); the 3-gram explode and count are map-side
+    * combinable.
+    */
+  val q115SessionPaths: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val e = t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap",
+        (col("us") - lag(col("us"), 1).over(byUser) > SessionGapUs)
+          .cast("int"))
+      .withColumn("session",
+        sum(coalesce(col("gap"), lit(0))).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = e.groupBy(col("user_id"), col("session"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(us, event_id, event_type))), x -> x.event_type)")
+        .as("types"))
+      .filter(size(col("types")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(types) - 2), i -> concat_ws('>', types[i-1], types[i], types[i+1]))"))
+        .as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("path").asc)
+      .limit(25)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q111_group_regression" -> q111GroupRegression,
+    "q112_corr_matrix" -> q112CorrMatrix,
+    "q113_anomalies" -> q113Anomalies,
+    "q114_benford_audit" -> q114BenfordAudit,
+    "q115_session_paths" -> q115SessionPaths)
+
+  // ---- DuckDB oracle dialect ----
+
+  private val qualityLangCteD = {
+    val stops = LlmOps.StopEn.map(x => s"'$x'").mkString("[", ", ", "]")
+    s"""q AS (
+       |  SELECT doc_id, source,
+       |    0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+       |     + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+       |     + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens)
+       |     + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars) AS quality,
+       |    n_tokens
+       |  FROM (
+       |    SELECT doc_id, source, n_chars, len(tok) AS n_tokens,
+       |      length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+       |      length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
+       |      len(list_filter(tok, x -> list_contains($stops, x))) AS n_stop
+       |    FROM (SELECT *, string_split_regex(trim(lower(text)), '\\s+') AS tok
+       |          FROM documents)))""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q111_group_regression" ->
+      s"""WITH $qualityLangCteD,
+        |xy AS (SELECT source,
+        |         round(ln(CAST(n_tokens AS DOUBLE)), 6) AS x,
+        |         round(quality, 6) AS y FROM q),
+        |st AS (
+        |  SELECT source, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(28,8))) AS sx,
+        |    sum(CAST(y AS DECIMAL(28,8))) AS sy,
+        |    sum(CAST(x * y AS DECIMAL(28,8))) AS sxy,
+        |    sum(CAST(x * x AS DECIMAL(28,8))) AS sxx
+        |  FROM xy GROUP BY source)
+        |SELECT source, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n, 6)
+        |    AS intercept
+        |FROM st ORDER BY source""".stripMargin,
+    "q112_corr_matrix" -> {
+      val sumsD =
+        (CorrCols.map(c => s"sum(CAST($c AS DECIMAL(28,8))) AS s_$c") ++
+          CorrCols.map(c =>
+            s"sum(CAST($c AS DECIMAL(28,8)) * CAST($c AS DECIMAL(28,8))) AS ss_$c") ++
+          (for {
+            i <- CorrCols.indices; j <- (i + 1) until CorrCols.size
+          } yield s"sum(CAST(${CorrCols(i)} AS DECIMAL(28,8)) * CAST(${CorrCols(j)} AS DECIMAL(28,8))) AS sp_${CorrCols(i)}_${CorrCols(j)}"))
+          .mkString(",\n    ")
+      def corrD(a: String, b: String): String =
+        if (a == b) "1.0"
+        else {
+          val sp = if (CorrCols.indexOf(a) < CorrCols.indexOf(b)) s"sp_${a}_$b" else s"sp_${b}_$a"
+          s"""round(CAST(n * $sp - s_$a * s_$b AS DOUBLE)
+             | / sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)
+             |        * CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)), 6)""".stripMargin
+        }
+      val cells = (for { a <- CorrCols; b <- CorrCols } yield
+        s"SELECT '$a' AS col_a, '$b' AS col_b, ${corrD(a, b)} AS pearson FROM st")
+        .mkString("\nUNION ALL\n")
+      s"""WITH st AS (
+         |  SELECT count(*) AS n,
+         |    $sumsD
+         |  FROM lineitem)
+         |$cells
+         |ORDER BY col_a, col_b""".stripMargin
+    },
+    "q113_anomalies" ->
+      """WITH st AS (
+        |  SELECT user_id, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(28,8))) AS sv,
+        |    sum(CAST(value AS DECIMAL(28,8)) * CAST(value AS DECIMAL(28,8))) AS svv
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT user_id,
+        |        CAST(sv AS DOUBLE) / n AS mean,
+        |        sqrt(CAST(n * svv - sv * sv AS DOUBLE)) / CAST(n AS DOUBLE) AS sd
+        |      FROM st)
+        |SELECT e.event_id, e.user_id, e.value,
+        |  round((e.value - m.mean) / m.sd, 6) AS z
+        |FROM events e JOIN m USING (user_id)
+        |WHERE abs((e.value - m.mean) / m.sd) > 2.0
+        |ORDER BY e.event_id""".stripMargin,
+    "q114_benford_audit" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem),
+        |n AS (SELECT count(*) AS n_total FROM d),
+        |o AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit),
+        |x AS (
+        |  SELECT digit, observed, n.n_total,
+        |    round(log10(1.0 + 1.0 / digit), 6) AS p_benford
+        |  FROM o, n),
+        |e AS (SELECT *, round(p_benford * n_total, 2) AS expected FROM x)
+        |SELECT digit, observed, expected, p_benford,
+        |  round(pow(observed - expected, 2) / expected, 6) AS chi2
+        |FROM e ORDER BY digit""".stripMargin,
+    "q115_session_paths" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > $SessionGapUs
+        |    THEN 1 ELSE 0 END AS gap
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |ses AS (
+        |  SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |  FROM g),
+        |paths AS (
+        |  SELECT user_id, session,
+        |    list(event_type ORDER BY us, event_id) AS types
+        |  FROM ses GROUP BY user_id, session),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(types) - 1),
+        |    i -> types[i] || '>' || types[i+1] || '>' || types[i+2])) AS path
+        |  FROM paths WHERE len(types) >= 3)
+        |SELECT path, count(*) AS freq FROM grams
+        |GROUP BY path ORDER BY freq DESC, path ASC LIMIT 25""".stripMargin)
+}
