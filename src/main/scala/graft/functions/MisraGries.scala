@@ -28,11 +28,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * the second pass counts only |candidates| ≪ |vocabulary| items.
   *
   * Each sketch keeps at most k−1 counters. update: increment if
-  * present, insert if room, else decrement all (implemented lazily via
-  * a global offset — O(1) amortized). merge: sum counters, then keep
-  * the k−1 largest surviving weights (the standard mergeable-summaries
-  * reduction). eval emits candidates sorted lexicographically so the
-  * output is deterministic regardless of hash-map iteration order.
+  * present, insert if room; on overflow, subtract the smallest
+  * surviving weight jointly from every counter and the incoming item
+  * (an O(k) walk per overflow — the total subtracted mass is bounded
+  * by n/k, which is what the superset guarantee rests on; at the
+  * small k a two-pass heavy-hitter plan uses, the walk is noise).
+  * merge: replay the other sketch's counters as weighted inserts (the
+  * standard mergeable-summaries reduction). eval emits candidates
+  * sorted lexicographically so the output is deterministic regardless
+  * of hash-map iteration order.
   */
 case class MisraGriesAgg(
     child: Expression,
@@ -84,11 +88,19 @@ case class MisraGriesAgg(
     new GenericArrayData(items.map(s => UTF8String.fromString(s).asInstanceOf[Any]))
   }
 
+  // length-prefixed UTF-8, not writeUTF: writeUTF throws above 64 KiB
+  // encoded bytes, and nothing in the sketch's contract caps item size
+  // (sketching whole documents or URLs is a legitimate use)
   override def serialize(m: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(m.size)
-    m.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    m.foreach { case (s, c) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -98,7 +110,13 @@ case class MisraGriesAgg(
     val n = in.readInt()
     val m = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      m.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     m
   }
 

@@ -247,6 +247,8 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "q93_pagerank" ->
+      // the iteration chain is GENERATED from PageRankIters so tuning
+      // the knob can never silently desynchronize query and oracle
       s"""WITH $edgeCtesD,
         |edges AS (SELECT pa AS src, pb AS dst FROM e0
         |          UNION ALL SELECT pb, pa FROM e0),
@@ -256,10 +258,8 @@ object GraphOps {
         |         (($PrScale * 15) // 100) // n.n AS tele,
         |         $PrScale // n.n AS r
         |       FROM deg, n),
-        |${prIterD("r0", "r1")},
-        |${prIterD("r1", "r2")},
-        |${prIterD("r2", "r3")}
-        |SELECT node AS part_id, deg, r AS rank_fp FROM r3
+        |${(1 to PageRankIters).map(i => prIterD(s"r${i - 1}", s"r$i")).mkString(",\n")}
+        |SELECT node AS part_id, deg, r AS rank_fp FROM r$PageRankIters
         |ORDER BY rank_fp DESC, part_id ASC""".stripMargin,
     "q94_triangles" ->
       s"""WITH $edgeCtesD,

@@ -54,14 +54,16 @@ object IndexOps {
     val items = t(s, dir, "lineitem")
       .select(substring(floor(col("l_extendedprice")).cast("bigint")
         .cast("string"), 1, 1).as("item"))
-    val cands = items
+    // the stream total rides the SAME aggregation as the sketch — pass
+    // 1 is exactly one scan (a separate count would be a third pass)
+    val pass1 = items
       .agg(graft.functions.MisraGriesAgg.misra_gries(col("item"), HeavyK)
-        .as("cands"))
-      .select(explode(col("cands")).as("item"))
-    val nRow = items.agg(count(lit(1)).as("n_total"))
-    items.join(broadcast(cands), Seq("item"), "left_semi")
+        .as("cands"), count(lit(1)).as("n_total"))
+      .localCheckpoint(true) // 1 row, referenced twice below
+    val cands = pass1.select(explode(col("cands")).as("item"), col("n_total"))
+    items.join(broadcast(cands.select(col("item"))), Seq("item"), "left_semi")
       .groupBy(col("item")).agg(count(lit(1)).as("freq"))
-      .crossJoin(broadcast(nRow))
+      .crossJoin(broadcast(pass1.select(col("n_total"))))
       .filter(col("freq") * HeavyK > col("n_total"))
       .select(col("item"), col("freq"), col("n_total"),
         round(col("freq").cast("double") / col("n_total"), 6).as("share"))
@@ -140,19 +142,27 @@ object IndexOps {
     */
   val q98FuzzyJoin: Q = (s, dir) => {
     graft.Functions.registerAll(s) // wires the BandedLevenshtein rule
+    // names shorter than 3 chars have no trigrams (and no valid typo
+    // position): excluded on BOTH sides, matching the oracle's empty
+    // range(1, len-1) — without the guard Spark's sequence(1, len-2)
+    // would COUNT DOWN (default step -1) and fabricate bogus grams
     val dirty = t(s, dir, "part")
+      .filter(length(col("p_name")) >= 3)
       .withColumn("pos", (col("p_partkey") % (length(col("p_name")) - 2) + 2)
         .cast("int"))
       .select(col("p_partkey").as("part_id"),
         concat(expr("substring(p_name, 1, pos - 1)"),
           expr("substring(p_name, pos + 1)")).as("dirty_name"))
-    val names = t(s, dir, "part").select(col("p_name").as("name")).distinct()
-    def grams(df: DataFrame, c: String): Column =
+      .filter(length(col("dirty_name")) >= 3)
+    val names = t(s, dir, "part")
+      .filter(length(col("p_name")) >= 3)
+      .select(col("p_name").as("name")).distinct()
+    def grams(c: String): Column =
       explode(array_distinct(expr(
         s"transform(sequence(1, length($c) - 2), i -> substring($c, i, 3))")))
     val dg = dirty.select(col("part_id"), col("dirty_name"),
-      grams(dirty, "dirty_name").as("g"))
-    val ng = names.select(col("name"), grams(names, "name").as("g"))
+      grams("dirty_name").as("g"))
+    val ng = names.select(col("name"), grams("name").as("g"))
     val cand = dg.join(ng, Seq("g"))
       .groupBy(col("part_id"), col("dirty_name"), col("name"))
       .agg(count(lit(1)).as("shared"))
@@ -246,7 +256,7 @@ object IndexOps {
 
   // ---- DuckDB oracle dialect ----
 
-  private val toksD = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val toksD = LlmOps.toksD
 
   private def skewBranchD(rel: String, c: String): String =
     s"""SELECT '$rel' AS rel, '$c' AS key_col,
@@ -284,8 +294,11 @@ object IndexOps {
         |  SELECT p_partkey AS part_id,
         |    substring(p_name, 1, CAST(pos AS INT) - 1)
         |      || substring(p_name, CAST(pos AS INT) + 1) AS dirty_name
-        |  FROM (SELECT *, p_partkey % (length(p_name) - 2) + 2 AS pos FROM part)),
-        |names AS (SELECT DISTINCT p_name AS name FROM part),
+        |  FROM (SELECT *, p_partkey % (length(p_name) - 2) + 2 AS pos FROM part
+        |        WHERE length(p_name) >= 3)
+        |  WHERE length(p_name) - 1 >= 3),
+        |names AS (SELECT DISTINCT p_name AS name FROM part
+        |          WHERE length(p_name) >= 3),
         |dg AS (
         |  SELECT part_id, dirty_name, unnest(list_distinct(
         |    list_transform(range(1, length(dirty_name) - 1),

@@ -1784,9 +1784,9 @@ object LlmOps {
 
   // ---- DuckDB oracle dialect fragments ----
 
-  private def hashD(x: String): String =
+  private[graft] def hashD(x: String): String =
     s"(('0x' || substring(md5($x),1,15))::BIGINT)"
-  private val toksD = "string_split_regex(trim(lower(text)), '\\s+')"
+  private[graft] val toksD = "string_split_regex(trim(lower(text)), '\\s+')"
   private val shinglesD =
     "list_transform(range(1, len(tok)-1), i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])"
   private def minhashD(i: Int): String =
@@ -1834,22 +1834,32 @@ object LlmOps {
        |${asgD("cents")})""".stripMargin
   }
 
-  /** Shared CTE pair (qsrc, q) computing the q54 quality score per doc
-    * (q54 inline, q72 ordering key, q73 gate).
+  /** Oracle CTE builder for the q54 quality score — ONE definition of
+    * the formula feeds every oracle that scores documents (q72/q73/q79/
+    * q85 here, q90 in PipelineOps, q111 in StatsOps), so a weight or
+    * regex tweak to [[withQualityScore]] has exactly one SQL mirror to
+    * update. `extra` are document columns carried through; the final
+    * CTE exposes (doc_id, extra…, n_tokens, quality).
     */
-  private val qualityCtesD =
-    s"""qsrc AS (
-       |  SELECT doc_id, n_chars, len(tok) AS n_tokens_q,
+  private[operators] def qualityOracleCteD(
+      name: String, extra: Seq[String] = Nil): String = {
+    val ex = extra.map(c => s"$c, ").mkString
+    s"""${name}_src AS (
+       |  SELECT doc_id, ${ex}n_chars, len(tok) AS n_tokens_q,
        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
        |    length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
        |    ${stopCountD(StopEn)} AS n_stop
        |  FROM (SELECT *, $toksD AS tok FROM documents)),
-       |q AS (SELECT doc_id,
+       |$name AS (SELECT doc_id, ${ex}CAST(n_tokens_q AS BIGINT) AS n_tokens,
        |  0.3 * least(1.0, CAST(n_tokens_q AS DOUBLE) / 50.0)
        |   + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
        |   + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens_q)
        |   + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars) AS quality
-       |  FROM qsrc)""".stripMargin
+       |  FROM ${name}_src)""".stripMargin
+  }
+
+  /** Shared CTE chain ending in `q` (doc_id, n_tokens, quality). */
+  private val qualityCtesD = qualityOracleCteD("q")
 
   /** Shared CTE chain (base → flat → runs → mr → tc) for the q70
     * repetition signals (q70 inline, q73 gate).

@@ -568,24 +568,10 @@ object PipelineOps {
   private def hashD(x: String): String =
     s"(('0x' || substring(md5($x),1,15))::BIGINT)"
 
-  private val qualityD =
-    """0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
-      | + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-      | + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens)
-      | + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars)""".stripMargin
-
-  private val qualityCteD = {
-    val stops = LlmOps.StopEn.map(x => s"'$x'").mkString("[", ", ", "]")
-    s"""qual AS (
-       |  SELECT doc_id, source, $qualityD AS quality FROM (
-       |    SELECT doc_id, source, n_chars,
-       |      len(tok) AS n_tokens,
-       |      length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
-       |      length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
-       |      len(list_filter(tok, x -> list_contains($stops, x))) AS n_stop
-       |    FROM (SELECT *, string_split_regex(trim(lower(text)), '\\s+') AS tok
-       |          FROM documents)))""".stripMargin
-  }
+  /** The shared quality-score CTE (ONE formula definition — see
+    * LlmOps.qualityOracleCteD), carrying `source` through.
+    */
+  private val qualityCteD = LlmOps.qualityOracleCteD("qual", Seq("source"))
 
   val oracles: Map[String, String] = Map(
     "q109_pivot" ->

@@ -518,6 +518,12 @@ object Relational {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Session gap (microseconds) — ONE constant shared by q30's batch
+    * sessionization, its oracle, and q115's path mining (StatsOps), so
+    * the "same sessionization" claim cannot silently drift.
+    */
+  val SessionGapUs = 1800000000L
+
   /** q30: sessionization in batch — session = run of events per user with
     * gaps < 30 min (lag + cumulative sum of gap flags), then per-session
     * stats. Gap compared in unix microseconds (exact on both engines).
@@ -531,7 +537,7 @@ object Relational {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > SessionGapUs, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(cum))
       .groupBy(col("user_id"), col("session_id"))
@@ -1059,12 +1065,12 @@ object Relational {
         |  count(*) AS n_events, ${decSum("value")} AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q30_sessionize" ->
-      """SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+      s"""SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM (
         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM (
-        |    SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |    SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > $SessionGapUs THEN 1 ELSE 0 END AS new_session
         |    FROM (SELECT *, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
         |          FROM events)))
         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)

@@ -48,19 +48,22 @@ object StatsOps {
       .select(col("source"),
         round(log(col("n_tokens").cast("double")), 6).as("x"),
         round(col("quality"), 6).as("y"))
+    // degenerate groups (n = 1, or constant x) have zero variance: the
+    // slope is explicitly NULL on BOTH engines — Spark's divide already
+    // NULLs on a zero divisor but DuckDB produces IEEE NaN/inf, so the
+    // guard is what keeps the engines aligned
+    val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = when(varx =!= 0.0,
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / varx)
     q.groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
         sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
         sum(dec(col("x") * col("y"))).as("sxy"),
         sum(dec(col("x") * col("x"))).as("sxx"))
       .select(col("source"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
-          .as("slope"),
-        round((col("sy").cast("double") -
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            col("sx").cast("double")) / col("n"), 6).as("intercept"))
+        round(slope, 6).as("slope"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n"), 6).as("intercept"))
       .orderBy(col("source"))
   }
 
@@ -94,7 +97,9 @@ object StatsOps {
       val cov = (col("n") * sp - col(s"s_$a") * col(s"s_$b")).cast("double")
       val va = (col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")).cast("double")
       val vb = (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")).cast("double")
-      round(cov / sqrt(va * vb), 6)
+      // constant column → zero variance → correlation undefined: NULL
+      // on both engines (DuckDB would otherwise emit IEEE NaN)
+      round(when(va * vb =!= 0.0, cov / sqrt(va * vb)), 6)
     }
     val cells = for { a <- CorrCols; b <- CorrCols } yield
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
@@ -124,8 +129,11 @@ object StatsOps {
         (col("sv").cast("double") / col("n")).as("mean"),
         (sqrt((col("n") * col("svv") - col("sv") * col("sv")).cast("double")) /
           col("n").cast("double")).as("sd"))
+    // sd = 0 (a user whose values are all identical) yields NULL z on
+    // both engines — DuckDB's IEEE division would emit ±inf instead
     e.join(stats, Seq("user_id"))
-      .withColumn("z", round((col("value") - col("mean")) / col("sd"), 6))
+      .withColumn("z",
+        round(when(col("sd") =!= 0.0, (col("value") - col("mean")) / col("sd")), 6))
       .filter(abs(col("z")) > 2.0)
       .select(col("event_id"), col("user_id"),
         col("value"), col("z"))
@@ -165,8 +173,10 @@ object StatsOps {
   // q115 — session path mining
   // ---------------------------------------------------------------
 
-  /** Session gap (microseconds) shared with the q30 sessionization. */
-  val SessionGapUs = 1800000000L
+  /** Session gap — THE q30 constant (one definition, so the "same
+    * sessionization" claim cannot drift).
+    */
+  val SessionGapUs: Long = Relational.SessionGapUs
 
   /** q115: behavioral path mining — the most common 3-step event-type
     * sequences WITHIN a session (30-minute gap sessionization, order
@@ -212,23 +222,10 @@ object StatsOps {
 
   // ---- DuckDB oracle dialect ----
 
-  private val qualityLangCteD = {
-    val stops = LlmOps.StopEn.map(x => s"'$x'").mkString("[", ", ", "]")
-    s"""q AS (
-       |  SELECT doc_id, source,
-       |    0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
-       |     + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-       |     + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens)
-       |     + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars) AS quality,
-       |    n_tokens
-       |  FROM (
-       |    SELECT doc_id, source, n_chars, len(tok) AS n_tokens,
-       |      length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
-       |      length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
-       |      len(list_filter(tok, x -> list_contains($stops, x))) AS n_stop
-       |    FROM (SELECT *, string_split_regex(trim(lower(text)), '\\s+') AS tok
-       |          FROM documents)))""".stripMargin
-  }
+  /** The shared quality-score CTE (ONE formula definition — see
+    * LlmOps.qualityOracleCteD), carrying `source` through.
+    */
+  private val qualityLangCteD = LlmOps.qualityOracleCteD("q", Seq("source"))
 
   val oracles: Map[String, String] = Map(
     "q111_group_regression" ->
@@ -242,15 +239,16 @@ object StatsOps {
         |    sum(CAST(y AS DECIMAL(28,8))) AS sy,
         |    sum(CAST(x * y AS DECIMAL(28,8))) AS sxy,
         |    sum(CAST(x * x AS DECIMAL(28,8))) AS sxx
-        |  FROM xy GROUP BY source)
-        |SELECT source, n,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-        |  round((CAST(sy AS DOUBLE)
-        |    - (CAST(n * sxy - sx * sy AS DOUBLE)
-        |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n, 6)
+        |  FROM xy GROUP BY source),
+        |sl AS (
+        |  SELECT *, CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) != 0.0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope0
+        |  FROM st)
+        |SELECT source, n, round(slope0, 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - slope0 * CAST(sx AS DOUBLE)) / n, 6)
         |    AS intercept
-        |FROM st ORDER BY source""".stripMargin,
+        |FROM sl ORDER BY source""".stripMargin,
     "q112_corr_matrix" -> {
       val sumsD =
         (CorrCols.map(c => s"sum(CAST($c AS DECIMAL(28,8))) AS s_$c") ++
@@ -264,9 +262,11 @@ object StatsOps {
         if (a == b) "1.0"
         else {
           val sp = if (CorrCols.indexOf(a) < CorrCols.indexOf(b)) s"sp_${a}_$b" else s"sp_${b}_$a"
-          s"""round(CAST(n * $sp - s_$a * s_$b AS DOUBLE)
-             | / sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)
-             |        * CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)), 6)""".stripMargin
+          s"""round(CASE WHEN CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)
+             |          * CAST(n * ss_$b - s_$b * s_$b AS DOUBLE) != 0.0
+             |   THEN CAST(n * $sp - s_$a * s_$b AS DOUBLE)
+             |     / sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)
+             |            * CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)) END, 6)""".stripMargin
         }
       val cells = (for { a <- CorrCols; b <- CorrCols } yield
         s"SELECT '$a' AS col_a, '$b' AS col_b, ${corrD(a, b)} AS pearson FROM st")
@@ -291,7 +291,7 @@ object StatsOps {
         |SELECT e.event_id, e.user_id, e.value,
         |  round((e.value - m.mean) / m.sd, 6) AS z
         |FROM events e JOIN m USING (user_id)
-        |WHERE abs((e.value - m.mean) / m.sd) > 2.0
+        |WHERE m.sd != 0.0 AND abs((e.value - m.mean) / m.sd) > 2.0
         |ORDER BY e.event_id""".stripMargin,
     "q114_benford_audit" ->
       """WITH d AS (

@@ -39,11 +39,14 @@ object JsonlCorpus {
     */
   def writeJsonl(docs: DataFrame, outDir: String): Unit =
     docs
-      .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
-        col("n_chars"))).as("j"))
+      .select(col("doc_id"), to_json(struct(col("doc_id"), col("text"),
+        col("lang"), col("n_chars"))).as("j"))
+      // the corruption predicate tests the doc_id COLUMN, not a
+      // re-parse of the just-serialized JSON: get_json_object returns a
+      // string whose % would coerce through DOUBLE (wrong residues past
+      // 2^53) and would pay a per-row JSON parse for nothing
       .select(
-        when(col("j").isNotNull &&
-          (get_json_object(col("j"), "$.doc_id") % CorruptMod === CorruptRes),
+        when(col("doc_id") % CorruptMod === CorruptRes,
           expr("substring(j, 1, cast(length(j) / 2 as int))"))
           .otherwise(col("j")).as("value"))
       .write.mode("overwrite").text(outDir)
@@ -97,7 +100,7 @@ object JsonlCorpus {
   val oracles: Map[String, String] = Map(
     "q108_jsonl_ingest" ->
       s"""SELECT doc_id, lang, n_chars,
-        |  (('0x' || substring(md5(text), 1, 15))::BIGINT) AS text_hash,
+        |  ${graft.operators.LlmOps.hashD("text")} AS text_hash,
         |  (SELECT count(*) FROM documents WHERE doc_id % $CorruptMod = $CorruptRes)
         |    AS n_quarantined
         |FROM documents WHERE doc_id % $CorruptMod != $CorruptRes
