@@ -82,9 +82,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failures = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // sfDir is user-controlled (env var): escape it so a quote or
+    // backslash in the path can't corrupt the JSON line
+    val sfEsc = sfDir.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""failures":$failures,"sf":"$sfDir"}"""
+        s""""failures":$failures,"sf":"$sfEsc"}"""
     println(line)
     // sbt buries stdout in [info] noise (and truncates long lines in some
     // capture modes); a file keeps the JSON machine-readable. Always

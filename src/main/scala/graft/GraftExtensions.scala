@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Abs, And, Expression, ExpressionInfo, GreaterThanOrEqual, Length, LessThan, LessThanOrEqual, Levenshtein, Literal, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Abs, And, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, If, IsNull, Length, LessThan, LessThanOrEqual, Levenshtein, Literal, Or, Subtract}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
@@ -20,9 +20,14 @@ import graft.functions._
   */
 object SimplifyEndsWithSource extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case EndsWithSource(_, Literal(u: UTF8String, StringType), _)
+    case EndsWithSource(s, Literal(u: UTF8String, StringType), n)
         if u != null && u.numChars() == 0 =>
-      Literal(false, BooleanType)
+      // the regex never runs, but null-propagation must survive the
+      // fold: a null snippet/name yields NULL from the unfolded
+      // expression, so the constant-false only applies to non-null rows
+      if (!s.nullable && !n.nullable) Literal(false, BooleanType)
+      else If(Or(IsNull(s), IsNull(n)),
+        Literal(null, BooleanType), Literal(false, BooleanType))
   }
 }
 
@@ -60,6 +65,8 @@ object BandedLevenshtein extends Rule[LogicalPlan] {
     case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
         if k >= 0 => banded(a, b, k)
     case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
+        if k >= 1 => banded(a, b, k - 1)
+    case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
         if k >= 1 => banded(a, b, k - 1)
   }
 }
@@ -110,6 +117,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("shingles2"),
       info("shingles2", classOf[Shingles2]),
       (es: Seq[Expression]) => Shingles2(es.head)))
+    e.injectFunction((FunctionIdentifier("simhash60"),
+      info("simhash60", classOf[Simhash60]),
+      (es: Seq[Expression]) => Simhash60(es.head)))
+    e.injectFunction((FunctionIdentifier("minhash8"),
+      info("minhash8", classOf[Minhash8]),
+      (es: Seq[Expression]) => Minhash8(es.head)))
+    e.injectFunction((FunctionIdentifier("token_max_run"),
+      info("token_max_run", classOf[TokenMaxRun]),
+      (es: Seq[Expression]) => TokenMaxRun(es.head)))
+    e.injectFunction((FunctionIdentifier("token_top_count"),
+      info("token_top_count", classOf[TokenTopCount]),
+      (es: Seq[Expression]) => TokenTopCount(es.head)))
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", classOf[CosineSim]),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("hyperplane_bucket64"),
+      info("hyperplane_bucket64", classOf[HyperplaneBucket64]),
+      (es: Seq[Expression]) => HyperplaneBucket64(es.head)))
     e.injectOptimizerRule(_ => SimplifyEndsWithSource)
     e.injectOptimizerRule(_ => BandedLevenshtein)
   }

@@ -416,6 +416,10 @@ object PipelineOps {
           .as("n_docs"),
         (coalesce(col("toks"), lit(0L)) + coalesce(col("d_toks"), lit(0L)))
           .as("total_tokens"))
+      // a lang whose documents were ALL deleted refreshes to zero and
+      // leaves the aggregate — the full recompute has no such group,
+      // and "incremental == full" must hold on that edge too
+      .filter(col("n_docs") > 0)
       .orderBy(col("lang"))
   }
 
@@ -473,14 +477,18 @@ object PipelineOps {
     * groupBy would do.
     */
   val q109Pivot: Q = (s, dir) => {
-    val wide = t(s, dir, "events")
+    val e = t(s, dir, "events")
+    val wide = e
       .groupBy(col("user_id"))
       .pivot("event_type", PivotEventTypes)
       .agg(count(lit(1)))
       .na.fill(0L, PivotEventTypes)
-    wide
-      .withColumn("total",
-        PivotEventTypes.map(col).reduce(_ + _))
+    // total counts ALL events, not just the pinned pivot domain — an
+    // event type missing from PivotEventTypes must surface as
+    // total > Σ(pinned columns), not vanish silently. Both aggregates
+    // shuffle on user_id, so the join is co-partitioned.
+    val totals = e.groupBy(col("user_id")).agg(count(lit(1)).as("total"))
+    wide.join(totals, Seq("user_id"))
       .orderBy(col("user_id"))
   }
 
@@ -540,9 +548,14 @@ object PipelineOps {
       .withColumn("nv", last(col("v"), ignoreNulls = true).over(fwdRev))
       .withColumn("nu", last(evUs, ignoreNulls = true).over(fwdRev))
       .filter(col("is_grid") === 1)
+      // a grid point landing EXACTLY on an event returns that event's
+      // value even when it is the user's last event (nv/nu are null
+      // there — the reversed frame sees no later event — and the
+      // general formula would produce NULL at the range boundary)
       .withColumn("interp",
-        round(col("pv") + (col("nv") - col("pv")) *
-          ((col("us") - col("pu")).cast("double") / (col("nu") - col("pu"))), 6))
+        when(col("pu") === col("us"), round(col("pv"), 6))
+          .otherwise(round(col("pv") + (col("nv") - col("pv")) *
+            ((col("us") - col("pu")).cast("double") / (col("nu") - col("pu"))), 6)))
     interp.select(col("user_id"),
       timestamp_micros(col("us")).as("grid_ts"), col("interp"))
       .orderBy(col("user_id"), col("grid_ts"))
@@ -575,6 +588,9 @@ object PipelineOps {
 
   val oracles: Map[String, String] = Map(
     "q109_pivot" ->
+      // total is count(*) — deliberately NOT the sum of the pinned
+      // columns, so an event type outside the pivot domain surfaces as
+      // total > Σ(columns) on both engines alike
       s"""SELECT user_id,
         |${PivotEventTypes.map(t =>
              s"  CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
@@ -608,7 +624,9 @@ object PipelineOps {
         |         fwd AS (PARTITION BY user_id ORDER BY us, is_grid
         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT user_id, make_timestamp(us) AS grid_ts,
-        |  round(pv + (nv - pv) * (CAST(us - pu AS DOUBLE) / (nu - pu)), 6) AS interp
+        |  CASE WHEN pu = us THEN round(pv, 6)
+        |       ELSE round(pv + (nv - pv) * (CAST(us - pu AS DOUBLE) / (nu - pu)), 6)
+        |  END AS interp
         |FROM w WHERE is_grid = 1
         |ORDER BY user_id, grid_ts""".stripMargin,
     "q106_incremental_agg" ->

@@ -26,12 +26,18 @@ object EventStreams {
   /** Per-user running state for the custom stateful op. */
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
-  /** Tumbling 1-hour window counts per event type, 10-min watermark. */
+  /** Tumbling 1-hour window counts per event type, 10-min watermark.
+    * The value sum rides DECIMAL (order-independent) — the state-store
+    * accumulation order differs from the batch hash aggregate's, so a
+    * float sum could diverge in the last bit and break the
+    * streaming==batch equality this operator is verified by.
+    */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -173,7 +179,11 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("content_hash")
       .filter(col("quality") >= 0.6 && col("repetitive") === 0)
-      .select(col("content_hash"), col("lang"), col("n_tokens"),
+      // content-derived columns ONLY: identical-text duplicates can
+      // carry different lang/doc_id, and the dedup keeps an arbitrary
+      // one — emitting a non-content column would make the output
+      // depend on which duplicate survived
+      .select(col("content_hash"), col("n_tokens"),
         round(col("quality"), 6).as("quality"))
   }
 }

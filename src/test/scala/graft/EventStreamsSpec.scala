@@ -281,7 +281,7 @@ class EventStreamsSpec extends AnyFunSuite {
           .withColumn("content_hash", md5(col("text").cast("binary")))
           .dropDuplicates("content_hash")
           .filter(col("quality") >= 0.6 && col("repetitive") === 0)
-          .select(col("content_hash"), col("lang"), col("n_tokens"),
+          .select(col("content_hash"), col("n_tokens"),
             round(col("quality"), 6).as("quality")))
       assert(streaming == batch)
       // exactly the good document survives, once
