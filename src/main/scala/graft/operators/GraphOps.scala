@@ -45,7 +45,9 @@ object GraphOps {
     */
   val PageRankIters = 3
 
-  /** Canonical co-purchase edge list (pa < pb, n_orders ≥ cut).
+  /** Canonical co-purchase edge list (pa < pb, n_orders ≥ cut) WITH the
+    * co-order count — q93/q94 project the structure, q116's association
+    * rules consume the counts.
     *
     * Scale shape: the per-order pair expansion is quadratic in BASKET
     * size, not corpus size — baskets are bounded (an order has O(10)
@@ -77,7 +79,6 @@ object GraphOps {
         .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= CoPurchaseMinOrders)
-        .select(col("pa"), col("pb"))
         // the thresholded edge list is ~n_edges ≪ the pair expansion
         // (3.6k rows at sf0.1): materialize it eagerly ONCE — q93's
         // iterations and q94's wedge joins then plan against a flat
@@ -144,7 +145,7 @@ object GraphOps {
   }
 
   val q93PageRank: Q = (s, dir) => {
-    pageRank(coPurchaseEdges(s, dir))
+    pageRank(coPurchaseEdges(s, dir).select(col("pa"), col("pb")))
       .select(col("node").as("part_id"), col("deg"), col("rank_fp"))
       .orderBy(col("rank_fp").desc, col("part_id").asc)
   }
@@ -211,15 +212,50 @@ object GraphOps {
   }
 
   val q94Triangles: Q = (s, dir) => {
-    triangleStats(coPurchaseEdges(s, dir))
+    triangleStats(coPurchaseEdges(s, dir).select(col("pa"), col("pb")))
       .select(col("node").as("part_id"), col("deg"), col("n_triangles"),
         col("clustering"))
       .orderBy(col("part_id"))
   }
 
+  /** Rules reported by q116. */
+  val AssocTopK = 25
+
+  /** q116: association rules over co-purchase pairs — support,
+    * directional confidence, and lift for the part pairs that share
+    * baskets (the frequent-itemset / market-basket staple, k = 2).
+    * Reuses the cached co-purchase counts; the per-part supports are
+    * one map-side-combinable count and join back as a dimension-sized
+    * table; the basket total is a broadcast 1-row aggregate. Ranking
+    * on rounded lift with (pa, pb) tiebreaks keeps the top-k
+    * engine-stable.
+    */
+  val q116AssocRules: Q = (s, dir) => {
+    val lp = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val nOrders = lp.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("nt"))
+    val psup = lp.groupBy(col("part")).agg(count(lit(1)).as("c_part"))
+    coPurchaseEdges(s, dir)
+      .withColumnRenamed("n_orders", "c_ab")
+      .join(psup.select(col("part").as("pa"), col("c_part").as("c_a")), Seq("pa"))
+      .join(psup.select(col("part").as("pb"), col("c_part").as("c_b")), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("c_ab"), col("c_a"), col("c_b"),
+        round(col("c_ab").cast("double") / col("nt"), 6).as("support"),
+        round(col("c_ab").cast("double") / col("c_a"), 6).as("conf_a_b"),
+        round(col("c_ab").cast("double") / col("c_b"), 6).as("conf_b_a"),
+        round(col("nt") * col("c_ab").cast("double") /
+          (col("c_a") * col("c_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("pa").asc, col("pb").asc)
+      .limit(AssocTopK)
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_pagerank" -> q93PageRank,
-    "q94_triangles" -> q94Triangles)
+    "q94_triangles" -> q94Triangles,
+    "q116_assoc_rules" -> q116AssocRules)
 
   // ---- DuckDB oracle dialect ----
 
@@ -229,7 +265,7 @@ object GraphOps {
   private val edgeCtesD =
     s"""lp AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
        |e0 AS (
-       |  SELECT a.part AS pa, b.part AS pb
+       |  SELECT a.part AS pa, b.part AS pb, count(*) AS c_ab
        |  FROM lp a JOIN lp b ON a.okey = b.okey AND a.part < b.part
        |  GROUP BY 1, 2 HAVING count(*) >= $CoPurchaseMinOrders)""".stripMargin
 
@@ -279,5 +315,19 @@ object GraphOps {
         |    2.0 * coalesce(pn.n_triangles, 0) / (deg.deg * (deg.deg - 1)), 6)
         |  ELSE 0.0 END AS clustering
         |FROM deg LEFT JOIN pn USING (node)
-        |ORDER BY part_id""".stripMargin)
+        |ORDER BY part_id""".stripMargin,
+    "q116_assoc_rules" ->
+      s"""WITH $edgeCtesD,
+        |n AS (SELECT count(DISTINCT okey) AS nt FROM lp),
+        |psup AS (SELECT part, count(*) AS c_part FROM lp GROUP BY part)
+        |SELECT e0.pa, e0.pb, CAST(e0.c_ab AS BIGINT) AS c_ab,
+        |  CAST(a.c_part AS BIGINT) AS c_a, CAST(b.c_part AS BIGINT) AS c_b,
+        |  round(CAST(e0.c_ab AS DOUBLE) / n.nt, 6) AS support,
+        |  round(CAST(e0.c_ab AS DOUBLE) / a.c_part, 6) AS conf_a_b,
+        |  round(CAST(e0.c_ab AS DOUBLE) / b.c_part, 6) AS conf_b_a,
+        |  round(n.nt * CAST(e0.c_ab AS DOUBLE) / (a.c_part * b.c_part), 6) AS lift
+        |FROM e0
+        |JOIN psup a ON e0.pa = a.part
+        |JOIN psup b ON e0.pb = b.part, n
+        |ORDER BY lift DESC, pa ASC, pb ASC LIMIT $AssocTopK""".stripMargin)
 }
