@@ -218,6 +218,73 @@ object GraphOps {
       .orderBy(col("part_id"))
   }
 
+  /** Seed predicate for q117: node id below this is a BFS source. */
+  val BfsSeedBelow = 50L
+
+  /** BFS round cap — a correctness backstop far above any co-purchase
+    * graph diameter, mirrored into the oracle's recursion bound.
+    */
+  val BfsMaxHops = 16
+
+  /** Multi-source BFS hop counts over a canonical undirected edge list:
+    * (node, hops) with hops = shortest hop distance to ANY seed.
+    *
+    * Frontier-based: each round expands only the nodes discovered in
+    * the previous round (one equi-join + one left-anti against the
+    * settled set, both map-side combinable aggregations after), and
+    * the loop stops the first round that discovers nothing — O(diameter)
+    * rounds, per-round shuffles proportional to the FRONTIER, never
+    * the graph. The settled table is materialized per round (the q62
+    * lesson: keep iterative lineage flat). Hop counts are integers, so
+    * the result is deterministic under any partitioning.
+    */
+  def bfsHops(e0: DataFrame, seeds: DataFrame, maxRounds: Int = BfsMaxHops): DataFrame = {
+    val e = e0.toDF("pa", "pb")
+      .filter(col("pa").isNotNull && col("pb").isNotNull &&
+        col("pa") =!= col("pb"))
+    val edges = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(true)
+    var dist = seeds.toDF("node").distinct()
+      .select(col("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionAll(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    dist
+  }
+
+  /** q117: product blast radius — hop distance from the seed set
+    * (part_id < [[BfsSeedBelow]], e.g. a recall list) to every product
+    * reachable through shared baskets; unreachable parts report -1.
+    * The traversal member of the graph family next to components (q62)
+    * and PageRank (q93).
+    */
+  val q117BfsHops: Q = (s, dir) => {
+    val e0 = coPurchaseEdges(s, dir).select(col("pa"), col("pb"))
+    val nodes = e0.select(col("pa").as("node"))
+      .unionAll(e0.select(col("pb").as("node"))).distinct()
+    val seeds = nodes.filter(col("node") < BfsSeedBelow)
+    val dist = bfsHops(e0, seeds)
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("node").as("part_id"),
+        coalesce(col("hops"), lit(-1L)).as("hops"))
+      .orderBy(col("part_id"))
+  }
+
   /** Rules reported by q116. */
   val AssocTopK = 25
 
@@ -255,7 +322,8 @@ object GraphOps {
   val queries: Map[String, Q] = Map(
     "q93_pagerank" -> q93PageRank,
     "q94_triangles" -> q94Triangles,
-    "q116_assoc_rules" -> q116AssocRules)
+    "q116_assoc_rules" -> q116AssocRules,
+    "q117_bfs_hops" -> q117BfsHops)
 
   // ---- DuckDB oracle dialect ----
 
@@ -329,5 +397,19 @@ object GraphOps {
         |FROM e0
         |JOIN psup a ON e0.pa = a.part
         |JOIN psup b ON e0.pb = b.part, n
-        |ORDER BY lift DESC, pa ASC, pb ASC LIMIT $AssocTopK""".stripMargin)
+        |ORDER BY lift DESC, pa ASC, pb ASC LIMIT $AssocTopK""".stripMargin,
+    "q117_bfs_hops" ->
+      s"""WITH RECURSIVE $edgeCtesD,
+        |edges AS (SELECT pa AS src, pb AS dst FROM e0
+        |          UNION ALL SELECT pb, pa FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |walk(node, hops) AS (
+        |  SELECT node, 0 FROM nodes WHERE node < $BfsSeedBelow
+        |  UNION
+        |  SELECT e.dst, w.hops + 1 FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.hops < $BfsMaxHops),
+        |dist AS (SELECT node, min(hops) AS hops FROM walk GROUP BY node)
+        |SELECT n.node AS part_id, CAST(coalesce(d.hops, -1) AS BIGINT) AS hops
+        |FROM nodes n LEFT JOIN dist d USING (node)
+        |ORDER BY part_id""".stripMargin)
 }

@@ -78,6 +78,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(triNoisy == tri(clean))
   }
 
+  test("bfsHops: multi-source levels on a known graph, frontier terminates") {
+    import spark.implicits._
+    // two seeds (1, 10); chain 1-2-3-4, star 10-{11,12}, 4-11 bridge,
+    // isolated component 20-21 (unreached — absent from dist)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (4L, 11L), (20L, 21L))
+    val got = GraphOps.bfsHops(edges.toDF("pa", "pb"), Seq(1L, 10L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 11L -> 1L, 12L -> 1L,
+      3L -> 2L, 4L -> 2L))
+  }
+
+  test("bfsHops takes the SHORTEST path when routes compete") {
+    import spark.implicits._
+    // 1-2-3-4-5 chain plus shortcut 1-5: node 5 is 1 hop, node 4 is 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L))
+    val got = GraphOps.bfsHops(edges.toDF("pa", "pb"), Seq(1L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 5L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+
   test("pageRank matches the reference on random graphs (property)") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 5) {
