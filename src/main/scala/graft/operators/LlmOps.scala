@@ -728,19 +728,23 @@ object LlmOps {
     val scored = e.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("score", cosineC(col("qe"), col("embedding")))
-    def best(df: DataFrame, idName: String, scoreName: String): DataFrame =
-      df.groupBy(col("qid"))
-        .agg(max_by(
-          struct(col("vec_id"), col("score")),
-          struct(col("score"), (-col("vec_id")).as("nv"))).as("b"))
-        .select(col("qid"), col("b.vec_id").as(idName),
-          col("b.score").as(scoreName))
-    val pos = best(scored.filter(col("label") === col("qlabel")), "pos_id", "pos_score")
-    val neg = best(scored.filter(col("label") =!= col("qlabel")), "neg_id", "neg_score")
-    pos.join(neg, Seq("qid"))
-      .select(col("qid"), col("pos_id"), col("pos_score"),
-        col("neg_id"), col("neg_score"),
-        round(col("pos_score") - col("neg_score"), 6).as("margin"))
+    // BOTH arg-maxes ride ONE aggregation over ONE corpus scan: max_by
+    // skips rows whose ordering expression is NULL, so the label
+    // condition lives in the ordering and the pos/neg selections share
+    // the scan, the broadcast join, and the shuffle (two filtered
+    // aggregations would run the whole subtree twice — the filters
+    // differ, so exchange reuse can't deduplicate them)
+    def pick(cond: Column): Column =
+      max_by(struct(col("vec_id"), col("score")),
+        when(cond, struct(col("score"), (-col("vec_id")).as("nv"))))
+    scored.groupBy(col("qid"))
+      .agg(pick(col("label") === col("qlabel")).as("p"),
+        pick(col("label") =!= col("qlabel")).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("qid"), col("p.vec_id").as("pos_id"),
+        col("p.score").as("pos_score"),
+        col("n.vec_id").as("neg_id"), col("n.score").as("neg_score"),
+        round(col("p.score") - col("n.score"), 6).as("margin"))
       .orderBy(col("qid"))
   }
 
@@ -2034,18 +2038,7 @@ object LlmOps {
         |WHERE p.rn = 1 AND n.rn = 1
         |ORDER BY p.qid""".stripMargin,
     "q105_weighted_sample" ->
-      s"""WITH qs AS (
-        |  SELECT doc_id, lang, n_chars, len(tok) AS n_tokens,
-        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
-        |    length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
-        |    ${stopCountD(StopEn)} AS n_stop
-        |  FROM (SELECT *, $toksD AS tok FROM documents)),
-        |q AS (SELECT doc_id, lang,
-        |  0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
-        |   + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-        |   + 0.2 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE) / n_tokens)
-        |   + 0.2 * (CAST(n_alpha AS DOUBLE) / n_chars) AS quality
-        |  FROM qs),
+      s"""WITH ${qualityOracleCteD("q", Seq("lang"))},
         |k AS (
         |  SELECT doc_id, lang, quality,
         |    round(ln((${hashD("'es:' || doc_id")} % 1000000 + 0.5) / 1000000.0)

@@ -590,17 +590,21 @@ object Relational {
     // runtime via codegen size, not data.
     // the whole (flag, tag, key) triple is bit-packed into ONE long —
     // key × 512 + family bit × 256 + ascii(flag) (the flag is a single
-    // char, so it round-trips through ascii()/char() with no dictionary
-    // join) — and the dedup shuffle ships just that long: one 8-byte
-    // fixed-width column on the only full-width exchange in the query,
-    // vs (string, long) rows costing ~3× in UnsafeRow bytes and string
-    // comparisons. The sketch hashes `k3 div 512` = the original key,
-    // so estimates are unchanged.
+    // ASCII char in this schema, so it round-trips through ascii()/
+    // char() with no dictionary join; a NULL flag packs as 0 and
+    // decodes back to NULL so dirty rows keep their own group instead
+    // of collapsing the whole key to NULL) — and the dedup shuffle
+    // ships just that long: one 8-byte fixed-width column on the only
+    // full-width exchange in the query, vs (string, long) rows costing
+    // ~3× in UnsafeRow bytes and string comparisons. The sketch hashes
+    // `k3 div 512` = the original key, so estimates are unchanged.
     val dedup = li.selectExpr(
-      "stack(2, l_partkey * 512 + 256 + ascii(l_returnflag), l_orderkey * 512 + ascii(l_returnflag)) as (k3)")
+      "stack(2, l_partkey * 512 + 256 + coalesce(ascii(l_returnflag), 0), " +
+        "l_orderkey * 512 + coalesce(ascii(l_returnflag), 0)) as (k3)")
       .distinct()
     val agged = dedup
-      .groupBy(expr("char(k3 % 256)").as("l_returnflag"),
+      .groupBy(expr("CASE WHEN k3 % 256 = 0 THEN NULL ELSE char(k3 % 256) END")
+        .as("l_returnflag"),
         expr("(k3 div 256) % 2").as("is_p"))
       .agg(count(lit(1)).as("exact"),
         approx_count_distinct(expr("k3 div 512"), 0.015).as("approx"))

@@ -130,13 +130,16 @@ object StatsOps {
         (sqrt((col("n") * col("svv") - col("sv") * col("sv")).cast("double")) /
           col("n").cast("double")).as("sd"))
     // sd = 0 (a user whose values are all identical) yields NULL z on
-    // both engines — DuckDB's IEEE division would emit ±inf instead
+    // both engines — DuckDB's IEEE division would emit ±inf instead.
+    // The threshold tests the RAW z (the oracle's WHERE does too); only
+    // the emitted column rounds — filtering on the rounded value would
+    // flip rows whose raw |z| sits within 5e-7 of the cut.
     e.join(stats, Seq("user_id"))
-      .withColumn("z",
-        round(when(col("sd") =!= 0.0, (col("value") - col("mean")) / col("sd")), 6))
-      .filter(abs(col("z")) > 2.0)
+      .withColumn("zr",
+        when(col("sd") =!= 0.0, (col("value") - col("mean")) / col("sd")))
+      .filter(abs(col("zr")) > 2.0)
       .select(col("event_id"), col("user_id"),
-        col("value"), col("z"))
+        col("value"), round(col("zr"), 6).as("z"))
       .orderBy(col("event_id"))
   }
 
@@ -205,8 +208,11 @@ object StatsOps {
         "transform(array_sort(collect_list(struct(us, event_id, event_type))), x -> x.event_type)")
         .as("types"))
       .filter(size(col("types")) >= 3)
+      // element-wise concat, NOT concat_ws: concat_ws SKIPS null
+      // elements (a null event_type would silently shorten the path),
+      // while concat propagates null exactly like the oracle's ||
       .select(explode(expr(
-        "transform(sequence(1, size(types) - 2), i -> concat_ws('>', types[i-1], types[i], types[i+1]))"))
+        "transform(sequence(1, size(types) - 2), i -> concat(types[i-1], '>', types[i], '>', types[i+1]))"))
         .as("path"))
     paths.groupBy(col("path")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("path").asc)
