@@ -763,10 +763,37 @@ object Relational {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Salt fan-out for q118 (what q100's skew report recommends for a
+    * uniform key; real skew would size this from max/mean).
+    */
+  val SaltFactor = 4
+
+  /** q118: salted skew join, oracle-proven equivalent to the plain
+    * join — `Salting.saltedJoin` spreads each supplier key over
+    * [[SaltFactor]] sub-keys (fact side salted by a deterministic row
+    * hash, dimension side replicated ×salt), then revenue aggregates
+    * per supplier. The oracle is the UNSALTED join: a hash match is
+    * the proof that salting changes the shuffle layout and nothing
+    * else. Closes the loop with q100 (which computes the salt factor a
+    * pipeline would pass here).
+    */
+  val q118SaltedJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    Salting.saltedJoin(li, sup, "l_suppkey", "s_suppkey",
+      SaltFactor, Seq("l_orderkey", "l_linenumber", "l_partkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(revItem).cast("double").as("revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q36_percentiles" -> q36Percentiles,
     "q37_correlated" -> q37Correlated,
     "q63_interval_join" -> q63IntervalJoin,
+    "q118_salted_join" -> q118SaltedJoin,
     "q31_collect_agg" -> q31CollectAgg,
     "q32_approx_distinct" -> q32ApproxDistinct,
     "q33_asof_join" -> q33AsofJoin,
@@ -906,6 +933,13 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q118_salted_join" ->
+      // deliberately the PLAIN join: hash-matching it proves the salted
+      // plan changes the shuffle layout and nothing else
+      s"""SELECT s_suppkey, s_name, count(*) AS n_items,
+        |  CAST(sum($revSql) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
     "q03_top_orders" ->
       s"""SELECT o_orderkey, o_orderstatus, revenue FROM orders
         |JOIN (SELECT l_orderkey, CAST(sum($revSql) AS DOUBLE) AS revenue

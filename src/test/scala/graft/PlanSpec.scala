@@ -317,6 +317,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no joins expected:\n$p")
   }
 
+  test("q118: salted join actually salts — composite (key, salt) join, replicated build side") {
+    val p = finalPlan("q118_salted_join")
+    assert(p.contains("__salt"),
+      s"join should run on the composite (key, __salt) pair:\n$p")
+    assert(p.toLowerCase.contains("explode"),
+      s"build side should replicate across salts:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q110: interpolation windows are per-user, never a global single partition") {
     val p = finalPlan("q110_interpolate")
     val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
