@@ -247,7 +247,67 @@ object IndexOps {
       .orderBy(col("rel"), col("key_col"))
   }
 
+  // ---------------------------------------------------------------
+  // q119 — KMV distinct sketches + set-operation estimates
+  // ---------------------------------------------------------------
+
+  /** KMV sketch size (k smallest hash values per set). */
+  val KmvK = 256
+
+  /** q119: KMV (k-minimum-values) distinct-count sketches — the
+    * MERGEABLE distinct estimator whose sketch is a pure function of
+    * the data: the k smallest 60-bit hashes of the key set. Unlike an
+    * HLL register file, the sketch and therefore the ESTIMATE are
+    * bit-identical on every engine, so the oracle checks the estimates
+    * themselves, not a tolerance booleans dance (contrast q32).
+    * Estimate = (k−1)/u_k with u_k the k-th smallest hash normalized
+    * to (0,1); the union sketch is the k smallest of the two sketches'
+    * union — the sketch algebra a federation layer runs instead of
+    * re-scanning either side.
+    *
+    * Scale shape: each sketch is a global top-k by hash —
+    * TakeOrderedAndProject, map-side partial k-heaps, no full sort;
+    * the union estimate touches only 2k sketch rows. Exact counts ride
+    * along for the reported relative error.
+    */
+  val q119KmvSketch: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val li = t(s, dir, "lineitem")
+    def keys(c: String): DataFrame =
+      li.select(col(c).cast("string").as("key")).distinct()
+        .withColumn("u",
+          expr(s"${LlmOps.hashS("concat('kmv:', key)")}").cast("double") /
+            lit(1152921504606846976.0)) // 2^60
+    def sketch(df: DataFrame): DataFrame =
+      df.select(col("u")).orderBy(col("u").asc).limit(KmvK)
+    def estimate(sk: DataFrame, name: String, exact: DataFrame): DataFrame =
+      sk.agg(max(col("u")).as("uk"), count(lit(1)).as("kk"))
+        .crossJoin(exact)
+        .select(lit(name).as("set_name"), col("n_exact"),
+          round((col("kk") - 1).cast("double") / col("uk"), 2).as("n_est"),
+          round(abs((col("kk") - 1) / col("uk") - col("n_exact")) /
+            col("n_exact"), 6).as("rel_err"))
+    val parts = keys("l_partkey")
+    val orders = keys("l_orderkey")
+    val skP = sketch(parts).localCheckpoint(true)
+    val skO = sketch(orders).localCheckpoint(true)
+    // sketch algebra, no rescan; distinct because set union dedups
+    // (partkey 123 and orderkey 123 are the same key string)
+    val skU = sketch(skP.unionAll(skO).distinct())
+    val exP = parts.agg(count(lit(1)).as("n_exact"))
+    val exO = orders.agg(count(lit(1)).as("n_exact"))
+    // exact union: partkeys and orderkeys hash apart, but compute it
+    // honestly over the distinct key union
+    val exU = parts.select(col("key")).unionAll(orders.select(col("key")))
+      .distinct().agg(count(lit(1)).as("n_exact"))
+    estimate(skP, "parts", exP)
+      .unionAll(estimate(skO, "orders", exO))
+      .unionAll(estimate(skU, "union", exU))
+      .orderBy(col("set_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q119_kmv_sketch" -> q119KmvSketch,
     "q95_heavy_hitters" -> q95HeavyHitters,
     "q97_inverted_index" -> q97InvertedIndex,
     "q98_fuzzy_join" -> q98FuzzyJoin,
@@ -268,7 +328,34 @@ object IndexOps {
        |    AS salt_factor
        |FROM (SELECT $c AS k, count(*) AS cnt FROM $rel GROUP BY 1)""".stripMargin
 
+  private def kmvEstD(sk: String, name: String, exact: String): String =
+    s"""SELECT '$name' AS set_name, ($exact) AS n_exact,
+       |  round(CAST(kk - 1 AS DOUBLE) / uk, 2) AS n_est,
+       |  round(abs(CAST(kk - 1 AS DOUBLE) / uk - ($exact)) / ($exact), 6) AS rel_err
+       |FROM (SELECT max(u) AS uk, count(*) AS kk FROM $sk)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q119_kmv_sketch" -> {
+      val h = LlmOps.hashD("'kmv:' || key")
+      s"""WITH pk AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS key FROM lineitem),
+        |ok AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS key FROM lineitem),
+        |pu AS (SELECT $h / 1152921504606846976.0 AS u FROM pk),
+        |ou AS (SELECT $h / 1152921504606846976.0 AS u FROM ok),
+        |skp AS (SELECT u FROM pu ORDER BY u LIMIT $KmvK),
+        |sko AS (SELECT u FROM ou ORDER BY u LIMIT $KmvK),
+        |sku AS (SELECT u FROM (SELECT DISTINCT u FROM
+        |          (SELECT u FROM skp UNION ALL SELECT u FROM sko))
+        |        ORDER BY u LIMIT $KmvK),
+        |uni AS (SELECT count(*) AS n FROM (
+        |          SELECT key FROM pk UNION SELECT key FROM ok))
+        |SELECT * FROM (
+        |${kmvEstD("skp", "parts", "SELECT count(*) FROM pk")}
+        |UNION ALL
+        |${kmvEstD("sko", "orders", "SELECT count(*) FROM ok")}
+        |UNION ALL
+        |${kmvEstD("sku", "union", "SELECT n FROM uni")})
+        |ORDER BY set_name""".stripMargin
+    },
     "q95_heavy_hitters" ->
       s"""WITH i AS (
         |  SELECT substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS item
