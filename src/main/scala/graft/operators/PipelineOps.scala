@@ -561,7 +561,45 @@ object PipelineOps {
       .orderBy(col("user_id"), col("grid_ts"))
   }
 
+  // ---------------------------------------------------------------
+  // q120 — winsorization (outlier clamping at exact percentiles)
+  // ---------------------------------------------------------------
+
+  /** q120: winsorize event values at the exact p05/p95 — the
+    * feature-cleaning step before training on heavy-tailed measures
+    * (clamping beats dropping: the row survives, the outlier's
+    * leverage doesn't).
+    *
+    * The percentiles are EXACT via the q36 rank-select: per-value
+    * counts first (map-side combinable — the window then sees the
+    * DISTINCT 2-dp value domain, bounded whatever the corpus size,
+    * never the row stream), cutoffs broadcast back as a 1-row
+    * aggregate, and the clamp is a narrow map over the scan. pN =
+    * smallest value whose cumulative count reaches ceil(N·n) —
+    * percentile_disc semantics, identical on both engines.
+    */
+  val q120Winsorize: Q = (s, dir) => {
+    val e = t(s, dir, "events").select(col("event_id"), col("value"))
+    val counts = e.groupBy(col("value")).agg(count(lit(1)).as("c"))
+    val nRow = counts.agg(sum(col("c")).as("n"))
+    // global ordering over the bounded DISTINCT domain (the warning
+    // case a row-level global window would be — q36's note applies)
+    val cuts = counts
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("value").asc)))
+      .crossJoin(broadcast(nRow))
+      .agg(
+        min(when(col("cum") >= ceil(col("n") * 0.05), col("value"))).as("p05"),
+        min(when(col("cum") >= ceil(col("n") * 0.95), col("value"))).as("p95"))
+    e.crossJoin(broadcast(cuts))
+      .select(col("event_id"), col("value"),
+        greatest(col("p05"), least(col("p95"), col("value"))).as("winsorized"),
+        (col("value") < col("p05") || col("value") > col("p95"))
+          .cast("bigint").as("clipped"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q120_winsorize" -> q120Winsorize,
     "q109_pivot" -> q109Pivot,
     "q110_interpolate" -> q110Interpolate,
     "q106_incremental_agg" -> q106IncrementalAgg,
@@ -587,6 +625,18 @@ object PipelineOps {
   private val qualityCteD = LlmOps.qualityOracleCteD("qual", Seq("source"))
 
   val oracles: Map[String, String] = Map(
+    "q120_winsorize" ->
+      """WITH c AS (SELECT value, count(*) AS c FROM events GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        |cum AS (SELECT value, sum(c) OVER (ORDER BY value) AS cum FROM c),
+        |cuts AS (
+        |  SELECT min(CASE WHEN cum >= ceil(n.n * 0.05) THEN value END) AS p05,
+        |         min(CASE WHEN cum >= ceil(n.n * 0.95) THEN value END) AS p95
+        |  FROM cum, n)
+        |SELECT e.event_id, e.value,
+        |  greatest(cuts.p05, least(cuts.p95, e.value)) AS winsorized,
+        |  CAST(e.value < cuts.p05 OR e.value > cuts.p95 AS BIGINT) AS clipped
+        |FROM events e, cuts ORDER BY event_id""".stripMargin,
     "q109_pivot" ->
       // total is count(*) — deliberately NOT the sum of the pinned
       // columns, so an event type outside the pivot domain surfaces as
