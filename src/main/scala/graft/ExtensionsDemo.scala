@@ -23,10 +23,18 @@ object ExtensionsDemo {
       """SELECT slugify('Nikola Jokić') AS slug,
         |  fmt_month_abbrev('2025-05-07') AS pretty,
         |  stable_hash64('x') AS h,
-        |  ends_with_source('snippet', '', 'name') AS ews""".stripMargin)
+        |  ends_with_source('snippet', '', 'name') AS ews,
+        |  simhash60(array('a','b')) AS sh,
+        |  size(minhash8(array('a b c'))) AS mh,
+        |  token_max_run(array('a','a','b')) AS tmr,
+        |  token_top_count(array('a','a','b')) AS ttc,
+        |  cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cs,
+        |  hyperplane_bucket64(array(1.0F, 0.0F)) AS hp""".stripMargin)
     val row = r.head()
     println(s"FUNCTIONS slug=${row.getString(0)} pretty=${row.getString(1)} " +
-      s"h=${row.getLong(2)} ews=${row.getBoolean(3)}")
+      s"h=${row.getLong(2)} ews=${row.getBoolean(3)} sh=${row.get(4)} " +
+      s"mh=${row.get(5)} tmr=${row.get(6)} ttc=${row.get(7)} " +
+      s"cs=${row.get(8)} hp=${row.get(9)}")
     val folded = !r.queryExecution.optimizedPlan.toString.contains("ends_with_source")
     println(s"RULE_FOLDED=$folded")
     spark.stop()
