@@ -83,9 +83,13 @@ case class MisraGriesAgg(
   }
 
   override def eval(m: mutable.HashMap[String, Long]): Any = {
-    val items = m.keysIterator.toArray
-    java.util.Arrays.sort(items, java.util.Comparator.naturalOrder[String]())
-    new GenericArrayData(items.map(s => UTF8String.fromString(s).asInstanceOf[Any]))
+    // binary (UTF-8 byte) order, matching engine-side array_sort /
+    // ORDER BY on strings — Java String natural order is UTF-16
+    // code-unit order, which diverges for supplementary-plane items
+    val items = m.keysIterator.map(UTF8String.fromString).toArray
+    java.util.Arrays.sort(items,
+      (a: UTF8String, b: UTF8String) => a.binaryCompare(b))
+    new GenericArrayData(items.map(_.asInstanceOf[Any]))
   }
 
   // length-prefixed UTF-8, not writeUTF: writeUTF throws above 64 KiB

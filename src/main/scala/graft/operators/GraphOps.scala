@@ -59,10 +59,10 @@ object GraphOps {
     * ever produces unbounded baskets.
     */
   private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.SessionCache
 
   private[operators] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate((s, dir), {
+    edgeCache.getOrElseUpdate(s, dir)( {
       // basket form, not a self-join: ONE shuffle groups each order's
       // distinct parts (collect_set dedups map-side), then the ordered
       // pairs explode map-side from the sorted basket — a self-join on

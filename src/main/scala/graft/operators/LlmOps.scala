@@ -121,10 +121,10 @@ object LlmOps {
     * never recomputes the shingling scan).
     */
   private val signedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.SessionCache
 
   private def docsSigned(s: SparkSession, dir: String): DataFrame =
-    signedCache.getOrElseUpdate((s, dir),
+    signedCache.getOrElseUpdate(s, dir)(
       docsShingled(s, dir)
         .withColumn("mhs", graft.functions.Scalars.minhash8(col("sh")))
         .select(col("doc_id"), col("lang"), col("sh"), col("mhs"))
@@ -144,14 +144,14 @@ object LlmOps {
     * two longs per document, cached MEMORY_AND_DISK.
     */
   private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.SessionCache
 
   /** 60-bit SimHash signatures, computed map-side by the codegen'd
     * Simhash60 kernel (SimHash is per-document state — no explode, no
     * shuffle) and cached across the q46/q55/q62 family.
     */
   private def simhashSigs(s: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate((s, dir),
+    sigCache.getOrElseUpdate(s, dir)(
       docsTok(s, dir)
         .select(col("doc_id"), graft.functions.Scalars.simhash60(col("tok")).as("simhash"))
         .cache())
@@ -263,10 +263,10 @@ object LlmOps {
     * stays bit-identical to q54's oracle.
     */
   private val qualityCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.SessionCache
 
   private[graft] def qualityTable(s: SparkSession, dir: String): DataFrame =
-    qualityCache.getOrElseUpdate((s, dir),
+    qualityCache.getOrElseUpdate(s, dir)(
       withQualityScore(docsTok(s, dir))
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_tokens_q").cast("long").as("n_tokens"), col("quality"))
@@ -604,13 +604,13 @@ object LlmOps {
     * IVF search (q57) and SemDeDup (q96).
     */
   private val centsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.SessionCache
 
   private[operators] def ivfCentroids(s: SparkSession, dir: String): DataFrame =
     // K rows, localCheckpoint'ed — cached per (session, dir) because an
     // indexing pipeline builds its coarse quantizer once and both q57
     // (search) and q96 (SemDeDup) consume the same build
-    centsCache.getOrElseUpdate((s, dir), buildIvfCentroids(s, dir))
+    centsCache.getOrElseUpdate(s, dir)( buildIvfCentroids(s, dir))
 
   private def buildIvfCentroids(s: SparkSession, dir: String): DataFrame = {
     graft.Functions.registerAll(s)
@@ -1060,10 +1060,10 @@ object LlmOps {
     * the bigram join.
     */
   private val lmScoreCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.SessionCache
 
   private def lmScores(s: SparkSession, dir: String): DataFrame =
-    lmScoreCache.getOrElseUpdate((s, dir), {
+    lmScoreCache.getOrElseUpdate(s, dir)( {
     // codegen'd shingles2 + substring_index: the struct-building HOF
     // formulation is interpreted per element and measured ~2× slower
     val docBi = docsTok(s, dir)

@@ -63,12 +63,35 @@ object JsonlCorpus {
       .json(inDir)
       .cache()
 
+  /** Monotone run counter: each q108 invocation writes to a FRESH
+    * directory, so the plan-keyed cache of a previous run can never
+    * satisfy the new run's read — every invocation provably reads what
+    * it just wrote, even if the writer were nondeterministic.
+    */
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Last run's cached read per (session, sfDir), unpersisted when the
+    * next run for the same corpus starts (bounded retention: one cached
+    * read per live corpus, instead of one per invocation forever).
+    */
+  private val lastParsed = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  private def deleteDir(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rec)
+      f.delete(): Unit
+    }
+    rec(new java.io.File(path))
+  }
+
   def jsonlOutDir(sfDir: String): String = {
     val root = sys.env.getOrElse("GRAFT_JSONL_DIR",
       s"${System.getProperty("java.io.tmpdir")}/graft_jsonl")
     val key = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
-    s"$root/out_$key"
+    s"$root/out_${key}_r${runSeq.incrementAndGet()}"
   }
 
   /** q108: JSONL round-trip with quarantine — write the documents table
@@ -85,6 +108,10 @@ object JsonlCorpus {
     val out = jsonlOutDir(dir)
     writeJsonl(graft.Engine.table(s, dir, "documents"), out)
     val parsed = readJsonl(s, out)
+    lastParsed.put((s, dir), (out, parsed)).foreach { case (prevDir, prevDf) =>
+      prevDf.unpersist(blocking = false)
+      deleteDir(prevDir)
+    }
     val quarantined = parsed
       .agg(sum(col("_corrupt").isNotNull.cast("bigint")).as("n_quarantined"))
     parsed.filter(col("_corrupt").isNull)

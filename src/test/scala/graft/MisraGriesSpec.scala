@@ -65,4 +65,22 @@ class MisraGriesSpec extends AnyFunSuite {
       .collect()(0).getSeq[String](0)
     assert(arr == arr.sorted)
   }
+
+  test("output order is UTF-8 binary order, matching array_sort") {
+    // supplementary-plane item (U+10000, surrogate pair in UTF-16) vs
+    // U+FFFD: Java String natural order puts "𐀀" BEFORE
+    // "�" (code-unit compare), UTF-8 binary order puts it after —
+    // the sketch contract is binary order, same as engine-side sorts
+    val astral = new String(Character.toChars(0x10000))
+    val items = Seq.fill(40)(astral) ++ Seq.fill(40)("�") ++ Seq.fill(40)("a")
+    import spark.implicits._
+    val row = items.toDF("item")
+      .agg(MisraGriesAgg.misra_gries(col("item"), 5).as("c"),
+        sort_array(collect_set(col("item"))).as("engine"))
+      .collect()(0)
+    val sketch = row.getSeq[String](0)
+    val engine = row.getSeq[String](1)
+    assert(sketch.toSet == Set(astral, "�", "a"))
+    assert(sketch == engine.filter(sketch.contains))
+  }
 }
