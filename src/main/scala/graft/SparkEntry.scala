@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Relational.queries ++ operators.LlmOps.queries ++
       operators.Multimodal.queries ++ operators.RumorPipeline.queries ++
       operators.PipelineOps.queries ++ operators.GraphOps.queries ++
+      operators.AnalyticsOps.queries ++
       operators.IndexOps.queries ++ operators.StatsOps.queries ++
       sources.TrainingShards.queries ++ sources.JsonlCorpus.queries
 
@@ -33,6 +34,7 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.LlmOps.oracles ++
       operators.Multimodal.oracles ++ operators.RumorPipeline.oracles ++
       operators.PipelineOps.oracles ++ operators.GraphOps.oracles ++
+      operators.AnalyticsOps.oracles ++
       operators.IndexOps.oracles ++ operators.StatsOps.oracles ++
       sources.TrainingShards.oracles ++ sources.JsonlCorpus.oracles
 }

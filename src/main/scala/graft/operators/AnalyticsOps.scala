@@ -1,0 +1,350 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Engine
+
+/** Product/corpus analytics a training-data platform runs alongside the
+  * curation pipeline — cohort retention, session transition structure,
+  * experiment readouts, shard audit manifests, freshness-decayed
+  * engagement, and code-vs-prose screening.
+  *
+  * Determinism discipline (same as StatsOps): group keys and counts are
+  * exact integers; every ratio is ONE final double expression over
+  * integer/decimal sufficient statistics, rounded to 6 places before it
+  * is emitted or ordered on. Time arithmetic stays in whole days /
+  * integer weeks (`datediff` + truncating division) so no float ever
+  * enters a key. Decay weights are powers of two (0.5^k), which scale a
+  * double's exponent without touching its mantissa — the one
+  * multiplication in q128 is exact.
+  */
+object AnalyticsOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  /** Fixture epoch (first event day) — cohort/decay weeks count from here. */
+  val CohortEpoch = "2024-01-01"
+
+  /** As-of date for freshness decay (day after the last fixture event). */
+  val DecayAsOf = "2024-01-31"
+
+  /** Audit-manifest shard count (mirrors a real manifest's file fanout). */
+  val NumShards = 8
+
+  /** Checksum modulus 2^40: per-row folded hashes sum exactly in BIGINT
+    * for corpora up to 2^23 rows per shard.
+    */
+  val ChecksumMod: Long = 1L << 40
+
+  /** q124: docs with at least this code-char density are flagged. */
+  val CodeScoreThreshold = 0.02
+
+  // ---------------------------------------------------------------
+  // q121 — weekly retention cohorts
+  // ---------------------------------------------------------------
+
+  /** q121: classic cohort-retention triangle over `events` — users are
+    * cohorted by the week of their first event; each (cohort, week
+    * offset) cell counts the cohort members active that week.
+    *
+    * Scale shape: ONE distinct over (user_id, week) — a map-side
+    * combinable shuffle keyed by user — then everything downstream
+    * (first-week min, cohort sizes, the triangle itself) aggregates the
+    * per-user-week table, which is ≤ users × weeks rows, orders of
+    * magnitude smaller than the event log. The cohort-size join is a
+    * broadcast (weeks-many rows).
+    */
+  val q121RetentionCohorts: Q = (s, dir) => {
+    val act = t(s, dir, "events")
+      .select(col("user_id"),
+        expr(s"datediff(to_date(ts), date'$CohortEpoch') div 7").as("wk"))
+      .distinct()
+    val coh = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val sizes = coh.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    act.join(coh, Seq("user_id"))
+      .withColumn("week_offset", col("wk") - col("cohort"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  // ---------------------------------------------------------------
+  // q122 — session Markov transitions
+  // ---------------------------------------------------------------
+
+  /** q122: first-order Markov transition matrix of event types WITHIN
+    * sessions (30-min-gap sessionization, same rule as q30/q115) —
+    * P(next=dst | cur=src) with transition counts. The per-row chain is
+    * built with lag/lead windows partitioned by user, so the event log
+    * shuffles once by user_id and every window reuses that partitioning;
+    * the transition matrix itself is |types|² rows.
+    */
+  val q122MarkovTransitions: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val e = t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap",
+        (col("us") - lag(col("us"), 1).over(byUser) >
+          StatsOps.SessionGapUs).cast("int"))
+      .withColumn("session",
+        sum(coalesce(col("gap"), lit(0))).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy(col("user_id"), col("session"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val trans = e
+      .withColumn("dst", lead(col("event_type"), 1).over(bySession))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("p",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("src"))), 6))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  // ---------------------------------------------------------------
+  // q124 — code-vs-prose screening
+  // ---------------------------------------------------------------
+
+  /** q124: code-character density screen over `documents` — the cheap
+    * map-side classifier a text pipeline runs to route code-looking
+    * documents away from the prose dedup/quality path. Counts are
+    * length deltas against single-char `replace` (exact on both
+    * engines, no regex dialect to reconcile); the score is one double
+    * division per row. Narrow map-only plan — scales linearly.
+    */
+  val q124CodeDetect: Q = (s, dir) => {
+    // single-char count as a length delta against non-regex replace —
+    // exact on both engines, no regex dialect to reconcile
+    def cnt(ch: String) =
+      expr(s"length(text) - length(replace(text, '$ch', ''))")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        (cnt("{") + cnt("}")).as("n_brace"),
+        cnt(";").as("n_semi"),
+        cnt("=").as("n_eq"),
+        (cnt("(") + cnt(")")).as("n_paren"))
+      .withColumn("code_score",
+        round((col("n_brace") * 3 + col("n_semi") * 2 + col("n_eq") +
+          col("n_paren")).cast("double") / greatest(col("n_chars"), lit(1)), 6))
+      .withColumn("is_code",
+        (col("code_score") >= CodeScoreThreshold).cast("int"))
+      .drop("n_chars")
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // q125 — shard audit manifest
+  // ---------------------------------------------------------------
+
+  /** q125: the audit manifest a shard writer publishes next to its
+    * output — per (hash-assigned) shard: row count, an
+    * order-independent content checksum (sum of per-row folded hashes —
+    * commutative, so any partitioning/merge order produces the same
+    * value), id range, language cardinality, byte mass. Verifying a
+    * 100 TB copy then means comparing 8 manifest rows, not re-reading
+    * the corpus. Single map-side-combinable aggregation.
+    */
+  val q125ShardManifest: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    t(s, dir, "documents")
+      .withColumn("shard", expr(s"stable_hash64(cast(doc_id as string)) % $NumShards"))
+      .withColumn("rh", expr(s"stable_hash64(text) % $ChecksumMod"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rh")).as("checksum"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("shard"))
+  }
+
+  // ---------------------------------------------------------------
+  // q126 — A/B experiment readout
+  // ---------------------------------------------------------------
+
+  /** q126: two-arm experiment readout — users hash-split into arms
+    * (deterministic assignment, the same stable_hash64 the splitter
+    * q88 uses), conversion = "ever purchased", plus the pooled
+    * two-proportion z statistic carried on both rows. The event log
+    * collapses to one row per user before anything else, so the
+    * z-arithmetic runs over a 2-row aggregate; the per-user collapse is
+    * the only real shuffle.
+    */
+  val q126AbTest: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val u = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase").cast("int")).as("conv"))
+      .withColumn("arm", expr("stable_hash64(cast(user_id as string)) % 2"))
+    val arms = u.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val pooled = arms.agg(
+      sum(col("n_users")).as("tu"), sum(col("n_conv")).as("tc"),
+      sum(when(col("arm") === 0, col("n_conv"))).as("c0"),
+      sum(when(col("arm") === 0, col("n_users"))).as("u0"),
+      sum(when(col("arm") === 1, col("n_conv"))).as("c1"),
+      sum(when(col("arm") === 1, col("n_users"))).as("u1"))
+    val p = col("tc").cast("double") / col("tu")
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("u0") + lit(1.0) / col("u1")))
+    arms.crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n_users"), col("n_conv"),
+        round(col("n_conv").cast("double") / col("n_users"), 6).as("rate"),
+        round(when(se =!= 0.0,
+          (col("c1").cast("double") / col("u1") -
+            col("c0").cast("double") / col("u0")) / se), 6).as("z"))
+      .orderBy(col("arm"))
+  }
+
+  // ---------------------------------------------------------------
+  // q128 — freshness-decayed engagement
+  // ---------------------------------------------------------------
+
+  /** q128: per-user engagement score with exponential freshness decay —
+    * each event contributes value · 0.5^(age in whole weeks), the
+    * standard recency weighting for ranking / sampling users (or
+    * documents) by CURRENT activity rather than lifetime totals.
+    *
+    * Exactness: 0.5^k scales the double's exponent only, so
+    * value · decay is exact; it is rounded to 6 places and summed in
+    * decimal, making the aggregate order-independent under any
+    * partitioning. Map-side combinable single aggregation.
+    */
+  val q128DecayedEngagement: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .withColumn("age_wk",
+        expr(s"datediff(date'$DecayAsOf', to_date(ts)) div 7"))
+      .withColumn("contrib",
+        round(col("value") * pow(lit(0.5), col("age_wk")), 6)
+          .cast(DecimalType(28, 8)))
+    e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("contrib")).cast("double"), 6).as("score"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q121_retention_cohorts" -> q121RetentionCohorts,
+    "q122_markov_transitions" -> q122MarkovTransitions,
+    "q124_code_detect" -> q124CodeDetect,
+    "q125_shard_manifest" -> q125ShardManifest,
+    "q126_ab_test" -> q126AbTest,
+    "q128_decayed_engagement" -> q128DecayedEngagement)
+
+  // ---- DuckDB oracle dialect ----
+
+  private def hashD(x: String): String = LlmOps.hashD(x)
+
+  val oracles: Map[String, String] = Map(
+    "q121_retention_cohorts" ->
+      s"""WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '$CohortEpoch', CAST(ts AS DATE)) // 7 AS wk
+        |  FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id),
+        |sizes AS (SELECT cohort, count(*) AS cohort_size FROM coh GROUP BY cohort),
+        |cells AS (
+        |  SELECT cohort, wk - cohort AS week_offset, count(*) AS n_active
+        |  FROM act JOIN coh USING (user_id)
+        |  GROUP BY cohort, wk - cohort)
+        |SELECT cohort, week_offset, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM cells JOIN sizes USING (cohort)
+        |ORDER BY cohort, week_offset""".stripMargin,
+    "q122_markov_transitions" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > ${StatsOps.SessionGapUs}
+        |    THEN 1 ELSE 0 END AS gap
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |ses AS (
+        |  SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |  FROM g),
+        |tr AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id, session
+        |      ORDER BY us, event_id) AS dst
+        |  FROM ses),
+        |cnt AS (
+        |  SELECT src, dst, count(*) AS n FROM tr
+        |  WHERE dst IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+        |FROM cnt ORDER BY src, dst""".stripMargin,
+    "q124_code_detect" ->
+      s"""WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    (length(text) - length(replace(text, '{', '')))
+        |      + (length(text) - length(replace(text, '}', ''))) AS n_brace,
+        |    length(text) - length(replace(text, ';', '')) AS n_semi,
+        |    length(text) - length(replace(text, '=', '')) AS n_eq,
+        |    (length(text) - length(replace(text, '(', '')))
+        |      + (length(text) - length(replace(text, ')', ''))) AS n_paren
+        |  FROM documents),
+        |sc AS (
+        |  SELECT *, round(CAST(n_brace * 3 + n_semi * 2 + n_eq + n_paren
+        |    AS DOUBLE) / greatest(n_chars, 1), 6) AS code_score FROM c)
+        |SELECT doc_id, n_brace, n_semi, n_eq, n_paren, code_score,
+        |  CASE WHEN code_score >= $CodeScoreThreshold THEN 1 ELSE 0 END AS is_code
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q125_shard_manifest" ->
+      s"""SELECT ${hashD("CAST(doc_id AS VARCHAR)")} % $NumShards AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(${hashD("text")} % $ChecksumMod) AS BIGINT) AS checksum,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    "q126_ab_test" ->
+      s"""WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    ${hashD("CAST(user_id AS VARCHAR)")} % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |arms AS (
+        |  SELECT arm, count(*) AS n_users,
+        |    CAST(sum(conv) AS BIGINT) AS n_conv
+        |  FROM u GROUP BY arm),
+        |pooled AS (
+        |  SELECT sum(n_users) AS tu, sum(n_conv) AS tc,
+        |    sum(CASE WHEN arm = 0 THEN n_conv END) AS c0,
+        |    sum(CASE WHEN arm = 0 THEN n_users END) AS u0,
+        |    sum(CASE WHEN arm = 1 THEN n_conv END) AS c1,
+        |    sum(CASE WHEN arm = 1 THEN n_users END) AS u1
+        |  FROM arms),
+        |se AS (
+        |  SELECT *, sqrt((CAST(tc AS DOUBLE) / tu) * (1.0 - CAST(tc AS DOUBLE) / tu)
+        |    * (1.0 / u0 + 1.0 / u1)) AS sev FROM pooled)
+        |SELECT arm, n_users, n_conv,
+        |  round(CAST(n_conv AS DOUBLE) / n_users, 6) AS rate,
+        |  round(CASE WHEN sev != 0.0 THEN
+        |    (CAST(c1 AS DOUBLE) / u1 - CAST(c0 AS DOUBLE) / u0) / sev END, 6) AS z
+        |FROM arms, se ORDER BY arm""".stripMargin,
+    "q128_decayed_engagement" ->
+      s"""WITH e AS (
+        |  SELECT user_id,
+        |    CAST(round(value * pow(0.5,
+        |      date_diff('day', CAST(ts AS DATE), DATE '$DecayAsOf') // 7), 6)
+        |      AS DECIMAL(28,8)) AS contrib
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(CAST(sum(contrib) AS DOUBLE), 6) AS score
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin)
+}
