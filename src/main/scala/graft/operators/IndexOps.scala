@@ -71,6 +71,48 @@ object IndexOps {
   }
 
   // ---------------------------------------------------------------
+  // q123 — Count-Min sketch point estimates + exact verify
+  // ---------------------------------------------------------------
+
+  /** Point queries are answered for part keys up to this id. */
+  val CmsMaxItem = 20
+
+  /** q123: Count-Min frequency estimates over the part-key stream,
+    * verified against exact counts — the sketch complement to q95's
+    * Misra-Gries: MG answers "which items are heavy", CMS answers "how
+    * often does THIS item occur" for any item, in one constant-size
+    * (d·w longs) mergeable buffer.
+    *
+    * Scale shape: pass 1 is ONE [[graft.functions.CountMinAgg]]
+    * aggregation — each task condenses its partition into a ~2 KiB
+    * counter grid and only those grids shuffle, never per-item rows.
+    * The estimates are then read out of the broadcast 1-row sketch
+    * with plain element_at arithmetic, and the exact side (restricted
+    * to the queried keys) pins the one-sided error: est ≥ exact
+    * always, est − exact ≤ εn w.h.p. The output carries both so the
+    * oracle checks the sketch ARITHMETIC, not just the estimates'
+    * existence.
+    */
+  val q123CmsSketch: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    import graft.functions.CountMinAgg.{A, B, D, P, W}
+    val items = t(s, dir, "lineitem")
+      .select(col("l_partkey").cast("string").as("item"))
+    val sketch = items
+      .agg(graft.functions.CountMinAgg.count_min(col("item")).as("cm"))
+    val exact = items.filter(col("item").cast("bigint") <= CmsMaxItem)
+      .groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
+    val est = (0 until D).map { i =>
+      expr(s"element_at(cm, ${i * W} + cast(((${A(i)} * " +
+        s"(stable_hash64(item) % $P) + ${B(i)}) % $P) % $W as int) + 1)")
+    }
+    exact.crossJoin(broadcast(sketch))
+      .select(col("item").cast("bigint").as("item_id"),
+        least(est: _*).as("cms_est"), col("exact_cnt"))
+      .orderBy(col("item_id"))
+  }
+
+  // ---------------------------------------------------------------
   // q97 — inverted index construction
   // ---------------------------------------------------------------
 
@@ -309,6 +351,7 @@ object IndexOps {
   val queries: Map[String, Q] = Map(
     "q119_kmv_sketch" -> q119KmvSketch,
     "q95_heavy_hitters" -> q95HeavyHitters,
+    "q123_cms_sketch" -> q123CmsSketch,
     "q97_inverted_index" -> q97InvertedIndex,
     "q98_fuzzy_join" -> q98FuzzyJoin,
     "q99_bpe_pairs" -> q99BpePairs,
@@ -365,6 +408,32 @@ object IndexOps {
         |SELECT item, freq, n.n_total, round(CAST(freq AS DOUBLE) / n.n_total, 6) AS share
         |FROM c, n WHERE freq * $HeavyK > n.n_total
         |ORDER BY item""".stripMargin,
+    "q123_cms_sketch" -> {
+      import graft.functions.CountMinAgg.{A, B, D, P, W}
+      def bucketD(i: Int, hp: String): String =
+        s"((${A(i)} * $hp + ${B(i)}) % $P) % $W"
+      val cntBranches = (0 until D).map(i =>
+        s"SELECT $i AS r, ${bucketD(i, "hp")} AS bucket, count(*) AS c FROM h GROUP BY 2")
+        .mkString("\n  UNION ALL ")
+      val qBucket = (0 until D).map(i =>
+        s"WHEN $i THEN ${bucketD(i, "q.hp")}").mkString(" ")
+      s"""WITH i AS (SELECT CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+        |h AS (SELECT (${LlmOps.hashD("item")} % $P) AS hp FROM i),
+        |cnts AS (
+        |  $cntBranches),
+        |q AS (
+        |  SELECT DISTINCT l_partkey AS item_id,
+        |    (${LlmOps.hashD("CAST(l_partkey AS VARCHAR)")} % $P) AS hp
+        |  FROM lineitem WHERE l_partkey <= $CmsMaxItem),
+        |est AS (
+        |  SELECT item_id, min(c) AS cms_est
+        |  FROM q JOIN cnts ON cnts.bucket = CASE cnts.r $qBucket END
+        |  GROUP BY item_id),
+        |ex AS (SELECT l_partkey AS item_id, count(*) AS exact_cnt
+        |  FROM lineitem WHERE l_partkey <= $CmsMaxItem GROUP BY 1)
+        |SELECT item_id, cms_est, exact_cnt FROM est JOIN ex USING (item_id)
+        |ORDER BY item_id""".stripMargin
+    },
     "q97_inverted_index" ->
       s"""WITH f AS (
         |  SELECT doc_id, unnest($toksD) AS token FROM documents),

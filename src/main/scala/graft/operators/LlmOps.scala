@@ -331,6 +331,40 @@ object LlmOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q127 reports pairs whose max-containment reaches this. */
+  val ContainThreshold = 0.8
+
+  /** q127: containment near-dup — the asymmetric complement to q45's
+    * Jaccard: containment |A∩B| / min(|A|,|B|) fires when one document
+    * is a near-SUBSET of another (a quote-with-commentary, a page
+    * embedding a syndicated article), which plain Jaccard misses
+    * because the union is dominated by the larger document. Candidates
+    * come from the same minhash band join (and the same cached
+    * signature table — the banding scan is shared with q45/q62 within
+    * a session), so the added cost over a Jaccard pass is only the
+    * changed denominator.
+    */
+  val q127ContainmentDedup: Q = (s, dir) => {
+    val signed = docsSigned(s, dir)
+      .select(col("doc_id"), col("sh").as("shd"), col("mhs"))
+    val bands = signed.selectExpr("doc_id",
+      "stack(4, 0, concat(mhs[0], ':', mhs[1]), 1, concat(mhs[2], ':', mhs[3]), 2, concat(mhs[4], ':', mhs[5]), 3, concat(mhs[6], ':', mhs[7])) as (band, bkey)")
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(signed.select(col("doc_id").as("doc_a"), col("shd").as("sh_a")), Seq("doc_a"))
+      .join(signed.select(col("doc_id").as("doc_b"), col("shd").as("sh_b")), Seq("doc_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("containment") >= ContainThreshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** q46: 60-bit SimHash — per-token hash bits voted ±1, majority sign
     * per bit position, over the full width of the portable
     * stable_hash64 (60 usable bits). SimHash is per-document state, so
@@ -1780,6 +1814,7 @@ object LlmOps {
     "q43_fingerprint" -> q43Fingerprint,
     "q44_exact_dedup" -> q44ExactDedup,
     "q45_minhash_lsh" -> q45MinhashLsh,
+    "q127_containment_dedup" -> q127ContainmentDedup,
     "q46_simhash" -> q46Simhash,
     "q47_ngram_jaccard" -> q47NgramJaccard,
     "q48_cosine_topk" -> q48CosineTopk,
@@ -2456,6 +2491,23 @@ object LlmOps {
         |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / len(list_distinct(sh_a || sh_b)) AS jaccard
         |FROM cand
         |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / len(list_distinct(sh_a || sh_b)) >= $JaccardThreshold
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q127_containment_dedup" ->
+      s"""$sigD,
+        |bands AS (
+        |  SELECT doc_id, shd, b.band, CASE b.band
+        |    WHEN 0 THEN CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)
+        |    WHEN 1 THEN CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)
+        |    WHEN 2 THEN CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR)
+        |    ELSE CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR) END AS bkey
+        |  FROM sig, (SELECT unnest(range(4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shd AS sh_a, b.shd AS sh_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / least(len(sh_a), len(sh_b)) AS containment
+        |FROM cand
+        |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / least(len(sh_a), len(sh_b)) >= $ContainThreshold
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q46_simhash" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksD) AS token FROM documents),
