@@ -329,8 +329,12 @@ object IndexOps {
           round((col("kk") - 1).cast("double") / col("uk"), 2).as("n_est"),
           round(abs((col("kk") - 1) / col("uk") - col("n_exact")) /
             col("n_exact"), 6).as("rel_err"))
-    val parts = keys("l_partkey")
-    val orders = keys("l_orderkey")
+    // each key table feeds THREE consumers (its sketch, its exact
+    // count, the union's exact count) — materialize the distinct+hash
+    // scan once per side (20k/150k-row tables) instead of replaying
+    // the 600k-row distinct shuffle per consumer
+    val parts = keys("l_partkey").localCheckpoint(true)
+    val orders = keys("l_orderkey").localCheckpoint(true)
     val skP = sketch(parts).localCheckpoint(true)
     val skO = sketch(orders).localCheckpoint(true)
     // sketch algebra, no rescan; distinct because set union dedups

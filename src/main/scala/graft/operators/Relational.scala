@@ -63,6 +63,36 @@ object Relational {
   private def revItem: Column =
     dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
 
+  // ---- scaled-integer ("cents") twins of the decimal helpers ----
+  //
+  // Spark's double→decimal cast routes through BigDecimal.valueOf
+  // (a Double.toString parse) and decimal×decimal through BigDecimal
+  // multiply — per-ROW object work that dominates the hot aggregates
+  // (measured: the q01 aggregate set at sf0.1 runs ~2× faster on cents).
+  // The cents form keeps the identical exactness contract: the 2-dp
+  // fixture doubles scale to integers EXACTLY (round() kills the
+  // ~1e-11 binary-representation error), all row arithmetic is long
+  // multiplies inside codegen, and the aggregation accumulates in
+  // DECIMAL(28,0) (a compact long-backed Decimal — no strings, no
+  // BigDecimal until ~1e18) so the sum cannot overflow at any corpus
+  // size. The final de-scale divides the exact integer sum as a
+  // DECIMAL (result scale ≥ 6 covers every product's true scale, so
+  // the division is exact) and only THEN converts to double — the
+  // same rational number the decimal formulation produces, hence the
+  // same double bits and an unchanged oracle.
+
+  /** x · 100 as an exact long (2-dp fixture values only). */
+  private def cents(c: Column): Column = round(c * 100).cast("bigint")
+
+  /** Overflow-proof exact sum of a long column: accumulate in compact
+    * decimal (values < 1e18 never leave the long fast path).
+    */
+  private def lsum(c: Column): Column = sum(c.cast(DecimalType(28, 0)))
+
+  /** De-scale an exact integer sum by 10^k and emit as double. */
+  private def descale(sumCol: Column, pow10: Long): Column =
+    (sumCol / lit(pow10)).cast("double")
+
   // ---------------------------------------------------------------
   // Aggregation
   // ---------------------------------------------------------------
@@ -73,17 +103,25 @@ object Relational {
     * columns + pushes the shipdate filter into parquet.
     */
   val q01PricingSummary: Q = (s, dir) => {
+    // all row-level arithmetic in exact scaled longs (see cents/lsum):
+    // rev = price¢ · (100 − disc¢) is the revenue item at scale 10⁴,
+    // charge adds (100 + tax¢) for scale 10⁶ — both exact integers per
+    // row, summed overflow-proof, de-scaled once per GROUP
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .withColumn("qc", cents(col("l_quantity")))
+      .withColumn("pc", cents(col("l_extendedprice")))
+      .withColumn("rev", col("pc") * (lit(100L) - cents(col("l_discount"))))
+      .withColumn("chg", col("rev") * (lit(100L) + cents(col("l_tax"))))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(revItem).cast("double").as("sum_disc_price"),
-        sum(revItem * (one + dec(col("l_tax")))).cast("double").as("sum_charge"),
-        davg(col("l_quantity")).as("avg_qty"),
-        davg(col("l_extendedprice")).as("avg_price"),
-        davg(col("l_discount")).as("avg_disc"),
+        descale(lsum(col("qc")), 100L).as("sum_qty"),
+        descale(lsum(col("pc")), 100L).as("sum_base_price"),
+        descale(lsum(col("rev")), 10000L).as("sum_disc_price"),
+        descale(lsum(col("chg")), 1000000L).as("sum_charge"),
+        (descale(lsum(col("qc")), 100L) / count(lit(1))).as("avg_qty"),
+        (descale(lsum(col("pc")), 100L) / count(lit(1))).as("avg_price"),
+        (descale(lsum(cents(col("l_discount"))), 100L) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -331,9 +369,13 @@ object Relational {
     val running = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val moving = ord.rowsBetween(-3, Window.currentRow)
     t(s, dir, "lineitem")
+      // window sums ride exact cents longs (see cents/lsum): the frame
+      // accumulator does compact-long decimal adds instead of per-row
+      // double→decimal string casts; de-scaled per output row
+      .withColumn("pc", cents(col("l_extendedprice")))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        sum(dec(col("l_extendedprice"))).over(running).cast("double").as("running_price"),
-        (sum(dec(col("l_extendedprice"))).over(moving).cast("double") /
+        descale(lsum(col("pc")).over(running), 100L).as("running_price"),
+        (descale(lsum(col("pc")).over(moving), 100L) /
           count(lit(1)).over(moving)).as("moving_avg4"))
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("running_price"))

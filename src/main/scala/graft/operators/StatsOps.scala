@@ -82,15 +82,37 @@ object StatsOps {
     * screen before model training.
     */
   val q112CorrMatrix: Q = (s, dir) => {
+    // row-level arithmetic in exact scaled longs: the 2-dp measures
+    // scale to integers exactly, so squares/products are long multiplies
+    // inside codegen instead of per-row BigDecimal work (double→decimal
+    // routes through Double.toString — measured ~2× on this aggregate).
+    // The de-scale below divides each exact integer sum back to the SAME
+    // DECIMAL(38,8) value (2/4-dp rationals, exact at scale 8) the
+    // decimal formulation produced, so the final-formula arithmetic —
+    // and therefore the oracle — is unchanged.
     val li = t(s, dir, "lineitem")
-    val sums = li.agg(
+    def centsL(c: Column): Column = round(c * 100).cast("bigint")
+    def lsum(c: Column): Column = sum(c.cast(DecimalType(28, 0)))
+    def descale(c: Column, pow10: Long): Column =
+      (c / lit(pow10)).cast(DecimalType(38, 8))
+    val scaled = li.select(
+      CorrCols.map(c => centsL(col(c)).as(s"c_$c")): _*)
+    val raw = scaled.agg(
       count(lit(1)).as("n"),
-      CorrCols.map(c => sum(dec(col(c))).as(s"s_$c")) ++
-        CorrCols.map(c => sum(dec(col(c)) * dec(col(c))).as(s"ss_$c")) ++
+      CorrCols.map(c => lsum(col(s"c_$c")).as(s"r_$c")) ++
+        CorrCols.map(c => lsum(col(s"c_$c") * col(s"c_$c")).as(s"rr_$c")) ++
         (for {
           i <- CorrCols.indices; j <- (i + 1) until CorrCols.size
-        } yield sum(dec(col(CorrCols(i))) * dec(col(CorrCols(j))))
-          .as(s"sp_${CorrCols(i)}_${CorrCols(j)}")): _*)
+        } yield lsum(col(s"c_${CorrCols(i)}") * col(s"c_${CorrCols(j)}"))
+          .as(s"rp_${CorrCols(i)}_${CorrCols(j)}")): _*)
+    val sums = raw.select(
+      col("n") +:
+        (CorrCols.map(c => descale(col(s"r_$c"), 100L).as(s"s_$c")) ++
+          CorrCols.map(c => descale(col(s"rr_$c"), 10000L).as(s"ss_$c")) ++
+          (for {
+            i <- CorrCols.indices; j <- (i + 1) until CorrCols.size
+          } yield descale(col(s"rp_${CorrCols(i)}_${CorrCols(j)}"), 10000L)
+            .as(s"sp_${CorrCols(i)}_${CorrCols(j)}"))): _*)
     def corr(a: String, b: String): Column = {
       val sp = if (CorrCols.indexOf(a) < CorrCols.indexOf(b))
         col(s"sp_${a}_$b") else col(s"sp_${b}_$a")
