@@ -334,6 +334,52 @@ class PlanSpec extends AnyFunSuite {
       s"every window must partition on the entity key:\n${windows.mkString("\n")}")
   }
 
+  test("q121: retention aggregates map-side and broadcasts cohort sizes") {
+    val p = finalPlan("q121_retention_cohorts")
+    assert(p.contains("partial_"), "distinct/agg must partial-aggregate map-side")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cohort-size join (weeks-many rows) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q122: every event-log window partitions on the entity key") {
+    val windows = finalPlan("q122_markov_transitions")
+      .linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty)
+    // the event-scale windows (sessionize + lead) must be per-user; the
+    // p-normalization window runs over the |types|²-row AGGREGATE and
+    // legitimately partitions by src
+    val eventWindows = windows.filter(w =>
+      w.contains("lead(") || w.contains("lag(") || w.contains("session"))
+    assert(eventWindows.nonEmpty)
+    assert(eventWindows.forall(_.contains("user_id")),
+      s"event-log windows must be per-user, never a single global partition:\n${windows.mkString("\n")}")
+  }
+
+  test("q123: Count-Min sketch partial-aggregates before the shuffle") {
+    val p = plan("q123_cms_sketch")
+    assert(p.contains("partial_count_min"),
+      s"each task must condense its partition into one sketch buffer:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row sketch must broadcast against the queried keys")
+  }
+
+  test("q125: shard manifest is one map-side-combinable aggregation") {
+    val p = finalPlan("q125_shard_manifest")
+    assert(p.contains("partial_"), "manifest sums must partial-aggregate")
+    // groupBy(shard) + final presentation sort are the only exchanges
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$p")
+  }
+
+  test("q126: per-user collapse shuffles once; pooled stats broadcast back") {
+    val p = finalPlan("q126_ab_test")
+    assert(p.contains("partial_"), "user collapse must partial-aggregate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row pooled statistics must broadcast")
+    assert(scans(p) <= 2, "the event log is scanned at most twice (arms + pooled)")
+  }
+
   test("custom scalar expressions do not break whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.Scalars._
