@@ -334,6 +334,48 @@ object LlmOps {
   /** q127 reports pairs whose max-containment reaches this. */
   val ContainThreshold = 0.8
 
+  /** q129 calibrates over same-lang pairs within this doc_id window. */
+  val CalibWindow = 25
+
+  /** q129: minhash calibration audit — for every same-lang pair within
+    * a [[CalibWindow]]-id window (q47's ground-truth domain), compare
+    * the SKETCH's similarity estimate (matching signature components /
+    * 8) against the exact shingle Jaccard, bucketed by match count.
+    * This is the audit a dedup pipeline runs before trusting its
+    * banding thresholds on a new corpus: if the avg exact Jaccard in
+    * the high-match buckets sags, the shingle width or hash count is
+    * wrong for this data. Reuses the cached signature table (zero new
+    * corpus scans in-session); the pair join rides the q47 block trick
+    * — the window predicate folds into a (lang, id-block) equi-key, so
+    * candidate fan-out stays per-block and never cross-corpus.
+    */
+  val q129MinhashCalibration: Q = (s, dir) => {
+    val sg = docsSigned(s, dir)
+      .select(col("doc_id"), col("lang"), col("sh").as("shd"), col("mhs"))
+    val a = sg.select(col("doc_id").as("doc_a"), col("lang"),
+      col("shd").as("sh_a"), col("mhs").as("mhs_a"),
+      floor(col("doc_id") / CalibWindow).as("blk"))
+    val b = sg.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("shd").as("sh_b"), col("mhs").as("mhs_b"),
+      explode(array(floor(col("doc_id") / CalibWindow),
+        floor(col("doc_id") / CalibWindow) - 1)).as("blk_b"))
+    val nMatch = (0 until NumHashes)
+      .map(i => when(col("mhs_a")(i) === col("mhs_b")(i), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, col("lang") === col("lang_b") && col("blk") === col("blk_b") &&
+        col("doc_b") > col("doc_a") &&
+        col("doc_b") - col("doc_a") <= CalibWindow)
+      .select(
+        nMatch.as("n_match"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("j"))
+      .groupBy(col("n_match"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("j")) / count(lit(1)), 6).as("avg_jaccard"),
+        min(col("j")).as("min_jaccard"), max(col("j")).as("max_jaccard"))
+      .orderBy(col("n_match"))
+  }
+
   /** q127: containment near-dup — the asymmetric complement to q45's
     * Jaccard: containment |A∩B| / min(|A|,|B|) fires when one document
     * is a near-SUBSET of another (a quote-with-commentary, a page
@@ -1408,6 +1450,53 @@ object LlmOps {
       .orderBy(col("source"))
   }
 
+  /** q130: information-theoretic corpus report — per source: unigram
+    * entropy H(w) and bigram conditional entropy H(w₂|w₁), both in
+    * nats. The diversity complement to q75's KL: KL says how far a
+    * source's distribution sits from the mixture, entropy says how
+    * REPETITIVE the source itself is (template/boilerplate-heavy
+    * sources show depressed H(w₂|w₁) long before dedup fires) — the
+    * corpus-level screen next to q70's per-document repetition stats.
+    *
+    * Shapes: one (source, word) count shuffle for unigrams, one
+    * (source, bigram) shuffle via the codegen'd shingles2 kernel; the
+    * conditional's c(w₁·) denominator AGGREGATES FROM the bigram
+    * counts (sum over w₂), so the corpus is never re-scanned and the
+    * conditional distribution is consistent by construction
+    * (Σ_{w₂} c₁₂ = c₁). Per-term float work follows the q75
+    * discipline: each term is one double expression, the sum rounds
+    * to 6 dp — accumulation error (~1e-13 relative) sits far below
+    * the rounding grid.
+    */
+  val q130CorpusEntropy: Q = (s, dir) => {
+    val uni = docsTok(s, dir)
+      .select(col("source"), explode(col("tok")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val un = uni.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val hUni = uni.join(un, Seq("source"))
+      .withColumn("term", (col("c").cast("double") / col("n")) *
+        log(col("c").cast("double") / col("n")))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        round(-sum(col("term")), 6).as("h_unigram"))
+    val bc = docsTok(s, dir)
+      .filter(size(col("tok")) >= 2)
+      .select(col("source"),
+        explode(graft.functions.Scalars.shingles2(col("tok"))).as("bg"))
+      .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val b1 = bc.groupBy(col("source"), col("w1")).agg(sum(col("c12")).as("c1"))
+    val bn = bc.groupBy(col("source")).agg(sum(col("c12")).as("n2"))
+    val hBi = bc.join(b1, Seq("source", "w1"))
+      .join(bn, Seq("source"))
+      .withColumn("term", (col("c12").cast("double") / col("n2")) *
+        log(col("c12").cast("double") / col("c1")))
+      .groupBy(col("source"))
+      .agg(round(-sum(col("term")), 6).as("h_bigram_cond"))
+    hUni.join(hBi, Seq("source")).orderBy(col("source"))
+  }
+
   /** q76: boilerplate n-gram detection — a 3-gram appearing in ≥
     * [[BoilerplateDf]] distinct documents is boilerplate (the
     * template/navigation-chrome signal of the Gopher rule family);
@@ -1787,6 +1876,8 @@ object LlmOps {
     "q77_embedding_outliers" -> q77EmbeddingOutliers,
     "q74_pmi_collocations" -> q74PmiCollocations,
     "q75_source_mix_kl" -> q75SourceMixKl,
+    "q129_minhash_calibration" -> q129MinhashCalibration,
+    "q130_corpus_entropy" -> q130CorpusEntropy,
     "q76_boilerplate_ngrams" -> q76BoilerplateNgrams,
     "q70_repetition_stats" -> q70RepetitionStats,
     "q71_perplexity_buckets" -> q71PerplexityBuckets,
@@ -2259,6 +2350,49 @@ object LlmOps {
         |       (CAST(cw.cnt_w AS DOUBLE) / nt.n_total))), 6) AS kl
         |FROM sc JOIN st USING (source) JOIN cw USING (w), nt
         |GROUP BY sc.source ORDER BY source""".stripMargin,
+    "q129_minhash_calibration" ->
+      s"""WITH toks AS (SELECT *, $toksD AS tok FROM documents),
+        |shx AS (SELECT *, $shinglesD AS sh FROM toks WHERE len(tok) >= 3),
+        |sig AS (SELECT doc_id, lang, list_distinct(sh) AS shd,
+        |  ${(0 until NumHashes).map(i => s"${minhashD(i)} AS mh$i").mkString(", ")}
+        |  FROM shx),
+        |p AS (
+        |  SELECT ${(0 until NumHashes)
+            .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+            .mkString(" + ")} AS n_match,
+        |    round(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
+        |      / len(list_distinct(a.shd || b.shd)), 6) AS j
+        |  FROM sig a JOIN sig b ON a.lang = b.lang AND b.doc_id > a.doc_id
+        |    AND b.doc_id - a.doc_id <= $CalibWindow)
+        |SELECT n_match, count(*) AS n_pairs,
+        |  round(sum(j) / count(*), 6) AS avg_jaccard,
+        |  min(j) AS min_jaccard, max(j) AS max_jaccard
+        |FROM p GROUP BY n_match ORDER BY n_match""".stripMargin,
+    "q130_corpus_entropy" ->
+      s"""WITH sw AS (SELECT source, unnest($toksD) AS w FROM documents),
+        |uc AS (SELECT source, w, count(*) AS c FROM sw GROUP BY 1, 2),
+        |un AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM uc GROUP BY 1),
+        |hu AS (
+        |  SELECT uc.source, max(un.n) AS n_tokens, count(*) AS n_vocab,
+        |    round(-sum((CAST(c AS DOUBLE) / un.n) * ln(CAST(c AS DOUBLE) / un.n)), 6)
+        |      AS h_unigram
+        |  FROM uc JOIN un USING (source) GROUP BY uc.source),
+        |toks AS (SELECT source, $toksD AS tok FROM documents),
+        |bgt AS (SELECT source, tok[r.i] || ' ' || tok[r.i+1] AS bg
+        |        FROM toks, LATERAL unnest(range(1, len(tok))) AS r(i)
+        |        WHERE len(tok) >= 2),
+        |bc AS (SELECT source, bg, count(*) AS c12,
+        |         split_part(bg, ' ', 1) AS w1 FROM bgt GROUP BY 1, 2),
+        |b1 AS (SELECT source, w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1, 2),
+        |bn AS (SELECT source, CAST(sum(c12) AS BIGINT) AS n2 FROM bc GROUP BY 1),
+        |hb AS (
+        |  SELECT bc.source,
+        |    round(-sum((CAST(c12 AS DOUBLE) / bn.n2) * ln(CAST(c12 AS DOUBLE) / b1.c1)), 6)
+        |      AS h_bigram_cond
+        |  FROM bc JOIN b1 USING (source, w1) JOIN bn USING (source)
+        |  GROUP BY bc.source)
+        |SELECT source, n_tokens, n_vocab, h_unigram, h_bigram_cond
+        |FROM hu JOIN hb USING (source) ORDER BY source""".stripMargin,
     "q76_boilerplate_ngrams" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct($shinglesD) AS shd
         |            FROM (SELECT doc_id, $toksD AS tok FROM documents)
