@@ -238,7 +238,48 @@ object AnalyticsOps {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------
+  // q131 — RFM customer segmentation
+  // ---------------------------------------------------------------
+
+  /** q131: RFM (recency / frequency / monetary) segmentation over
+    * `orders` — the classic customer-value grid, computed exactly:
+    * per customer, days since last order (against the corpus's own
+    * max date, so the query is reproducible on a frozen snapshot),
+    * order count, and cents-exact lifetime spend; each dimension then
+    * quintile-scores 1–5 by ntile over a FULLY tie-broken order
+    * (value, then custkey — ntile on a partial order would be
+    * partitioning-dependent). One shuffle keyed by customer builds
+    * the per-customer table; the three ntiles ride one global sort
+    * each over the customer-sized aggregate, not the order log.
+    */
+  val q131RfmSegments: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val asOf = o.agg(max(to_date(col("o_orderdate"))).as("as_of"))
+    val per = o
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+      .crossJoin(broadcast(asOf))
+      .select(col("o_custkey"),
+        datediff(col("as_of"), col("last_d")).as("recency_days"),
+        col("frequency"),
+        // per-customer cents stay far under 2^53, so double division
+        // is correctly rounded and engine-identical
+        (col("cents").cast("double") / 100).as("monetary"))
+    val r = ntile(5).over(Window.orderBy(col("recency_days").asc, col("o_custkey").asc))
+    val f = ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey").asc))
+    val m = ntile(5).over(Window.orderBy(col("monetary").desc, col("o_custkey").asc))
+    per.select(col("o_custkey"), col("recency_days"), col("frequency"),
+      col("monetary"), r.as("r_score"), f.as("f_score"), m.as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q131_rfm_segments" -> q131RfmSegments,
     "q121_retention_cohorts" -> q121RetentionCohorts,
     "q122_markov_transitions" -> q122MarkovTransitions,
     "q124_code_detect" -> q124CodeDetect,
@@ -251,6 +292,27 @@ object AnalyticsOps {
   private def hashD(x: String): String = LlmOps.hashD(x)
 
   val oracles: Map[String, String] = Map(
+    "q131_rfm_segments" ->
+      s"""WITH lastday AS (SELECT max(CAST(o_orderdate AS DATE)) AS as_of FROM orders),
+        |per AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      (SELECT as_of FROM lastday)) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+        |      AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (
+        |  SELECT *,
+        |    ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+        |    ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+        |  FROM per)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |    || CAST(m_score AS VARCHAR) AS segment
+        |FROM scored ORDER BY o_custkey""".stripMargin,
     "q121_retention_cohorts" ->
       s"""WITH act AS (
         |  SELECT DISTINCT user_id,

@@ -177,9 +177,12 @@ object LlmOps {
   /** q41: n-gram-heuristic language ID — stopword hit counts per
     * language, argmax with a fixed priority tie-break.
     */
-  val q41LangId: Q = (s, dir) => {
-    docsTok(s, dir)
-      .withColumn("s_en", expr(stopCountS(StopEn)).cast("long"))
+  /** Stopword-count columns + argmax guess (ties break en>es>fr>de) —
+    * the ONE lang-ID definition, shared by q41's per-doc report and
+    * q132's confusion matrix.
+    */
+  private def withLangGuess(df: DataFrame): DataFrame =
+    df.withColumn("s_en", expr(stopCountS(StopEn)).cast("long"))
       .withColumn("s_es", expr(stopCountS(StopEs)).cast("long"))
       .withColumn("s_fr", expr(stopCountS(StopFr)).cast("long"))
       .withColumn("s_de", expr(stopCountS(StopDe)).cast("long"))
@@ -188,9 +191,31 @@ object LlmOps {
           .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
           .when(col("s_fr") >= col("s_de"), "fr")
           .otherwise("de"))
+
+  val q41LangId: Q = (s, dir) => {
+    withLangGuess(docsTok(s, dir))
       .select(col("doc_id"), col("s_en"), col("s_es"), col("s_fr"), col("s_de"),
         col("lang_guess"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q132: lang-ID confusion matrix — labeled language vs q41's guess,
+    * with per-label row fractions (the diagonal is per-class recall).
+    * The evaluation harness for the classifier the routing pipeline
+    * trusts: run it whenever the corpus mix shifts; an off-diagonal
+    * cell growing past its baseline is the drift alarm. Map-side
+    * classification then a |langs|²-bounded aggregate; the per-label
+    * totals ride a window over that tiny table, not a second scan.
+    */
+  val q132LangidConfusion: Q = (s, dir) => {
+    withLangGuess(docsTok(s, dir))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_frac",
+        round(col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))), 6))
+      .orderBy(col("lang"), col("lang_guess"))
   }
 
   /** q42: token counting — whitespace tokens and a BPE-ish regex
@@ -1901,6 +1926,7 @@ object LlmOps {
     "q105_weighted_sample" -> q105WeightedSample,
     "q40_text_stats" -> q40TextStats,
     "q41_langid" -> q41LangId,
+    "q132_langid_confusion" -> q132LangidConfusion,
     "q42_token_count" -> q42TokenCount,
     "q43_fingerprint" -> q43Fingerprint,
     "q44_exact_dedup" -> q44ExactDedup,
@@ -2581,6 +2607,18 @@ object LlmOps {
         |       ELSE 'de' END AS lang_guess
         |FROM (SELECT *, $toksD AS tok FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q132_langid_confusion" ->
+      s"""WITH g AS (
+        |  SELECT lang,
+        |    CASE WHEN ${stopCountD(StopEn)} >= ${stopCountD(StopEs)} AND ${stopCountD(StopEn)} >= ${stopCountD(StopFr)} AND ${stopCountD(StopEn)} >= ${stopCountD(StopDe)} THEN 'en'
+        |         WHEN ${stopCountD(StopEs)} >= ${stopCountD(StopFr)} AND ${stopCountD(StopEs)} >= ${stopCountD(StopDe)} THEN 'es'
+        |         WHEN ${stopCountD(StopFr)} >= ${stopCountD(StopDe)} THEN 'fr'
+        |         ELSE 'de' END AS lang_guess
+        |  FROM (SELECT *, $toksD AS tok FROM documents)),
+        |c AS (SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT lang, lang_guess, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6) AS row_frac
+        |FROM c ORDER BY lang, lang_guess""".stripMargin,
     "q42_token_count" ->
       s"""SELECT doc_id,
         |  len(tok)::BIGINT AS ws_tokens,
