@@ -37,6 +37,16 @@ object ExtensionsDemo {
       s"cs=${row.get(8)} hp=${row.get(9)}")
     val folded = !r.queryExecution.optimizedPlan.toString.contains("ends_with_source")
     println(s"RULE_FOLDED=$folded")
+    // injected AGGREGATES resolve in plain SQL too
+    val a = spark.sql(
+      """SELECT misra_gries(v, 3) AS mg,
+        |  element_at(count_min(v), 1) >= 0 AS cm,
+        |  bounded_top_k(named_struct('score', CAST(id AS DOUBLE), 'id', id), 2) AS tk,
+        |  size(union_find(id, id + 1)) > 0 AS uf
+        |FROM (SELECT id, CAST(id % 3 AS STRING) AS v FROM range(50))""".stripMargin)
+    val arow = a.head()
+    println(s"AGGREGATES mg=${arow.getSeq[String](0).sorted.mkString(",")} " +
+      s"cm=${arow.get(1)} tk=${arow.get(2)} uf=${arow.get(3)}")
     spark.stop()
   }
 }

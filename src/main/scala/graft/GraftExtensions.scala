@@ -135,6 +135,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("hyperplane_bucket64"),
       info("hyperplane_bucket64", classOf[HyperplaneBucket64]),
       (es: Seq[Expression]) => HyperplaneBucket64(es.head)))
+    // sketch/top-k aggregates — same SQL surface as Functions.registerAll
+    e.injectFunction((FunctionIdentifier("misra_gries"),
+      info("misra_gries", classOf[MisraGriesAgg]),
+      (es: Seq[Expression]) =>
+        MisraGriesAgg(es(0), Scalars.sqlLitInt(es(1), "misra_gries k"))
+          .toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("count_min"),
+      info("count_min", classOf[CountMinAgg]),
+      (es: Seq[Expression]) => CountMinAgg(es.head).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("bounded_top_k"),
+      info("bounded_top_k", classOf[BoundedTopK]),
+      (es: Seq[Expression]) =>
+        BoundedTopK(es(0), Scalars.sqlLitInt(es(1), "bounded_top_k k"))
+          .toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("union_find"),
+      info("union_find", classOf[UnionFindAgg]),
+      (es: Seq[Expression]) => UnionFindAgg(es(0), es(1)).toAggregateExpression()))
     e.injectOptimizerRule(_ => SimplifyEndsWithSource)
     e.injectOptimizerRule(_ => BandedLevenshtein)
   }

@@ -302,5 +302,31 @@ object Scalars {
     r.createOrReplaceTempFunction("token_top_count", es => TokenTopCount(es.head), "built-in")
     r.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("hyperplane_bucket64", es => HyperplaneBucket64(es.head), "built-in")
+    // the sketch/top-k AGGREGATES are SQL-callable too — a SQL user of
+    // the engine gets the same surface as the Column API. k arguments
+    // must be foldable integer literals (resolved at plan time).
+    r.createOrReplaceTempFunction("misra_gries",
+      es => MisraGriesAgg(es(0), sqlLitInt(es(1), "misra_gries k"))
+        .toAggregateExpression(), "built-in")
+    r.createOrReplaceTempFunction("count_min",
+      es => CountMinAgg(es.head).toAggregateExpression(), "built-in")
+    r.createOrReplaceTempFunction("bounded_top_k",
+      es => BoundedTopK(es(0), sqlLitInt(es(1), "bounded_top_k k"))
+        .toAggregateExpression(), "built-in")
+    r.createOrReplaceTempFunction("union_find",
+      es => UnionFindAgg(es(0), es(1)).toAggregateExpression(), "built-in")
+  }
+
+  /** Resolve a foldable integer literal argument at registration time. */
+  private[graft] def sqlLitInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other if other.foldable =>
+      other.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case v => throw new IllegalArgumentException(s"$what must be an integer literal, got $v")
+      }
+    case _ => throw new IllegalArgumentException(s"$what must be a foldable integer literal")
   }
 }

@@ -74,4 +74,24 @@ class ExtensionsSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must register without throwing
   }
+
+  test("sketch aggregates are SQL-callable with the Column-API semantics") {
+    Functions.registerAll(spark)
+    import spark.implicits._
+    val items = (Seq.fill(60)("hot") ++ (1 to 30).map(i => s"u$i")).toDF("item")
+    items.createOrReplaceTempView("sql_agg_items")
+    val mg = spark.sql(
+      "SELECT misra_gries(item, 4) AS c FROM sql_agg_items")
+      .collect()(0).getSeq[String](0)
+    assert(mg.contains("hot"))
+    val cm = spark.sql(
+      "SELECT count_min(item) AS g FROM sql_agg_items")
+      .collect()(0).getSeq[Long](0)
+    assert(cm.sum == 90L * graft.functions.CountMinAgg.D)
+    // k must be a literal — a column reference is rejected at plan time
+    val err = intercept[Exception](
+      spark.sql("SELECT misra_gries(item, length(item)) FROM sql_agg_items")
+        .collect())
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
 }
