@@ -51,6 +51,30 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Double]("z")).distinct.length == 1)
   }
 
+  test("round-6 analytics are invariant to shuffle-partition count") {
+    // the determinism discipline's operational claim: integer/decimal
+    // sufficient statistics + one final double expression means the
+    // SAME bytes under any parallelism — re-plan each query under
+    // adversarial shuffle widths and require identical collected output
+    val names = Seq("q121_retention_cohorts", "q122_markov_transitions",
+      "q124_code_detect", "q125_shard_manifest", "q126_ab_test",
+      "q128_decayed_engagement", "q131_rfm_segments", "q123_cms_sketch")
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAll(): Map[String, Seq[String]] =
+      names.map(n => n ->
+        SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val narrow = runAll()
+      spark.conf.set("spark.sql.shuffle.partitions", "37")
+      val wide = runAll()
+      names.foreach { n =>
+        assert(narrow(n).nonEmpty, s"$n empty")
+        assert(narrow(n) == wide(n), s"$n changed under repartitioning")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
+  }
+
   test("q127: containment dominates jaccard on every reported pair") {
     val jac = LlmOps.q45MinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

@@ -83,4 +83,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     val ratio = clipped.length.toDouble / rows.length
     assert(ratio > 0.05 && ratio < 0.15, s"clip ratio $ratio")
   }
+
+  test("q110 interval form matches a brute-force per-user reference") {
+    // independent single-threaded reference: for each user and grid
+    // instant, scan the user's (pre-averaged) events for the bracketing
+    // pair and apply the same interpolation arithmetic — pins the
+    // interval rewrite's boundary semantics (exact-hit grid points,
+    // before-first/after-last NULLs, same-instant averaging)
+    import org.apache.spark.sql.functions._
+    val hourUs = 3600000000L
+    val ev = Engine.table(spark, small, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val byUs = rows.groupBy(_.getLong(1)).map { case (us, rs) =>
+          val exact = rs.map(r => BigDecimal(r.getDouble(2))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+          us -> (exact / rs.length).toDouble
+        }
+        u -> byUs.toSeq.sortBy(_._1)
+      }
+    val g0 = ev.values.flatten.map(_._1).min / hourUs * hourUs
+    val g1 = ev.values.flatten.map(_._1).max / hourUs * hourUs
+    def interpAt(events: Seq[(Long, Double)], s: Long): Option[Double] = {
+      val prev = events.filter(_._1 <= s).lastOption
+      val next = events.find(_._1 > s)
+      prev match {
+        case Some((pu, pv)) if pu == s => Some(BigDecimal(pv)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        case Some((pu, pv)) => next.map { case (nu, nv) =>
+          BigDecimal(pv + (nv - pv) * ((s - pu).toDouble / (nu - pu)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        case None => None
+      }
+    }
+    val expected = (for {
+      (u, events) <- ev
+      s <- g0 to g1 by hourUs
+    } yield (u, s) -> interpAt(events, s)).toMap
+    val got = PipelineOps.q110Interpolate(spark, small).collect()
+      .map { r =>
+        val ts = r.getTimestamp(1)
+        (r.getLong(0), ts.getTime * 1000L) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      }.toMap
+    assert(got.size == expected.size, s"${got.size} vs ${expected.size}")
+    val diffs = expected.collect {
+      case (k, e) if got.get(k).flatten != e && got.contains(k) => (k, e, got(k))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
+  }
 }
