@@ -278,7 +278,43 @@ object AnalyticsOps {
       .orderBy(col("o_custkey"))
   }
 
+  // ---------------------------------------------------------------
+  // q134 — k-anonymity audit
+  // ---------------------------------------------------------------
+
+  /** q134 reports anonymity at these k thresholds. */
+  val AnonKs = Seq(2, 5, 10)
+
+  /** q134: k-anonymity audit over the customer quasi-identifiers
+    * (nation, market segment, account-balance band) — the privacy
+    * screen run before releasing joined analytics extracts: a row is
+    * at risk when its QI equivalence class holds fewer than k
+    * records. One class-size aggregation (map-side combinable, the
+    * class table is |QI-domain|-bounded); the per-k report rows are
+    * conditional sums over that table — the corpus is scanned once
+    * for all thresholds. Complements q83's content-level PII
+    * redaction with the structural-reidentification side.
+    */
+  val q134KAnonymity: Q = (s, dir) => {
+    val cls = t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("cast(floor(c_acctbal / 1000) as bigint)").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+    val reports = AnonKs.map { k =>
+      cls.agg(
+        lit(k).as("k"),
+        count(lit(1)).as("n_classes"),
+        sum((col("n") < k).cast("bigint")).as("n_violating_classes"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+        round(sum(when(col("n") < k, col("n")).otherwise(0L)).cast("double") /
+          sum(col("n")), 6).as("risk_rate"))
+    }
+    reports.reduce(_ unionAll _).orderBy(col("k"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q134_k_anonymity" -> q134KAnonymity,
     "q131_rfm_segments" -> q131RfmSegments,
     "q121_retention_cohorts" -> q121RetentionCohorts,
     "q122_markov_transitions" -> q122MarkovTransitions,
@@ -292,6 +328,22 @@ object AnalyticsOps {
   private def hashD(x: String): String = LlmOps.hashD(x)
 
   val oracles: Map[String, String] = Map(
+    "q134_k_anonymity" -> {
+      val branches = AnonKs.map(k =>
+        s"""SELECT $k AS k, count(*) AS n_classes,
+           |  CAST(sum(CASE WHEN n < $k THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
+           |  CAST(sum(CASE WHEN n < $k THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           |  round(CAST(sum(CASE WHEN n < $k THEN n ELSE 0 END) AS DOUBLE)
+           |    / sum(n), 6) AS risk_rate
+           |FROM cls""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |$branches
+        |ORDER BY k""".stripMargin
+    },
     "q131_rfm_segments" ->
       s"""WITH lastday AS (SELECT max(CAST(o_orderdate AS DATE)) AS as_of FROM orders),
         |per AS (

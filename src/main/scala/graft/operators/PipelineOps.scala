@@ -460,6 +460,50 @@ object PipelineOps {
   }
 
   // ---------------------------------------------------------------
+  // q133 — compaction plan (small-file bin packing)
+  // ---------------------------------------------------------------
+
+  /** Compaction groups target this many bytes of text (fixture-scaled
+    * stand-in for a 256 MB file target).
+    */
+  val CompactTargetBytes = 100000L
+
+  /** q133: small-file compaction plan — the maintenance pass every
+    * lakehouse table needs: q107's zone/file stats roll up into merge
+    * groups of ~[[CompactTargetBytes]] by a running-sum assignment
+    * (`group = cumulative_bytes_before div target`), keeping files in
+    * id order so each group is a CONTIGUOUS range (contiguity is what
+    * lets the rewritten file carry its zone map forward without
+    * re-sorting). The plan is computed entirely over the file-stats
+    * table (corpus/64 rows): one aggregation builds the stats, one
+    * running-sum window over that small table assigns groups — the
+    * corpus itself is never rewritten here, exactly like a real
+    * OPTIMIZE planner that emits a job list. Oversized single files
+    * land alone in their own group (they need splitting, not merging)
+    * and are flagged.
+    */
+  val q133CompactionPlan: Q = (s, dir) => {
+    val files = t(s, dir, "documents")
+      .select((col("doc_id") / ZoneDocs).cast("long").as("file_id"),
+        col("n_chars"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+    files
+      .withColumn("grp",
+        expr(s"(sum(bytes) over (order by file_id rows between unbounded preceding and current row) - bytes) div $CompactTargetBytes"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("bytes")).as("total_bytes"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"))
+      .withColumn("oversized",
+        (col("n_files") === 1 && col("total_bytes") > CompactTargetBytes)
+          .cast("int"))
+      .orderBy(col("grp"))
+  }
+
+  // ---------------------------------------------------------------
   // q109 — pivot (long → wide)
   // ---------------------------------------------------------------
 
@@ -610,6 +654,7 @@ object PipelineOps {
     "q110_interpolate" -> q110Interpolate,
     "q106_incremental_agg" -> q106IncrementalAgg,
     "q107_zone_map" -> q107ZoneMap,
+    "q133_compaction_plan" -> q133CompactionPlan,
     "q87_snapshot_delta" -> q87SnapshotDelta,
     "q88_dataset_split" -> q88DatasetSplit,
     "q89_scd2_history" -> q89Scd2History,
@@ -694,6 +739,22 @@ object PipelineOps {
         |    AS BIGINT) AS total_tokens
         |FROM documents WHERE doc_id % 11 != 7
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q133_compaction_plan" ->
+      s"""WITH f AS (
+        |  SELECT doc_id // $ZoneDocs AS file_id, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1),
+        |g AS (
+        |  SELECT *, (sum(bytes) OVER (ORDER BY file_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
+        |    // $CompactTargetBytes AS grp
+        |  FROM f)
+        |SELECT grp, count(*) AS n_files, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  min(file_id) AS first_file, max(file_id) AS last_file,
+        |  CASE WHEN count(*) = 1 AND sum(bytes) > $CompactTargetBytes
+        |    THEN 1 ELSE 0 END AS oversized
+        |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
     "q107_zone_map" ->
       s"""SELECT zone, count(*) AS n_docs,
         |  min(nt) AS min_tokens, max(nt) AS max_tokens,
