@@ -63,6 +63,16 @@ object Relational {
   private def revItem: Column =
     dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
 
+  /** Cents twin of sum(revItem): price¢ · (100 − disc¢) per row in
+    * exact longs (codegen integer ops instead of per-row BigDecimal
+    * multiplies), overflow-proof decimal accumulation, one exact
+    * de-scale — the same rational, hence the same double bits and
+    * unchanged oracles (see the cents/lsum/descale contract above).
+    */
+  private def revSum: Column =
+    descale(lsum(cents(col("l_extendedprice")) *
+      (lit(100L) - cents(col("l_discount")))), 10000L)
+
   // ---- scaled-integer ("cents") twins of the decimal helpers ----
   //
   // Spark's double→decimal cast routes through BigDecimal.valueOf
@@ -141,7 +151,7 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(revItem).cast("double").as("revenue"),
+        revSum.as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
   }
@@ -153,7 +163,7 @@ object Relational {
   val q03TopOrders: Q = (s, dir) => {
     val rev = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(sum(revItem).cast("double").as("revenue"))
+      .agg(revSum.as("revenue"))
     t(s, dir, "orders")
       .join(rev, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("o_orderstatus"), col("revenue"))
@@ -738,7 +748,7 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(revItem).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .agg(revSum.as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
   }
 
@@ -827,7 +837,7 @@ object Relational {
       SaltFactor, Seq("l_orderkey", "l_linenumber", "l_partkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(count(lit(1)).as("n_items"),
-        sum(revItem).cast("double").as("revenue"))
+        revSum.as("revenue"))
       .orderBy(col("s_suppkey"))
   }
 
