@@ -648,6 +648,61 @@ object PipelineOps {
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------
+  // q135 — sampled quantile estimation + exact verify
+  // ---------------------------------------------------------------
+
+  /** Hash-sample rate (percent) for q135's estimator. */
+  val QuantileSamplePct = 10L
+
+  /** q135: quantile estimation by deterministic hash sampling, audited
+    * against the exact answer — the third sketch-verify pattern next
+    * to q95 (Misra-Gries) and q123 (Count-Min): a uniform sample
+    * selected by `stable_hash64(row key) % 100 < pct` is a pure
+    * function of the DATA (no RNG state, identical on any engine /
+    * partitioning / run), so the estimate is reproducible AND the
+    * audit can hash-compare it. Exact and sampled quantiles both ride
+    * the q36/q120 rank-select: per-value counts (map-side combine),
+    * cumulative window over the bounded distinct 2-dp domain, smallest
+    * value reaching ceil(q·n). At 100 TB the exact pass is the
+    * expensive one — the audit tells you when the 10% sample (or 0.1%
+    * at real scale) is close enough to stop running it.
+    */
+  val q135SampledQuantiles: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    // integer-only sample key: a double rendered into a concat would
+    // hostage the hash to each engine's float formatting
+    val base = t(s, dir, "lineitem").select(
+      col("l_extendedprice").as("x"),
+      expr(s"""stable_hash64(concat('qs:', l_orderkey, ':', l_linenumber,
+        ':', cast(round(l_extendedprice * 100) as bigint))) % 100
+        < $QuantileSamplePct""").as("in_sample"))
+    def quantilesOf(df: DataFrame): DataFrame = {
+      val counts = df.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      val nRow = counts.agg(sum(col("c")).as("n"))
+      counts
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("x").asc)))
+        .crossJoin(broadcast(nRow))
+        .agg(
+          min(when(col("cum") >= ceil(col("n") * 0.5), col("x"))).as("p50"),
+          min(when(col("cum") >= ceil(col("n") * 0.9), col("x"))).as("p90"),
+          min(when(col("cum") >= ceil(col("n") * 0.99), col("x"))).as("p99"))
+    }
+    val exact = quantilesOf(base)
+      .select(col("p50").as("e50"), col("p90").as("e90"), col("p99").as("e99"))
+    val est = quantilesOf(base.filter(col("in_sample")))
+    est.crossJoin(broadcast(exact))
+      .selectExpr(
+        """stack(3,
+          |  'p50', e50, p50,
+          |  'p90', e90, p90,
+          |  'p99', e99, p99) as (q, exact_q, est_q)""".stripMargin)
+      .withColumn("abs_err", round(abs(col("est_q") - col("exact_q")), 6))
+      .withColumn("rel_err",
+        round(abs(col("est_q") - col("exact_q")) / col("exact_q"), 6))
+      .orderBy(col("q"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q120_winsorize" -> q120Winsorize,
     "q109_pivot" -> q109Pivot,
@@ -655,6 +710,7 @@ object PipelineOps {
     "q106_incremental_agg" -> q106IncrementalAgg,
     "q107_zone_map" -> q107ZoneMap,
     "q133_compaction_plan" -> q133CompactionPlan,
+    "q135_sampled_quantiles" -> q135SampledQuantiles,
     "q87_snapshot_delta" -> q87SnapshotDelta,
     "q88_dataset_split" -> q88DatasetSplit,
     "q89_scd2_history" -> q89Scd2History,
@@ -739,6 +795,28 @@ object PipelineOps {
         |    AS BIGINT) AS total_tokens
         |FROM documents WHERE doc_id % 11 != 7
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q135_sampled_quantiles" ->
+      s"""WITH b AS (
+        |  SELECT l_extendedprice AS x,
+        |    (${hashD("'qs:' || l_orderkey || ':' || l_linenumber || ':' || CAST(round(l_extendedprice * 100) AS BIGINT)")} % 100)
+        |      < $QuantileSamplePct AS in_sample
+        |  FROM lineitem),
+        |ce AS (SELECT x, count(*) AS c FROM b GROUP BY x),
+        |cume AS (SELECT x, sum(c) OVER (ORDER BY x) AS cum FROM ce),
+        |ne AS (SELECT count(*) AS n FROM b),
+        |cs AS (SELECT x, count(*) AS c FROM b WHERE in_sample GROUP BY x),
+        |cums AS (SELECT x, sum(c) OVER (ORDER BY x) AS cum FROM cs),
+        |ns AS (SELECT count(*) AS n FROM b WHERE in_sample),
+        |qv(q, p) AS (SELECT * FROM (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99))),
+        |r AS (
+        |  SELECT q,
+        |    (SELECT min(x) FROM cume, ne WHERE cum >= ceil(n * p)) AS exact_q,
+        |    (SELECT min(x) FROM cums, ns WHERE cum >= ceil(n * p)) AS est_q
+        |  FROM qv)
+        |SELECT q, exact_q, est_q,
+        |  round(abs(est_q - exact_q), 6) AS abs_err,
+        |  round(abs(est_q - exact_q) / exact_q, 6) AS rel_err
+        |FROM r ORDER BY q""".stripMargin,
     "q133_compaction_plan" ->
       s"""WITH f AS (
         |  SELECT doc_id // $ZoneDocs AS file_id, count(*) AS n_docs,
