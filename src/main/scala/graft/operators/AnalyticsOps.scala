@@ -10,7 +10,8 @@ import graft.Engine
 /** Product/corpus analytics a training-data platform runs alongside the
   * curation pipeline — cohort retention, session transition structure,
   * experiment readouts, shard audit manifests, freshness-decayed
-  * engagement, and code-vs-prose screening.
+  * engagement, code-vs-prose screening, RFM customer segmentation, and
+  * the k-anonymity privacy audit.
   *
   * Determinism discipline (same as StatsOps): group keys and counts are
   * exact integers; every ratio is ONE final double expression over
