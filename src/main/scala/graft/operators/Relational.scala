@@ -92,15 +92,15 @@ object Relational {
   // same double bits and an unchanged oracle.
 
   /** x · 100 as an exact long (2-dp fixture values only). */
-  private def cents(c: Column): Column = round(c * 100).cast("bigint")
+  private[graft] def cents(c: Column): Column = round(c * 100).cast("bigint")
 
   /** Overflow-proof exact sum of a long column: accumulate in compact
     * decimal (values < 1e18 never leave the long fast path).
     */
-  private def lsum(c: Column): Column = sum(c.cast(DecimalType(28, 0)))
+  private[graft] def lsum(c: Column): Column = sum(c.cast(DecimalType(28, 0)))
 
   /** De-scale an exact integer sum by 10^k and emit as double. */
-  private def descale(sumCol: Column, pow10: Long): Column =
+  private[graft] def descale(sumCol: Column, pow10: Long): Column =
     (sumCol / lit(pow10)).cast("double")
 
   // ---------------------------------------------------------------
