@@ -314,7 +314,52 @@ object AnalyticsOps {
     reports.reduce(_ unionAll _).orderBy(col("k"))
   }
 
+  // ---------------------------------------------------------------
+  // q136 — session-length statistics
+  // ---------------------------------------------------------------
+
+  /** q136: session statistics by length bucket — sessions (30-min gap,
+    * the q30/q115/q122 rule) roll up to one row each (duration, event
+    * count, value mass), then summarize per length bucket: how many
+    * sessions, how long they run, what they're worth. The engagement
+    * report next to q122's transition structure. Durations are integer
+    * micros and values sum in decimal, so every mean is one exact
+    * division; the event log shuffles once by user, the session rollup
+    * re-keys on (user, session), and the bucket summary is 4 rows.
+    */
+  val q136SessionStats: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val ses = t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap",
+        (col("us") - lag(col("us"), 1).over(byUser) >
+          StatsOps.SessionGapUs).cast("int"))
+      .withColumn("session",
+        sum(coalesce(col("gap"), lit(0))).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("dur_us"),
+        sum(col("value").cast(DecimalType(18, 6))).as("val_sum"))
+    ses
+      .withColumn("bucket",
+        when(col("n_events") === 1, "1")
+          .when(col("n_events") <= 4, "2-4")
+          .when(col("n_events") <= 9, "5-9")
+          .otherwise("10+"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        round(sum(col("dur_us")).cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("avg_duration_sec"),
+        round(sum(col("val_sum")).cast("double") / count(lit(1)), 6)
+          .as("avg_session_value"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q136_session_stats" -> q136SessionStats,
     "q134_k_anonymity" -> q134KAnonymity,
     "q131_rfm_segments" -> q131RfmSegments,
     "q121_retention_cohorts" -> q121RetentionCohorts,
@@ -329,6 +374,35 @@ object AnalyticsOps {
   private def hashD(x: String): String = LlmOps.hashD(x)
 
   val oracles: Map[String, String] = Map(
+    "q136_session_stats" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > ${StatsOps.SessionGapUs}
+        |    THEN 1 ELSE 0 END AS gap
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |ses0 AS (
+        |  SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |  FROM g),
+        |ses AS (
+        |  SELECT user_id, session, count(*) AS n_events,
+        |    max(us) - min(us) AS dur_us,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS val_sum
+        |  FROM ses0 GROUP BY user_id, session),
+        |b AS (
+        |  SELECT CASE WHEN n_events = 1 THEN '1'
+        |    WHEN n_events <= 4 THEN '2-4'
+        |    WHEN n_events <= 9 THEN '5-9'
+        |    ELSE '10+' END AS bucket, *
+        |  FROM ses)
+        |SELECT bucket, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1000000.0, 6)
+        |    AS avg_duration_sec,
+        |  round(CAST(sum(val_sum) AS DOUBLE) / count(*), 6)
+        |    AS avg_session_value
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q134_k_anonymity" -> {
       val branches = AnonKs.map(k =>
         s"""SELECT $k AS k, count(*) AS n_classes,
