@@ -27,6 +27,15 @@ final class SessionCache {
     m.getOrElseUpdate((s, key), build)
   }
 
+  /** Replace the entry for (s, key), returning the previous DataFrame —
+    * for caches whose value is rebuilt per run (q108's JSONL read)
+    * rather than memoized; the entry still evicts on application end.
+    */
+  def put(s: SparkSession, key: String, df: DataFrame): Option[DataFrame] = {
+    SessionCache.hook(this, s)
+    m.put((s, key), df)
+  }
+
   private[graft] def evictContext(sc: SparkContext): Unit =
     m.keysIterator.filter(_._1.sparkContext eq sc).toList.foreach(m.remove)
 

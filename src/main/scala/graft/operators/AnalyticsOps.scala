@@ -92,16 +92,8 @@ object AnalyticsOps {
     * the transition matrix itself is |types|² rows.
     */
   val q122MarkovTransitions: Q = (s, dir) => {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("us").asc, col("event_id").asc)
-    val e = t(s, dir, "events")
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("gap",
-        (col("us") - lag(col("us"), 1).over(byUser) >
-          StatsOps.SessionGapUs).cast("int"))
-      .withColumn("session",
-        sum(coalesce(col("gap"), lit(0))).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val e = StatsOps.sessionized(t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts"))))
     val bySession = Window.partitionBy(col("user_id"), col("session"))
       .orderBy(col("us").asc, col("event_id").asc)
     val trans = e
@@ -328,16 +320,8 @@ object AnalyticsOps {
     * re-keys on (user, session), and the bucket summary is 4 rows.
     */
   val q136SessionStats: Q = (s, dir) => {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("us").asc, col("event_id").asc)
-    val ses = t(s, dir, "events")
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("gap",
-        (col("us") - lag(col("us"), 1).over(byUser) >
-          StatsOps.SessionGapUs).cast("int"))
-      .withColumn("session",
-        sum(coalesce(col("gap"), lit(0))).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ses = StatsOps.sessionized(t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts"))))
       .groupBy(col("user_id"), col("session"))
       .agg(count(lit(1)).as("n_events"),
         (max(col("us")) - min(col("us"))).as("dur_us"),
@@ -375,27 +359,18 @@ object AnalyticsOps {
 
   val oracles: Map[String, String] = Map(
     "q136_session_stats" ->
-      s"""WITH e AS (
-        |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
-        |g AS (
-        |  SELECT *, CASE WHEN us - lag(us) OVER w > ${StatsOps.SessionGapUs}
-        |    THEN 1 ELSE 0 END AS gap
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |ses0 AS (
-        |  SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
-        |  FROM g),
-        |ses AS (
+      s"""WITH ${StatsOps.sessionCteD("user_id, event_id, value")},
+        |sesagg AS (
         |  SELECT user_id, session, count(*) AS n_events,
         |    max(us) - min(us) AS dur_us,
         |    sum(CAST(value AS DECIMAL(18,6))) AS val_sum
-        |  FROM ses0 GROUP BY user_id, session),
+        |  FROM ses GROUP BY user_id, session),
         |b AS (
         |  SELECT CASE WHEN n_events = 1 THEN '1'
         |    WHEN n_events <= 4 THEN '2-4'
         |    WHEN n_events <= 9 THEN '5-9'
         |    ELSE '10+' END AS bucket, *
-        |  FROM ses)
+        |  FROM sesagg)
         |SELECT bucket, count(*) AS n_sessions,
         |  CAST(sum(n_events) AS BIGINT) AS n_events,
         |  round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1000000.0, 6)
@@ -456,16 +431,7 @@ object AnalyticsOps {
         |FROM cells JOIN sizes USING (cohort)
         |ORDER BY cohort, week_offset""".stripMargin,
     "q122_markov_transitions" ->
-      s"""WITH e AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
-        |g AS (
-        |  SELECT *, CASE WHEN us - lag(us) OVER w > ${StatsOps.SessionGapUs}
-        |    THEN 1 ELSE 0 END AS gap
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |ses AS (
-        |  SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
-        |  FROM g),
+      s"""WITH ${StatsOps.sessionCteD("user_id, event_id, event_type")},
         |tr AS (
         |  SELECT event_type AS src,
         |    lead(event_type) OVER (PARTITION BY user_id, session

@@ -312,6 +312,8 @@ object IndexOps {
     * the union estimate touches only 2k sketch rows. Exact counts ride
     * along for the reported relative error.
     */
+  private val kmvKeyCache = new graft.SessionCache
+
   val q119KmvSketch: Q = (s, dir) => {
     graft.Functions.registerAll(s)
     val li = t(s, dir, "lineitem")
@@ -332,11 +334,19 @@ object IndexOps {
     // each key table feeds THREE consumers (its sketch, its exact
     // count, the union's exact count) — materialize the distinct+hash
     // scan once per side (20k/150k-row tables) instead of replaying
-    // the 600k-row distinct shuffle per consumer
-    val parts = keys("l_partkey").localCheckpoint(true)
-    val orders = keys("l_orderkey").localCheckpoint(true)
-    val skP = sketch(parts).localCheckpoint(true)
-    val skO = sketch(orders).localCheckpoint(true)
+    // the 600k-row distinct shuffle per consumer. LAZY checkpoints
+    // inside a SessionCache: constructing the query (plan inspection,
+    // PlanSpec/ScaleAuditSpec) runs zero jobs, the first action
+    // materializes once, and repeat q119 invocations reuse the same
+    // checkpoints (evicted on application end) instead of stacking
+    // new RDDs per call
+    val parts = kmvKeyCache.getOrElseUpdate(s, s"$dir#l_partkey")(
+      keys("l_partkey").localCheckpoint(false))
+    val orders = kmvKeyCache.getOrElseUpdate(s, s"$dir#l_orderkey")(
+      keys("l_orderkey").localCheckpoint(false))
+    // lazy for the same plan-inspection reason as the key tables
+    val skP = sketch(parts).localCheckpoint(false)
+    val skO = sketch(orders).localCheckpoint(false)
     // sketch algebra, no rescan; distinct because set union dedups
     // (partkey 123 and orderkey 123 are the same key string)
     val skU = sketch(skP.unionAll(skO).distinct())

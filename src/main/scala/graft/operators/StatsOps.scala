@@ -91,19 +91,21 @@ object StatsOps {
     // decimal formulation produced, so the final-formula arithmetic —
     // and therefore the oracle — is unchanged.
     val li = t(s, dir, "lineitem")
-    def centsL(c: Column): Column = round(c * 100).cast("bigint")
-    def lsum(c: Column): Column = sum(c.cast(DecimalType(28, 0)))
+    // ONE cents contract: Relational.cents/lsum (pinned by
+    // CentsParitySpec); only the de-scale differs — back to
+    // DECIMAL(38,8) so the final-formula operand types (and therefore
+    // the oracle) are exactly the decimal formulation's
     def descale(c: Column, pow10: Long): Column =
       (c / lit(pow10)).cast(DecimalType(38, 8))
     val scaled = li.select(
-      CorrCols.map(c => centsL(col(c)).as(s"c_$c")): _*)
+      CorrCols.map(c => Relational.cents(col(c)).as(s"c_$c")): _*)
     val raw = scaled.agg(
       count(lit(1)).as("n"),
-      CorrCols.map(c => lsum(col(s"c_$c")).as(s"r_$c")) ++
-        CorrCols.map(c => lsum(col(s"c_$c") * col(s"c_$c")).as(s"rr_$c")) ++
+      CorrCols.map(c => Relational.lsum(col(s"c_$c")).as(s"r_$c")) ++
+        CorrCols.map(c => Relational.lsum(col(s"c_$c") * col(s"c_$c")).as(s"rr_$c")) ++
         (for {
           i <- CorrCols.indices; j <- (i + 1) until CorrCols.size
-        } yield lsum(col(s"c_${CorrCols(i)}") * col(s"c_${CorrCols(j)}"))
+        } yield Relational.lsum(col(s"c_${CorrCols(i)}") * col(s"c_${CorrCols(j)}"))
           .as(s"rp_${CorrCols(i)}_${CorrCols(j)}")): _*)
     val sums = raw.select(
       col("n") +:
@@ -203,6 +205,39 @@ object StatsOps {
     */
   val SessionGapUs: Long = Relational.SessionGapUs
 
+  /** THE 30-min-gap sessionization rule (engine side), shared by
+    * q115/q122/q136 — adds `session` to an event frame carrying
+    * (user_id, event_id, us). One definition so the gap predicate and
+    * the (us, event_id) tie-break can never drift between the queries
+    * whose scaladocs promise "the same rule"; [[sessionCteD]] is its
+    * oracle-side twin.
+    */
+  private[operators] def sessionized(e: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    e.withColumn("gap",
+        (col("us") - lag(col("us"), 1).over(byUser) > SessionGapUs).cast("int"))
+      .withColumn("session",
+        sum(coalesce(col("gap"), lit(0))).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("gap")
+  }
+
+  /** Oracle-side sessionization CTE chain (`e` → `g` → `ses`):
+    * `ses` carries `cols`, `us`, and `session`.
+    */
+  private[operators] def sessionCteD(cols: String): String =
+    s"""e AS (
+       |  SELECT $cols, epoch_us(ts) AS us FROM events),
+       |g AS (
+       |  SELECT *, CASE WHEN us - lag(us) OVER w > $SessionGapUs
+       |    THEN 1 ELSE 0 END AS gap
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |ses AS (
+       |  SELECT * EXCLUDE (gap), sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+       |  FROM g)""".stripMargin
+
   /** q115: behavioral path mining — the most common 3-step event-type
     * sequences WITHIN a session (30-minute gap sessionization, order
     * pinned by (ts, event_id)). The product-analytics "what do users
@@ -215,16 +250,8 @@ object StatsOps {
     * combinable.
     */
   val q115SessionPaths: Q = (s, dir) => {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("us").asc, col("event_id").asc)
-    val e = t(s, dir, "events")
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("gap",
-        (col("us") - lag(col("us"), 1).over(byUser) > SessionGapUs)
-          .cast("int"))
-      .withColumn("session",
-        sum(coalesce(col("gap"), lit(0))).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val e = sessionized(t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts"))))
     val paths = e.groupBy(col("user_id"), col("session"))
       .agg(expr(
         "transform(array_sort(collect_list(struct(us, event_id, event_type))), x -> x.event_type)")
@@ -336,17 +363,7 @@ object StatsOps {
         |  round(pow(observed - expected, 2) / expected, 6) AS chi2
         |FROM e ORDER BY digit""".stripMargin,
     "q115_session_paths" ->
-      s"""WITH e AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-        |  FROM events),
-        |g AS (
-        |  SELECT *, CASE WHEN us - lag(us) OVER w > $SessionGapUs
-        |    THEN 1 ELSE 0 END AS gap
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |ses AS (
-        |  SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
-        |  FROM g),
+      s"""WITH ${sessionCteD("user_id, event_id, event_type")},
         |paths AS (
         |  SELECT user_id, session,
         |    list(event_type ORDER BY us, event_id) AS types

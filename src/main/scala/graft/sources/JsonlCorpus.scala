@@ -70,12 +70,24 @@ object JsonlCorpus {
     */
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Last run's cached read per (session, sfDir), unpersisted when the
-    * next run for the same corpus starts (bounded retention: one cached
-    * read per live corpus, instead of one per invocation forever).
+  /** Last run's cached read per (session, sfDir) — kept in a
+    * [[graft.SessionCache]] so dead sessions' entries evict on
+    * application end like every other operator cache; the previous
+    * run's read is unpersisted when the next run starts (bounded
+    * retention: one cached read per live corpus).
     */
-  private val lastParsed = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (String, DataFrame)]
+  private val lastParsed = new graft.SessionCache
+
+  /** Output directories per (session, sfDir), newest first. The
+    * newest TWO generations stay on disk: the previous run's directory
+    * must outlive the swap because a caller may still hold (and
+    * lazily re-evaluate) the DataFrame returned by that run — its
+    * cache was dropped, so a recompute reads the files. Only
+    * generation k−2, which no reachable plan can reference once run k
+    * begins, is deleted.
+    */
+  private val outDirs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), List[String]]
 
   private def deleteDir(path: String): Unit = {
     def rec(f: java.io.File): Unit = {
@@ -108,10 +120,10 @@ object JsonlCorpus {
     val out = jsonlOutDir(dir)
     writeJsonl(graft.Engine.table(s, dir, "documents"), out)
     val parsed = readJsonl(s, out)
-    lastParsed.put((s, dir), (out, parsed)).foreach { case (prevDir, prevDf) =>
-      prevDf.unpersist(blocking = false)
-      deleteDir(prevDir)
-    }
+    lastParsed.put(s, dir, parsed).foreach(_.unpersist(blocking = false))
+    val (keep, drop) = (out :: outDirs.getOrElse((s, dir), Nil)).splitAt(2)
+    outDirs.update((s, dir), keep)
+    drop.foreach(deleteDir)
     val quarantined = parsed
       .agg(sum(col("_corrupt").isNotNull.cast("bigint")).as("n_quarantined"))
     parsed.filter(col("_corrupt").isNull)

