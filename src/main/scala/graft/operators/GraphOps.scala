@@ -339,12 +339,16 @@ object GraphOps {
 
   /** One unrolled fixed-point PageRank iteration (same integer formula
     * as the Spark side; `//` is DuckDB's truncating division for the
-    * positive operands used here, matching Spark's `div`).
+    * positive operands used here, matching Spark's `div`). The sum is
+    * cast to BIGINT: DuckDB's integer `sum` returns HUGEINT, which
+    * survives `//` and round-trips through parquet as DOUBLE — the
+    * engine emits BIGINT, so an uncast oracle hash-mismatches on a
+    * value-identical result (CORRECTNESS r5/r6 q93).
     */
   private def prIterD(prev: String, curr: String): String =
     s"""$curr AS (
        |  SELECT d.node, d.deg, d.tele,
-       |    d.tele + (85 * sum(r.r // r.deg)) // 100 AS r
+       |    d.tele + (85 * CAST(sum(r.r // r.deg) AS BIGINT)) // 100 AS r
        |  FROM $prev r JOIN edges e ON r.node = e.src
        |  JOIN $prev d ON d.node = e.dst
        |  GROUP BY d.node, d.deg, d.tele)""".stripMargin

@@ -823,9 +823,9 @@ object PipelineOps {
         |    CAST(sum(n_chars) AS BIGINT) AS bytes
         |  FROM documents GROUP BY 1),
         |g AS (
-        |  SELECT *, (sum(bytes) OVER (ORDER BY file_id
+        |  SELECT *, CAST((sum(bytes) OVER (ORDER BY file_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
-        |    // $CompactTargetBytes AS grp
+        |    // $CompactTargetBytes AS BIGINT) AS grp
         |  FROM f)
         |SELECT grp, count(*) AS n_files, CAST(sum(n_docs) AS BIGINT) AS n_docs,
         |  CAST(sum(bytes) AS BIGINT) AS total_bytes,

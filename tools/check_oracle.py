@@ -3,14 +3,50 @@
 
 Mimics the driver's t2 gate: runs graft.Verify's parquet dumps against the
 DuckDB oracle SQL in oracle_sql.json and compares per query:
-  - row count, column names (sorted), and cell values.
+  - row count, column names (sorted), and cell values;
+  - the NUMERIC CLASS of each column after a parquet round-trip of the
+    oracle result. This last check is what fetchall() value equality
+    misses: DuckDB's integer sum() returns HUGEINT, which survives `//`
+    and lands in parquet as DOUBLE, so the driver hashes "3.0" against
+    Spark's "3" and records hash_match:false on a value-identical result
+    (this bit q93 in rounds 5-6 and q133 in round 6). Width-only drift
+    (INTEGER vs BIGINT) does not change the hashed value text and is
+    allowed; class drift (int vs float vs decimal vs other) fails.
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import os
 import sys
+import tempfile
 
 import duckdb
+
+
+def type_class(t):
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return t
+
+
+def roundtrip_type_drift(con, name, sql, out_dir, tmp_dir):
+    """Return [(col, oracle_rt_type, spark_type)] for class-level drift
+    between the oracle result written to parquet and Spark's parquet."""
+    rt = os.path.join(tmp_dir, f"{name}.parquet")
+    con.sql(f"COPY ({sql}) TO '{rt}' (FORMAT PARQUET)")
+    ora = {r[0]: r[1] for r in
+           con.sql(f"DESCRIBE SELECT * FROM '{rt}'").fetchall()}
+    spk = {r[0]: r[1] for r in
+           con.sql(f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'")
+           .fetchall()}
+    return [(c, ora[c], spk[c]) for c in ora
+            if c in spk and type_class(ora[c]) != type_class(spk[c])]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -25,6 +61,7 @@ def norm(v):
 
 
 def main(sf_dir, out_dir):
+    tmp_dir = tempfile.mkdtemp(prefix="oracle_rt_")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -67,6 +104,12 @@ def main(sf_dir, out_dir):
                 break
         if bad:
             print(f"FAIL {name}: first diff at row {bad[0]}:\n  exp={bad[1]}\n  got={bad[2]}")
+            failures += 1
+            continue
+        drift = roundtrip_type_drift(con, name, sql, out_dir, tmp_dir)
+        if drift:
+            print(f"FAIL {name}: type-class drift (driver would hash-mismatch): "
+                  + ", ".join(f"{c} oracle={a} spark={b}" for c, a, b in drift))
             failures += 1
         else:
             print(f"OK   {name}: {len(exp_rows)} rows")
