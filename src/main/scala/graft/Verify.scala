@@ -21,11 +21,24 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // canonical sidecar (VERDICT r6 #1): per-query sha256 over sorted row
+    // text, computed from the WRITTEN parquet (same bytes the driver's
+    // DuckDB compare reads, so parquet type round-trips are captured),
+    // plus the sorted row text itself for value-by-value diffing.
+    val sidecar = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val MaxDumpRows = 200000
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val canon = Canonical.rows(spark.read.parquet(s"$outDir/$name"))
+        sidecar(name) = Canonical.sha256(canon)
+        if (canon.length <= MaxDumpRows)
+          Files.writeString(Paths.get(s"$outDir/$name.canonical.txt"),
+            canon.mkString("", "\n", "\n"))
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a failed query must not leave a PREVIOUS run's parquet in
@@ -39,6 +52,8 @@ object Verify {
           }
           rm(stale)
         }
+        val staleTxt = new java.io.File(s"$outDir/$name.canonical.txt")
+        if (staleTxt.exists()) staleTxt.delete()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -57,6 +72,9 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val hashes = sidecar
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/canonical_hashes.json"), hashes)
     spark.stop()
   }
 }
