@@ -88,70 +88,70 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("slugify"),
-      info("slugify", classOf[Slugify]), (es: Seq[Expression]) => Slugify(es.head)))
+      info("slugify", classOf[Slugify]), Scalars.checked("slugify", 1)(es => Slugify(es.head))))
     e.injectFunction((FunctionIdentifier("extract_iso_date"),
       info("extract_iso_date", classOf[ExtractIsoDate]),
-      (es: Seq[Expression]) => ExtractIsoDate(es.head)))
+      Scalars.checked("extract_iso_date", 1)(es => ExtractIsoDate(es.head))))
     e.injectFunction((FunctionIdentifier("fmt_month_abbrev"),
       info("fmt_month_abbrev", classOf[FmtMonthAbbrev]),
-      (es: Seq[Expression]) => FmtMonthAbbrev(es.head)))
+      Scalars.checked("fmt_month_abbrev", 1)(es => FmtMonthAbbrev(es.head))))
     e.injectFunction((FunctionIdentifier("html_escape"),
-      info("html_escape", classOf[HtmlEscape]), (es: Seq[Expression]) => HtmlEscape(es.head)))
+      info("html_escape", classOf[HtmlEscape]), Scalars.checked("html_escape", 1)(es => HtmlEscape(es.head))))
     e.injectFunction((FunctionIdentifier("clean_ws"),
-      info("clean_ws", classOf[CleanWs]), (es: Seq[Expression]) => CleanWs(es.head)))
+      info("clean_ws", classOf[CleanWs]), Scalars.checked("clean_ws", 1)(es => CleanWs(es.head))))
     e.injectFunction((FunctionIdentifier("ends_with_source"),
       info("ends_with_source", classOf[EndsWithSource]),
-      (es: Seq[Expression]) => EndsWithSource(es(0), es(1), es(2))))
+      Scalars.checked("ends_with_source", 3)(es => EndsWithSource(es(0), es(1), es(2)))))
     e.injectFunction((FunctionIdentifier("stable_hash64"),
       info("stable_hash64", classOf[StableHash64]),
-      (es: Seq[Expression]) => StableHash64(es.head)))
+      Scalars.checked("stable_hash64", 1)(es => StableHash64(es.head))))
     e.injectFunction((FunctionIdentifier("min_gram_hash"),
       info("min_gram_hash", classOf[MinGramHash]),
-      (es: Seq[Expression]) => MinGramHash(es.head)))
+      Scalars.checked("min_gram_hash", 1)(es => MinGramHash(es.head))))
     e.injectFunction((FunctionIdentifier("min_rolling_hash"),
       info("min_rolling_hash", classOf[MinRollingHash]),
-      (es: Seq[Expression]) => MinRollingHash(es.head)))
+      Scalars.checked("min_rolling_hash", 1)(es => MinRollingHash(es.head))))
     e.injectFunction((FunctionIdentifier("distinct_shingles3"),
       info("distinct_shingles3", classOf[DistinctShingles3]),
-      (es: Seq[Expression]) => DistinctShingles3(es.head)))
+      Scalars.checked("distinct_shingles3", 1)(es => DistinctShingles3(es.head))))
     e.injectFunction((FunctionIdentifier("shingles2"),
       info("shingles2", classOf[Shingles2]),
-      (es: Seq[Expression]) => Shingles2(es.head)))
+      Scalars.checked("shingles2", 1)(es => Shingles2(es.head))))
     e.injectFunction((FunctionIdentifier("simhash60"),
       info("simhash60", classOf[Simhash60]),
-      (es: Seq[Expression]) => Simhash60(es.head)))
+      Scalars.checked("simhash60", 1)(es => Simhash60(es.head))))
     e.injectFunction((FunctionIdentifier("minhash8"),
       info("minhash8", classOf[Minhash8]),
-      (es: Seq[Expression]) => Minhash8(es.head)))
+      Scalars.checked("minhash8", 1)(es => Minhash8(es.head))))
     e.injectFunction((FunctionIdentifier("token_max_run"),
       info("token_max_run", classOf[TokenMaxRun]),
-      (es: Seq[Expression]) => TokenMaxRun(es.head)))
+      Scalars.checked("token_max_run", 1)(es => TokenMaxRun(es.head))))
     e.injectFunction((FunctionIdentifier("token_top_count"),
       info("token_top_count", classOf[TokenTopCount]),
-      (es: Seq[Expression]) => TokenTopCount(es.head)))
+      Scalars.checked("token_top_count", 1)(es => TokenTopCount(es.head))))
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", classOf[CosineSim]),
-      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+      Scalars.checked("cosine_sim", 2)(es => CosineSim(es(0), es(1)))))
     e.injectFunction((FunctionIdentifier("hyperplane_bucket64"),
       info("hyperplane_bucket64", classOf[HyperplaneBucket64]),
-      (es: Seq[Expression]) => HyperplaneBucket64(es.head)))
+      Scalars.checked("hyperplane_bucket64", 1)(es => HyperplaneBucket64(es.head))))
     // sketch/top-k aggregates — same SQL surface as Functions.registerAll
     e.injectFunction((FunctionIdentifier("misra_gries"),
       info("misra_gries", classOf[MisraGriesAgg]),
-      (es: Seq[Expression]) =>
+      Scalars.checked("misra_gries", 2)(es =>
         MisraGriesAgg(es(0), Scalars.sqlLitInt(es(1), "misra_gries k"))
-          .toAggregateExpression()))
+          .toAggregateExpression())))
     e.injectFunction((FunctionIdentifier("count_min"),
       info("count_min", classOf[CountMinAgg]),
-      (es: Seq[Expression]) => CountMinAgg(es.head).toAggregateExpression()))
+      Scalars.checked("count_min", 1)(es => CountMinAgg(es.head).toAggregateExpression())))
     e.injectFunction((FunctionIdentifier("bounded_top_k"),
       info("bounded_top_k", classOf[BoundedTopK]),
-      (es: Seq[Expression]) =>
+      Scalars.checked("bounded_top_k", 2)(es =>
         BoundedTopK(es(0), Scalars.sqlLitInt(es(1), "bounded_top_k k"))
-          .toAggregateExpression()))
+          .toAggregateExpression())))
     e.injectFunction((FunctionIdentifier("union_find"),
       info("union_find", classOf[UnionFindAgg]),
-      (es: Seq[Expression]) => UnionFindAgg(es(0), es(1)).toAggregateExpression()))
+      Scalars.checked("union_find", 2)(es => UnionFindAgg(es(0), es(1)).toAggregateExpression())))
     e.injectOptimizerRule(_ => SimplifyEndsWithSource)
     e.injectOptimizerRule(_ => BandedLevenshtein)
   }

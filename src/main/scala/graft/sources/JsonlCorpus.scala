@@ -89,6 +89,15 @@ object JsonlCorpus {
   private val outDirs = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), List[String]]
 
+  /** Guards the generation rotation below: getOrElse→update→delete is a
+    * read-modify-write, and two concurrent q108 runs for the same key
+    * interleaving it could lose a generation from the keep-list (leaked
+    * directory) or delete a directory the racing run still references.
+    * Contention is one rotation per query invocation, so a single lock
+    * is cheaper than per-key machinery.
+    */
+  private val outDirsLock = new Object
+
   private def deleteDir(path: String): Unit = {
     def rec(f: java.io.File): Unit = {
       val kids = f.listFiles()
@@ -121,8 +130,11 @@ object JsonlCorpus {
     writeJsonl(graft.Engine.table(s, dir, "documents"), out)
     val parsed = readJsonl(s, out)
     lastParsed.put(s, dir, parsed).foreach(_.unpersist(blocking = false))
-    val (keep, drop) = (out :: outDirs.getOrElse((s, dir), Nil)).splitAt(2)
-    outDirs.update((s, dir), keep)
+    val drop = outDirsLock.synchronized {
+      val (keep, d) = (out :: outDirs.getOrElse((s, dir), Nil)).splitAt(2)
+      outDirs.update((s, dir), keep)
+      d
+    }
     drop.foreach(deleteDir)
     val quarantined = parsed
       .agg(sum(col("_corrupt").isNotNull.cast("bigint")).as("n_quarantined"))

@@ -94,4 +94,28 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect())
     assert(err.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("wrong-arity SQL calls fail with a named-function message, not IOOBE") {
+    import spark.implicits._
+    Seq("a", "b").toDF("item").createOrReplaceTempView("sql_arity_items")
+    // missing k on a 2-arg aggregate: the pre-guard failure mode was a
+    // raw IndexOutOfBoundsException from es(1) at plan time
+    val e1 = intercept[Exception](
+      spark.sql("SELECT misra_gries(item) FROM sql_arity_items").collect())
+    assert(e1.getMessage.contains("misra_gries") &&
+      e1.getMessage.contains("Expected: 2"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT union_find(item) FROM sql_arity_items").collect())
+    assert(e2.getMessage.contains("union_find") &&
+      e2.getMessage.contains("Expected: 2"), e2.getMessage)
+    val e3 = intercept[Exception](
+      spark.sql("SELECT slugify(item, item) FROM sql_arity_items").collect())
+    assert(e3.getMessage.contains("slugify") &&
+      e3.getMessage.contains("Expected: 1"), e3.getMessage)
+    // a Long k outside Int range must be an error, not toInt truncation
+    val e4 = intercept[Exception](
+      spark.sql("SELECT bounded_top_k(item, 4294967297) FROM sql_arity_items")
+        .collect())
+    assert(e4.getMessage.contains("32-bit"), e4.getMessage)
+  }
 }
