@@ -49,6 +49,46 @@ object Engine {
     spark
   }
 
+  /** Conf key: when "true", [[materialize]] uses RELIABLE checkpoints
+    * (persisted to [[CheckpointDirKey]] / the context's checkpoint dir)
+    * instead of local ones. Default false: local checkpoints are faster
+    * and correct in local mode, but their blocks die with an executor —
+    * on a real cluster a lost executor would kill any query whose
+    * lineage was truncated through them, so cluster deployments flip
+    * this flag (VERDICT r6 item 2).
+    */
+  val ReliableCheckpointKey = "spark.graft.checkpoint.reliable"
+
+  /** Conf key: directory for reliable checkpoints (HDFS/S3 path on a
+    * cluster). Applied lazily at first materialize if the context has
+    * no checkpoint dir yet.
+    */
+  val CheckpointDirKey = "spark.graft.checkpoint.dir"
+
+  /** Materialization barrier for iterative algorithms (PageRank rounds,
+    * BFS frontiers, Lloyd iterations, star-contraction) and shared
+    * cached intermediates: truncates lineage so each round plans
+    * against a flat table instead of replaying every earlier round's
+    * shuffles. Mode is config-selected per the keys above; all
+    * operator code calls this (never `localCheckpoint` directly) so
+    * one conf flag switches the whole engine.
+    */
+  def materialize(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.getOption(ReliableCheckpointKey).exists(_.toBoolean)) {
+      val sc = s.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        s.conf.getOption(CheckpointDirKey).foreach(sc.setCheckpointDir)
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
+  }
+
+  /** Fluent syntax for [[materialize]]: `df.materialize(true)`. */
+  implicit class MaterializeSyntax(private val df: DataFrame) {
+    def materialize(eager: Boolean = true): DataFrame =
+      Engine.materialize(df, eager)
+  }
+
   /** Names of the driver-generated fixture tables (TESTDATA.md). */
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

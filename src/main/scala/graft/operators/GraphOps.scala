@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine
+import graft.Engine.MaterializeSyntax
 
 /** Graph analytics over data-derived graphs — the iterative-algorithm
   * surface of the engine (the near-dup connected components in LlmOps
@@ -86,7 +87,7 @@ object GraphOps {
         // reference, and the pair-count scan never runs twice across
         // the q93/q94 pair (same per-(session, dir) discipline as the
         // LlmOps signature caches)
-        .localCheckpoint(true)
+        .materialize(true)
     })
 
   /** q93: PageRank over the co-purchase graph — [[PageRankIters]]
@@ -125,7 +126,7 @@ object GraphOps {
       .withColumn("tele", expr(s"(($PrScale * 15) div 100) div n"))
       .withColumn("r", expr(s"$PrScale div n"))
       .select(col("node"), col("deg"), col("tele"), col("r"))
-      .localCheckpoint(true)
+      .materialize(true)
     // each round materializes its (node-table-sized) rank table so the
     // next round plans two flat-table joins instead of a lineage that
     // re-runs every earlier round's shuffles and recompiles their
@@ -139,7 +140,7 @@ object GraphOps {
         .join(base.select(col("node"), col("deg"), col("tele")), Seq("node"))
         .withColumn("r", expr("tele + (85 * cin) div 100"))
         .select(col("node"), col("deg"), col("tele"), col("r"))
-        .localCheckpoint(true)
+        .materialize(true)
     }
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
   }
@@ -174,7 +175,7 @@ object GraphOps {
     val e0 = edges.toDF("pa", "pb")
       .filter(col("pa").isNotNull && col("pb").isNotNull &&
         col("pa") =!= col("pb"))
-      .localCheckpoint(true)
+      .materialize(true)
     val deg = e0.select(col("pa").as("node"))
       .unionAll(e0.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -244,10 +245,10 @@ object GraphOps {
         col("pa") =!= col("pb"))
     val edges = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
-      .localCheckpoint(true)
+      .materialize(true)
     var dist = seeds.toDF("node").distinct()
       .select(col("node"), lit(0L).as("hops"))
-      .localCheckpoint(true)
+      .materialize(true)
     var frontier = dist
     var round = 0
     var done = false
@@ -257,10 +258,10 @@ object GraphOps {
         .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
         .join(dist.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint(true)
+        .materialize(true)
       if (next.isEmpty) done = true
       else {
-        dist = dist.unionAll(next).localCheckpoint(true)
+        dist = dist.unionAll(next).materialize(true)
         frontier = next
       }
     }

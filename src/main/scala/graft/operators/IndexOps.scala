@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Engine
+import graft.Engine.MaterializeSyntax
 
 /** Indexing, sketch-accelerated counting, and data-engineering
   * diagnostics — the operators a corpus platform runs AROUND the
@@ -59,7 +60,7 @@ object IndexOps {
     val pass1 = items
       .agg(graft.functions.MisraGriesAgg.misra_gries(col("item"), HeavyK)
         .as("cands"), count(lit(1)).as("n_total"))
-      .localCheckpoint(true) // 1 row, referenced twice below
+      .materialize(true) // 1 row, referenced twice below
     val cands = pass1.select(explode(col("cands")).as("item"), col("n_total"))
     items.join(broadcast(cands.select(col("item"))), Seq("item"), "left_semi")
       .groupBy(col("item")).agg(count(lit(1)).as("freq"))
@@ -341,12 +342,12 @@ object IndexOps {
     // checkpoints (evicted on application end) instead of stacking
     // new RDDs per call
     val parts = kmvKeyCache.getOrElseUpdate(s, s"$dir#l_partkey")(
-      keys("l_partkey").localCheckpoint(false))
+      keys("l_partkey").materialize(false))
     val orders = kmvKeyCache.getOrElseUpdate(s, s"$dir#l_orderkey")(
-      keys("l_orderkey").localCheckpoint(false))
+      keys("l_orderkey").materialize(false))
     // lazy for the same plan-inspection reason as the key tables
-    val skP = sketch(parts).localCheckpoint(false)
-    val skO = sketch(orders).localCheckpoint(false)
+    val skP = sketch(parts).materialize(false)
+    val skO = sketch(orders).materialize(false)
     // sketch algebra, no rescan; distinct because set union dedups
     // (partkey 123 and orderkey 123 are the same key string)
     val skU = sketch(skP.unionAll(skO).distinct())

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Engine
+import graft.Engine.MaterializeSyntax
 
 /** LLM-training-data pipeline operators (SURVEY.md §2B "LLM-pipeline";
   * driver north star BASELINE.json): text analysis, exact + near
@@ -738,8 +739,8 @@ object LlmOps {
     // which both broadcast `cents`) start from a flat 24-row RDD
     // instead of re-optimizing and re-broadcasting the whole upstream
     // Lloyd lineage.
-    val cents1 = lloydStep(ivfAssign(e, seeds, "vec_id", 1)).localCheckpoint(true)
-    lloydStep(ivfAssign(e, cents1, "vec_id", 1)).localCheckpoint(true)
+    val cents1 = lloydStep(ivfAssign(e, seeds, "vec_id", 1)).materialize(true)
+    lloydStep(ivfAssign(e, cents1, "vec_id", 1)).materialize(true)
   }
 
   def annIvf(s: SparkSession, dir: String, nprobeN: Int): DataFrame = {
@@ -979,7 +980,7 @@ object LlmOps {
       if (nEdges <= smallLimit) {
         p.agg(graft.functions.UnionFindAgg
             .union_find_labels(col("src"), col("dst")).as("ls"))
-          .localCheckpoint(true) // one row — materialize so p can be freed
+          .materialize(true) // one row — materialize so p can be freed
           .select(explode(col("ls")).as("e"))
           .select(col("e.node").as("doc_id"), col("e.label").as("label"))
       } else largeSmallStarCC(p)
@@ -1002,7 +1003,7 @@ object LlmOps {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .materialize(true)
     var nEdges = edges.count()
     var converged = nEdges == 0
     var rounds = 0
@@ -1033,7 +1034,7 @@ object LlmOps {
       // observe); equality check = same count + empty (new \ old),
       // which together imply set equality.
       val obs = org.apache.spark.sql.Observation()
-      val next = ss.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+      val next = ss.observe(obs, count(lit(1)).as("n")).materialize(true)
       val nNext = obs.get("n").asInstanceOf[Long]
       converged = nNext == nEdges &&
         next.join(edges, Seq("a", "b"), "left_anti").isEmpty
