@@ -1890,8 +1890,121 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q137: LSH index MAINTENANCE with deletions — the other half of the
+    * incremental-dedup story (q86 checks a batch against a frozen
+    * index; this computes the index MUTATIONS between two corpus
+    * snapshots). CDC fixture mirrors q87: old snapshot omits
+    * doc_id % 13 == 5, new omits % 11 == 7, % 7 == 0 docs carry
+    * revised text. Each side's MinHash signatures band exactly like
+    * q45 (4 bands × 2 rows, band key = mh[2i]:mh[2i+1]); the output is
+    * the per-(doc, band) posting delta an LSH bucket store applies:
+    * `del` rows remove stale postings (deleted docs, and changed docs
+    * whose band key moved), `add` rows insert new ones. Bands whose
+    * key is unchanged emit NOTHING — the 99% unchanged corpus costs
+    * zero writes.
+    *
+    * Scale shape: signatures are computed map-side ONLY for rows that
+    * pass each snapshot's filter (on a real lakehouse the two
+    * snapshot scans are delta manifests, not full rescans); the only
+    * shuffle is the (doc_id, band)-keyed full-outer join of two
+    * 4-rows-per-doc key tables — no text, no all-pairs. `status` is
+    * index-presence CDC (a doc whose OLD text was too short to sign
+    * but whose revision is signable shows as `added` — correct for the
+    * index even though document-CDC calls it changed).
+    */
+  val q137IndexMaintenance: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val docs = t(s, dir, "documents")
+    def banded(src: DataFrame): DataFrame = src
+      .withColumn("tok", expr(toksS))
+      .filter(size(col("tok")) >= 3)
+      .withColumn("sh", graft.functions.Scalars.distinct_shingles3(col("tok")))
+      .withColumn("mhs", graft.functions.Scalars.minhash8(col("sh")))
+      .selectExpr("doc_id",
+        "stack(4, 0, concat(mhs[0], ':', mhs[1]), 1, concat(mhs[2], ':', mhs[3]), 2, concat(mhs[4], ':', mhs[5]), 3, concat(mhs[6], ':', mhs[7])) as (band, bkey)")
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("bkey"))
+    val oldB = banded(docs.filter(col("doc_id") % 13 =!= 5))
+      .withColumnRenamed("bkey", "old_bkey")
+    val newB = banded(docs.filter(col("doc_id") % 11 =!= 7)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))))
+      .withColumnRenamed("bkey", "new_bkey")
+    val j = oldB.join(newB, Seq("doc_id", "band"), "full_outer")
+    val dels = j
+      .filter(col("old_bkey").isNotNull &&
+        (col("new_bkey").isNull || col("new_bkey") =!= col("old_bkey")))
+      .select(col("doc_id"), col("band"), lit("del").as("op"),
+        col("old_bkey").as("bkey"),
+        when(col("new_bkey").isNull, "deleted").otherwise("changed").as("status"))
+    val adds = j
+      .filter(col("new_bkey").isNotNull &&
+        (col("old_bkey").isNull || col("old_bkey") =!= col("new_bkey")))
+      .select(col("doc_id"), col("band"), lit("add").as("op"),
+        col("new_bkey").as("bkey"),
+        when(col("old_bkey").isNull, "added").otherwise("changed").as("status"))
+    dels.unionAll(adds).orderBy(col("doc_id"), col("band"), col("op"))
+  }
+
+  /** q138: a domain keeps at most this many docs (quality-ordered). */
+  val DomainCap = 15
+
+  /** q138: URL/domain canonicalization + per-domain caps — the standard
+    * web-corpus curation step between dedup and mixing: normalize each
+    * document's URL to a canonical form (case, scheme, www/m prefixes,
+    * default ports, fragments, query strings, trailing slash), derive
+    * the domain, and keep only the top-[[DomainCap]] docs per domain by
+    * quality so no single site dominates the training mix.
+    *
+    * The fixture corpus has no URL column, so a raw URL is synthesized
+    * DETERMINISTICALLY from (source, doc_id) in four messy variants
+    * (upper-cased www + utm params / bare http / mobile m. + fragment /
+    * explicit :443 + trailing slash) — all four canonicalize to the
+    * same `{source}.example.com/a/{doc_id}` shape, which is exactly
+    * the property a canonicalizer must deliver. The oracle re-derives
+    * everything, so the regex chain is value-checked end-to-end.
+    *
+    * Scale shape: canonicalization is a map-side regex chain over the
+    * (cached, manifest-sized) quality table; the cap is ONE window
+    * partitioned by domain — rank ≤ K folds to WindowGroupLimit, so
+    * each domain-partition keeps a K-row heap and the full corpus is
+    * never sorted. Domains are ~site-cardinality (millions at 100 TB),
+    * so partitions stay small; a pathological mega-domain is exactly
+    * the thing the cap bounds.
+    */
+  val q138DomainCap: Q = (s, dir) => {
+    val urlCase =
+      """CASE doc_id % 4
+        | WHEN 0 THEN concat('HTTPS://WWW.', upper(source), '.Example.COM/a/', doc_id, '/?utm_source=rss&utm_id=', doc_id)
+        | WHEN 1 THEN concat('http://', source, '.example.com/a/', doc_id)
+        | WHEN 2 THEN concat('https://m.', source, '.example.com/a/', doc_id, '#frag')
+        | ELSE concat('https://', source, '.example.com:443/a/', doc_id, '/')
+        |END""".stripMargin
+    val canon = qualityTable(s, dir)
+      .withColumn("raw_url", expr(urlCase))
+      .withColumn("u", lower(col("raw_url")))
+      .withColumn("u", regexp_replace(col("u"), "#.*$", ""))
+      .withColumn("u", regexp_replace(col("u"), "\\?.*$", ""))
+      .withColumn("u", regexp_replace(col("u"), "^https?://", ""))
+      .withColumn("u", regexp_replace(col("u"), "^(www|m)\\.", ""))
+      .withColumn("u", regexp_replace(col("u"), ":(443|80)/", "/"))
+      .withColumn("u", regexp_replace(col("u"), "/$", ""))
+      .withColumn("domain", regexp_extract(col("u"), "^([^/]+)", 1))
+    canon
+      .withColumn("rank_in_domain", row_number().over(
+        Window.partitionBy(col("domain"))
+          .orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rank_in_domain") <= DomainCap)
+      .select(col("doc_id"), col("domain"), col("u").as("url_canon"),
+        round(col("quality"), 6).as("quality"),
+        col("rank_in_domain").cast("long").as("rank_in_domain"))
+      .orderBy(col("domain"), col("rank_in_domain"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q86_incremental_neardup" -> q86IncrementalNearDup,
+    "q137_index_maintenance" -> q137IndexMaintenance,
+    "q138_domain_cap" -> q138DomainCap,
     "q82_passage_dedup" -> q82PassageDedup,
     "q83_pii_redact" -> q83PiiRedact,
     "q84_embedding_quant" -> q84EmbeddingQuant,
@@ -2080,6 +2193,72 @@ object LlmOps {
        |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q138_domain_cap" ->
+      s"""WITH ${qualityOracleCteD("q", Seq("source"))},
+        |u0 AS (SELECT doc_id, quality,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN concat('HTTPS://WWW.', upper(source), '.Example.COM/a/', doc_id, '/?utm_source=rss&utm_id=', doc_id)
+        |    WHEN 1 THEN concat('http://', source, '.example.com/a/', doc_id)
+        |    WHEN 2 THEN concat('https://m.', source, '.example.com/a/', doc_id, '#frag')
+        |    ELSE concat('https://', source, '.example.com:443/a/', doc_id, '/')
+        |  END AS raw_url FROM q),
+        |c AS (SELECT doc_id, quality,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(lower(raw_url), '#.*$$', ''),
+        |            '\\?.*$$', ''),
+        |          '^https?://', ''),
+        |        '^(www|m)\\.', ''),
+        |      ':(443|80)/', '/'),
+        |    '/$$', '') AS u FROM u0),
+        |r AS (SELECT doc_id, regexp_extract(u, '^([^/]+)', 1) AS domain, u,
+        |    quality,
+        |    row_number() OVER (PARTITION BY regexp_extract(u, '^([^/]+)', 1)
+        |      ORDER BY quality DESC, doc_id) AS rank_in_domain
+        |  FROM c)
+        |SELECT doc_id, domain, u AS url_canon, round(quality, 6) AS quality,
+        |  CAST(rank_in_domain AS BIGINT) AS rank_in_domain
+        |FROM r WHERE rank_in_domain <= $DomainCap
+        |ORDER BY domain, rank_in_domain""".stripMargin,
+    "q137_index_maintenance" ->
+      s"""WITH oldt AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 != 5),
+        |newt AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 != 7),
+        |otok AS (SELECT doc_id, $toksD AS tok FROM oldt),
+        |osh AS (SELECT doc_id, $shinglesD AS sh FROM otok WHERE len(tok) >= 3),
+        |osig AS (SELECT doc_id,
+        |  ${(0 until NumHashes).map(i => s"${minhashD(i)} AS mh$i").mkString(", ")}
+        |  FROM osh),
+        |ntok AS (SELECT doc_id, $toksD AS tok FROM newt),
+        |nsh AS (SELECT doc_id, $shinglesD AS sh FROM ntok WHERE len(tok) >= 3),
+        |nsig AS (SELECT doc_id,
+        |  ${(0 until NumHashes).map(i => s"${minhashD(i)} AS mh$i").mkString(", ")}
+        |  FROM nsh),
+        |ob AS (${(0 until NumBands).map(b =>
+              s"SELECT doc_id, CAST($b AS BIGINT) AS band, concat(mh${2 * b}, ':', mh${2 * b + 1}) AS bkey FROM osig")
+              .mkString("\n  UNION ALL ")}),
+        |nb AS (${(0 until NumBands).map(b =>
+              s"SELECT doc_id, CAST($b AS BIGINT) AS band, concat(mh${2 * b}, ':', mh${2 * b + 1}) AS bkey FROM nsig")
+              .mkString("\n  UNION ALL ")}),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    coalesce(o.band, n.band) AS band,
+        |    o.bkey AS old_bkey, n.bkey AS new_bkey
+        |  FROM ob o FULL OUTER JOIN nb n
+        |    ON o.doc_id = n.doc_id AND o.band = n.band)
+        |SELECT doc_id, band, 'del' AS op, old_bkey AS bkey,
+        |    CASE WHEN new_bkey IS NULL THEN 'deleted' ELSE 'changed' END AS status
+        |  FROM j WHERE old_bkey IS NOT NULL
+        |    AND (new_bkey IS NULL OR new_bkey != old_bkey)
+        |UNION ALL
+        |SELECT doc_id, band, 'add' AS op, new_bkey AS bkey,
+        |    CASE WHEN old_bkey IS NULL THEN 'added' ELSE 'changed' END AS status
+        |  FROM j WHERE new_bkey IS NOT NULL
+        |    AND (old_bkey IS NULL OR old_bkey != new_bkey)
+        |ORDER BY doc_id, band, op""".stripMargin,
     "q86_incremental_neardup" ->
       s"""WITH $simhashPairCtesD,
         |m AS (
