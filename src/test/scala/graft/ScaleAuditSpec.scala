@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison, Literal}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.joins.{CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -57,13 +58,21 @@ class ScaleAuditSpec extends AnyFunSuite {
     "q133_compaction_plan", // file stats: corpus/64 rows
     "q135_sampled_quantiles") // distinct 2-dp value domain
 
-  test("no query plans a CartesianProduct or an unbounded global window") {
-    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+  /** The plan forest of every declared query, computed once and shared
+    * by all audits (planning the 136-query fleet dominates the suite's
+    * cost; three audits over one forest beat three plannings).
+    */
+  private lazy val fleet: Seq[(String, Seq[SparkPlan])] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
       val plan =
         try q(spark, dir).queryExecution.executedPlan
         catch { case e: Throwable => fail(s"$name failed to plan: $e") }
-      val nodes = wholePlan(plan)
+      name -> wholePlan(plan)
+    }
+
+  test("no query plans a CartesianProduct or an unbounded global window") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    fleet.foreach { case (name, nodes) =>
       val cartesian = nodes.exists(_.isInstanceOf[CartesianProductExec])
       if (cartesian && !cartesianOk(name))
         offenders += s"$name: CartesianProduct"
@@ -75,5 +84,67 @@ class ScaleAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"scale audit violations:\n${offenders.mkString("\n")}")
+  }
+
+  /** A scan whose remaining dataFilters include a plain
+    * attribute-vs-literal comparison (the pushable shape) but whose
+    * PushedFilters metadata is empty lost its pushdown — at 100 TB
+    * that is the difference between reading row groups and reading the
+    * corpus. Filters parquet can't evaluate (arithmetic, custom
+    * expressions, UDF-derived columns) don't count as pushable, so
+    * this flags only genuine losses.
+    */
+  test("every scan filtered on a base column pushes at least one filter") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    fleet.foreach { case (name, nodes) =>
+      nodes.collect { case sc: FileSourceScanExec => sc }.foreach { sc =>
+        // TOP-LEVEL conjuncts only (dataFilters is already split): a
+        // pushable comparison buried inside CASE/arithmetic does not
+        // make the enclosing predicate pushable
+        val pushableShape = sc.dataFilters.exists {
+          case BinaryComparison(_: AttributeReference, _: Literal) => true
+          case BinaryComparison(_: Literal, _: AttributeReference) => true
+          case _ => false
+        }
+        val pushedNonEmpty =
+          sc.metadata.get("PushedFilters").exists(v => v != "[]" && v.nonEmpty)
+        if (pushableShape && !pushedNonEmpty)
+          offenders += s"$name: un-pushed filter on scan ${sc.tableIdentifier
+              .map(_.toString).getOrElse(sc.relation.location.rootPaths.mkString(","))}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"pushdown audit violations:\n${offenders.distinct.mkString("\n")}")
+  }
+
+  /** region (5 rows) and nation (25 rows) are FIXED-cardinality
+    * dimension tables — they never grow with SF, so a shuffle join
+    * against them is wrong at every scale (the fact side pays a full
+    * shuffle to co-locate with 25 rows). The static planner should
+    * already broadcast them from parquet stats; this audit catches a
+    * future barrier (repartition, hint, union) silently demoting one
+    * to a sort-merge/shuffled-hash join.
+    */
+  test("no shuffle join against a fixed-cardinality dimension table") {
+    val fixedDims = Set("region.parquet", "nation.parquet")
+    def scanPaths(p: SparkPlan): Seq[String] = p.collect {
+      case sc: FileSourceScanExec =>
+        sc.relation.location.rootPaths.map(_.getName)
+    }.flatten
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    fleet.foreach { case (name, nodes) =>
+      val shuffleJoinSides = nodes.flatMap {
+        case j: SortMergeJoinExec => Seq(("SortMergeJoin", j.left), ("SortMergeJoin", j.right))
+        case j: ShuffledHashJoinExec => Seq(("ShuffledHashJoin", j.left), ("ShuffledHashJoin", j.right))
+        case _ => Nil
+      }
+      shuffleJoinSides.foreach { case (kind, side) =>
+        val paths = scanPaths(side)
+        if (paths.nonEmpty && paths.forall(fixedDims))
+          offenders += s"$name: $kind against ${paths.distinct.mkString(",")}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"broadcast audit violations:\n${offenders.distinct.mkString("\n")}")
   }
 }
