@@ -2001,10 +2001,50 @@ object LlmOps {
       .orderBy(col("domain"), col("rank_in_domain"))
   }
 
+  /** q140: per-label embedding-centroid drift between corpus snapshots
+    * — the monitoring pass an embedding-dependent pipeline (ANN index,
+    * SemDeDup thresholds, hard-negative mining) runs before trusting
+    * yesterday's calibration on today's corpus: per label, the cosine
+    * between the old and new snapshot centroids (direction drift) and
+    * the centroid-norm ratio (magnitude drift), with both memberships
+    * from the same CDC fixture as q87/q137/q139. cos ≈ 1 ∧ ratio ≈ 1
+    * means thresholds carry over; either moving is the retrain alarm.
+    *
+    * Scale shape: each side is ONE (label, dim)-keyed partial-avg
+    * aggregation (map-side combinable, |labels|×64 rows out) — the
+    * corpus-sized embedding scan never shuffles full vectors, and the
+    * final join/cosine runs over |labels| rows. Labels must appear in
+    * both snapshots to be compared (inner join — a label that lost
+    * every vector is a different alarm, q87's delta already fires it).
+    */
+  val q140EmbeddingDrift: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    def centroid(df: DataFrame, cname: String): DataFrame = df
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i")).agg(avg(col("v")).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("sc"))
+      .select(col("label"), expr("transform(sc, x -> x.c)").as(cname))
+    val old = e.filter(col("vec_id") % 13 =!= 5)
+    val neu = e.filter(col("vec_id") % 11 =!= 7)
+    centroid(old, "cent_old").join(centroid(neu, "cent_new"), Seq("label"))
+      .join(old.groupBy(col("label")).agg(count(lit(1)).as("n_old")), Seq("label"))
+      .join(neu.groupBy(col("label")).agg(count(lit(1)).as("n_new")), Seq("label"))
+      .withColumn("centroid_cos",
+        round(graft.functions.Scalars.cosine_sim(col("cent_old"), col("cent_new")), 6))
+      .withColumn("norm_ratio", expr(
+        """round(sqrt(aggregate(cent_new, CAST(0 AS DOUBLE), (a, x) -> a + x * x))
+          |  / sqrt(aggregate(cent_old, CAST(0 AS DOUBLE), (a, x) -> a + x * x)), 6)""".stripMargin))
+      .select(col("label"), col("n_old"), col("n_new"),
+        col("centroid_cos"), col("norm_ratio"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q86_incremental_neardup" -> q86IncrementalNearDup,
     "q137_index_maintenance" -> q137IndexMaintenance,
     "q138_domain_cap" -> q138DomainCap,
+    "q140_embedding_drift" -> q140EmbeddingDrift,
     "q82_passage_dedup" -> q82PassageDedup,
     "q83_pii_redact" -> q83PiiRedact,
     "q84_embedding_quant" -> q84EmbeddingQuant,
@@ -2193,6 +2233,29 @@ object LlmOps {
        |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q140_embedding_drift" ->
+      s"""WITH oe AS (SELECT * FROM embeddings WHERE vec_id % 13 != 5),
+        |ne AS (SELECT * FROM embeddings WHERE vec_id % 11 != 7),
+        |oex AS (SELECT label, r.i AS i, embedding[r.i]::DOUBLE AS v
+        |        FROM oe, LATERAL unnest(range(1, len(embedding)+1)) AS r(i)),
+        |ocent AS (SELECT label, list(c ORDER BY i) AS cent FROM (
+        |            SELECT label, i, avg(v) AS c FROM oex GROUP BY label, i)
+        |          GROUP BY label),
+        |nex AS (SELECT label, r.i AS i, embedding[r.i]::DOUBLE AS v
+        |        FROM ne, LATERAL unnest(range(1, len(embedding)+1)) AS r(i)),
+        |ncent AS (SELECT label, list(c ORDER BY i) AS cent FROM (
+        |            SELECT label, i, avg(v) AS c FROM nex GROUP BY label, i)
+        |          GROUP BY label),
+        |oc AS (SELECT label, count(*) AS n_old FROM oe GROUP BY label),
+        |nc AS (SELECT label, count(*) AS n_new FROM ne GROUP BY label)
+        |SELECT o.label, CAST(oc.n_old AS BIGINT) AS n_old,
+        |  CAST(nc.n_new AS BIGINT) AS n_new,
+        |  round(list_cosine_similarity(o.cent, n.cent), 6) AS centroid_cos,
+        |  round(sqrt(list_sum(list_transform(n.cent, x -> x * x)))
+        |    / sqrt(list_sum(list_transform(o.cent, x -> x * x))), 6) AS norm_ratio
+        |FROM ocent o JOIN ncent n USING (label)
+        |  JOIN oc USING (label) JOIN nc USING (label)
+        |ORDER BY o.label""".stripMargin,
     "q138_domain_cap" ->
       s"""WITH ${qualityOracleCteD("q", Seq("source"))},
         |u0 AS (SELECT doc_id, quality,

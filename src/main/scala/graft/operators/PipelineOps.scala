@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Engine
+import graft.Engine.MaterializeSyntax
 
 /** Production data-pipeline operators around the corpus lifecycle —
   * the operations that sit BETWEEN the analytics (Relational) and the
@@ -71,6 +72,62 @@ object PipelineOps {
         coalesce(col("old_hash"), lit(-1L)).as("old_hash"),
         coalesce(col("new_hash"), lit(-1L)).as("new_hash"))
       .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // q139 — CDC MERGE apply (the upsert half of q87's delta)
+  // ---------------------------------------------------------------
+
+  /** q139: apply a CDC delta to a standing snapshot — the MERGE
+    * (SCD1 upsert) primitive that completes q87: the delta CLASSIFIES,
+    * this APPLIES. The old manifest streams through a left join
+    * against ONLY the changed/added/deleted delta rows (unchanged docs
+    * never appear in a real CDC feed), deletes drop, updates take the
+    * new hash, inserts append via union — and the oracle recomputes
+    * the new snapshot's manifest DIRECTLY from the documents table, so
+    * the hash match proves merge(old, delta) == full rebuild, the same
+    * incremental==direct proof pattern as q106.
+    *
+    * Scale shape: the big side (old manifest, corpus-sized) is never
+    * shuffled — the delta side is |changes|-sized and broadcastable, a
+    * left join + an append, NOT the full-outer join a naive merge
+    * plans (full-outer forces both sides to shuffle; left-join +
+    * union-inserts keeps the 99% unchanged rows map-side). Manifests
+    * are 16 bytes/doc; texts are hashed map-side in their own scans.
+    */
+  val q139SnapshotMerge: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), expr("stable_hash64(text)").as("old_hash"))
+    val neu = docs.filter(col("doc_id") % 11 =!= 7)
+      .withColumn("new_text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), expr("stable_hash64(new_text)").as("new_hash"))
+    // the CDC feed: ONLY rows whose state changed (q87 minus 'unchanged')
+    val delta = old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "deleted")
+          .otherwise("changed").as("status"),
+        col("old_hash"), col("new_hash"))
+      .filter(col("status") =!= "changed" || col("old_hash") =!= col("new_hash"))
+      .select(col("doc_id"), col("status"), col("new_hash"))
+      // |changes|-sized: materialize once so the upsert branch and the
+      // insert branch both read a flat table instead of each replaying
+      // the manifest full-outer join (2 corpus scans saved)
+      .materialize(true)
+    val upserted = old
+      .join(broadcast(delta.filter(col("status") =!= "added")), Seq("doc_id"), "left")
+      .filter(col("status").isNull || col("status") =!= "deleted")
+      .select(col("doc_id"),
+        when(col("status").isNull, "kept").otherwise("updated").as("op_applied"),
+        coalesce(col("new_hash"), col("old_hash")).as("text_hash"))
+    val inserted = delta.filter(col("status") === "added")
+      .select(col("doc_id"), lit("inserted").as("op_applied"),
+        col("new_hash").as("text_hash"))
+    upserted.unionAll(inserted).orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------
@@ -712,6 +769,7 @@ object PipelineOps {
     "q133_compaction_plan" -> q133CompactionPlan,
     "q135_sampled_quantiles" -> q135SampledQuantiles,
     "q87_snapshot_delta" -> q87SnapshotDelta,
+    "q139_snapshot_merge" -> q139SnapshotMerge,
     "q88_dataset_split" -> q88DatasetSplit,
     "q89_scd2_history" -> q89Scd2History,
     "q90_quantile_norm" -> q90QuantileNorm,
@@ -859,6 +917,17 @@ object PipelineOps {
         |  coalesce(old_hash, -1) AS old_hash,
         |  coalesce(new_hash, -1) AS new_hash
         |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q139_snapshot_merge" ->
+      // the new snapshot's manifest recomputed DIRECTLY (no merge
+      // mechanics): hash-matching the engine's old+delta merge against
+      // this proves incremental apply == full rebuild
+      s"""SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 5 THEN 'inserted'
+        |       WHEN doc_id % 7 = 0 THEN 'updated'
+        |       ELSE 'kept' END AS op_applied,
+        |  ${hashD("text || (CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END)")} AS text_hash
+        |FROM documents WHERE doc_id % 11 != 7
         |ORDER BY doc_id""".stripMargin,
     "q88_dataset_split" ->
       s"""SELECT doc_id,
