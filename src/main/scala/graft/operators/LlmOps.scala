@@ -2040,11 +2040,67 @@ object LlmOps {
       .orderBy(col("label"))
   }
 
+  /** q141: the END-TO-END curation pipeline — the query a user of this
+    * engine actually ships: exact dedup (md5 canonical, q44/q73's
+    * rule) ∘ near-dup cluster representative (q62's components + q85's
+    * best-quality-per-cluster rule) ∘ quality gate (q54's score ≥ 0.6)
+    * ∘ per-domain cap (q138's top-[[DomainCap]] by quality), emitting
+    * one manifest row per document with each gate's verdict and the
+    * final `selected` flag. Every stage reuses the SHARED definition
+    * its standalone query oracle-checks (same expression trees, same
+    * session caches — signatures, components, quality manifest), so
+    * this composition adds no new semantics to trust, only the
+    * plumbing between them — which is exactly what the oracle's
+    * independent recomputation value-checks.
+    *
+    * Scale notes: all four stages are the standalone queries' shapes
+    * (hash groupBy, banded pair join + star-contraction components,
+    * manifest-sized quality join, per-domain WindowGroupLimit); the
+    * composition itself adds two doc_id-keyed hash joins of
+    * manifest-width tables and a window over gate SURVIVORS only.
+    * The cap ranks survivors, so a spam domain can't crowd out its own
+    * best docs with near-duplicates — ordering the gates is the point.
+    */
+  val q141CurationPipeline: Q = (s, dir) => {
+    val quality = qualityTable(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+    val canon = t(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_canonical"))
+    val wRep = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val reps = clusterAssignments(s, dir)
+      .join(quality.select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(wRep))
+      .select(col("doc_id"), (col("rn") === 1).cast("bigint").as("is_cluster_rep"))
+    val flags = quality
+      .join(canon, Seq("doc_id"), "left")
+      .join(reps, Seq("doc_id"))
+      .withColumn("is_canonical", coalesce(col("is_canonical"), lit(0L)))
+      .withColumn("quality_ok", (col("quality") >= 0.6).cast("bigint"))
+      .withColumn("domain", concat(col("source"), lit(".example.com")))
+    val wCap = Window.partitionBy(col("domain"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val capped = flags
+      .filter(col("is_canonical") === 1 && col("is_cluster_rep") === 1 &&
+        col("quality_ok") === 1)
+      .withColumn("cap_rn", row_number().over(wCap))
+      .select(col("doc_id"), (col("cap_rn") <= DomainCap).cast("bigint").as("cap_sel"))
+    flags.join(capped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("domain"),
+        round(col("quality"), 6).as("quality"),
+        col("is_canonical"), col("is_cluster_rep"), col("quality_ok"),
+        coalesce(col("cap_sel"), lit(0L)).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q86_incremental_neardup" -> q86IncrementalNearDup,
     "q137_index_maintenance" -> q137IndexMaintenance,
     "q138_domain_cap" -> q138DomainCap,
     "q140_embedding_drift" -> q140EmbeddingDrift,
+    "q141_curation_pipeline" -> q141CurationPipeline,
     "q82_passage_dedup" -> q82PassageDedup,
     "q83_pii_redact" -> q83PiiRedact,
     "q84_embedding_quant" -> q84EmbeddingQuant,
@@ -2233,6 +2289,38 @@ object LlmOps {
        |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q141_curation_pipeline" ->
+      s"""WITH RECURSIVE $simhashPairCtesD,
+        |pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |comp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+        |${qualityOracleCteD("q", Seq("lang", "source"))},
+        |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |rep AS (SELECT c.doc_id,
+        |          row_number() OVER (PARTITION BY c.cluster_id
+        |            ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+        |        FROM comp c JOIN q USING (doc_id)),
+        |f AS (SELECT q.doc_id, q.lang, q.source || '.example.com' AS domain,
+        |        q.quality,
+        |        CAST(cn.doc_id IS NOT NULL AS BIGINT) AS is_canonical,
+        |        CAST(r.rn = 1 AS BIGINT) AS is_cluster_rep,
+        |        CAST(q.quality >= 0.6 AS BIGINT) AS quality_ok
+        |      FROM q LEFT JOIN canon cn USING (doc_id) JOIN rep r USING (doc_id)),
+        |cap AS (SELECT doc_id,
+        |          row_number() OVER (PARTITION BY domain
+        |            ORDER BY quality DESC, doc_id ASC) AS cap_rn
+        |        FROM f
+        |        WHERE is_canonical = 1 AND is_cluster_rep = 1 AND quality_ok = 1)
+        |SELECT f.doc_id, f.lang, f.domain, round(f.quality, 6) AS quality,
+        |  f.is_canonical, f.is_cluster_rep, f.quality_ok,
+        |  CAST(coalesce(cap.cap_rn <= $DomainCap, false) AS BIGINT) AS selected
+        |FROM f LEFT JOIN cap USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin,
     "q140_embedding_drift" ->
       s"""WITH oe AS (SELECT * FROM embeddings WHERE vec_id % 13 != 5),
         |ne AS (SELECT * FROM embeddings WHERE vec_id % 11 != 7),
