@@ -2095,12 +2095,53 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q142: per-source duplication report — the corpus-health dashboard
+    * a curation team reads before deciding where to spend crawl budget:
+    * for every source, the exact-duplicate rate (docs that are NOT the
+    * md5 canonical of their content group) and the near-duplicate rate
+    * (docs that are not their simhash cluster's minimum — q62's
+    * is_duplicate, attributed back to the doc's source). A source with
+    * a high exact rate is re-serving identical pages; a high near-dup
+    * rate with a low exact rate is templating/boilerplate — different
+    * remediations, so both rates are reported side by side.
+    *
+    * Scale shape: one md5-keyed hash aggregation (canonical minima) +
+    * the SHARED cluster assignment (cached across q62/q85/q141 in
+    * session), then a |sources|-row aggregate; per-doc flags are
+    * map-side after two doc_id/hash equi-joins.
+    */
+  val q142DedupReport: Q = (s, dir) => {
+    val withHash = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("h"))
+    val canonMin = withHash.groupBy(col("h")).agg(min(col("doc_id")).as("cid"))
+    val near = clusterAssignments(s, dir)
+      .select(col("doc_id"),
+        (col("doc_id") =!= col("cluster_id")).cast("bigint").as("nd"))
+    withHash.join(canonMin, Seq("h"))
+      .withColumn("e", (col("doc_id") =!= col("cid")).cast("bigint"))
+      .join(near, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("e")).as("n_exact_dups"),
+        sum(col("nd")).as("n_near_dups"))
+      .select(col("source"), col("n_docs"),
+        col("n_exact_dups"),
+        round(col("n_exact_dups").cast("double") / col("n_docs"), 6)
+          .as("exact_dup_rate"),
+        col("n_near_dups"),
+        round(col("n_near_dups").cast("double") / col("n_docs"), 6)
+          .as("near_dup_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q86_incremental_neardup" -> q86IncrementalNearDup,
     "q137_index_maintenance" -> q137IndexMaintenance,
     "q138_domain_cap" -> q138DomainCap,
     "q140_embedding_drift" -> q140EmbeddingDrift,
     "q141_curation_pipeline" -> q141CurationPipeline,
+    "q142_dedup_report" -> q142DedupReport,
     "q82_passage_dedup" -> q82PassageDedup,
     "q83_pii_redact" -> q83PiiRedact,
     "q84_embedding_quant" -> q84EmbeddingQuant,
@@ -2289,6 +2330,28 @@ object LlmOps {
        |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q142_dedup_report" ->
+      s"""WITH RECURSIVE $simhashPairCtesD,
+        |pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |comp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+        |d AS (SELECT doc_id, source, md5(text) AS mh FROM documents),
+        |cm AS (SELECT mh, min(doc_id) AS cid FROM d GROUP BY mh),
+        |x AS (SELECT d.doc_id, d.source,
+        |        CAST(d.doc_id != cm.cid AS BIGINT) AS e,
+        |        CAST(c.doc_id != c.cluster_id AS BIGINT) AS nd
+        |      FROM d JOIN cm USING (mh) JOIN comp c USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(e) AS BIGINT) AS n_exact_dups,
+        |  round(CAST(sum(e) AS DOUBLE) / count(*), 6) AS exact_dup_rate,
+        |  CAST(sum(nd) AS BIGINT) AS n_near_dups,
+        |  round(CAST(sum(nd) AS DOUBLE) / count(*), 6) AS near_dup_rate
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
     "q141_curation_pipeline" ->
       s"""WITH RECURSIVE $simhashPairCtesD,
         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3),
