@@ -118,8 +118,12 @@ object PipelineOps {
       // insert branch both read a flat table instead of each replaying
       // the manifest full-outer join (2 corpus scans saved)
       .materialize(true)
+    // NO broadcast hint: the delta is usually tiny (AQE converts the
+    // join to broadcast at runtime from the materialized size), but a
+    // high-churn merge — effectively a rebuild — must be allowed to
+    // fall back to a shuffle join instead of OOMing a forced build side
     val upserted = old
-      .join(broadcast(delta.filter(col("status") =!= "added")), Seq("doc_id"), "left")
+      .join(delta.filter(col("status") =!= "added"), Seq("doc_id"), "left")
       .filter(col("status").isNull || col("status") =!= "deleted")
       .select(col("doc_id"),
         when(col("status").isNull, "kept").otherwise("updated").as("op_applied"),
