@@ -1107,7 +1107,10 @@ object LlmOps {
       .select(col("lang"), col("chunk"), col("chunk_offset"))
     val wIn = Window.partitionBy(col("lang"), col("chunk")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    base.join(broadcast(offsets), Seq("lang", "chunk"))
+    // offsets is corpus/G rows — small at test SFs (AQE broadcasts it
+    // at runtime) but corpus-proportional, so no forced hint: at 100 TB
+    // the (lang, chunk)-keyed shuffle join is the right plan
+    base.join(offsets, Seq("lang", "chunk"))
       .withColumn("cum_before",
         col("chunk_offset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       .select(col("doc_id"), col("lang"), col("n_tokens"),

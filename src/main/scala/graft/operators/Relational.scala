@@ -136,10 +136,14 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** q02: revenue per nation — 3-way join. `nation` (25 rows) and
-    * `customer` are broadcast (at true 100 TB scale customer would be
-    * bucketed instead — the orders⋈lineitem side stays a shuffle join on
-    * orderkey either way, which AQE can skew-split).
+  /** q02: revenue per nation — 3-way join. `nation` (25 rows, fixed
+    * cardinality) is hint-broadcast; `customer` SCALES with the corpus,
+    * so its join strategy is left to the optimizer — statically
+    * broadcast from parquet stats at test SFs, AQE-converted or a
+    * plain shuffle join (bucketable) at 100 TB, where a FORCED
+    * broadcast would OOM the build side. The orders⋈lineitem side
+    * stays a shuffle join on orderkey either way, which AQE can
+    * skew-split.
     */
   val q02RevenueByNation: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
@@ -147,7 +151,7 @@ object Relational {
     val c = t(s, dir, "customer")
     val n = t(s, dir, "nation")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -309,12 +313,16 @@ object Relational {
   }
 
   /** q10: theta join (equi + inequality residual): lineitems whose
-    * quantity exceeds the part size, per brand.
+    * quantity exceeds the part size, per brand. The equi component
+    * keys the join (no all-pairs); the inequality stays a residual
+    * filter. `part` scales with the corpus, so no broadcast hint —
+    * the optimizer broadcasts from stats when it fits and shuffles on
+    * partkey when it doesn't.
     */
   val q10ThetaJoin: Q = (s, dir) => {
     val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
     val p = t(s, dir, "part").select(col("p_partkey"), col("p_size"), col("p_brand"))
-    li.join(broadcast(p),
+    li.join(p,
         col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
@@ -727,10 +735,13 @@ object Relational {
   }
 
   /** q34: TPC-H Q5-adapted — local-supplier revenue for ASIA in 1997:
-    * a 6-way join (two facts + four dims). The dims chain (customer →
-    * nation → region, supplier) broadcasts; the fact⋈fact join shuffles
-    * on orderkey; the c_nationkey = s_nationkey residual makes it a
-    * "local supplier" join. Classic star-join shape at scale.
+    * a 6-way join (two facts + four dims). The FIXED dims (nation 25,
+    * region 5) are hint-broadcast; supplier and customer SCALE with
+    * the corpus, so their strategy is optimizer-chosen (broadcast from
+    * stats at test SFs, shuffle join at 100 TB — a forced broadcast of
+    * an SF-scaling table is a production OOM). The fact⋈fact join
+    * shuffles on orderkey; the c_nationkey = s_nationkey residual
+    * makes it a "local supplier" join. Classic star-join shape.
     */
   val q34LocalSupplierVolume: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
@@ -742,8 +753,8 @@ object Relational {
     val n = t(s, dir, "nation")
     val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

@@ -134,8 +134,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q64: chunk offsets broadcast back to the corpus (two-level prefix sum)") {
-    assert(plan("q64_sequence_packing").contains("BroadcastExchange"),
-      "chunk-offset table should broadcast, not shuffle the corpus")
+    // the offsets table is corpus/G rows, so the code carries NO forced
+    // hint (a forced broadcast of a corpus-proportional table is a
+    // 100 TB OOM); at this SF, AQE must still convert the join-back to
+    // a broadcast at runtime from the actual materialized size
+    assert(finalPlan("q64_sequence_packing").contains("BroadcastExchange"),
+      "AQE should runtime-broadcast the small chunk-offset table")
   }
 
   test("q65/q67: corpus-size literals are broadcast 1-row aggregates, not driver actions") {
