@@ -32,6 +32,10 @@ object Canonical {
   def cell(v: Any): String = v match {
     case null => "␀"
     case b: Array[Byte] => "0x" + b.map(x => f"$x%02x").mkString
+    // java.sql.Timestamp/Date.toString render in the JVM DEFAULT
+    // timezone — an environment-dependent hash. Instant is UTC ISO.
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case d: java.sql.Date => d.toLocalDate.toString
     case f: java.lang.Float => java.lang.Float.toString(f)
     case d: java.lang.Double => java.lang.Double.toString(d)
     case bd: java.math.BigDecimal =>

@@ -42,6 +42,11 @@ class CanonicalSpec extends AnyFunSuite {
     assert(Canonical.cell(Row(1L, Seq("a", "b"), null)) == "(1,[a,b],␀)")
   }
 
+  test("timestamps render as UTC instants, not JVM-default-zone strings") {
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-13T07:00:00.123456Z"))
+    assert(Canonical.cell(ts) == "2026-08-13T07:00:00.123456Z")
+  }
+
   test("sha256 distinguishes row-boundary placement") {
     // ["ab","c"] vs ["a","bc"] must hash apart (newline separator is
     // part of the digest, not a join-then-hash of concatenated text)
