@@ -342,7 +342,50 @@ object AnalyticsOps {
       .orderBy(col("bucket"))
   }
 
+  /** q143: each user contributes at most this many events. */
+  val CapPerUser = 20
+
+  /** q143: per-user contribution capping — the bounded-sensitivity
+    * preparation step for privacy-aware aggregates (and the anti-whale
+    * step for product metrics): every user keeps only their
+    * [[CapPerUser]] most recent events (ties pinned by event_id), and
+    * the per-type report shows raw vs capped volumes, the distinct
+    * contributing users, the realized per-user maximum (≤ cap by
+    * construction — the bound a DP noise calibration would use), and
+    * the capped decimal-exact value mass. Without the cap one heavy
+    * user dominates every aggregate; with it each user's influence on
+    * any output row is provably bounded.
+    *
+    * Scale shape: the cap is ONE user-partitioned row_number whose
+    * rank ≤ K filter folds to WindowGroupLimit (map-side K-heaps per
+    * user — the event log is never fully sorted); the report
+    * aggregates (event_type, user) partials first (map-side
+    * combinable), then |types|-rows; the raw counts ride a separate
+    * |types|-row aggregate joined back.
+    */
+  val q143ContributionCap: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val capped = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= CapPerUser)
+    val raw = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_raw"))
+    capped.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_u"),
+        sum(col("value").cast(DecimalType(18, 6))).as("v_u"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_u")).as("n_capped"),
+        count(lit(1)).as("n_users"),
+        max(col("n_u")).as("max_user_events"),
+        round(sum(col("v_u")).cast("double"), 6).as("sum_value_capped"))
+      .join(raw, Seq("event_type"))
+      .select(col("event_type"), col("n_raw"), col("n_capped"),
+        col("n_users"), col("max_user_events"), col("sum_value_capped"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q143_contribution_cap" -> q143ContributionCap,
     "q136_session_stats" -> q136SessionStats,
     "q134_k_anonymity" -> q134KAnonymity,
     "q131_rfm_segments" -> q131RfmSegments,
@@ -358,6 +401,26 @@ object AnalyticsOps {
   private def hashD(x: String): String = LlmOps.hashD(x)
 
   val oracles: Map[String, String] = Map(
+    "q143_contribution_cap" ->
+      s"""WITH r AS (
+        |  SELECT event_type, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |raw AS (SELECT event_type, count(*) AS n_raw FROM events GROUP BY event_type),
+        |pu AS (
+        |  SELECT event_type, user_id, count(*) AS n_u,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS v_u
+        |  FROM r WHERE rn <= $CapPerUser GROUP BY event_type, user_id)
+        |SELECT p.event_type,
+        |  CAST(raw.n_raw AS BIGINT) AS n_raw,
+        |  CAST(sum(p.n_u) AS BIGINT) AS n_capped,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(max(p.n_u) AS BIGINT) AS max_user_events,
+        |  round(CAST(sum(p.v_u) AS DOUBLE), 6) AS sum_value_capped
+        |FROM pu p JOIN raw USING (event_type)
+        |GROUP BY p.event_type, raw.n_raw
+        |ORDER BY p.event_type""".stripMargin,
     "q136_session_stats" ->
       s"""WITH ${StatsOps.sessionCteD("user_id, event_id, value")},
         |sesagg AS (
