@@ -47,6 +47,17 @@ object Canonical {
       m.iterator.map { case (k, x) => cell(k) + "→" + cell(x) }
         .toSeq.sorted.mkString("{", ",", "}")
     case r: Row => r.toSeq.map(cell).mkString("(", ",", ")")
+    // string values escape the separators and control chars: a text
+    // cell containing "\n" must not collide with a row boundary (one
+    // row "a\nb" vs two rows "a","b"), nor a "" with the cell
+    // separator — several outputs carry raw document text
+    case s: String => s.flatMap {
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     case other => other.toString
   }
 

