@@ -22,7 +22,12 @@ class DeterminismStressSpec extends AnyFunSuite {
 
   private val stressed = Seq(
     "q93_pagerank", "q133_compaction_plan",
-    "q13_running_sum", "q110_interpolate")
+    "q13_running_sum", "q110_interpolate",
+    // round-7 additions: every new query with rank/window/aggregation
+    // shapes whose ties COULD be partitioning-sensitive if a tie-break
+    // were ever dropped
+    "q137_index_maintenance", "q138_domain_cap", "q139_snapshot_merge",
+    "q141_curation_pipeline", "q142_dedup_report", "q143_contribution_cap")
 
   test("canonical hashes stable across reruns and shuffle-partition settings") {
     val baselinePartitions = spark.conf.get("spark.sql.shuffle.partitions")
