@@ -36,6 +36,13 @@ object Canonical {
     // timezone — an environment-dependent hash. Instant is UTC ISO.
     case t: java.sql.Timestamp => t.toInstant.toString
     case d: java.sql.Date => d.toLocalDate.toString
+    // TIMESTAMP_NTZ collects as LocalDateTime, whose toString OMITS
+    // zero seconds ("1995-01-22T00:00") — render the full instant form
+    // so all timestamp flavors share one canonical shape
+    case ldt: java.time.LocalDateTime =>
+      ldt.toInstant(java.time.ZoneOffset.UTC).toString
+    case i: java.time.Instant => i.toString
+    case ld: java.time.LocalDate => ld.toString
     case f: java.lang.Float => java.lang.Float.toString(f)
     case d: java.lang.Double => java.lang.Double.toString(d)
     case bd: java.math.BigDecimal =>
@@ -56,6 +63,11 @@ object Canonical {
       case '\n' => "\\n"
       case '\r' => "\\r"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
+      // ADVICE r7: escape the null sentinel and every structural char
+      // this renderer itself emits, so no rendered value (array, map,
+      // struct, null) can be forged by raw string content
+      case c @ ('\u2400' | ',' | '[' | ']' | '{' | '}' | '(' | ')' | '\u2192') =>
+        "\\" + c
       case c => c.toString
     }
     case other => other.toString

@@ -39,8 +39,11 @@ object Verify {
         // PREVIOUS run's row text next to this run's parquet/hash
         Files.deleteIfExists(Paths.get(s"$outDir/$name.canonical.txt"))
         if (canon.length <= MaxDumpRows)
+          // empty result ⇒ empty FILE (mkString with a "\n" terminator
+          // would write a lone newline, which reads back as one empty
+          // row and breaks two-sided diffing against the oracle side)
           Files.writeString(Paths.get(s"$outDir/$name.canonical.txt"),
-            canon.mkString("", "\n", "\n"))
+            if (canon.isEmpty) "" else canon.mkString("", "\n", "\n"))
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -2,30 +2,84 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Warm-run probe sidecar to the cold bench (VERDICT r6 item 4).
+/** Warm-run probe sidecar to the cold bench (VERDICT r6 item 4, r7
+  * item 1).
   *
-  * The driver's Bench is cold-codegen dominated (±30% ambient noise per
-  * PROGRESS), which can mask real regressions on the expensive queries.
-  * This main runs the top-N queries (by BENCH_r06 cost, overridable via
-  * args) once untimed to absorb codegen/cache warmup, then 3 timed
-  * runs each, and prints ONE JSON line with the per-run times and the
-  * median — the number to compare across rounds.
+  * The driver's Bench is cold-codegen dominated: across rounds the cold
+  * common-query set has swung −17% then +13% with individual untouched
+  * queries moving ±2.8× (q29: 0.43→1.22 with zero code change) — at that
+  * noise level a cold delta can neither prove nor clear a regression.
+  * This main therefore runs a probe set once untimed to absorb
+  * codegen/cache warmup, then 3 timed runs each, and prints ONE JSON
+  * line with per-run times and the median — the number to compare
+  * across rounds.
+  *
+  * Probe-set selection (r7 item 1 — delta-triggered): besides the
+  * top-10 queries by current cold cost, AUTO-select every query whose
+  * cold time moved >25% between the two most recent driver bench files
+  * (`SPARK_GRAFT_BENCH_PREV`/`SPARK_GRAFT_BENCH_CURR`, default
+  * BENCH_r06/BENCH_r07). Per-query cold times are regex-extracted from
+  * the bench JSON (the driver stores a possibly-truncated output tail,
+  * so only queries visible in BOTH tails get a delta). Queries whose
+  * larger side is under [[NoiseFloorSec]] are skipped as pure
+  * scheduling noise (a 0.1 s query trivially "moves" 25%); skips are
+  * listed in the output so the cap is never silent.
   *
   * Usage: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain
-  * graft.WarmProbe"`; output also lands in warm_out.json (and
-  * SPARK_GRAFT_WARM_OUT if set).
+  * graft.WarmProbe"`; output lands in target/warm_out.json (and
+  * SPARK_GRAFT_WARM_OUT if set) — never a tracked repo file (ADVICE
+  * r7: the probe must not dirty the worktree; curated WARM_r{N}.json
+  * snapshots are committed deliberately).
   */
 object WarmProbe {
 
-  /** Top-10 most expensive queries at sf0.1 per BENCH_r06 / VERDICT r6. */
+  /** Fallback probe set when no bench files are readable (the round-7
+    * top-10 by sf0.1 cold cost).
+    */
   val DefaultTop: Seq[String] = Seq(
-    "q116_assoc_rules", "q105_weighted_sample", "q110_interpolate",
-    "q01_pricing_summary", "q102_integrity_audit", "q32_approx_distinct",
-    "q57_ann_ivf", "q67_lm_score", "q76_boilerplate_ngrams", "q65_tfidf")
+    "q116_assoc_rules", "q110_interpolate", "q32_approx_distinct",
+    "q105_weighted_sample", "q141_curation_pipeline", "q35_grouping_sets",
+    "q01_pricing_summary", "q102_integrity_audit", "q47_ngram_jaccard",
+    "q57_ann_ivf")
+
+  /** Below this cold time (max of the two rounds), a >25% swing is
+    * indistinguishable from scheduler jitter and not worth a probe.
+    */
+  val NoiseFloorSec = 0.2
+
+  /** Relative cold-time move that triggers an automatic probe. */
+  val DriftTrigger = 0.25
+
+  /** Regex-extract `"qNN_name":seconds` pairs from a driver bench file
+    * (tolerates the driver's truncated-tail storage — a half-visible
+    * first pair simply doesn't match).
+    */
+  def parseTimes(path: String): Map[String, Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      val re = """"(q\d+[A-Za-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)""".r
+      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Exception => Map.empty }
+
+  /** (probe set, skipped-as-noise, per-query (prev, curr) cold times). */
+  def selectProbes(prev: Map[String, Double], curr: Map[String, Double],
+      known: Set[String]): (Seq[String], Seq[String]) = {
+    val top = curr.filter(kv => known(kv._1)).toSeq.sortBy(-_._2).take(10).map(_._1)
+    val both = curr.keySet.intersect(prev.keySet).filter(known)
+    val moved = both.filter { n =>
+      val (p, c) = (prev(n), curr(n))
+      p > 0 && math.abs(c - p) / p > DriftTrigger
+    }
+    val (drifted, noise) = moved.partition(n => math.max(prev(n), curr(n)) >= NoiseFloorSec)
+    ((top ++ drifted.toSeq.sorted).distinct, noise.toSeq.sorted)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val prevBench = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_r06.json")
+    val currBench = sys.env.getOrElse("SPARK_GRAFT_BENCH_CURR", "BENCH_r07.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,7 +93,14 @@ object WarmProbe {
     spark.sparkContext.setLogLevel("WARN")
     Functions.registerAll(spark)
 
-    val names = if (args.nonEmpty) args.toSeq else DefaultTop
+    val prev = parseTimes(prevBench)
+    val curr = parseTimes(currBench)
+    val known = SparkEntry.queries.keySet
+    val (autoSel, noiseSkipped) =
+      if (curr.isEmpty) (DefaultTop, Nil) else selectProbes(prev, curr, known)
+    val names = if (args.nonEmpty) args.toSeq else autoSel
+    System.err.println(s"[warm] probing ${names.size} queries " +
+      s"(${noiseSkipped.size} sub-${NoiseFloorSec}s drifts skipped as noise)")
 
     def once(name: String): Double = {
       System.gc()
@@ -66,17 +127,28 @@ object WarmProbe {
     }
     val qs = rows.map {
       case (n, Right((runs, med))) =>
-        s""""$n":{"runs":[${runs.map(fmt).mkString(",")}],"median":${fmt(med)}}"""
+        val colds = (prev.get(n), curr.get(n)) match {
+          case (Some(p), Some(c)) =>
+            val d = if (p > 0) (c - p) / p else 0.0
+            s""","cold_prev":${fmt(p)},"cold_curr":${fmt(c)},"cold_delta_pct":${fmt(d * 100)}"""
+          case (_, Some(c)) => s""","cold_curr":${fmt(c)}"""
+          case _ => ""
+        }
+        s""""$n":{"runs":[${runs.map(fmt).mkString(",")}],"median":${fmt(med)}$colds}"""
       case (n, Left(_)) => s""""$n":{"runs":[],"median":-1}"""
     }.mkString("{", ",", "}")
     val medTotal = rows.collect { case (_, Right((_, m))) => m }.sum
+    val skipped = noiseSkipped.map(n => s""""$n"""").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"warm_median_total","value":${fmt(medTotal)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"warm_median_total","value":${fmt(medTotal)},"unit":"sec","queries":$qs,"noise_skipped":$skipped,"bench_prev":"$prevBench","bench_curr":"$currBench","sf":"$sfDir"}"""
     println(line)
-    val outs = Seq("warm_out.json") ++ sys.env.get("SPARK_GRAFT_WARM_OUT")
+    val outs = Seq("target/warm_out.json") ++ sys.env.get("SPARK_GRAFT_WARM_OUT")
     outs.foreach { p =>
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
-      catch { case e: Exception => System.err.println(s"[warm] write $p: $e") }
+      try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(path, line + "\n")
+      } catch { case e: Exception => System.err.println(s"[warm] write $p: $e") }
     }
     spark.stop()
   }

@@ -1975,6 +1975,25 @@ object LlmOps {
     * so partitions stay small; a pathological mega-domain is exactly
     * the thing the cap bounds.
     */
+  /** The URL canonicalizer q138 caps on: lowercase, strip fragment and
+    * query string, strip scheme, strip a leading www./m. subdomain,
+    * strip an explicit default port, strip a trailing slash. The
+    * default-port strip is anchored to the authority (ADVICE r7) — an
+    * unanchored ":(443|80)/" would also rewrite a PATH segment like
+    * "/a:80/x". Entirely map-side codegen'd regexp_replace chain.
+    */
+  def canonicalizeUrl(raw: Column): Column = {
+    val steps: Seq[Column => Column] = Seq(
+      lower,
+      regexp_replace(_, "#.*$", ""),
+      regexp_replace(_, "\\?.*$", ""),
+      regexp_replace(_, "^https?://", ""),
+      regexp_replace(_, "^(www|m)\\.", ""),
+      regexp_replace(_, "^([^/:]+):(443|80)(/.*)?$", "$1$3"),
+      regexp_replace(_, "/$", ""))
+    steps.foldLeft(raw)((c, f) => f(c))
+  }
+
   val q138DomainCap: Q = (s, dir) => {
     val urlCase =
       """CASE doc_id % 4
@@ -1985,13 +2004,7 @@ object LlmOps {
         |END""".stripMargin
     val canon = qualityTable(s, dir)
       .withColumn("raw_url", expr(urlCase))
-      .withColumn("u", lower(col("raw_url")))
-      .withColumn("u", regexp_replace(col("u"), "#.*$", ""))
-      .withColumn("u", regexp_replace(col("u"), "\\?.*$", ""))
-      .withColumn("u", regexp_replace(col("u"), "^https?://", ""))
-      .withColumn("u", regexp_replace(col("u"), "^(www|m)\\.", ""))
-      .withColumn("u", regexp_replace(col("u"), ":(443|80)/", "/"))
-      .withColumn("u", regexp_replace(col("u"), "/$", ""))
+      .withColumn("u", canonicalizeUrl(col("raw_url")))
       .withColumn("domain", regexp_extract(col("u"), "^([^/]+)", 1))
     canon
       .withColumn("rank_in_domain", row_number().over(
@@ -2443,7 +2456,7 @@ object LlmOps {
         |            '\\?.*$$', ''),
         |          '^https?://', ''),
         |        '^(www|m)\\.', ''),
-        |      ':(443|80)/', '/'),
+        |      '^([^/:]+):(443|80)(/.*)?$$', '\\1\\3'),
         |    '/$$', '') AS u FROM u0),
         |r AS (SELECT doc_id, regexp_extract(u, '^([^/]+)', 1) AS domain, u,
         |    quality,

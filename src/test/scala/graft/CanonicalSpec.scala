@@ -64,4 +64,16 @@ class CanonicalSpec extends AnyFunSuite {
     assert(Canonical.cell("a\\nb") == "a\\\\nb")
     assert(Canonical.cell("a\nb") != Canonical.cell("a\\nb"))
   }
+
+  test("structural characters in string cells cannot forge containers") {
+    // ADVICE r7: a text cell literally containing the null sentinel or
+    // array/map/struct delimiters must not render identically to the
+    // real thing — document text can contain anything
+    assert(Canonical.cell("␀") != Canonical.cell(null))
+    assert(Canonical.cell(Seq("a,b")) != Canonical.cell(Seq("a", "b")))
+    assert(Canonical.cell("[a,b]") != Canonical.cell(Seq("a", "b")))
+    assert(Canonical.cell("{a→1}") !=
+      Canonical.cell(scala.collection.immutable.Map("a" -> 1)))
+    assert(Canonical.cell(Row("x,y")) != Canonical.cell(Row("x", "y")))
+  }
 }

@@ -159,4 +159,36 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(r => (r(0).asInstanceOf[Long], r(3).asInstanceOf[Long]))
     assert(got == Seq((1L, 1L), (2L, 0L)))
   }
+
+  // ---- canonicalizeUrl (q138's map-side chain) ----
+
+  test("canonicalizeUrl: default-port strip is anchored to the authority") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq(
+      "HTTPS://WWW.A.Example.COM/a/1/?utm_source=rss",
+      "http://a.example.com/a/1",
+      "https://m.a.example.com/a/1#frag",
+      "https://a.example.com:443/a/1/",
+      "https://a.example.com:80/a/1",
+      "https://a.example.com:443",
+      // ADVICE r7 regression: a PATH segment that looks like a default
+      // port must NOT be rewritten
+      "https://a.example.com/a:80/x",
+      "https://a.example.com:443/a:80/x",
+      // a non-default port is preserved
+      "https://a.example.com:8080/a/1")
+      .toDF("raw").select(LlmOps.canonicalizeUrl(col("raw")).as("u"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "a.example.com/a/1",
+      "a.example.com/a/1",
+      "a.example.com/a/1",
+      "a.example.com/a/1",
+      "a.example.com/a/1",
+      "a.example.com",
+      "a.example.com/a:80/x",
+      "a.example.com/a:80/x",
+      "a.example.com:8080/a/1"))
+  }
 }

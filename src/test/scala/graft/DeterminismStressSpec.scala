@@ -35,6 +35,14 @@ class DeterminismStressSpec extends AnyFunSuite {
       stressed.foreach { name =>
         val q = SparkEntry.queries(name)
         val hashes = Seq("1", "7", "32", "32", "32").map { parts =>
+          // ADVICE r7: without this eviction, SessionCache'd stages
+          // (qualityTable, cluster assignments, canonical minima,
+          // signature caches) build once on the FIRST iteration and
+          // are reused, so for q138/q141/q142 most of the pipeline
+          // would never re-execute under the varied partition setting
+          // — the whole pipeline must rebuild under EACH setting for
+          // the determinism claim to cover it
+          SessionCache.evictAllFor(spark.sparkContext)
           spark.conf.set("spark.sql.shuffle.partitions", parts)
           Canonical.hash(q(spark, dir))
         }
