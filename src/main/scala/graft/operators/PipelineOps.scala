@@ -95,7 +95,23 @@ object PipelineOps {
     * union-inserts keeps the 99% unchanged rows map-side). Manifests
     * are 16 bytes/doc; texts are hashed map-side in their own scans.
     */
-  val q139SnapshotMerge: Q = (s, dir) => {
+  /** q139's standing snapshot: the old manifest as (doc_id, op_applied
+    * = 'kept', text_hash) — also the INITIAL state of the streaming
+    * MERGE (StreamingMergeSpec drives [[applyMergeBatch]] over it).
+    */
+  private[graft] def cdcOldSnapshot(s: SparkSession, dir: String): DataFrame = {
+    graft.Functions.registerAll(s)
+    t(s, dir, "documents").filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), lit("kept").as("op_applied"),
+        expr("stable_hash64(text)").as("text_hash"))
+  }
+
+  /** q139's CDC feed: ONLY rows whose state changed (q87's delta minus
+    * 'unchanged'), as (doc_id, status, new_hash). Materialized once so
+    * the upsert branch and the insert branch both read a flat table
+    * instead of each replaying the manifest full-outer join.
+    */
+  private[graft] def cdcDeltaFeed(s: SparkSession, dir: String): DataFrame = {
     graft.Functions.registerAll(s)
     val docs = t(s, dir, "documents")
     val old = docs.filter(col("doc_id") % 13 =!= 5)
@@ -105,8 +121,7 @@ object PipelineOps {
         when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
           .otherwise(col("text")))
       .select(col("doc_id"), expr("stable_hash64(new_text)").as("new_hash"))
-    // the CDC feed: ONLY rows whose state changed (q87 minus 'unchanged')
-    val delta = old.join(neu, Seq("doc_id"), "full_outer")
+    old.join(neu, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("old_hash").isNull, "added")
           .when(col("new_hash").isNull, "deleted")
@@ -114,25 +129,39 @@ object PipelineOps {
         col("old_hash"), col("new_hash"))
       .filter(col("status") =!= "changed" || col("old_hash") =!= col("new_hash"))
       .select(col("doc_id"), col("status"), col("new_hash"))
-      // |changes|-sized: materialize once so the upsert branch and the
-      // insert branch both read a flat table instead of each replaying
-      // the manifest full-outer join (2 corpus scans saved)
       .materialize(true)
-    // NO broadcast hint: the delta is usually tiny (AQE converts the
-    // join to broadcast at runtime from the materialized size), but a
-    // high-churn merge — effectively a rebuild — must be allowed to
-    // fall back to a shuffle join instead of OOMing a forced build side
-    val upserted = old
+  }
+
+  /** One MERGE application: fold a delta (micro-)batch into a standing
+    * snapshot. This is the EXACT operation q139 runs once over the full
+    * delta and the streaming foreachBatch sink runs once per
+    * micro-batch — sharing the definition is what makes the
+    * streamed-incremental == batch claim about the operator, not about
+    * two lookalike implementations.
+    *
+    * Scale shape: the big side (snapshot) is never shuffled — the delta
+    * side is |changes|-sized; NO broadcast hint (AQE converts the join
+    * to broadcast at runtime from the materialized size, but a
+    * high-churn merge — effectively a rebuild — must be allowed to fall
+    * back to a shuffle join instead of OOMing a forced build side).
+    */
+  private[graft] def applyMergeBatch(snapshot: DataFrame, delta: DataFrame): DataFrame = {
+    val upserted = snapshot
       .join(delta.filter(col("status") =!= "added"), Seq("doc_id"), "left")
       .filter(col("status").isNull || col("status") =!= "deleted")
       .select(col("doc_id"),
-        when(col("status").isNull, "kept").otherwise("updated").as("op_applied"),
-        coalesce(col("new_hash"), col("old_hash")).as("text_hash"))
+        when(col("status").isNull, snapshot("op_applied"))
+          .otherwise("updated").as("op_applied"),
+        coalesce(col("new_hash"), col("text_hash")).as("text_hash"))
     val inserted = delta.filter(col("status") === "added")
       .select(col("doc_id"), lit("inserted").as("op_applied"),
         col("new_hash").as("text_hash"))
-    upserted.unionAll(inserted).orderBy(col("doc_id"))
+    upserted.unionAll(inserted)
   }
+
+  val q139SnapshotMerge: Q = (s, dir) =>
+    applyMergeBatch(cdcOldSnapshot(s, dir), cdcDeltaFeed(s, dir))
+      .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------
   // q88 — deterministic dataset split + shuffle shards

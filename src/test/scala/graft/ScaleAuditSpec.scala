@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison, Literal}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
@@ -28,9 +29,16 @@ class ScaleAuditSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = Engine.session(master = "local[4]")
 
+  /** Flatten an (adaptive) plan to all nodes. Recurse into the AQE
+    * node's INITIAL plan (via executedPlan, which before execution is
+    * the initial plan), not inputPlan: under AQE, EnsureRequirements
+    * runs inside AdaptiveSparkPlanExec, so inputPlan has no
+    * ShuffleExchange nodes yet and the shuffle-budget audit would
+    * count zero everywhere.
+    */
   private def wholePlan(p: SparkPlan): Seq[SparkPlan] =
     p.collect {
-      case a: AdaptiveSparkPlanExec => wholePlan(a.inputPlan)
+      case a: AdaptiveSparkPlanExec => wholePlan(a.executedPlan)
       case other => Seq(other)
     }.flatten
 
@@ -146,5 +154,45 @@ class ScaleAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"broadcast audit violations:\n${offenders.distinct.mkString("\n")}")
+  }
+
+  /** VERDICT r7 item 3: the audits above catch KINDS of bad plans; they
+    * cannot catch a refactor that adds one more full shuffle to an
+    * otherwise-correct shape. Every query's ShuffleExchange count is
+    * therefore pinned in a committed budget table
+    * (src/test/resources/shuffle_budget.tsv). A query planning MORE
+    * exchanges than budgeted fails here and must either fix the plan or
+    * raise its budget in the same commit — a reviewed justification. A
+    * query planning FEWER must lower its budget so the win is kept.
+    * Counts are the AQE INITIAL plan's (pre-runtime-conversion — the
+    * number Catalyst asks for, stable across data sizes); AQE may
+    * convert some to broadcasts at runtime, so the budget is an upper
+    * bound on real shuffles, exactly what a regression gate needs.
+    */
+  test("per-query shuffle-exchange counts stay within the committed budget") {
+    val actual: Seq[(String, Int)] = fleet.map { case (name, nodes) =>
+      name -> nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    }
+    val budgetFile = new java.io.File("src/test/resources/shuffle_budget.tsv")
+    val budget: Map[String, Int] =
+      if (!budgetFile.exists()) Map.empty
+      else scala.io.Source.fromFile(budgetFile, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l => val Array(n, c) = l.split("\t"); n -> c.toInt }.toMap
+    val table = actual.map { case (n, c) => s"$n\t$c" }.mkString("\n")
+    val exceeded = actual.collect {
+      case (n, c) if budget.get(n).exists(c > _) => s"$n: $c > budget ${budget(n)}"
+      case (n, c) if !budget.contains(n) => s"$n: $c (no budget entry)"
+    }
+    val stale = actual.collect {
+      case (n, c) if budget.get(n).exists(c < _) =>
+        s"$n: $c < budget ${budget(n)} (improvement — lower the budget)"
+    }
+    assert(exceeded.isEmpty && stale.isEmpty,
+      s"""shuffle-budget audit violations:
+         |${(exceeded ++ stale).mkString("\n")}
+         |
+         |current counts (paste into src/test/resources/shuffle_budget.tsv):
+         |$table""".stripMargin)
   }
 }
