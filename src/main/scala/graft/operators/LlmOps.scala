@@ -1959,13 +1959,15 @@ object LlmOps {
     * the domain, and keep only the top-[[DomainCap]] docs per domain by
     * quality so no single site dominates the training mix.
     *
-    * The fixture corpus has no URL column, so a raw URL is synthesized
-    * DETERMINISTICALLY from (source, doc_id) in four messy variants
-    * (upper-cased www + utm params / bare http / mobile m. + fragment /
-    * explicit :443 + trailing slash) — all four canonicalize to the
-    * same `{source}.example.com/a/{doc_id}` shape, which is exactly
-    * the property a canonicalizer must deliver. The oracle re-derives
-    * everything, so the regex chain is value-checked end-to-end.
+    * The fixture corpus has no URL column, so a raw URL is attached
+    * DETERMINISTICALLY from [[UrlTemplates]] — 22 hand-curated messy
+    * real-world shapes (VERDICT r7 item 7: tracking params, mobile
+    * subdomains, default and non-default ports, IP hosts, punycode,
+    * userinfo, deep paths, path segments that LOOK like ports, empty
+    * query/fragment tails) over RFC 2606/6761-reserved names only.
+    * The oracle re-derives everything from the same template table, so
+    * the regex chain is value-checked end-to-end on every shape; q144
+    * additionally drives the same URLs through the JSONL ingest path.
     *
     * Scale shape: canonicalization is a map-side regex chain over the
     * (cached, manifest-sized) quality table; the cap is ONE window
@@ -1994,16 +1996,76 @@ object LlmOps {
     steps.foldLeft(raw)((c, f) => f(c))
   }
 
+  /** Hand-curated messy URL shapes (prefix, suffix) wrapped around the
+    * doc_id — the value-check corpus for [[canonicalizeUrl]] (VERDICT
+    * r7 item 7). Every hostname is RFC 2606/6761-reserved (example.*,
+    * .test, .example TLD, localhost, 192.0.2.0/24 TEST-NET-1). The
+    * set deliberately pins LIMITATIONS too: userinfo (template 20) and
+    * non-default ports (9, 17) are preserved, not stripped — the
+    * oracle mirrors the same table, so behavior is checked, not
+    * assumed. Templates 4/5 collapse to one canonical URL across docs
+    * (query-only variation), giving q144 real duplicate groups.
+    */
+  private[graft] val UrlTemplates: Seq[(String, String)] = Seq(
+    ("HTTPS://WWW.News.Example.COM/Politics/2026/story-", "?utm_source=tw&utm_medium=social"),
+    ("http://news.example.com/politics/2026/story-", ""),
+    ("https://m.news.example.com/politics/2026/story-", "#comments"),
+    ("https://news.example.com:443/politics/2026/story-", "/"),
+    ("https://video.example.org/watch?v=clip", "&t=42s"),
+    ("HTTP://Video.Example.ORG/watch?v=clip", ""),
+    ("http://shop.example.net/dp/B0", "/ref=sr_1_1?keywords=mug"),
+    ("https://en.example.org/wiki/Article_", "#History"),
+    ("http://192.0.2.7:80/cgi-bin/view?id=", ""),
+    ("http://192.0.2.7:8080/cgi-bin/view?id=", ""),
+    ("https://blog.example.com/a:80/post-", ""),
+    ("https://www.example.com/search?q=caf%C3%A9&page=", ""),
+    ("https://m.example.net/t/", "?igshid=deadbeef#top"),
+    ("https://sub.deep.example.com/a/b/c/d/e/f/g/h-", "?sessionid=deadbeef"),
+    ("http://www.host-", ".test:80"),
+    ("HTTPS://M.Example.COM:443/Path/With/UPPER-", "#Frag"),
+    ("https://example.com/p/", "?"),
+    ("https://www.example.com/p-", "#"),
+    ("http://localhost:8080/api/v1/items/", ""),
+    ("https://xn--bcher-kva.example/buch-", ""),
+    ("http://user@www.example.com/profile-", ""),
+    ("http://example.net/p//", ""))
+
+  /** raw_url column: template (doc_id % 22) wrapped around the doc_id. */
+  private[graft] def rawUrlCol: Column = {
+    val n = UrlTemplates.size
+    val idx = (col("doc_id") % n).cast("int") + 1
+    concat(
+      element_at(array(UrlTemplates.map(t => lit(t._1)): _*), idx),
+      col("doc_id").cast("string"),
+      element_at(array(UrlTemplates.map(t => lit(t._2)): _*), idx))
+  }
+
+  /** DuckDB mirror of [[rawUrlCol]] (same template table, CASE form). */
+  private[graft] def rawUrlSqlExpr: String =
+    UrlTemplates.zipWithIndex.map { case ((p, sfx), i) =>
+      s"WHEN $i THEN concat('$p', doc_id, '$sfx')"
+    }.mkString(s"CASE doc_id % ${UrlTemplates.size}\n      ",
+      "\n      ", "\n      END")
+
+  /** DuckDB mirror of [[canonicalizeUrl]] as a nested regexp_replace
+    * chain over `inner`.
+    */
+  private[graft] def canonUrlSqlExpr(inner: String): String = {
+    val steps = Seq(
+      ("""#.*$""", ""),
+      ("""\?.*$""", ""),
+      ("""^https?://""", ""),
+      ("""^(www|m)\.""", ""),
+      ("""^([^/:]+):(443|80)(/.*)?$""", """\1\3"""),
+      ("""/$""", ""))
+    steps.foldLeft(s"lower($inner)") { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, '$pat', '$rep')"
+    }
+  }
+
   val q138DomainCap: Q = (s, dir) => {
-    val urlCase =
-      """CASE doc_id % 4
-        | WHEN 0 THEN concat('HTTPS://WWW.', upper(source), '.Example.COM/a/', doc_id, '/?utm_source=rss&utm_id=', doc_id)
-        | WHEN 1 THEN concat('http://', source, '.example.com/a/', doc_id)
-        | WHEN 2 THEN concat('https://m.', source, '.example.com/a/', doc_id, '#frag')
-        | ELSE concat('https://', source, '.example.com:443/a/', doc_id, '/')
-        |END""".stripMargin
     val canon = qualityTable(s, dir)
-      .withColumn("raw_url", expr(urlCase))
+      .withColumn("raw_url", rawUrlCol)
       .withColumn("u", canonicalizeUrl(col("raw_url")))
       .withColumn("domain", regexp_extract(col("u"), "^([^/]+)", 1))
     canon
@@ -2015,6 +2077,52 @@ object LlmOps {
         round(col("quality"), 6).as("quality"),
         col("rank_in_domain").cast("long").as("rank_in_domain"))
       .orderBy(col("domain"), col("rank_in_domain"))
+  }
+
+  /** q144: fixture-real URL canonicalization through the JSONL ingest
+    * path (VERDICT r7 item 7's side-fixture option): the [[UrlTemplates]]
+    * corpus is serialized as a JSONL side-fixture — the wire format a
+    * URL manifest actually arrives in — read back permissively with an
+    * explicit schema (q108's ingest contract), canonicalized with the
+    * SAME [[canonicalizeUrl]] chain q138 caps on, and reduced to the
+    * URL-level dedup verdict a crawler dedup stage emits: the canonical
+    * group size and whether this doc is the group's keeper (min doc_id).
+    * The oracle recomputes everything from the documents table and the
+    * same template table — a hash match proves serialize → parse →
+    * canonicalize → group end-to-end on all 22 messy shapes.
+    *
+    * Scale shape: the JSONL write/read is embarrassingly parallel
+    * (one line per doc, explicit schema — no inference pass); the only
+    * shuffle is the window keyed by url_canon, whose partitions are
+    * duplicate-group-sized (bounded by the worst hub URL, the thing a
+    * dedup report must surface anyway).
+    */
+  val q144UrlIngest: Q = (s, dir) => {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val outDir = {
+      val root = sys.env.getOrElse("GRAFT_JSONL_DIR",
+        s"${System.getProperty("java.io.tmpdir")}/graft_jsonl")
+      val key = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      s"$root/url_fixture_$key"
+    }
+    t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("raw_url", rawUrlCol)
+      .select(to_json(struct(col("doc_id"), col("raw_url"))).as("value"))
+      .write.mode("overwrite").text(outDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("raw_url", StringType)))
+    val parsed = s.read.schema(schema).json(outDir)
+    val w = Window.partitionBy(col("url_canon"))
+    parsed
+      .withColumn("url_canon", canonicalizeUrl(col("raw_url")))
+      .withColumn("domain", regexp_extract(col("url_canon"), "^([^/]+)", 1))
+      .withColumn("n_same_canon", count(lit(1)).over(w))
+      .withColumn("is_url_canonical",
+        (col("doc_id") === min(col("doc_id")).over(w)).cast("bigint"))
+      .select(col("doc_id"), col("domain"), col("url_canon"),
+        col("n_same_canon"), col("is_url_canonical"))
+      .orderBy(col("doc_id"))
   }
 
   /** q140: per-label embedding-centroid drift between corpus snapshots
@@ -2169,6 +2277,7 @@ object LlmOps {
     "q86_incremental_neardup" -> q86IncrementalNearDup,
     "q137_index_maintenance" -> q137IndexMaintenance,
     "q138_domain_cap" -> q138DomainCap,
+    "q144_url_ingest" -> q144UrlIngest,
     "q140_embedding_drift" -> q140EmbeddingDrift,
     "q141_curation_pipeline" -> q141CurationPipeline,
     "q142_dedup_report" -> q142DedupReport,
@@ -2439,25 +2548,9 @@ object LlmOps {
         |ORDER BY o.label""".stripMargin,
     "q138_domain_cap" ->
       s"""WITH ${qualityOracleCteD("q", Seq("source"))},
-        |u0 AS (SELECT doc_id, quality,
-        |  CASE doc_id % 4
-        |    WHEN 0 THEN concat('HTTPS://WWW.', upper(source), '.Example.COM/a/', doc_id, '/?utm_source=rss&utm_id=', doc_id)
-        |    WHEN 1 THEN concat('http://', source, '.example.com/a/', doc_id)
-        |    WHEN 2 THEN concat('https://m.', source, '.example.com/a/', doc_id, '#frag')
-        |    ELSE concat('https://', source, '.example.com:443/a/', doc_id, '/')
-        |  END AS raw_url FROM q),
+        |u0 AS (SELECT doc_id, quality, $rawUrlSqlExpr AS raw_url FROM q),
         |c AS (SELECT doc_id, quality,
-        |  regexp_replace(
-        |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(
-        |          regexp_replace(
-        |            regexp_replace(lower(raw_url), '#.*$$', ''),
-        |            '\\?.*$$', ''),
-        |          '^https?://', ''),
-        |        '^(www|m)\\.', ''),
-        |      '^([^/:]+):(443|80)(/.*)?$$', '\\1\\3'),
-        |    '/$$', '') AS u FROM u0),
+        |  ${canonUrlSqlExpr("raw_url")} AS u FROM u0),
         |r AS (SELECT doc_id, regexp_extract(u, '^([^/]+)', 1) AS domain, u,
         |    quality,
         |    row_number() OVER (PARTITION BY regexp_extract(u, '^([^/]+)', 1)
@@ -2467,6 +2560,15 @@ object LlmOps {
         |  CAST(rank_in_domain AS BIGINT) AS rank_in_domain
         |FROM r WHERE rank_in_domain <= $DomainCap
         |ORDER BY domain, rank_in_domain""".stripMargin,
+    "q144_url_ingest" ->
+      s"""WITH u0 AS (SELECT doc_id, $rawUrlSqlExpr AS raw_url FROM documents),
+        |c AS (SELECT doc_id, ${canonUrlSqlExpr("raw_url")} AS url_canon FROM u0)
+        |SELECT doc_id, regexp_extract(url_canon, '^([^/]+)', 1) AS domain,
+        |  url_canon,
+        |  CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT) AS n_same_canon,
+        |  CAST(doc_id = min(doc_id) OVER (PARTITION BY url_canon) AS BIGINT)
+        |    AS is_url_canonical
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q137_index_maintenance" ->
       s"""WITH oldt AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 != 5),
         |newt AS (SELECT doc_id,

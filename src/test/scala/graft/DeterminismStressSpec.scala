@@ -27,7 +27,9 @@ class DeterminismStressSpec extends AnyFunSuite {
     // shapes whose ties COULD be partitioning-sensitive if a tie-break
     // were ever dropped
     "q137_index_maintenance", "q138_domain_cap", "q139_snapshot_merge",
-    "q141_curation_pipeline", "q142_dedup_report", "q143_contribution_cap")
+    "q141_curation_pipeline", "q142_dedup_report", "q143_contribution_cap",
+    // round-8: JSONL round-trip + url_canon-keyed window (group minima)
+    "q144_url_ingest")
 
   test("canonical hashes stable across reruns and shuffle-partition settings") {
     val baselinePartitions = spark.conf.get("spark.sql.shuffle.partitions")
