@@ -315,6 +315,9 @@ object Scalars {
         .toAggregateExpression()), "built-in")
     r.createOrReplaceTempFunction("union_find",
       checked("union_find", 2)(es => UnionFindAgg(es(0), es(1)).toAggregateExpression()), "built-in")
+    r.createOrReplaceTempFunction("kmv_sample",
+      checked("kmv_sample", 2)(es => KmvSample(es(0), sqlLitInt(es(1), "kmv_sample k"))
+        .toAggregateExpression()), "built-in")
   }
 
   /** Arity guard for SQL-registry builders: a wrong-argument-count call

@@ -363,7 +363,85 @@ object IndexOps {
       .orderBy(col("set_name"))
   }
 
+  // ---------------------------------------------------------------
+  // q146 — KMV-sample quantile estimation (grouped, mergeable)
+  // ---------------------------------------------------------------
+
+  /** q146 sample size (per group). */
+  val KmvQK = 128
+  /** q146 probe quantiles (name → probability). */
+  val KmvQProbs: Seq[(String, Double)] =
+    Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+
+  /** q146: grouped quantile ESTIMATION from a KMV bottom-k sample —
+    * the mergeable rank sketch q119's distinct counter extends to: the
+    * k smallest stable-hashed distinct values per group are a uniform
+    * sample of the group's value domain, so the sample's empirical
+    * quantiles estimate the distinct-value quantiles. Unlike GK / KLL /
+    * t-digest — whose compactions depend on partial-buffer merge order,
+    * which Spark does not fix across runs — the bottom-k sample is a
+    * pure set function of the data ([[graft.functions.KmvSample]]), so
+    * the ESTIMATES themselves are deterministic and value-checked by
+    * the oracle (`QUALIFY row_number() OVER (ORDER BY h, v) <= k`),
+    * not just bounded by a tolerance flag (contrast q32's HLL).
+    *
+    * Estimator: for probability p over a sorted m-sample, take index
+    * floor(p·(m−1)) — the same rule applied to the full sorted
+    * distinct-value set gives the exact baseline reported next to it.
+    *
+    * Scale shape (q32 pattern): ONE distinct shuffle of (group, value)
+    * feeds both sides. The exact baseline then fully sorts each group's
+    * distinct values (the cost a sketch exists to avoid — kept as the
+    * in-query ground truth); the KMV side is the scale path: k-sized
+    * trees per group per task, map-side partial aggregation, k rows
+    * per group on the shuffle. Values are centified to BIGINT so no
+    * float ever enters the sample or the hash.
+    */
+  val q146KmvQuantiles: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val li = t(s, dir, "lineitem")
+    val dv = li
+      .filter(col("l_extendedprice").isNotNull)
+      .select(
+        coalesce(col("l_returnflag"), lit("?")).as("returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      .distinct()
+      .withColumn("hv",
+        expr(LlmOps.hashS("concat('kq:', CAST(v AS STRING))")))
+    val ranked = dv
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("returnflag").orderBy("v")))
+      .withColumn("d", count(lit(1)).over(Window.partitionBy("returnflag")))
+    val exactAggs =
+      max(col("d")).as("n_distinct") +:
+        KmvQProbs.map { case (nm, p) =>
+          max(when(col("rn") - 1 === floor(lit(p) * (col("d") - 1)), col("v")))
+            .as(s"exact_$nm")
+        }
+    val exact = ranked.groupBy(col("returnflag"))
+      .agg(exactAggs.head, exactAggs.tail: _*)
+    val estCols =
+      Seq(col("returnflag"), size(col("sample")).cast("long").as("sample_size")) ++
+        KmvQProbs.map { case (nm, p) =>
+          element_at(col("sample"),
+            (floor(lit(p) * (size(col("sample")) - 1)) + 1).cast("int"))
+            .as(s"kmv_$nm")
+        }
+    val est = dv.groupBy(col("returnflag"))
+      .agg(graft.functions.KmvSample
+        .kmv_sample(struct(col("hv"), col("v")), KmvQK).as("sample"))
+      .select(estCols: _*)
+    val outCols =
+      Seq(col("returnflag"), col("n_distinct"), col("sample_size")) ++
+        KmvQProbs.map(p => col(s"exact_${p._1}")) ++
+        KmvQProbs.map(p => col(s"kmv_${p._1}"))
+    exact.join(est, Seq("returnflag"))
+      .select(outCols: _*)
+      .orderBy(col("returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q146_kmv_quantiles" -> q146KmvQuantiles,
     "q119_kmv_sketch" -> q119KmvSketch,
     "q95_heavy_hitters" -> q95HeavyHitters,
     "q123_cms_sketch" -> q123CmsSketch,
@@ -393,6 +471,36 @@ object IndexOps {
        |FROM (SELECT max(u) AS uk, count(*) AS kk FROM $sk)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q146_kmv_quantiles" -> {
+      val h = LlmOps.hashD("concat('kq:', CAST(v AS VARCHAR))")
+      def probe(prefix: String, idxCol: String, nCol: String): String =
+        KmvQProbs.map { case (nm, p) =>
+          s"max(CASE WHEN $idxCol - 1 = CAST(floor($p * ($nCol - 1)) AS BIGINT) THEN v END) AS ${prefix}_$nm"
+        }.mkString(",\n        ")
+      s"""WITH dv AS (SELECT DISTINCT coalesce(l_returnflag, '?') AS returnflag,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |h AS (SELECT returnflag, v, $h AS hv FROM dv),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY returnflag ORDER BY v) AS rn,
+        |        row_number() OVER (PARTITION BY returnflag ORDER BY hv, v) AS hr,
+        |        count(*) OVER (PARTITION BY returnflag) AS d
+        |      FROM h),
+        |ex AS (SELECT returnflag, max(d) AS n_distinct,
+        |        ${probe("exact", "rn", "d")}
+        |       FROM r GROUP BY 1),
+        |sr AS (SELECT returnflag, v,
+        |        row_number() OVER (PARTITION BY returnflag ORDER BY v) AS sv,
+        |        count(*) OVER (PARTITION BY returnflag) AS m
+        |       FROM r WHERE hr <= $KmvQK),
+        |es AS (SELECT returnflag, max(m) AS sample_size,
+        |        ${probe("kmv", "sv", "m")}
+        |       FROM sr GROUP BY 1)
+        |SELECT returnflag, n_distinct, sample_size,
+        |  exact_p50, exact_p90, exact_p99, kmv_p50, kmv_p90, kmv_p99
+        |FROM ex JOIN es USING (returnflag)
+        |ORDER BY returnflag""".stripMargin
+    },
     "q119_kmv_sketch" -> {
       val h = LlmOps.hashD("'kmv:' || key")
       s"""WITH pk AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS key FROM lineitem),

@@ -395,9 +395,19 @@ object LlmOps {
         nMatch.as("n_match"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6).as("j"))
+      // avg over the 6-dp-rounded j's in FIXED POINT: a double sum's
+      // accumulation order differs between engines, and at sf0.1 one
+      // group's quotient lands exactly on a 6-dp rounding boundary
+      // (0.0158785) — the 1-ulp order difference flipped the hashed
+      // text. Summing exact integers (j is already 6-dp, so j*1e6 is
+      // an integer) makes the single final division identical on both
+      // sides (ORACLE_DIALECT float-parity rule: exactness → scaled
+      // integers).
+      .withColumn("jfx", round(col("j") * lit(1000000.0)).cast("long"))
       .groupBy(col("n_match"))
       .agg(count(lit(1)).as("n_pairs"),
-        round(sum(col("j")) / count(lit(1)), 6).as("avg_jaccard"),
+        round((sum(col("jfx")).cast("double") / lit(1000000.0)) /
+          count(lit(1)), 6).as("avg_jaccard"),
         min(col("j")).as("min_jaccard"), max(col("j")).as("max_jaccard"))
       .orderBy(col("n_match"))
   }
@@ -2273,7 +2283,180 @@ object LlmOps {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------
+  // q145 — exact-substring duplicated spans (stride-1 window dedup)
+  // ---------------------------------------------------------------
+
+  /** q145: rolling-window width in tokens — the minimum duplicated
+    * substring length the scan detects (the fixture analogue of the
+    * 50-token threshold in suffix-array training-data dedup; fixture
+    * docs run ~25–60 tokens, so 8 keeps real positives).
+    */
+  val SpanWindow = 8
+
+  /** q145: EXACT-substring duplicated-span coverage — the dedup family
+    * member q44/q82 do not cover: q44 hashes whole documents and q82
+    * hashes fixed aligned passages, so a duplicated paragraph that
+    * starts mid-passage (quote reuse, syndication, template frames) is
+    * invisible to both. Here every stride-1 [[SpanWindow]]-token window
+    * is content-hashed; windows whose hash occurs ≥2 times corpus-wide
+    * (either document) are duplicated; per document, overlapping or
+    * touching duplicated windows merge into MAXIMAL spans — the
+    * islands-and-gaps interval union — and the report carries span
+    * count, duplicated-token coverage, and the longest span: exactly
+    * the per-doc statistics a remove-duplicated-substrings pass keys
+    * off (cf. suffix-array exact-substring dedup, which this
+    * reproduces for matches ≥ [[SpanWindow]] tokens).
+    *
+    * Scale shape: window hashing is map-side (one codegen'd transform
+    * per doc, W-token slices); the corpus-wide duplicate test shuffles
+    * ONLY 8-byte hashes with map-side partial counts — the same
+    * O(corpus tokens) a distributed suffix array pays, with no text on
+    * the wire. The span merge is a per-document window (partitions
+    * bounded by document length), and the join back to duplicated
+    * hashes is an equi-join AQE can re-balance; no step materializes
+    * pairs or text.
+    */
+  val q145SubstringSpans: Q = (s, dir) => {
+    val base = docsTok(s, dir)
+      .withColumn("n_tokens", size(col("tok")).cast("long"))
+      .filter(col("n_tokens") >= 1)
+    // stride-1 windows; the n >= W guard matters: Spark sequence(1, 0)
+    // generates a DESCENDING sequence, not an empty one
+    val wins = base.filter(col("n_tokens") >= SpanWindow)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(tok) - ${SpanWindow - 1}), " +
+            s"i -> stable_hash64(concat_ws(' ', slice(tok, i, $SpanWindow))))")))
+      .toDF("doc_id", "start0", "whash")
+    val dup = wins.groupBy(col("whash"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("whash"))
+    val dwins = wins.join(dup, Seq("whash"))
+    // interval union per doc: a window starting at or before the
+    // running max end touches/overlaps the open span; else new span
+    val wDoc = Window.partitionBy("doc_id").orderBy("start0")
+    val spans = dwins
+      .withColumn("e", col("start0") + SpanWindow)
+      .withColumn("new_span",
+        (col("start0") > coalesce(
+          max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-1))).cast("bigint"))
+      .withColumn("span_id",
+        sum(col("new_span")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val perSpan = spans.groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("start0")).as("s0"), max(col("e")).as("e1"),
+        count(lit(1)).as("nw"))
+    val perDoc = perSpan.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e1") - col("s0")).cast("long").as("covered_tokens"),
+        max(col("e1") - col("s0")).cast("long").as("longest_span"),
+        sum(col("nw")).as("n_dup_windows"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .withColumn("n_windows",
+        greatest(col("n_tokens") - (SpanWindow - 1), lit(0L)))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_frac"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // q147 — all-pairs similarity join with prefix filtering
+  // ---------------------------------------------------------------
+
+  /** q147: Jaccard threshold as a rational num/den — every filter in
+    * the pipeline stays in exact integer arithmetic (τ = 1/2). */
+  val AllPairsTauNum = 1
+  val AllPairsTauDen = 2
+  /** q147: df cut as a rational — tokens present in more than
+    * num/den of the corpus (20%) are excluded from the similarity
+    * universe. Standard stop-token removal for all-pairs joins: a
+    * token in n/5 documents contributes O(n²) candidate pairs and
+    * ~zero similarity signal.
+    */
+  val AllPairsMaxDfNum = 1
+  val AllPairsMaxDfDen = 5
+
+  /** q147: EXACT all-pairs Jaccard join via prefix filtering (the
+    * AllPairs/PPJoin family) — the deterministic-recall complement to
+    * q45's MinHash LSH: LSH trades false negatives for speed; prefix
+    * filtering guarantees every pair with J ≥ τ survives candidate
+    * generation. Tokens are globally ordered by ascending document
+    * frequency (rarest first, ties by token); a document's PREFIX is
+    * its first |d| − ⌈τ·|d|⌉ + 1 tokens in that order, and any pair
+    * with J ≥ τ must share a prefix token (if the intersection avoided
+    * a's prefix it would fit inside a suffix of ⌈τ·|a|⌉ − 1 < ⌈τ·|a|⌉ ≤
+    * |a∩b| tokens). Candidates additionally pass the length filter
+    * den·min(|a|,|b|) ≥ num·max(|a|,|b|), then verify with an exact
+    * intersection count.
+    *
+    * The oracle is deliberately INDEPENDENT of the optimization: it
+    * joins on every shared token with no prefix or length filter, so a
+    * hash match proves the prefix filter dropped no qualifying pair —
+    * the no-false-negative property, value-checked corpus-wide.
+    *
+    * Scale shape: candidate pairs are generated only from prefix
+    * tokens — by construction the RAREST tokens of each document — and
+    * the df cut bounds any single token's postings at n·num/den, so
+    * the candidate join is an equi-join on skew-bounded keys (the
+    * ubiquitous tokens that would quadratically blow up a naive
+    * shared-token join never reach it). Per-doc prefix ranking is a
+    * document-length-bounded window; verification touches candidate
+    * pairs only, carrying token arrays for just those rows.
+    */
+  val q147AllPairsSimilarity: Q = (s, dir) => {
+    val docsArr = docsTok(s, dir)
+      .select(col("doc_id"), array_distinct(col("tok")).as("ts"))
+    val toks = docsArr.select(col("doc_id"), explode(col("ts")).as("token"))
+    val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nd = docsArr.agg(count(lit(1)).as("nd"))
+    val keep = dfreq.crossJoin(nd)
+      .filter(col("df") * AllPairsMaxDfDen <= col("nd") * AllPairsMaxDfNum)
+      .select(col("token"), col("df"))
+    val kept = toks.join(keep, Seq("token"))
+    val sized = kept
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("token").asc)))
+      .withColumn("ceil_tau", expr(
+        s"(sz * $AllPairsTauNum + ${AllPairsTauDen - 1}) div $AllPairsTauDen"))
+    val prefix = sized.filter(col("rk") <= col("sz") - col("ceil_tau") + 1)
+      .select(col("token"), col("doc_id"), col("sz"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) * AllPairsTauDen >=
+            greatest(col("a.sz"), col("b.sz")) * AllPairsTauNum)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val keptArr = kept.groupBy(col("doc_id"))
+      .agg(collect_list(col("token")).as("kt"))
+    cand
+      .join(keptArr.select(col("doc_id").as("doc_a"), col("kt").as("ta")),
+        Seq("doc_a"))
+      .join(keptArr.select(col("doc_id").as("doc_b"), col("kt").as("tb")),
+        Seq("doc_b"))
+      .withColumn("sz_a", size(col("ta")).cast("long"))
+      .withColumn("sz_b", size(col("tb")).cast("long"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("inter") * (AllPairsTauNum + AllPairsTauDen) >=
+        (col("sz_a") + col("sz_b")) * AllPairsTauNum)
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q145_substring_spans" -> q145SubstringSpans,
+    "q147_allpairs_similarity" -> q147AllPairsSimilarity,
     "q86_incremental_neardup" -> q86IncrementalNearDup,
     "q137_index_maintenance" -> q137IndexMaintenance,
     "q138_domain_cap" -> q138DomainCap,
@@ -2469,6 +2652,58 @@ object LlmOps {
        |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q145_substring_spans" ->
+      s"""WITH b AS (SELECT doc_id, $toksD AS tok FROM documents),
+        |base AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens, tok
+        |         FROM b WHERE len(tok) >= 1),
+        |w AS (SELECT doc_id, r.i AS start0,
+        |        ${hashD(s"array_to_string(list_slice(tok, r.i + 1, r.i + $SpanWindow), ' ')")} AS whash
+        |      FROM base, LATERAL unnest(range(0, n_tokens - ${SpanWindow - 1})) AS r(i)),
+        |d AS (SELECT whash FROM w GROUP BY whash HAVING count(*) >= 2),
+        |dw AS (SELECT w.doc_id, w.start0 FROM w JOIN d USING (whash)),
+        |m AS (SELECT doc_id, start0, start0 + $SpanWindow AS e,
+        |        max(start0 + $SpanWindow) OVER (PARTITION BY doc_id ORDER BY start0
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM dw),
+        |g AS (SELECT *, CAST(start0 > coalesce(pmax, -1) AS BIGINT) AS new_span FROM m),
+        |sid AS (SELECT *, sum(new_span) OVER (PARTITION BY doc_id ORDER BY start0
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM g),
+        |sp AS (SELECT doc_id, span_id, min(start0) AS s0, max(e) AS e1, count(*) AS nw
+        |       FROM sid GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, count(*) AS n_spans, sum(e1 - s0) AS covered,
+        |         max(e1 - s0) AS longest, sum(nw) AS ndw FROM sp GROUP BY 1)
+        |SELECT base.doc_id, n_tokens,
+        |  greatest(n_tokens - ${SpanWindow - 1}, 0) AS n_windows,
+        |  CAST(coalesce(ndw, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+        |  round(CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens, 6) AS dup_frac,
+        |  CAST(coalesce(longest, 0) AS BIGINT) AS longest_span
+        |FROM base LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q147_allpairs_similarity" ->
+      // deliberately INDEPENDENT of the prefix-filter optimization:
+      // joins every shared informative token with no prefix or length
+      // filter, so a hash match proves no-false-negatives corpus-wide
+      s"""WITH t0 AS (SELECT doc_id, unnest(list_distinct($toksD)) AS token
+        |       FROM documents),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |df AS (SELECT token, count(*) AS df FROM t0 GROUP BY token),
+        |keep AS (SELECT token FROM df, nd
+        |         WHERE df.df * $AllPairsMaxDfDen <= nd.nd * $AllPairsMaxDfNum),
+        |t AS (SELECT doc_id, token FROM t0 JOIN keep USING (token)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM t a JOIN t b ON a.token = b.token AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, sa.sz AS sz_a, sb.sz AS sz_b, inter
+        |      FROM p JOIN sz sa ON sa.doc_id = doc_a
+        |             JOIN sz sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, sz_a, sz_b, inter,
+        |  round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6) AS jaccard
+        |FROM j
+        |WHERE inter * ${AllPairsTauNum + AllPairsTauDen} >= $AllPairsTauNum * (sz_a + sz_b)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q142_dedup_report" ->
       s"""WITH RECURSIVE $simhashPairCtesD,
         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3),
@@ -2915,11 +3150,14 @@ object LlmOps {
         |    round(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
         |      / len(list_distinct(a.shd || b.shd)), 6) AS j
         |  FROM sig a JOIN sig b ON a.lang = b.lang AND b.doc_id > a.doc_id
-        |    AND b.doc_id - a.doc_id <= $CalibWindow)
+        |    AND b.doc_id - a.doc_id <= $CalibWindow),
+        |pf AS (SELECT n_match, j,
+        |         CAST(round(j * 1000000.0) AS BIGINT) AS jfx FROM p)
         |SELECT n_match, count(*) AS n_pairs,
-        |  round(sum(j) / count(*), 6) AS avg_jaccard,
+        |  round((CAST(sum(jfx) AS DOUBLE) / 1000000.0) / count(*), 6)
+        |    AS avg_jaccard,
         |  min(j) AS min_jaccard, max(j) AS max_jaccard
-        |FROM p GROUP BY n_match ORDER BY n_match""".stripMargin,
+        |FROM pf GROUP BY n_match ORDER BY n_match""".stripMargin,
     "q130_corpus_entropy" ->
       s"""WITH sw AS (SELECT source, unnest($toksD) AS w FROM documents),
         |uc AS (SELECT source, w, count(*) AS c FROM sw GROUP BY 1, 2),

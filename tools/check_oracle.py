@@ -193,7 +193,7 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     tmp_dir = tempfile.mkdtemp(prefix="oracle_rt_")
     con = duckdb.connect()
     for t in TABLES:
@@ -201,6 +201,17 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = 0
+    report = {}
+
+    def record(name, *, rows_match=False, schema_match=False,
+               value_match=False, type_class_ok=False,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "value_match": value_match, "type_class_ok": type_class_ok,
+            "spark_rows": spark_rows, "oracle_rows": oracle_rows,
+            "err": err}
+
     for name in sorted(oracles):
         sql = oracles[name]
         try:
@@ -209,6 +220,7 @@ def main(sf_dir, out_dir):
             exp_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            record(name, err=f"oracle error: {e}")
             failures += 1
             continue
         try:
@@ -217,10 +229,14 @@ def main(sf_dir, out_dir):
             got_rows = got.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
+            record(name, oracle_rows=len(exp_rows),
+                   err=f"spark output unreadable: {e}")
             failures += 1
             continue
         if sorted(exp_cols) != sorted(got_cols):
             print(f"FAIL {name}: columns exp={sorted(exp_cols)} got={sorted(got_cols)}")
+            record(name, spark_rows=len(got_rows), oracle_rows=len(exp_rows),
+                   err="schema mismatch")
             failures += 1
             continue
         # reorder got columns to oracle order
@@ -229,6 +245,8 @@ def main(sf_dir, out_dir):
         if len(exp_rows) != len(got_rows):
             print(f"FAIL {name}: rowcount exp={len(exp_rows)} got={len(got_rows)}")
             print(emit_oracle_sidecar(name, exp_cols, exp_rows, out_dir))
+            record(name, schema_match=True, spark_rows=len(got_rows),
+                   oracle_rows=len(exp_rows), err="rowcount mismatch")
             failures += 1
             continue
         bad = None
@@ -239,19 +257,36 @@ def main(sf_dir, out_dir):
         if bad:
             print(f"FAIL {name}: first diff at row {bad[0]}:\n  exp={bad[1]}\n  got={bad[2]}")
             print(emit_oracle_sidecar(name, exp_cols, exp_rows, out_dir))
+            record(name, schema_match=True, rows_match=True,
+                   spark_rows=len(got_rows), oracle_rows=len(exp_rows),
+                   err=f"value mismatch at row {bad[0]}")
             failures += 1
             continue
         drift = roundtrip_type_drift(con, name, sql, out_dir, tmp_dir)
         if drift:
             print(f"FAIL {name}: type-class drift (driver would hash-mismatch): "
                   + ", ".join(f"{c} oracle={a} spark={b}" for c, a, b in drift))
+            record(name, schema_match=True, rows_match=True, value_match=True,
+                   spark_rows=len(got_rows), oracle_rows=len(exp_rows),
+                   err="type-class drift: "
+                       + ", ".join(f"{c} oracle={a} spark={b}" for c, a, b in drift))
             failures += 1
         else:
             print(f"OK   {name}: {len(exp_rows)} rows")
+            record(name, schema_match=True, rows_match=True, value_match=True,
+                   type_class_ok=True, spark_rows=len(got_rows),
+                   oracle_rows=len(exp_rows))
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'} "
           f"({len(oracles)} queries)")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": report,
+                       "n_queries": len(oracles), "n_failures": failures},
+                      f, indent=1, sort_keys=True)
+        print(f"report written to {json_out}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
