@@ -105,23 +105,49 @@ object Engine {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Load one fixture table from an sf directory. The events table's
-    * TIMESTAMP(NANOS) column arrives as a nanos long (see session
-    * config) and is truncated to a micros timestamp — the same
-    * conversion DuckDB applies when reading TIMESTAMP_NS parquet.
+    * `ts` column has shipped as two different physical types across
+    * fixture generations, so dispatch on the LOADED schema rather than
+    * assuming either one:
+    *   - TIMESTAMP(NANOS): arrives as a nanos long (see nanosAsLong
+    *     session config) and is floor-truncated to a micros timestamp —
+    *     the same conversion DuckDB applies when reading TIMESTAMP_NS.
+    *   - TIMESTAMP_NTZ(MICROS): cast to the session-zone TimestampType
+    *     (session is pinned UTC, so the wall-clock micros are preserved
+    *     exactly — DuckDB reads the same naive micros).
+    *   - TimestampType: pass through unchanged.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      // FLOOR division (div truncates toward zero): pre-epoch nanos
-      // must round down to match DuckDB's ns→µs conversion
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(
-            "ts div 1000 + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")))
+      df.schema("ts").dataType match {
+        case LongType =>
+          // FLOOR division (div truncates toward zero): pre-epoch nanos
+          // must round down to match DuckDB's ns→µs conversion
+          df.withColumn("ts", timestamp_micros(
+            expr("ts div 1000 + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     else df
   }
 
-  /** Register every fixture table as a temp view (for spark.sql paths). */
+  /** Register every fixture table as a temp view (for spark.sql paths).
+    *
+    * A table whose load fails (missing file, unreadable schema) is
+    * skipped with a warning instead of aborting the whole registration:
+    * one bad fixture must only break its own query family, never
+    * unrelated queries that reference none of its columns.
+    */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    tableNames.foreach { n =>
+      try table(spark, sfDir, n).createOrReplaceTempView(n)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"graft: skipping view '$n' ($sfDir/$n.parquet failed to load: ${e.getMessage})")
+      }
+    }
 }
