@@ -146,7 +146,7 @@ object Engine {
       try table(spark, sfDir, n).createOrReplaceTempView(n)
       catch {
         case scala.util.control.NonFatal(e) =>
-          System.err.println(
+          Console.err.println(
             s"graft: skipping view '$n' ($sfDir/$n.parquet failed to load: ${e.getMessage})")
       }
     }

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture-loading resilience (VERDICT r8 items 1–2).
+  *
+  * The driver regenerates the fixture parquet between rounds and has
+  * already shipped the events `ts` column as two different physical
+  * types (TIMESTAMP(NANOS)-as-long, then TIMESTAMP_NTZ(MICROS)). These
+  * tests pin the two contracts that keep a regen from redding the
+  * board:
+  *   1. `Engine.table` dispatches on the LOADED schema, so either
+  *      generation produces the same session-UTC TimestampType column
+  *      with identical instants.
+  *   2. `Engine.registerViews` survives one broken table: queries that
+  *      never touch it must still run.
+  */
+class EngineResilienceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session(master = "local[4]")
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** Build a fixture dir mirroring sfDir with `poison` replaced by a
+    * non-parquet file (load throws at read time).
+    */
+  private def poisonedDir(poison: String): String = {
+    val dir = Files.createTempDirectory("graft_poison_").toFile
+    dir.deleteOnExit()
+    Engine.tableNames.foreach { n =>
+      val dst = Paths.get(dir.getPath, s"$n.parquet")
+      if (n == poison) Files.writeString(dst, "not a parquet file")
+      else Files.createSymbolicLink(dst, Paths.get(sfDir, s"$n.parquet"))
+    }
+    dir.getPath
+  }
+
+  test("table: events ts loads as session-UTC TimestampType from the current fixture") {
+    val events = Engine.table(spark, sfDir, "events")
+    assert(events.schema("ts").dataType == TimestampType)
+    assert(events.count() > 0)
+  }
+
+  test("table: nanos-as-long generation converts with floor division (pre-epoch safe)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_nanos_").toFile
+    dir.deleteOnExit()
+    // 1500 ns -> 1 µs; -1500 ns must floor to -2 µs (not truncate to -1)
+    Seq(1500L, -1500L, 0L).toDF("ts")
+      .write.mode("overwrite").parquet(s"${dir.getPath}/events.parquet")
+    val raw = spark.read.parquet(s"${dir.getPath}/events.parquet")
+    assert(raw.schema("ts").dataType == LongType)
+    val converted = Engine.table(spark, dir.getPath, "events")
+    assert(converted.schema("ts").dataType == TimestampType)
+    val micros = converted
+      .select(org.apache.spark.sql.functions.unix_micros($"ts"))
+      .as[Long].collect().sorted
+    assert(micros.toSeq == Seq(-2L, 0L, 1L))
+  }
+
+  test("registerViews: one poisoned table degrades only its own family") {
+    val dir = poisonedDir("events")
+    val err = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(err)) {
+      Engine.registerViews(spark, dir)
+    }
+    try {
+      assert(err.toString.contains("skipping view 'events'"))
+      // unrelated SQL-path queries still run against the other 9 views
+      assert(spark.sql("SELECT count(*) AS n FROM region").collect()(0).getLong(0) == 5L)
+      assert(spark.sql(
+        "SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+      ).collect()(0).getLong(0) > 0L)
+      // the poisoned family fails alone
+      intercept[Exception](spark.sql("SELECT count(*) FROM events").collect())
+    } finally Engine.registerViews(spark, sfDir) // restore for other suites
+  }
+}
