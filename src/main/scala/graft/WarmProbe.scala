@@ -53,11 +53,19 @@ object WarmProbe {
   /** Regex-extract `"qNN_name":seconds` pairs from a driver bench file
     * (tolerates the driver's truncated-tail storage — a half-visible
     * first pair simply doesn't match).
+    *
+    * The driver's BENCH_r{N}.json embeds the bench stdout as a JSON
+    * string field ("tail"), so the pairs arrive quote-ESCAPED
+    * (`\"q45\":0.450`); unescape before matching — without this the
+    * regex matched zero pairs on every driver artifact and the
+    * delta-trigger silently fell back to the static top-10 (the reason
+    * round 8 published no drift probes).
     */
   def parseTimes(path: String): Map[String, Double] =
     try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+        .replace("\\\"", "\"")
       val re = """"(q\d+[A-Za-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)""".r
       re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Exception => Map.empty }
@@ -78,8 +86,15 @@ object WarmProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val prevBench = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_r06.json")
-    val currBench = sys.env.getOrElse("SPARK_GRAFT_BENCH_CURR", "BENCH_r07.json")
+    // default: the two most recent driver bench artifacts in cwd (they
+    // sort lexicographically by round), overridable per env var
+    val benches = Option(new java.io.File(".").listFiles())
+      .map(_.map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted.toSeq)
+      .getOrElse(Nil)
+    val prevBench = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+      benches.dropRight(1).lastOption.getOrElse("BENCH_r06.json"))
+    val currBench = sys.env.getOrElse("SPARK_GRAFT_BENCH_CURR",
+      benches.lastOption.getOrElse("BENCH_r07.json"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
