@@ -2334,25 +2334,12 @@ object LlmOps {
       .filter(col("cnt") >= 2)
       .select(col("whash"))
     val dwins = wins.join(dup, Seq("whash"))
-    // interval union per doc: a window starting at or before the
-    // running max end touches/overlaps the open span; else new span
-    val wDoc = Window.partitionBy("doc_id").orderBy("start0")
-    val spans = dwins
-      .withColumn("e", col("start0") + SpanWindow)
-      .withColumn("new_span",
-        (col("start0") > coalesce(
-          max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(-1))).cast("bigint"))
-      .withColumn("span_id",
-        sum(col("new_span")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
-    val perSpan = spans.groupBy(col("doc_id"), col("span_id"))
-      .agg(min(col("start0")).as("s0"), max(col("e")).as("e1"),
-        count(lit(1)).as("nw"))
-    val perDoc = perSpan.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("e1") - col("s0")).cast("long").as("covered_tokens"),
-        max(col("e1") - col("s0")).cast("long").as("longest_span"),
-        sum(col("nw")).as("n_dup_windows"))
+    // interval union per doc (shared with q149's decontamination):
+    // a window starting at or before the running max end
+    // touches/overlaps the open span; else new span
+    val perDoc = SimilarityJoin.spanUnion(
+        dwins.select(col("doc_id"), col("start0")), SpanWindow)
+      .withColumnRenamed("n_hit_windows", "n_dup_windows")
     base.select(col("doc_id"), col("n_tokens"))
       .withColumn("n_windows",
         greatest(col("n_tokens") - (SpanWindow - 1), lit(0L)))
@@ -2411,52 +2398,131 @@ object LlmOps {
     * document-length-bounded window; verification touches candidate
     * pairs only, carrying token arrays for just those rows.
     */
-  val q147AllPairsSimilarity: Q = (s, dir) => {
-    val docsArr = docsTok(s, dir)
-      .select(col("doc_id"), array_distinct(col("tok")).as("ts"))
-    val toks = docsArr.select(col("doc_id"), explode(col("ts")).as("token"))
-    val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val nd = docsArr.agg(count(lit(1)).as("nd"))
-    val keep = dfreq.crossJoin(nd)
-      .filter(col("df") * AllPairsMaxDfDen <= col("nd") * AllPairsMaxDfNum)
-      .select(col("token"), col("df"))
-    val kept = toks.join(keep, Seq("token"))
-    val sized = kept
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df").asc, col("token").asc)))
-      .withColumn("ceil_tau", expr(
-        s"(sz * $AllPairsTauNum + ${AllPairsTauDen - 1}) div $AllPairsTauDen"))
-    val prefix = sized.filter(col("rk") <= col("sz") - col("ceil_tau") + 1)
-      .select(col("token"), col("doc_id"), col("sz"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.token") === col("b.token") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.sz"), col("b.sz")) * AllPairsTauDen >=
-            greatest(col("a.sz"), col("b.sz")) * AllPairsTauNum)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val keptArr = kept.groupBy(col("doc_id"))
-      .agg(collect_list(col("token")).as("kt"))
-    cand
-      .join(keptArr.select(col("doc_id").as("doc_a"), col("kt").as("ta")),
-        Seq("doc_a"))
-      .join(keptArr.select(col("doc_id").as("doc_b"), col("kt").as("tb")),
-        Seq("doc_b"))
-      .withColumn("sz_a", size(col("ta")).cast("long"))
-      .withColumn("sz_b", size(col("tb")).cast("long"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .filter(col("inter") * (AllPairsTauNum + AllPairsTauDen) >=
-        (col("sz_a") + col("sz_b")) * AllPairsTauNum)
-      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"), col("inter"),
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+  val q147AllPairsSimilarity: Q = (s, dir) =>
+    SimilarityJoin.allPairs(docsTok(s, dir), "doc_id", "tok",
+        AllPairsTauNum, AllPairsTauDen, AllPairsMaxDfNum, AllPairsMaxDfDen)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---------------------------------------------------------------
+  // q148 — the same prefix-filtered join at a second τ / df point
+  // ---------------------------------------------------------------
+
+  /** q148: τ = 2/3 — a strictly tighter threshold than q147's 1/2,
+    * so the prefix is shorter (fewer candidates) and the survivor set
+    * smaller. */
+  val AllPairsHiTauNum = 2
+  val AllPairsHiTauDen = 3
+  /** q148: df cut 1/4 — tighter stop-token removal than q147's 1/5. */
+  val AllPairsHiMaxDfNum = 1
+  val AllPairsHiMaxDfDen = 4
+
+  /** q148: [[SimilarityJoin.allPairs]] at (τ=2/3, df≤1/4) — proves the
+    * PARAMETERIZATION of the promoted operator, not just the single
+    * point q147 pinned: the prefix length ⌈τ·|d|⌉, the length filter,
+    * and the final verification all change with τ, and the df universe
+    * changes with the cut, so a hash match against the filter-free
+    * oracle value-checks the operator's no-false-negative property at
+    * a second (τ, df) coordinate.
+    */
+  val q148AllPairsTau: Q = (s, dir) =>
+    SimilarityJoin.allPairs(docsTok(s, dir), "doc_id", "tok",
+        AllPairsHiTauNum, AllPairsHiTauDen,
+        AllPairsHiMaxDfNum, AllPairsHiMaxDfDen)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---------------------------------------------------------------
+  // q150 — delta-vs-corpus all-pairs similarity join
+  // ---------------------------------------------------------------
+
+  /** q150: one doc in DeltaSplitMod (residue 1) plays the crawl delta. */
+  val DeltaSplitMod = 5
+
+  /** q150: [[SimilarityJoin.allPairsBetween]] — the incremental-service
+    * shape of q147: a hash-derived 20% "crawl delta" joined against the
+    * standing 80% corpus at the SAME (τ=1/2, df≤1/5) coordinate, so
+    * only the pair universe changes. Global df stats span both sides
+    * (as a production index would maintain them), and the oracle joins
+    * every cross-side shared token with no prefix or length filter —
+    * a hash match value-checks that restricting candidate generation
+    * to cross-side prefixes drops no qualifying (standing, delta) pair.
+    *
+    * Scale shape: candidate probes are O(|Δ-prefix| · postings) instead
+    * of the self-join's O(n²) universe; the delta side broadcasts when
+    * a real daily delta ≪ corpus.
+    */
+  val q150DeltaSimilarity: Q = (s, dir) =>
+    SimilarityJoin.allPairsBetween(
+        docsTok(s, dir).withColumn("is_delta",
+          pmod(expr(hashS("CAST(doc_id AS STRING)")), lit(DeltaSplitMod)) === 1),
+        "doc_id", "tok", "is_delta",
+        AllPairsTauNum, AllPairsTauDen, AllPairsMaxDfNum, AllPairsMaxDfDen)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---------------------------------------------------------------
+  // q149 — span-level cross-split decontamination
+  // ---------------------------------------------------------------
+
+  /** q149: one doc in EvalSplitMod lands in the held-out split. */
+  val EvalSplitMod = 10
+
+  /** q149: n-gram decontamination of a training corpus against a
+    * held-out evaluation split — the industry-standard pre-training
+    * hygiene pass (flag every training document that contains a
+    * verbatim [[SpanWindow]]-token span from any eval document). The
+    * split is hash-derived (stable_hash64(doc_id) mod [[EvalSplitMod]])
+    * so both engines compute it identically with no fixture change.
+    *
+    * Reuses q145's machinery end-to-end: the same stride-1 window
+    * hashing produces both sides' window sets, and
+    * [[SimilarityJoin.spanUnion]] merges contaminated windows into
+    * maximal spans per training doc. Output: one row per TRAINING doc
+    * with window/span/coverage stats (zeros when clean).
+    *
+    * Scale shape: identical to q145 — only (doc_id, start, 8-byte
+    * hash) tuples shuffle; the eval window set is distinct-deduped
+    * before the join (its size is bounded by the eval split's token
+    * count); span merging is a doc-bounded window. At 100 TB the eval
+    * side is typically benchmark suites (tiny) — the semi-join then
+    * broadcasts.
+    */
+  val q149SpanDecontaminate: Q = (s, dir) => {
+    val base = docsTok(s, dir)
+      .withColumn("n_tokens", size(col("tok")).cast("long"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("is_eval",
+        pmod(expr(hashS("CAST(doc_id AS STRING)")), lit(EvalSplitMod)) === 0)
+    val wins = base.filter(col("n_tokens") >= SpanWindow)
+      .select(col("doc_id"), col("is_eval"),
+        posexplode(expr(
+          s"transform(sequence(1, size(tok) - ${SpanWindow - 1}), " +
+            s"i -> stable_hash64(concat_ws(' ', slice(tok, i, $SpanWindow))))")))
+      .toDF("doc_id", "is_eval", "start0", "whash")
+    val evalSet = wins.filter(col("is_eval")).select(col("whash")).distinct()
+    val hits = wins.filter(!col("is_eval"))
+      .join(evalSet, Seq("whash"))
+      .select(col("doc_id"), col("start0"))
+    val perDoc = SimilarityJoin.spanUnion(hits, SpanWindow)
+      .withColumnRenamed("n_hit_windows", "n_contam_windows")
+    base.filter(!col("is_eval")).select(col("doc_id"), col("n_tokens"))
+      .withColumn("n_windows",
+        greatest(col("n_tokens") - (SpanWindow - 1), lit(0L)))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_contam_windows"), lit(0L)).as("n_contam_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("contam_frac"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, Q] = Map(
     "q145_substring_spans" -> q145SubstringSpans,
     "q147_allpairs_similarity" -> q147AllPairsSimilarity,
+    "q148_allpairs_tau" -> q148AllPairsTau,
+    "q149_span_decontaminate" -> q149SpanDecontaminate,
+    "q150_delta_similarity" -> q150DeltaSimilarity,
     "q86_incremental_neardup" -> q86IncrementalNearDup,
     "q137_index_maintenance" -> q137IndexMaintenance,
     "q138_domain_cap" -> q138DomainCap,
@@ -2704,6 +2770,88 @@ object LlmOps {
         |FROM j
         |WHERE inter * ${AllPairsTauNum + AllPairsTauDen} >= $AllPairsTauNum * (sz_a + sz_b)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q148_allpairs_tau" ->
+      // same filter-free oracle shape as q147 at the second (τ, df)
+      // coordinate — a hash match value-checks the operator's
+      // no-false-negative property under the changed parameters
+      s"""WITH t0 AS (SELECT doc_id, unnest(list_distinct($toksD)) AS token
+        |       FROM documents),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |df AS (SELECT token, count(*) AS df FROM t0 GROUP BY token),
+        |keep AS (SELECT token FROM df, nd
+        |         WHERE df.df * $AllPairsHiMaxDfDen <= nd.nd * $AllPairsHiMaxDfNum),
+        |t AS (SELECT doc_id, token FROM t0 JOIN keep USING (token)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM t a JOIN t b ON a.token = b.token AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, sa.sz AS sz_a, sb.sz AS sz_b, inter
+        |      FROM p JOIN sz sa ON sa.doc_id = doc_a
+        |             JOIN sz sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, sz_a, sz_b, inter,
+        |  round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6) AS jaccard
+        |FROM j
+        |WHERE inter * ${AllPairsHiTauNum + AllPairsHiTauDen} >= $AllPairsHiTauNum * (sz_a + sz_b)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q150_delta_similarity" ->
+      // filter-free cross-side oracle: every shared informative token
+      // between a standing doc and a delta doc, no prefix/length filter
+      s"""WITH t0 AS (SELECT doc_id, unnest(list_distinct($toksD)) AS token
+        |       FROM documents),
+        |d0 AS (SELECT doc_id,
+        |         (${hashD("doc_id::VARCHAR")} % $DeltaSplitMod = 1) AS is_b
+        |       FROM documents),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |df AS (SELECT token, count(*) AS df FROM t0 GROUP BY token),
+        |keep AS (SELECT token FROM df, nd
+        |         WHERE df.df * $AllPairsMaxDfDen <= nd.nd * $AllPairsMaxDfNum),
+        |t AS (SELECT doc_id, token FROM t0 JOIN keep USING (token)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM t a JOIN d0 da ON da.doc_id = a.doc_id AND NOT da.is_b
+        |           JOIN t b ON a.token = b.token
+        |           JOIN d0 db ON db.doc_id = b.doc_id AND db.is_b
+        |      GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, sa.sz AS sz_a, sb.sz AS sz_b, inter
+        |      FROM p JOIN sz sa ON sa.doc_id = doc_a
+        |             JOIN sz sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, sz_a, sz_b, inter,
+        |  round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6) AS jaccard
+        |FROM j
+        |WHERE inter * ${AllPairsTauNum + AllPairsTauDen} >= $AllPairsTauNum * (sz_a + sz_b)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q149_span_decontaminate" ->
+      s"""WITH b AS (SELECT doc_id, $toksD AS tok FROM documents),
+        |base AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens, tok,
+        |           (${hashD("doc_id::VARCHAR")} % $EvalSplitMod = 0) AS is_eval
+        |         FROM b WHERE len(tok) >= 1),
+        |w AS (SELECT doc_id, is_eval, r.i AS start0,
+        |        ${hashD(s"array_to_string(list_slice(tok, r.i + 1, r.i + $SpanWindow), ' ')")} AS whash
+        |      FROM base, LATERAL unnest(range(0, n_tokens - ${SpanWindow - 1})) AS r(i)),
+        |ev AS (SELECT DISTINCT whash FROM w WHERE is_eval),
+        |dw AS (SELECT w.doc_id, w.start0 FROM w JOIN ev USING (whash)
+        |       WHERE NOT w.is_eval),
+        |m AS (SELECT doc_id, start0, start0 + $SpanWindow AS e,
+        |        max(start0 + $SpanWindow) OVER (PARTITION BY doc_id ORDER BY start0
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM dw),
+        |g AS (SELECT *, CAST(start0 > coalesce(pmax, -1) AS BIGINT) AS new_span FROM m),
+        |sid AS (SELECT *, sum(new_span) OVER (PARTITION BY doc_id ORDER BY start0
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM g),
+        |sp AS (SELECT doc_id, span_id, min(start0) AS s0, max(e) AS e1, count(*) AS nw
+        |       FROM sid GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, count(*) AS n_spans, sum(e1 - s0) AS covered,
+        |         max(e1 - s0) AS longest, sum(nw) AS ncw FROM sp GROUP BY 1)
+        |SELECT base.doc_id, n_tokens,
+        |  greatest(n_tokens - ${SpanWindow - 1}, 0) AS n_windows,
+        |  CAST(coalesce(ncw, 0) AS BIGINT) AS n_contam_windows,
+        |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+        |  round(CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens, 6) AS contam_frac,
+        |  CAST(coalesce(longest, 0) AS BIGINT) AS longest_span
+        |FROM base LEFT JOIN pd USING (doc_id)
+        |WHERE NOT is_eval
+        |ORDER BY doc_id""".stripMargin,
     "q142_dedup_report" ->
       s"""WITH RECURSIVE $simhashPairCtesD,
         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3),

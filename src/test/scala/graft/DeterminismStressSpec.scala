@@ -29,7 +29,12 @@ class DeterminismStressSpec extends AnyFunSuite {
     "q137_index_maintenance", "q138_domain_cap", "q139_snapshot_merge",
     "q141_curation_pipeline", "q142_dedup_report", "q143_contribution_cap",
     // round-8: JSONL round-trip + url_canon-keyed window (group minima)
-    "q144_url_ingest")
+    "q144_url_ingest",
+    // round-9: the parameterized all-pairs join (distinct + candidate
+    // dedup + prefix ranking windows) and the cross-split span
+    // decontamination (hash semi-join + running-max span window)
+    "q148_allpairs_tau", "q149_span_decontaminate",
+    "q150_delta_similarity")
 
   test("canonical hashes stable across reruns and shuffle-partition settings") {
     val baselinePartitions = spark.conf.get("spark.sql.shuffle.partitions")
