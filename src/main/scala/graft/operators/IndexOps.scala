@@ -156,6 +156,61 @@ object IndexOps {
   }
 
   // ---------------------------------------------------------------
+  // q151 — phrase search over positional postings
+  // ---------------------------------------------------------------
+
+  /** q151's fixed benchmark phrase (present in the synthetic corpus at
+    * every scale factor — the fixture vocabulary is closed). */
+  val PhraseTerms = Seq("big", "order", "scan")
+
+  /** q151: exact phrase search — the positional-index complement to
+    * q97's document-level postings and q80's bag-of-words BM25: find
+    * every document containing the three [[PhraseTerms]] ADJACENTLY,
+    * with occurrence count and first match position.
+    *
+    * Engine path: positional postings (token, doc_id, position),
+    * filtered to the query terms BEFORE any shuffle (in a standing
+    * index this is the term-key lookup; here the filter prunes the
+    * exploded scan the same way), then ONE per-doc aggregation pivots
+    * the three terms' position lists, and the adjacency check is pure
+    * array arithmetic: positions p where p ∈ P₁, p+1 ∈ P₂, p+2 ∈ P₃ —
+    * computed as P₁ ∩ (P₂−1) ∩ (P₃−2) with no join back to the text.
+    *
+    * The oracle is deliberately INDEPENDENT of the index formulation:
+    * it rescans each document's token array directly (tok[i..i+2] ==
+    * phrase), so a hash match proves the postings pivot + offset
+    * intersection finds exactly the occurrences a sequential scan does.
+    *
+    * Scale shape: only (doc_id, pos) pairs for the THREE query terms
+    * ever shuffle — corpus text dies in the scan; the per-doc groups
+    * are term-frequency-bounded. A standing positional index would
+    * equi-join on the term key instead of re-exploding; the post-lookup
+    * algebra is identical.
+    */
+  val q151PhraseSearch: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val Seq(w1, w2, w3) = PhraseTerms
+    val pos = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(expr(LlmOps.toksS)))
+      .toDF("doc_id", "pos", "token")
+      .filter(col("token").isin(PhraseTerms: _*))
+    val byDoc = pos.groupBy(col("doc_id"))
+      .agg(
+        collect_list(when(col("token") === w1, col("pos"))).as("p1"),
+        collect_list(when(col("token") === w2, col("pos"))).as("p2"),
+        collect_list(when(col("token") === w3, col("pos"))).as("p3"))
+    byDoc
+      .withColumn("occ", array_intersect(
+        array_intersect(col("p1"), expr("transform(p2, x -> x - 1)")),
+        expr("transform(p3, x -> x - 2)")))
+      .filter(size(col("occ")) > 0)
+      .select(col("doc_id"),
+        size(col("occ")).cast("long").as("n_occ"),
+        array_min(col("occ")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
   // q98 — blocked fuzzy join (dirty-record linkage)
   // ---------------------------------------------------------------
 
@@ -446,6 +501,7 @@ object IndexOps {
     "q95_heavy_hitters" -> q95HeavyHitters,
     "q123_cms_sketch" -> q123CmsSketch,
     "q97_inverted_index" -> q97InvertedIndex,
+    "q151_phrase_search" -> q151PhraseSearch,
     "q98_fuzzy_join" -> q98FuzzyJoin,
     "q99_bpe_pairs" -> q99BpePairs,
     "q100_skew_report" -> q100SkewReport)
@@ -568,6 +624,21 @@ object IndexOps {
         |    list_slice(list(doc_id || ':' || tf ORDER BY doc_id), 1, $PostingsCap),
         |    ',') AS postings
         |FROM tf GROUP BY token ORDER BY token""".stripMargin,
+    "q151_phrase_search" -> {
+      // deliberately INDEPENDENT of the positional-index formulation:
+      // rescan each token array directly for the adjacent phrase
+      val Seq(w1, w2, w3) = PhraseTerms
+      s"""WITH b AS (SELECT doc_id, $toksD AS tok FROM documents),
+        |occ AS (SELECT doc_id,
+        |          list_filter(range(1, len(tok) - 1),
+        |            i -> tok[i] = '$w1' AND tok[i + 1] = '$w2'
+        |                 AND tok[i + 2] = '$w3') AS hits
+        |        FROM b)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_occ,
+        |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
+        |FROM occ WHERE len(hits) > 0
+        |ORDER BY doc_id""".stripMargin
+    },
     "q98_fuzzy_join" ->
       s"""WITH dirty AS (
         |  SELECT p_partkey AS part_id,

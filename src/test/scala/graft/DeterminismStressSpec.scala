@@ -34,7 +34,7 @@ class DeterminismStressSpec extends AnyFunSuite {
     // dedup + prefix ranking windows) and the cross-split span
     // decontamination (hash semi-join + running-max span window)
     "q148_allpairs_tau", "q149_span_decontaminate",
-    "q150_delta_similarity")
+    "q150_delta_similarity", "q151_phrase_search")
 
   test("canonical hashes stable across reruns and shuffle-partition settings") {
     val baselinePartitions = spark.conf.get("spark.sql.shuffle.partitions")
