@@ -138,14 +138,17 @@ class DedupSketchSpec extends AnyFunSuite {
   /** Brute-force reference: every shared-token pair, no prefix/length
     * filter — the same definition the DuckDB oracle uses, here as the
     * in-JVM property check that the prefix filter loses no pair.
+    * Parameterized over (τ, df cut) so q147's and q148's coordinates
+    * share one reference.
     */
-  private def bruteForcePairs(dir: String): Set[(Long, Long, Long)] = {
+  private def bruteForcePairs(dir: String, tauNum: Int, tauDen: Int,
+      dfNum: Int, dfDen: Int): Set[(Long, Long, Long)] = {
     val docs = Engine.table(spark, dir, "documents")
       .select(col("doc_id"), array_distinct(expr(LlmOps.toksS)).as("ts"))
     val toks = docs.select(col("doc_id"), explode(col("ts")).as("token"))
     val nd = docs.count()
     val keep = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .filter(col("df") * LlmOps.AllPairsMaxDfDen <= lit(nd) * LlmOps.AllPairsMaxDfNum)
+      .filter(col("df") * dfDen <= lit(nd) * dfNum)
       .select(col("token"))
     val kept = toks.join(keep, Seq("token"))
     val sz = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -156,12 +159,16 @@ class DedupSketchSpec extends AnyFunSuite {
     inter
       .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .filter(col("inter") * (LlmOps.AllPairsTauNum + LlmOps.AllPairsTauDen) >=
-        (col("sz_a") + col("sz_b")) * LlmOps.AllPairsTauNum)
+      .filter(col("inter") * (tauNum + tauDen) >=
+        (col("sz_a") + col("sz_b")) * tauNum)
       .select(col("doc_a"), col("doc_b"), col("inter"))
       .collect().toSet.map { r: org.apache.spark.sql.Row =>
         (r.getLong(0), r.getLong(1), r.getLong(2)) }
   }
+
+  private def bruteForcePairs(dir: String): Set[(Long, Long, Long)] =
+    bruteForcePairs(dir, LlmOps.AllPairsTauNum, LlmOps.AllPairsTauDen,
+      LlmOps.AllPairsMaxDfNum, LlmOps.AllPairsMaxDfDen)
 
   test("q147: prefix filtering drops no qualifying pair (vs brute force, sf0.001)") {
     val dir = "/root/testdata/sf0.001"
@@ -173,6 +180,43 @@ class DedupSketchSpec extends AnyFunSuite {
     assert(got == expected,
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
     assert(got.nonEmpty, "fixture should contain near-dup pairs above tau")
+  }
+
+  test("q148: prefix filtering drops no qualifying pair at (tau=2/3, df<=1/4)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = LlmOps.q148AllPairsTau(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("inter"))
+      .collect().toSet.map { r: org.apache.spark.sql.Row =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)) }
+    val expected = bruteForcePairs(dir,
+      LlmOps.AllPairsHiTauNum, LlmOps.AllPairsHiTauDen,
+      LlmOps.AllPairsHiMaxDfNum, LlmOps.AllPairsHiMaxDfDen)
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(got.nonEmpty)
+  }
+
+  test("q150: cross-side join equals the self-join restricted to cross pairs") {
+    val dir = "/root/testdata/sf0.001"
+    // delta membership mirrors q150's hash-derived split
+    val deltaIds = Engine.table(spark, dir, "documents")
+      .select(col("doc_id"))
+      .filter(pmod(expr(LlmOps.hashS("CAST(doc_id AS STRING)")),
+        lit(LlmOps.DeltaSplitMod)) === 1)
+      .collect().map(_.getLong(0)).toSet
+    val got = LlmOps.q150DeltaSimilarity(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("inter"))
+      .collect().toSet.map { r: org.apache.spark.sql.Row =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)) }
+    // every emitted pair is (standing, delta)
+    assert(got.forall { case (a, b, _) => !deltaIds(a) && deltaIds(b) })
+    val expected = bruteForcePairs(dir).collect {
+      case (a, b, i) if deltaIds(a) != deltaIds(b) =>
+        if (deltaIds(b)) (a, b, i) else (b, a, i)
+    }
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(got.nonEmpty, "the hash split should produce cross-side pairs")
   }
 
   test("q147: identical docs pair at jaccard 1.0; disjoint docs never pair") {
