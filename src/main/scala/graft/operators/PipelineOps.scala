@@ -451,6 +451,65 @@ object PipelineOps {
   }
 
   // ---------------------------------------------------------------
+  // q152 — population-stability drift between snapshots
+  // ---------------------------------------------------------------
+
+  /** q152: distribution drift between two corpus snapshots via the
+    * population stability index — the standard production drift alarm
+    * (PSI = Σ (p_new − p_old)·ln(p_new/p_old) per column), completing
+    * the monitoring trio: q103 profiles ONE snapshot, q140 watches the
+    * embedding space, this watches tabular distributions ACROSS
+    * snapshots (q87's old/new membership derivation). Columns: lang
+    * and source as categorical buckets, n_chars in fixed 500-wide
+    * bins. One row per (column, bucket) with both counts, shares, and
+    * the PSI contribution, plus the column-level PSI total.
+    *
+    * Determinism: shares are exact long-count ratios; each PSI term is
+    * rounded to 6 dp BEFORE the column total, and the total sums the
+    * rounded terms as DECIMAL(18,6) — float accumulation order can
+    * never flip the output, so the oracle value-checks the totals
+    * (window-sum ordering over doubles would be partition-order
+    * dependent). The 1e-6 clamp is the standard PSI smoothing for
+    * buckets present in only one snapshot.
+    *
+    * Scale shape: ONE pass — membership flags are row-local arithmetic
+    * on doc_id, the 3-way explode carries (column, bucket, two 0/1
+    * flags) only, and the single aggregation is map-side combinable on
+    * (column, bucket); the per-column totals window partitions on the
+    * bounded bucket domain, never the corpus.
+    */
+  val q152ProfileDrift: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val exploded = docs.select(
+        (col("doc_id") % 13 =!= 5).cast("bigint").as("in_old"),
+        (col("doc_id") % 11 =!= 7).cast("bigint").as("in_new"),
+        explode(array(
+          struct(lit("lang").as("c"), col("lang").as("b")),
+          struct(lit("source").as("c"), col("source").as("b")),
+          struct(lit("n_chars").as("c"),
+            concat(lit("b"), expr("(n_chars div 500) * 500")).as("b")))).as("cb"))
+      .select(col("cb.c").as("column"), col("cb.b").as("bucket"),
+        col("in_old"), col("in_new"))
+    val counts = exploded.groupBy(col("column"), col("bucket"))
+      .agg(sum(col("in_old")).as("n_old"), sum(col("in_new")).as("n_new"))
+    val w = Window.partitionBy("column")
+    counts
+      .withColumn("p_old", greatest(
+        col("n_old").cast("double") / sum(col("n_old")).over(w), lit(1e-6)))
+      .withColumn("p_new", greatest(
+        col("n_new").cast("double") / sum(col("n_new")).over(w), lit(1e-6)))
+      .withColumn("psi_term", round(
+        (col("p_new") - col("p_old")) * log(col("p_new") / col("p_old")), 6))
+      .select(col("column"), col("bucket"), col("n_old"), col("n_new"),
+        round(col("p_old"), 6).as("p_old"),
+        round(col("p_new"), 6).as("p_new"),
+        col("psi_term"),
+        sum(col("psi_term").cast(DecimalType(18, 6))).over(w)
+          .cast("double").as("column_psi"))
+      .orderBy(col("column"), col("bucket"))
+  }
+
+  // ---------------------------------------------------------------
   // q106 — incremental aggregate maintenance (CDC-driven view refresh)
   // ---------------------------------------------------------------
 
@@ -810,7 +869,8 @@ object PipelineOps {
     "q92_rolling_features" -> q92RollingFeatures,
     "q101_engagement" -> q101Engagement,
     "q102_integrity_audit" -> q102IntegrityAudit,
-    "q103_column_profile" -> q103ColumnProfile)
+    "q103_column_profile" -> q103ColumnProfile,
+    "q152_profile_drift" -> q152ProfileDrift)
 
   // ---- DuckDB oracle dialect fragments ----
 
@@ -1076,5 +1136,34 @@ object PipelineOps {
              |  count(DISTINCT $c),
              |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
              |FROM lineitem""".stripMargin
-        }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")))
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
+    "q152_profile_drift" ->
+      s"""WITH f AS (SELECT lang, source, n_chars,
+        |         CAST(doc_id % 13 != 5 AS BIGINT) AS in_old,
+        |         CAST(doc_id % 11 != 7 AS BIGINT) AS in_new
+        |       FROM documents),
+        |e AS (
+        |  SELECT 'lang' AS col_name, lang AS bucket, in_old, in_new FROM f
+        |  UNION ALL
+        |  SELECT 'source', source, in_old, in_new FROM f
+        |  UNION ALL
+        |  SELECT 'n_chars', 'b' || CAST((n_chars // 500) * 500 AS VARCHAR),
+        |    in_old, in_new FROM f),
+        |c AS (SELECT col_name, bucket, CAST(sum(in_old) AS BIGINT) AS n_old,
+        |        CAST(sum(in_new) AS BIGINT) AS n_new
+        |      FROM e GROUP BY 1, 2),
+        |p AS (SELECT *,
+        |        greatest(CAST(n_old AS DOUBLE) /
+        |          sum(n_old) OVER (PARTITION BY col_name), 1e-6) AS p_old,
+        |        greatest(CAST(n_new AS DOUBLE) /
+        |          sum(n_new) OVER (PARTITION BY col_name), 1e-6) AS p_new
+        |      FROM c),
+        |t AS (SELECT *,
+        |        round((p_new - p_old) * ln(p_new / p_old), 6) AS psi_term
+        |      FROM p)
+        |SELECT col_name AS "column", bucket, n_old, n_new,
+        |  round(p_old, 6) AS p_old, round(p_new, 6) AS p_new, psi_term,
+        |  CAST(sum(CAST(psi_term AS DECIMAL(18, 6)))
+        |    OVER (PARTITION BY col_name) AS DOUBLE) AS column_psi
+        |FROM t ORDER BY "column", bucket""".stripMargin)
 }

@@ -34,7 +34,10 @@ class DeterminismStressSpec extends AnyFunSuite {
     // dedup + prefix ranking windows) and the cross-split span
     // decontamination (hash semi-join + running-max span window)
     "q148_allpairs_tau", "q149_span_decontaminate",
-    "q150_delta_similarity", "q151_phrase_search")
+    "q150_delta_similarity", "q151_phrase_search",
+    // q152's column_psi sums ROUNDED decimal terms precisely so float
+    // accumulation order cannot leak into the hash — stress that claim
+    "q152_profile_drift")
 
   test("canonical hashes stable across reruns and shuffle-partition settings") {
     val baselinePartitions = spark.conf.get("spark.sql.shuffle.partitions")
