@@ -156,6 +156,72 @@ object IndexOps {
   }
 
   // ---------------------------------------------------------------
+  // q153 — time-bucketed KMV sketch rollup
+  // ---------------------------------------------------------------
+
+  /** q153 sketch size (per time bucket). Small enough that sf0.001's
+    * 15 users under-fill it and sf0.1's 1500 overflow it — both code
+    * paths of the estimator are exercised across the gate's SFs.
+    */
+  val KmvRollupK = 64
+
+  /** q153: mergeable-sketch RE-AGGREGATION over time — the production
+    * pattern q119's set algebra implies but doesn't exercise: store a
+    * tiny per-DAY sketch of active users, answer WEEK and MONTH
+    * distinct-user questions by merging stored sketches, never
+    * rescanning raw events. For bottom-k sketches the rollup is exact
+    * by construction: any of a scope's k smallest user hashes is also
+    * among its own day's k smallest (fewer than k smaller hashes exist
+    * scope-wide, hence day-wide), so bottom-k(∪ daily sketches) ==
+    * bottom-k(scope) and the merged estimate EQUALS the direct one —
+    * the query emits both plus the equality flag, and the oracle
+    * value-checks all three (a broken merge can't hide: the flag rows
+    * would flip).
+    *
+    * Scale shape: raw events die at the per-(day, user) distinct; daily
+    * sketches are k-row windows over day partitions; every scope
+    * estimate reads k-row sketch tables only. At 100 TB the daily
+    * sketches are the STORED artifact (a few KB/day) and month-level
+    * questions never touch the raw corpus — re-aggregation without
+    * rescan is the entire point of mergeable sketches.
+    */
+  val q153SketchRollup: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val dayUsers = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .withColumn("u",
+        expr(LlmOps.hashS("concat('kru:', CAST(user_id AS STRING))"))
+          .cast("double") / lit(1152921504606846976.0)) // 2^60
+    // stored artifact: per-day bottom-k sketch
+    val daily = dayUsers
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("day").orderBy(col("u").asc)))
+      .filter(col("rk") <= KmvRollupK)
+      .select(col("day"), col("u"))
+    def scoped(df: DataFrame): DataFrame = df
+      .select(col("u"), explode(array(lit("month"),
+        concat(lit("week_"), expr("(dayofmonth(day) - 1) div 7")))).as("scope"))
+      .select(col("scope"), col("u")).distinct()
+    def bottomK(df: DataFrame, est: String): DataFrame = df
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("scope").orderBy(col("u").asc)))
+      .filter(col("rk") <= KmvRollupK)
+      .groupBy(col("scope"))
+      .agg(round((count(lit(1)) - 1).cast("double") / max(col("u")), 2).as(est))
+    val merged = bottomK(scoped(daily), "n_est_merged")
+    val direct = bottomK(scoped(dayUsers), "n_est_direct")
+    val exact = scoped(dayUsers).groupBy(col("scope"))
+      .agg(count(lit(1)).as("n_exact"))
+    exact.join(merged, Seq("scope")).join(direct, Seq("scope"))
+      .select(col("scope"), col("n_exact"),
+        col("n_est_merged"), col("n_est_direct"),
+        (col("n_est_merged") === col("n_est_direct"))
+          .cast("bigint").as("rollup_exact"))
+      .orderBy(col("scope"))
+  }
+
+  // ---------------------------------------------------------------
   // q151 — phrase search over positional postings
   // ---------------------------------------------------------------
 
@@ -502,6 +568,7 @@ object IndexOps {
     "q123_cms_sketch" -> q123CmsSketch,
     "q97_inverted_index" -> q97InvertedIndex,
     "q151_phrase_search" -> q151PhraseSearch,
+    "q153_sketch_rollup" -> q153SketchRollup,
     "q98_fuzzy_join" -> q98FuzzyJoin,
     "q99_bpe_pairs" -> q99BpePairs,
     "q100_skew_report" -> q100SkewReport)
@@ -638,6 +705,35 @@ object IndexOps {
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM occ WHERE len(hits) > 0
         |ORDER BY doc_id""".stripMargin
+    },
+    "q153_sketch_rollup" -> {
+      val h = LlmOps.hashD("'kru:' || CAST(user_id AS VARCHAR)")
+      s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |h AS (SELECT d, CAST($h AS DOUBLE) / 1152921504606846976.0 AS u FROM du),
+        |daily AS (SELECT d, u FROM (
+        |  SELECT d, u, row_number() OVER (PARTITION BY d ORDER BY u) AS rk FROM h)
+        |  WHERE rk <= $KmvRollupK),
+        |sm AS (SELECT DISTINCT s.scope, u FROM daily, LATERAL unnest(
+        |  ['month', 'week_' || CAST((EXTRACT(day FROM d) - 1) // 7 AS VARCHAR)])
+        |  AS s(scope)),
+        |sd AS (SELECT DISTINCT s.scope, u FROM h, LATERAL unnest(
+        |  ['month', 'week_' || CAST((EXTRACT(day FROM d) - 1) // 7 AS VARCHAR)])
+        |  AS s(scope)),
+        |em AS (SELECT scope,
+        |    round((count(*) - 1)::DOUBLE / max(u), 2) AS n_est_merged
+        |  FROM (SELECT scope, u,
+        |          row_number() OVER (PARTITION BY scope ORDER BY u) AS rk FROM sm)
+        |  WHERE rk <= $KmvRollupK GROUP BY scope),
+        |ed AS (SELECT scope,
+        |    round((count(*) - 1)::DOUBLE / max(u), 2) AS n_est_direct
+        |  FROM (SELECT scope, u,
+        |          row_number() OVER (PARTITION BY scope ORDER BY u) AS rk FROM sd)
+        |  WHERE rk <= $KmvRollupK GROUP BY scope),
+        |ex AS (SELECT scope, CAST(count(*) AS BIGINT) AS n_exact FROM sd GROUP BY scope)
+        |SELECT ex.scope, n_exact, n_est_merged, n_est_direct,
+        |  CAST(n_est_merged = n_est_direct AS BIGINT) AS rollup_exact
+        |FROM ex JOIN em USING (scope) JOIN ed USING (scope)
+        |ORDER BY scope""".stripMargin
     },
     "q98_fuzzy_join" ->
       s"""WITH dirty AS (

@@ -39,7 +39,9 @@ class DeterminismStressSpec extends AnyFunSuite {
     "q150_delta_similarity", "q151_phrase_search",
     // q152's column_psi sums ROUNDED decimal terms precisely so float
     // accumulation order cannot leak into the hash — stress that claim
-    "q152_profile_drift")
+    "q152_profile_drift",
+    // q153's bottom-k windows must be partition-insensitive
+    "q153_sketch_rollup")
 
   test("canonical hashes stable across reruns and shuffle-partition settings") {
     val baselinePartitions = spark.conf.get("spark.sql.shuffle.partitions")
