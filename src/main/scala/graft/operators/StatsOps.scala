@@ -268,12 +268,77 @@ object StatsOps {
       .limit(25)
   }
 
+  // ---------------------------------------------------------------
+  // q154 — chi-square independence test (lang × source)
+  // ---------------------------------------------------------------
+
+  /** q154: Pearson chi-square test of independence between the corpus'
+    * two categorical facets (is language mix independent of source?),
+    * with Cramér's V effect size — the contingency-table screen run
+    * before stratifying a mixture by one facet while assuming the
+    * other follows. One row per (lang, source) cell: observed count,
+    * expected count under independence, and the cell's chi-square
+    * contribution; the table-level χ², degrees of freedom, and V ride
+    * along on every row.
+    *
+    * Determinism (q152's discipline): expected = row·col/N from exact
+    * longs; each cell contribution (obs − exp)²/exp is rounded to 6 dp
+    * BEFORE the total, and the total sums rounded terms as
+    * DECIMAL(18,6) — float accumulation order can never flip the
+    * hash. V = sqrt(χ²/(N·min(r−1, c−1))) from that exact total.
+    *
+    * Scale shape: ONE map-side-combinable count aggregation over the
+    * corpus; everything after operates on the (|lang|·|source|)-cell
+    * contingency table — marginals are windows over the bounded facet
+    * domains, and the scalar (N, r, c) frame broadcasts.
+    */
+  val q154ChiSquare: Q = (s, dir) => {
+    // the contingency table feeds THREE consumers (marginal windows,
+    // the scalar frame, the χ² total) — materialize the corpus scan +
+    // count ONCE so the 100 TB input is read once, not per branch
+    // (lazy: plan inspection runs zero jobs)
+    val cells = Engine.materialize(
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("obs")),
+      eager = false)
+    val wL = Window.partitionBy("lang")
+    val wS = Window.partitionBy("source")
+    // scalar frame (N, r, c) and the χ² total are 1-row aggregates
+    // broadcast back onto the cell table — never a global window,
+    // which would serialize the whole relation through one partition
+    val consts = cells.agg(sum(col("obs")).as("n"),
+      countDistinct(col("lang")).as("n_lang"),
+      countDistinct(col("source")).as("n_source"))
+    val withExp = cells
+      .withColumn("row_total", sum(col("obs")).over(wL))
+      .withColumn("col_total", sum(col("obs")).over(wS))
+      .crossJoin(broadcast(consts))
+      .withColumn("exp",
+        col("row_total").cast("double") * col("col_total") / col("n"))
+      .withColumn("contrib", round(
+        (col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp"), 6))
+    val tot = withExp.agg(
+      sum(col("contrib").cast(DecimalType(18, 6))).cast("double").as("chi2"))
+    withExp.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("obs"),
+        round(col("exp"), 6).as("expected"), col("contrib"),
+        col("chi2"),
+        ((col("n_lang") - 1) * (col("n_source") - 1))
+          .cast("bigint").as("dof"),
+        round(sqrt(col("chi2") /
+          (col("n") * least(col("n_lang") - 1, col("n_source") - 1))), 6)
+          .as("cramers_v"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q111_group_regression" -> q111GroupRegression,
     "q112_corr_matrix" -> q112CorrMatrix,
     "q113_anomalies" -> q113Anomalies,
     "q114_benford_audit" -> q114BenfordAudit,
-    "q115_session_paths" -> q115SessionPaths)
+    "q115_session_paths" -> q115SessionPaths,
+    "q154_chi_square" -> q154ChiSquare)
 
   // ---- DuckDB oracle dialect ----
 
@@ -373,5 +438,27 @@ object StatsOps {
         |    i -> types[i] || '>' || types[i+1] || '>' || types[i+2])) AS path
         |  FROM paths WHERE len(types) >= 3)
         |SELECT path, count(*) AS freq FROM grams
-        |GROUP BY path ORDER BY freq DESC, path ASC LIMIT 25""".stripMargin)
+        |GROUP BY path ORDER BY freq DESC, path ASC LIMIT 25""".stripMargin,
+    "q154_chi_square" ->
+      s"""WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+        |         FROM documents GROUP BY 1, 2),
+        |consts AS (SELECT count(DISTINCT lang) AS n_lang,
+        |             count(DISTINCT source) AS n_source,
+        |             CAST(count(*) AS BIGINT) AS n FROM documents),
+        |m AS (SELECT *,
+        |        sum(obs) OVER (PARTITION BY lang) AS row_total,
+        |        sum(obs) OVER (PARTITION BY source) AS col_total
+        |      FROM cells),
+        |x AS (SELECT m.*, consts.*,
+        |        CAST(row_total AS DOUBLE) * col_total / n AS exp
+        |      FROM m, consts),
+        |c AS (SELECT *,
+        |        round((obs - exp) * (obs - exp) / exp, 6) AS contrib FROM x),
+        |tot AS (SELECT CAST(sum(CAST(contrib AS DECIMAL(18, 6))) AS DOUBLE)
+        |          AS chi2 FROM c)
+        |SELECT lang, source, obs, round(exp, 6) AS expected, contrib, chi2,
+        |  CAST((n_lang - 1) * (n_source - 1) AS BIGINT) AS dof,
+        |  round(sqrt(chi2 / (n * least(n_lang - 1, n_source - 1))), 6)
+        |    AS cramers_v
+        |FROM c, tot ORDER BY lang, source""".stripMargin)
 }

@@ -41,7 +41,9 @@ class DeterminismStressSpec extends AnyFunSuite {
     // accumulation order cannot leak into the hash — stress that claim
     "q152_profile_drift",
     // q153's bottom-k windows must be partition-insensitive
-    "q153_sketch_rollup")
+    "q153_sketch_rollup",
+    // q154's chi2 sums ROUNDED decimal cell terms (q152's discipline)
+    "q154_chi_square")
 
   test("canonical hashes stable across reruns and shuffle-partition settings") {
     val baselinePartitions = spark.conf.get("spark.sql.shuffle.partitions")
