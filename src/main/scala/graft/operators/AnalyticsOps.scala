@@ -384,7 +384,62 @@ object AnalyticsOps {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------
+  // q155 — conversion attribution (first-touch vs last-touch)
+  // ---------------------------------------------------------------
+
+  /** q155 conversion event and the touch types eligible for credit
+    * ('error' events never earn attribution). */
+  val AttribConversion = "purchase"
+  val AttribTouches = Seq("click", "view", "signup")
+
+  /** q155: marketing-style conversion attribution — for every purchase,
+    * credit the FIRST and the LAST eligible touch (click/view/signup)
+    * that preceded it IN THE SAME SESSION (the q115/q136 30-minute gap
+    * sessionization, order pinned by (ts, event_id)); purchases with no
+    * preceding touch credit 'direct'. Both models aggregate side by
+    * side — one row per (model, touch_type) with conversion count and
+    * decimal-exact attributed revenue — because the first/last-touch
+    * DISAGREEMENT is the actual product question (which channels open
+    * vs close journeys).
+    *
+    * Scale shape: the event log shuffles ONCE by user_id; the
+    * sessionization lag window and both running first/last windows
+    * reuse that partitioning (frames are session-bounded); the
+    * two-model explode doubles only the |purchases| rows, and the
+    * final aggregation is map-side combinable on the tiny (model,
+    * touch) domain. Revenue sums as DECIMAL(18,6), rounded once at
+    * output — the engine's float-parity discipline.
+    */
+  val q155Attribution: Q = (s, dir) => {
+    val e = StatsOps.sessionized(t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts"))))
+    val bySes = Window.partitionBy(col("user_id"), col("session"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin(AttribTouches: _*),
+      col("event_type"))
+    val attributed = e
+      .withColumn("ft", first(touch, ignoreNulls = true).over(bySes))
+      .withColumn("lt", last(touch, ignoreNulls = true).over(bySes))
+      .filter(col("event_type") === AttribConversion)
+      .select(col("value"),
+        explode(array(
+          struct(lit("first_touch").as("model"),
+            coalesce(col("ft"), lit("direct")).as("touch_type")),
+          struct(lit("last_touch").as("model"),
+            coalesce(col("lt"), lit("direct")).as("touch_type")))).as("m"))
+      .select(col("m.model").as("model"), col("m.touch_type").as("touch_type"),
+        col("value"))
+    attributed.groupBy(col("model"), col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("attributed_value"))
+      .orderBy(col("model"), col("touch_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q155_attribution" -> q155Attribution,
     "q143_contribution_cap" -> q143ContributionCap,
     "q136_session_stats" -> q136SessionStats,
     "q134_k_anonymity" -> q134KAnonymity,
@@ -401,6 +456,27 @@ object AnalyticsOps {
   private def hashD(x: String): String = LlmOps.hashD(x)
 
   val oracles: Map[String, String] = Map(
+    "q155_attribution" -> {
+      val touches = AttribTouches.map(t => s"'$t'").mkString(", ")
+      val touchCase = s"CASE WHEN event_type IN ($touches) THEN event_type END"
+      s"""WITH ${StatsOps.sessionCteD("user_id, event_id, event_type, value")},
+        |a AS (SELECT *,
+        |    first_value($touchCase IGNORE NULLS) OVER wf AS ft,
+        |    last_value($touchCase IGNORE NULLS) OVER wf AS lt
+        |  FROM ses
+        |  WINDOW wf AS (PARTITION BY user_id, session ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT value, coalesce(ft, 'direct') AS ft,
+        |        coalesce(lt, 'direct') AS lt
+        |      FROM a WHERE event_type = '$AttribConversion'),
+        |u AS (SELECT 'first_touch' AS model, ft AS touch_type, value FROM p
+        |      UNION ALL
+        |      SELECT 'last_touch', lt, value FROM p)
+        |SELECT model, touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE), 6)
+        |    AS attributed_value
+        |FROM u GROUP BY 1, 2 ORDER BY model, touch_type""".stripMargin
+    },
     "q143_contribution_cap" ->
       s"""WITH r AS (
         |  SELECT event_type, user_id, value,

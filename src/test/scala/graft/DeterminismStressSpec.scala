@@ -43,7 +43,9 @@ class DeterminismStressSpec extends AnyFunSuite {
     // q153's bottom-k windows must be partition-insensitive
     "q153_sketch_rollup",
     // q154's chi2 sums ROUNDED decimal cell terms (q152's discipline)
-    "q154_chi_square")
+    "q154_chi_square",
+    // q155's first/last-touch windows must be (us, event_id)-pinned
+    "q155_attribution")
 
   test("canonical hashes stable across reruns and shuffle-partition settings") {
     val baselinePartitions = spark.conf.get("spark.sql.shuffle.partitions")
