@@ -139,15 +139,24 @@ object Engine {
     * A table whose load fails (missing file, unreadable schema) is
     * skipped with a warning instead of aborting the whole registration:
     * one bad fixture must only break its own query family, never
-    * unrelated queries that reference none of its columns.
+    * unrelated queries that reference none of its columns. But if
+    * EVERY table fails — a wrong sfDir, not a broken fixture — fail
+    * fast with one clear error instead of letting every later query
+    * die with a confusing "table not found" (ADVICE r9).
     */
-  def registerViews(spark: SparkSession, sfDir: String): Unit =
-    tableNames.foreach { n =>
-      try table(spark, sfDir, n).createOrReplaceTempView(n)
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    val failures = tableNames.flatMap { n =>
+      try { table(spark, sfDir, n).createOrReplaceTempView(n); None }
       catch {
         case scala.util.control.NonFatal(e) =>
           Console.err.println(
             s"graft: skipping view '$n' ($sfDir/$n.parquet failed to load: ${e.getMessage})")
+          Some(n -> e)
       }
     }
+    if (failures.size == tableNames.size)
+      throw new IllegalArgumentException(
+        s"graft: no fixture table loaded from '$sfDir' — wrong directory? " +
+          s"First error (${failures.head._1}): ${failures.head._2.getMessage}")
+  }
 }

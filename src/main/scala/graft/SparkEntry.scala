@@ -27,7 +27,8 @@ object SparkEntry {
       operators.PipelineOps.queries ++ operators.GraphOps.queries ++
       operators.AnalyticsOps.queries ++
       operators.IndexOps.queries ++ operators.StatsOps.queries ++
-      sources.TrainingShards.queries ++ sources.JsonlCorpus.queries
+      sources.TrainingShards.queries ++ sources.JsonlCorpus.queries ++
+      sources.StandingIndex.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
@@ -36,5 +37,6 @@ object SparkEntry {
       operators.PipelineOps.oracles ++ operators.GraphOps.oracles ++
       operators.AnalyticsOps.oracles ++
       operators.IndexOps.oracles ++ operators.StatsOps.oracles ++
-      sources.TrainingShards.oracles ++ sources.JsonlCorpus.oracles
+      sources.TrainingShards.oracles ++ sources.JsonlCorpus.oracles ++
+      sources.StandingIndex.oracles
 }

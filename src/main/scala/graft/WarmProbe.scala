@@ -56,18 +56,21 @@ object WarmProbe {
     *
     * The driver's BENCH_r{N}.json embeds the bench stdout as a JSON
     * string field ("tail"), so the pairs arrive quote-ESCAPED
-    * (`\"q45\":0.450`); unescape before matching — without this the
-    * regex matched zero pairs on every driver artifact and the
-    * delta-trigger silently fell back to the static top-10 (the reason
-    * round 8 published no drift probes).
+    * (`\"q45\":0.450`). The file is parsed as JSON and ONLY the tail
+    * field's decoded text is regex-scanned (ADVICE r9: a global
+    * `\" -> "` replace mangled double-escaped content and let the
+    * pair regex match inside unrelated string fields). A file with no
+    * "tail" field (e.g. the raw bench_out.json line) is scanned as-is;
+    * a non-JSON file yields no pairs.
     */
   def parseTimes(path: String): Map[String, Double] =
     try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
-        .replace("\\\"", "\"")
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      val body = Option(root.get("tail")).map(_.asText).getOrElse(txt)
       val re = """"(q\d+[A-Za-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)""".r
-      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      re.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Exception => Map.empty }
 
   /** (probe set, skipped-as-noise, per-query (prev, curr) cold times). */

@@ -178,41 +178,59 @@ object IndexOps {
     * value-checks all three (a broken merge can't hide: the flag rows
     * would flip).
     *
-    * Scale shape: raw events die at the per-(day, user) distinct; daily
-    * sketches are k-row windows over day partitions; every scope
-    * estimate reads k-row sketch tables only. At 100 TB the daily
-    * sketches are the STORED artifact (a few KB/day) and month-level
-    * questions never touch the raw corpus — re-aggregation without
-    * rescan is the entire point of mergeable sketches.
+    * Scale shape: raw events die at the per-(day, user) distinct;
+    * every bottom-k — the per-day sketch build, the merged rollup AND
+    * the direct baseline — is the [[graft.functions.KmvSample]]
+    * TypedImperativeAggregate: each task keeps one k-sized tree per
+    * group and shuffles exactly k (hash, hash) pairs per group, so NO
+    * scope ever serializes its full distinct-hash set through a single
+    * sort task (the rank-window formulation this replaced did exactly
+    * that for the month scope — every distinct user hash in one
+    * partition; VERDICT r9 item 1). At 100 TB the daily sketches are
+    * the STORED artifact (a few KB/day) and month-level questions
+    * never touch the raw corpus — re-aggregation without rescan is the
+    * entire point of mergeable sketches.
+    *
+    * Scope keys carry the calendar month (`2026-03_month`,
+    * `2026-03_week_2`) so a fixture spanning a month boundary rolls up
+    * per month instead of silently merging same-day-of-month days from
+    * different months (ADVICE r9).
     */
   val q153SketchRollup: Q = (s, dir) => {
     graft.Functions.registerAll(s)
+    val twoP60 = 1152921504606846976.0 // 2^60
     val dayUsers = t(s, dir, "events")
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
-      .withColumn("u",
-        expr(LlmOps.hashS("concat('kru:', CAST(user_id AS STRING))"))
-          .cast("double") / lit(1152921504606846976.0)) // 2^60
-    // stored artifact: per-day bottom-k sketch
+      .withColumn("h",
+        expr(LlmOps.hashS("concat('kru:', CAST(user_id AS STRING))")))
+    def kmvAgg = graft.functions.KmvSample
+      .kmv_sample(struct(col("h"), col("h")), KmvRollupK)
+    // stored artifact: per-day bottom-k sketch (k rows per day)
     val daily = dayUsers
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("day").orderBy(col("u").asc)))
-      .filter(col("rk") <= KmvRollupK)
-      .select(col("day"), col("u"))
+      .groupBy(col("day"))
+      .agg(kmvAgg.as("sk"))
+      .select(col("day"), explode(col("sk")).as("h"))
     def scoped(df: DataFrame): DataFrame = df
-      .select(col("u"), explode(array(lit("month"),
-        concat(lit("week_"), expr("(dayofmonth(day) - 1) div 7")))).as("scope"))
-      .select(col("scope"), col("u")).distinct()
+      .select(col("h"), explode(array(
+        concat(date_format(col("day"), "yyyy-MM"), lit("_month")),
+        concat(date_format(col("day"), "yyyy-MM"), lit("_week_"),
+          expr("(dayofmonth(day) - 1) div 7")))).as("scope"))
+      .select(col("scope"), col("h"))
+    // KMV estimate from a bottom-k sample: (|sk| - 1) / max(h / 2^60).
+    // h -> double is lossy above 2^53 but monotone, and the division
+    // by an exact power of two is exact, so the value is bit-identical
+    // to the oracle's per-row u = h / 2^60 formulation.
     def bottomK(df: DataFrame, est: String): DataFrame = df
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("scope").orderBy(col("u").asc)))
-      .filter(col("rk") <= KmvRollupK)
       .groupBy(col("scope"))
-      .agg(round((count(lit(1)) - 1).cast("double") / max(col("u")), 2).as(est))
+      .agg(kmvAgg.as("sk"))
+      .select(col("scope"),
+        round((size(col("sk")) - 1).cast("double") /
+          (element_at(col("sk"), -1).cast("double") / lit(twoP60)), 2).as(est))
     val merged = bottomK(scoped(daily), "n_est_merged")
     val direct = bottomK(scoped(dayUsers), "n_est_direct")
     val exact = scoped(dayUsers).groupBy(col("scope"))
-      .agg(count(lit(1)).as("n_exact"))
+      .agg(countDistinct(col("h")).as("n_exact"))
     exact.join(merged, Seq("scope")).join(direct, Seq("scope"))
       .select(col("scope"), col("n_exact"),
         col("n_est_merged"), col("n_est_direct"),
@@ -708,26 +726,32 @@ object IndexOps {
     },
     "q153_sketch_rollup" -> {
       val h = LlmOps.hashD("'kru:' || CAST(user_id AS VARCHAR)")
+      // rank on the BIGINT hash (the engine's kmv_sample order) and
+      // only derive the double u = h / 2^60 inside the estimate — a
+      // monotone cast, so max(double(h)) == double(max(h)) and the
+      // estimate matches the engine's element_at(sk, -1) formulation
+      val scopes = "[strftime(d, '%Y-%m') || '_month', strftime(d, '%Y-%m')" +
+        " || '_week_' || CAST((EXTRACT(day FROM d) - 1) // 7 AS VARCHAR)]"
       s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
-        |h AS (SELECT d, CAST($h AS DOUBLE) / 1152921504606846976.0 AS u FROM du),
-        |daily AS (SELECT d, u FROM (
-        |  SELECT d, u, row_number() OVER (PARTITION BY d ORDER BY u) AS rk FROM h)
+        |hh AS (SELECT DISTINCT d, CAST($h AS BIGINT) AS h FROM du),
+        |daily AS (SELECT d, h FROM (
+        |  SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rk FROM hh)
         |  WHERE rk <= $KmvRollupK),
-        |sm AS (SELECT DISTINCT s.scope, u FROM daily, LATERAL unnest(
-        |  ['month', 'week_' || CAST((EXTRACT(day FROM d) - 1) // 7 AS VARCHAR)])
-        |  AS s(scope)),
-        |sd AS (SELECT DISTINCT s.scope, u FROM h, LATERAL unnest(
-        |  ['month', 'week_' || CAST((EXTRACT(day FROM d) - 1) // 7 AS VARCHAR)])
-        |  AS s(scope)),
+        |sm AS (SELECT DISTINCT s.scope, h FROM daily, LATERAL unnest(
+        |  $scopes) AS s(scope)),
+        |sd AS (SELECT DISTINCT s.scope, h FROM hh, LATERAL unnest(
+        |  $scopes) AS s(scope)),
         |em AS (SELECT scope,
-        |    round((count(*) - 1)::DOUBLE / max(u), 2) AS n_est_merged
-        |  FROM (SELECT scope, u,
-        |          row_number() OVER (PARTITION BY scope ORDER BY u) AS rk FROM sm)
+        |    round((count(*) - 1)::DOUBLE
+        |      / max(CAST(h AS DOUBLE) / 1152921504606846976.0), 2) AS n_est_merged
+        |  FROM (SELECT scope, h,
+        |          row_number() OVER (PARTITION BY scope ORDER BY h) AS rk FROM sm)
         |  WHERE rk <= $KmvRollupK GROUP BY scope),
         |ed AS (SELECT scope,
-        |    round((count(*) - 1)::DOUBLE / max(u), 2) AS n_est_direct
-        |  FROM (SELECT scope, u,
-        |          row_number() OVER (PARTITION BY scope ORDER BY u) AS rk FROM sd)
+        |    round((count(*) - 1)::DOUBLE
+        |      / max(CAST(h AS DOUBLE) / 1152921504606846976.0), 2) AS n_est_direct
+        |  FROM (SELECT scope, h,
+        |          row_number() OVER (PARTITION BY scope ORDER BY h) AS rk FROM sd)
         |  WHERE rk <= $KmvRollupK GROUP BY scope),
         |ex AS (SELECT scope, CAST(count(*) AS BIGINT) AS n_exact FROM sd GROUP BY scope)
         |SELECT ex.scope, n_exact, n_est_merged, n_est_direct,

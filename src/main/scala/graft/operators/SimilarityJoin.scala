@@ -66,21 +66,7 @@ object SimilarityJoin {
       .filter(col("df") * maxDfDen <= col("nd") * maxDfNum)
       .select(col("token"), col("df"))
     val kept = toks.join(keep, Seq("token"))
-    val sized = kept
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df").asc, col("token").asc)))
-      .withColumn("ceil_tau", expr(
-        s"(sz * $tauNum + ${tauDen - 1}) div $tauDen"))
-    val prefix = sized.filter(col("rk") <= col("sz") - col("ceil_tau") + 1)
-      .select(col("token"), col("doc_id"), col("sz"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.token") === col("b.token") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.sz"), col("b.sz")) * tauDen >=
-            greatest(col("a.sz"), col("b.sz")) * tauNum)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = candidatesFrom(kept, tauNum, tauDen)
     val keptArr = kept.groupBy(col("doc_id"))
       .agg(collect_list(col("token")).as("kt"))
     cand
@@ -96,6 +82,55 @@ object SimilarityJoin {
       .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"), col("inter"),
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+  }
+
+  /** Prefix ranking + candidate generation shared by [[allPairs]] and
+    * [[allPairsCandidates]]: rank each doc's kept tokens rarest-first,
+    * keep the |d| − ⌈τ·|d|⌉ + 1 prefix, equi-join prefixes on token
+    * with the ordering and length filters, distinct pairs.
+    */
+  private def candidatesFrom(kept: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    val sized = kept
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("token").asc)))
+      .withColumn("ceil_tau", expr(
+        s"(sz * $tauNum + ${tauDen - 1}) div $tauDen"))
+    val prefix = sized.filter(col("rk") <= col("sz") - col("ceil_tau") + 1)
+      .select(col("token"), col("doc_id"), col("sz"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) * tauDen >=
+            greatest(col("a.sz"), col("b.sz")) * tauNum)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The CANDIDATE pair set of [[allPairs]] — after the df cut, prefix
+    * filter, ordering, and length filter, but BEFORE exact
+    * verification. Exposed for scale-stress auditing: the candidate
+    * count is the quantity the prefix filter exists to bound (a naive
+    * shared-token join explodes quadratically on duplicated corpora
+    * while this set stays within a constant factor of the true result),
+    * and SimilarityScaleStressSpec machine-asserts that ceiling on an
+    * adversarial ×N-duplication corpus. Same plan subtree allPairs
+    * executes — not a parallel reimplementation that could drift.
+    */
+  def allPairsCandidates(docs: DataFrame, idCol: String, tokCol: String,
+      tauNum: Int, tauDen: Int,
+      maxDfNum: Int, maxDfDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, s"tau must be in (0,1]: $tauNum/$tauDen")
+    require(maxDfNum > 0 && maxDfDen > 0, s"df cut must be positive: $maxDfNum/$maxDfDen")
+    val docsArr = docs.select(
+      col(idCol).as("doc_id"), array_distinct(col(tokCol)).as("ts"))
+    val toks = docsArr.select(col("doc_id"), explode(col("ts")).as("token"))
+    val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nd = docsArr.agg(count(lit(1)).as("nd"))
+    val keep = dfreq.crossJoin(nd)
+      .filter(col("df") * maxDfDen <= col("nd") * maxDfNum)
+      .select(col("token"), col("df"))
+    candidatesFrom(toks.join(keep, Seq("token")), tauNum, tauDen)
   }
 
   /** Cross-set variant of [[allPairs]]: pairs (a, b) with Jaccard ≥ τ
@@ -120,7 +155,13 @@ object SimilarityJoin {
     * small.
     *
     * @param sideCol boolean column: true rows form the `doc_b` (delta)
-    *                side, false rows the `doc_a` (standing) side
+    *                side, false rows the `doc_a` (standing) side. Rows
+    *                with a NULL side are dropped ENTIRELY before any
+    *                stats — they join neither pair side, contribute to
+    *                neither nd nor token df, and cannot shift the df
+    *                cut (ADVICE r9: previously they were excluded from
+    *                pairing but still counted in the stats, silently
+    *                changing which tokens survived the cut)
     * @return (doc_a, doc_b, sz_a, sz_b, inter, jaccard), doc_a always
     *         from the false side, doc_b from the true side
     */
@@ -131,6 +172,7 @@ object SimilarityJoin {
     require(maxDfNum > 0 && maxDfDen > 0, s"df cut must be positive: $maxDfNum/$maxDfDen")
     val docsArr = docs.select(col(idCol).as("doc_id"),
       array_distinct(col(tokCol)).as("ts"), col(sideCol).cast("boolean").as("is_b"))
+      .filter(col("is_b").isNotNull)
     val toks = docsArr.select(col("doc_id"), col("is_b"), explode(col("ts")).as("token"))
     val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nd = docsArr.agg(count(lit(1)).as("nd"))
@@ -138,21 +180,7 @@ object SimilarityJoin {
       .filter(col("df") * maxDfDen <= col("nd") * maxDfNum)
       .select(col("token"), col("df"))
     val kept = toks.join(keep, Seq("token"))
-    val sized = kept
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df").asc, col("token").asc)))
-      .withColumn("ceil_tau", expr(
-        s"(sz * $tauNum + ${tauDen - 1}) div $tauDen"))
-    val prefix = sized.filter(col("rk") <= col("sz") - col("ceil_tau") + 1)
-      .select(col("token"), col("doc_id"), col("sz"), col("is_b"))
-    val cand = prefix.filter(!col("is_b")).as("a")
-      .join(prefix.filter(col("is_b")).as("b"),
-        col("a.token") === col("b.token") &&
-          least(col("a.sz"), col("b.sz")) * tauDen >=
-            greatest(col("a.sz"), col("b.sz")) * tauNum)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = crossCandidatesFrom(kept, tauNum, tauDen)
     val keptArr = kept.groupBy(col("doc_id"))
       .agg(collect_list(col("token")).as("kt"))
     cand
@@ -168,6 +196,51 @@ object SimilarityJoin {
       .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"), col("inter"),
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+  }
+
+  /** Cross-side prefix candidate generation shared by
+    * [[allPairsBetween]] and [[allPairsBetweenCandidates]] — like
+    * [[candidatesFrom]] but pairing false-side prefixes against
+    * true-side prefixes instead of ordered self-pairs. `kept` must
+    * carry is_b.
+    */
+  private def crossCandidatesFrom(kept: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    val sized = kept
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("token").asc)))
+      .withColumn("ceil_tau", expr(
+        s"(sz * $tauNum + ${tauDen - 1}) div $tauDen"))
+    val prefix = sized.filter(col("rk") <= col("sz") - col("ceil_tau") + 1)
+      .select(col("token"), col("doc_id"), col("sz"), col("is_b"))
+    prefix.filter(!col("is_b")).as("a")
+      .join(prefix.filter(col("is_b")).as("b"),
+        col("a.token") === col("b.token") &&
+          least(col("a.sz"), col("b.sz")) * tauDen >=
+            greatest(col("a.sz"), col("b.sz")) * tauNum)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The CANDIDATE pair set of [[allPairsBetween]] (post-df-cut,
+    * post-prefix, pre-verification) — the cross-side counterpart of
+    * [[allPairsCandidates]], exposed for the same scale-stress audit.
+    */
+  def allPairsBetweenCandidates(docs: DataFrame, idCol: String, tokCol: String,
+      sideCol: String, tauNum: Int, tauDen: Int,
+      maxDfNum: Int, maxDfDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, s"tau must be in (0,1]: $tauNum/$tauDen")
+    require(maxDfNum > 0 && maxDfDen > 0, s"df cut must be positive: $maxDfNum/$maxDfDen")
+    val docsArr = docs.select(col(idCol).as("doc_id"),
+      array_distinct(col(tokCol)).as("ts"), col(sideCol).cast("boolean").as("is_b"))
+      .filter(col("is_b").isNotNull)
+    val toks = docsArr.select(col("doc_id"), col("is_b"), explode(col("ts")).as("token"))
+    val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nd = docsArr.agg(count(lit(1)).as("nd"))
+    val keep = dfreq.crossJoin(nd)
+      .filter(col("df") * maxDfDen <= col("nd") * maxDfNum)
+      .select(col("token"), col("df"))
+    crossCandidatesFrom(toks.join(keep, Seq("token")), tauNum, tauDen)
   }
 
   /** Interval union of fixed-width windows per document (promoted from

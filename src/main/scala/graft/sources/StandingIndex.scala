@@ -1,0 +1,254 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+import graft.operators.{IndexOps, LlmOps}
+
+/** STANDING positional index — build once, look up many (VERDICT r9
+  * item 4).
+  *
+  * q80/q97/q151 re-explode the corpus to build postings per query; a
+  * production engine pays the tokenize+explode scan ONCE, persists the
+  * index as a parquet artifact, and answers every retrieval question
+  * by equi-joining on term keys against the stored postings. This
+  * module is that shape:
+  *
+  *   `<root>/postings/pbucket=<b>/…parquet`  (token, doc_id, pos)
+  *   `<root>/lengths/…parquet`               (doc_id, dl)
+  *   `<root>/stats/…parquet`                 (n_docs, sum_dl)
+  *
+  *  - `pbucket = stable_hash64('idx:'||token) % NumIndexBuckets` is a
+  *    CONTENT-derived partition key (same discipline as the q81 shard
+  *    sink): a term's bucket is a pure function of the term, so a
+  *    lookup computes its terms' buckets and reads ONLY those
+  *    partition directories — Spark partition pruning does the
+  *    term-shard routing a real index server performs. Within each
+  *    bucket, postings are sorted by (token, doc_id) so parquet
+  *    row-group stats prune the non-matching terms of the bucket too.
+  *  - `lengths`/`stats` persist the per-doc and corpus-level length
+  *    statistics BM25 needs — the scoring lookup never touches the
+  *    text again.
+  *  - Exact longs (`sum_dl`, not a precomputed avgdl double) are
+  *    stored, so derived ratios are computed identically by any
+  *    reader.
+  *
+  * The artifact is rebuilt once per (session, corpus dir) and
+  * OVERWRITTEN on disk (same freshness discipline as the session
+  * caches: a driver-side fixture regen between sessions can never
+  * serve a stale index, because a new session always rebuilds before
+  * its first lookup). Lookup queries call [[ensure]], so each is
+  * self-contained; in a multi-query session — Verify, Bench, a user
+  * session — the build cost is paid exactly once.
+  *
+  * The lookups (q157 BM25, q158 phrase search) intentionally REUSE the
+  * q80/q151 oracles verbatim: a hash match proves the stored-index
+  * equi-join path computes byte-identical results to the scan-and-
+  * explode path the oracles were written against — index == corpus, the
+  * invariant an incremental indexer must maintain.
+  */
+object StandingIndex {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Term-shard count. Fixture-scale; production sizes this as
+    * |distinct terms| × postings_bytes / target_shard_bytes.
+    */
+  val NumIndexBuckets = 16
+
+  /** Index root for a given corpus dir — env-overridable, defaulting
+    * to the JVM temp dir; keyed by the input path so sf runs never
+    * collide (same pattern as [[TrainingShards.shardOutDir]]).
+    */
+  def indexRoot(sfDir: String): String = {
+    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft_index")
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
+    s"$root/idx_$key"
+  }
+
+  private val builtCache = new graft.SessionCache
+
+  /** Build the index artifact if this session hasn't yet; return the
+    * artifact root. Idempotent per (session, dir).
+    */
+  def ensure(s: SparkSession, dir: String): String = {
+    builtCache.getOrElseUpdate(s, dir)(build(s, dir))
+    indexRoot(dir)
+  }
+
+  /** One corpus scan → three persisted tables. Returns the per-bucket
+    * manifest (pbucket, n_terms, n_postings, n_docs) read back from
+    * the artifact.
+    */
+  private def build(s: SparkSession, dir: String): DataFrame = {
+    graft.Functions.registerAll(s)
+    val root = indexRoot(dir)
+    val docs = Engine.table(s, dir, "documents")
+      .withColumn("tok", expr(LlmOps.toksS))
+    val postings = docs
+      .select(col("doc_id"), posexplode(col("tok")).as(Seq("pos", "token")))
+      .withColumn("pbucket",
+        pmod(expr(LlmOps.hashS("concat('idx:', token)")), lit(NumIndexBuckets)))
+    postings
+      .repartition(col("pbucket"))
+      .sortWithinPartitions(col("token"), col("doc_id"), col("pos"))
+      .write.mode("overwrite").partitionBy("pbucket")
+      .parquet(s"$root/postings")
+    docs.select(col("doc_id"), size(col("tok")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$root/lengths")
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tok"))).cast("long").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$root/stats")
+    readPostings(s, dir)
+      .groupBy(col("pbucket"))
+      .agg(countDistinct(col("token")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  /** Stored postings, partition column re-typed to the write side's
+    * long (partition-value inference yields ints).
+    */
+  private def readPostings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${indexRoot(dir)}/postings")
+      .withColumn("pbucket", col("pbucket").cast("long"))
+
+  /** The terms' shard buckets, computed from the same hash the build
+    * used — literal values, so the postings filter folds to a
+    * partition-pruning predicate (only the matching `pbucket=` dirs
+    * are read).
+    */
+  private def bucketsOf(s: SparkSession, terms: Seq[String]): Seq[Long] = {
+    graft.Functions.registerAll(s)
+    val row = s.sql("SELECT " + terms.zipWithIndex.map { case (t, i) =>
+      s"pmod(stable_hash64('idx:$t'), $NumIndexBuckets) AS b$i"
+    }.mkString(", ")).first()
+    terms.indices.map(row.getLong(_)).distinct
+  }
+
+  /** q156: the index BUILD as a verifiable query — write (or rewrite)
+    * the artifact and emit the per-bucket manifest. The oracle
+    * recomputes term→bucket assignment, postings counts, and per-bucket
+    * term/doc cardinalities from the raw corpus, so a hash match
+    * value-checks that the persisted artifact partitions every posting
+    * of every term into exactly the directory a lookup will prune to —
+    * the routing invariant the whole standing-index scheme rests on.
+    *
+    * Scale shape: ONE tokenize+posexplode scan (map-side), ONE
+    * repartition by the 16-ary content-derived bucket (AQE re-balances
+    * skewed buckets), in-partition sort bounded by bucket size; the
+    * manifest aggregation reads the artifact back, not the corpus.
+    */
+  val q156IndexBuild: Q = (s, dir) => {
+    val manifest = build(s, dir)
+    builtCache.put(s, dir, manifest) // a fresh build IS this session's
+    manifest.orderBy(col("pbucket"))
+  }
+
+  /** q157: BM25 as a standing-index LOOKUP — the q80 ranking computed
+    * without touching the corpus: the query terms' buckets prune the
+    * postings read, tf comes from posting counts, dl from the stored
+    * lengths table, (N, avgdl) from the stored stats row. Output is
+    * byte-identical to q80 (same oracle, reused verbatim).
+    *
+    * Scale shape: reads |terms| partition dirs of the postings table
+    * (partition pruning), tf is a (doc, term)-grained aggregate of
+    * matching postings only, the lengths join touches only scoring
+    * docs (AQE broadcasts the small side), stats is a 1-row broadcast,
+    * and the top-k is TakeOrderedAndProject. The corpus text is never
+    * scanned.
+    */
+  val q157IndexBm25: Q = (s, dir) => {
+    val root = ensure(s, dir)
+    val terms = LlmOps.Bm25Terms
+    val post = readPostings(s, dir)
+      .filter(col("pbucket").isin(bucketsOf(s, terms): _*) &&
+        col("token").isin(terms: _*))
+    val tf = post.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val lengths = s.read.parquet(s"$root/lengths")
+    val stats = s.read.parquet(s"$root/stats")
+      .select(col("n_docs").cast("double").as("n"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(lengths, Seq("doc_id"))
+      .join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n") - col("df").cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5)) *
+          (col("tf").cast("double") * (LlmOps.Bm25K1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(LlmOps.Bm25K1) * (lit(1.0 - LlmOps.Bm25B) +
+              lit(LlmOps.Bm25B) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(LlmOps.Bm25TopK)
+  }
+
+  /** q158: phrase search as a standing-index LOOKUP — q151's
+    * positional adjacency algebra (P₁ ∩ (P₂−1) ∩ (P₃−2)) over the
+    * STORED postings instead of a per-query corpus re-explode; the
+    * per-term equi-fetch its scaladoc promised. Output is
+    * byte-identical to q151 (same oracle, reused verbatim — and that
+    * oracle rescans raw token arrays, so the match proves
+    * index-lookup == sequential text scan end to end).
+    *
+    * Scale shape: partition-pruned read of the 3 terms' buckets,
+    * row-group pruning on the in-bucket token sort, ONE per-doc pivot
+    * of term-frequency-bounded groups, array arithmetic for
+    * adjacency — no join back to the text.
+    */
+  val q158IndexPhrase: Q = (s, dir) => {
+    val terms = IndexOps.PhraseTerms
+    val Seq(w1, w2, w3) = terms
+    ensure(s, dir)
+    val post = readPostings(s, dir)
+      .filter(col("pbucket").isin(bucketsOf(s, terms): _*) &&
+        col("token").isin(terms: _*))
+    val byDoc = post.groupBy(col("doc_id"))
+      .agg(
+        collect_list(when(col("token") === w1, col("pos"))).as("p1"),
+        collect_list(when(col("token") === w2, col("pos"))).as("p2"),
+        collect_list(when(col("token") === w3, col("pos"))).as("p3"))
+    byDoc
+      .withColumn("occ", array_intersect(
+        array_intersect(col("p1"), expr("transform(p2, x -> x - 1)")),
+        expr("transform(p3, x -> x - 2)")))
+      .filter(size(col("occ")) > 0)
+      .select(col("doc_id"),
+        size(col("occ")).cast("long").as("n_occ"),
+        array_min(col("occ")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q156_index_build" -> q156IndexBuild,
+    "q157_index_bm25" -> q157IndexBm25,
+    "q158_index_phrase" -> q158IndexPhrase)
+
+  /** q157/q158 reuse the q80/q151 oracles verbatim: the lookup output
+    * contract IS "identical to the scan-path query", and the shared
+    * oracle makes that a value check, not a convention.
+    */
+  val oracles: Map[String, String] = Map(
+    "q156_index_build" -> {
+      val h = LlmOps.hashD("'idx:' || token")
+      s"""WITH toks AS (
+        |  SELECT doc_id, r.i - 1 AS pos, tok[r.i] AS token
+        |  FROM (SELECT doc_id, ${LlmOps.toksD} AS tok FROM documents),
+        |    LATERAL unnest(range(1, len(tok) + 1)) AS r(i)),
+        |b AS (SELECT doc_id, pos, token,
+        |        $h % $NumIndexBuckets AS pbucket FROM toks)
+        |SELECT pbucket, CAST(count(DISTINCT token) AS BIGINT) AS n_terms,
+        |  CAST(count(*) AS BIGINT) AS n_postings,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM b GROUP BY pbucket ORDER BY pbucket""".stripMargin
+    },
+    "q157_index_bm25" -> LlmOps.oracles("q80_bm25"),
+    "q158_index_phrase" -> IndexOps.oracles("q151_phrase_search"))
+}

@@ -77,4 +77,16 @@ class EngineResilienceSpec extends AnyFunSuite {
       intercept[Exception](spark.sql("SELECT count(*) FROM events").collect())
     } finally Engine.registerViews(spark, sfDir) // restore for other suites
   }
+
+  test("registerViews: a wholly wrong sfDir fails fast with one clear error") {
+    val err = new java.io.ByteArrayOutputStream()
+    val e = intercept[IllegalArgumentException] {
+      Console.withErr(new java.io.PrintStream(err)) {
+        Engine.registerViews(spark, "/nonexistent/graft_dir")
+      }
+    }
+    assert(e.getMessage.contains("no fixture table loaded"))
+    // partial breakage (previous test) must keep degrading gracefully;
+    // only the all-tables-failed case aborts
+  }
 }

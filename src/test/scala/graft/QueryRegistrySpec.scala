@@ -22,7 +22,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     "IndexOps" -> operators.IndexOps.queries.keySet,
     "StatsOps" -> operators.StatsOps.queries.keySet,
     "TrainingShards" -> sources.TrainingShards.queries.keySet,
-    "JsonlCorpus" -> sources.JsonlCorpus.queries.keySet)
+    "JsonlCorpus" -> sources.JsonlCorpus.queries.keySet,
+    "StandingIndex" -> sources.StandingIndex.queries.keySet)
 
   test("no query name is defined by two modules (Map ++ would shadow one)") {
     val all = moduleMaps.flatMap { case (m, ks) => ks.map(_ -> m) }
