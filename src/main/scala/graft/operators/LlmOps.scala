@@ -774,6 +774,136 @@ object LlmOps {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** q159's multi-probe width: 6 of 16 cells searched — the recall/cost
+    * point where measured recall@3 is 1.0 at every fixture SF (nprobe=4
+    * still misses one neighbor at sf0.001). The oracle pins the ≥ 0.9
+    * floor, leaving regen headroom.
+    */
+  val MultiProbeN = 6
+
+  /** q159: IVF multi-probe recall gate (VERDICT r9 item 3) — q57's
+    * recall floor of 0.5 is too weak for a 100 TB semantic-dedup pass,
+    * so this query RAISES the probe width to [[MultiProbeN]] and makes
+    * the recall measurement itself the result: per probe query, how
+    * many of the exact brute-force top-3 neighbors (q48's linear
+    * broadcast scan, the ground-truth baseline) does the multi-probe
+    * IVF search return? The ORACLE encodes the floor — it emits rows
+    * only when mean recall ≥ 0.9, so a centroid-quality or probe-order
+    * regression reds the gate as a row-count mismatch instead of
+    * silently shipping a low-recall index.
+    *
+    * Scale shape: ground truth is computed for the 10-query probe SET
+    * only (exactly how production ANN recall is audited — sampled
+    * queries, not the full corpus), so the exact branch stays a
+    * broadcast-against-scan linear pass; the IVF branch probes
+    * nprobe/K of the corpus per query.
+    */
+  val q159AnnRecall: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val exact3 = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", cosineC(col("qe"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"))
+    val ivf3 = annIvf(s, dir, MultiProbeN)
+      .select(col("qid").as("iqid"), col("vec_id").as("ivec"))
+    exact3.join(ivf3,
+        col("qid") === col("iqid") && col("vec_id") === col("ivec"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("ivec")).as("hits"))
+      .select(col("qid"), col("hits"),
+        round(col("hits").cast("double") / 3.0, 6).as("recall"))
+      .orderBy(col("qid"))
+  }
+
+  /** q161: subspace count (64-dim embedding → 8 subvectors of 8). */
+  val PqM = 8
+
+  /** q161: dims per subvector. */
+  val PqSubDim = 8
+
+  /** q161: codewords per subspace codebook (codes fit one byte). */
+  val PqK = 16
+
+  /** q161: product quantization + asymmetric-distance search — the
+    * memory-side ANN scale path next to IVF's (q57) compute-side one,
+    * and the pairing FAISS ships as IVF-PQ: each embedding is stored as
+    * [[PqM]] one-byte codebook codes (32× smaller than the float
+    * vector), and queries score candidates WITHOUT touching original
+    * vectors — per query, a [[PqM]]×[[PqK]] lookup table of
+    * query-subvector · codeword dot products is built against the
+    * broadcast codebooks, and a candidate's score is the sum of its
+    * codes' table entries (ADC, Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search").
+    *
+    * Codebooks train per subspace: the first [[PqK]] vectors' subvectors
+    * seed, one Lloyd iteration refines with the q57 exact-arithmetic
+    * mean (scaled-long sums, so the codebook is bit-identical in any
+    * engine regardless of aggregation order); assignment ties break on
+    * lowest code. Per-term dots and the final sum round to 6 dp (the
+    * q152 discipline) so accumulation order can never flip the hash.
+    *
+    * Scale shape: codebooks are PqM·PqK rows (broadcast), the code
+    * table carries 8 codes per vector (the 32×-compressed "index in
+    * RAM" a 100 TB corpus needs), per-query LUTs are 1280 rows for 10
+    * probes (broadcast), and scoring is one equi-join on (m, code) +
+    * a hash aggregation — no window over the corpus, no original
+    * embeddings read after quantization.
+    */
+  val q161PqAdc: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val e = t(s, dir, "embeddings")
+    val subs = e
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("embedding"))
+      .withColumn("sub", expr(
+        s"transform(slice(embedding, m * $PqSubDim + 1, $PqSubDim), x -> CAST(x AS DOUBLE))"))
+      .drop("embedding")
+    val seeds = subs.filter(col("vec_id") < PqK)
+      .select(col("m").as("sm"), col("vec_id").as("cent_id"), col("sub").as("cent"))
+    val d2 = round(expr(
+      "aggregate(zip_with(sub, cent, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 6)
+    def assign(cents: DataFrame): DataFrame =
+      subs.join(broadcast(cents), col("m") === col("sm"))
+        .withColumn("d2", d2)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("code"),
+          first(col("sub")).as("sub"))
+    // one exact-arithmetic Lloyd refinement per subspace codebook
+    val cents1 = assign(seeds)
+      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("dim", "x")))
+      .groupBy(col("m"), col("code"), col("dim"))
+      .agg(sum(expr("CAST(round(x * 1048576) AS BIGINT)")).as("sx"),
+        count(lit(1)).as("n"))
+      .withColumn("c", col("sx").cast("double") / col("n") / lit(1048576.0))
+      .groupBy(col("m"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+        .as("cent"))
+      .select(col("m").as("sm"), col("code").as("cent_id"), col("cent"))
+    val codes = assign(cents1).select(col("vec_id"), col("m"), col("code"))
+    val probes = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m").as("qm"), col("sub").as("qsub"))
+    val lut = probes.join(broadcast(cents1), col("qm") === col("sm"))
+      .withColumn("pdot", round(expr(
+        "aggregate(zip_with(qsub, cent, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6))
+      .select(col("qid"), col("qm").as("m"), col("cent_id").as("code"), col("pdot"))
+    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("pdot")), 6).as("adc"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), col("adc"), col("rn").cast("int").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** SemDeDup cosine threshold (q96) — calibrated to the fixture corpus
     * like [[CosineNearDupThreshold]]; real embedding corpora run ~0.9+.
     */
@@ -2560,6 +2690,8 @@ object LlmOps {
     "q55_simhash_pairs" -> q55SimhashPairs,
     "q56_cosine_near_dup" -> q56CosineNearDup,
     "q57_ann_ivf" -> q57AnnIvf,
+    "q159_ann_recall" -> q159AnnRecall,
+    "q161_pq_adc" -> q161PqAdc,
     "q96_semdedup" -> q96SemDedup,
     "q104_hard_negatives" -> q104HardNegatives,
     "q105_weighted_sample" -> q105WeightedSample,
@@ -3124,6 +3256,76 @@ object LlmOps {
         |SELECT qid, cent_id, vec_id, score, CAST(rn AS INT) AS rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn FROM scored)
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "q159_ann_recall" ->
+      s"""WITH $ivfCtesD,
+        |probes AS (
+        |  SELECT vec_id AS qid, embedding AS qe, cent_id AS q_cent FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineD("e.embedding", "c.cent")} DESC, c.cent_id ASC) AS crn
+        |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE crn <= $MultiProbeN),
+        |ivf3 AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT p.qid, s.vec_id,
+        |      row_number() OVER (PARTITION BY p.qid ORDER BY ${cosineD("p.qe", "s.embedding")} DESC, s.vec_id ASC) AS rn
+        |    FROM corpus s JOIN probes p ON s.cent_id = p.q_cent AND s.vec_id != p.qid) WHERE rn <= 3),
+        |exact3 AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT q.vec_id AS qid, e.vec_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosineD("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+        |    WHERE e.vec_id != q.vec_id) WHERE rn <= 3),
+        |perq AS (
+        |  SELECT x.qid, count(i.vec_id) AS hits
+        |  FROM exact3 x LEFT JOIN ivf3 i ON x.qid = i.qid AND x.vec_id = i.vec_id
+        |  GROUP BY x.qid)
+        |SELECT qid, hits, round(CAST(hits AS DOUBLE) / 3.0, 6) AS recall
+        |FROM perq
+        |WHERE (SELECT avg(CAST(hits AS DOUBLE)) / 3.0 FROM perq) >= 0.9
+        |ORDER BY qid""".stripMargin,
+    "q161_pq_adc" -> {
+      val sd = PqSubDim
+      def d2(a: String, b: String): String =
+        s"round(list_sum(list_transform(range(1, ${sd + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 6)"
+      def dot(a: String, b: String): String =
+        s"round(list_sum(list_transform(range(1, ${sd + 1}), i -> $a[i] * $b[i])), 6)"
+      s"""WITH subs AS (
+        |  SELECT vec_id, mm.m AS m,
+        |    list_transform(range(mm.m * $sd + 1, mm.m * $sd + ${sd + 1}),
+        |      i -> CAST(embedding[i] AS DOUBLE)) AS sub
+        |  FROM embeddings, (SELECT unnest(range(0, $PqM)) AS m) mm),
+        |seeds AS (SELECT m, vec_id AS cent_id, sub AS cent FROM subs WHERE vec_id < $PqK),
+        |asg0 AS (
+        |  SELECT vec_id, m, code, sub FROM (
+        |    SELECT s.vec_id, s.m, c.cent_id AS code, s.sub,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY ${d2("s.sub", "c.cent")} ASC, c.cent_id ASC) AS rn
+        |    FROM subs s JOIN seeds c ON s.m = c.m) WHERE rn = 1),
+        |lloyd AS (
+        |  SELECT m, code, d.i - 1 AS dim,
+        |    CAST(sum(CAST(round(sub[d.i] * 1048576) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 1048576.0 AS c
+        |  FROM asg0, (SELECT unnest(range(1, ${sd + 1})) AS i) d
+        |  GROUP BY m, code, d.i),
+        |cents AS (SELECT m, code AS cent_id, list(c ORDER BY dim) AS cent FROM lloyd GROUP BY m, code),
+        |codes AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT s.vec_id, s.m, c.cent_id AS code,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY ${d2("s.sub", "c.cent")} ASC, c.cent_id ASC) AS rn
+        |    FROM subs s JOIN cents c ON s.m = c.m) WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.vec_id AS qid, q.m, c.cent_id AS code,
+        |    ${dot("q.sub", "c.cent")} AS pdot
+        |  FROM subs q JOIN cents c ON q.m = c.m WHERE q.vec_id < 10),
+        |scored AS (
+        |  SELECT l.qid, k.vec_id, round(sum(l.pdot), 6) AS adc
+        |  FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code AND k.vec_id != l.qid
+        |  GROUP BY l.qid, k.vec_id)
+        |SELECT qid, vec_id, adc, CAST(rn AS INT) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    },
     "q55_simhash_pairs" ->
       s"""WITH $simhashPairCtesD
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming

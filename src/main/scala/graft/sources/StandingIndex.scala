@@ -161,16 +161,27 @@ object StandingIndex {
     * and the top-k is TakeOrderedAndProject. The corpus text is never
     * scanned.
     */
-  val q157IndexBm25: Q = (s, dir) => {
-    val root = ensure(s, dir)
+  val q157IndexBm25: Q = (s, dir) =>
+    bm25Lookup(s, ensure(s, dir))
+
+  /** BM25 over a stored index artifact root — shared by q157 (the
+    * one-shot q156 artifact) and StandingIndexSpec's lookup-equality
+    * check over the q160 incremental artifact. `stats` is summed
+    * across segment rows (one row for a one-shot build, one per
+    * appended segment for the incremental one — the LSM-manifest
+    * contract).
+    */
+  private[graft] def bm25Lookup(s: SparkSession, root: String): DataFrame = {
     val terms = LlmOps.Bm25Terms
-    val post = readPostings(s, dir)
+    val post = s.read.parquet(s"$root/postings")
+      .withColumn("pbucket", col("pbucket").cast("long"))
       .filter(col("pbucket").isin(bucketsOf(s, terms): _*) &&
         col("token").isin(terms: _*))
     val tf = post.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val lengths = s.read.parquet(s"$root/lengths")
     val stats = s.read.parquet(s"$root/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .select(col("n_docs").cast("double").as("n"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -226,10 +237,83 @@ object StandingIndex {
       .orderBy(col("doc_id"))
   }
 
+  /** q160: hash residue (of [[IncDeltaMod]]) that plays the late-arriving
+    * delta segment — ~10% of the corpus.
+    */
+  val IncDeltaMod = 10
+
+  /** Fold modulus for the per-bucket postings signature: per-posting
+    * hashes fold mod 1e9 before the sum so the bucket total stays far
+    * from Long overflow (DuckDB would promote an unbounded BIGINT sum
+    * to HUGEINT and type-mismatch) while remaining collision-tight as
+    * a multiset check.
+    */
+  val SigMod = 1000000000L
+
+  /** q160: INCREMENTAL index maintenance — the update path the build's
+    * scaladoc promises an incremental indexer must preserve. A
+    * hash-derived ~90% "base" corpus is indexed first (the standing
+    * artifact), then the remaining ~10% "delta" segment is APPENDED:
+    * delta postings land in the same content-derived `pbucket`
+    * directories (a term's bucket is a pure function of the term, so a
+    * delta append never relocates existing postings — the property that
+    * makes the merge a file append instead of a rewrite), and
+    * lengths/stats gain a segment row each (readers sum segments, the
+    * LSM-style manifest shape).
+    *
+    * The emitted per-bucket manifest carries term/posting/doc counts
+    * AND a position-level multiset signature (Σ hash(token|doc|pos)
+    * mod [[SigMod]]), and the ORACLE computes the same from the full
+    * corpus in one pass — it never sees the split — so a hash match
+    * proves incremental-append == from-scratch rebuild down to every
+    * individual (token, doc_id, pos) posting, not just counts.
+    *
+    * Scale shape: the delta pass tokenizes ONLY delta docs (at 100 TB
+    * the delta is a day's crawl, not the corpus), one repartition by
+    * bucket per segment, and the routing invariant means lookups prune
+    * identically before and after the merge (StandingIndexSpec asserts
+    * lookup equality over the merged artifact).
+    */
+  val q160IndexDelta: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val root = s"${indexRoot(dir)}_inc"
+    val docs = Engine.table(s, dir, "documents")
+      .withColumn("tok", expr(LlmOps.toksS))
+      .withColumn("is_delta",
+        pmod(expr(LlmOps.hashS("concat('seg:', CAST(doc_id AS STRING))")),
+          lit(IncDeltaMod)) === (IncDeltaMod - 1))
+    def writeSeg(d: DataFrame, mode: String): Unit = {
+      d.select(col("doc_id"), posexplode(col("tok")).as(Seq("pos", "token")))
+        .withColumn("pbucket",
+          pmod(expr(LlmOps.hashS("concat('idx:', token)")), lit(NumIndexBuckets)))
+        .repartition(col("pbucket"))
+        .sortWithinPartitions(col("token"), col("doc_id"), col("pos"))
+        .write.mode(mode).partitionBy("pbucket").parquet(s"$root/postings")
+      d.select(col("doc_id"), size(col("tok")).cast("long").as("dl"))
+        .write.mode(mode).parquet(s"$root/lengths")
+      d.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tok"))).cast("long").as("sum_dl"))
+        .write.mode(mode).parquet(s"$root/stats")
+    }
+    writeSeg(docs.filter(!col("is_delta")), "overwrite")
+    writeSeg(docs.filter(col("is_delta")), "append")
+    s.read.parquet(s"$root/postings")
+      .withColumn("pbucket", col("pbucket").cast("long"))
+      .groupBy(col("pbucket"))
+      .agg(countDistinct(col("token")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(pmod(expr(LlmOps.hashS(
+          "concat('pst:', token, '|', CAST(doc_id AS STRING), '|', CAST(pos AS STRING))")),
+          lit(SigMod))).as("postings_sig"))
+      .orderBy(col("pbucket"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q156_index_build" -> q156IndexBuild,
     "q157_index_bm25" -> q157IndexBm25,
-    "q158_index_phrase" -> q158IndexPhrase)
+    "q158_index_phrase" -> q158IndexPhrase,
+    "q160_index_delta" -> q160IndexDelta)
 
   /** q157/q158 reuse the q80/q151 oracles verbatim: the lookup output
     * contract IS "identical to the scan-path query", and the shared
@@ -250,5 +334,23 @@ object StandingIndex {
         |FROM b GROUP BY pbucket ORDER BY pbucket""".stripMargin
     },
     "q157_index_bm25" -> LlmOps.oracles("q80_bm25"),
-    "q158_index_phrase" -> IndexOps.oracles("q151_phrase_search"))
+    "q158_index_phrase" -> IndexOps.oracles("q151_phrase_search"),
+    // the q160 oracle scans the FULL corpus in one pass — it never sees
+    // the base/delta split, so the match proves incremental == rebuild
+    "q160_index_delta" -> {
+      val hb = LlmOps.hashD("'idx:' || token")
+      val hp = LlmOps.hashD(
+        "'pst:' || token || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR)")
+      s"""WITH toks AS (
+        |  SELECT doc_id, r.i - 1 AS pos, tok[r.i] AS token
+        |  FROM (SELECT doc_id, ${LlmOps.toksD} AS tok FROM documents),
+        |    LATERAL unnest(range(1, len(tok) + 1)) AS r(i)),
+        |b AS (SELECT doc_id, pos, token,
+        |        $hb % $NumIndexBuckets AS pbucket FROM toks)
+        |SELECT pbucket, CAST(count(DISTINCT token) AS BIGINT) AS n_terms,
+        |  CAST(count(*) AS BIGINT) AS n_postings,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum($hp % $SigMod) AS BIGINT) AS postings_sig
+        |FROM b GROUP BY pbucket ORDER BY pbucket""".stripMargin
+    })
 }

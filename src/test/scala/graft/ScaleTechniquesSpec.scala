@@ -67,5 +67,9 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val r1 = recall(1); val r2 = recall(2)
     assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
     assert(r2 >= 0.5, s"nprobe=2 recall $r2 below 0.5")
+    // VERDICT r9 item 3: the multi-probe width q159 ships must clear
+    // the 0.9 floor its oracle encodes (measured 1.0 at every SF)
+    val rm = recall(LlmOps.MultiProbeN)
+    assert(rm >= 0.9, s"nprobe=${LlmOps.MultiProbeN} recall $rm below 0.9")
   }
 }
