@@ -274,31 +274,40 @@ object StandingIndex {
     * identically before and after the merge (StandingIndexSpec asserts
     * lookup equality over the merged artifact).
     */
-  val q160IndexDelta: Q = (s, dir) => {
-    graft.Functions.registerAll(s)
-    val root = s"${indexRoot(dir)}_inc"
-    val docs = Engine.table(s, dir, "documents")
-      .withColumn("tok", expr(LlmOps.toksS))
-      .withColumn("is_delta",
-        pmod(expr(LlmOps.hashS("concat('seg:', CAST(doc_id AS STRING))")),
-          lit(IncDeltaMod)) === (IncDeltaMod - 1))
-    def writeSeg(d: DataFrame, mode: String): Unit = {
-      d.select(col("doc_id"), posexplode(col("tok")).as(Seq("pos", "token")))
-        .withColumn("pbucket",
-          pmod(expr(LlmOps.hashS("concat('idx:', token)")), lit(NumIndexBuckets)))
-        .repartition(col("pbucket"))
-        .sortWithinPartitions(col("token"), col("doc_id"), col("pos"))
-        .write.mode(mode).partitionBy("pbucket").parquet(s"$root/postings")
-      d.select(col("doc_id"), size(col("tok")).cast("long").as("dl"))
-        .write.mode(mode).parquet(s"$root/lengths")
-      d.agg(count(lit(1)).as("n_docs"),
-          sum(size(col("tok"))).cast("long").as("sum_dl"))
-        .write.mode(mode).parquet(s"$root/stats")
-    }
-    writeSeg(docs.filter(!col("is_delta")), "overwrite")
-    writeSeg(docs.filter(col("is_delta")), "append")
-    s.read.parquet(s"$root/postings")
-      .withColumn("pbucket", col("pbucket").cast("long"))
+  /** Bucketed positional postings of a (doc_id, tok) slice — the unit
+    * a segment write persists and a manifest aggregates.
+    */
+  private[graft] def postingsOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), posexplode(col("tok")).as(Seq("pos", "token")))
+      .withColumn("pbucket",
+        pmod(expr(LlmOps.hashS("concat('idx:', token)")), lit(NumIndexBuckets)))
+
+  /** Persist one corpus slice as an index segment (postings into the
+    * shared bucket dirs, one lengths slice, one stats row). `overwrite`
+    * starts a fresh artifact; `append` is the incremental update —
+    * bucket assignment is a pure function of the term, so an append
+    * never relocates existing postings. Shared by q160 and the
+    * streaming maintenance twin (StreamingIndexSpec).
+    */
+  private[graft] def writeSegment(d: DataFrame, root: String, mode: String): Unit = {
+    graft.Functions.registerAll(d.sparkSession)
+    postingsOf(d)
+      .repartition(col("pbucket"))
+      .sortWithinPartitions(col("token"), col("doc_id"), col("pos"))
+      .write.mode(mode).partitionBy("pbucket").parquet(s"$root/postings")
+    d.select(col("doc_id"), size(col("tok")).cast("long").as("dl"))
+      .write.mode(mode).parquet(s"$root/lengths")
+    d.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tok"))).cast("long").as("sum_dl"))
+      .write.mode(mode).parquet(s"$root/stats")
+  }
+
+  /** Per-bucket manifest with the position-level multiset signature —
+    * computable over stored postings (q160's read-back) or directly
+    * over a postings DataFrame (the spec's from-raw comparison).
+    */
+  private[graft] def manifestOf(postings: DataFrame): DataFrame =
+    postings
       .groupBy(col("pbucket"))
       .agg(countDistinct(col("token")).as("n_terms"),
         count(lit(1)).as("n_postings"),
@@ -307,6 +316,19 @@ object StandingIndex {
           "concat('pst:', token, '|', CAST(doc_id AS STRING), '|', CAST(pos AS STRING))")),
           lit(SigMod))).as("postings_sig"))
       .orderBy(col("pbucket"))
+
+  val q160IndexDelta: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val root = s"${indexRoot(dir)}_inc"
+    val docs = Engine.table(s, dir, "documents")
+      .withColumn("tok", expr(LlmOps.toksS))
+      .withColumn("is_delta",
+        pmod(expr(LlmOps.hashS("concat('seg:', CAST(doc_id AS STRING))")),
+          lit(IncDeltaMod)) === (IncDeltaMod - 1))
+    writeSegment(docs.filter(!col("is_delta")), root, "overwrite")
+    writeSegment(docs.filter(col("is_delta")), root, "append")
+    manifestOf(s.read.parquet(s"$root/postings")
+      .withColumn("pbucket", col("pbucket").cast("long")))
   }
 
   val queries: Map[String, Q] = Map(
