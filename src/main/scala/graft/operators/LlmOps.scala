@@ -904,6 +904,105 @@ object LlmOps {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** q162: IVF-PQ — the composition FAISS ships for billion-vector
+    * search, and the natural join of this family's two halves: q57's
+    * coarse quantizer bounds WHICH vectors are scored (nprobe cells),
+    * and q161's product quantization bounds HOW they are stored (8
+    * one-byte codes). The refinement over plain PQ is RESIDUAL
+    * encoding: each vector is coded as its offset from its cell
+    * centroid (residuals are smaller and better-centered than raw
+    * vectors, so the same codebook budget quantizes finer — Jégou et
+    * al. 2011 §IV). Scoring uses the inner-product identity
+    * q·x = q·c(x) + q·r(x): the first term is exact (16 centroid dots
+    * per query), the second is the PQ/ADC lookup-table approximation of
+    * the residual.
+    *
+    * All codebooks train with the exact-arithmetic Lloyd mean and all
+    * dots round to 6 dp before summing (q152 discipline), so the
+    * index build and search are bit-identical in any engine.
+    *
+    * Scale shape: the stored index per vector is one cell id + 8 codes
+    * (the RAM-resident form a 100 TB corpus needs); a query touches
+    * nprobe/K of the corpus, scoring via a broadcast
+    * 10×[[PqM]]×[[PqK]] LUT + a broadcast 16-row centroid-dot table —
+    * original embeddings are never read at search time.
+    */
+  val q162IvfPq: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val e = t(s, dir, "embeddings")
+    val cents = ivfCentroids(s, dir)
+    val corpus = ivfAssign1(e, cents, "vec_id")
+    // residual r(x) = x - c(x), in doubles
+    val res = corpus
+      .join(broadcast(cents.select(col("cent_id").as("rc_id"), col("cent"))),
+        col("cent_id") === col("rc_id"))
+      .withColumn("residual", expr(
+        "zip_with(embedding, cent, (x, y) -> CAST(x AS DOUBLE) - y)"))
+      .select(col("vec_id"), col("cent_id"), col("residual"))
+    val subs = res
+      .select(col("vec_id"), col("cent_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("residual"))
+      .withColumn("sub", expr(
+        s"slice(residual, m * $PqSubDim + 1, $PqSubDim)"))
+      .drop("residual")
+    val seeds = subs.filter(col("vec_id") < PqK)
+      .select(col("m").as("sm"), col("vec_id").as("code_id"), col("sub").as("cw"))
+    val d2 = round(expr(
+      "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 6)
+    def assign(cbooks: DataFrame): DataFrame =
+      subs.join(broadcast(cbooks), col("m") === col("sm"))
+        .withColumn("d2", d2)
+        .groupBy(col("vec_id"), col("cent_id"), col("m"))
+        .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code"),
+          first(col("sub")).as("sub"))
+    val cbooks = assign(seeds)
+      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("dim", "x")))
+      .groupBy(col("m"), col("code"), col("dim"))
+      .agg(sum(expr("CAST(round(x * 1048576) AS BIGINT)")).as("sx"),
+        count(lit(1)).as("n"))
+      .withColumn("c", col("sx").cast("double") / col("n") / lit(1048576.0))
+      .groupBy(col("m"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+        .as("cw"))
+      .select(col("m").as("sm"), col("code").as("code_id"), col("cw"))
+    // the stored index: one cell id + PqM one-byte codes per vector
+    val codes = assign(cbooks).select(col("vec_id"), col("cent_id"), col("m"), col("code"))
+    // query side: nprobe cells + exact q·c per (query, cell)
+    val probes = ivfAssign(e.filter(col("vec_id") < 10), cents, "vec_id", NProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cent_id").as("q_cent"))
+    val qcDot = probes
+      .join(broadcast(cents.select(col("cent_id").as("qc_id"), col("cent"))),
+        col("q_cent") === col("qc_id"))
+      .withColumn("qc_dot", round(expr(
+        "aggregate(zip_with(qe, cent, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, x) -> a + x)"), 6))
+      .select(col("qid"), col("qe"), col("q_cent"), col("qc_dot"))
+    // per-query LUT against the residual codebooks (full-dim q subvectors)
+    val qsubs = qcDot.select(col("qid"), col("qe")).distinct()
+      .select(col("qid"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qe"))
+      .withColumn("qsub", expr(
+        s"transform(slice(qe, m * $PqSubDim + 1, $PqSubDim), x -> CAST(x AS DOUBLE))"))
+    val lut = qsubs.join(broadcast(cbooks), col("m") === col("sm"))
+      .withColumn("pdot", round(expr(
+        "aggregate(zip_with(qsub, cw, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6))
+      .select(col("qid").as("lqid"), col("m").as("lm"),
+        col("code_id").as("code"), col("pdot"))
+    val scored = codes
+      .join(broadcast(qcDot.select(col("qid"), col("q_cent"), col("qc_dot"))),
+        col("cent_id") === col("q_cent") && col("vec_id") =!= col("qid"))
+      .join(broadcast(lut),
+        col("lqid") === col("qid") && col("lm") === col("m") &&
+          lut("code") === codes("code"))
+      .groupBy(col("qid"), col("vec_id"), col("cent_id"))
+      .agg(round(first(col("qc_dot")) + sum(col("pdot")), 6).as("adc"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("cent_id"), col("vec_id"), col("adc"),
+        col("rn").cast("int").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** SemDeDup cosine threshold (q96) — calibrated to the fixture corpus
     * like [[CosineNearDupThreshold]]; real embedding corpora run ~0.9+.
     */
@@ -2692,6 +2791,7 @@ object LlmOps {
     "q57_ann_ivf" -> q57AnnIvf,
     "q159_ann_recall" -> q159AnnRecall,
     "q161_pq_adc" -> q161PqAdc,
+    "q162_ivfpq" -> q162IvfPq,
     "q96_semdedup" -> q96SemDedup,
     "q104_hard_negatives" -> q104HardNegatives,
     "q105_weighted_sample" -> q105WeightedSample,
@@ -3324,6 +3424,62 @@ object LlmOps {
         |SELECT qid, vec_id, adc, CAST(rn AS INT) AS rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS rn
         |  FROM scored)
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    },
+    "q162_ivfpq" -> {
+      val sd = PqSubDim
+      def d2(a: String, b: String): String =
+        s"round(list_sum(list_transform(range(1, ${sd + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 6)"
+      s"""WITH $ivfCtesD,
+        |res AS (
+        |  SELECT s.vec_id, s.cent_id,
+        |    list_transform(range(1, ${EmbDim + 1}), i -> CAST(s.embedding[i] AS DOUBLE) - c.cent[i]) AS residual
+        |  FROM corpus s JOIN cents c ON s.cent_id = c.cent_id),
+        |rsubs AS (
+        |  SELECT vec_id, cent_id, mm.m AS m,
+        |    list_transform(range(mm.m * $sd + 1, mm.m * $sd + ${sd + 1}), i -> residual[i]) AS sub
+        |  FROM res, (SELECT unnest(range(0, $PqM)) AS m) mm),
+        |rseeds AS (SELECT m, vec_id AS code_id, sub AS cw FROM rsubs WHERE vec_id < $PqK),
+        |rasg0 AS (
+        |  SELECT vec_id, m, code, sub FROM (
+        |    SELECT s.vec_id, s.m, c.code_id AS code, s.sub,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY ${d2("s.sub", "c.cw")} ASC, c.code_id ASC) AS rn
+        |    FROM rsubs s JOIN rseeds c ON s.m = c.m) WHERE rn = 1),
+        |rlloyd AS (
+        |  SELECT m, code, d.i - 1 AS dim,
+        |    CAST(sum(CAST(round(sub[d.i] * 1048576) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 1048576.0 AS c
+        |  FROM rasg0, (SELECT unnest(range(1, ${sd + 1})) AS i) d
+        |  GROUP BY m, code, d.i),
+        |cbooks AS (SELECT m, code AS code_id, list(c ORDER BY dim) AS cw FROM rlloyd GROUP BY m, code),
+        |codes AS (
+        |  SELECT vec_id, cent_id, m, code FROM (
+        |    SELECT s.vec_id, s.cent_id, s.m, c.code_id AS code,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY ${d2("s.sub", "c.cw")} ASC, c.code_id ASC) AS rn
+        |    FROM rsubs s JOIN cbooks c ON s.m = c.m) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, embedding AS qe, cent_id AS q_cent FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineD("e.embedding", "c.cent")} DESC, c.cent_id ASC) AS crn
+        |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE crn <= $NProbe),
+        |qc AS (
+        |  SELECT p.qid, p.qe, p.q_cent,
+        |    round(list_sum(list_transform(range(1, ${EmbDim + 1}), i -> CAST(p.qe[i] AS DOUBLE) * c.cent[i])), 6) AS qc_dot
+        |  FROM probes p JOIN cents c ON p.q_cent = c.cent_id),
+        |qlut AS (
+        |  SELECT q.qid, b.m, b.code_id AS code,
+        |    round(list_sum(list_transform(range(1, ${sd + 1}), i -> CAST(q.qe[b.m * $sd + i] AS DOUBLE) * b.cw[i])), 6) AS pdot
+        |  FROM (SELECT DISTINCT qid, qe FROM probes) q, cbooks b),
+        |scored AS (
+        |  SELECT p.qid, k.vec_id, k.cent_id, round(max(p.qc_dot) + sum(l.pdot), 6) AS adc
+        |  FROM codes k
+        |  JOIN qc p ON k.cent_id = p.q_cent AND k.vec_id != p.qid
+        |  JOIN qlut l ON l.qid = p.qid AND l.m = k.m AND l.code = k.code
+        |  GROUP BY p.qid, k.vec_id, k.cent_id)
+        |SELECT qid, cent_id, vec_id, adc, CAST(rn AS INT) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS rn FROM scored)
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
     },
     "q55_simhash_pairs" ->
