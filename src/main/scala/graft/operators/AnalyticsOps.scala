@@ -438,7 +438,74 @@ object AnalyticsOps {
       .orderBy(col("model"), col("touch_type"))
   }
 
+  // ---------------------------------------------------------------
+  // q164 — Kaplan–Meier survival of user lifetimes
+  // ---------------------------------------------------------------
+
+  /** q164: right-censoring horizon — users whose last event falls
+    * within this many HOURS of the observation edge are censored
+    * (still active), not churned. Hours, not days: the fixture users
+    * are hyper-active over a 30-day window (a 7-day horizon censors
+    * every user at every SF), and 12 h yields churn events at all
+    * three SFs (5 / 40 / 489 users).
+    */
+  val KmCensorHours = 12
+
+  /** q164: Kaplan–Meier product-limit estimate of user lifetime — the
+    * survival-analysis complement to q121's cohort retention: cohorts
+    * answer "how many came back in week k", KM answers "what fraction
+    * of accounts SURVIVE past t days" while handling the users still
+    * active at the observation edge correctly (right-censoring —
+    * counting them as churned is the classic retention-analysis bias).
+    * Lifetime = days between a user's first and last event; a user is
+    * churned iff their last event predates the corpus edge by more
+    * than [[KmCensorHours]] hours. At each churn time t:
+    * S(t) = Π_{t'≤t} (1 − d(t')/n(t')), with n = users still at risk.
+    *
+    * Determinism: d and n are exact integers; each factor is ONE
+    * double division rounded to 6 dp; the running product is
+    * exp(Σ ln factor) over the ascending-t cumulative window — both
+    * engines sum the identical rounded doubles in the identical
+    * (sorted) order — rounded to 6 dp on emit.
+    *
+    * Scale shape: one shuffle by user_id for the lifespan aggregate,
+    * one by t_days for the per-day tallies; the cumulative windows run
+    * over DISTINCT lifetime days — bounded by the observation span in
+    * days, not corpus cardinality (whitelisted in ScaleAuditSpec with
+    * that bound).
+    */
+  val q164Survival: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val mx = ev.agg(max(col("ts")).as("max_ts"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .crossJoin(broadcast(mx))
+      .select(
+        datediff(to_date(col("last_ts")), to_date(col("first_ts")))
+          .cast("long").as("t_days"),
+        (col("last_ts") <= expr(s"max_ts - INTERVAL $KmCensorHours HOUR"))
+          .cast("long").as("churned"))
+    val byT = users.groupBy(col("t_days"))
+      .agg(count(lit(1)).as("n_users"), sum(col("churned")).as("n_churn"))
+    val tot = users.agg(count(lit(1)).as("n_total"))
+    val wPrev = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("n_users")).over(wPrev), lit(0L)))
+      .filter(col("n_churn") > 0)
+      .withColumn("factor", round(
+        lit(1.0) - col("n_churn").cast("double") / col("n_risk"), 6))
+      .withColumn("survival", round(exp(sum(log(col("factor"))).over(wCum)), 6))
+      .select(col("t_days"), col("n_risk"), col("n_churn"), col("factor"),
+        col("survival"))
+      .orderBy(col("t_days"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q164_survival" -> q164Survival,
     "q155_attribution" -> q155Attribution,
     "q143_contribution_cap" -> q143ContributionCap,
     "q136_session_stats" -> q136SessionStats,
@@ -456,6 +523,30 @@ object AnalyticsOps {
   private def hashD(x: String): String = LlmOps.hashD(x)
 
   val oracles: Map[String, String] = Map(
+    "q164_survival" ->
+      s"""WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+        |users AS (
+        |  SELECT date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS t_days,
+        |    CAST(max(ts) <= (SELECT max_ts FROM mx) - INTERVAL $KmCensorHours HOUR AS BIGINT) AS churned
+        |  FROM events GROUP BY user_id),
+        |by_t AS (
+        |  SELECT t_days, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(churned) AS BIGINT) AS n_churn
+        |  FROM users GROUP BY t_days),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM users),
+        |risk AS (
+        |  SELECT t_days, n_churn,
+        |    t.n_total - coalesce(sum(n_users) OVER (ORDER BY t_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM by_t, tot t),
+        |ev AS (
+        |  SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk, n_churn,
+        |    round(1.0 - CAST(n_churn AS DOUBLE) / n_risk, 6) AS factor
+        |  FROM risk WHERE n_churn > 0)
+        |SELECT t_days, n_risk, n_churn, factor,
+        |  round(exp(sum(ln(factor)) OVER (ORDER BY t_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+        |FROM ev ORDER BY t_days""".stripMargin,
     "q155_attribution" -> {
       val touches = AttribTouches.map(t => s"'$t'").mkString(", ")
       val touchCase = s"CASE WHEN event_type IN ($touches) THEN event_type END"

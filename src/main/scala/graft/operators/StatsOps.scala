@@ -332,7 +332,64 @@ object StatsOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  // ---------------------------------------------------------------
+  // q163 — two-sample Kolmogorov–Smirnov drift test
+  // ---------------------------------------------------------------
+
+  /** q163: two-sample Kolmogorov–Smirnov test on the n_chars
+    * distribution between the SAME two corpus snapshots q152's PSI
+    * compares — the nonparametric member of the drift family (q152
+    * PSI needs binning choices, q154 χ² needs categories; KS compares
+    * the full empirical CDFs with no tuning, the standard screen for
+    * "did the length distribution shift between crawls"). Emits the
+    * supremum gap D, the value at which it is attained, the scaled
+    * statistic √(nm/(n+m))·D and the α=0.05 decision (asymptotic
+    * critical value 1.358, Smirnov's table).
+    *
+    * Determinism: per-value ECDFs are exact-integer cumulative counts
+    * with ONE double division each; gaps round to 6 dp BEFORE the max;
+    * the attained value is min(n_chars where gap = D) — a two-pass
+    * selection rather than arg_max, whose tie policy differs across
+    * engines.
+    *
+    * Scale shape: one shuffle groups rows to DISTINCT n_chars values,
+    * so the cumulative window runs over the VALUE DOMAIN (bounded by
+    * max document length, not corpus cardinality) — the global window
+    * is whitelisted in ScaleAuditSpec with exactly that bound; both
+    * snapshot counts ride the same scan via indicator sums (q152's
+    * trick), so the corpus is read once.
+    */
+  val q163KsTest: Q = (s, dir) => {
+    val counts = t(s, dir, "documents")
+      .select(col("n_chars"),
+        (col("doc_id") % 13 =!= 5).cast("long").as("in_old"),
+        (col("doc_id") % 11 =!= 7).cast("long").as("in_new"))
+      .groupBy(col("n_chars"))
+      .agg(sum(col("in_old")).as("c_old"), sum(col("in_new")).as("c_new"))
+    val tot = counts.agg(sum(col("c_old")).as("n_old"),
+      sum(col("c_new")).as("n_new"))
+    val w = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ecdf = counts.crossJoin(broadcast(tot))
+      .withColumn("gap", round(abs(
+        sum(col("c_old")).over(w).cast("double") / col("n_old") -
+          sum(col("c_new")).over(w).cast("double") / col("n_new")), 6))
+      .select(col("n_chars"), col("n_old"), col("n_new"), col("gap"))
+    val mx = ecdf.agg(max(col("gap")).as("ks_d"))
+    ecdf.crossJoin(broadcast(mx))
+      .filter(col("gap") === col("ks_d"))
+      .groupBy(col("n_old"), col("n_new"), col("ks_d"))
+      .agg(min(col("n_chars")).cast("long").as("at_value"))
+      .withColumn("ks_stat", round(
+        sqrt(col("n_old").cast("double") * col("n_new") /
+          (col("n_old") + col("n_new")).cast("double")) * col("ks_d"), 6))
+      .select(col("n_old"), col("n_new"), col("ks_d"), col("at_value"),
+        col("ks_stat"),
+        (col("ks_stat") > 1.358).cast("long").as("reject_05"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q163_ks_test" -> q163KsTest,
     "q111_group_regression" -> q111GroupRegression,
     "q112_corr_matrix" -> q112CorrMatrix,
     "q113_anomalies" -> q113Anomalies,
@@ -348,6 +405,30 @@ object StatsOps {
   private val qualityLangCteD = LlmOps.qualityOracleCteD("q", Seq("source"))
 
   val oracles: Map[String, String] = Map(
+    "q163_ks_test" ->
+      s"""WITH base AS (
+        |  SELECT n_chars,
+        |    CAST(doc_id % 13 != 5 AS BIGINT) AS in_old,
+        |    CAST(doc_id % 11 != 7 AS BIGINT) AS in_new
+        |  FROM documents),
+        |counts AS (
+        |  SELECT n_chars, CAST(sum(in_old) AS BIGINT) AS c_old,
+        |    CAST(sum(in_new) AS BIGINT) AS c_new
+        |  FROM base GROUP BY n_chars),
+        |tot AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+        |          CAST(sum(c_new) AS BIGINT) AS n_new FROM counts),
+        |ecdf AS (
+        |  SELECT n_chars, t.n_old, t.n_new,
+        |    round(abs(
+        |      CAST(sum(c_old) OVER (ORDER BY n_chars) AS DOUBLE) / t.n_old -
+        |      CAST(sum(c_new) OVER (ORDER BY n_chars) AS DOUBLE) / t.n_new), 6) AS gap
+        |  FROM counts, tot t),
+        |mx AS (SELECT max(gap) AS ks_d FROM ecdf)
+        |SELECT t.n_old, t.n_new, m.ks_d,
+        |  (SELECT min(n_chars) FROM ecdf WHERE gap = m.ks_d) AS at_value,
+        |  round(sqrt(CAST(t.n_old AS DOUBLE) * t.n_new / (t.n_old + t.n_new)) * m.ks_d, 6) AS ks_stat,
+        |  CAST(round(sqrt(CAST(t.n_old AS DOUBLE) * t.n_new / (t.n_old + t.n_new)) * m.ks_d, 6) > 1.358 AS BIGINT) AS reject_05
+        |FROM tot t, mx m""".stripMargin,
     "q111_group_regression" ->
       s"""WITH $qualityLangCteD,
         |xy AS (SELECT source,

@@ -64,7 +64,11 @@ class ScaleAuditSpec extends AnyFunSuite {
     "q120_winsorize",     // distinct 2-dp value domain
     "q131_rfm_segments",  // customer-sized aggregate
     "q133_compaction_plan", // file stats: corpus/64 rows
-    "q135_sampled_quantiles") // distinct 2-dp value domain
+    "q135_sampled_quantiles", // distinct 2-dp value domain
+    "q163_ks_test",       // ECDF over distinct n_chars values: bounded
+                          // by max document length, not corpus rows
+    "q164_survival")      // KM curve over distinct lifetime DAYS:
+                          // bounded by the observation span
 
   /** The plan forest of every declared query, computed once and shared
     * by all audits (planning the 136-query fleet dominates the suite's
