@@ -28,7 +28,7 @@ object SparkEntry {
       operators.AnalyticsOps.queries ++
       operators.IndexOps.queries ++ operators.StatsOps.queries ++
       sources.TrainingShards.queries ++ sources.JsonlCorpus.queries ++
-      sources.StandingIndex.queries
+      sources.StandingIndex.queries ++ sources.SimIndex.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
@@ -38,5 +38,5 @@ object SparkEntry {
       operators.AnalyticsOps.oracles ++
       operators.IndexOps.oracles ++ operators.StatsOps.oracles ++
       sources.TrainingShards.oracles ++ sources.JsonlCorpus.oracles ++
-      sources.StandingIndex.oracles
+      sources.StandingIndex.oracles ++ sources.SimIndex.oracles
 }

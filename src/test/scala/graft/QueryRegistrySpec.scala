@@ -23,7 +23,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     "StatsOps" -> operators.StatsOps.queries.keySet,
     "TrainingShards" -> sources.TrainingShards.queries.keySet,
     "JsonlCorpus" -> sources.JsonlCorpus.queries.keySet,
-    "StandingIndex" -> sources.StandingIndex.queries.keySet)
+    "StandingIndex" -> sources.StandingIndex.queries.keySet,
+    "SimIndex" -> sources.SimIndex.queries.keySet)
 
   test("no query name is defined by two modules (Map ++ would shadow one)") {
     val all = moduleMaps.flatMap { case (m, ks) => ks.map(_ -> m) }
