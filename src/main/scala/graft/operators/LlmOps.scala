@@ -886,6 +886,10 @@ object LlmOps {
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
         .as("cent"))
       .select(col("m").as("sm"), col("code").as("cent_id"), col("cent"))
+      // PqM*PqK rows; localCheckpoint so the corpus re-assignment and the
+      // LUT build both broadcast a flat table instead of replaying the
+      // Lloyd lineage (whose seed assignment scans the corpus again)
+      .materialize(true)
     val codes = assign(cents1).select(col("vec_id"), col("m"), col("code"))
     val probes = subs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("m").as("qm"), col("sub").as("qsub"))
@@ -965,6 +969,8 @@ object LlmOps {
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
         .as("cw"))
       .select(col("m").as("sm"), col("code").as("code_id"), col("cw"))
+      // PqM*PqK rows; flattened for the same reason as q161's cents1
+      .materialize(true)
     // the stored index: one cell id + PqM one-byte codes per vector
     val codes = assign(cbooks).select(col("vec_id"), col("cent_id"), col("m"), col("code"))
     // query side: nprobe cells + exact q·c per (query, cell)
