@@ -88,8 +88,16 @@ object SimIndex {
       s"div ${LlmOps.AllPairsTauDen}")
 
   private def build(s: SparkSession, dir: String): DataFrame = {
-    val root = indexRoot(dir)
-    val standing = sideDocs(s, dir, delta = false)
+    buildFrom(sideDocs(s, dir, delta = false), indexRoot(dir))
+    s.emptyDataFrame
+  }
+
+  /** Artifact writer over an explicit standing corpus (doc_id, ts) —
+    * the fixture build and the stress spec's synthetic-corpus build
+    * share this one implementation.
+    */
+  private[graft] def buildFrom(standing: DataFrame, root: String): Unit = {
+    val s = standing.sparkSession
     val toks = standing.select(col("doc_id"), explode(col("ts")).as("token"))
     val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nd = standing.agg(count(lit(1)).as("nd"))
@@ -117,7 +125,6 @@ object SimIndex {
       .select(col("token"), col("doc_id"), col("sz").cast("long").as("sz"))
       .sort(col("token"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$root/prefix")
-    s.emptyDataFrame
   }
 
   /** q165: the similarity-index BUILD as a verifiable query — write
@@ -162,12 +169,43 @@ object SimIndex {
     * value-checks no-false-negatives of the stored-artifact path under
     * the frozen-df semantics.
     */
-  val q166SimIndexLookup: Q = (s, dir) => {
-    val root = ensure(s, dir)
+  val q166SimIndexLookup: Q = (s, dir) =>
+    lookupFrom(sideDocs(s, dir, delta = true), ensure(s, dir))
+
+  /** The lookup's delta-side kept tokens, candidate pairs, and
+    * verified result over an explicit delta (doc_id, ts) and artifact
+    * root — shared by q166 and the stress spec (which audits the
+    * candidate count the prefix probe generates on a blow-up corpus).
+    */
+  private[graft] def lookupCandidatesFrom(delta: DataFrame, root: String): DataFrame =
+    lookupParts(delta, root)._1
+
+  private[graft] def lookupFrom(delta: DataFrame, root: String): DataFrame = {
+    val (cand, keptArrD) = lookupParts(delta, root)
+    val s = delta.sparkSession
+    val fwd = s.read.parquet(s"$root/forward")
+      .select(col("doc_id").as("doc_a"), col("kt").as("ta"),
+        col("sz").as("sz_a"))
+    cand
+      .join(fwd, Seq("doc_a"))
+      .join(keptArrD.select(col("doc_id").as("doc_b"), col("tb"), col("sz_b")),
+        Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("inter") * (LlmOps.AllPairsTauNum + LlmOps.AllPairsTauDen) >=
+        (col("sz_a") + col("sz_b")) * LlmOps.AllPairsTauNum)
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** (candidate pairs, delta kept-token arrays). */
+  private def lookupParts(delta: DataFrame, root: String)
+      : (DataFrame, DataFrame) = {
+    val s = delta.sparkSession
     val ndRow = s.read.parquet(s"$root/stats")
     val dfT = s.read.parquet(s"$root/df")
       .select(col("token"), col("df").as("sdf"))
-    val delta = sideDocs(s, dir, delta = true)
     val dtoks = delta.select(col("doc_id"), explode(col("ts")).as("token"))
       .join(dfT, Seq("token"), "left")
       .crossJoin(broadcast(ndRow))
@@ -191,20 +229,7 @@ object SimIndex {
           least(col("sza"), col("szb")) * LlmOps.AllPairsTauDen >=
             greatest(col("sza"), col("szb")) * LlmOps.AllPairsTauNum)
       .select(col("doc_a"), col("doc_b")).distinct()
-    val fwd = s.read.parquet(s"$root/forward")
-      .select(col("doc_id").as("doc_a"), col("kt").as("ta"),
-        col("sz").as("sz_a"))
-    cand
-      .join(fwd, Seq("doc_a"))
-      .join(keptArrD.select(col("doc_id").as("doc_b"), col("tb"), col("sz_b")),
-        Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .filter(col("inter") * (LlmOps.AllPairsTauNum + LlmOps.AllPairsTauDen) >=
-        (col("sz_a") + col("sz_b")) * LlmOps.AllPairsTauNum)
-      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"), col("inter"),
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    (cand, keptArrD)
   }
 
   val queries: Map[String, Q] = Map(

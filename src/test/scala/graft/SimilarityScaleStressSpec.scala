@@ -223,4 +223,60 @@ class SimilarityScaleStressSpec extends AnyFunSuite {
   test("q150 coordinate (cross-side tau=1/2, df<=1/5): no false negatives + candidate ceiling") {
     stress("cross tau=1/2", 1, 2, 1, 5, crossSide = true, candVsTrueCeil = 8)
   }
+
+  /** q166 coordinate: the STORED-ARTIFACT lookup path under the same
+    * blow-up. Truth here follows SimIndex's declared frozen-df
+    * semantics — df and the cut computed over the STANDING side only,
+    * delta tokens unseen by the corpus kept (they count in the
+    * denominator, can't intersect) — so this is a separate truth
+    * computation, not a reuse of the union-df one above.
+    */
+  test("q166 coordinate (stored-artifact lookup): no false negatives + candidate ceiling") {
+    import graft.sources.SimIndex
+    val docs = blowUp
+    val sides = docs.select(col("doc_id"),
+      (pmod(col("doc_id"), lit(5)) === 1).as("is_b"))
+    val withTs = docs.join(sides, Seq("doc_id"))
+      .select(col("doc_id"), array_distinct(col("tok")).as("ts"), col("is_b"))
+    val standing = withTs.filter(!col("is_b")).select(col("doc_id"), col("ts"))
+    val delta = withTs.filter(col("is_b")).select(col("doc_id"), col("ts"))
+    val root = java.nio.file.Files.createTempDirectory("simidx_stress").toString
+    SimIndex.buildFrom(standing, root)
+    val got = pairSet(SimIndex.lookupFrom(delta, root))
+    val candN = SimIndex.lookupCandidatesFrom(delta, root).count()
+
+    // frozen-df truth: standing-side df + cut; delta keeps unseen-or-
+    // under-cut tokens; every cross pair with Jaccard >= tau, no
+    // prefix/length machinery
+    val (tn, td, dfn, dfd) = (graft.operators.LlmOps.AllPairsTauNum,
+      graft.operators.LlmOps.AllPairsTauDen,
+      graft.operators.LlmOps.AllPairsMaxDfNum,
+      graft.operators.LlmOps.AllPairsMaxDfDen)
+    val stoks = standing.select(col("doc_id"), explode(col("ts")).as("token"))
+    val nd = standing.count()
+    val dfreq = stoks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val keepS = dfreq.filter(col("df") * dfd <= lit(nd) * dfn).select(col("token"))
+    val ksArr = stoks.join(keepS, Seq("token"))
+      .groupBy(col("doc_id")).agg(collect_list(col("token")).as("kt"))
+    val dtoks = delta.select(col("doc_id"), explode(col("ts")).as("token"))
+      .join(dfreq, Seq("token"), "left")
+      .filter(col("df").isNull || col("df") * dfd <= lit(nd) * dfn)
+    val kdArr = dtoks.groupBy(col("doc_id")).agg(collect_list(col("token")).as("kt"))
+    val truth = pairSet(ksArr.as("a").join(kdArr.as("b"), lit(true))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(col("a.kt")).cast("long").as("sz_a"),
+        size(col("b.kt")).cast("long").as("sz_b"),
+        size(array_intersect(col("a.kt"), col("b.kt"))).cast("long").as("inter"))
+      .filter(col("inter") * (tn + td) >= (col("sz_a") + col("sz_b")) * tn)
+      .select(col("doc_a"), col("doc_b")))
+
+    assert(truth.nonEmpty, "degenerate stress (no true pairs)")
+    assert(got == truth,
+      s"stored-artifact lookup != frozen-df truth (missing=${(truth -- got).take(5)}, " +
+        s"extra=${(got -- truth).take(5)})")
+    assert(candN <= 8L * truth.size,
+      s"candidate blow-up through the stored prefix postings: $candN for ${truth.size}")
+    info(s"q166 stress: true=${truth.size} cand=$candN " +
+      f"(cand/true=${candN.toDouble / truth.size}%.2f)")
+  }
 }
