@@ -724,33 +724,42 @@ object LlmOps {
     // (search) and q96 (SemDeDup) consume the same build
     centsCache.getOrElseUpdate(s, dir)( buildIvfCentroids(s, dir))
 
+  /** Lloyd refinement step: exact per-dimension means of an assignment
+    * (empty clusters drop out on both engines alike).
+    */
+  private def lloydStep(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cent_id"), col("dim"))
+      .agg(sum(expr("cast(round(cast(x as double) * 1048576) as bigint)")).as("sx"),
+        count(lit(1)).as("n"))
+      .withColumn("c", col("sx").cast("double") / col("n") / lit(1048576.0))
+      .groupBy(col("cent_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+        .as("cent"))
+
+  /** Two exact-arithmetic Lloyd iterations from explicit seeds over an
+    * explicit training set — shared by the whole-corpus build (q57/q96
+    * via [[ivfCentroids]]) and q167's standing-side frozen quantizer.
+    * Each centroid table is K rows — localCheckpoint materializes it
+    * once so the next iteration (and every downstream assignment,
+    * which broadcasts `cents`) starts from a flat K-row RDD instead of
+    * re-optimizing and re-broadcasting the whole upstream Lloyd
+    * lineage. Iteration count is a build-quality knob, not a
+    * correctness one — the exact arithmetic keeps every iteration
+    * oracle-matched.
+    */
+  private def lloydCentroids(e: DataFrame, seeds: DataFrame): DataFrame = {
+    val cents1 = lloydStep(ivfAssign(e, seeds, "vec_id", 1)).materialize(true)
+    lloydStep(ivfAssign(e, cents1, "vec_id", 1)).materialize(true)
+  }
+
   private def buildIvfCentroids(s: SparkSession, dir: String): DataFrame = {
     graft.Functions.registerAll(s)
     val e = t(s, dir, "embeddings")
     val seeds = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    // Lloyd refinement step: exact per-dimension means of an assignment
-    // (empty clusters drop out on both engines alike)
-    def lloydStep(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("cent_id"), col("dim"))
-        .agg(sum(expr("cast(round(cast(x as double) * 1048576) as bigint)")).as("sx"),
-          count(lit(1)).as("n"))
-        .withColumn("c", col("sx").cast("double") / col("n") / lit(1048576.0))
-        .groupBy(col("cent_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
-          .as("cent"))
-    // two Lloyd iterations (each a broadcast n×K assignment + exact
-    // mean; iteration count is a build-quality knob, not a correctness
-    // one — the exact arithmetic keeps every iteration oracle-matched).
-    // Each centroid table is K rows — localCheckpoint materializes it
-    // once so the next iteration (and the corpus + probe assignments,
-    // which both broadcast `cents`) start from a flat 24-row RDD
-    // instead of re-optimizing and re-broadcasting the whole upstream
-    // Lloyd lineage.
-    val cents1 = lloydStep(ivfAssign(e, seeds, "vec_id", 1)).materialize(true)
-    lloydStep(ivfAssign(e, cents1, "vec_id", 1)).materialize(true)
+    lloydCentroids(e, seeds)
   }
 
   def annIvf(s: SparkSession, dir: String, nprobeN: Int): DataFrame = {
@@ -1007,6 +1016,65 @@ object LlmOps {
       .select(col("qid"), col("cent_id"), col("vec_id"), col("adc"),
         col("rn").cast("int").as("rn"))
       .orderBy(col("qid"), col("rn"))
+  }
+
+  /** q167: residue (mod [[DeltaSplitMod]], salt 'vd:') playing the
+    * freshly-ingested vector delta.
+    */
+  val VecDeltaSalt = "vd:"
+
+  /** q167: IVF index maintenance under ingest — the VECTOR member of
+    * the standing-index trilogy (q160 positional, q165/q166
+    * similarity): a production vector index does NOT retrain its
+    * coarse quantizer per ingest batch — centroids FREEZE over the
+    * standing corpus (retrained only at stat-refresh cadence), and a
+    * delta batch is folded in by assigning each new vector to its
+    * nearest frozen cell, an append to that cell's inverted list. This
+    * query runs exactly that: two exact-Lloyd iterations over the
+    * STANDING ~80% side seeded by its [[NumCentroids]] lowest vec_ids,
+    * then both sides assigned against the frozen centroid table, and
+    * the per-cell report carries standing/delta counts plus
+    * assignment-level multiset signatures (Σ hash(vec|cell) mod 1e9) —
+    * the oracle recomputes the split, the standing-only Lloyd, and
+    * every individual assignment from raw embeddings, so a hash match
+    * value-checks each vector's cell, not just cell sizes. The
+    * delta/standing count ratio per cell is also the drift alarm a
+    * real service watches (a delta flooding one cell signals the
+    * frozen quantizer no longer fits the data).
+    *
+    * Scale shape: the Lloyd build is standing-side only (amortized
+    * across ingest batches); the delta pass is ONE broadcast K-row
+    * assignment over ONLY the delta (at 100 TB the delta is a day's
+    * embeddings, not the corpus); the report aggregates K cells.
+    */
+  val q167VecIndexDelta: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val e = t(s, dir, "embeddings")
+      .withColumn("is_delta",
+        pmod(expr(hashS(s"concat('$VecDeltaSalt', CAST(vec_id AS STRING))")),
+          lit(DeltaSplitMod)) === 1)
+    val standing = e.filter(!col("is_delta")).select(col("vec_id"), col("embedding"))
+    val delta = e.filter(col("is_delta")).select(col("vec_id"), col("embedding"))
+    val seeds = standing.orderBy(col("vec_id")).limit(NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+      .materialize(true)
+    val cents = lloydCentroids(standing, seeds)
+    def asg(side: DataFrame, isDelta: Boolean): DataFrame =
+      ivfAssign(side, cents, "vec_id", 1)
+        .select(col("vec_id"), col("cent_id"), lit(isDelta).as("is_delta"))
+    asg(standing, isDelta = false).union(asg(delta, isDelta = true))
+      .withColumn("ah", pmod(expr(hashS(
+        "concat('va:', CAST(vec_id AS STRING), '|', CAST(cent_id AS STRING))")),
+        lit(1000000000L)))
+      .groupBy(col("cent_id"))
+      .agg(
+        sum((!col("is_delta")).cast("long")).as("n_standing"),
+        sum(col("is_delta").cast("long")).as("n_delta"),
+        sum(when(!col("is_delta"), col("ah")).otherwise(lit(0L))).as("sig_standing"),
+        sum(when(col("is_delta"), col("ah")).otherwise(lit(0L))).as("sig_delta"))
+      .withColumn("delta_frac", round(
+        col("n_delta").cast("double") / (col("n_standing") + col("n_delta")), 6))
+      .orderBy(col("cent_id"))
   }
 
   /** SemDeDup cosine threshold (q96) — calibrated to the fixture corpus
@@ -2798,6 +2866,7 @@ object LlmOps {
     "q159_ann_recall" -> q159AnnRecall,
     "q161_pq_adc" -> q161PqAdc,
     "q162_ivfpq" -> q162IvfPq,
+    "q167_vec_index_delta" -> q167VecIndexDelta,
     "q96_semdedup" -> q96SemDedup,
     "q104_hard_negatives" -> q104HardNegatives,
     "q105_weighted_sample" -> q105WeightedSample,
@@ -3487,6 +3556,42 @@ object LlmOps {
         |SELECT qid, cent_id, vec_id, adc, CAST(rn AS INT) AS rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS rn FROM scored)
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    },
+    "q167_vec_index_delta" -> {
+      def asgD(tbl: String, cents: String): String =
+        s"""SELECT vec_id, embedding, cent_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineD("e.embedding", "c.cent")} DESC, c.cent_id ASC) AS crn
+           |    FROM $tbl e CROSS JOIN $cents c) WHERE crn = 1""".stripMargin
+      def lloydD(a: String): String =
+        s"""SELECT cent_id, d.i - 1 AS dim,
+           |    CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+           |      / count(*) / 1048576.0 AS c
+           |  FROM $a, (SELECT unnest(range(1, ${EmbDim + 1})) AS i) d
+           |  GROUP BY cent_id, d.i""".stripMargin
+      val sideH = hashD(s"'$VecDeltaSalt' || vec_id::VARCHAR")
+      val ah = hashD("'va:' || vec_id::VARCHAR || '|' || cent_id::VARCHAR")
+      s"""WITH emb_s AS (SELECT vec_id, embedding FROM embeddings WHERE $sideH % $DeltaSplitMod != 1),
+        |emb_d AS (SELECT vec_id, embedding FROM embeddings WHERE $sideH % $DeltaSplitMod = 1),
+        |seeds AS (SELECT vec_id AS cent_id, embedding AS cent FROM emb_s ORDER BY vec_id LIMIT $NumCentroids),
+        |asg0 AS (${asgD("emb_s", "seeds")}),
+        |lloyd1 AS (${lloydD("asg0")}),
+        |cents1 AS (SELECT cent_id, list(c ORDER BY dim) AS cent FROM lloyd1 GROUP BY cent_id),
+        |asg1 AS (${asgD("emb_s", "cents1")}),
+        |lloyd2 AS (${lloydD("asg1")}),
+        |cents AS (SELECT cent_id, list(c ORDER BY dim) AS cent FROM lloyd2 GROUP BY cent_id),
+        |u AS (
+        |  SELECT vec_id, cent_id, FALSE AS is_delta FROM (${asgD("emb_s", "cents")})
+        |  UNION ALL
+        |  SELECT vec_id, cent_id, TRUE AS is_delta FROM (${asgD("emb_d", "cents")})),
+        |uh AS (SELECT *, $ah % 1000000000 AS ah FROM u)
+        |SELECT cent_id,
+        |  CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_standing,
+        |  CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+        |  CAST(sum(CASE WHEN NOT is_delta THEN ah ELSE 0 END) AS BIGINT) AS sig_standing,
+        |  CAST(sum(CASE WHEN is_delta THEN ah ELSE 0 END) AS BIGINT) AS sig_delta,
+        |  round(CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS delta_frac
+        |FROM uh GROUP BY cent_id ORDER BY cent_id""".stripMargin
     },
     "q55_simhash_pairs" ->
       s"""WITH $simhashPairCtesD
