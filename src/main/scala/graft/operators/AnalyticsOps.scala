@@ -498,7 +498,12 @@ object AnalyticsOps {
       .filter(col("n_churn") > 0)
       .withColumn("factor", round(
         lit(1.0) - col("n_churn").cast("double") / col("n_risk"), 6))
-      .withColumn("survival", round(exp(sum(log(col("factor"))).over(wCum)), 6))
+      // ln guarded by a 1e-12 floor ON BOTH SIDES: a factor of exactly 0
+      // (every at-risk user churns at the final lifetime) is legal, and
+      // Spark's log(0) returns NULL while DuckDB's ln(0) THROWS — the
+      // floor makes both engines produce survival = 0.0 instead
+      .withColumn("survival", round(
+        exp(sum(log(greatest(col("factor"), lit(1e-12)))).over(wCum)), 6))
       .select(col("t_days"), col("n_risk"), col("n_churn"), col("factor"),
         col("survival"))
       .orderBy(col("t_days"))
@@ -544,7 +549,7 @@ object AnalyticsOps {
         |    round(1.0 - CAST(n_churn AS DOUBLE) / n_risk, 6) AS factor
         |  FROM risk WHERE n_churn > 0)
         |SELECT t_days, n_risk, n_churn, factor,
-        |  round(exp(sum(ln(factor)) OVER (ORDER BY t_days
+        |  round(exp(sum(ln(greatest(factor, 1e-12))) OVER (ORDER BY t_days
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
         |FROM ev ORDER BY t_days""".stripMargin,
     "q155_attribution" -> {

@@ -724,19 +724,31 @@ object LlmOps {
     // (search) and q96 (SemDeDup) consume the same build
     centsCache.getOrElseUpdate(s, dir)( buildIvfCentroids(s, dir))
 
-  /** Lloyd refinement step: exact per-dimension means of an assignment
-    * (empty clusters drop out on both engines alike).
+  /** THE exact-arithmetic Lloyd mean — per-dimension scaled-long sums
+    * (order-independent) with one double division at the end — over an
+    * assignment, grouped by `groupCols`. One implementation serves the
+    * IVF build (group: cent_id over full embeddings) and both PQ
+    * codebook trainings (group: (m, code) over subvectors), so a
+    * change to the fixed-point scale or rounding cannot silently miss
+    * a family. Empty clusters drop out on both engines alike.
     */
-  private def lloydStep(assigned: DataFrame): DataFrame =
+  private def lloydMean(assigned: DataFrame, vecCol: String,
+      groupCols: Seq[String], outCol: String): DataFrame = {
+    val gs = groupCols.map(col)
     assigned
-      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy(col("cent_id"), col("dim"))
+      .select(gs :+ posexplode(col(vecCol)).as(Seq("dim", "x")): _*)
+      .groupBy(gs :+ col("dim"): _*)
       .agg(sum(expr("cast(round(cast(x as double) * 1048576) as bigint)")).as("sx"),
         count(lit(1)).as("n"))
       .withColumn("c", col("sx").cast("double") / col("n") / lit(1048576.0))
-      .groupBy(col("cent_id"))
+      .groupBy(gs: _*)
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
-        .as("cent"))
+        .as(outCol))
+  }
+
+  /** Lloyd refinement step for the IVF coarse quantizer. */
+  private def lloydStep(assigned: DataFrame): DataFrame =
+    lloydMean(assigned, "embedding", Seq("cent_id"), "cent")
 
   /** Two exact-arithmetic Lloyd iterations from explicit seeds over an
     * explicit training set — shared by the whole-corpus build (q57/q96
@@ -885,15 +897,7 @@ object LlmOps {
         .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("code"),
           first(col("sub")).as("sub"))
     // one exact-arithmetic Lloyd refinement per subspace codebook
-    val cents1 = assign(seeds)
-      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("dim", "x")))
-      .groupBy(col("m"), col("code"), col("dim"))
-      .agg(sum(expr("CAST(round(x * 1048576) AS BIGINT)")).as("sx"),
-        count(lit(1)).as("n"))
-      .withColumn("c", col("sx").cast("double") / col("n") / lit(1048576.0))
-      .groupBy(col("m"), col("code"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
-        .as("cent"))
+    val cents1 = lloydMean(assign(seeds), "sub", Seq("m", "code"), "cent")
       .select(col("m").as("sm"), col("code").as("cent_id"), col("cent"))
       // PqM*PqK rows; localCheckpoint so the corpus re-assignment and the
       // LUT build both broadcast a flat table instead of replaying the
@@ -909,7 +913,12 @@ object LlmOps {
     val scored = codes.join(broadcast(lut), Seq("m", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
-      .agg(round(sum(col("pdot")), 6).as("adc"))
+      // the 8 rounded pdot terms sum as DECIMAL(18,6) (the actual q152
+      // discipline): a double sum's partial-merge order varies with
+      // partitioning, and an 8-term total within an ulp of a rounding
+      // boundary would flip the hash
+      .agg(round(sum(col("pdot").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double"), 6).as("adc"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
@@ -968,15 +977,7 @@ object LlmOps {
         .groupBy(col("vec_id"), col("cent_id"), col("m"))
         .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code"),
           first(col("sub")).as("sub"))
-    val cbooks = assign(seeds)
-      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("dim", "x")))
-      .groupBy(col("m"), col("code"), col("dim"))
-      .agg(sum(expr("CAST(round(x * 1048576) AS BIGINT)")).as("sx"),
-        count(lit(1)).as("n"))
-      .withColumn("c", col("sx").cast("double") / col("n") / lit(1048576.0))
-      .groupBy(col("m"), col("code"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
-        .as("cw"))
+    val cbooks = lloydMean(assign(seeds), "sub", Seq("m", "code"), "cw")
       .select(col("m").as("sm"), col("code").as("code_id"), col("cw"))
       // PqM*PqK rows; flattened for the same reason as q161's cents1
       .materialize(true)
@@ -1009,7 +1010,11 @@ object LlmOps {
         col("lqid") === col("qid") && col("lm") === col("m") &&
           lut("code") === codes("code"))
       .groupBy(col("qid"), col("vec_id"), col("cent_id"))
-      .agg(round(first(col("qc_dot")) + sum(col("pdot")), 6).as("adc"))
+      // decimal residual-term sum for the same order-independence
+      // reason as q161; qc_dot is one already-rounded double added after
+      .agg(round(first(col("qc_dot")) +
+        sum(col("pdot").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double"), 6).as("adc"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
@@ -3493,7 +3498,8 @@ object LlmOps {
         |    ${dot("q.sub", "c.cent")} AS pdot
         |  FROM subs q JOIN cents c ON q.m = c.m WHERE q.vec_id < 10),
         |scored AS (
-        |  SELECT l.qid, k.vec_id, round(sum(l.pdot), 6) AS adc
+        |  SELECT l.qid, k.vec_id,
+        |    round(CAST(sum(CAST(l.pdot AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc
         |  FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code AND k.vec_id != l.qid
         |  GROUP BY l.qid, k.vec_id)
         |SELECT qid, vec_id, adc, CAST(rn AS INT) AS rn FROM (
@@ -3548,7 +3554,8 @@ object LlmOps {
         |    round(list_sum(list_transform(range(1, ${sd + 1}), i -> CAST(q.qe[b.m * $sd + i] AS DOUBLE) * b.cw[i])), 6) AS pdot
         |  FROM (SELECT DISTINCT qid, qe FROM probes) q, cbooks b),
         |scored AS (
-        |  SELECT p.qid, k.vec_id, k.cent_id, round(max(p.qc_dot) + sum(l.pdot), 6) AS adc
+        |  SELECT p.qid, k.vec_id, k.cent_id,
+        |    round(max(p.qc_dot) + CAST(sum(CAST(l.pdot AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc
         |  FROM codes k
         |  JOIN qc p ON k.cent_id = p.q_cent AND k.vec_id != p.qid
         |  JOIN qlut l ON l.qid = p.qid AND l.m = k.m AND l.code = k.code

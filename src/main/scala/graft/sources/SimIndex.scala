@@ -54,13 +54,8 @@ object SimIndex {
     */
   val SigMod = 1000000000L
 
-  def indexRoot(sfDir: String): String = {
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${System.getProperty("java.io.tmpdir")}/graft_index")
-    val key = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
-    s"$root/sim_$key"
-  }
+  def indexRoot(sfDir: String): String =
+    StandingIndex.artifactRoot(sfDir, "sim")
 
   private val builtCache = new graft.SessionCache
 

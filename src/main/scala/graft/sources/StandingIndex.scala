@@ -57,17 +57,22 @@ object StandingIndex {
     */
   val NumIndexBuckets = 16
 
-  /** Index root for a given corpus dir — env-overridable, defaulting
-    * to the JVM temp dir; keyed by the input path so sf runs never
-    * collide (same pattern as [[TrainingShards.shardOutDir]]).
+  /** Artifact root for a corpus dir — env-overridable, defaulting to
+    * the JVM temp dir; keyed by the input path so sf runs never collide
+    * (same pattern as [[TrainingShards.shardOutDir]]). ONE keying
+    * scheme for every standing-artifact family (`idx_` positional,
+    * `sim_` similarity), so a change to the key derivation cannot leave
+    * the families resolving inconsistently.
     */
-  def indexRoot(sfDir: String): String = {
+  private[graft] def artifactRoot(sfDir: String, prefix: String): String = {
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
       s"${System.getProperty("java.io.tmpdir")}/graft_index")
     val key = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
-    s"$root/idx_$key"
+    s"$root/${prefix}_$key"
   }
+
+  def indexRoot(sfDir: String): String = artifactRoot(sfDir, "idx")
 
   private val builtCache = new graft.SessionCache
 
@@ -86,34 +91,23 @@ object StandingIndex {
   private def build(s: SparkSession, dir: String): DataFrame = {
     graft.Functions.registerAll(s)
     val root = indexRoot(dir)
-    val docs = Engine.table(s, dir, "documents")
-      .withColumn("tok", expr(LlmOps.toksS))
-    val postings = docs
-      .select(col("doc_id"), posexplode(col("tok")).as(Seq("pos", "token")))
-      .withColumn("pbucket",
-        pmod(expr(LlmOps.hashS("concat('idx:', token)")), lit(NumIndexBuckets)))
-    postings
-      .repartition(col("pbucket"))
-      .sortWithinPartitions(col("token"), col("doc_id"), col("pos"))
-      .write.mode("overwrite").partitionBy("pbucket")
-      .parquet(s"$root/postings")
-    docs.select(col("doc_id"), size(col("tok")).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$root/lengths")
-    docs.agg(count(lit(1)).as("n_docs"),
-        sum(size(col("tok"))).cast("long").as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$root/stats")
-    readPostings(s, dir)
+    // ONE artifact write path: the one-shot build IS a single-segment
+    // overwrite through the same writer q160's delta append uses
+    writeSegment(
+      Engine.table(s, dir, "documents").withColumn("tok", expr(LlmOps.toksS)),
+      root, "overwrite")
+    readPostings(s, root)
       .groupBy(col("pbucket"))
       .agg(countDistinct(col("token")).as("n_terms"),
         count(lit(1)).as("n_postings"),
         countDistinct(col("doc_id")).as("n_docs"))
   }
 
-  /** Stored postings, partition column re-typed to the write side's
-    * long (partition-value inference yields ints).
+  /** Stored postings under an artifact root, partition column re-typed
+    * to the write side's long (partition-value inference yields ints).
     */
-  private def readPostings(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"${indexRoot(dir)}/postings")
+  private[graft] def readPostings(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/postings")
       .withColumn("pbucket", col("pbucket").cast("long"))
 
   /** The terms' shard buckets, computed from the same hash the build
@@ -173,8 +167,7 @@ object StandingIndex {
     */
   private[graft] def bm25Lookup(s: SparkSession, root: String): DataFrame = {
     val terms = LlmOps.Bm25Terms
-    val post = s.read.parquet(s"$root/postings")
-      .withColumn("pbucket", col("pbucket").cast("long"))
+    val post = readPostings(s, root)
       .filter(col("pbucket").isin(bucketsOf(s, terms): _*) &&
         col("token").isin(terms: _*))
     val tf = post.groupBy(col("doc_id"), col("token"))
@@ -217,8 +210,8 @@ object StandingIndex {
   val q158IndexPhrase: Q = (s, dir) => {
     val terms = IndexOps.PhraseTerms
     val Seq(w1, w2, w3) = terms
-    ensure(s, dir)
-    val post = readPostings(s, dir)
+    val root = ensure(s, dir)
+    val post = readPostings(s, root)
       .filter(col("pbucket").isin(bucketsOf(s, terms): _*) &&
         col("token").isin(terms: _*))
     val byDoc = post.groupBy(col("doc_id"))
@@ -327,8 +320,7 @@ object StandingIndex {
           lit(IncDeltaMod)) === (IncDeltaMod - 1))
     writeSegment(docs.filter(!col("is_delta")), root, "overwrite")
     writeSegment(docs.filter(col("is_delta")), root, "append")
-    manifestOf(s.read.parquet(s"$root/postings")
-      .withColumn("pbucket", col("pbucket").cast("long")))
+    manifestOf(readPostings(s, root))
   }
 
   val queries: Map[String, Q] = Map(

@@ -46,27 +46,47 @@ class StandingIndexSpec extends AnyFunSuite {
   test("delta append leaves the base segment's files in place (no rewrite)") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val root = s"${StandingIndex.indexRoot(dir)}_inc"
-    SparkEntry.queries("q160_index_delta")(spark, dir).collect()
+    import org.apache.spark.sql.functions._
+    import graft.operators.LlmOps
+    // drive the two segment writes DIRECTLY so a before/after file
+    // snapshot brackets the append (q160 does both inside one call)
+    val root = Files.createTempDirectory("idx_append_audit").toString
+    val docs = Engine.table(spark, dir, "documents")
+      .withColumn("tok", expr(LlmOps.toksS))
+      .withColumn("half", pmod(col("doc_id"), lit(2L)))
+    StandingIndex.writeSegment(docs.filter(col("half") === 0), root, "overwrite")
     def files(): Map[String, Long] =
       Files.walk(Paths.get(root, "postings")).iterator().asScala
         .filter(p => p.toString.endsWith(".parquet"))
         .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    val before = files()
+    assert(before.nonEmpty)
+    StandingIndex.writeSegment(docs.filter(col("half") === 1), root, "append")
     val after = files()
-    // the base overwrite + delta append both happened inside one q160
-    // run; a SECOND lengths/stats read must see exactly 2 stats rows
-    // (base + delta segments), proving the delta appended instead of
-    // rewriting the artifact
-    val statRows = spark.read.parquet(s"$root/stats").count()
+    // every base file survives the append byte-untouched (same path,
+    // same mtime) — the property that makes the delta an APPEND
+    val touched = before.filter { case (p, t) => after.get(p) != Some(t) }
+    assert(touched.isEmpty, s"append rewrote base files: ${touched.keys.take(3)}")
+    assert(after.size > before.size, "append added no postings files")
+    assert(spark.read.parquet(s"$root/stats").count() == 2)
+    // and q160's own artifact ends at exactly 2 stats segment rows
+    SparkEntry.queries("q160_index_delta")(spark, dir).collect()
+    val statRows = spark.read.parquet(
+      s"${StandingIndex.indexRoot(dir)}_inc/stats").count()
     assert(statRows == 2, s"expected 2 stats segment rows, got $statRows")
-    assert(after.nonEmpty)
   }
 
   test("lookup scan partition-prunes to the query terms' buckets") {
     StandingIndex.ensure(spark, dir)
     val plan = SparkEntry.queries("q157_index_bm25")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("pbucket"),
-      s"no pbucket partition filter in plan:\n$plan")
+    // a NON-EMPTY partition filter naming pbucket: FileSourceScanExec
+    // prints "PartitionFilters: [...]" (possibly empty) on EVERY
+    // partitioned read, so contains("PartitionFilters") alone would
+    // pass even after a pruning regression
+    val pruned = """PartitionFilters: \[[^\]]*pbucket[^\]]*\]""".r
+      .findFirstIn(plan)
+    assert(pruned.isDefined,
+      s"no non-empty pbucket partition filter in plan:\n$plan")
   }
 }
