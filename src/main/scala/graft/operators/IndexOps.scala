@@ -579,7 +579,123 @@ object IndexOps {
       .orderBy(col("returnflag"))
   }
 
+  // ---------------------------------------------------------------
+  // q169 — KMV join-cardinality estimation (the planner statistic)
+  // ---------------------------------------------------------------
+
+  /** q169 sketch size. 256 is calibrated like q153's k: the sf0.001
+    * union key domain (~165 distinct) under-fills it — the exact code
+    * path — while sf0.1 (~16.5k) overflows it — the estimation path —
+    * so the gate's SFs exercise both estimator branches.
+    */
+  val JoinEstK = 256
+
+  /** q169: JOIN-SIZE ESTIMATION from bottom-k (KMV) key sketches — the
+    * statistic a cost-based planner (or AQE) wants before committing to
+    * a join strategy: how many rows will `events ⋈ orders ON user_id =
+    * o_custkey` produce, WITHOUT running the join. The classic
+    * distinct-value-synopsis construction (Beyer et al., SIGMOD'07):
+    *
+    *  - each side keeps the bottom-k of a uniform hash of its DISTINCT
+    *    keys ([[graft.functions.KmvSample]] — O(k) state, map-side
+    *    combinable, merge-order insensitive);
+    *  - the union sketch is bottom-k(L_A ∪ L_B); its members present in
+    *    BOTH side sketches are a uniform sample of the key
+    *    INTERSECTION, giving Jaccard ρ̂ = |sample|/|L_U| and
+    *    D̂_∩ = ρ̂ · D̂_∪;
+    *  - per-key multiplicities are exact but looked up ONLY for the ≤k
+    *    sampled keys (broadcast semi-filter, then count) — the join
+    *    size estimate is D̂_∩ × avg(mult_A·mult_B) over the sample.
+    *
+    * The query emits the estimates NEXT TO the exact values (full
+    * distinct counts, true join cardinality via Σ mult_A·mult_B over
+    * the real key intersection) plus the relative error, and the
+    * oracle recomputes BOTH columns families from scratch — the
+    * estimator itself is value-checked, not just bounded (the q146/
+    * q153 discipline). Estimator branches mirror exactly: a sketch
+    * with fewer than k entries IS its side's full distinct key set, so
+    * the estimate degrades to exact; a filled sketch estimates
+    * (k−1)/u_k with u_k = h_k/2^60 (h → double is monotone and both
+    * engines round to nearest, so the branch arithmetic is
+    * bit-identical).
+    *
+    * Scale shape: the sketches shuffle k longs per side regardless of
+    * corpus size; the multiplicity probe filters each side by a
+    * broadcast of ≤k sampled keys BEFORE aggregating (only matching
+    * rows shuffle); the exact baseline (two per-key count aggregations
+    * + an equi-join) is the verification cost this query exists to
+    * show you can avoid — at 100 TB only the sketch path runs, the
+    * probe's broadcast stays ≤k keys, and nothing scales with the key
+    * domain. The 1-row sketch frame is localCheckpoint'ed so the probe
+    * jobs don't re-run the side aggregations.
+    */
+  val q169JoinCardinality: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val k = JoinEstK
+    val twoP60 = 1152921504606846976.0 // 2^60
+    def keyed(df: DataFrame, c: String): DataFrame = df.select(
+      expr(LlmOps.hashS(s"concat('jk:', CAST($c AS STRING))")).as("h"))
+    val a = keyed(t(s, dir, "events"), "user_id")
+    val b = keyed(t(s, dir, "orders"), "o_custkey")
+    def kmvAgg = graft.functions.KmvSample
+      .kmv_sample(struct(col("h"), col("h")), k)
+    // one aggregation per side: the k-sketch and the exact distinct
+    // count (the verification column) share a single pass
+    val sk = a.agg(kmvAgg.as("ska"), countDistinct(col("h")).as("nd_a"))
+      .crossJoin(b.agg(kmvAgg.as("skb"), countDistinct(col("h")).as("nd_b")))
+      .withColumn("lu",
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("li",
+        array_intersect(array_intersect(col("lu"), col("ska")), col("skb")))
+      .materialize()
+    // KMV estimate of a bottom-k sketch: exact when under-filled
+    def est(c: Column): Column =
+      when(size(c) < k, size(c).cast("double"))
+        .otherwise(lit(k - 1).cast("double") /
+          (element_at(c, k).cast("double") / lit(twoP60)))
+    // exact multiplicities for the ≤k sampled intersection keys only
+    val inter = sk.select(explode(col("li")).as("h"))
+    def mults(side: DataFrame, cnt: String): DataFrame =
+      side.join(broadcast(inter), Seq("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as(cnt))
+    val prod = mults(a, "ca").join(mults(b, "cb"), Seq("h"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+        .cast("long").as("jprod_sum"))
+    // exact baseline: true join cardinality = Σ mult_A·mult_B over the
+    // real key intersection (never materializes the joined rows)
+    val exact = t(s, dir, "events")
+      .groupBy(col("user_id").as("kk")).agg(count(lit(1)).as("xa"))
+      .join(t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("kk")).agg(count(lit(1)).as("xb")),
+        Seq("kk"))
+      .agg(coalesce(sum(col("xa") * col("xb")), lit(0L))
+          .cast("long").as("join_exact"),
+        count(lit(1)).as("nd_inter_exact"))
+    val jacRaw = size(col("li")).cast("double") / size(col("lu")).cast("double")
+    val estU = est(col("lu"))
+    val joinEstRaw = when(size(col("li")) === 0, lit(0.0))
+      .otherwise(jacRaw * estU *
+        (col("jprod_sum").cast("double") / size(col("li")).cast("double")))
+    sk.crossJoin(prod).crossJoin(exact)
+      .select(
+        lit(k.toLong).as("k"),
+        col("nd_a"),
+        round(est(col("ska")), 6).as("nd_a_est"),
+        col("nd_b"),
+        round(est(col("skb")), 6).as("nd_b_est"),
+        round(estU, 6).as("nd_union_est"),
+        size(col("li")).cast("long").as("n_sample_inter"),
+        round(jacRaw, 6).as("jaccard_est"),
+        col("nd_inter_exact"),
+        round(jacRaw * estU, 6).as("nd_inter_est"),
+        col("join_exact"),
+        round(joinEstRaw, 6).as("join_est"),
+        round(abs(joinEstRaw - col("join_exact").cast("double")) /
+          col("join_exact").cast("double"), 6).as("rel_err"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q169_join_cardinality" -> q169JoinCardinality,
     "q146_kmv_quantiles" -> q146KmvQuantiles,
     "q119_kmv_sketch" -> q119KmvSketch,
     "q95_heavy_hitters" -> q95HeavyHitters,
@@ -612,6 +728,68 @@ object IndexOps {
        |FROM (SELECT max(u) AS uk, count(*) AS kk FROM $sk)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q169: the oracle recomputes sketches AND exact truths from raw
+    // rows; estimator branches (under-filled = exact, filled =
+    // (k-1)/u_k) are mirrored term by term so the estimate itself is
+    // value-checked, not just its error bound
+    "q169_join_cardinality" -> {
+      val k = JoinEstK
+      val ha = LlmOps.hashD("'jk:' || CAST(user_id AS VARCHAR)")
+      val hb = LlmOps.hashD("'jk:' || CAST(o_custkey AS VARCHAR)")
+      def estD(n: String, hk: String): String =
+        s"CASE WHEN $n < $k THEN CAST($n AS DOUBLE) ELSE CAST(${k - 1} AS DOUBLE) / (CAST($hk AS DOUBLE) / 1152921504606846976.0) END"
+      s"""WITH ra AS (SELECT CAST($ha AS BIGINT) AS h FROM events),
+        |rb AS (SELECT CAST($hb AS BIGINT) AS h FROM orders),
+        |da AS (SELECT DISTINCT h FROM ra),
+        |db AS (SELECT DISTINCT h FROM rb),
+        |la AS (SELECT h FROM da ORDER BY h LIMIT $k),
+        |lb AS (SELECT h FROM db ORDER BY h LIMIT $k),
+        |lu AS (SELECT h FROM (SELECT h FROM la UNION SELECT h FROM lb) u
+        |       ORDER BY h LIMIT $k),
+        |li AS (SELECT h FROM lu WHERE h IN (SELECT h FROM la)
+        |                          AND h IN (SELECT h FROM lb)),
+        |sa AS (SELECT count(*) AS n, max(h) AS hk FROM la),
+        |sb AS (SELECT count(*) AS n, max(h) AS hk FROM lb),
+        |su AS (SELECT count(*) AS n, max(h) AS hk FROM lu),
+        |si AS (SELECT count(*) AS n FROM li),
+        |ea AS (SELECT CAST(count(*) AS BIGINT) AS nd_a FROM da),
+        |eb AS (SELECT CAST(count(*) AS BIGINT) AS nd_b FROM db),
+        |ma AS (SELECT h, count(*) AS c FROM ra
+        |       WHERE h IN (SELECT h FROM li) GROUP BY h),
+        |mb AS (SELECT h, count(*) AS c FROM rb
+        |       WHERE h IN (SELECT h FROM li) GROUP BY h),
+        |mp AS (SELECT CAST(coalesce(sum(ma.c * mb.c), 0) AS BIGINT)
+        |         AS jprod_sum FROM ma JOIN mb USING (h)),
+        |ex AS (SELECT CAST(coalesce(sum(xa.c * xb.c), 0) AS BIGINT)
+        |         AS join_exact,
+        |         CAST(count(*) AS BIGINT) AS nd_inter_exact
+        |       FROM (SELECT user_id AS kk, count(*) AS c FROM events
+        |             GROUP BY 1) xa
+        |       JOIN (SELECT o_custkey AS kk, count(*) AS c FROM orders
+        |             GROUP BY 1) xb USING (kk)),
+        |calc AS (SELECT
+        |    CAST(si.n AS DOUBLE) / CAST(su.n AS DOUBLE) AS jac_raw,
+        |    ${estD("su.n", "su.hk")} AS est_u,
+        |    CASE WHEN si.n = 0 THEN CAST(0 AS DOUBLE)
+        |         ELSE (CAST(si.n AS DOUBLE) / CAST(su.n AS DOUBLE))
+        |              * ${estD("su.n", "su.hk")}
+        |              * (CAST(mp.jprod_sum AS DOUBLE) / CAST(si.n AS DOUBLE))
+        |    END AS join_est_raw
+        |  FROM su, si, mp)
+        |SELECT CAST($k AS BIGINT) AS k,
+        |  ea.nd_a, round(${estD("sa.n", "sa.hk")}, 6) AS nd_a_est,
+        |  eb.nd_b, round(${estD("sb.n", "sb.hk")}, 6) AS nd_b_est,
+        |  round(calc.est_u, 6) AS nd_union_est,
+        |  CAST(si.n AS BIGINT) AS n_sample_inter,
+        |  round(calc.jac_raw, 6) AS jaccard_est,
+        |  ex.nd_inter_exact,
+        |  round(calc.jac_raw * calc.est_u, 6) AS nd_inter_est,
+        |  ex.join_exact,
+        |  round(calc.join_est_raw, 6) AS join_est,
+        |  round(abs(calc.join_est_raw - CAST(ex.join_exact AS DOUBLE))
+        |    / CAST(ex.join_exact AS DOUBLE), 6) AS rel_err
+        |FROM sa, sb, su, si, ea, eb, mp, ex, calc""".stripMargin
+    },
     "q146_kmv_quantiles" -> {
       val h = LlmOps.hashD("concat('kq:', CAST(v AS VARCHAR))")
       def probe(prefix: String, idxCol: String, nCol: String): String =

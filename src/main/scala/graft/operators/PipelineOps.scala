@@ -609,6 +609,113 @@ object PipelineOps {
   }
 
   // ---------------------------------------------------------------
+  // q170 — Z-order layout vs linear sort (multi-dim data skipping)
+  // ---------------------------------------------------------------
+
+  /** q170 grid: 64 zones per layout — linear = 64 key stripes, z-order
+    * = an 8×8 tile grid (3 interleaved bits per dimension).
+    */
+  val ZorderZones = 64
+
+  /** q170: Z-ORDER (Morton-curve) layout vs single-key sort, measured
+    * through the zone maps q107 builds — the experiment behind every
+    * lakehouse `OPTIMIZE ZORDER BY`: a table laid out by one key prunes
+    * predicates on THAT key and nothing else; interleaving the bits of
+    * two keys (user, day) gives every zone a bounded range in BOTH
+    * dimensions, so single-dim AND conjunctive predicates all prune.
+    *
+    * Both layouts are value-derived (zone = integer function of the
+    * row, the q107/q133 discipline) rather than rank-derived, so zone
+    * assignment is map-side arithmetic — no global sort, no
+    * single-task window — and the whole query is two hash
+    * aggregations: one builds both layouts' zone maps (≤2·64 groups),
+    * one counts each predicate's true matches for the selectivity
+    * column. Scanned-zone math happens ON the zone maps (≤128 rows
+    * crossed with 3 predicate rows).
+    *
+    * The three predicates are derived from the data's own domain in
+    * integer arithmetic (mirrored exactly by the oracle): a user
+    * stripe [udom/4, udom/4 + udom/8), a day stripe [ddom/4,
+    * ddom/4 + ddom/8), and their conjunction. Expected (and
+    * oracle-checked) shape: linear prunes the user stripe as well as
+    * z-order does, scans EVERYTHING for the day stripe (its zones all
+    * span the full day range), and z-order prunes the conjunction
+    * roughly quadratically better — rows_scanned per (layout,
+    * predicate) makes the IO difference concrete.
+    */
+  val q170ZorderLayout: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    // 1-row domain frame, localCheckpoint'ed: four consumers (both
+    // layout branches, the predicate bounds, the selectivity pass)
+    // reference it without re-planning the min/max scan
+    val dom = ev.agg(
+      (max(col("user_id")) + 1).cast("long").as("udom"),
+      min(col("d")).as("d0"),
+      (datediff(max(col("d")), min(col("d"))) + 1).cast("long").as("ddom"))
+      .materialize()
+    val rows = ev.crossJoin(broadcast(dom))
+      .select(col("user_id"), col("udom"), col("ddom"),
+        datediff(col("d"), col("d0")).cast("long").as("day"))
+    val lin = rows.withColumn("layout", lit("linear"))
+      .withColumn("zone", expr(s"(user_id * $ZorderZones) div udom"))
+    val zor = rows.withColumn("layout", lit("zorder"))
+      .withColumn("su", expr("(user_id * 8) div udom"))
+      .withColumn("sd", expr("(day * 8) div ddom"))
+      .withColumn("zone", expr(
+        "(shiftright(su, 2) & 1) * 32 + (shiftright(sd, 2) & 1) * 16 + " +
+          "(shiftright(su, 1) & 1) * 8 + (shiftright(sd, 1) & 1) * 4 + " +
+          "(su & 1) * 2 + (sd & 1)"))
+    val cols = Seq("layout", "zone", "user_id", "day")
+    val zmap = lin.select(cols.head, cols.tail: _*)
+      .unionByName(zor.select(cols.head, cols.tail: _*))
+      .groupBy(col("layout"), col("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("user_id")).as("zu0"), max(col("user_id")).as("zu1"),
+        min(col("day")).as("zd0"), max(col("day")).as("zd1"))
+    // predicate bounds from the domain (integer math, oracle-mirrored)
+    val preds = s.sql(
+      "SELECT * FROM VALUES ('user', 1, 0), ('day', 0, 1), ('both', 1, 1)" +
+        " AS t(pred, fu, fd)")
+      .crossJoin(broadcast(dom))
+      .select(col("pred"), col("fu"), col("fd"),
+        expr("udom div 4").as("ulo"),
+        expr("udom div 4 + udom div 8 - 1").as("uhi"),
+        expr("ddom div 4").as("dlo"),
+        expr("ddom div 4 + ddom div 8 - 1").as("dhi"))
+    val scanned = zmap.crossJoin(broadcast(preds))
+      .withColumn("scan",
+        ((col("fu") === 0) || (col("zu1") >= col("ulo") &&
+          col("zu0") <= col("uhi"))) &&
+        ((col("fd") === 0) || (col("zd1") >= col("dlo") &&
+          col("zd0") <= col("dhi"))))
+      .groupBy(col("layout"), col("pred"))
+      .agg(count(lit(1)).as("zones_total"),
+        coalesce(sum(col("scan").cast("long")), lit(0L)).as("zones_scanned"),
+        coalesce(sum(when(col("scan"), col("n_rows"))), lit(0L))
+          .cast("long").as("rows_scanned"))
+    // true selectivity of each predicate: one conditional-count pass
+    val matched = rows.crossJoin(broadcast(preds.filter(col("pred") === "both")
+        .select(col("ulo"), col("uhi"), col("dlo"), col("dhi"))))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("user_id").between(col("ulo"), col("uhi")), 1))
+          .as("m_user"),
+        count(when(col("day").between(col("dlo"), col("dhi")), 1))
+          .as("m_day"),
+        count(when(col("user_id").between(col("ulo"), col("uhi")) &&
+          col("day").between(col("dlo"), col("dhi")), 1)).as("m_both"))
+    val matchRows = matched.selectExpr("n_total",
+      "stack(3, 'user', m_user, 'day', m_day, 'both', m_both)" +
+        " AS (pred, rows_matched)")
+    scanned.join(broadcast(matchRows), Seq("pred"))
+      .select(col("layout"), col("pred"), col("zones_total"),
+        col("zones_scanned"), col("rows_scanned"), col("rows_matched"),
+        round(lit(1.0) - col("rows_scanned").cast("double") /
+          col("n_total").cast("double"), 6).as("skip_ratio"))
+      .orderBy(col("layout"), col("pred"))
+  }
+
+  // ---------------------------------------------------------------
   // q133 — compaction plan (small-file bin packing)
   // ---------------------------------------------------------------
 
@@ -858,6 +965,7 @@ object PipelineOps {
     "q110_interpolate" -> q110Interpolate,
     "q106_incremental_agg" -> q106IncrementalAgg,
     "q107_zone_map" -> q107ZoneMap,
+    "q170_zorder_layout" -> q170ZorderLayout,
     "q133_compaction_plan" -> q133CompactionPlan,
     "q135_sampled_quantiles" -> q135SampledQuantiles,
     "q87_snapshot_delta" -> q87SnapshotDelta,
@@ -994,6 +1102,62 @@ object PipelineOps {
         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS nt
         |  FROM documents)
         |GROUP BY zone ORDER BY zone""".stripMargin,
+    // q170: zone assignment, predicate bounds, and the scan decision
+    // are all integer arithmetic mirrored term by term; `//` operates
+    // on BIGINT operands throughout (ORACLE_DIALECT rule 4)
+    "q170_zorder_layout" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |dom AS (SELECT CAST(max(user_id) + 1 AS BIGINT) AS udom, min(d) AS d0,
+        |        CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT) AS ddom
+        |        FROM ev),
+        |rws AS (SELECT user_id, udom, ddom,
+        |        CAST(date_diff('day', d0, d) AS BIGINT) AS day FROM ev, dom),
+        |lin AS (SELECT 'linear' AS layout, (user_id * $ZorderZones) // udom
+        |          AS zone, user_id, day FROM rws),
+        |zor AS (SELECT 'zorder' AS layout,
+        |        (((su >> 2) & 1) * 32 + ((sd >> 2) & 1) * 16 +
+        |         ((su >> 1) & 1) * 8 + ((sd >> 1) & 1) * 4 +
+        |         (su & 1) * 2 + (sd & 1)) AS zone, user_id, day
+        |        FROM (SELECT user_id, day, (user_id * 8) // udom AS su,
+        |              (day * 8) // ddom AS sd FROM rws)),
+        |zmap AS (SELECT layout, zone, count(*) AS n_rows,
+        |         min(user_id) AS zu0, max(user_id) AS zu1,
+        |         min(day) AS zd0, max(day) AS zd1
+        |         FROM (SELECT * FROM lin UNION ALL SELECT * FROM zor)
+        |         GROUP BY 1, 2),
+        |preds AS (SELECT pred, fu, fd,
+        |          udom // 4 AS ulo, udom // 4 + udom // 8 - 1 AS uhi,
+        |          ddom // 4 AS dlo, ddom // 4 + ddom // 8 - 1 AS dhi
+        |          FROM (VALUES ('user', 1, 0), ('day', 0, 1), ('both', 1, 1))
+        |            AS t(pred, fu, fd), dom),
+        |sc AS (SELECT layout, pred,
+        |       CAST(count(*) AS BIGINT) AS zones_total,
+        |       CAST(coalesce(sum(CASE WHEN scan THEN 1 ELSE 0 END), 0)
+        |         AS BIGINT) AS zones_scanned,
+        |       CAST(coalesce(sum(CASE WHEN scan THEN n_rows END), 0)
+        |         AS BIGINT) AS rows_scanned
+        |       FROM (SELECT layout, pred, n_rows,
+        |             ((fu = 0) OR (zu1 >= ulo AND zu0 <= uhi)) AND
+        |             ((fd = 0) OR (zd1 >= dlo AND zd0 <= dhi)) AS scan
+        |             FROM zmap, preds) GROUP BY 1, 2),
+        |mt AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(count(CASE WHEN user_id BETWEEN ulo AND uhi THEN 1 END)
+        |         AS BIGINT) AS m_user,
+        |       CAST(count(CASE WHEN day BETWEEN dlo AND dhi THEN 1 END)
+        |         AS BIGINT) AS m_day,
+        |       CAST(count(CASE WHEN user_id BETWEEN ulo AND uhi
+        |         AND day BETWEEN dlo AND dhi THEN 1 END) AS BIGINT) AS m_both
+        |       FROM rws, (SELECT ulo, uhi, dlo, dhi FROM preds
+        |                  WHERE pred = 'both')),
+        |mr AS (SELECT 'user' AS pred, m_user AS rows_matched, n_total FROM mt
+        |       UNION ALL SELECT 'day', m_day, n_total FROM mt
+        |       UNION ALL SELECT 'both', m_both, n_total FROM mt)
+        |SELECT layout, pred, zones_total, zones_scanned, rows_scanned,
+        |  rows_matched,
+        |  round(1.0 - CAST(rows_scanned AS DOUBLE) / CAST(n_total AS DOUBLE),
+        |    6) AS skip_ratio
+        |FROM sc JOIN mr USING (pred)
+        |ORDER BY layout, pred""".stripMargin,
     "q87_snapshot_delta" ->
       s"""WITH old AS (
         |  SELECT doc_id, ${hashD("text")} AS old_hash

@@ -310,24 +310,94 @@ object StandingIndex {
           lit(SigMod))).as("postings_sig"))
       .orderBy(col("pbucket"))
 
-  val q160IndexDelta: Q = (s, dir) => {
-    graft.Functions.registerAll(s)
+  private val incCache = new graft.SessionCache
+
+  /** Build (or reuse this session's) two-segment incremental artifact
+    * at `<indexRoot>_inc` — q160's base-overwrite + delta-append pair —
+    * and return its root. Cached per (session, dir) so q168's
+    * compaction consumes the very artifact q160 built instead of
+    * re-tokenizing the corpus a third time; the artifact lives on disk,
+    * so the cached manifest stays readable for the whole session.
+    */
+  private[graft] def ensureIncremental(s: SparkSession, dir: String): String = {
     val root = s"${indexRoot(dir)}_inc"
-    val docs = Engine.table(s, dir, "documents")
-      .withColumn("tok", expr(LlmOps.toksS))
-      .withColumn("is_delta",
-        pmod(expr(LlmOps.hashS("concat('seg:', CAST(doc_id AS STRING))")),
-          lit(IncDeltaMod)) === (IncDeltaMod - 1))
-    writeSegment(docs.filter(!col("is_delta")), root, "overwrite")
-    writeSegment(docs.filter(col("is_delta")), root, "append")
+    incCache.getOrElseUpdate(s, dir) {
+      graft.Functions.registerAll(s)
+      val docs = Engine.table(s, dir, "documents")
+        .withColumn("tok", expr(LlmOps.toksS))
+        .withColumn("is_delta",
+          pmod(expr(LlmOps.hashS("concat('seg:', CAST(doc_id AS STRING))")),
+            lit(IncDeltaMod)) === (IncDeltaMod - 1))
+      writeSegment(docs.filter(!col("is_delta")), root, "overwrite")
+      writeSegment(docs.filter(col("is_delta")), root, "append")
+      manifestOf(readPostings(s, root))
+    }
+    root
+  }
+
+  val q160IndexDelta: Q = (s, dir) =>
+    manifestOf(readPostings(s, ensureIncremental(s, dir)))
+
+  /** q168: segment COMPACTION — the third act of the LSM lifecycle the
+    * standing index already exercises (q156 build, q160 append): fold
+    * the incremental artifact's accumulated segments back into ONE
+    * sorted file per term bucket and ONE corpus-level stats row, the
+    * maintenance pass a real index runs when segment counts (and with
+    * them per-lookup file opens and row-group seeks) grow past a
+    * threshold. Compaction writes a fresh artifact root and leaves the
+    * input segments untouched — the swap-not-rewrite discipline that
+    * keeps readers consistent while the compactor runs.
+    *
+    * The emitted manifest carries the same position-level multiset
+    * signature as q160, computed from the COMPACTED artifact, and the
+    * oracle recomputes it from the raw corpus in one pass — a hash
+    * match proves compaction preserved every individual (token,
+    * doc_id, pos) posting. The `n_files` / `n_stats_segments` columns
+    * are read back from the compacted artifact itself
+    * (`input_file_name()` / stats row count) while the oracle pins
+    * them at literal 1: the single-file-per-bucket, single-stats-row
+    * POST-state is oracle-encoded, so a compactor that merely copies
+    * segments (or splits buckets across tasks) reds the gate.
+    *
+    * Scale shape: one shuffle keyed by the 16-ary bucket (each bucket's
+    * postings land wholly in one task, so the per-bucket output is ONE
+    * file by construction), in-task sort bounded by bucket size,
+    * lengths/stats folds over segment-count-sized inputs; the corpus
+    * text is never touched. StandingIndexSpec asserts the physical
+    * invariants (file counts actually shrink; lookups over the
+    * compacted root equal the incremental and one-shot roots).
+    */
+  val q168IndexCompact: Q = (s, dir) => {
+    val inc = ensureIncremental(s, dir)
+    val root = s"${indexRoot(dir)}_cmp"
+    readPostings(s, inc)
+      .repartition(col("pbucket"))
+      .sortWithinPartitions(col("token"), col("doc_id"), col("pos"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(s"$root/postings")
+    s.read.parquet(s"$inc/lengths").repartition(1)
+      .write.mode("overwrite").parquet(s"$root/lengths")
+    s.read.parquet(s"$inc/stats")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$root/stats")
+    val files = readPostings(s, root)
+      .select(col("pbucket"), input_file_name().as("f"))
+      .groupBy(col("pbucket"))
+      .agg(countDistinct(col("f")).as("n_files"))
+    val statsSegs = s.read.parquet(s"$root/stats")
+      .agg(count(lit(1)).as("n_stats_segments"))
     manifestOf(readPostings(s, root))
+      .join(files, Seq("pbucket"))
+      .crossJoin(broadcast(statsSegs))
+      .orderBy(col("pbucket"))
   }
 
   val queries: Map[String, Q] = Map(
     "q156_index_build" -> q156IndexBuild,
     "q157_index_bm25" -> q157IndexBm25,
     "q158_index_phrase" -> q158IndexPhrase,
-    "q160_index_delta" -> q160IndexDelta)
+    "q160_index_delta" -> q160IndexDelta,
+    "q168_index_compact" -> q168IndexCompact)
 
   /** q157/q158 reuse the q80/q151 oracles verbatim: the lookup output
     * contract IS "identical to the scan-path query", and the shared
@@ -349,22 +419,35 @@ object StandingIndex {
     },
     "q157_index_bm25" -> LlmOps.oracles("q80_bm25"),
     "q158_index_phrase" -> IndexOps.oracles("q151_phrase_search"),
-    // the q160 oracle scans the FULL corpus in one pass — it never sees
-    // the base/delta split, so the match proves incremental == rebuild
-    "q160_index_delta" -> {
-      val hb = LlmOps.hashD("'idx:' || token")
-      val hp = LlmOps.hashD(
-        "'pst:' || token || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR)")
-      s"""WITH toks AS (
-        |  SELECT doc_id, r.i - 1 AS pos, tok[r.i] AS token
-        |  FROM (SELECT doc_id, ${LlmOps.toksD} AS tok FROM documents),
-        |    LATERAL unnest(range(1, len(tok) + 1)) AS r(i)),
-        |b AS (SELECT doc_id, pos, token,
-        |        $hb % $NumIndexBuckets AS pbucket FROM toks)
-        |SELECT pbucket, CAST(count(DISTINCT token) AS BIGINT) AS n_terms,
-        |  CAST(count(*) AS BIGINT) AS n_postings,
-        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |  CAST(sum($hp % $SigMod) AS BIGINT) AS postings_sig
-        |FROM b GROUP BY pbucket ORDER BY pbucket""".stripMargin
-    })
+    // the q160/q168 oracle scans the FULL corpus in one pass — it never
+    // sees the base/delta split (or the compaction), so a match proves
+    // incremental-append == rebuild and compaction == rebuild, posting
+    // by posting
+    "q160_index_delta" -> signedManifestOracle(""),
+    // q168 additionally oracle-encodes the compaction POST-state: one
+    // postings file per bucket, one stats row (see q168's scaladoc)
+    "q168_index_compact" -> signedManifestOracle(
+      ",\n  CAST(1 AS BIGINT) AS n_files, CAST(1 AS BIGINT) AS n_stats_segments"))
+
+  /** Full-corpus one-pass recompute of the signed per-bucket manifest —
+    * the shared ground truth q160 (incremental append) and q168
+    * (compaction) are both hash-checked against. `extra` appends
+    * literal columns for oracle-encoded physical invariants.
+    */
+  private def signedManifestOracle(extra: String): String = {
+    val hb = LlmOps.hashD("'idx:' || token")
+    val hp = LlmOps.hashD(
+      "'pst:' || token || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR)")
+    s"""WITH toks AS (
+      |  SELECT doc_id, r.i - 1 AS pos, tok[r.i] AS token
+      |  FROM (SELECT doc_id, ${LlmOps.toksD} AS tok FROM documents),
+      |    LATERAL unnest(range(1, len(tok) + 1)) AS r(i)),
+      |b AS (SELECT doc_id, pos, token,
+      |        $hb % $NumIndexBuckets AS pbucket FROM toks)
+      |SELECT pbucket, CAST(count(DISTINCT token) AS BIGINT) AS n_terms,
+      |  CAST(count(*) AS BIGINT) AS n_postings,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(sum($hp % $SigMod) AS BIGINT) AS postings_sig$extra
+      |FROM b GROUP BY pbucket ORDER BY pbucket""".stripMargin
+  }
 }

@@ -46,6 +46,46 @@ class IndexOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q169: under-filled sketches degrade to the exact answer") {
+    // sf0.001's union key domain (~165 distinct) fits inside k=256, so
+    // every estimate must EQUAL its exact column — the estimator's
+    // under-fill branch is "the sketch IS the key set", and any
+    // deviation means the sampling or multiplicity probe is wrong
+    val r = IndexOps.q169JoinCardinality(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    def d(c: String) = row.getDouble(row.fieldIndex(c))
+    def l(c: String) = row.getLong(row.fieldIndex(c))
+    assert(l("nd_a") < l("k") && l("nd_b") < l("k"),
+      "fixture outgrew k; under-fill branch no longer exercised")
+    assert(d("nd_a_est") == l("nd_a").toDouble)
+    assert(d("nd_b_est") == l("nd_b").toDouble)
+    assert(d("nd_inter_est") == l("nd_inter_exact").toDouble)
+    assert(d("join_est") == l("join_exact").toDouble)
+    assert(d("rel_err") == 0.0)
+    assert(l("n_sample_inter") == l("nd_inter_exact"))
+  }
+
+  test("q169: filled sketches estimate within the KMV error envelope") {
+    // sf0.01's orders side (1500 keys) overflows k=256 while events
+    // (150) under-fills — the mixed case:
+    // estimates are no longer exact but must land within the standard
+    // KMV relative-error envelope (~1/sqrt(k) ≈ 6.25%) times a 4x
+    // safety factor — loose enough to never flake (the sketch is
+    // deterministic), tight enough that a broken estimator (e.g. a
+    // dropped branch returning k) cannot pass
+    val r = IndexOps.q169JoinCardinality(spark, "/root/testdata/sf0.01")
+      .collect().head
+    def d(c: String) = r.getDouble(r.fieldIndex(c))
+    def l(c: String) = r.getLong(r.fieldIndex(c))
+    assert(l("nd_b") > l("k"), "orders side should overflow k at sf0.01")
+    val envelope = 4.0 / math.sqrt(IndexOps.JoinEstK.toDouble)
+    assert(math.abs(d("nd_b_est") - l("nd_b")) / l("nd_b") <= envelope,
+      s"nd_b_est ${d("nd_b_est")} vs ${l("nd_b")}")
+    assert(d("rel_err") <= envelope,
+      s"join estimate off by ${d("rel_err")} (> $envelope)")
+  }
+
   test("q100: salt factor levels the hottest key to the mean") {
     val rows = IndexOps.q100SkewReport(spark, dir).collect()
     assert(rows.length == 3)

@@ -135,4 +135,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
   }
+
+  test("q170: zone maps never miss rows; z-order dominates the day/both predicates") {
+    for (dir <- Seq(small, big)) {
+      val rows = PipelineOps.q170ZorderLayout(spark, dir).collect()
+        .map { r =>
+          (r.getString(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        }.toMap
+      assert(rows.size == 6, s"$dir: ${rows.keySet}")
+      // soundness: a zone-map scan may over-read but never under-read —
+      // every predicate's matched rows lie inside its scanned rows
+      rows.foreach { case ((lay, pred), (zt, zs, scanned, matched)) =>
+        assert(zs <= zt && scanned >= matched,
+          s"$dir $lay/$pred scanned=$scanned < matched=$matched")
+      }
+      // both layouts agree on the ground truth per predicate
+      for (p <- Seq("user", "day", "both"))
+        assert(rows(("linear", p))._4 == rows(("zorder", p))._4)
+      // a single-key layout cannot skip anything for the other key:
+      // linear/day must scan every occupied zone
+      val (lzt, lzs, _, _) = rows(("linear", "day"))
+      assert(lzs == lzt, s"$dir: linear/day scanned $lzs of $lzt zones")
+      // the z-order claims: strictly fewer rows scanned for the
+      // day-only predicate, and no worse for the conjunction
+      assert(rows(("zorder", "day"))._3 < rows(("linear", "day"))._3,
+        s"$dir: z-order did not beat linear on the day predicate")
+      assert(rows(("zorder", "both"))._3 <= rows(("linear", "both"))._3,
+        s"$dir: z-order lost the conjunctive predicate")
+    }
+  }
 }

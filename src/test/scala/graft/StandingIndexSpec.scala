@@ -89,4 +89,44 @@ class StandingIndexSpec extends AnyFunSuite {
     assert(pruned.isDefined,
       s"no non-empty pbucket partition filter in plan:\n$plan")
   }
+
+  test("q168 compaction collapses segment files and preserves lookups") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def bucketFiles(root: String): Map[String, Int] =
+      Files.list(Paths.get(root, "postings")).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("pbucket="))
+        .map { p =>
+          p.getFileName.toString ->
+            Files.list(p).iterator().asScala
+              .count(_.toString.endsWith(".parquet"))
+        }.toMap
+    SparkEntry.queries("q168_index_compact")(spark, dir).collect()
+    val inc = s"${StandingIndex.indexRoot(dir)}_inc"
+    val cmp = s"${StandingIndex.indexRoot(dir)}_cmp"
+    // pre-state: the incremental artifact carries its two segments —
+    // at least one bucket has >1 postings file, stats has 2 rows
+    val incFiles = bucketFiles(inc)
+    assert(incFiles.values.exists(_ > 1),
+      s"incremental artifact already compact: $incFiles")
+    assert(spark.read.parquet(s"$inc/stats").count() == 2)
+    // post-state: exactly ONE postings file in every compacted bucket,
+    // ONE stats row, ONE lengths file
+    val cmpFiles = bucketFiles(cmp)
+    assert(cmpFiles.nonEmpty && cmpFiles.values.forall(_ == 1),
+      s"compaction left multi-file buckets: $cmpFiles")
+    assert(spark.read.parquet(s"$cmp/stats").count() == 1)
+    assert(Files.list(Paths.get(cmp, "lengths")).iterator().asScala
+      .count(_.toString.endsWith(".parquet")) == 1)
+    // compaction must not lose or duplicate a single posting: the
+    // BM25 lookup over the compacted root equals the lookup over the
+    // incremental root AND the one-shot artifact
+    val oneShot = StandingIndex.bm25Lookup(spark, StandingIndex.ensure(spark, dir))
+      .collect().map(_.toString).toSeq
+    val overInc = StandingIndex.bm25Lookup(spark, inc)
+      .collect().map(_.toString).toSeq
+    val overCmp = StandingIndex.bm25Lookup(spark, cmp)
+      .collect().map(_.toString).toSeq
+    assert(overCmp == overInc && overCmp == oneShot && overCmp.nonEmpty)
+  }
 }
