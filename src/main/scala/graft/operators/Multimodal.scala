@@ -110,7 +110,10 @@ object Multimodal {
     * explode shape is the real thing: frame extraction at scale IS
     * an explode from media rows to frame rows.
     */
-  val q53MediaFrames: (SparkSession, String) => DataFrame = (s, dir) => {
+  /** Decoded frame rows with resize targets — q53's derivation, shared
+    * with q171's batch packer (which additionally needs `mime`).
+    */
+  private def frameRows(s: SparkSession, dir: String): DataFrame = {
     graft.Functions.registerAll(s)
     extractFeatures(mediaTable(s, dir)).toDF()
       .select(col("doc_id"), col("mime"), col("width"), col("height"),
@@ -119,11 +122,72 @@ object Multimodal {
         expr(s"stable_hash64(concat(doc_id, ':', frame_no)) % 1000000"))
       .withColumn("scale",
         least(lit(224.0) / col("width"), lit(224.0) / col("height"), lit(1.0)))
+      .withColumn("out_w",
+        greatest(lit(1L), floor(col("width") * col("scale"))).cast("int"))
+      .withColumn("out_h",
+        greatest(lit(1L), floor(col("height") * col("scale"))).cast("int"))
+  }
+
+  val q53MediaFrames: (SparkSession, String) => DataFrame = (s, dir) =>
+    frameRows(s, dir)
       .select(col("doc_id"), col("frame_no").cast("int").as("frame_no"),
-        col("frame_hash"),
-        greatest(lit(1L), floor(col("width") * col("scale"))).cast("int").as("out_w"),
-        greatest(lit(1L), floor(col("height") * col("scale"))).cast("int").as("out_h"))
+        col("frame_hash"), col("out_w"), col("out_h"))
       .orderBy(col("doc_id"), col("frame_no"))
+
+  /** q171 batch capacity: decoded RGB bytes per inference batch. At
+    * 224×224×3 ≈ 147 KB per max-size frame this packs ~4–30 frames a
+    * batch on the fixture's dimension mix.
+    */
+  val PackCapBytes = 524288L
+
+  /** Deterministic pack shards per bucket — the fixture stand-in for
+    * "one packer per ingest partition"; production sizes this to keep
+    * each shard's frame list task-local.
+    */
+  val PackShards = 4
+
+  /** q171: INFERENCE BATCH PACKING — the step between decode and a GPU
+    * model in a multimodal pipeline: frames are grouped by modality and
+    * resized-resolution bucket (a batched model wants uniform shapes),
+    * then packed greedily into batches capped by decoded-byte budget
+    * (batch memory is the binding constraint, and frame bytes vary with
+    * the resize target). The packing is the q133 running-sum
+    * discipline: frames order by (doc_id, frame_no) within a
+    * (mime, bucket, shard) group and `batch = cumulative_bytes_before
+    * div cap`, so batch assignment is a pure function of the corpus —
+    * reproducible across runs, engines, partitionings.
+    *
+    * The `shard` level is the scale story: a real packer never packs a
+    * corpus-wide sequence — it packs per ingest shard, so no ordering
+    * window ever sees more than one shard's frames. Here the shard is
+    * a deterministic doc-hash residue ([[PackShards]]-ary at fixture
+    * scale), bounding every window partition at corpus/(buckets·shards)
+    * rows; production raises the shard count with the corpus, keeping
+    * the per-task frame list constant — batches simply never cross
+    * shards, exactly like the real system.
+    *
+    * Output is the per-batch manifest (frame count, decoded bytes, doc
+    * span). Greedy-packing tightness is pinned by MultimodalSpec:
+    * every batch holds ≤ cap + one frame, every non-final batch ≥ cap
+    * − one frame.
+    */
+  val q171MediaBatches: (SparkSession, String) => DataFrame = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val fr = frameRows(s, dir)
+      .withColumn("rbucket", expr("(out_w div 32) * 8 + (out_h div 32)"))
+      .withColumn("shard", expr(
+        s"pmod(stable_hash64(concat('pk:', CAST(doc_id AS STRING))), $PackShards)"))
+      .withColumn("fbytes", (col("out_w") * col("out_h") * 3).cast("long"))
+    val w = Window.partitionBy(col("mime"), col("rbucket"), col("shard"))
+      .orderBy(col("doc_id"), col("frame_no"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    fr.withColumn("cum0", coalesce(sum(col("fbytes")).over(w), lit(0L)))
+      .withColumn("batch_no", expr(s"cum0 div ${PackCapBytes}L"))
+      .groupBy(col("mime"), col("rbucket"), col("shard"), col("batch_no"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("fbytes")).cast("long").as("batch_bytes"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("mime"), col("rbucket"), col("shard"), col("batch_no"))
   }
 
   /** q66: ingestion validation + quarantine — the gate a multimodal
@@ -161,7 +225,8 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_media_features" -> q51MediaFeatures,
     "q53_media_frames" -> q53MediaFrames,
-    "q66_media_quarantine" -> q66MediaQuarantine)
+    "q66_media_quarantine" -> q66MediaQuarantine,
+    "q171_media_batches" -> q171MediaBatches)
 
   val oracles: Map[String, String] = Map(
     "q66_media_quarantine" ->
@@ -235,5 +300,52 @@ object Multimodal {
         |  (('0x' || substring(md5(doc_id || ':' || frame_no),1,15))::BIGINT) % 1000000 AS frame_hash,
         |  CAST(greatest(1, floor(width * scale)) AS INT) AS out_w,
         |  CAST(greatest(1, floor(height * scale)) AS INT) AS out_h
-        |FROM sc ORDER BY doc_id, frame_no""".stripMargin)
+        |FROM sc ORDER BY doc_id, frame_no""".stripMargin,
+    // q171: the frame derivation repeats q53's CTEs (carrying mime),
+    // then mirrors the pack arithmetic — shard hash, cumulative bytes
+    // BEFORE each frame (ROWS ... 1 PRECEDING), batch = cum0 // cap —
+    // in the same integer math as the engine's window
+    "q171_media_batches" ->
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |         ELSE 'video/mp4' END AS mime,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    CAST(list_aggregate(list_transform(range(1, length(text) + 1), i -> ord(substring(text, i, 1))), 'sum') AS BIGINT) AS checksum
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, mime,
+        |    CAST(1 + checksum % 640 AS INT) AS width,
+        |    CAST(1 + checksum % 480 AS INT) AS height,
+        |    CAST(CASE WHEN mime = 'image/png' THEN 1 ELSE 1 + n_bytes // 1000 END AS INT) AS n_frames
+        |  FROM m),
+        |fr AS (
+        |  SELECT doc_id, mime, width, height,
+        |    unnest(generate_series(1, n_frames)) AS frame_no FROM f),
+        |sc AS (
+        |  SELECT *, least(224.0 / width, 224.0 / height, 1.0) AS scale FROM fr),
+        |fx AS (
+        |  SELECT doc_id, mime, CAST(frame_no AS BIGINT) AS frame_no,
+        |    CAST(greatest(1, floor(width * scale)) AS BIGINT) AS out_w,
+        |    CAST(greatest(1, floor(height * scale)) AS BIGINT) AS out_h
+        |  FROM sc),
+        |pk AS (
+        |  SELECT doc_id, mime, frame_no,
+        |    (out_w // 32) * 8 + (out_h // 32) AS rbucket,
+        |    (('0x' || substring(md5('pk:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT) % $PackShards AS shard,
+        |    out_w * out_h * 3 AS fbytes
+        |  FROM fx),
+        |cum AS (
+        |  SELECT *, coalesce(CAST(sum(fbytes) OVER (
+        |      PARTITION BY mime, rbucket, shard ORDER BY doc_id, frame_no
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |    0) AS cum0
+        |  FROM pk)
+        |SELECT mime, rbucket, shard, cum0 // $PackCapBytes AS batch_no,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(fbytes) AS BIGINT) AS batch_bytes,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM cum GROUP BY 1, 2, 3, 4
+        |ORDER BY mime, rbucket, shard, batch_no""".stripMargin)
 }
