@@ -388,7 +388,80 @@ object StatsOps {
         (col("ks_stat") > 1.358).cast("long").as("reject_05"))
   }
 
+  // ---------------------------------------------------------------
+  // q172 — deterministic half-sample bootstrap CI for the median
+  // ---------------------------------------------------------------
+
+  /** q172 replica count. 64 half-samples give rank-4/rank-61 as the
+    * 5%/95% envelope ([[BootRankLo]]).
+    */
+  val BootB = 64
+
+  /** ⌈0.05·B⌉ — the CI envelope ranks are [[BootRankLo]] and
+    * B+1−[[BootRankLo]] over the sorted replica medians.
+    */
+  val BootRankLo = 4
+
+  /** q172: a CONFIDENCE INTERVAL for the corpus median without
+    * distributional assumptions — the deterministic analog of the
+    * bag-of-little-bootstraps resampling pattern (Kleiner et al. 2012)
+    * a 100 TB profiler uses to put error bars on its statistics:
+    * [[BootB]] half-sample replicas (replica b keeps the docs with
+    * hash('bs:'||b||':'||doc_id) even — a pure function of the corpus,
+    * so the "resampling" is reproducible across runs, engines, and
+    * partitionings, unlike rand()-based bootstraps), the lower median
+    * of each replica, and the 5%/95% ranks of the 64 replica medians
+    * as the interval. Everything is exact integer arithmetic — there
+    * is no float anywhere to drift.
+    *
+    * Scale shape: the replica explode is map-side and dies immediately
+    * into a (b, value) pre-aggregated count — the shuffle carries at
+    * most B·|value domain| rows, not B·corpus; each replica's median
+    * is the q163 ECDF discipline (cumulative counts over the BOUNDED
+    * distinct-value domain, partitioned by replica); the final rank
+    * window orders exactly B=64 rows. At 100 TB nothing here scales
+    * with row count except the first map-side count.
+    */
+  val q172BootstrapCi: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("v"))
+    val reps = base
+      .select(col("doc_id"), col("v"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .filter(pmod(expr(LlmOps.hashS(
+        "concat('bs:', CAST(b AS STRING), ':', CAST(doc_id AS STRING))")),
+        lit(2)) === 0)
+    val cnt = reps.groupBy(col("b"), col("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // lower median: smallest v whose cumulative count reaches half
+    val medb = cnt
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_b", sum(col("c")).over(Window.partitionBy(col("b"))))
+      .filter(col("cum") * 2 >= col("n_b"))
+      .groupBy(col("b")).agg(min(col("v")).as("med"))
+    val ranked = medb.withColumn("rk",
+      row_number().over(Window.orderBy(col("med"), col("b"))))
+    val ci = ranked.agg(
+      max(when(col("rk") === BootRankLo, col("med"))).as("ci_lo"),
+      max(when(col("rk") === (BootB + 1 - BootRankLo), col("med"))).as("ci_hi"))
+    val cntF = base.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val medF = cntF
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
+      .filter(col("cum") * 2 >= col("n"))
+      .agg(max(col("n")).as("n"), min(col("v")).as("median_exact"))
+    medF.crossJoin(ci)
+      .select(col("n"), col("median_exact"),
+        lit(BootB.toLong).as("n_replicas"),
+        col("ci_lo"), col("ci_hi"),
+        (col("ci_hi") - col("ci_lo")).as("ci_width"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q172_bootstrap_ci" -> q172BootstrapCi,
     "q163_ks_test" -> q163KsTest,
     "q111_group_regression" -> q111GroupRegression,
     "q112_corr_matrix" -> q112CorrMatrix,
@@ -405,6 +478,39 @@ object StatsOps {
   private val qualityLangCteD = LlmOps.qualityOracleCteD("q", Seq("source"))
 
   val oracles: Map[String, String] = Map(
+    // q172: replica membership, per-replica lower medians over the
+    // bounded value domain, and the rank-envelope CI recomputed from
+    // raw rows — pure integer arithmetic end to end
+    "q172_bootstrap_ci" -> {
+      val h = LlmOps.hashD(
+        "'bs:' || CAST(b.b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+      s"""WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v
+        |              FROM documents),
+        |reps AS (SELECT b.b, doc_id, v
+        |         FROM base, LATERAL unnest(range(0, $BootB)) AS b(b)
+        |         WHERE $h % 2 = 0),
+        |cnt AS (SELECT b, v, count(*) AS c FROM reps GROUP BY 1, 2),
+        |cum AS (SELECT b, v,
+        |        CAST(sum(c) OVER (PARTITION BY b ORDER BY v) AS BIGINT) AS cum,
+        |        CAST(sum(c) OVER (PARTITION BY b) AS BIGINT) AS n_b
+        |        FROM cnt),
+        |medb AS (SELECT b, min(v) AS med FROM cum
+        |         WHERE cum * 2 >= n_b GROUP BY b),
+        |rk AS (SELECT med, row_number() OVER (ORDER BY med, b) AS rk
+        |       FROM medb),
+        |ci AS (SELECT max(CASE WHEN rk = $BootRankLo THEN med END) AS ci_lo,
+        |       max(CASE WHEN rk = ${BootB + 1 - BootRankLo} THEN med END)
+        |         AS ci_hi FROM rk),
+        |cf AS (SELECT v, count(*) AS c FROM base GROUP BY v),
+        |cumf AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+        |         FROM cf),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |medf AS (SELECT min(v) AS median_exact FROM cumf, nn
+        |         WHERE cum * 2 >= n)
+        |SELECT nn.n, medf.median_exact, CAST($BootB AS BIGINT) AS n_replicas,
+        |  ci.ci_lo, ci.ci_hi, ci.ci_hi - ci.ci_lo AS ci_width
+        |FROM nn, medf, ci""".stripMargin
+    },
     "q163_ks_test" ->
       s"""WITH base AS (
         |  SELECT n_chars,

@@ -67,8 +67,11 @@ class ScaleAuditSpec extends AnyFunSuite {
     "q135_sampled_quantiles", // distinct 2-dp value domain
     "q163_ks_test",       // ECDF over distinct n_chars values: bounded
                           // by max document length, not corpus rows
-    "q164_survival")      // KM curve over distinct lifetime DAYS:
+    "q164_survival",      // KM curve over distinct lifetime DAYS:
                           // bounded by the observation span
+    "q172_bootstrap_ci")  // full-corpus ECDF over the distinct n_chars
+                          // domain (q163's bound) + a rank over exactly
+                          // B=64 replica medians
 
   /** The plan forest of every declared query, computed once and shared
     * by all audits (planning the 136-query fleet dominates the suite's
