@@ -716,6 +716,84 @@ object PipelineOps {
   }
 
   // ---------------------------------------------------------------
+  // q173 — range-partition planner (sampled boundaries + balance)
+  // ---------------------------------------------------------------
+
+  /** q173 target partition count and sample size. 512 sample rows give
+    * ~64 per boundary gap — the ~n/p² sampling regime Spark's own
+    * RangePartitioner targets.
+    */
+  val RangeParts = 8
+  val RangeSampleK = 512
+
+  /** q173: RANGE-PARTITION PLANNING — the decision behind every global
+    * sort, sorted write, and `repartitionByRange` at 100 TB: pick p−1
+    * split keys from a SAMPLE so that the full shuffle lands balanced,
+    * without ever sorting the full data to find exact quantiles.
+    * Spark's RangePartitioner does this with reservoir samples
+    * (nondeterministic across runs); this planner replaces the
+    * reservoir with the [[graft.functions.KmvSample]] bottom-k over a
+    * row-unique hash — the SAME uniform sample every run, on every
+    * engine, under any partitioning — so the chosen boundaries (and
+    * therefore the physical layout they produce) are reproducible and
+    * oracle-checkable.
+    *
+    * The emitted plan is one row per target partition: its boundary
+    * window (in exact cents — no float anywhere in the planning path),
+    * the TRUE row count the assignment produces, and the balance ratio
+    * against ideal n/p. The oracle recomputes the sample (bottom-512
+    * by the same hash), the rank-derived boundaries, and the full
+    * assignment from raw rows — the planner's output is value-checked,
+    * not just bounded; PipelineOpsSpec additionally pins the balance
+    * property the sample-size choice is supposed to buy (every
+    * partition within 2× of ideal).
+    *
+    * Scale shape: the sample is ONE map-side-combinable aggregate (k
+    * (hash, cents) pairs of state per task — never a corpus-scale
+    * sort, the exact failure q153 replaced); boundaries are array
+    * arithmetic on the 512-value result; the assignment pass is a
+    * broadcast of 7 cents values + a map-side `size(filter(...))`
+    * count-aggregation keyed by the p partition ids.
+    */
+  val q173RangePlanner: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val p = RangeParts
+    val k = RangeSampleK
+    val rows = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+    val keyed = rows.select(
+      expr(LlmOps.hashS("concat('rp:', CAST(o_orderkey AS STRING))")).as("h"),
+      col("v"))
+    val sample = keyed
+      .agg(graft.functions.KmvSample
+        .kmv_sample(struct(col("h"), col("v")), k).as("sk"))
+      .select(col("sk"), size(col("sk")).cast("long").as("n_sample"))
+    // p−1 equi-depth boundaries at sample ranks j·k/p (sk is sorted)
+    val bnds = sample.select(col("n_sample"),
+      expr(s"transform(sequence(1, ${p - 1}), " +
+          s"j -> element_at(sk, CAST(j * ($k div $p) AS INT)))")
+        .as("bl"))
+    val asg = rows.crossJoin(broadcast(bnds))
+      .select(col("v"), col("n_sample"), col("bl"),
+        expr("size(filter(bl, b -> v > b))").cast("long").as("pid"))
+    asg.groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("n_sample")).as("n_sample"),
+        max(col("bl")).as("bl"))
+      .crossJoin(broadcast(rows.agg(count(lit(1)).as("n_total"))))
+      .select(col("pid"),
+        when(col("pid") > 0, expr("element_at(bl, CAST(pid AS INT))"))
+          .as("lo_cents"),
+        when(col("pid") < p - 1, expr("element_at(bl, CAST(pid AS INT) + 1)"))
+          .as("hi_cents"),
+        col("n_rows"), col("n_total"), col("n_sample"),
+        round(col("n_rows").cast("double") * p / col("n_total").cast("double"),
+          6).as("balance_ratio"))
+      .orderBy(col("pid"))
+  }
+
+  // ---------------------------------------------------------------
   // q133 — compaction plan (small-file bin packing)
   // ---------------------------------------------------------------
 
@@ -966,6 +1044,7 @@ object PipelineOps {
     "q106_incremental_agg" -> q106IncrementalAgg,
     "q107_zone_map" -> q107ZoneMap,
     "q170_zorder_layout" -> q170ZorderLayout,
+    "q173_range_planner" -> q173RangePlanner,
     "q133_compaction_plan" -> q133CompactionPlan,
     "q135_sampled_quantiles" -> q135SampledQuantiles,
     "q87_snapshot_delta" -> q87SnapshotDelta,
@@ -1158,6 +1237,35 @@ object PipelineOps {
         |    6) AS skip_ratio
         |FROM sc JOIN mr USING (pred)
         |ORDER BY layout, pred""".stripMargin,
+    // q173: the oracle recomputes the bottom-512 sample under the same
+    // row hash, the rank-derived boundaries, and the full assignment —
+    // all in exact cents
+    "q173_range_planner" -> {
+      val h = LlmOps.hashD("'rp:' || CAST(o_orderkey AS VARCHAR)")
+      val gap = RangeSampleK / RangeParts
+      s"""WITH r AS (SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |hh AS (SELECT v, $h AS h FROM r),
+        |sk AS (SELECT v FROM hh ORDER BY h, v LIMIT $RangeSampleK),
+        |srt AS (SELECT v, row_number() OVER (ORDER BY v) AS i FROM sk),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sample FROM sk),
+        |b AS (SELECT list(v ORDER BY v) AS bl FROM srt
+        |      WHERE i % $gap = 0 AND i <= ${gap * (RangeParts - 1)}),
+        |asg AS (SELECT r.v,
+        |        CAST(len(list_filter(b.bl, x -> r.v > x)) AS BIGINT) AS pid
+        |        FROM r, b),
+        |cnt AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_rows
+        |        FROM asg GROUP BY pid),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM r)
+        |SELECT pid,
+        |  CASE WHEN pid > 0 THEN bl[CAST(pid AS INT)] END AS lo_cents,
+        |  CASE WHEN pid < ${RangeParts - 1} THEN bl[CAST(pid AS INT) + 1] END
+        |    AS hi_cents,
+        |  n_rows, nt.n_total, ns.n_sample,
+        |  round(CAST(n_rows AS DOUBLE) * $RangeParts
+        |    / CAST(nt.n_total AS DOUBLE), 6) AS balance_ratio
+        |FROM cnt, b, nt, ns ORDER BY pid""".stripMargin
+    },
     "q87_snapshot_delta" ->
       s"""WITH old AS (
         |  SELECT doc_id, ${hashD("text")} AS old_hash

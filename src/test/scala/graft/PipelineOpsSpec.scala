@@ -136,6 +136,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
   }
 
+  test("q173: sampled boundaries keep every range partition within 2x of ideal") {
+    for (dir <- Seq(small, big)) {
+      val rows = PipelineOps.q173RangePlanner(spark, dir).collect()
+      assert(rows.length == PipelineOps.RangeParts, s"$dir: ${rows.length}")
+      // partitions are contiguous: each one's hi is the next one's lo
+      rows.sortBy(_.getLong(0)).sliding(2).foreach { case Array(a, b) =>
+        assert(a.getLong(2) == b.getLong(1),
+          s"$dir: boundary gap between pid ${a.getLong(0)} and ${b.getLong(0)}")
+      }
+      // conservation + the balance the 512-row sample is sized to buy
+      assert(rows.map(_.getLong(3)).sum == rows.head.getLong(4))
+      rows.foreach { r =>
+        val ratio = r.getDouble(6)
+        assert(ratio > 0.5 && ratio < 2.0,
+          s"$dir: pid ${r.getLong(0)} balance $ratio outside [0.5, 2.0]")
+      }
+    }
+  }
+
   test("q170: zone maps never miss rows; z-order dominates the day/both predicates") {
     for (dir <- Seq(small, big)) {
       val rows = PipelineOps.q170ZorderLayout(spark, dir).collect()
