@@ -2018,6 +2018,66 @@ object LlmOps {
       .limit(Bm25TopK)
   }
 
+  /** q175 RRF smoothing constant — the k=60 of Cormack et al. (2009),
+    * the value every production fusion ships with.
+    */
+  val RrfK = 60
+
+  /** q175 probe: the dense query is the stored embedding of this id
+    * (the fixture's embeddings are keyed by the same id space as the
+    * documents they embed).
+    */
+  val RrfProbeId = 0L
+
+  /** q175: HYBRID RETRIEVAL via reciprocal-rank fusion — the modern
+    * search-serving composition: a lexical ranking (q80's BM25 over
+    * the fixed query terms) and a dense ranking (exact cosine against
+    * the stored probe embedding) are fused by
+    * Σ 1/(k + rank) per list, which needs no score calibration
+    * between the two retrievers — only their ranks. Docs surfaced by
+    * either list alone keep their one-list contribution (FULL OUTER
+    * fusion), which is the property that makes RRF robust to a
+    * retriever missing a modality.
+    *
+    * Determinism: both input rankings tie-break on id; the fused
+    * ordering ranks on the 6-dp-rounded RRF score with id as the
+    * final tie-break, and every 1/(k+r) term is the same IEEE double
+    * on both engines.
+    *
+    * Scale shape: each retriever is already top-K-bounded (q80's
+    * TakeOrderedAndProject; the dense side is a broadcast probe
+    * against a partitioned scan, never pairwise), so the fusion
+    * operates on ≤2K rows — the rank windows and the full-outer join
+    * are constant-size regardless of corpus scale.
+    */
+  val q175HybridRrf: Q = (s, dir) => {
+    val sparse = q80Bm25(s, dir)
+      .withColumn("r_sparse", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .select(col("doc_id").as("id"), col("r_sparse").cast("long").as("r_sparse"))
+    val e = t(s, dir, "embeddings")
+    val probe = e.filter(col("vec_id") === RrfProbeId)
+      .select(col("embedding").as("qe"))
+    val dense = e.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= RrfProbeId)
+      .withColumn("score", cosineC(col("qe"), col("embedding")))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(Bm25TopK)
+      .withColumn("r_dense", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("id"), col("r_dense").cast("long").as("r_dense"))
+    sparse.join(dense, Seq("id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("r_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")), lit(0.0)), 6))
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("id").asc)))
+      .filter(col("fused_rank") <= Bm25TopK)
+      .select(col("fused_rank").cast("long").as("fused_rank"), col("id"),
+        col("rrf_score"), col("r_sparse"), col("r_dense"))
+      .orderBy(col("fused_rank"))
+  }
+
   /** q82: passage width in tokens (non-overlapping — stride = width). */
   val PassageSize = 8
   /** q82/oracle key packing: (doc_id, pidx) → doc_id·2^20 + pidx. Safe
@@ -2844,6 +2904,7 @@ object LlmOps {
     "q85_cluster_reps" -> q85ClusterReps,
     "q79_corpus_report" -> q79CorpusReport,
     "q80_bm25" -> q80Bm25,
+    "q175_hybrid_rrf" -> q175HybridRrf,
     "q78_chunking" -> q78Chunking,
     "q77_embedding_outliers" -> q77EmbeddingOutliers,
     "q74_pmi_collocations" -> q74PmiCollocations,
@@ -2909,6 +2970,30 @@ object LlmOps {
        |  FROM sh)""".stripMargin
   private def cosineD(a: String, b: String): String =
     s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
+
+  /** q80's full oracle text — also embedded verbatim as q175's sparse
+    * retriever subquery, so the fused ranking is checked over the same
+    * SQL the standalone BM25 gate already value-checks.
+    */
+  private val bm25OracleD =
+    s"""WITH toks AS (SELECT doc_id, $toksD AS tok FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |                 CAST(sum(len(tok)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+      |tf AS (
+      |  SELECT doc_id, w, count(*) AS tf, max(dl) AS dl
+      |  FROM (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl, unnest(tok) AS w FROM toks)
+      |  WHERE w IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+      |  GROUP BY doc_id, w),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+      |SELECT doc_id,
+      |  round(sum(
+      |    ln(1.0 + (stats.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) *
+      |    (CAST(tf.tf AS DOUBLE) * ($Bm25K1 + 1.0)) /
+      |    (CAST(tf.tf AS DOUBLE) +
+      |      $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6) AS bm25
+      |FROM tf JOIN df USING (w), stats
+      |GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
 
   /** Shared IVF-build CTE chain (seeds → 2 Lloyd iterations → final
     * cents → full-corpus assignment), mirroring [[ivfCentroids]] +
@@ -3678,25 +3763,39 @@ object LlmOps {
         |  round(CAST(sr AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pct_repetitive,
         |  round(CAST(stk AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_tokens
         |FROM l2 ORDER BY source""".stripMargin,
-    "q80_bm25" ->
-      s"""WITH toks AS (SELECT doc_id, $toksD AS tok FROM documents),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-        |                 CAST(sum(len(tok)) AS DOUBLE) / count(*) AS avgdl FROM toks),
-        |tf AS (
-        |  SELECT doc_id, w, count(*) AS tf, max(dl) AS dl
-        |  FROM (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl, unnest(tok) AS w FROM toks)
-        |  WHERE w IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-        |  GROUP BY doc_id, w),
-        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
-        |SELECT doc_id,
-        |  round(sum(
-        |    ln(1.0 + (stats.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) *
-        |    (CAST(tf.tf AS DOUBLE) * ($Bm25K1 + 1.0)) /
-        |    (CAST(tf.tf AS DOUBLE) +
-        |      $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6) AS bm25
-        |FROM tf JOIN df USING (w), stats
-        |GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
+    "q80_bm25" -> bm25OracleD,
+    // q175: both retriever subqueries are the EXACT oracle texts of
+    // their standalone queries (q80's SQL verbatim; q48's scoring
+    // pattern), so the fusion is checked over value-checked inputs
+    "q175_hybrid_rrf" ->
+      s"""WITH bm AS (
+        |  SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_sparse
+        |  FROM ($bm25OracleD)),
+        |dn AS (
+        |  SELECT vec_id AS id,
+        |    row_number() OVER (ORDER BY score DESC, vec_id ASC) AS r_dense
+        |  FROM (
+        |    SELECT vec_id, ${cosineD("qe", "embedding")} AS score
+        |    FROM embeddings,
+        |      (SELECT embedding AS qe FROM embeddings WHERE vec_id = $RrfProbeId)
+        |    WHERE vec_id != $RrfProbeId
+        |    ORDER BY score DESC, vec_id ASC LIMIT $Bm25TopK)),
+        |f AS (
+        |  SELECT coalesce(bm.id, dn.id) AS id,
+        |    CAST(bm.r_sparse AS BIGINT) AS r_sparse,
+        |    CAST(dn.r_dense AS BIGINT) AS r_dense,
+        |    round(coalesce(1.0 / ($RrfK + bm.r_sparse), CAST(0 AS DOUBLE)) +
+        |          coalesce(1.0 / ($RrfK + dn.r_dense), CAST(0 AS DOUBLE)), 6)
+        |      AS rrf_score
+        |  FROM bm FULL OUTER JOIN dn ON bm.id = dn.id)
+        |SELECT * FROM (
+        |  SELECT row_number() OVER (ORDER BY rrf_score DESC, id ASC)
+        |      AS fused_rank,
+        |    id, rrf_score, r_sparse, r_dense
+        |  FROM f)
+        |WHERE fused_rank <= $Bm25TopK
+        |ORDER BY fused_rank""".stripMargin,
     "q78_chunking" ->
       s"""WITH toks AS (
         |  SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n_tokens

@@ -460,8 +460,66 @@ object StatsOps {
         (col("ci_hi") - col("ci_lo")).as("ci_width"))
   }
 
+  // ---------------------------------------------------------------
+  // q174 — CUSUM changepoint detection over daily ingest volume
+  // ---------------------------------------------------------------
+
+  /** q174: CUSUM (cumulative-sum) CHANGEPOINT DETECTION over the daily
+    * event count — the sequential statistic an ingest monitor runs to
+    * catch a crawler breaking or a source doubling: the one-sided
+    * recurrence S_d = max(0, S_{d−1} + (x_d − μ) − slack) accumulates
+    * sustained upward drift and alarms when it crosses a threshold,
+    * while single-day noise is bled off by the slack term (Page 1954).
+    *
+    * Everything runs in EXACT integer arithmetic by scaling through
+    * the day count: with n days and Σx total events, μ·n = Σx, so the
+    * scaled residual n·x_d − Σx is an integer and the recurrence never
+    * touches a float. Slack and threshold are fixed integer fractions
+    * of the scaled mean (Σx div 100 and Σx div 4), identical under
+    * DuckDB's `//`. The 1%-of-mean slack is a FAST-DETECTION tuning:
+    * where daily noise is a large fraction of the mean (the tiny
+    * sf0.001 fixture's Poisson counts) it alarms on noise — a property
+    * of the tuning a production monitor sets from a noise estimate,
+    * not of the statistic; the oracle value-checks the full CUSUM path
+    * either way, and StatsOpsSpec proves the clean pre/post separation
+    * on a noise-free level-shift corpus.
+    *
+    * The recurrence is inherently sequential, so it runs where a
+    * sequential scan is honest at any corpus size: over the per-DAY
+    * aggregate, bounded by the observation span (the q163/q164
+    * discipline), as a higher-order `aggregate()` fold over the
+    * day-sorted array — ONE shuffle (the daily count), then
+    * span-bounded array arithmetic. The oracle replays the same
+    * recurrence as a recursive CTE, step by step.
+    */
+  val q174CusumChangepoint: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val one = daily.agg(
+      sort_array(collect_list(struct(col("day"), col("x")))).as("arr"),
+      count(lit(1)).as("n"), sum(col("x")).cast("long").as("total"))
+      .withColumn("slack", expr("total div 100"))
+      .withColumn("h", expr("total div 4"))
+    val step = "greatest(CAST(0 AS BIGINT), acc.s + n * e.x - total - slack)"
+    one.select(col("h"), explode(expr(
+        s"""aggregate(arr,
+           |  named_struct('s', CAST(0 AS BIGINT),
+           |    'out', CAST(array() AS ARRAY<STRUCT<day: DATE, x: BIGINT, s: BIGINT>>)),
+           |  (acc, e) -> named_struct(
+           |    's', $step,
+           |    'out', array_append(acc.out,
+           |      named_struct('day', e.day, 'x', e.x, 's', $step))),
+           |  acc -> acc.out)""".stripMargin)).as("e"))
+      .select(col("e.day").as("day"), col("e.x").as("n_events"),
+        col("e.s").as("cusum"), col("h").as("threshold"),
+        (col("e.s") > col("h")).cast("bigint").as("is_alarm"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q172_bootstrap_ci" -> q172BootstrapCi,
+    "q174_cusum_changepoint" -> q174CusumChangepoint,
     "q163_ks_test" -> q163KsTest,
     "q111_group_regression" -> q111GroupRegression,
     "q112_corr_matrix" -> q112CorrMatrix,
@@ -511,6 +569,29 @@ object StatsOps {
         |  ci.ci_lo, ci.ci_hi, ci.ci_hi - ci.ci_lo AS ci_width
         |FROM nn, medf, ci""".stripMargin
     },
+    // q174: the oracle replays the integer CUSUM recurrence as a
+    // recursive CTE over the day sequence — step-identical to the
+    // engine's aggregate() fold
+    "q174_cusum_changepoint" ->
+      s"""WITH RECURSIVE d AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |      CAST(sum(x) AS BIGINT) AS total,
+        |      CAST(sum(x) AS BIGINT) // 100 AS slack,
+        |      CAST(sum(x) AS BIGINT) // 4 AS h FROM d),
+        |seq AS (SELECT day, x, row_number() OVER (ORDER BY day) AS i FROM d),
+        |rec AS (
+        |  SELECT i, day, x,
+        |    greatest(CAST(0 AS BIGINT), p.n * x - p.total - p.slack) AS s
+        |  FROM seq, p WHERE i = 1
+        |  UNION ALL
+        |  SELECT seq.i, seq.day, seq.x,
+        |    greatest(CAST(0 AS BIGINT), rec.s + p.n * seq.x - p.total - p.slack)
+        |  FROM rec, seq, p WHERE seq.i = rec.i + 1)
+        |SELECT rec.day, rec.x AS n_events, rec.s AS cusum, p.h AS threshold,
+        |  CAST(rec.s > p.h AS BIGINT) AS is_alarm
+        |FROM rec, p ORDER BY rec.day""".stripMargin,
     "q163_ks_test" ->
       s"""WITH base AS (
         |  SELECT n_chars,

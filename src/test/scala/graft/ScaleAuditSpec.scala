@@ -69,9 +69,12 @@ class ScaleAuditSpec extends AnyFunSuite {
                           // by max document length, not corpus rows
     "q164_survival",      // KM curve over distinct lifetime DAYS:
                           // bounded by the observation span
-    "q172_bootstrap_ci")  // full-corpus ECDF over the distinct n_chars
+    "q172_bootstrap_ci",  // full-corpus ECDF over the distinct n_chars
                           // domain (q163's bound) + a rank over exactly
                           // B=64 replica medians
+    "q175_hybrid_rrf")    // rank windows over the two top-K retriever
+                          // outputs and their <=2K-row fusion — all
+                          // limit-bounded before the window runs
 
   /** The plan forest of every declared query, computed once and shared
     * by all audits (planning the 136-query fleet dominates the suite's
