@@ -694,7 +694,71 @@ object IndexOps {
           col("join_exact").cast("double"), 6).as("rel_err"))
   }
 
+  // ---------------------------------------------------------------
+  // q176 — ANALYZE-style column statistics for the cost-based planner
+  // ---------------------------------------------------------------
+
+  /** q176 sketch size (shared rationale with [[JoinEstK]]). */
+  val ColStatsK = 256
+
+  /** The (table, column) pairs q176 profiles — string and integer
+    * columns only, so the min/max VARCHAR projection is
+    * dialect-identical (doubles would drag float-formatting divergence
+    * into the hash).
+    */
+  val ColStatsCols: Seq[(String, String)] = Seq(
+    "lineitem" -> "l_returnflag", "orders" -> "o_custkey",
+    "orders" -> "o_orderpriority", "customer" -> "c_mktsegment",
+    "part" -> "p_brand", "documents" -> "lang",
+    "documents" -> "n_chars", "events" -> "user_id",
+    "events" -> "event_type")
+
+  /** q176: the `ANALYZE TABLE ... FOR COLUMNS` statistics pass — the
+    * table a cost-based optimizer consults for selectivity and join
+    * ordering: per column, row count, null count, native-type min/max,
+    * and the distinct-value count BOTH ways — exact (the verification
+    * baseline) and from the same bottom-k KMV sketch q169's join
+    * estimator uses (the O(k)-state path a 100 TB ANALYZE actually
+    * runs). Columns with small domains (flags, priorities, segments)
+    * exercise the under-filled exact branch while the key columns
+    * (o_custkey at sf0.01+, user_id at sf0.1) overflow k and exercise
+    * the estimator — the q153/q169 two-branch discipline, all
+    * value-checked per branch by the oracle's per-column recompute.
+    *
+    * Scale shape: ONE aggregation per profiled column (count/nulls/
+    * min/max/exact-distinct share the pass with the k-sketch, which
+    * shuffles k longs regardless of table size); the 9 single-row
+    * results union into the stats table. min/max compute on the
+    * NATIVE type and only then cast to VARCHAR, so integer columns
+    * order numerically.
+    */
+  val q176ColumnStats: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val k = ColStatsK
+    val twoP60 = 1152921504606846976.0
+    val parts = ColStatsCols.map { case (tbl, c) =>
+      val h = expr(LlmOps.hashS(s"concat('cs:$tbl.$c:', CAST($c AS STRING))"))
+      t(s, dir, tbl).agg(
+          count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("ndv_exact"),
+          graft.functions.KmvSample.kmv_sample(struct(h, h), k).as("sk"),
+          expr(s"CAST(min($c) AS STRING)").as("min_s"),
+          expr(s"CAST(max($c) AS STRING)").as("max_s"))
+        .select(lit(tbl).as("tbl"), lit(c).as("col_name"),
+          col("n_rows"), (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+          col("ndv_exact"),
+          round(when(size(col("sk")) < k, size(col("sk")).cast("double"))
+            .otherwise(lit(k - 1).cast("double") /
+              (element_at(col("sk"), k).cast("double") / lit(twoP60))), 2)
+            .as("ndv_est"),
+          col("min_s"), col("max_s"))
+    }
+    parts.reduce(_ unionByName _).orderBy(col("tbl"), col("col_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q176_column_stats" -> q176ColumnStats,
     "q169_join_cardinality" -> q169JoinCardinality,
     "q146_kmv_quantiles" -> q146KmvQuantiles,
     "q119_kmv_sketch" -> q119KmvSketch,
@@ -728,6 +792,29 @@ object IndexOps {
        |FROM (SELECT max(u) AS uk, count(*) AS kk FROM $sk)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q176: one UNION ALL branch per profiled column, each recomputing
+    // counts, native-type min/max, and BOTH distinct paths (exact +
+    // the bottom-k estimate with q169's branch arithmetic)
+    "q176_column_stats" -> {
+      val k = ColStatsK
+      val branches = ColStatsCols.map { case (tbl, c) =>
+        val h = LlmOps.hashD(s"'cs:$tbl.$c:' || CAST($c AS VARCHAR)")
+        s"""SELECT '$tbl' AS tbl, '$c' AS col_name,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+          |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv_exact,
+          |  (SELECT round(CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+          |     ELSE CAST(${k - 1} AS DOUBLE)
+          |       / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END, 2)
+          |   FROM (SELECT h FROM (
+          |     SELECT DISTINCT $h AS h FROM $tbl WHERE $c IS NOT NULL)
+          |     ORDER BY h LIMIT $k)) AS ndv_est,
+          |  CAST(min($c) AS VARCHAR) AS min_s,
+          |  CAST(max($c) AS VARCHAR) AS max_s
+          |FROM $tbl""".stripMargin
+      }
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")
+    },
     // q169: the oracle recomputes sketches AND exact truths from raw
     // rows; estimator branches (under-filled = exact, filled =
     // (k-1)/u_k) are mirrored term by term so the estimate itself is

@@ -492,10 +492,17 @@ object StatsOps {
     * span-bounded array arithmetic. The oracle replays the same
     * recurrence as a recursive CTE, step by step.
     */
-  val q174CusumChangepoint: Q = (s, dir) => {
-    val daily = t(s, dir, "events")
+  val q174CusumChangepoint: Q = (s, dir) =>
+    cusumOf(t(s, dir, "events")
       .select(to_date(col("ts")).as("day"))
-      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x")))
+
+  /** The CUSUM path over an explicit (day, x) daily-count frame —
+    * shared by q174 and StreamingCusumSpec's continuously-maintained
+    * monitor state (whose stored per-batch day partials sum to exactly
+    * this input).
+    */
+  private[graft] def cusumOf(daily: DataFrame): DataFrame = {
     val one = daily.agg(
       sort_array(collect_list(struct(col("day"), col("x")))).as("arr"),
       count(lit(1)).as("n"), sum(col("x")).cast("long").as("total"))
