@@ -757,7 +757,148 @@ object IndexOps {
     parts.reduce(_ unionByName _).orderBy(col("tbl"), col("col_name"))
   }
 
+  // ---------------------------------------------------------------
+  // q177 — incremental ANALYZE: mergeable stats maintenance
+  // ---------------------------------------------------------------
+
+  /** q177 delta split (residue of [[StandingIndex-style]] doc hash). */
+  val StatsDeltaMod = 10
+
+  /** q177: INCREMENTAL statistics maintenance — why a production
+    * ANALYZE stores SKETCHES, not answers: when a ~10% delta lands,
+    * counts and min/max merge trivially, and the bottom-k KMV NDV
+    * sketch merges EXACTLY (bottom-k(base ∪ delta sketches) =
+    * bottom-k(whole) — any of the whole corpus's k smallest hashes is
+    * among its own segment's k smallest), so the refreshed statistics
+    * equal a from-scratch ANALYZE without rescanning the base — the
+    * q153/q160 re-aggregation story applied to the planner's stats
+    * table. The query emits the merged-path AND direct-path NDV
+    * estimates plus their equality flag, and the oracle replays both
+    * paths from raw rows (the q153 discipline: a broken merge cannot
+    * hide — the flag row would flip).
+    *
+    * Scale shape: the delta pass scans ONLY delta rows; per (segment,
+    * column) one O(k)-state aggregation; the merge is array arithmetic
+    * on two k-length sketches. Exact NDV appears nowhere in the
+    * maintained path — it is precisely the statistic that does NOT
+    * merge, which is the point of sketching.
+    */
+  val q177StatsMaintenance: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val k = ColStatsK
+    val twoP60 = 1152921504606846976.0
+    val docs = t(s, dir, "documents").withColumn("is_delta",
+      pmod(expr(LlmOps.hashS("concat('st:', CAST(doc_id AS STRING))")),
+        lit(StatsDeltaMod)) === (StatsDeltaMod - 1))
+    def est(c: Column): Column =
+      round(when(size(c) < k, size(c).cast("double"))
+        .otherwise(lit(k - 1).cast("double") /
+          (element_at(c, k).cast("double") / lit(twoP60))), 2)
+    val parts = Seq("lang", "n_chars").map { c =>
+      val h = expr(LlmOps.hashS(s"concat('cst:$c:', CAST($c AS STRING))"))
+      // segment min/max stay NATIVE-typed so the merge orders
+      // numerically for integer columns; only the merged value is
+      // cast to the output VARCHAR
+      def seg(delta: Boolean) = docs.filter(col("is_delta") === delta).agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_nonnull"),
+        graft.functions.KmvSample.kmv_sample(struct(h, h), k).as("sk"),
+        min(col(c)).as("min_v"), max(col(c)).as("max_v"))
+      val base = seg(delta = false).select(
+        col("n_rows").as("nb"), col("n_nonnull").as("nnb"),
+        col("sk").as("skb"), col("min_v").as("minb"), col("max_v").as("maxb"))
+      val delta = seg(delta = true).select(
+        col("n_rows").as("ndl"), col("n_nonnull").as("nnd"),
+        col("sk").as("skd"), col("min_v").as("mind"), col("max_v").as("maxd"))
+      val direct = docs.agg(graft.functions.KmvSample
+        .kmv_sample(struct(h, h), k).as("ska"))
+      base.crossJoin(delta).crossJoin(direct)
+        .withColumn("skm",
+          slice(array_sort(array_union(col("skb"), col("skd"))), 1, k))
+        .select(lit(c).as("col_name"),
+          (col("nb") + col("ndl")).as("n_rows"),
+          (col("nb") + col("ndl") - col("nnb") - col("nnd")).as("n_nulls"),
+          least(col("minb"), col("mind")).cast("string").as("min_s"),
+          greatest(col("maxb"), col("maxd")).cast("string").as("max_s"),
+          est(col("skm")).as("ndv_est_merged"),
+          est(col("ska")).as("ndv_est_direct"),
+          (est(col("skm")) === est(col("ska"))).cast("bigint").as("merge_exact"))
+    }
+    parts.reduce(_ unionByName _).orderBy(col("col_name"))
+  }
+
+  // ---------------------------------------------------------------
+  // q178 — selectivity-estimation audit (the CBO model vs truth)
+  // ---------------------------------------------------------------
+
+  /** q178: SELECTIVITY ESTIMATION next to its truth — the audit of the
+    * cost model the q176 statistics feed: equality predicates are
+    * estimated with the textbook uniform assumption sel = 1/NDV, range
+    * predicates with linear interpolation over [min, max], and each
+    * estimate sits beside the actually-measured selectivity with its
+    * absolute error — the report that tells a planner team WHERE the
+    * uniform assumption is safe (balanced fixture domains) and where
+    * real skew would break it. The range predicate's bounds derive
+    * from the column's own min/max in integer arithmetic, so the audit
+    * is scale-invariant and fully oracle-mirrorable.
+    *
+    * Scale shape: one aggregation per audited predicate (NDV/count/
+    * match share a pass); the range branch runs min/max first and
+    * broadcasts the 1-row bounds into the counting pass — exactly the
+    * two-phase shape a real optimizer uses (stats lookup, then
+    * evaluation).
+    */
+  val q178SelectivityAudit: Q = (s, dir) => {
+    def eq(tbl: String, c: String, v: String, pred: String): DataFrame =
+      t(s, dir, tbl).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col(c)).as("ndv"),
+          count(when(col(c) === v, 1)).as("act_rows"))
+        .select(lit(pred).as("pred"), col("n_rows"),
+          round(lit(1.0) / col("ndv"), 6).as("est_sel"),
+          round(col("act_rows").cast("double") / col("n_rows"), 6)
+            .as("act_sel"),
+          round(lit(1.0) / col("ndv") * col("n_rows"), 2).as("est_rows"),
+          col("act_rows"),
+          round(abs(lit(1.0) / col("ndv") -
+            col("act_rows").cast("double") / col("n_rows")), 6).as("abs_err"))
+    val rangeAudit = {
+      val docs = t(s, dir, "documents")
+      val bounds = docs.agg(
+          min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+        .select(col("mn"), col("mx"),
+          expr("mn + (mx - mn) div 4").as("lo"),
+          expr("mn + (mx - mn) div 2").as("hi"))
+      docs.crossJoin(broadcast(bounds))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("n_chars").between(col("lo"), col("hi")), 1))
+            .as("act_rows"),
+          max(col("lo") - col("mn")).as("off_lo"),
+          max(col("hi") - col("mn")).as("off_hi"),
+          max(col("mx") - col("mn")).as("width"))
+        .select(lit("range_nchars_q2q3").as("pred"), col("n_rows"),
+          round((col("off_hi") - col("off_lo") + 1).cast("double") /
+            (col("width") + 1).cast("double"), 6).as("est_sel"),
+          round(col("act_rows").cast("double") / col("n_rows"), 6)
+            .as("act_sel"),
+          round((col("off_hi") - col("off_lo") + 1).cast("double") /
+            (col("width") + 1).cast("double") * col("n_rows"), 2)
+            .as("est_rows"),
+          col("act_rows"),
+          round(abs((col("off_hi") - col("off_lo") + 1).cast("double") /
+            (col("width") + 1).cast("double") -
+            col("act_rows").cast("double") / col("n_rows")), 6).as("abs_err"))
+    }
+    Seq(eq("documents", "lang", "en", "eq_lang_en"),
+      eq("events", "event_type", "view", "eq_event_view"),
+      eq("orders", "o_orderpriority", "1-URGENT", "eq_priority_urgent"),
+      rangeAudit)
+      .reduce(_ unionByName _).orderBy(col("pred"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q178_selectivity_audit" -> q178SelectivityAudit,
+    "q177_stats_maintenance" -> q177StatsMaintenance,
     "q176_column_stats" -> q176ColumnStats,
     "q169_join_cardinality" -> q169JoinCardinality,
     "q146_kmv_quantiles" -> q146KmvQuantiles,
@@ -792,6 +933,92 @@ object IndexOps {
        |FROM (SELECT max(u) AS uk, count(*) AS kk FROM $sk)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q178: each branch recomputes the estimate's inputs (NDV or
+    // min/max bounds) and the true match count from raw rows, with the
+    // estimator arithmetic mirrored term by term
+    "q178_selectivity_audit" -> {
+      def eq(tbl: String, c: String, v: String, pred: String): String =
+        s"""SELECT '$pred' AS pred, CAST(count(*) AS BIGINT) AS n_rows,
+          |  round(1.0 / count(DISTINCT $c), 6) AS est_sel,
+          |  round(CAST(count(CASE WHEN $c = '$v' THEN 1 END) AS DOUBLE)
+          |    / count(*), 6) AS act_sel,
+          |  round(1.0 / count(DISTINCT $c) * count(*), 2) AS est_rows,
+          |  CAST(count(CASE WHEN $c = '$v' THEN 1 END) AS BIGINT)
+          |    AS act_rows,
+          |  round(abs(1.0 / count(DISTINCT $c)
+          |    - CAST(count(CASE WHEN $c = '$v' THEN 1 END) AS DOUBLE)
+          |      / count(*)), 6) AS abs_err
+          |FROM $tbl""".stripMargin
+      val rng =
+        s"""SELECT 'range_nchars_q2q3' AS pred,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  round(CAST(b.off_hi - b.off_lo + 1 AS DOUBLE)
+          |    / CAST(b.width + 1 AS DOUBLE), 6) AS est_sel,
+          |  round(CAST(count(CASE WHEN n_chars BETWEEN b.lo AND b.hi
+          |    THEN 1 END) AS DOUBLE) / count(*), 6) AS act_sel,
+          |  round(CAST(b.off_hi - b.off_lo + 1 AS DOUBLE)
+          |    / CAST(b.width + 1 AS DOUBLE) * count(*), 2) AS est_rows,
+          |  CAST(count(CASE WHEN n_chars BETWEEN b.lo AND b.hi THEN 1 END)
+          |    AS BIGINT) AS act_rows,
+          |  round(abs(CAST(b.off_hi - b.off_lo + 1 AS DOUBLE)
+          |    / CAST(b.width + 1 AS DOUBLE)
+          |    - CAST(count(CASE WHEN n_chars BETWEEN b.lo AND b.hi
+          |        THEN 1 END) AS DOUBLE) / count(*)), 6) AS abs_err
+          |FROM documents, (
+          |  SELECT mn, mx, mn + (mx - mn) // 4 AS lo, mn + (mx - mn) // 2 AS hi,
+          |    (mx - mn) // 4 AS off_lo,
+          |    (mx - mn) // 2 AS off_hi, mx - mn AS width
+          |  FROM (SELECT CAST(min(n_chars) AS BIGINT) AS mn,
+          |        CAST(max(n_chars) AS BIGINT) AS mx FROM documents)) b
+          |GROUP BY b.off_lo, b.off_hi, b.width, b.lo, b.hi""".stripMargin
+      Seq(eq("documents", "lang", "en", "eq_lang_en"),
+        eq("events", "event_type", "view", "eq_event_view"),
+        eq("orders", "o_orderpriority", "1-URGENT", "eq_priority_urgent"),
+        rng).mkString("", "\nUNION ALL\n", "\nORDER BY pred")
+    },
+    // q177: per column, the oracle replays BOTH NDV paths from raw
+    // rows — merged = bottom-k(bottom-k(base) ∪ bottom-k(delta)),
+    // direct = bottom-k(all) — plus counts and native-type min/max
+    // (global min/max equals the merged least/greatest by definition)
+    "q177_stats_maintenance" -> {
+      val k = ColStatsK
+      val hd = LlmOps.hashD("'st:' || CAST(doc_id AS VARCHAR)")
+      def ctes(c: String): String = {
+        val hs = LlmOps.hashD(s"'cst:$c:' || CAST($c AS VARCHAR)")
+        s"""skb_$c AS (SELECT h FROM (
+          |    SELECT DISTINCT $hs AS h FROM documents
+          |    WHERE $hd % $StatsDeltaMod != ${StatsDeltaMod - 1}
+          |      AND $c IS NOT NULL) ORDER BY h LIMIT $k),
+          |skd_$c AS (SELECT h FROM (
+          |    SELECT DISTINCT $hs AS h FROM documents
+          |    WHERE $hd % $StatsDeltaMod = ${StatsDeltaMod - 1}
+          |      AND $c IS NOT NULL) ORDER BY h LIMIT $k),
+          |skm_$c AS (SELECT h FROM (SELECT h FROM skb_$c
+          |    UNION SELECT h FROM skd_$c) ORDER BY h LIMIT $k),
+          |ska_$c AS (SELECT h FROM (
+          |    SELECT DISTINCT $hs AS h FROM documents
+          |    WHERE $c IS NOT NULL) ORDER BY h LIMIT $k)""".stripMargin
+      }
+      def estQ(src: String): String =
+        s"(SELECT round(CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE) ELSE CAST(${k - 1} AS DOUBLE) / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END, 2) FROM $src)"
+      def branch(c: String): String =
+        s"""SELECT '$c' AS col_name,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+          |  (SELECT CAST(count(*) - count($c) AS BIGINT) FROM documents)
+          |    AS n_nulls,
+          |  (SELECT CAST(min($c) AS VARCHAR) FROM documents) AS min_s,
+          |  (SELECT CAST(max($c) AS VARCHAR) FROM documents) AS max_s,
+          |  ${estQ(s"skm_$c")} AS ndv_est_merged,
+          |  ${estQ(s"ska_$c")} AS ndv_est_direct,
+          |  CAST(${estQ(s"skm_$c")} = ${estQ(s"ska_$c")} AS BIGINT)
+          |    AS merge_exact""".stripMargin
+      s"""WITH ${ctes("lang")},
+        |${ctes("n_chars")}
+        |${branch("lang")}
+        |UNION ALL
+        |${branch("n_chars")}
+        |ORDER BY col_name""".stripMargin
+    },
     // q176: one UNION ALL branch per profiled column, each recomputing
     // counts, native-type min/max, and BOTH distinct paths (exact +
     // the bottom-k estimate with q169's branch arithmetic)

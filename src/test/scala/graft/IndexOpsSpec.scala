@@ -86,6 +86,25 @@ class IndexOpsSpec extends AnyFunSuite {
       s"join estimate off by ${d("rel_err")} (> $envelope)")
   }
 
+  test("q177: sketch merge is exact; q178 exposes the uniform assumption's skew gap") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // the mergeability theorem, value-checked: refreshed stats from
+      // base+delta sketches equal the from-scratch ANALYZE
+      val m = IndexOps.q177StatsMaintenance(spark, dir).collect()
+      assert(m.length == 2 && m.forall(
+        _.getLong(m.head.fieldIndex("merge_exact")) == 1L), s"$dir: $m")
+      // the audit's point: the uniform 1/NDV estimate is tight on the
+      // balanced event_type domain and visibly wrong on the skewed
+      // lang domain — if this inverts, the fixture (or the estimator)
+      // changed out from under the audit
+      val a = IndexOps.q178SelectivityAudit(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("abs_err")))
+        .toMap
+      assert(a("eq_lang_en") > 5 * a("eq_event_view"),
+        s"$dir: lang err ${a("eq_lang_en")} vs event ${a("eq_event_view")}")
+    }
+  }
+
   test("q100: salt factor levels the hottest key to the mean") {
     val rows = IndexOps.q100SkewReport(spark, dir).collect()
     assert(rows.length == 3)
