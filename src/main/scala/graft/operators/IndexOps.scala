@@ -590,6 +590,24 @@ object IndexOps {
     */
   val JoinEstK = 256
 
+  /** The two-branch bottom-k NDV estimate — exact when the sketch is
+    * under-filled (the sketch IS the distinct set), (k−1)/u_k with
+    * u_k = h_k/2^60 when filled. ONE definition shared by
+    * q169/q176/q177 (ORACLE_DIALECT's own warning: these branches must
+    * stay bit-identical across every call site); callers apply their
+    * own output rounding.
+    */
+  private[operators] def kmvNdvEst(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit(k - 1).cast("double") /
+        (element_at(sk, k).cast("double") / lit(1152921504606846976.0)))
+
+  /** Oracle twin of [[kmvNdvEst]]'s branch arithmetic over explicit
+    * count/max-hash SQL expressions.
+    */
+  private def kmvNdvEstSqlD(n: String, hk: String, k: Int): String =
+    s"CASE WHEN $n < $k THEN CAST($n AS DOUBLE) ELSE CAST(${k - 1} AS DOUBLE) / (CAST($hk AS DOUBLE) / 1152921504606846976.0) END"
+
   /** q169: JOIN-SIZE ESTIMATION from bottom-k (KMV) key sketches — the
     * statistic a cost-based planner (or AQE) wants before committing to
     * a join strategy: how many rows will `events ⋈ orders ON user_id =
@@ -632,7 +650,6 @@ object IndexOps {
   val q169JoinCardinality: Q = (s, dir) => {
     graft.Functions.registerAll(s)
     val k = JoinEstK
-    val twoP60 = 1152921504606846976.0 // 2^60
     def keyed(df: DataFrame, c: String): DataFrame = df.select(
       expr(LlmOps.hashS(s"concat('jk:', CAST($c AS STRING))")).as("h"))
     val a = keyed(t(s, dir, "events"), "user_id")
@@ -648,11 +665,7 @@ object IndexOps {
       .withColumn("li",
         array_intersect(array_intersect(col("lu"), col("ska")), col("skb")))
       .materialize()
-    // KMV estimate of a bottom-k sketch: exact when under-filled
-    def est(c: Column): Column =
-      when(size(c) < k, size(c).cast("double"))
-        .otherwise(lit(k - 1).cast("double") /
-          (element_at(c, k).cast("double") / lit(twoP60)))
+    def est(c: Column): Column = kmvNdvEst(c, k)
     // exact multiplicities for the ≤k sampled intersection keys only
     val inter = sk.select(explode(col("li")).as("h"))
     def mults(side: DataFrame, cnt: String): DataFrame =
@@ -690,8 +703,12 @@ object IndexOps {
         round(jacRaw * estU, 6).as("nd_inter_est"),
         col("join_exact"),
         round(joinEstRaw, 6).as("join_est"),
-        round(abs(joinEstRaw - col("join_exact").cast("double")) /
-          col("join_exact").cast("double"), 6).as("rel_err"))
+        // NULL (not a division by zero) on a disjoint-key corpus —
+        // Spark's x/0.0 and DuckDB's differ, so the guard is parity,
+        // not just hygiene
+        when(col("join_exact") === 0, lit(null).cast("double"))
+          .otherwise(round(abs(joinEstRaw - col("join_exact").cast("double")) /
+            col("join_exact").cast("double"), 6)).as("rel_err"))
   }
 
   // ---------------------------------------------------------------
@@ -735,7 +752,6 @@ object IndexOps {
   val q176ColumnStats: Q = (s, dir) => {
     graft.Functions.registerAll(s)
     val k = ColStatsK
-    val twoP60 = 1152921504606846976.0
     val parts = ColStatsCols.map { case (tbl, c) =>
       val h = expr(LlmOps.hashS(s"concat('cs:$tbl.$c:', CAST($c AS STRING))"))
       t(s, dir, tbl).agg(
@@ -748,10 +764,7 @@ object IndexOps {
         .select(lit(tbl).as("tbl"), lit(c).as("col_name"),
           col("n_rows"), (col("n_rows") - col("n_nonnull")).as("n_nulls"),
           col("ndv_exact"),
-          round(when(size(col("sk")) < k, size(col("sk")).cast("double"))
-            .otherwise(lit(k - 1).cast("double") /
-              (element_at(col("sk"), k).cast("double") / lit(twoP60))), 2)
-            .as("ndv_est"),
+          round(kmvNdvEst(col("sk"), k), 2).as("ndv_est"),
           col("min_s"), col("max_s"))
     }
     parts.reduce(_ unionByName _).orderBy(col("tbl"), col("col_name"))
@@ -786,14 +799,10 @@ object IndexOps {
   val q177StatsMaintenance: Q = (s, dir) => {
     graft.Functions.registerAll(s)
     val k = ColStatsK
-    val twoP60 = 1152921504606846976.0
     val docs = t(s, dir, "documents").withColumn("is_delta",
       pmod(expr(LlmOps.hashS("concat('st:', CAST(doc_id AS STRING))")),
         lit(StatsDeltaMod)) === (StatsDeltaMod - 1))
-    def est(c: Column): Column =
-      round(when(size(c) < k, size(c).cast("double"))
-        .otherwise(lit(k - 1).cast("double") /
-          (element_at(c, k).cast("double") / lit(twoP60))), 2)
+    def est(c: Column): Column = round(kmvNdvEst(c, k), 2)
     val parts = Seq("lang", "n_chars").map { c =>
       val h = expr(LlmOps.hashS(s"concat('cst:$c:', CAST($c AS STRING))"))
       // segment min/max stay NATIVE-typed so the merge orders
@@ -1000,7 +1009,7 @@ object IndexOps {
           |    WHERE $c IS NOT NULL) ORDER BY h LIMIT $k)""".stripMargin
       }
       def estQ(src: String): String =
-        s"(SELECT round(CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE) ELSE CAST(${k - 1} AS DOUBLE) / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END, 2) FROM $src)"
+        s"(SELECT round(${kmvNdvEstSqlD("count(*)", "max(h)", k)}, 2) FROM $src)"
       def branch(c: String): String =
         s"""SELECT '$c' AS col_name,
           |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
@@ -1030,9 +1039,7 @@ object IndexOps {
           |  CAST(count(*) AS BIGINT) AS n_rows,
           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
           |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv_exact,
-          |  (SELECT round(CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
-          |     ELSE CAST(${k - 1} AS DOUBLE)
-          |       / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END, 2)
+          |  (SELECT round(${kmvNdvEstSqlD("count(*)", "max(h)", k)}, 2)
           |   FROM (SELECT h FROM (
           |     SELECT DISTINCT $h AS h FROM $tbl WHERE $c IS NOT NULL)
           |     ORDER BY h LIMIT $k)) AS ndv_est,
@@ -1050,8 +1057,7 @@ object IndexOps {
       val k = JoinEstK
       val ha = LlmOps.hashD("'jk:' || CAST(user_id AS VARCHAR)")
       val hb = LlmOps.hashD("'jk:' || CAST(o_custkey AS VARCHAR)")
-      def estD(n: String, hk: String): String =
-        s"CASE WHEN $n < $k THEN CAST($n AS DOUBLE) ELSE CAST(${k - 1} AS DOUBLE) / (CAST($hk AS DOUBLE) / 1152921504606846976.0) END"
+      def estD(n: String, hk: String): String = kmvNdvEstSqlD(n, hk, k)
       s"""WITH ra AS (SELECT CAST($ha AS BIGINT) AS h FROM events),
         |rb AS (SELECT CAST($hb AS BIGINT) AS h FROM orders),
         |da AS (SELECT DISTINCT h FROM ra),
@@ -1100,8 +1106,9 @@ object IndexOps {
         |  round(calc.jac_raw * calc.est_u, 6) AS nd_inter_est,
         |  ex.join_exact,
         |  round(calc.join_est_raw, 6) AS join_est,
-        |  round(abs(calc.join_est_raw - CAST(ex.join_exact AS DOUBLE))
-        |    / CAST(ex.join_exact AS DOUBLE), 6) AS rel_err
+        |  CASE WHEN ex.join_exact = 0 THEN CAST(NULL AS DOUBLE)
+        |    ELSE round(abs(calc.join_est_raw - CAST(ex.join_exact AS DOUBLE))
+        |      / CAST(ex.join_exact AS DOUBLE), 6) END AS rel_err
         |FROM sa, sb, su, si, ea, eb, mp, ex, calc""".stripMargin
     },
     "q146_kmv_quantiles" -> {

@@ -222,6 +222,32 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared oracle CTE chain mirroring [[frameRows]] — the mime map,
+    * decode-stub checksum/dims, frame explode, and resize scale; ONE
+    * definition consumed by both the q53 and q171 oracles (mime is
+    * carried through; q53's final projection simply ignores it).
+    */
+  private val mediaFrameCtesD =
+    """m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |         ELSE 'video/mp4' END AS mime,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    CAST(list_aggregate(list_transform(range(1, length(text) + 1), i -> ord(substring(text, i, 1))), 'sum') AS BIGINT) AS checksum
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, mime,
+      |    CAST(1 + checksum % 640 AS INT) AS width,
+      |    CAST(1 + checksum % 480 AS INT) AS height,
+      |    CAST(CASE WHEN mime = 'image/png' THEN 1 ELSE 1 + n_bytes // 1000 END AS INT) AS n_frames
+      |  FROM m),
+      |fr AS (
+      |  SELECT doc_id, mime, width, height,
+      |    unnest(generate_series(1, n_frames)) AS frame_no FROM f),
+      |sc AS (
+      |  SELECT *, least(224.0 / width, 224.0 / height, 1.0) AS scale FROM fr)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_media_features" -> q51MediaFeatures,
     "q53_media_frames" -> q53MediaFrames,
@@ -278,53 +304,20 @@ object Multimodal {
         |  CAST(len(list_filter(codes, c -> c // 32 = 7)) AS BIGINT) AS h7
         |FROM f ORDER BY doc_id""".stripMargin,
     "q53_media_frames" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-        |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
-        |         ELSE 'video/mp4' END AS mime,
-        |    octet_length(encode(text)) AS n_bytes,
-        |    CAST(list_aggregate(list_transform(range(1, length(text) + 1), i -> ord(substring(text, i, 1))), 'sum') AS BIGINT) AS checksum
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id,
-        |    CAST(1 + checksum % 640 AS INT) AS width,
-        |    CAST(1 + checksum % 480 AS INT) AS height,
-        |    CAST(CASE WHEN mime = 'image/png' THEN 1 ELSE 1 + n_bytes // 1000 END AS INT) AS n_frames
-        |  FROM m),
-        |fr AS (
-        |  SELECT doc_id, width, height, unnest(generate_series(1, n_frames)) AS frame_no FROM f),
-        |sc AS (
-        |  SELECT *, least(224.0 / width, 224.0 / height, 1.0) AS scale FROM fr)
+      s"""WITH $mediaFrameCtesD
         |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
         |  (('0x' || substring(md5(doc_id || ':' || frame_no),1,15))::BIGINT) % 1000000 AS frame_hash,
         |  CAST(greatest(1, floor(width * scale)) AS INT) AS out_w,
         |  CAST(greatest(1, floor(height * scale)) AS INT) AS out_h
         |FROM sc ORDER BY doc_id, frame_no""".stripMargin,
-    // q171: the frame derivation repeats q53's CTEs (carrying mime),
-    // then mirrors the pack arithmetic — shard hash, cumulative bytes
-    // BEFORE each frame (ROWS ... 1 PRECEDING), batch = cum0 // cap —
-    // in the same integer math as the engine's window
+    // q171: the frame derivation is the SHARED q53 CTE chain (one
+    // definition — a change to the decode stub's mirror cannot leave
+    // the two oracles disagreeing), then the pack arithmetic — shard
+    // hash, cumulative bytes BEFORE each frame (ROWS ... 1 PRECEDING),
+    // batch = cum0 // cap — in the same integer math as the engine's
+    // window
     "q171_media_batches" ->
-      s"""WITH m AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-        |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
-        |         ELSE 'video/mp4' END AS mime,
-        |    octet_length(encode(text)) AS n_bytes,
-        |    CAST(list_aggregate(list_transform(range(1, length(text) + 1), i -> ord(substring(text, i, 1))), 'sum') AS BIGINT) AS checksum
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, mime,
-        |    CAST(1 + checksum % 640 AS INT) AS width,
-        |    CAST(1 + checksum % 480 AS INT) AS height,
-        |    CAST(CASE WHEN mime = 'image/png' THEN 1 ELSE 1 + n_bytes // 1000 END AS INT) AS n_frames
-        |  FROM m),
-        |fr AS (
-        |  SELECT doc_id, mime, width, height,
-        |    unnest(generate_series(1, n_frames)) AS frame_no FROM f),
-        |sc AS (
-        |  SELECT *, least(224.0 / width, 224.0 / height, 1.0) AS scale FROM fr),
+      s"""WITH $mediaFrameCtesD,
         |fx AS (
         |  SELECT doc_id, mime, CAST(frame_no AS BIGINT) AS frame_no,
         |    CAST(greatest(1, floor(width * scale)) AS BIGINT) AS out_w,

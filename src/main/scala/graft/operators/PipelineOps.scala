@@ -657,18 +657,21 @@ object PipelineOps {
     val rows = ev.crossJoin(broadcast(dom))
       .select(col("user_id"), col("udom"), col("ddom"),
         datediff(col("d"), col("d0")).cast("long").as("day"))
-    val lin = rows.withColumn("layout", lit("linear"))
-      .withColumn("zone", expr(s"(user_id * $ZorderZones) div udom"))
-    val zor = rows.withColumn("layout", lit("zorder"))
+    // BOTH layouts' zone ids are map-side arithmetic over the same
+    // row, so ONE scan computes them and explodes into the two
+    // (layout, zone) coordinates — not a self-union re-reading events
+    val zmap = rows
       .withColumn("su", expr("(user_id * 8) div udom"))
       .withColumn("sd", expr("(day * 8) div ddom"))
-      .withColumn("zone", expr(
-        "(shiftright(su, 2) & 1) * 32 + (shiftright(sd, 2) & 1) * 16 + " +
-          "(shiftright(su, 1) & 1) * 8 + (shiftright(sd, 1) & 1) * 4 + " +
-          "(su & 1) * 2 + (sd & 1)"))
-    val cols = Seq("layout", "zone", "user_id", "day")
-    val zmap = lin.select(cols.head, cols.tail: _*)
-      .unionByName(zor.select(cols.head, cols.tail: _*))
+      .select(col("user_id"), col("day"), explode(array(
+        struct(lit("linear").as("layout"),
+          expr(s"(user_id * $ZorderZones) div udom").as("zone")),
+        struct(lit("zorder").as("layout"), expr(
+          "(shiftright(su, 2) & 1) * 32 + (shiftright(sd, 2) & 1) * 16 + " +
+            "(shiftright(su, 1) & 1) * 8 + (shiftright(sd, 1) & 1) * 4 + " +
+            "(su & 1) * 2 + (sd & 1)").as("zone")))).as("lz"))
+      .select(col("lz.layout").as("layout"), col("lz.zone").as("zone"),
+        col("user_id"), col("day"))
       .groupBy(col("layout"), col("zone"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("user_id")).as("zu0"), max(col("user_id")).as("zu1"),

@@ -298,16 +298,19 @@ object StandingIndex {
   /** Per-bucket manifest with the position-level multiset signature —
     * computable over stored postings (q160's read-back) or directly
     * over a postings DataFrame (the spec's from-raw comparison).
+    * `extra` aggregates share the grouped pass (q168's per-bucket file
+    * count).
     */
-  private[graft] def manifestOf(postings: DataFrame): DataFrame =
+  private[graft] def manifestOf(
+      postings: DataFrame, extra: org.apache.spark.sql.Column*): DataFrame =
     postings
       .groupBy(col("pbucket"))
       .agg(countDistinct(col("token")).as("n_terms"),
-        count(lit(1)).as("n_postings"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        sum(pmod(expr(LlmOps.hashS(
-          "concat('pst:', token, '|', CAST(doc_id AS STRING), '|', CAST(pos AS STRING))")),
-          lit(SigMod))).as("postings_sig"))
+        (Seq(count(lit(1)).as("n_postings"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(pmod(expr(LlmOps.hashS(
+            "concat('pst:', token, '|', CAST(doc_id AS STRING), '|', CAST(pos AS STRING))")),
+            lit(SigMod))).as("postings_sig")) ++ extra): _*)
       .orderBy(col("pbucket"))
 
   private val incCache = new graft.SessionCache
@@ -321,6 +324,9 @@ object StandingIndex {
     */
   private[graft] def ensureIncremental(s: SparkSession, dir: String): String = {
     val root = s"${indexRoot(dir)}_inc"
+    // the cache entry is a ran-once LATCH (emptyDataFrame sentinel,
+    // the SimIndex.build discipline) — consumers re-read the on-disk
+    // artifact themselves, nothing consumes a cached frame
     incCache.getOrElseUpdate(s, dir) {
       graft.Functions.registerAll(s)
       val docs = Engine.table(s, dir, "documents")
@@ -330,7 +336,7 @@ object StandingIndex {
             lit(IncDeltaMod)) === (IncDeltaMod - 1))
       writeSegment(docs.filter(!col("is_delta")), root, "overwrite")
       writeSegment(docs.filter(col("is_delta")), root, "append")
-      manifestOf(readPostings(s, root))
+      s.emptyDataFrame
     }
     root
   }
@@ -380,14 +386,14 @@ object StandingIndex {
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("sum_dl")).cast("long").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$root/stats")
-    val files = readPostings(s, root)
-      .select(col("pbucket"), input_file_name().as("f"))
-      .groupBy(col("pbucket"))
-      .agg(countDistinct(col("f")).as("n_files"))
     val statsSegs = s.read.parquet(s"$root/stats")
       .agg(count(lit(1)).as("n_stats_segments"))
-    manifestOf(readPostings(s, root))
-      .join(files, Seq("pbucket"))
+    // ONE read of the just-written artifact: the per-bucket file count
+    // shares the manifest's grouped pass (input_file_name projected
+    // first — it may not appear inside an aggregate function)
+    manifestOf(
+        readPostings(s, root).withColumn("f", input_file_name()),
+        countDistinct(col("f")).as("n_files"))
       .crossJoin(broadcast(statsSegs))
       .orderBy(col("pbucket"))
   }
