@@ -45,7 +45,15 @@ class DeterminismStressSpec extends AnyFunSuite {
     // q154's chi2 sums ROUNDED decimal cell terms (q152's discipline)
     "q154_chi_square",
     // q155's first/last-touch windows must be (us, event_id)-pinned
-    "q155_attribution")
+    "q155_attribution",
+    // session additions: the KMV sketch paths (merge-order
+    // insensitivity is the load-bearing claim), the shard-local pack
+    // windows (doc_id, frame_no tie-pinning), the replica ECDF
+    // windows, the sampled range boundaries, and the RRF rank fusion
+    // (id tie-breaks on every ranking)
+    "q169_join_cardinality", "q170_zorder_layout", "q171_media_batches",
+    "q172_bootstrap_ci", "q173_range_planner", "q175_hybrid_rrf",
+    "q176_column_stats", "q177_stats_maintenance")
 
   test("canonical hashes stable across reruns and shuffle-partition settings") {
     val baselinePartitions = spark.conf.get("spark.sql.shuffle.partitions")
