@@ -652,10 +652,15 @@ object LlmOps {
   /** Embedding dimensionality of the fixture corpus. */
   val EmbDim = 64
 
-  /** Queries probe their 2 nearest centroids' inverted lists (recall
-    * knob; 1 = cheapest, K = brute force).
+  /** Queries probe their 6 nearest centroids' inverted lists (recall
+    * knob; 1 = cheapest, K = brute force). 6 of 16 is the
+    * q159-measured coordinate where recall@3 is 1.0 at every fixture
+    * SF (nprobe=4 still misses one neighbor at sf0.001; the old
+    * nprobe=2 shipped a 0.5 recall floor — too weak for a 100 TB
+    * semantic-dedup pass, VERDICT r10 item 4). ScaleTechniquesSpec
+    * pins the ≥ 0.9 floor at this width for the whole family.
     */
-  val NProbe = 2
+  val NProbe = 6
 
   /** q57: IVF (inverted-file) ANN — the other scale path next to
     * hyperplane LSH (q50): seed K centroids deterministically, refine
@@ -798,9 +803,11 @@ object LlmOps {
   /** q159's multi-probe width: 6 of 16 cells searched — the recall/cost
     * point where measured recall@3 is 1.0 at every fixture SF (nprobe=4
     * still misses one neighbor at sf0.001). The oracle pins the ≥ 0.9
-    * floor, leaving regen headroom.
+    * floor, leaving regen headroom. Since round 11 q57 ships AT this
+    * coordinate ([[NProbe]] converged here, VERDICT r10 item 4), so
+    * q159 is the recall AUDIT of the exact search width q57 serves.
     */
-  val MultiProbeN = 6
+  val MultiProbeN = NProbe
 
   /** q159: IVF multi-probe recall gate (VERDICT r9 item 3) — q57's
     * recall floor of 0.5 is too weak for a 100 TB semantic-dedup pass,
@@ -919,10 +926,18 @@ object LlmOps {
       // boundary would flip the hash
       .agg(round(sum(col("pdot").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
         .cast("double"), 6).as("adc"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-      .select(col("qid"), col("vec_id"), col("adc"), col("rn").cast("int").as("rn"))
+    // final top-3 per probe via the bounded k-heap aggregate (VERDICT
+    // r10 item 2): the window form sorts the full scored set (10 ×
+    // corpus rows) per run; top_k keeps 3 entries per query per task —
+    // map-side partial aggregation, k-sized shuffle buffers, no
+    // corpus-scale sort. Tie policy (adc DESC, vec_id ASC) is the
+    // heap's comparator, identical to the retired window's ORDER BY.
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.top_k(
+        struct(col("adc"), col("vec_id")), 3).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("qid"), col("entry.id").as("vec_id"),
+        col("entry.score").as("adc"), (col("pos") + 1).cast("int").as("rn"))
       .orderBy(col("qid"), col("rn"))
   }
 
@@ -1015,11 +1030,24 @@ object LlmOps {
       .agg(round(first(col("qc_dot")) +
         sum(col("pdot").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double"), 6).as("adc"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-      .select(col("qid"), col("cent_id"), col("vec_id"), col("adc"),
-        col("rn").cast("int").as("rn"))
+    // top-3 per probe via the bounded k-heap (VERDICT r10 item 2 —
+    // same replacement as q161's). The heap entry id packs
+    // (vec_id, cent_id) into one long: cent_id < NumCentroids = 16 and
+    // is FUNCTIONAL on vec_id (each vector lives in exactly one cell),
+    // so ordering by the packed id ascending equals ordering by vec_id
+    // ascending — the retired window's exact tie policy — and the cell
+    // id rides along without a corpus-side re-join after the top-k.
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.top_k(
+        struct(col("adc"),
+          (col("vec_id") * NumCentroids + col("cent_id")).cast("long")),
+        3).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("qid"),
+        pmod(col("entry.id"), lit(NumCentroids.toLong)).as("cent_id"),
+        expr(s"entry.id div $NumCentroids").as("vec_id"),
+        col("entry.score").as("adc"), (col("pos") + 1).cast("int").as("rn"))
+      .select(col("qid"), col("cent_id"), col("vec_id"), col("adc"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
 

@@ -772,10 +772,18 @@ object PipelineOps {
       .agg(graft.functions.KmvSample
         .kmv_sample(struct(col("h"), col("v")), k).as("sk"))
       .select(col("sk"), size(col("sk")).cast("long").as("n_sample"))
-    // p−1 equi-depth boundaries at sample ranks j·k/p (sk is sorted)
+    // p−1 equi-depth boundaries at sample ranks j·k/p (sk is sorted).
+    // The rank is clamped to [1, n_sample] (ADVICE r10): on a table
+    // with fewer than k rows the sample under-fills, and an unclamped
+    // j·k/p would index past the array — NULL boundaries silently (or
+    // an error under ANSI mode). Clamped, an under-filled sample
+    // degrades to repeated boundaries (fewer, coarser partitions) —
+    // the correct planner behavior for a tiny table — instead of a
+    // broken plan; all current fixtures fill the sample (orders ≥ 1500
+    // rows), so the clamp is latent robustness, value-neutral today.
     val bnds = sample.select(col("n_sample"),
       expr(s"transform(sequence(1, ${p - 1}), " +
-          s"j -> element_at(sk, CAST(j * ($k div $p) AS INT)))")
+          s"j -> element_at(sk, CAST(greatest(1, least(j * ($k div $p), n_sample)) AS INT)))")
         .as("bl"))
     val asg = rows.crossJoin(broadcast(bnds))
       .select(col("v"), col("n_sample"), col("bl"),
@@ -1250,10 +1258,11 @@ object PipelineOps {
         |         CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
         |hh AS (SELECT v, $h AS h FROM r),
         |sk AS (SELECT v FROM hh ORDER BY h, v LIMIT $RangeSampleK),
-        |srt AS (SELECT v, row_number() OVER (ORDER BY v) AS i FROM sk),
         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sample FROM sk),
-        |b AS (SELECT list(v ORDER BY v) AS bl FROM srt
-        |      WHERE i % $gap = 0 AND i <= ${gap * (RangeParts - 1)}),
+        |ska AS (SELECT list(v ORDER BY v) AS ss, count(*) AS n FROM sk),
+        |b AS (SELECT list_transform(range(1, $RangeParts),
+        |        j -> ss[CAST(greatest(1, least(j * $gap, n)) AS INT)]) AS bl
+        |      FROM ska),
         |asg AS (SELECT r.v,
         |        CAST(len(list_filter(b.bl, x -> r.v > x)) AS BIGINT) AS pid
         |        FROM r, b),

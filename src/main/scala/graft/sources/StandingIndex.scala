@@ -286,7 +286,9 @@ object StandingIndex {
     graft.Functions.registerAll(d.sparkSession)
     postingsOf(d)
       .repartition(col("pbucket"))
-      .sortWithinPartitions(col("token"), col("doc_id"), col("pos"))
+      // pbucket leads for the same writer-required-ordering reason as
+      // q168's compaction sort (ADVICE r10)
+      .sortWithinPartitions(col("pbucket"), col("token"), col("doc_id"), col("pos"))
       .write.mode(mode).partitionBy("pbucket").parquet(s"$root/postings")
     d.select(col("doc_id"), size(col("tok")).cast("long").as("dl"))
       .write.mode(mode).parquet(s"$root/lengths")
@@ -378,7 +380,14 @@ object StandingIndex {
     val root = s"${indexRoot(dir)}_cmp"
     readPostings(s, inc)
       .repartition(col("pbucket"))
-      .sortWithinPartitions(col("token"), col("doc_id"), col("pos"))
+      // pbucket leads the sort: the dynamic-partition writer REQUIRES
+      // its partition column ordered within each task — leading with it
+      // satisfies that requirement directly, so no writer-inserted
+      // re-sort sits between this sort and the files, and the in-file
+      // (token, doc_id, pos) order is guaranteed by THIS sort rather
+      // than by the stability of an implementation-detail re-sort
+      // (ADVICE r10)
+      .sortWithinPartitions(col("pbucket"), col("token"), col("doc_id"), col("pos"))
       .write.mode("overwrite").partitionBy("pbucket").parquet(s"$root/postings")
     s.read.parquet(s"$inc/lengths").repartition(1)
       .write.mode("overwrite").parquet(s"$root/lengths")

@@ -384,6 +384,35 @@ class PlanSpec extends AnyFunSuite {
     assert(scans(p) <= 2, "the event log is scanned at most twice (arms + pooled)")
   }
 
+  test("q161/q162: final top-k is the bounded heap, not a corpus window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def windows(name: String): Seq[WindowExec] = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+        p.collect {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case w: WindowExec => Seq(w)
+        }.flatten
+      walk(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+    }
+    // VERDICT r10 item 2: the scored candidate set (10 × corpus rows)
+    // must never pass through a WindowExec sort — top-3 per probe is
+    // the BoundedTopK map-side heap. q161 plans ZERO windows; q162
+    // keeps only the nprobe cell-assignment window (`crn`) over the
+    // 10-probe × 16-centroid frame — probe-sized by construction, and
+    // allowed to appear more than once (the probe subtree feeds both
+    // the qc-dot and LUT branches).
+    assert(windows("q161_pq_adc").isEmpty,
+      "q161 must not sort the scored set through a window")
+    val w162 = windows("q162_ivfpq")
+    assert(w162.nonEmpty && w162.forall(_.windowExpression.exists(_.name == "crn")),
+      s"q162 may window only the probe-side cell assignment (crn), got: " +
+        w162.map(_.windowExpression.map(_.name).mkString(",")).mkString("; "))
+    val p161 = plan("q161_pq_adc"); val p162 = plan("q162_ivfpq")
+    assert(p161.contains("top_k") && p162.contains("top_k"),
+      "bounded top_k aggregate missing from the final rank stage")
+  }
+
   test("custom scalar expressions do not break whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.Scalars._
