@@ -25,7 +25,7 @@ object SparkEntry {
     operators.Relational.queries ++ operators.LlmOps.queries ++
       operators.Multimodal.queries ++ operators.RumorPipeline.queries ++
       operators.PipelineOps.queries ++ operators.GraphOps.queries ++
-      operators.AnalyticsOps.queries ++
+      operators.AnalyticsOps.queries ++ operators.JoinPlanner.queries ++
       operators.IndexOps.queries ++ operators.StatsOps.queries ++
       sources.TrainingShards.queries ++ sources.JsonlCorpus.queries ++
       sources.StandingIndex.queries ++ sources.SimIndex.queries
@@ -35,7 +35,7 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.LlmOps.oracles ++
       operators.Multimodal.oracles ++ operators.RumorPipeline.oracles ++
       operators.PipelineOps.oracles ++ operators.GraphOps.oracles ++
-      operators.AnalyticsOps.oracles ++
+      operators.AnalyticsOps.oracles ++ operators.JoinPlanner.oracles ++
       operators.IndexOps.oracles ++ operators.StatsOps.oracles ++
       sources.TrainingShards.oracles ++ sources.JsonlCorpus.oracles ++
       sources.StandingIndex.oracles ++ sources.SimIndex.oracles

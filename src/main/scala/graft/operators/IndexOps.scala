@@ -605,7 +605,7 @@ object IndexOps {
   /** Oracle twin of [[kmvNdvEst]]'s branch arithmetic over explicit
     * count/max-hash SQL expressions.
     */
-  private def kmvNdvEstSqlD(n: String, hk: String, k: Int): String =
+  private[operators] def kmvNdvEstSqlD(n: String, hk: String, k: Int): String =
     s"CASE WHEN $n < $k THEN CAST($n AS DOUBLE) ELSE CAST(${k - 1} AS DOUBLE) / (CAST($hk AS DOUBLE) / 1152921504606846976.0) END"
 
   /** q169: JOIN-SIZE ESTIMATION from bottom-k (KMV) key sketches — the

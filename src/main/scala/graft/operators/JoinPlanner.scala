@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+import graft.Engine.MaterializeSyntax
+
+/** q179: the COST-BASED JOIN PLANNER — the round-10 statistics arc
+  * (q169 join-size estimation, q176/q177 NDV sketches, q100 skew
+  * ratios, q178's selectivity audit) closed into an optimizer: the
+  * stats stop being reports and start DECIDING physical join
+  * strategies (VERDICT r10 item 1).
+  *
+  * For a declared catalog of candidate joins, the planner computes per
+  * join side the statistics a System R-style optimizer consults —
+  * row count, bottom-k KMV NDV estimate of the join key (the O(k)-state
+  * path q176's ANALYZE ships), and the q100 max/mean key-skew ratio —
+  * and emits one DECISION row per join:
+  *
+  *  - `'broadcast'` when the smaller side fits the broadcast budget
+  *    ([[BroadcastMaxRows]] rows — the fixture-scale stand-in for
+  *    `spark.sql.autoBroadcastJoinThreshold`'s byte budget);
+  *  - `'salt'` when both sides are big AND the probe (larger) side's
+  *    key skew ratio ≥ [[SaltSkewMin]] — the straggler-task regime
+  *    where one hot key serializes the stage; the emitted
+  *    `salt_factor = ceil(skew)` is exactly the fan-out that levels
+  *    the hottest key back to the mean (q100's recommendation,
+  *    actually wired to [[Salting.saltedJoin]] via [[plannedJoin]]);
+  *  - `'shuffle'` otherwise — the plain co-partitioned hash/merge join.
+  *
+  * Next to the decision ride the System R size estimate
+  * `|A|·|B| / max(ndv_A, ndv_B)` (from the KMV NDVs, so the planner
+  * consults only O(k) state per column) and the probe-side skew ratio,
+  * making the row a complete EXPLAIN COST line. Every input and every
+  * decision is EXACT ARITHMETIC on deterministic statistics (integer
+  * row counts, the q169-proven two-branch KMV estimator, one IEEE
+  * double ratio), so the oracle replays the entire decision table —
+  * thresholds, tie-breaks, ceil — from raw rows, and a hash match
+  * value-checks the planner, not just its inputs. JoinPlannerSpec
+  * closes the physical loop: applying a decision via [[plannedJoin]]
+  * provably CHANGES the executed plan (broadcast hint → BroadcastHashJoin,
+  * salt → the computed-factor explode, shuffle → SortMergeJoin).
+  *
+  * Scale shape: one map-side-combinable per-key count aggregation per
+  * profiled (table, key) — the ANALYZE pass a warehouse runs once and
+  * caches — each folding to a single stats row carrying an O(k)
+  * sketch; the decision join is ~10 rows × ~10 rows, broadcast both
+  * sides. Nothing downstream of the stats pass scales with the data;
+  * the candidate joins themselves are never executed. At 100 TB the
+  * exact per-key count table IS the expensive input — a production
+  * variant swaps it for the q123 CMS hot-key estimate — but the
+  * decision algebra this query pins is identical either way.
+  */
+object JoinPlanner {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  /** KMV sketch size for the key-NDV estimate (shared rationale with
+    * [[IndexOps.JoinEstK]]: small key domains under-fill it — the
+    * exact branch; the big keys overflow it — the estimator branch).
+    */
+  val PlannerK = 256
+
+  /** Broadcast row budget: a side at or under this many rows is
+    * broadcast (fixture-scale stand-in for the byte-denominated
+    * `autoBroadcastJoinThreshold`; production would divide a byte
+    * budget by the q176 avg row width). 5000 splits the fixture
+    * catalog three ways at every SF: dimensions broadcast, the
+    * lineitem self-joins never do, and part/orders/customer cross the
+    * line as SF grows — so the gate SFs exercise every decision branch.
+    */
+  val BroadcastMaxRows = 5000L
+
+  /** Probe-side skew ratio (q100's max_cnt·n_keys/n_rows) at which a
+    * non-broadcast join salts. 2.0 = the hottest key carries ≥ 2× the
+    * mean per-key load — the point where the hot shuffle partition
+    * becomes the stage's straggler.
+    */
+  val SaltSkewMin = 2.0
+
+  /** The candidate-join catalog: (join_name, left_rel, left_key,
+    * right_rel, right_key). Chosen so the three strategies AND both
+    * KMV branches all fire at the gate SFs: dimension joins broadcast,
+    * the l_orderkey self-join salts everywhere (TPC-H order sizes are
+    * 1–7 lines, skew ≈ 3–4), the l_partkey self-join shuffles
+    * everywhere (skew ≈ 1.6), and the fact joins migrate
+    * broadcast→salt/shuffle as SF grows.
+    */
+  val JoinCandidates: Seq[(String, String, String, String, String)] = Seq(
+    ("cust_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events_orders", "events", "user_id", "orders", "o_custkey"),
+    ("li_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("li_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("li_self_orderkey", "lineitem", "l_orderkey", "lineitem", "l_orderkey"),
+    ("li_self_partkey", "lineitem", "l_partkey", "lineitem", "l_partkey"),
+    ("li_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"))
+
+  /** Distinct (table, key) pairs the catalog profiles. */
+  private val statsPairs: Seq[(String, String)] =
+    JoinCandidates.flatMap { case (_, lr, lk, rr, rk) => Seq(lr -> lk, rr -> rk) }
+      .distinct
+
+  /** One ANALYZE row for a (table, key): row count, KMV NDV estimate
+    * (rounded 2 dp, the q176 convention), and the RAW IEEE skew ratio
+    * (rounded only at emission — decisions compare the raw double,
+    * which both engines compute identically from the same integers).
+    */
+  private def statsRow(s: SparkSession, dir: String, rel: String,
+      key: String): DataFrame = {
+    graft.Functions.registerAll(s)
+    val k = PlannerK
+    t(s, dir, rel)
+      .groupBy(col(key).as("kk")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"),
+        graft.functions.KmvSample.kmv_sample(
+          struct(expr(LlmOps.hashS("concat('jp:', CAST(kk AS STRING))")),
+            expr(LlmOps.hashS("concat('jp:', CAST(kk AS STRING))"))),
+          k).as("sk"))
+      .select(lit(rel).as("rel"), lit(key).as("key_col"), col("n_rows"),
+        round(IndexOps.kmvNdvEst(col("sk"), k), 2).as("ndv"),
+        (col("max_cnt") * col("n_keys").cast("double") / col("n_rows"))
+          .as("skew_raw"))
+  }
+
+  val q179JoinPlanner: Q = (s, dir) => {
+    import s.implicits._
+    // the ANALYZE pass: ~10 one-row aggregates, materialized once so
+    // the two-sided decision join doesn't replay any per-key count
+    val stats = statsPairs.map { case (r, c) => statsRow(s, dir, r, c) }
+      .reduce(_ unionByName _).materialize()
+    val joins = JoinCandidates
+      .toDF("join_name", "left_rel", "left_key", "right_rel", "right_key")
+    val lhs = stats.select(col("rel").as("lrel"), col("key_col").as("lkey"),
+      col("n_rows").as("n_left"), col("ndv").as("ndv_left"),
+      col("skew_raw").as("skew_l"))
+    val rhs = stats.select(col("rel").as("rrel"), col("key_col").as("rkey"),
+      col("n_rows").as("n_right"), col("ndv").as("ndv_right"),
+      col("skew_raw").as("skew_r"))
+    // probe = the larger side (ties → left probes, right builds)
+    val skewProbe = when(col("n_right") <= col("n_left"),
+      col("skew_l")).otherwise(col("skew_r"))
+    joins
+      .join(broadcast(lhs),
+        col("left_rel") === col("lrel") && col("left_key") === col("lkey"))
+      .join(broadcast(rhs),
+        col("right_rel") === col("rrel") && col("right_key") === col("rkey"))
+      .withColumn("strategy",
+        when(least(col("n_left"), col("n_right")) <= BroadcastMaxRows,
+          lit("broadcast"))
+          .when(skewProbe >= SaltSkewMin, lit("salt"))
+          .otherwise(lit("shuffle")))
+      .select(col("join_name"), col("left_rel"), col("right_rel"),
+        col("n_left"), col("n_right"), col("ndv_left"), col("ndv_right"),
+        round(col("n_left").cast("double") * col("n_right").cast("double") /
+          greatest(col("ndv_left"), col("ndv_right")), 2).as("join_est"),
+        round(skewProbe, 4).as("skew_probe"),
+        when(col("n_right") <= col("n_left"), lit("right"))
+          .otherwise(lit("left")).as("build_side"),
+        col("strategy"),
+        when(col("strategy") === "salt", ceil(skewProbe).cast("long"))
+          .otherwise(lit(1L)).as("salt_factor"))
+      .orderBy(col("join_name"))
+  }
+
+  /** The decision table collected to a map — the API a pipeline (or
+    * JoinPlannerSpec) uses to wire decisions into real joins:
+    * join_name → (strategy, build_side, salt_factor).
+    */
+  def decisions(s: SparkSession, dir: String): Map[String, (String, String, Long)] =
+    q179JoinPlanner(s, dir)
+      .select(col("join_name"), col("strategy"), col("build_side"),
+        col("salt_factor"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+
+  /** Apply one planner decision to an actual join — the physical-plan
+    * loop closure: `'broadcast'` hints the build side (a
+    * BroadcastHashJoin even under autoBroadcastJoinThreshold=-1),
+    * `'salt'` runs [[Salting.saltedJoin]] with the COMPUTED factor
+    * (probe side = the side the decision marked as not-build),
+    * `'shuffle'` pins a shuffle-side merge join. `saltOn` is the probe
+    * side's salting column list (a deterministic row hash — see
+    * Salting's no-rand() rationale).
+    */
+  def plannedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      strategy: String, buildSide: String, saltFactor: Long,
+      saltOn: Seq[String]): DataFrame = strategy match {
+    case "broadcast" =>
+      if (buildSide == "right")
+        left.join(broadcast(right), left(leftKey) === right(rightKey))
+      else broadcast(left).join(right, left(leftKey) === right(rightKey))
+    case "salt" =>
+      if (buildSide == "right")
+        Salting.saltedJoin(left, right, leftKey, rightKey,
+          saltFactor.toInt, saltOn)
+      else Salting.saltedJoin(right, left, rightKey, leftKey,
+        saltFactor.toInt, saltOn)
+    case "shuffle" =>
+      left.join(right.hint("merge"), left(leftKey) === right(rightKey))
+    case other => throw new IllegalArgumentException(
+      s"unknown join strategy '$other'")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q179_join_planner" -> q179JoinPlanner)
+
+  /** The oracle replays the WHOLE planner from raw rows: per profiled
+    * (table, key) one CTE computing row count, q100 skew terms, and
+    * the bottom-k KMV NDV (the q169/q176-proven branch arithmetic);
+    * then one row per candidate join applying the identical decision
+    * algebra — broadcast budget, probe selection, skew threshold,
+    * ceil — so the hash match value-checks every estimate AND every
+    * decision.
+    */
+  val oracles: Map[String, String] = Map(
+    "q179_join_planner" -> {
+      val k = PlannerK
+      val ctes = statsPairs.map { case (rel, key) =>
+        val h = LlmOps.hashD(s"'jp:' || CAST($key AS VARCHAR)")
+        s"""s_${rel}_$key AS (
+          |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+          |    max(cnt) * CAST(count(*) AS DOUBLE) / sum(cnt) AS skew_raw,
+          |    (SELECT round(${IndexOps.kmvNdvEstSqlD("count(*)", "max(h)", k)}, 2)
+          |     FROM (SELECT h FROM (
+          |       SELECT DISTINCT $h AS h FROM $rel WHERE $key IS NOT NULL)
+          |       ORDER BY h LIMIT $k)) AS ndv
+          |  FROM (SELECT $key AS kk, count(*) AS cnt FROM $rel GROUP BY 1))"""
+          .stripMargin
+      }
+      val rows = JoinCandidates.map { case (name, lrel, lkey, rrel, rkey) =>
+        val skew = "CASE WHEN r.n_rows <= l.n_rows THEN l.skew_raw ELSE r.skew_raw END"
+        s"""SELECT '$name' AS join_name, '$lrel' AS left_rel, '$rrel' AS right_rel,
+          |  l.n_rows AS n_left, r.n_rows AS n_right,
+          |  l.ndv AS ndv_left, r.ndv AS ndv_right,
+          |  round(CAST(l.n_rows AS DOUBLE) * CAST(r.n_rows AS DOUBLE)
+          |    / greatest(l.ndv, r.ndv), 2) AS join_est,
+          |  round($skew, 4) AS skew_probe,
+          |  CASE WHEN r.n_rows <= l.n_rows THEN 'right' ELSE 'left' END AS build_side,
+          |  CASE WHEN least(l.n_rows, r.n_rows) <= $BroadcastMaxRows THEN 'broadcast'
+          |       WHEN $skew >= $SaltSkewMin THEN 'salt'
+          |       ELSE 'shuffle' END AS strategy,
+          |  CASE WHEN least(l.n_rows, r.n_rows) > $BroadcastMaxRows
+          |        AND $skew >= $SaltSkewMin
+          |       THEN CAST(ceil($skew) AS BIGINT) ELSE CAST(1 AS BIGINT) END
+          |    AS salt_factor
+          |FROM s_${lrel}_$lkey l, s_${rrel}_$rkey r""".stripMargin
+      }
+      s"""WITH ${ctes.mkString(",\n")}
+        |${rows.mkString("\nUNION ALL\n")}
+        |ORDER BY join_name""".stripMargin
+    })
+}

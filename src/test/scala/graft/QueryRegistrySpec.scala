@@ -19,6 +19,7 @@ class QueryRegistrySpec extends AnyFunSuite {
     "PipelineOps" -> operators.PipelineOps.queries.keySet,
     "GraphOps" -> operators.GraphOps.queries.keySet,
     "AnalyticsOps" -> operators.AnalyticsOps.queries.keySet,
+    "JoinPlanner" -> operators.JoinPlanner.queries.keySet,
     "IndexOps" -> operators.IndexOps.queries.keySet,
     "StatsOps" -> operators.StatsOps.queries.keySet,
     "TrainingShards" -> sources.TrainingShards.queries.keySet,
