@@ -42,8 +42,10 @@ import graft.operators.LlmOps
   * (df-cut-bounded, so no token's posting list exceeds
   * nd·maxDfNum/maxDfDen), and verifies candidates against the forward
   * index — O(|Δ-prefix| · bounded postings), never O(n²), and the
-  * stored side is read, not rebuilt. Artifact freshness follows the
-  * session-cache discipline: rebuilt once per (session, corpus dir).
+  * stored side is read, not rebuilt. Artifact freshness is
+  * signature-validated across sessions (the [[StandingIndex]] meta-row
+  * discipline): a matching corpus signature reuses the stored
+  * artifact, a regen rebuilds it.
   */
 object SimIndex {
 
@@ -59,10 +61,27 @@ object SimIndex {
 
   private val builtCache = new graft.SessionCache
 
+  /** Make the similarity artifact available and return its root —
+    * signature-validated cross-session reuse, same discipline as
+    * [[StandingIndex.ensure]]: the stored meta row (written last by
+    * every build) is compared against the current corpus signature
+    * once per (session, dir); match ⇒ reuse, mismatch ⇒ rebuild.
+    * The signature covers the FULL documents table (the standing side
+    * is a pure hash-split of it, so a matching whole-corpus signature
+    * implies an identical standing side).
+    */
   def ensure(s: SparkSession, dir: String): String = {
-    builtCache.getOrElseUpdate(s, dir)(build(s, dir))
+    builtCache.getOrElseUpdate(s, dir) {
+      ensureValidated(s, dir); s.emptyDataFrame
+    }
     indexRoot(dir)
   }
+
+  /** The validation+build step a NEW session runs (spec hook). */
+  private[graft] def ensureValidated(s: SparkSession, dir: String): Unit =
+    if (!StandingIndex.metaFresh(s, indexRoot(dir),
+        StandingIndex.corpusSig(s, dir)))
+      build(s, dir)
 
   /** Standing-side documents with de-duplicated token arrays (q150's
     * hash split: residue 1 of [[LlmOps.DeltaSplitMod]] is the delta).
@@ -83,7 +102,10 @@ object SimIndex {
       s"div ${LlmOps.AllPairsTauDen}")
 
   private def build(s: SparkSession, dir: String): DataFrame = {
+    val sig = StandingIndex.corpusSig(s, dir)
     buildFrom(sideDocs(s, dir, delta = false), indexRoot(dir))
+    // meta last — the commit marker (see StandingIndex.writeMeta)
+    StandingIndex.writeMeta(s, indexRoot(dir), sig)
     s.emptyDataFrame
   }
 

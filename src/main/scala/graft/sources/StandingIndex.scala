@@ -34,13 +34,15 @@ import graft.operators.{IndexOps, LlmOps}
   *    stored, so derived ratios are computed identically by any
   *    reader.
   *
-  * The artifact is rebuilt once per (session, corpus dir) and
-  * OVERWRITTEN on disk (same freshness discipline as the session
-  * caches: a driver-side fixture regen between sessions can never
-  * serve a stale index, because a new session always rebuilds before
-  * its first lookup). Lookup queries call [[ensure]], so each is
-  * self-contained; in a multi-query session — Verify, Bench, a user
-  * session — the build cost is paid exactly once.
+  * Artifact freshness is SIGNATURE-VALIDATED, not rebuild-always: each
+  * build stamps a `meta` row with the corpus's content signature
+  * ([[corpusSig]]), and a new session's first lookup revalidates the
+  * stored row against the current corpus — match ⇒ the artifact is
+  * reused (the production behavior: an index outlives the session that
+  * built it), mismatch ⇒ rebuild (a driver-side fixture regen can
+  * still never serve a stale index — the regen flips the signature).
+  * Lookup queries call [[ensure]], so each is self-contained; within a
+  * session the validation itself is latched to run once.
   *
   * The lookups (q157 BM25, q158 phrase search) intentionally REUSE the
   * q80/q151 oracles verbatim: a hash match proves the stored-index
@@ -74,15 +76,96 @@ object StandingIndex {
 
   def indexRoot(sfDir: String): String = artifactRoot(sfDir, "idx")
 
+  // ---- cross-session artifact reuse (VERDICT r11 item 1) ----------
+
+  /** Artifact layout version, stored in every meta row — bumping it on
+    * a layout change invalidates every stored artifact at once, so a
+    * code upgrade can never serve an old-layout artifact as fresh.
+    */
+  val MetaVersion = 1L
+
+  /** The (n_docs, corpus_sig) pair that keys artifact freshness:
+    * corpus_sig is the order-independent multiset signature
+    * Σ hash('mf:'|doc_id|'|'|text) mod [[SigMod]] — the q160/q165
+    * signature discipline applied to the SOURCE corpus. A stored
+    * artifact whose meta row matches the current corpus is provably
+    * derived from byte-identical inputs (any added/dropped/edited doc
+    * moves the sum), so `ensure` can REUSE it across sessions instead
+    * of rebuilding — while a driver-side fixture regen between
+    * sessions flips the signature and forces the rebuild the old
+    * unconditional discipline bought (EngineResilienceSpec's lesson,
+    * now at artifact granularity).
+    *
+    * Scale shape: one map-side-combinable aggregate over (doc_id,
+    * text) — no shuffle, no tokenize — orders of magnitude cheaper
+    * than the build it guards. At 100 TB a table-format engine swaps
+    * this content scan for the snapshot id its catalog already
+    * maintains (Iceberg/Delta manifest comparison); the content sum is
+    * the format-free equivalent the plain-parquet fixtures support.
+    */
+  private[graft] def corpusSig(s: SparkSession, dir: String): (Long, Long) = {
+    graft.Functions.registerAll(s)
+    val r = Engine.table(s, dir, "documents")
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(pmod(expr(LlmOps.hashS(
+          "concat('mf:', CAST(doc_id AS STRING), '|', text)")),
+          lit(SigMod))), lit(0L)).cast("long").as("sig"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Write the freshness meta row — called LAST in every build, so a
+    * partial/crashed build leaves no matching meta and can never
+    * validate as fresh (the commit-marker discipline).
+    */
+  private[graft] def writeMeta(s: SparkSession, root: String,
+      sig: (Long, Long)): Unit = {
+    import s.implicits._
+    Seq((MetaVersion, sig._1, sig._2))
+      .toDF("format_version", "n_docs", "corpus_sig")
+      .write.mode("overwrite").parquet(s"$root/meta")
+  }
+
+  /** The stored meta row, if the artifact has a readable one. */
+  private[graft] def readMeta(s: SparkSession, root: String): Option[(Long, Long, Long)] =
+    try {
+      s.read.parquet(s"$root/meta").collect() match {
+        case Array(r) => Some((r.getAs[Long]("format_version"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("corpus_sig")))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  /** True iff the stored artifact at `root` was built from exactly the
+    * current corpus under the current layout version.
+    */
+  private[graft] def metaFresh(s: SparkSession, root: String,
+      sig: (Long, Long)): Boolean =
+    readMeta(s, root).contains((MetaVersion, sig._1, sig._2))
+
   private val builtCache = new graft.SessionCache
 
-  /** Build the index artifact if this session hasn't yet; return the
-    * artifact root. Idempotent per (session, dir).
+  /** Make the index artifact available and return its root. Once per
+    * (session, dir) the stored artifact's meta row is validated
+    * against the current corpus signature: a match REUSES the artifact
+    * (the build queries q156 at 2.5 s/session were the biggest
+    * recurring cost of the old rebuild-always discipline); a mismatch
+    * — regenerated fixtures, a poisoned write, a layout version bump —
+    * rebuilds. ArtifactReuseSpec pins both directions.
     */
   def ensure(s: SparkSession, dir: String): String = {
-    builtCache.getOrElseUpdate(s, dir)(build(s, dir))
+    builtCache.getOrElseUpdate(s, dir) {
+      ensureValidated(s, dir); s.emptyDataFrame
+    }
     indexRoot(dir)
   }
+
+  /** The validation+build step a NEW session runs (exposed so the spec
+    * can replay "next session" without constructing one).
+    */
+  private[graft] def ensureValidated(s: SparkSession, dir: String): Unit =
+    if (!metaFresh(s, indexRoot(dir), corpusSig(s, dir)))
+      build(s, dir)
 
   /** One corpus scan → three persisted tables. Returns the per-bucket
     * manifest (pbucket, n_terms, n_postings, n_docs) read back from
@@ -91,11 +174,15 @@ object StandingIndex {
   private def build(s: SparkSession, dir: String): DataFrame = {
     graft.Functions.registerAll(s)
     val root = indexRoot(dir)
+    val sig = corpusSig(s, dir)
     // ONE artifact write path: the one-shot build IS a single-segment
     // overwrite through the same writer q160's delta append uses
     writeSegment(
       Engine.table(s, dir, "documents").withColumn("tok", expr(LlmOps.toksS)),
       root, "overwrite")
+    // meta is written LAST: a build that dies mid-write leaves a stale
+    // or missing meta row and therefore re-runs next ensure
+    writeMeta(s, root, sig)
     readPostings(s, root)
       .groupBy(col("pbucket"))
       .agg(countDistinct(col("token")).as("n_terms"),
@@ -328,16 +415,22 @@ object StandingIndex {
     val root = s"${indexRoot(dir)}_inc"
     // the cache entry is a ran-once LATCH (emptyDataFrame sentinel,
     // the SimIndex.build discipline) — consumers re-read the on-disk
-    // artifact themselves, nothing consumes a cached frame
+    // artifact themselves, nothing consumes a cached frame; across
+    // sessions the meta row validates reuse like `ensure` (the
+    // two-segment artifact is equally a pure function of the corpus)
     incCache.getOrElseUpdate(s, dir) {
       graft.Functions.registerAll(s)
-      val docs = Engine.table(s, dir, "documents")
-        .withColumn("tok", expr(LlmOps.toksS))
-        .withColumn("is_delta",
-          pmod(expr(LlmOps.hashS("concat('seg:', CAST(doc_id AS STRING))")),
-            lit(IncDeltaMod)) === (IncDeltaMod - 1))
-      writeSegment(docs.filter(!col("is_delta")), root, "overwrite")
-      writeSegment(docs.filter(col("is_delta")), root, "append")
+      val sig = corpusSig(s, dir)
+      if (!metaFresh(s, root, sig)) {
+        val docs = Engine.table(s, dir, "documents")
+          .withColumn("tok", expr(LlmOps.toksS))
+          .withColumn("is_delta",
+            pmod(expr(LlmOps.hashS("concat('seg:', CAST(doc_id AS STRING))")),
+              lit(IncDeltaMod)) === (IncDeltaMod - 1))
+        writeSegment(docs.filter(!col("is_delta")), root, "overwrite")
+        writeSegment(docs.filter(col("is_delta")), root, "append")
+        writeMeta(s, root, sig)
+      }
       s.emptyDataFrame
     }
     root
