@@ -1080,22 +1080,45 @@ object LlmOps {
     * assignment over ONLY the delta (at 100 TB the delta is a day's
     * embeddings, not the corpus); the report aggregates K cells.
     */
-  val q167VecIndexDelta: Q = (s, dir) => {
+  /** The q167 corpus with its standing/delta split flag — shared by
+    * the one-shot query and the streaming maintenance twin
+    * (StreamingVecIndexSpec), so both index the SAME sides.
+    */
+  private[graft] def vecCorpusSplit(s: SparkSession, dir: String): DataFrame = {
     graft.Functions.registerAll(s)
-    val e = t(s, dir, "embeddings")
+    t(s, dir, "embeddings")
       .withColumn("is_delta",
         pmod(expr(hashS(s"concat('$VecDeltaSalt', CAST(vec_id AS STRING))")),
           lit(DeltaSplitMod)) === 1)
-    val standing = e.filter(!col("is_delta")).select(col("vec_id"), col("embedding"))
-    val delta = e.filter(col("is_delta")).select(col("vec_id"), col("embedding"))
+  }
+
+  /** q167's FROZEN coarse quantizer: two standing-side-only Lloyd
+    * iterations seeded by the [[NumCentroids]] lowest standing
+    * vec_ids. Frozen = a pure function of the standing side, so the
+    * streaming twin's per-batch assignments and the one-shot query
+    * assign against byte-identical centroids.
+    */
+  private[graft] def vecFrozenCentroids(standing: DataFrame): DataFrame = {
     val seeds = standing.orderBy(col("vec_id")).limit(NumCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
       .materialize(true)
-    val cents = lloydCentroids(standing, seeds)
-    def asg(side: DataFrame, isDelta: Boolean): DataFrame =
-      ivfAssign(side, cents, "vec_id", 1)
-        .select(col("vec_id"), col("cent_id"), lit(isDelta).as("is_delta"))
-    asg(standing, isDelta = false).union(asg(delta, isDelta = true))
+    lloydCentroids(standing, seeds)
+  }
+
+  /** Nearest-frozen-cell assignment of one side: (vec_id, cent_id). */
+  private[graft] def vecAssign(side: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssign(side, cents, "vec_id", 1).select(col("vec_id"), col("cent_id"))
+
+  /** The per-cell maintenance report over an assignment frame
+    * (vec_id, cent_id, is_delta) — counts, assignment-level multiset
+    * signatures, and the delta_frac drift alarm. Computable over the
+    * one-shot union (q167) or over a stream-maintained assignment
+    * artifact read back from disk (the twin) — ONE definition, so the
+    * twin's equality check is against the exact query the oracle pins.
+    */
+  private[graft] def vecCellReport(asg: DataFrame): DataFrame = {
+    graft.Functions.registerAll(asg.sparkSession)
+    asg
       .withColumn("ah", pmod(expr(hashS(
         "concat('va:', CAST(vec_id AS STRING), '|', CAST(cent_id AS STRING))")),
         lit(1000000000L)))
@@ -1108,6 +1131,16 @@ object LlmOps {
       .withColumn("delta_frac", round(
         col("n_delta").cast("double") / (col("n_standing") + col("n_delta")), 6))
       .orderBy(col("cent_id"))
+  }
+
+  val q167VecIndexDelta: Q = (s, dir) => {
+    val e = vecCorpusSplit(s, dir)
+    val standing = e.filter(!col("is_delta")).select(col("vec_id"), col("embedding"))
+    val delta = e.filter(col("is_delta")).select(col("vec_id"), col("embedding"))
+    val cents = vecFrozenCentroids(standing)
+    vecCellReport(
+      vecAssign(standing, cents).withColumn("is_delta", lit(false))
+        .union(vecAssign(delta, cents).withColumn("is_delta", lit(true))))
   }
 
   /** SemDeDup cosine threshold (q96) — calibrated to the fixture corpus
