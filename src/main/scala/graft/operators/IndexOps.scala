@@ -196,6 +196,20 @@ object IndexOps {
     * per month instead of silently merging same-day-of-month days from
     * different months (ADVICE r9).
     */
+  /** q153's scope keys for a date column: the month scope and the
+    * MONTH-QUALIFIED week scope (`2026-03_month`, `2026-03_week_2`).
+    * Factored out so the month-boundary spec (IndexOpsSpec) can drive
+    * a synthetic two-month frame through the SAME expression and prove
+    * days from different months never merge — the ADVICE r9 fix's
+    * semantics, now pinned by a fixture-independent test (VERDICT r11
+    * item 4).
+    */
+  private[graft] def rollupScopes(dayCol: String): org.apache.spark.sql.Column =
+    array(
+      concat(date_format(col(dayCol), "yyyy-MM"), lit("_month")),
+      concat(date_format(col(dayCol), "yyyy-MM"), lit("_week_"),
+        expr(s"(dayofmonth($dayCol) - 1) div 7")))
+
   val q153SketchRollup: Q = (s, dir) => {
     graft.Functions.registerAll(s)
     val twoP60 = 1152921504606846976.0 // 2^60
@@ -212,10 +226,7 @@ object IndexOps {
       .agg(kmvAgg.as("sk"))
       .select(col("day"), explode(col("sk")).as("h"))
     def scoped(df: DataFrame): DataFrame = df
-      .select(col("h"), explode(array(
-        concat(date_format(col("day"), "yyyy-MM"), lit("_month")),
-        concat(date_format(col("day"), "yyyy-MM"), lit("_week_"),
-          expr("(dayofmonth(day) - 1) div 7")))).as("scope"))
+      .select(col("h"), explode(rollupScopes("day")).as("scope"))
       .select(col("scope"), col("h"))
     // KMV estimate from a bottom-k sample: (|sk| - 1) / max(h / 2^60).
     // h -> double is lossy above 2^53 but monotone, and the division

@@ -468,10 +468,14 @@ object StandingIndex {
     * invariants (file counts actually shrink; lookups over the
     * compacted root equal the incremental and one-shot roots).
     */
-  val q168IndexCompact: Q = (s, dir) => {
-    val inc = ensureIncremental(s, dir)
-    val root = s"${indexRoot(dir)}_cmp"
-    readPostings(s, inc)
+  /** The postings-compaction physical pass — one shuffle keyed by the
+    * bucket, in-task sort, one file per bucket by construction. Shared
+    * by q168 and the Zipf skew stress (StandingIndexSkewSpec), so the
+    * stressed path IS the shipped path.
+    */
+  private[graft] def compactPostings(s: SparkSession, from: String,
+      to: String): Unit =
+    readPostings(s, from)
       .repartition(col("pbucket"))
       // pbucket leads the sort: the dynamic-partition writer REQUIRES
       // its partition column ordered within each task — leading with it
@@ -481,7 +485,12 @@ object StandingIndex {
       // than by the stability of an implementation-detail re-sort
       // (ADVICE r10)
       .sortWithinPartitions(col("pbucket"), col("token"), col("doc_id"), col("pos"))
-      .write.mode("overwrite").partitionBy("pbucket").parquet(s"$root/postings")
+      .write.mode("overwrite").partitionBy("pbucket").parquet(s"$to/postings")
+
+  val q168IndexCompact: Q = (s, dir) => {
+    val inc = ensureIncremental(s, dir)
+    val root = s"${indexRoot(dir)}_cmp"
+    compactPostings(s, inc, root)
     s.read.parquet(s"$inc/lengths").repartition(1)
       .write.mode("overwrite").parquet(s"$root/lengths")
     s.read.parquet(s"$inc/stats")

@@ -105,6 +105,34 @@ class IndexOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q153: scope keys never merge days from different months") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a synthetic frame STRADDLING a month boundary — including the
+    // same-day-of-month trap (Mar 2 and Apr 2 both sit in "week 0" of
+    // their months) and the short-week tail (Mar 29–31 = week 4)
+    val days = Seq("2026-03-02", "2026-03-29", "2026-03-30", "2026-03-31",
+      "2026-04-01", "2026-04-02", "2026-04-03")
+    val scoped = days.toDF("d")
+      .select(to_date(col("d")).as("day"))
+      .select(col("day"), explode(IndexOps.rollupScopes("day")).as("scope"))
+    // every scope key contains days of exactly ONE calendar month
+    val monthsPerScope = scoped
+      .groupBy(col("scope"))
+      .agg(countDistinct(date_format(col("day"), "yyyy-MM")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(monthsPerScope.values.forall(_ == 1L),
+      s"scope merged months: $monthsPerScope")
+    // the trap pair lands in distinct month-qualified week scopes
+    val wk = scoped.filter(col("scope").contains("_week_"))
+      .collect().map(r => r.getDate(0).toString -> r.getString(1)).toMap
+    assert(wk("2026-03-02") == "2026-03_week_0")
+    assert(wk("2026-04-02") == "2026-04_week_0")
+    assert(wk("2026-03-02") != wk("2026-04-02"))
+    assert(wk("2026-03-31") == "2026-03_week_4")
+    assert(wk("2026-04-01") == "2026-04_week_0")
+  }
+
   test("q100: salt factor levels the hottest key to the mean") {
     val rows = IndexOps.q100SkewReport(spark, dir).collect()
     assert(rows.length == 3)
