@@ -274,8 +274,80 @@ object JoinPlanner {
       s"unknown join strategy '$other'")
   }
 
+  /** q181: the SKETCH-ONLY ANALYZE — the 100 TB swap q179's scaladoc
+    * promised (VERDICT r11 "what's wrong" item 2, now implemented):
+    * the exact per-key count pass that feeds q179's skew ratio IS the
+    * expensive input at scale, so the production planner estimates the
+    * hottest key's count from the q123 Count-Min sketch instead —
+    * O(D·W) counters per (table, key), map-side mergeable, shuffling
+    * ~2 KiB per task regardless of table size.
+    *
+    * The estimator needs no candidate keys (a Misra-Gries candidate
+    * set would be stream-order-dependent and unoracle-able):
+    * `max_cnt_est = min over sketch rows of (max bucket counter)`.
+    * Every key maps to ONE bucket per row, so each row's max bucket ≥
+    * the true hottest count, hence the min over rows is a
+    * DETERMINISTIC UPPER BOUND on max_cnt — the same one-sided
+    * guarantee CMS point queries carry. Consequence, and the row's
+    * headline flag: the sketch path can never UNDER-salt (`salt_est`
+    * is a superset of `salt_exact` — a real skew is never missed);
+    * its cost is over-salting low-skew keys once collision mass n/W
+    * rivals the true maximum, which is the width-sizing lesson (W
+    * grows with n in production; the fixture keeps q123's 4×64 grid
+    * and EXPOSES the bias next to the exact baseline, the q178
+    * "estimator audited against truth" discipline).
+    *
+    * Every column is exact integer/replayed-double arithmetic: the
+    * oracle rebuilds the counter grid per (table, key) from raw rows
+    * (the q123 replay), the KMV NDV, and both skew ratios, so a hash
+    * match value-checks estimator AND decisions. The exact columns
+    * ride along as the verification baseline — a production ANALYZE
+    * would emit only the sketch path.
+    */
+  val q181SketchAnalyze: Q = (s, dir) => {
+    import graft.functions.CountMinAgg.{D, W}
+    graft.Functions.registerAll(s)
+    val k = PlannerK
+    val parts = statsPairs.map { case (rel, key) =>
+      val items = t(s, dir, rel).filter(col(key).isNotNull)
+        .select(col(key).cast("string").as("item"))
+      val h = expr(LlmOps.hashS("concat('jp:', item)"))
+      val exact = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).cast("long").as("n_rows"),
+          count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt_exact"),
+          graft.functions.KmvSample.kmv_sample(struct(h, h), k).as("sk"))
+      val cms = items
+        .agg(graft.functions.CountMinAgg.count_min(col("item")).as("cm"))
+      val rowMaxes = (0 until D).map(i =>
+        expr(s"array_max(slice(cm, ${i * W + 1}, $W))"))
+      exact.crossJoin(broadcast(cms))
+        .withColumn("max_cnt_est", least(rowMaxes: _*))
+        .withColumn("ndv_est", round(IndexOps.kmvNdvEst(col("sk"), k), 2))
+        .withColumn("skew_exact_raw",
+          col("max_cnt_exact") * col("n_keys").cast("double") / col("n_rows"))
+        .withColumn("skew_est_raw",
+          col("max_cnt_est") * col("ndv_est") / col("n_rows"))
+        .select(lit(rel).as("rel"), lit(key).as("key_col"),
+          col("n_rows"), col("max_cnt_exact"), col("max_cnt_est"),
+          col("ndv_est"),
+          round(col("skew_exact_raw"), 4).as("skew_exact"),
+          round(col("skew_est_raw"), 4).as("skew_est"),
+          (col("max_cnt_est") >= col("max_cnt_exact"))
+            .cast("bigint").as("onesided_ok"),
+          (col("skew_exact_raw") >= SaltSkewMin)
+            .cast("bigint").as("salt_exact"),
+          (col("skew_est_raw") >= SaltSkewMin)
+            .cast("bigint").as("salt_est"))
+    }
+    parts.reduce(_ unionByName _)
+      .withColumn("salt_agree",
+        (col("salt_exact") === col("salt_est")).cast("bigint"))
+      .orderBy(col("rel"), col("key_col"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q179_join_planner" -> q179JoinPlanner)
+    "q179_join_planner" -> q179JoinPlanner,
+    "q181_sketch_analyze" -> q181SketchAnalyze)
 
   /** The oracle replays the WHOLE planner from raw rows: per profiled
     * (table, key) one CTE computing row count, q100 skew terms, and
@@ -332,5 +404,53 @@ object JoinPlanner {
       s"""WITH ${ctes.mkString(",\n")}
         |${rows.mkString("\nUNION ALL\n")}
         |ORDER BY join_name""".stripMargin
+    },
+    // q181: per (table, key) the oracle rebuilds the exact per-key
+    // baseline, the 4×64 Count-Min counter grid (the q123 replay), its
+    // row-max/min upper bound, the KMV NDV, and both skew ratios +
+    // decision flags — the whole sketch-ANALYZE path value-checked
+    "q181_sketch_analyze" -> {
+      import graft.functions.CountMinAgg.{A, B, D, P, W}
+      val k = PlannerK
+      val rows = statsPairs.map { case (rel, key) =>
+        val itemD = s"CAST($key AS VARCHAR)"
+        val hKmv = LlmOps.hashD(s"'jp:' || $itemD")
+        val hCms = s"(${LlmOps.hashD(itemD)} % $P)"
+        val cntBranches = (0 until D).map(i =>
+          s"SELECT $i AS r, ((${A(i)} * hp + ${B(i)}) % $P) % $W AS bucket, " +
+            s"count(*) AS c FROM (SELECT $hCms AS hp FROM $rel " +
+            s"WHERE $key IS NOT NULL) GROUP BY 2")
+          .mkString("\n      UNION ALL ")
+        s"""SELECT '$rel' AS rel, '$key' AS key_col,
+          |  e.n_rows, e.max_cnt_exact, m.max_cnt_est, nd.ndv_est,
+          |  round(e.max_cnt_exact * CAST(e.n_keys AS DOUBLE) / e.n_rows, 4)
+          |    AS skew_exact,
+          |  round(m.max_cnt_est * nd.ndv_est / e.n_rows, 4) AS skew_est,
+          |  CAST(m.max_cnt_est >= e.max_cnt_exact AS BIGINT) AS onesided_ok,
+          |  CAST(e.max_cnt_exact * CAST(e.n_keys AS DOUBLE) / e.n_rows
+          |    >= $SaltSkewMin AS BIGINT) AS salt_exact,
+          |  CAST(m.max_cnt_est * nd.ndv_est / e.n_rows
+          |    >= $SaltSkewMin AS BIGINT) AS salt_est,
+          |  CAST((e.max_cnt_exact * CAST(e.n_keys AS DOUBLE) / e.n_rows
+          |        >= $SaltSkewMin)
+          |    = (m.max_cnt_est * nd.ndv_est / e.n_rows >= $SaltSkewMin)
+          |    AS BIGINT) AS salt_agree
+          |FROM
+          |  (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+          |     max(cnt) AS max_cnt_exact
+          |   FROM (SELECT $key AS item, count(*) AS cnt FROM $rel
+          |         WHERE $key IS NOT NULL GROUP BY 1)) e,
+          |  (SELECT CAST(min(mx) AS BIGINT) AS max_cnt_est FROM (
+          |     SELECT r, max(c) AS mx FROM (
+          |      $cntBranches
+          |     ) GROUP BY r)) m,
+          |  (SELECT round(${IndexOps.kmvNdvEstSqlD("count(*)", "max(h)", k)}, 2)
+          |     AS ndv_est
+          |   FROM (SELECT h FROM (
+          |     SELECT DISTINCT $hKmv AS h FROM $rel WHERE $key IS NOT NULL)
+          |     ORDER BY h LIMIT $k)) nd""".stripMargin
+      }
+      s"""${rows.mkString("\nUNION ALL\n")}
+        |ORDER BY rel, key_col""".stripMargin
     })
 }

@@ -205,6 +205,21 @@ class JoinPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("q181 sketch analyze: the CMS bound is one-sided and never under-salts") {
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val rows = JoinPlanner.q181SketchAnalyze(spark, d).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        // min-over-rows of max-bucket is a true upper bound on max_cnt
+        assert(r.getAs[Long]("onesided_ok") == 1L,
+          s"$d: upper bound violated at $r")
+        // hence the sketch path may over-salt but can never MISS a salt
+        assert(!(r.getAs[Long]("salt_exact") == 1L &&
+          r.getAs[Long]("salt_est") == 0L), s"$d: under-salted at $r")
+      }
+    }
+  }
+
   test("decisions and estimates scale-shift coherently across SFs") {
     // at sf0.01 orders outgrows the broadcast budget and li_orders
     // flips broadcast -> salt with a LARGER factor than sf0.001's
