@@ -723,11 +723,44 @@ object LlmOps {
   private val centsCache =
     new graft.SessionCache
 
-  private[operators] def ivfCentroids(s: SparkSession, dir: String): DataFrame =
-    // K rows, localCheckpoint'ed — cached per (session, dir) because an
-    // indexing pipeline builds its coarse quantizer once and both q57
-    // (search) and q96 (SemDeDup) consume the same build
-    centsCache.getOrElseUpdate(s, dir)( buildIvfCentroids(s, dir))
+  /** Validate-or-build the PERSISTED quantizer artifact and return its
+    * root — the [[graft.sources.StandingIndex]] meta-row discipline
+    * applied to the IVF centroid table: a coarse quantizer is exactly
+    * the artifact a vector service retrains at stat-refresh cadence
+    * (q167's frozen-quantizer premise), so sessions REUSE the stored
+    * 16-row table when the embeddings signature matches and pay the
+    * two Lloyd passes only when the corpus actually changed. The
+    * build is exact arithmetic and parquet stores doubles losslessly,
+    * so the stored centroids are bit-identical to a rebuild — the
+    * q57/q96/q162 oracles (which replay Lloyd from raw rows) keep
+    * hash-matching over the artifact path, which IS the proof of
+    * equivalence, re-run every gate.
+    */
+  private[graft] def ensureIvfArtifact(s: SparkSession, dir: String): String = {
+    import graft.sources.StandingIndex
+    graft.Functions.registerAll(s)
+    val root = StandingIndex.artifactRoot(dir, "ivf")
+    val sig = StandingIndex.tableSig(s, dir, "embeddings",
+      Seq("vec_id", "embedding"))
+    if (!StandingIndex.metaFresh(s, root, sig)) {
+      val e = t(s, dir, "embeddings")
+      val seeds = e.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+      lloydCentroids(e, seeds)
+        .write.mode("overwrite").parquet(s"$root/centroids")
+      // meta last — the commit marker (see StandingIndex.writeMeta)
+      StandingIndex.writeMeta(s, root, sig)
+    }
+    root
+  }
+
+  private[graft] def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    // K rows read from the persisted artifact — cached per (session,
+    // dir) because an indexing pipeline opens its coarse quantizer
+    // once and q57 (search), q96 (SemDeDup) and q162 (IVF-PQ) consume
+    // the same table
+    centsCache.getOrElseUpdate(s, dir)(
+      s.read.parquet(s"${ensureIvfArtifact(s, dir)}/centroids"))
 
   /** THE exact-arithmetic Lloyd mean — per-dimension scaled-long sums
     * (order-independent) with one double division at the end — over an
@@ -769,14 +802,6 @@ object LlmOps {
   private def lloydCentroids(e: DataFrame, seeds: DataFrame): DataFrame = {
     val cents1 = lloydStep(ivfAssign(e, seeds, "vec_id", 1)).materialize(true)
     lloydStep(ivfAssign(e, cents1, "vec_id", 1)).materialize(true)
-  }
-
-  private def buildIvfCentroids(s: SparkSession, dir: String): DataFrame = {
-    graft.Functions.registerAll(s)
-    val e = t(s, dir, "embeddings")
-    val seeds = e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    lloydCentroids(e, seeds)
   }
 
   def annIvf(s: SparkSession, dir: String, nprobeN: Int): DataFrame = {

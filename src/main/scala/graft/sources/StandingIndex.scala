@@ -114,6 +114,23 @@ object StandingIndex {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Generic content signature of a fixture table over `cols` — the
+    * [[corpusSig]] discipline for artifacts derived from tables other
+    * than `documents` (the IVF quantizer's embeddings, say). Uses
+    * Spark's builtin Murmur3 `hash` over the columns (arrays
+    * included): signatures face only our own comparator, never the
+    * DuckDB oracle, so engine-native hashing is fine here.
+    */
+  private[graft] def tableSig(s: SparkSession, dir: String, table: String,
+      cols: Seq[String]): (Long, Long) = {
+    val r = Engine.table(s, dir, table)
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(pmod(hash(cols.map(col): _*).cast("long"), lit(SigMod))),
+          lit(0L)).cast("long").as("sig"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Write the freshness meta row — called LAST in every build, so a
     * partial/crashed build leaves no matching meta and can never
     * validate as fresh (the commit-marker discipline).

@@ -43,6 +43,8 @@ class ArtifactReuseSpec extends AnyFunSuite {
     val d = Files.createTempDirectory("graft_reuse_").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
       Paths.get(s"$d/documents.parquet"))
+    Files.copy(Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      Paths.get(s"$d/embeddings.parquet"))
     d
   }
 
@@ -108,6 +110,41 @@ class ArtifactReuseSpec extends AnyFunSuite {
     assert(!StandingIndex.metaFresh(spark, incRoot,
       StandingIndex.corpusSig(spark, dir)),
       "signature must flip when the corpus changes")
+  }
+
+  test("ivf quantizer artifact: reuse on match; edited embeddings rebuild") {
+    import graft.operators.LlmOps
+    val dir = mkCorpus()
+    val root = LlmOps.ensureIvfArtifact(spark, dir) // session 1: builds
+    val built = newestMtime(root)
+    assert(built > 0L)
+    val cents = spark.read.parquet(s"$root/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    assert(cents.nonEmpty)
+    Thread.sleep(1100)
+    LlmOps.ensureIvfArtifact(spark, dir) // session 2: must reuse
+    assert(newestMtime(root) == built,
+      "fresh quantizer was retrained instead of reused")
+    // poison ONE float of ONE embedding — the content signature (over
+    // vec_id + the full vector) must flip and retrain
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val edited = e.map { r =>
+      if (r.getLong(0) == 0L) {
+        val v = r.getSeq[Float](1).toArray
+        v(0) = v(0) + 1.0f
+        org.apache.spark.sql.Row(r.getLong(0), v.toSeq, r.get(2))
+      } else r
+    }
+    val regen = spark.createDataFrame(
+      new java.util.ArrayList(edited.toSeq.asJava), schema)
+    Files.delete(Paths.get(s"$dir/embeddings.parquet"))
+    regen.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    Thread.sleep(1100)
+    LlmOps.ensureIvfArtifact(spark, dir) // session 3: must retrain
+    assert(newestMtime(root) > built,
+      "edited embeddings did not trigger a quantizer retrain")
   }
 
   test("sim index: reuse on match; missing meta (partial build) rebuilds") {
