@@ -154,5 +154,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Scalars.checked("union_find", 2)(es => UnionFindAgg(es(0), es(1)).toAggregateExpression())))
     e.injectOptimizerRule(_ => SimplifyEndsWithSource)
     e.injectOptimizerRule(_ => BandedLevenshtein)
+    // whole-operator extension: the native as-of join's planner strategy
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

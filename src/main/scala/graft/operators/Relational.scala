@@ -718,6 +718,45 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q182: the SAME as-of semantics as q33, executed by the NATIVE
+    * [[graft.plans.AsofJoinExec]] physical operator instead of the
+    * union + fill-forward composition — the engine's one custom
+    * LogicalPlan → SparkStrategy → SparkPlan stack, registered via
+    * GraftExtensions/extraStrategies. Shares q33's DuckDB ASOF JOIN
+    * oracle VERBATIM (same contract, different physical plan), so the
+    * correctness gate value-checks the native exec against an
+    * independent engine; AsofNativeSpec additionally cross-checks it
+    * against q33's composition row-for-row and asserts AsofJoinExec
+    * actually appears in the executed plan. Build side deduped to one
+    * row per (user, ts) exactly as q33 — the exec's last-in-sort-order
+    * tie rule then matches the oracle's row_number pick.
+    */
+  val q182AsofNative: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val probes = e.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // build dedup (one row per (user, ts), max event_id wins — q33's
+    // rule) phrased as last-of-ts-group over a window clustered on
+    // user_id ALONE: the window's sort (user_id, ts, event_id) is a
+    // superset of the as-of exec's required (key, time) ordering, so
+    // EnsureRequirements inserts NO exchange and NO sort between the
+    // dedup and the merge — one shuffle total on the build side, vs
+    // two with a (user_id, ts)-partitioned row_number dedup
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val builds = e.filter(col("event_type") === "purchase")
+      .withColumn("nts", lead(col("ts"), 1).over(wb))
+      .filter(col("nts").isNull || col("nts") =!= col("ts"))
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("value").as("p_value"))
+    graft.plans.Asof.join(probes, builds,
+        Seq("user_id" -> "b_user"), "ts", "b_ts")
+      .filter(col("p_value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("p_value").as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** q35: explicit GROUPING SETS — ((returnflag, linestatus), (returnflag),
     * (linestatus)) without the grand total (which distinguishes it from
     * rollup/cube in q22/q23).
@@ -919,6 +958,7 @@ object Relational {
     "q31_collect_agg" -> q31CollectAgg,
     "q32_approx_distinct" -> q32ApproxDistinct,
     "q33_asof_join" -> q33AsofJoin,
+    "q182_asof_native" -> q182AsofNative,
     "q34_local_supplier_volume" -> q34LocalSupplierVolume,
     "q180_planned_star" -> q180PlannedStar,
     "q35_grouping_sets" -> q35GroupingSets,
@@ -957,6 +997,16 @@ object Relational {
     s"CAST(sum(CAST($c AS DECIMAL(12,2))) AS DOUBLE)"
   private val revSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  private val q33Sql =
+    """WITH b AS (
+      |  SELECT user_id, ts, value AS p_value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type != 'purchase')
+      |SELECT p.event_id, p.user_id, b.p_value AS last_purchase_value
+      |FROM p ASOF JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
+      |ORDER BY p.event_id""".stripMargin
 
   private val q34Sql =
     s"""SELECT n_name, CAST(sum($revSql) AS DOUBLE) AS revenue, count(*) AS n_items
@@ -1031,15 +1081,11 @@ object Relational {
     // q180 reuses q34's oracle VERBATIM: the planner's rewrites are
     // layout-only, and the shared oracle makes that a value check
     "q180_planned_star" -> q34Sql,
-    "q33_asof_join" ->
-      """WITH b AS (
-        |  SELECT user_id, ts, value AS p_value FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
-        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type != 'purchase')
-        |SELECT p.event_id, p.user_id, b.p_value AS last_purchase_value
-        |FROM p ASOF JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
-        |ORDER BY p.event_id""".stripMargin,
+    "q33_asof_join" -> q33Sql,
+    // q182 reuses q33's oracle VERBATIM: same as-of contract, executed
+    // by the native AsofJoinExec instead of the window composition —
+    // the shared oracle makes the physical-operator swap a value check
+    "q182_asof_native" -> q33Sql,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  ${decSum("l_quantity")} AS sum_qty,

@@ -1,0 +1,257 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Native AS-OF join — the full custom-operator stack (brief preference
+  * (c)): a resolved [[AsofJoin]] logical node, planned by
+  * [[AsofJoinStrategy]] into [[AsofJoinExec]], registered through
+  * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) and
+  * `spark.experimental.extraStrategies` (Engine.session).
+  *
+  * Semantics (reference behavior per fetchRumors.js has no as-of join;
+  * this is the engine-inventory operator behind q33, SURVEY §2B joins):
+  * LEFT OUTER as-of — every left ("probe") row is extended with the
+  * right ("build") row that shares its equi-keys and has the greatest
+  * `rightTime <= leftTime`, or nulls when no such row exists. Ties on
+  * the build side's (keys, time) resolve to the LAST row in the
+  * children's required sort order, so callers wanting a deterministic
+  * winner dedup the build side first (q33/q182 keep one build row per
+  * (user, ts)).
+  *
+  * Why a physical operator when q33 already composes the same join from
+  * built-ins (union + fill-forward window)? Scale shape. The
+  * composition must co-shuffle probe AND build rows into ONE sorted
+  * window partition per key — at 100 TB the probe side (clicks/views,
+  * the big side) pays a full sort-merge pass fused with the build
+  * stream, and the window's `last(ignoreNulls)` frame walks every row.
+  * The native exec instead declares SMJ-style requirements —
+  * ClusteredDistribution on each side's keys plus per-side
+  * (keys, time) ordering — so Catalyst plans each side independently:
+  * a bucketed/pre-sorted build table inserts NO exchange and NO sort
+  * (EnsureRequirements elides satisfied requirements), and the merge
+  * itself is a single forward pass holding exactly ONE buffered build
+  * row — O(1) state, no window frame, no union blow-up. Same contract
+  * as SortMergeJoinExec (SPARK-2213), specialized to the as-of
+  * predicate that vanilla SMJ cannot express without a quadratic
+  * range condition.
+  */
+case class AsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute)
+  extends BinaryNode {
+
+  require(leftKeys.size == rightKeys.size, "as-of key arity mismatch")
+
+  // right side is the outer-extended side: its columns go nullable
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoin]] → [[AsofJoinExec]]. Injected via
+  * `injectPlannerStrategy` so `--conf spark.sql.extensions=
+  * graft.GraftExtensions` installs the operator into any deployment.
+  */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join. Requirements mirror SortMergeJoinExec:
+  * both children clustered on their equi-keys and sorted by
+  * (keys..., time) ascending — EnsureRequirements inserts the
+  * exchanges/sorts only where the children don't already satisfy them
+  * (a bucketed build side streams straight off disk). Each zipped
+  * partition pair then merges in one forward pass:
+  *
+  *   - advance the build iterator while its key sorts below the probe
+  *     key, or equals it with time <= probe time, remembering the last
+  *     such row (— the as-of match; later probe rows with the same key
+  *     and larger time can only improve it, never lose it);
+  *   - a build key above the probe key stays buffered (ONE row) for
+  *     later probe keys.
+  *
+  * Both iterators are consumed exactly once; per-partition extra state
+  * is two buffered rows however large the inputs — contrast the q33
+  * composition's full union-sort window. Buffered rows are defensive
+  * copies (shuffle iterators reuse row objects); the per-probe key
+  * projection is not buffered across calls so it reuses its buffer
+  * freely.
+  *
+  * Null semantics match SQL equi-joins: a null in a probe key or the
+  * probe time never matches (row emits null-extended); null build keys
+  * or times never match any probe (skipped as the merge passes them —
+  * ascending nulls-first ordering puts them ahead of every real
+  * candidate, so skipping is a plain advance).
+  */
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+  extends BinaryExecNode {
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // the merge walks left partitions in place: left's layout survives
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  private def sortKeys(keys: Seq[Expression], time: Expression): Seq[SortOrder] =
+    (keys :+ time).map(SortOrder(_, Ascending))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(sortKeys(leftKeys, leftTime), sortKeys(rightKeys, rightTime))
+
+  override def outputOrdering: Seq[SortOrder] = sortKeys(leftKeys, leftTime)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val allOut = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // executor-side codegen'd projections (created per partition)
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeExpr.dataType))
+      // bind against the NULLABLE view of the build side: the unmatched
+      // path feeds an all-null row, and a projection bound to the
+      // original non-nullable attributes would skip the null check and
+      // read primitive zeros instead of nulls
+      val resultProj = UnsafeProjection.create(allOut, lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _      // buffered unconsumed build row (copy)
+        private var rHeadKey: InternalRow = _   // its key (copy)
+        private var matched: InternalRow = _    // best as-of candidate for current key (copy)
+        private var matchedKey: InternalRow = _
+
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rHead = rIter.next().copy()
+            rHeadKey = rKeyProj(rHead).copy()
+          } else { rHead = null; rHeadKey = null }
+
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyProj(lRow)
+          numOutputRows += 1
+          if (lKey.anyNull || lTimeProj(lRow).isNullAt(0)) {
+            // SQL null semantics: no match possible; leave the build
+            // buffer in place (nulls-first ordering ⇒ nothing skipped)
+            return resultProj(joined(lRow, nullRight))
+          }
+          val lTime = lTimeProj(lRow).copy()
+          if (matched != null && keyOrd.compare(matchedKey, lKey) != 0) {
+            matched = null; matchedKey = null
+          }
+          var scanning = true
+          while (scanning && rHead != null) {
+            val c = keyOrd.compare(rHeadKey, lKey)
+            if (c < 0 || rHeadKey.anyNull) advanceRight() // behind, or unmatched-by-definition
+            else if (c == 0) {
+              val rTime = rTimeProj(rHead)
+              if (rTime.isNullAt(0)) advanceRight()       // null time never matches
+              else if (timeOrd.compare(rTime, lTime) <= 0) {
+                matched = rHead; matchedKey = rHeadKey    // already copies
+                advanceRight()
+              } else scanning = false                     // future build row: keep buffered
+            } else scanning = false                       // next key group: keep buffered
+          }
+          if (matched != null) {
+            numMatched += 1
+            resultProj(joined(lRow, matched))
+          } else resultProj(joined(lRow, nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level entry point (what a library user calls).
+  *
+  * `keys` pairs probe-side column names with build-side names;
+  * `leftTime`/`rightTime` name the as-of ordering columns. The result
+  * carries every probe column plus every build column (nullable) — pick
+  * unique build-side names (rename before joining) exactly as with any
+  * self-join.
+  *
+  * Construction works from the children's ANALYZED plans so the node is
+  * born resolved; a build side sharing attribute ids with the probe
+  * (self-join on the same scan — q182's events⋈events) is re-aliased
+  * through a Project, the same dedup the analyzer applies to Join.
+  */
+object Asof {
+  def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTime: String, rightTime: String): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one equi-key")
+    val spark = left.sparkSession
+    // self-register on the session actually planning this frame:
+    // extensions/Engine.session wire the strategy at construction, but
+    // the operator must also work in a bare session (the driver's
+    // Verify/Bench mains build their own) — planning an AsofJoin node
+    // with no strategy for it is an internal planner error
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(AsofJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
+    val lp = left.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    val rp =
+      if (rp0.outputSet.intersect(lp.outputSet).isEmpty) rp0
+      else Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+    def attr(p: LogicalPlan, name: String, side: String): Attribute =
+      p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"as-of join: no column '$name' on the $side side " +
+          s"(has: ${p.output.map(_.name).mkString(", ")})"))
+    val node = AsofJoin(lp, rp,
+      keys.map(k => attr(lp, k._1, "probe")),
+      keys.map(k => attr(rp, k._2, "build")),
+      attr(lp, leftTime, "probe"), attr(rp, rightTime, "build"))
+    org.apache.spark.sql.graft.Bridge.ofRows(spark, node)
+  }
+}

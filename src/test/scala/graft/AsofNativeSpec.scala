@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+import graft.plans.Asof
+
+/** The native as-of join (logical node → strategy → physical exec).
+  *
+  * Three layers of proof:
+  *   1. unit semantics on hand-built frames — latest-prior-or-equal
+  *     match, per-key isolation, left-outer nulls, SQL null-key/time
+  *     semantics, build-tie resolution;
+  *   2. equivalence — q182 (native exec) must reproduce q33 (the
+  *     union + fill-forward composition) row-for-row on the fixtures,
+  *     and both share one DuckDB ASOF JOIN oracle in the gate;
+  *   3. plan shape — AsofJoinExec actually plans (via the injected
+  *     strategy), the merge side has NO WindowExec (the q33
+  *     composition's cost center), and pre-partitioned+sorted children
+  *     insert no extra exchange (the 100 TB bucketed-build path).
+  */
+class AsofNativeSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = Engine.session(master = "local[4]")
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def probes(rows: (Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, u, t) => (id, u, ts(t)) }.toDF("event_id", "user_id", "ts")
+  }
+
+  private def builds(rows: (String, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (u, t, v) => (u, ts(t), v) }.toDF("b_user", "b_ts", "p_value")
+  }
+
+  /** The finalized physical plan as text, truncated to AQE's final plan
+    * (the full toString repeats the initial plan below it, which would
+    * double-count pattern matches).
+    */
+  private def finalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+
+  test("latest prior-or-equal build wins; strictly-later never matches") {
+    val p = probes((1L, "u1", "2024-01-10 00:00:00"), (2L, "u1", "2024-01-20 00:00:00"))
+    val b = builds(
+      ("u1", "2024-01-05 00:00:00", 5.0),
+      ("u1", "2024-01-10 00:00:00", 10.0), // equal ts: inclusive
+      ("u1", "2024-01-15 00:00:00", 15.0),
+      ("u1", "2024-01-25 00:00:00", 25.0)) // after both probes
+    val out = Asof.join(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts")
+      .select("event_id", "p_value").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 10.0, 2L -> 15.0))
+  }
+
+  test("left outer: probe with no prior build emits null build columns") {
+    val p = probes((1L, "u1", "2024-01-01 00:00:00"), (2L, "u2", "2024-01-01 00:00:00"))
+    val b = builds(("u1", "2024-02-01 00:00:00", 1.0)) // only AFTER u1's probe; u2 absent
+    val out = Asof.join(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts").collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(out.head.fieldIndex("p_value"))))
+  }
+
+  test("keys isolate: u2's builds never leak into u1's probes") {
+    val p = probes((1L, "u1", "2024-01-10 00:00:00"))
+    val b = builds(("u2", "2024-01-05 00:00:00", 99.0))
+    val out = Asof.join(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts").collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("p_value")))
+  }
+
+  test("SQL null semantics: null probe key/time and null build time never match") {
+    import spark.implicits._
+    val p = Seq(
+      (1L, null.asInstanceOf[String], ts("2024-01-10 00:00:00")), // null key
+      (2L, "u1", null.asInstanceOf[Timestamp]),                   // null time
+      (3L, "u1", ts("2024-01-10 00:00:00")))                      // real
+      .toDF("event_id", "user_id", "ts")
+    val b = Seq(
+      (null.asInstanceOf[String], ts("2024-01-01 00:00:00"), 7.0), // null build key
+      ("u1", null.asInstanceOf[Timestamp], 8.0),                   // null build time
+      ("u1", ts("2024-01-05 00:00:00"), 5.0))
+      .toDF("b_user", "b_ts", "p_value")
+    val out = Asof.join(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts")
+      .select("event_id", "p_value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(1L -> None, 2L -> None, 3L -> Some(5.0)))
+  }
+
+  test("build ties on (key, time) resolve to the last row in sort order") {
+    import spark.implicits._
+    // two builds at the identical (key, ts): required ordering is only
+    // (key, time), so ties resolve to whichever sorts last — the
+    // documented reason q33/q182 dedup the build side first. Assert the
+    // match is ONE of the tied values (never the earlier 1.0).
+    val p = probes((1L, "u1", "2024-01-10 00:00:00"))
+    val b = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), 1.0),
+      ("u1", ts("2024-01-05 00:00:00"), 2.0),
+      ("u1", ts("2024-01-05 00:00:00"), 3.0))
+      .toDF("b_user", "b_ts", "p_value")
+    val v = Asof.join(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts")
+      .select("p_value").collect().head.getDouble(0)
+    assert(v == 2.0 || v == 3.0)
+  }
+
+  test("multi-key as-of joins on the full composite key") {
+    import spark.implicits._
+    val p = Seq((1L, "u1", "a", ts("2024-01-10 00:00:00")))
+      .toDF("event_id", "user_id", "k2", "ts")
+    val b = Seq(
+      ("u1", "a", ts("2024-01-05 00:00:00"), 5.0),
+      ("u1", "b", ts("2024-01-09 00:00:00"), 9.0)) // later, but k2 differs
+      .toDF("b_user", "b_k2", "b_ts", "p_value")
+    val v = Asof.join(p, b, Seq("user_id" -> "b_user", "k2" -> "b_k2"), "ts", "b_ts")
+      .select("p_value").collect().head.getDouble(0)
+    assert(v == 5.0)
+  }
+
+  test("q182 (native exec) == q33 (window composition) on the fixtures") {
+    val native = SparkEntry.queries("q182_asof_native")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val composed = SparkEntry.queries("q33_asof_join")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(native.nonEmpty && native == composed)
+  }
+
+  test("q182 plans AsofJoinExec; the merge replaces the fill-forward window") {
+    val df = SparkEntry.queries("q182_asof_native")(spark, dir)
+    df.collect() // finalize AQE
+    val p = finalPlan(df)
+    assert(p.contains("AsofJoin "), s"no AsofJoinExec in:\n$p")
+    // exactly the build-dedup window survives — q33's second (fill-
+    // forward over the union) window is what the native exec removes
+    assert("Window \\[".r.findAllIn(p).length <= 1, s"unexpected windows in:\n$p")
+  }
+
+  test("pre-partitioned + pre-sorted children insert no exchange above the repartition") {
+    // the 100 TB path: a bucketed/sorted build table must stream into
+    // the merge without EnsureRequirements adding anything. Emulate
+    // bucketing with explicit repartition + sortWithinPartitions on
+    // both sides and count exchanges: exactly the two we inserted.
+    val p = probes((1L, "u1", "2024-01-10 00:00:00"), (2L, "u2", "2024-01-10 00:00:00"))
+      .repartition(4, col("user_id")).sortWithinPartitions("user_id", "ts")
+    val b = builds(("u1", "2024-01-05 00:00:00", 5.0))
+      .repartition(4, col("b_user")).sortWithinPartitions("b_user", "b_ts")
+    val joinedDf = Asof.join(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts")
+    joinedDf.collect()
+    val s = finalPlan(joinedDf)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(exchanges == 2, s"expected only the 2 explicit repartitions, got $exchanges:\n$s")
+    assert(s.contains("AsofJoin "))
+  }
+
+  test("result is identical across partition counts (merge is partition-local)") {
+    val a = SparkEntry.queries("q182_asof_native")(spark, dir)
+      .repartition(1).collect().map(_.toString).sorted.toSeq
+    val b = Engine.session(master = "local[4]").conf
+    val prev = b.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val c = SparkEntry.queries("q182_asof_native")(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == c)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
