@@ -47,6 +47,20 @@ object ExtensionsDemo {
     val arow = a.head()
     println(s"AGGREGATES mg=${arow.getSeq[String](0).sorted.mkString(",")} " +
       s"cm=${arow.get(1)} tk=${arow.get(2)} uf=${arow.get(3)}")
+    // the injected PLANNER STRATEGY: plan an AsofJoin node built
+    // directly (Asof.node, NOT Asof.join — join would self-register the
+    // strategy and mask a broken injection); succeeding here proves
+    // injectPlannerStrategy wired AsofJoinStrategy into this session
+    import org.apache.spark.sql.functions.{col, expr}
+    val probes = spark.range(4).select(col("id").as("event_id"),
+      (col("id") % 2).as("k"), expr("timestamp_seconds(id * 100)").as("ts"))
+    val builds = spark.range(2).select(col("id").as("bk"),
+      expr("timestamp_seconds(id * 50)").as("bts"), (col("id") * 10.0).as("v"))
+    val asof = org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      plans.Asof.node(probes, builds, Seq("k" -> "bk"), "ts", "bts"))
+    val matched = asof.filter(col("v").isNotNull).count()
+    val planned = asof.queryExecution.executedPlan.toString.contains("AsofJoin")
+    println(s"ASOF_STRATEGY planned=$planned matched=$matched")
     spark.stop()
   }
 }

@@ -227,18 +227,14 @@ case class AsofJoinExec(
   * through a Project, the same dedup the analyzer applies to Join.
   */
 object Asof {
-  def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
-      leftTime: String, rightTime: String): DataFrame = {
+  /** The resolved logical node alone — used by [[join]], and directly by
+    * callers that want the node planned through a session's OWN injected
+    * strategy (ExtensionsDemo proves the `spark.sql.extensions` path by
+    * planning this without [[join]]'s self-registration fallback).
+    */
+  def node(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTime: String, rightTime: String): AsofJoin = {
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
-    val spark = left.sparkSession
-    // self-register on the session actually planning this frame:
-    // extensions/Engine.session wire the strategy at construction, but
-    // the operator must also work in a bare session (the driver's
-    // Verify/Bench mains build their own) — planning an AsofJoin node
-    // with no strategy for it is an internal planner error
-    val exp = spark.experimental
-    if (!exp.extraStrategies.contains(AsofJoinStrategy))
-      exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
     val rp =
@@ -248,10 +244,24 @@ object Asof {
       p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"as-of join: no column '$name' on the $side side " +
           s"(has: ${p.output.map(_.name).mkString(", ")})"))
-    val node = AsofJoin(lp, rp,
+    AsofJoin(lp, rp,
       keys.map(k => attr(lp, k._1, "probe")),
       keys.map(k => attr(rp, k._2, "build")),
       attr(lp, leftTime, "probe"), attr(rp, rightTime, "build"))
-    org.apache.spark.sql.graft.Bridge.ofRows(spark, node)
+  }
+
+  def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    // self-register on the session actually planning this frame:
+    // extensions/Engine.session wire the strategy at construction, but
+    // the operator must also work in a bare session (the driver's
+    // Verify/Bench mains build their own) — planning an AsofJoin node
+    // with no strategy for it is an internal planner error
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(AsofJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
+    org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      node(left, right, keys, leftTime, rightTime))
   }
 }
