@@ -924,6 +924,69 @@ object Relational {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Shared DuckDB oracle for the interval-join contract — q63 (plain
+    * equi-key + residual) and q183 (time-bucketed) hash against the
+    * same SQL, so the gate proves both strategies compute one answer.
+    */
+  val q63Sql: String =
+    """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+      |  p.ts AS purchase_ts, p.value
+      |FROM events c JOIN events p ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin
+
+  /** q183: the SAME interval-join semantics as q63, executed via TIME
+    * BUCKETING — the scale path for interval joins with hot keys.
+    *
+    * q63 keys its shuffle on `user_id` alone, leaving the 1-hour range
+    * as a residual filter: correct, but one user with m events in the
+    * probed window costs O(m²) candidate pairs inside a single task —
+    * the classic interval-join straggler at 100 TB. q183 bounds that:
+    * both sides carry `bucket = epoch_seconds div 3600` (bucket width ==
+    * the join interval, so a matching purchase can only sit in the
+    * click's bucket or the one before it), each purchase is replicated
+    * into its own bucket and the NEXT (`explode(array(pb, pb+1))`), and
+    * the join keys become `(user_id, bucket)`. Per-key work drops from
+    * O(events-per-user²) to O(events-per-user-per-hour²), the exchange
+    * spreads a hot user over all their active hours, and the composite
+    * key is exactly what AQE's skew-join splitting and q118's salting
+    * operate on if one HOUR is still hot. Cost: a ×2 replication of the
+    * (already filtered) purchase side — bytes linear in the input,
+    * traded for the quadratic task bound. Each candidate pair arises
+    * exactly once (a purchase's two replicas land in distinct buckets;
+    * a click has one bucket), so no post-join dedup is needed and the
+    * exact range predicate reproduces q63 verbatim — the gate runs both
+    * against ONE DuckDB oracle. IntervalBucketedSpec proves equivalence
+    * on fixtures + boundary frames and that the candidate count on a
+    * hot key is strictly below the user-only keying's.
+    */
+  val q183IntervalBucketed: Q = (s, dir) =>
+    intervalBucketedJoin(t(s, dir, "events"))
+      .orderBy(col("click_id"), col("purchase_id"))
+
+  /** The q183 operator over any events-shaped frame (event_id, user_id,
+    * ts, event_type, value) — IntervalBucketedSpec drives synthetic
+    * boundary/hot-key frames through this exact code path.
+    */
+  def intervalBucketedJoin(e: DataFrame): DataFrame = {
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"),
+        expr("cast(ts as bigint) div 3600").as("bucket"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"),
+        expr("cast(ts as bigint) div 3600").as("pb"))
+      .withColumn("join_bucket", explode(array(col("pb"), col("pb") + 1)))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") && col("bucket") === col("join_bucket") &&
+          col("purchase_ts") <= col("click_ts") &&
+          col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("value"))
+  }
+
   /** Salt fan-out for q118 (what q100's skew report recommends for a
     * uniform key; real skew would size this from max/mean).
     */
@@ -954,6 +1017,7 @@ object Relational {
     "q36_percentiles" -> q36Percentiles,
     "q37_correlated" -> q37Correlated,
     "q63_interval_join" -> q63IntervalJoin,
+    "q183_interval_bucketed" -> q183IntervalBucketed,
     "q118_salted_join" -> q118SaltedJoin,
     "q31_collect_agg" -> q31CollectAgg,
     "q32_approx_distinct" -> q32ApproxDistinct,
@@ -1036,13 +1100,10 @@ object Relational {
         |  FROM lineitem)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q37_correlated" -> q37Sql,
-    "q63_interval_join" ->
-      """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
-        |  p.ts AS purchase_ts, p.value
-        |FROM events c JOIN events p ON c.user_id = p.user_id
-        | AND c.event_type = 'click' AND p.event_type = 'purchase'
-        | AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR
-        |ORDER BY click_id, purchase_id""".stripMargin,
+    "q63_interval_join" -> q63Sql,
+    // q183 executes the same contract via time bucketing; one oracle
+    // value-checks both physical strategies (the q33/q182 pattern)
+    "q183_interval_bucketed" -> q63Sql,
     "q31_collect_agg" ->
       """SELECT g.c_nationkey, g.segments, p.poorest, r.richest, g.n_customers FROM
         |  (SELECT c_nationkey,
