@@ -50,6 +50,9 @@ object Engine {
     if (!spark.experimental.extraOptimizations.contains(BandedLevenshtein))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ BandedLevenshtein
+    if (!spark.experimental.extraOptimizations.contains(plans.BucketIntervalJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.BucketIntervalJoin
     if (!spark.experimental.extraStrategies.contains(plans.AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ plans.AsofJoinStrategy

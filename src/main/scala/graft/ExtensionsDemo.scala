@@ -61,6 +61,15 @@ object ExtensionsDemo {
     val matched = asof.filter(col("v").isNotNull).count()
     val planned = asof.queryExecution.executedPlan.toString.contains("AsofJoin")
     println(s"ASOF_STRATEGY planned=$planned matched=$matched")
+    // the injected STRUCTURAL optimizer rule: with the conf flag set,
+    // an eligible interval join re-plans into the bucketed layout
+    spark.conf.set(plans.BucketIntervalJoin.EnabledKey, "true")
+    val iv = probes.join(builds.select(col("bk"), col("bts"), col("v")),
+      col("k") === col("bk") && col("bts") <= col("ts") &&
+        col("bts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+    val bucketed = iv.queryExecution.optimizedPlan.toString
+      .contains(plans.BucketIntervalJoin.BucketPrefix)
+    println(s"INTERVAL_RULE bucketed=$bucketed rows=${iv.count()}")
     spark.stop()
   }
 }

@@ -154,6 +154,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Scalars.checked("union_find", 2)(es => UnionFindAgg(es(0), es(1)).toAggregateExpression())))
     e.injectOptimizerRule(_ => SimplifyEndsWithSource)
     e.injectOptimizerRule(_ => BandedLevenshtein)
+    // structural rewrite: interval joins -> time-bucketed layout
+    // (opt-in via spark.graft.bucketIntervalJoin.enabled; see q183/q184)
+    e.injectOptimizerRule(_ => graft.plans.BucketIntervalJoin)
     // whole-operator extension: the native as-of join's planner strategy
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

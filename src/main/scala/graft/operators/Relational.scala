@@ -965,6 +965,28 @@ object Relational {
     intervalBucketedJoin(t(s, dir, "events"))
       .orderBy(col("click_id"), col("purchase_id"))
 
+  /** q184: the interval join REWRITTEN BY THE OPTIMIZER RULE — the
+    * natural q63 join is built as-is, then
+    * [[graft.plans.BucketIntervalJoin.rewrite]] transforms its
+    * optimized plan into the q183 bucketed layout (the same transform
+    * the injected rule applies transparently when
+    * `spark.graft.bucketIntervalJoin.enabled` is set; applying it
+    * directly keeps the driver session's conf untouched so q63's own
+    * plan stays un-rewritten in the same run). Hashes against the
+    * shared q63 oracle, so the gate value-checks the RULE's output —
+    * hand-written q183 and rule-rewritten q184 must both equal DuckDB.
+    * IntervalRuleSpec covers the conf-gated path, idempotence, and
+    * non-matching shapes (q09's strict-bound form must not rewrite).
+    */
+  val q184IntervalRule: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val plain = graft.streaming.EventStreams.clickPurchaseJoin(e, e)
+    val rewritten = graft.plans.BucketIntervalJoin.rewrite(
+      plain.queryExecution.optimizedPlan)
+    org.apache.spark.sql.graft.Bridge.ofRows(s, rewritten)
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** The q183 operator over any events-shaped frame (event_id, user_id,
     * ts, event_type, value) — IntervalBucketedSpec drives synthetic
     * boundary/hot-key frames through this exact code path.
@@ -1018,6 +1040,7 @@ object Relational {
     "q37_correlated" -> q37Correlated,
     "q63_interval_join" -> q63IntervalJoin,
     "q183_interval_bucketed" -> q183IntervalBucketed,
+    "q184_interval_rule" -> q184IntervalRule,
     "q118_salted_join" -> q118SaltedJoin,
     "q31_collect_agg" -> q31CollectAgg,
     "q32_approx_distinct" -> q32ApproxDistinct,
@@ -1101,9 +1124,11 @@ object Relational {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q37_correlated" -> q37Sql,
     "q63_interval_join" -> q63Sql,
-    // q183 executes the same contract via time bucketing; one oracle
-    // value-checks both physical strategies (the q33/q182 pattern)
+    // q183 executes the same contract via time bucketing and q184 via
+    // the optimizer rule's rewrite of the plain join; one oracle
+    // value-checks all three physical strategies (the q33/q182 pattern)
     "q183_interval_bucketed" -> q63Sql,
+    "q184_interval_rule" -> q63Sql,
     "q31_collect_agg" ->
       """SELECT g.c_nationkey, g.segments, p.poorest, r.richest, g.n_customers FROM
         |  (SELECT c_nationkey,

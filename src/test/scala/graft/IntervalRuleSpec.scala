@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+import graft.plans.BucketIntervalJoin
+
+/** The BucketIntervalJoin optimizer rule (plan-structure rewrite).
+  *
+  * Proof layers:
+  *   1. the rewrite itself — rewritten plan computes exactly the plain
+  *      join's rows, on fixtures and on boundary frames (and q184 runs
+  *      the rewrite through the DuckDB gate);
+  *   2. plan shape — the rewritten join's keys include the reserved
+  *      __graft_bucket columns, an Explode generator appears on the
+  *      replicated side, and the output schema is unchanged;
+  *   3. guards — disabled-by-default (conf off ⇒ optimized plan
+  *      untouched), conf-gated firing through the injected-rule path,
+  *      idempotence under re-application, and non-matching shapes
+  *      (strict bounds, month intervals) left alone.
+  */
+class IntervalRuleSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = Engine.session(master = "local[4]")
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, String, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, u, t, ty, v) => (id, u, ts(t), ty, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+  }
+
+  private def plainJoin(e: DataFrame): DataFrame =
+    graft.streaming.EventStreams.clickPurchaseJoin(e, e)
+
+  private def rewriteOf(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      BucketIntervalJoin.rewrite(df.queryExecution.optimizedPlan))
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.orderBy(col("click_id"), col("purchase_id")).collect().map(_.toString).toSeq
+
+  test("rewritten fixture join == plain join, schema unchanged") {
+    val e = Engine.table(spark, dir, "events")
+    val plain = plainJoin(e)
+    val rew = rewriteOf(plain)
+    assert(rew.schema == plain.schema, "rewrite changed the output schema")
+    assert(sortedRows(rew) == sortedRows(plain))
+  }
+
+  test("rewritten plan carries the bucket keys and the explode generator") {
+    val e = Engine.table(spark, dir, "events")
+    val plan = BucketIntervalJoin.rewrite(
+      plainJoin(e).queryExecution.optimizedPlan)
+    val txt = plan.treeString
+    assert(txt.contains(s"${BucketIntervalJoin.BucketPrefix}_c"))
+    assert(txt.contains(s"${BucketIntervalJoin.BucketPrefix}_p"))
+    assert(txt.contains("Generate explode"), s"no explode generator in:\n$txt")
+  }
+
+  test("rewrite preserves boundary semantics (inclusive ends, cross-bucket match)") {
+    val e = events(
+      (1L, "u1", "2024-03-05 12:00:00", "click", 0.0),
+      (2L, "u1", "2024-03-05 13:10:00", "click", 0.0),
+      (10L, "u1", "2024-03-05 12:00:00", "purchase", 1.0), // == click1: in
+      (11L, "u1", "2024-03-05 11:00:00", "purchase", 2.0), // == click1 - 1h: in
+      (12L, "u1", "2024-03-05 10:59:59", "purchase", 3.0), // out
+      (13L, "u1", "2024-03-05 12:50:00", "purchase", 4.0)) // prior bucket of click2: in
+    val plain = plainJoin(e)
+    assert(sortedRows(rewriteOf(plain)) == sortedRows(plain))
+    assert(plain.count() == 3) // (1,10) (1,11) (2,13); 12:00 is 70 min before 13:10 -> out
+  }
+
+  test("idempotent: re-applying the rewrite adds no second bucketing layer") {
+    val e = Engine.table(spark, dir, "events")
+    val once = BucketIntervalJoin.rewrite(
+      plainJoin(e).queryExecution.optimizedPlan)
+    val twice = BucketIntervalJoin.rewrite(once)
+    assert(once.treeString == twice.treeString)
+  }
+
+  test("strict-bound range joins (q09's shape) are NOT rewritten") {
+    val e = Engine.table(spark, dir, "events")
+    val e1 = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val e2 = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val strict = e1.join(e2,
+      col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 60 SECONDS"))
+    val opt = strict.queryExecution.optimizedPlan
+    assert(BucketIntervalJoin.rewrite(opt).treeString == opt.treeString)
+  }
+
+  test("month intervals are NOT rewritten (variable bucket width)") {
+    val e = Engine.table(spark, dir, "events")
+    // rebuild the same shape with a 1 MONTH window
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    val monthly = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 MONTH"))
+    val opt = monthly.queryExecution.optimizedPlan
+    assert(BucketIntervalJoin.rewrite(opt).treeString == opt.treeString)
+  }
+
+  test("conf-gated: rule fires through the session optimizer only when enabled") {
+    val e = Engine.table(spark, dir, "events")
+    val key = BucketIntervalJoin.EnabledKey
+    assert(!plainJoin(e).queryExecution.optimizedPlan.treeString
+      .contains(BucketIntervalJoin.BucketPrefix), "rule fired while disabled")
+    spark.conf.set(key, "true")
+    try {
+      val opt = plainJoin(e).queryExecution.optimizedPlan.treeString
+      assert(opt.contains(s"${BucketIntervalJoin.BucketPrefix}_c"), s"rule did not fire:\n$opt")
+      // and the enabled path still computes the right answer
+      val enabled = sortedRows(plainJoin(e))
+      spark.conf.unset(key)
+      assert(enabled == sortedRows(plainJoin(e)))
+    } finally spark.conf.unset(key)
+  }
+
+  test("q184 (rule-rewritten) == q63 (plain) == q183 (hand-bucketed) on the fixture") {
+    val a = operators.Relational.q184IntervalRule(spark, dir).collect().toSeq
+    val b = operators.Relational.q63IntervalJoin(spark, dir).collect().toSeq
+    val c = operators.Relational.q183IntervalBucketed(spark, dir).collect().toSeq
+    assert(a.nonEmpty && a == b && a == c)
+  }
+}
