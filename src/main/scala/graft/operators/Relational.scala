@@ -312,6 +312,33 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Shared DuckDB oracle for the q09 range-join contract — q185 (the
+    * BucketIntervalJoin rewrite of q09's plan) hashes against the same
+    * SQL.
+    */
+  val q09Sql: String =
+    """SELECT a.user_id AS user_id, count(*) AS pairs_within_60s
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
+  /** q185: q09's FORWARD range join (strict lower bound, +60 s window)
+    * rewritten by [[graft.plans.BucketIntervalJoin]] — proves the
+    * generalized window matcher (any literal-offset window, either
+    * direction, strict or inclusive bounds) through the DuckDB gate,
+    * the q184 pattern applied to the second interval-join shape. The
+    * rewrite fires on the join UNDER the aggregation (transform
+    * recurses), so this also pins that the rule composes with
+    * downstream operators.
+    */
+  val q185RangeRule: Q = (s, dir) => {
+    val base = q09RangeJoin(s, dir)
+    val rewritten = graft.plans.BucketIntervalJoin.rewrite(
+      base.queryExecution.optimizedPlan)
+    org.apache.spark.sql.graft.Bridge.ofRows(s, rewritten)
+  }
+
   /** q10: theta join (equi + inequality residual): lineitems whose
     * quantity exceeds the part size, per brand. The equi component
     * keys the join (no all-pairs); the inequality stays a residual
@@ -1058,6 +1085,7 @@ object Relational {
     "q07_full_outer" -> q07FullOuter,
     "q08_cross_join" -> q08CrossJoin,
     "q09_range_join" -> q09RangeJoin,
+    "q185_range_rule" -> q185RangeRule,
     "q10_theta_join" -> q10ThetaJoin,
     "q11_window_rank" -> q11WindowRank,
     "q12_window_lag_lead" -> q12WindowLagLead,
@@ -1233,12 +1261,9 @@ object Relational {
       """SELECT r_name, o_orderstatus, r_name || '/' || o_orderstatus AS cell
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
         |ORDER BY r_name, o_orderstatus""".stripMargin,
-    "q09_range_join" ->
-      """SELECT a.user_id AS user_id, count(*) AS pairs_within_60s
-        |FROM events a JOIN events b
-        |  ON a.user_id = b.user_id
-        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
-        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q09_range_join" -> q09Sql,
+    // q185 is the rule's rewrite of q09's plan — same oracle
+    "q185_range_rule" -> q09Sql,
     "q10_theta_join" ->
       s"""SELECT p_brand, count(*) AS n_items, ${decSum("l_extendedprice")} AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size

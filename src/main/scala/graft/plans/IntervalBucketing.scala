@@ -13,26 +13,38 @@ import org.apache.spark.unsafe.types.CalendarInterval
   *
   * Matched shape — an INNER join whose condition conjuncts contain
   *
-  *   - at least one cross-side `EqualTo(attr, attr)` equi pair,
-  *   - an upper bound `pTs <= cTs` (either comparison orientation),
-  *   - a lower bound `pTs >= cTs + INTERVAL '-I'`
-  *     (`TimestampAddInterval` with a negative `CalendarInterval`
-  *     literal — the tree Catalyst folds `cTs - INTERVAL I` into),
+  *   - at least one cross-side `EqualTo(attr, attr)` equi pair, and
+  *   - two conjuncts bounding one side's timestamp attribute `p`
+  *     inside a literal-offset window of the other side's `c`:
+  *     `p ≥/> c + lo` and `p ≤/< c + hi` (any comparison orientation;
+  *     offsets are 0 for a bare `c` or a literal day-time /
+  *     month-free calendar interval — `TimestampAddInterval` is what
+  *     Catalyst folds `c ± INTERVAL` into). Backward windows (q63:
+  *     lo = −1h, hi = 0), forward windows (q09: lo = 0, hi = +60 s),
+  *     and shifted windows all qualify; strict bounds are fine (the
+  *     bucket match is a candidate SUPERSET and every original
+  *     conjunct is kept). The lower offset must be whole seconds
+  *     (sub-second `lo` would need a third replica once the epoch
+  *     cast floors to seconds); month intervals never match (month
+  *     lengths vary, no fixed bucket width covers them).
   *
-  * where `pTs` and `cTs` are TimestampType attributes from opposite
-  * sides and the interval has no month component (month lengths vary,
-  * so a fixed bucket width cannot cover them). The rewrite appends
-  * `bucket = epoch_seconds div W` (W = ceil(I) in seconds — at least
-  * the window length, so a match spans at most two buckets) to both
-  * sides, explodes the `pTs` side into `(bucket, bucket + 1)`, adds
-  * `bucketC = bucketP` to the join keys, and projects the original
-  * output. Semantics are identical — the range conjuncts stay in the
+  * The rewrite appends a bucket key to both sides with width
+  * W = max(1, ceil(hi) − lo) seconds ≥ the window span, so a matching
+  * `p` sits in the bucket of `c + lo` or the one after it:
+  * the `c` side gets `(epoch(c) + lo) div W`, the `p` side explodes
+  * `epoch(p) div W` into (b − 1, b), the bucket equality joins the
+  * keys, and the original output is projected back. The arithmetic
+  * holds under Spark's truncate-toward-zero casts and `div` for
+  * negative epochs too: both are monotone with step boundaries ≥ one
+  * bucket apart, so a span ≤ W still crosses at most one boundary.
+  * Semantics are identical — the range conjuncts stay in the
   * condition and each candidate pair arises exactly once (the two
   * replicas land in distinct buckets) — but per-task work drops from
   * O(rows-per-key²) to O(rows-per-key-per-window²) and the composite
   * key is what AQE skew-split / salting can act on. See q183's
   * scaladoc for the full 100 TB rationale; IntervalRuleSpec proves
-  * rewritten == plain on fixtures and boundary frames.
+  * rewritten == plain on fixtures and boundary frames for both window
+  * directions.
   *
   * Opt-in: fires only when `spark.graft.bucketIntervalJoin.enabled` is
   * `true` (a layout change this structural should be a deliberate
@@ -51,9 +63,10 @@ object BucketIntervalJoin extends Rule[LogicalPlan] {
     if (!conf.getConfString(EnabledKey, "false").toBoolean) plan
     else rewrite(plan)
 
-  /** The transform itself, unconditionally — q184 applies it directly
-    * to a plain interval join's optimized plan so the driver's oracle
-    * value-checks the REWRITTEN plan without flipping session state.
+  /** The transform itself, unconditionally — q184/q185 apply it
+    * directly to a plain interval join's optimized plan so the
+    * driver's oracle value-checks the REWRITTEN plan without flipping
+    * session state.
     */
   def rewrite(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
@@ -61,7 +74,7 @@ object BucketIntervalJoin extends Rule[LogicalPlan] {
       val conjuncts = splitConjunctivePredicates(cond)
       matchWindow(conjuncts, left, right) match {
         case None => j
-        case Some((pTs, cTs, wSec)) =>
+        case Some((pTs, cTs, loSec, wSec)) =>
           val equiOk = conjuncts.exists {
             case EqualTo(a: AttributeReference, b: AttributeReference) =>
               crossSide(a, b, left, right)
@@ -69,14 +82,17 @@ object BucketIntervalJoin extends Rule[LogicalPlan] {
           }
           if (!equiOk) j
           else {
-            // probe (window-end) side: one bucket column
+            // anchor side: one bucket column at the window's start
             val cSide = if (left.outputSet.contains(cTs)) left else right
             val pSide = if (cSide eq left) right else left
-            val cBucket = Alias(bucketOf(cTs, wSec), s"${BucketPrefix}_c")()
+            val cBucket = Alias(
+              IntegralDivide(
+                Add(Cast(cTs, LongType), Literal(loSec)), Literal(wSec)),
+              s"${BucketPrefix}_c")()
             val cPlan = Project(cSide.output :+ cBucket, cSide)
-            // replicated side: explode into (bucket, bucket + 1)
-            val pB = bucketOf(pTs, wSec)
-            val arr = CreateArray(Seq(pB, Add(pB, Literal(1L))))
+            // bounded side: explode into (bucket - 1, bucket)
+            val pB = IntegralDivide(Cast(pTs, LongType), Literal(wSec))
+            val arr = CreateArray(Seq(Subtract(pB, Literal(1L)), pB))
             val pOut = AttributeReference(s"${BucketPrefix}_p", LongType,
               nullable = pB.nullable)()
             val pPlan = Generate(Explode(arr), unrequiredChildIndex = Nil,
@@ -102,49 +118,64 @@ object BucketIntervalJoin extends Rule[LogicalPlan] {
     (left.outputSet.contains(a) && right.outputSet.contains(b)) ||
       (left.outputSet.contains(b) && right.outputSet.contains(a))
 
-  /** epoch_seconds(ts) div wSec — TZ-independent (micros division). */
-  private def bucketOf(ts: Attribute, wSec: Long): Expression =
-    IntegralDivide(Cast(ts, LongType), Literal(wSec))
-
-  /** Find (pTs, cTs, bucketWidthSeconds) such that the conjuncts bound
-    * `pTs` inside `[cTs - I, cTs]` for a positive month-free interval I.
+  /** One inequality conjunct as window bounds. Each comparison yields
+    * BOTH readings — `a ≤ c + off` is an upper bound on `a` (offset
+    * off) AND a lower bound on `c` (offset −off, anchored at `a`) —
+    * so the pairing below finds the window whichever side the query
+    * bounded.  Tuple: (bounded attr p, anchor attr c, offsetMicros,
+    * isUpper).
     */
-  private def matchWindow(conjuncts: Seq[Expression],
-      left: LogicalPlan, right: LogicalPlan): Option[(Attribute, Attribute, Long)] = {
-    val uppers = conjuncts.collect {
-      case LessThanOrEqual(p: AttributeReference, c: AttributeReference)
-          if tsPair(p, c, left, right) => (p, c)
-      case GreaterThanOrEqual(c: AttributeReference, p: AttributeReference)
-          if tsPair(p, c, left, right) => (p, c)
+  private def boundsOf(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Seq[(Attribute, Attribute, Long, Boolean)] = {
+    def both(a: Attribute, offA: Long, b: Attribute, offB: Long,
+        aIsUpper: Boolean): Seq[(Attribute, Attribute, Long, Boolean)] =
+      if (!tsPair(a, b, left, right)) Nil
+      else Seq((a, b, offB - offA, aIsUpper), (b, a, offA - offB, !aIsUpper))
+    e match {
+      // x + offX  <=/<  y + offY   (bare attr == offset 0)
+      case LessThanOrEqual(Anchored(x, ox), Anchored(y, oy)) => both(x, ox, y, oy, aIsUpper = true)
+      case LessThan(Anchored(x, ox), Anchored(y, oy)) => both(x, ox, y, oy, aIsUpper = true)
+      case GreaterThanOrEqual(Anchored(x, ox), Anchored(y, oy)) => both(x, ox, y, oy, aIsUpper = false)
+      case GreaterThan(Anchored(x, ox), Anchored(y, oy)) => both(x, ox, y, oy, aIsUpper = false)
+      case _ => Nil
     }
-    val lowers = conjuncts.collect {
-      case GreaterThanOrEqual(p: AttributeReference,
-          TimestampAddInterval(c: AttributeReference, IntervalMicros(us), _))
-          if tsPair(p, c, left, right) => (p, c, us)
-      case LessThanOrEqual(
-          TimestampAddInterval(c: AttributeReference, IntervalMicros(us), _),
-          p: AttributeReference)
-          if tsPair(p, c, left, right) => (p, c, us)
+  }
+
+  /** A timestamp attribute with a literal micros offset: `ts` (offset
+    * 0) or `ts + INTERVAL lit` (`TimestampAddInterval`).
+    */
+  private object Anchored {
+    def unapply(e: Expression): Option[(Attribute, Long)] = e match {
+      case a: AttributeReference => Some((a, 0L))
+      case TimestampAddInterval(a: AttributeReference, IntervalMicros(us), _) =>
+        Some((a, us))
+      case _ => None
     }
+  }
+
+  /** Find (p, c, loSec, bucketWidthSec) such that the conjuncts bound
+    * `p` inside `[c + lo, c + hi]` with a whole-second `lo ≤ hi`.
+    */
+  private def matchWindow(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Option[(Attribute, Attribute, Long, Long)] = {
+    val bounds = conjuncts.flatMap(boundsOf(_, left, right))
     val hits = for {
-      (pU, cU) <- uppers
-      (pL, cL, totalMicros) <- lowers
-      if pU.semanticEquals(pL) && cU.semanticEquals(cL)
-      if totalMicros < 0
-      // width >= window length, in whole seconds, so a match spans
-      // at most the probe's bucket and the one before it
-      wSec = (-totalMicros + 999999L) / 1000000L
-      if wSec >= 1L
-    } yield (pL: Attribute, cL: Attribute, wSec)
+      (pL, cL, lo, isUpperL) <- bounds if !isUpperL
+      (pU, cU, hi, isUpperU) <- bounds if isUpperU
+      if pL.semanticEquals(pU) && cL.semanticEquals(cU)
+      if lo <= hi
+      if Math.floorMod(lo, 1000000L) == 0L // whole-second window start
+      loSec = Math.floorDiv(lo, 1000000L)
+      hiSec = Math.floorDiv(hi + 999999L, 1000000L) // ceil to seconds
+      wSec = Math.max(1L, hiSec - loSec)
+    } yield (pL, cL, loSec, wSec)
     hits.headOption
   }
 
   /** Total micros of a literal interval — ANSI `DayTimeIntervalType`
     * literals store micros directly; legacy `CalendarInterval` literals
-    * qualify only with no month component (month lengths vary, so no
-    * fixed bucket width covers them). Year-month ANSI intervals never
-    * match (wrong literal value type for this extractor's Long case
-    * arises only for day-time; `YearMonthIntervalType` stores an Int).
+    * qualify only with no month component. Year-month ANSI intervals
+    * never match (`YearMonthIntervalType` stores an Int, not a Long).
     */
   private object IntervalMicros {
     def unapply(e: Expression): Option[Long] = e match {

@@ -84,7 +84,7 @@ class IntervalRuleSpec extends AnyFunSuite {
     assert(once.treeString == twice.treeString)
   }
 
-  test("strict-bound range joins (q09's shape) are NOT rewritten") {
+  test("forward strict-bound windows (q09's shape) rewrite and agree with the plain join") {
     val e = Engine.table(spark, dir, "events")
     val e1 = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
     val e2 = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
@@ -92,8 +92,53 @@ class IntervalRuleSpec extends AnyFunSuite {
       col("a_user") === col("b_user") &&
         col("b_ts") > col("a_ts") &&
         col("b_ts") <= col("a_ts") + expr("INTERVAL 60 SECONDS"))
-    val opt = strict.queryExecution.optimizedPlan
-    assert(BucketIntervalJoin.rewrite(opt).treeString == opt.treeString)
+    val rew = org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      BucketIntervalJoin.rewrite(strict.queryExecution.optimizedPlan))
+    assert(rew.queryExecution.optimizedPlan.treeString
+      .contains(BucketIntervalJoin.BucketPrefix), "forward window did not rewrite")
+    def rows(df: DataFrame): Seq[String] =
+      df.orderBy(col("a_id"), col("b_id")).collect().map(_.toString).toSeq
+    assert(rows(rew) == rows(strict) && strict.count() > 0)
+  }
+
+  test("shifted sub-second upper bounds still rewrite; sub-second LOWER offsets do not") {
+    val e = events(
+      (1L, "u1", "2024-03-05 12:00:00", "click", 0.0),
+      (10L, "u1", "2024-03-05 11:59:30", "purchase", 1.0))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    // upper offset +0.5s (sub-second): allowed — only the LOWER edge
+    // must sit on a whole second for the epoch-floored bucket math
+    val subUpper = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 0.5 SECONDS") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 MINUTE"))
+    val optU = subUpper.queryExecution.optimizedPlan
+    val rewU = BucketIntervalJoin.rewrite(optU)
+    assert(rewU.treeString.contains(BucketIntervalJoin.BucketPrefix))
+    assert(org.apache.spark.sql.graft.Bridge.ofRows(spark, rewU).count() == subUpper.count())
+    // a one-sided sub-second LOWER edge still rewrites: the dual
+    // reading flips the window onto the other attribute, where the
+    // lower edge is whole-second (p >= c - 0.5s  ==  c <= p + 0.5s)
+    val subLower = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 0.5 SECONDS"))
+    val optL = subLower.queryExecution.optimizedPlan
+    val rewL = BucketIntervalJoin.rewrite(optL)
+    assert(rewL.treeString.contains(BucketIntervalJoin.BucketPrefix))
+    assert(org.apache.spark.sql.graft.Bridge.ofRows(spark, rewL).count() == subLower.count())
+    // BOTH edges sub-second: refused in either orientation (a floored
+    // epoch can miss a fractional window start)
+    val bothSub = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 0.5 SECONDS") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 0.5 SECONDS"))
+    val optB = bothSub.queryExecution.optimizedPlan
+    assert(BucketIntervalJoin.rewrite(optB).treeString == optB.treeString)
   }
 
   test("month intervals are NOT rewritten (variable bucket width)") {
