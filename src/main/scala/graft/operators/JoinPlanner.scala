@@ -345,9 +345,97 @@ object JoinPlanner {
       .orderBy(col("rel"), col("key_col"))
   }
 
+  /** Interval-join candidates the planner profiles: (name, table,
+    * key, time column, window seconds) — the two shapes the engine
+    * ships (q63's backward hour, q09's forward minute; the advice
+    * metric is direction-agnostic, a window is a window).
+    */
+  val IntervalCandidates: Seq[(String, String, String, String, Long)] = Seq(
+    ("click_purchase_1h", "events", "user_id", "ts", 3600L),
+    ("event_pairs_60s", "events", "user_id", "ts", 60L))
+
+  /** Bucketing must cut the hottest task's candidate pairs at least
+    * this factor before the ×2 replication is worth prescribing.
+    */
+  val IntervalRatioMin = 4.0
+
+  /** ...and the hottest task must be at least this many candidate
+    * pairs — below it, even a straggler finishes instantly.
+    */
+  val IntervalMinHotPairs = 1000L
+
+  /** q186: INTERVAL-JOIN ADVICE — the planner arc extended to the
+    * BucketIntervalJoin rule: the engine's own statistics decide when
+    * the ×2-replication bucketed layout (q183/q184/q185) pays.
+    *
+    * For each catalog entry the ANALYZE pass computes the candidate-
+    * pair load both layouts would shuffle into their hottest task:
+    * plain keying does Σ-per-key cnt² worst-task work
+    * (`hot_pairs_plain = max_k cnt_k²`), bucketed keying does
+    * `max_(k,b) cnt_(k,b) · (cnt_(k,b) + cnt_(k,b−1))` — each probe
+    * row in bucket b meets the build rows of buckets b and b−1, the
+    * exact candidate set the rewrite produces. The advice fires
+    * (`bucket_recommended`) when the hot task is real
+    * (≥ [[IntervalMinHotPairs]]) AND bucketing cuts it by
+    * ≥ [[IntervalRatioMin]]. Total pair sums ride along as the
+    * EXPLAIN COST line for the whole stage, and `hot_speedup` is the
+    * one IEEE division of two exact integers (the parity convention).
+    *
+    * Scale shape: two map-side-combinable count aggregations per
+    * candidate (per key, per (key, bucket)) — the q179 ANALYZE
+    * discipline; the (key, bucket) self-join for adjacent-bucket mass
+    * joins two already-aggregated frames on their own grouping keys.
+    * At 100 TB the per-key pass rides the same CMS swap q181 proved.
+    * IntervalAdviceSpec pins the decision flips on synthetic Zipf
+    * frames; the oracle replays counts, pair algebra, and both
+    * thresholds from raw rows.
+    */
+  val q186IntervalAdvice: Q = (s, dir) => {
+    val parts = IntervalCandidates.map { case (name, rel, key, tsCol, w) =>
+      intervalAdviceRow(t(s, dir, rel), name, key, tsCol, w)
+    }
+    parts.reduce(_ unionByName _).orderBy(col("join_name"))
+  }
+
+  /** One advice row over any frame — IntervalAdviceSpec feeds
+    * synthetic Zipf/uniform frames through this exact code path.
+    */
+  private[graft] def intervalAdviceRow(df: DataFrame, name: String,
+      key: String, tsCol: String, w: Long): DataFrame = {
+    val e = df.filter(col(key).isNotNull && col(tsCol).isNotNull)
+      .select(col(key).as("k"),
+        expr(s"cast($tsCol as bigint) div $w").as("b"))
+    val keyAgg = e.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_per_key"),
+        max(col("cnt") * col("cnt")).as("hot_pairs_plain"),
+        sum(col("cnt") * col("cnt")).cast("long").as("est_pairs_plain"))
+    val perKB = e.groupBy(col("k"), col("b")).agg(count(lit(1)).as("cnt"))
+      .materialize()
+    val prev = perKB.select(col("k"), (col("b") + 1).as("b"),
+      col("cnt").as("prev"))
+    val kbAgg = perKB.join(prev, Seq("k", "b"), "left")
+      .select((col("cnt") * (col("cnt") + coalesce(col("prev"), lit(0L))))
+        .as("pairs"))
+      .agg(max(col("pairs")).as("hot_pairs_bucketed"),
+        sum(col("pairs")).cast("long").as("est_pairs_bucketed"))
+    keyAgg.crossJoin(broadcast(kbAgg))
+      .select(lit(name).as("join_name"), col("n_rows"), col("n_keys"),
+        col("max_per_key"), col("hot_pairs_plain"), col("est_pairs_plain"),
+        col("hot_pairs_bucketed"), col("est_pairs_bucketed"),
+        round(col("hot_pairs_plain").cast("double") /
+          col("hot_pairs_bucketed"), 2).as("hot_speedup"),
+        (col("hot_pairs_plain") >= IntervalMinHotPairs &&
+          col("hot_pairs_plain").cast("double") >=
+            lit(IntervalRatioMin) * col("hot_pairs_bucketed"))
+          .cast("bigint").as("bucket_recommended"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q179_join_planner" -> q179JoinPlanner,
-    "q181_sketch_analyze" -> q181SketchAnalyze)
+    "q181_sketch_analyze" -> q181SketchAnalyze,
+    "q186_interval_advice" -> q186IntervalAdvice)
 
   /** The oracle replays the WHOLE planner from raw rows: per profiled
     * (table, key) one CTE computing row count, q100 skew terms, and
@@ -452,5 +540,44 @@ object JoinPlanner {
       }
       s"""${rows.mkString("\nUNION ALL\n")}
         |ORDER BY rel, key_col""".stripMargin
+    },
+    // replay the interval advice from raw rows: per-key and
+    // per-(key, bucket) counts, the adjacent-bucket pair algebra, and
+    // both decision thresholds (epoch_us // (w*1e6) == Spark's
+    // cast-to-seconds div w for the fixtures' positive epochs)
+    "q186_interval_advice" -> {
+      val rows = IntervalCandidates.map { case (name, rel, key, tsCol, w) =>
+        s"""SELECT '$name' AS join_name, ka.n_rows, ka.n_keys,
+          |  ka.max_per_key, ka.hot_pairs_plain, ka.est_pairs_plain,
+          |  kb.hot_pairs_bucketed, kb.est_pairs_bucketed,
+          |  round(CAST(ka.hot_pairs_plain AS DOUBLE) / kb.hot_pairs_bucketed, 2)
+          |    AS hot_speedup,
+          |  CAST(ka.hot_pairs_plain >= $IntervalMinHotPairs
+          |    AND CAST(ka.hot_pairs_plain AS DOUBLE)
+          |        >= $IntervalRatioMin * kb.hot_pairs_bucketed
+          |    AS BIGINT) AS bucket_recommended
+          |FROM
+          |  (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+          |     max(cnt) AS max_per_key, max(cnt * cnt) AS hot_pairs_plain,
+          |     CAST(sum(cnt * cnt) AS BIGINT) AS est_pairs_plain
+          |   FROM (SELECT $key AS k, count(*) AS cnt FROM $rel
+          |         WHERE $key IS NOT NULL AND $tsCol IS NOT NULL
+          |         GROUP BY 1)) ka,
+          |  (SELECT max(pairs) AS hot_pairs_bucketed,
+          |     CAST(sum(pairs) AS BIGINT) AS est_pairs_bucketed
+          |   FROM (
+          |     SELECT a.cnt * (a.cnt + coalesce(p.cnt, 0)) AS pairs
+          |     FROM (SELECT $key AS k, epoch_us($tsCol) // ${w * 1000000L} AS b,
+          |             count(*) AS cnt FROM $rel
+          |           WHERE $key IS NOT NULL AND $tsCol IS NOT NULL
+          |           GROUP BY 1, 2) a
+          |     LEFT JOIN (SELECT $key AS k, epoch_us($tsCol) // ${w * 1000000L} AS b,
+          |             count(*) AS cnt FROM $rel
+          |           WHERE $key IS NOT NULL AND $tsCol IS NOT NULL
+          |           GROUP BY 1, 2) p
+          |       ON p.k = a.k AND p.b = a.b - 1)) kb""".stripMargin
+      }
+      s"""${rows.mkString("\nUNION ALL\n")}
+        |ORDER BY join_name""".stripMargin
     })
 }
