@@ -216,13 +216,72 @@ object JoinPlanner {
       .orderBy(col("join_name"))
   }
 
+  // ---- standing stats artifact (cross-session ANALYZE reuse) -------
+
+  /** Tables the ANALYZE pass profiles (signature scope). */
+  private def statsTables: Seq[String] = statsPairs.map(_._1).distinct.sorted
+
+  private[graft] def statsRoot(dir: String): String =
+    graft.sources.StandingIndex.artifactRoot(dir, "jpstats")
+
+  /** Content signature over EVERY profiled table (all columns — the
+    * byte-width stats read the string columns too): Σ per-table
+    * multiset hash, table name folded in so moving rows between
+    * tables can't cancel. Same comparator-only discipline as
+    * [[graft.sources.StandingIndex.tableSig]].
+    */
+  private[graft] def statsSig(s: SparkSession, dir: String): (Long, Long) = {
+    val M = graft.sources.StandingIndex.SigMod
+    val per = statsTables.map { tn =>
+      val cols = Engine.table(s, dir, tn).columns.toSeq
+      val (n, sg) = graft.sources.StandingIndex.tableSig(s, dir, tn, cols)
+      (n, Math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(tn).toLong + sg, M))
+    }
+    (per.map(_._1).sum, Math.floorMod(per.map(_._2).sum, M))
+  }
+
+  private val statsCache = new graft.SessionCache
+
+  /** The planner's statistics table as a STANDING ARTIFACT — the
+    * ANALYZE pass (10 per-key count aggregations) runs once per
+    * corpus, not once per query execution: `ensure` validates the
+    * stored stats' meta signature against the current profiled tables
+    * (the q156/q165 artifact-reuse discipline applied to the
+    * planner's own inputs — a warehouse's ANALYZE cache) and only
+    * rebuilds on a content change. Stats are deterministic functions
+    * of the corpus, so stored == freshly-computed whenever the
+    * signature matches — which is why q179's raw-row DuckDB oracle
+    * stays valid over the stored path. ArtifactReuseSpec pins reuse
+    * and the poisoned-table rebuild.
+    */
+  def ensureStats(s: SparkSession, dir: String): DataFrame = {
+    statsCache.getOrElseUpdate(s, dir) {
+      ensureStatsValidated(s, dir); s.emptyDataFrame
+    }
+    s.read.parquet(s"${statsRoot(dir)}/stats")
+  }
+
+  /** The validation+build step a NEW session runs (spec hook). */
+  private[graft] def ensureStatsValidated(s: SparkSession, dir: String): Unit = {
+    val root = statsRoot(dir)
+    val sig = statsSig(s, dir)
+    if (!graft.sources.StandingIndex.metaFresh(s, root, sig)) {
+      statsPairs.map { case (r, c) => statsRow(s, dir, r, c) }
+        .reduce(_ unionByName _)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
+      // meta LAST: a crashed build can never validate as fresh
+      graft.sources.StandingIndex.writeMeta(s, root, sig)
+    }
+  }
+
   val q179JoinPlanner: Q = (s, dir) => {
     import s.implicits._
-    // the ANALYZE pass: ~10 one-row aggregates, materialized once so
-    // the two-sided decision join doesn't replay any per-key count
-    val stats = statsPairs.map { case (r, c) => statsRow(s, dir, r, c) }
-      .reduce(_ unionByName _).materialize()
-    decide(stats, JoinCandidates
+    // the ANALYZE pass, via the standing stats artifact: first run per
+    // corpus builds ~10 one-row aggregates and persists them; later
+    // runs (and later SESSIONS) validate the signature and read the
+    // stored table — the decision join never replays a per-key count
+    decide(ensureStats(s, dir), JoinCandidates
       .toDF("join_name", "left_rel", "left_key", "right_rel", "right_key"))
   }
 

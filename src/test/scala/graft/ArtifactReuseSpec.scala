@@ -147,6 +147,53 @@ class ArtifactReuseSpec extends AnyFunSuite {
       "edited embeddings did not trigger a quantizer retrain")
   }
 
+  test("planner stats artifact: reuse on match; edited profiled table rebuilds") {
+    import graft.operators.JoinPlanner
+    // private corpus with every table the ANALYZE pass profiles
+    val dir = Files.createTempDirectory("graft_jpstats_").toString
+    Seq("customer", "nation", "events", "orders", "lineitem", "part",
+      "supplier").foreach { t =>
+      Files.copy(Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        Paths.get(s"$dir/$t.parquet"))
+    }
+    val root = JoinPlanner.statsRoot(dir)
+    JoinPlanner.ensureStatsValidated(spark, dir) // session 1: ANALYZE + persist
+    val built = newestMtime(root)
+    assert(built > 0L)
+    val stored = spark.read.parquet(s"$root/stats")
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored.nonEmpty)
+    Thread.sleep(1100)
+    JoinPlanner.ensureStatsValidated(spark, dir) // session 2: must reuse
+    assert(newestMtime(root) == built,
+      "fresh stats artifact was re-ANALYZEd instead of reused")
+    // poison one orders row — the all-columns table signature flips
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val schema = o.schema
+    val edited = o.withColumn("o_orderpriority",
+      when(col("o_orderkey") === o.select(min(col("o_orderkey"))).head().get(0),
+        lit("POISONED-PRIORITY-MUCH-LONGER")).otherwise(col("o_orderpriority")))
+      .collect()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(s"$dir/orders.parquet"))
+    spark.createDataFrame(
+      new java.util.ArrayList(edited.toSeq.asJava), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Thread.sleep(1100)
+    JoinPlanner.ensureStatsValidated(spark, dir) // session 3: must rebuild
+    assert(newestMtime(root) > built,
+      "edited profiled table did not trigger a re-ANALYZE")
+    // rebuilt stats differ exactly where the poison landed (orders
+    // bytes grew), everything else byte-identical
+    val rebuilt = spark.read.parquet(s"$root/stats")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rebuilt != stored)
+    assert(rebuilt.filterNot(_.contains("orders")) ==
+      stored.filterNot(_.contains("orders")))
+  }
+
   test("sim index: reuse on match; missing meta (partial build) rebuilds") {
     val dir = mkCorpus()
     val root = SimIndex.indexRoot(dir)
