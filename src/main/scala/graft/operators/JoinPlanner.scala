@@ -157,7 +157,10 @@ object JoinPlanner {
       key: String): DataFrame = {
     graft.Functions.registerAll(s)
     val k = PlannerK
-    t(s, dir, rel)
+    // null keys never match an equi join, so the ANALYZE profiles
+    // non-null keys only — ONE convention across q179/q181/q186 (and
+    // the reason q181 can read its exact baseline from this store)
+    t(s, dir, rel).filter(col(key).isNotNull)
       .groupBy(col(key).as("kk"))
       .agg(count(lit(1)).as("cnt"), sum(rowBytes(rel)).as("bts"))
       .agg(sum(col("cnt")).cast("long").as("n_rows"),
@@ -168,7 +171,7 @@ object JoinPlanner {
             expr(LlmOps.hashS("concat('jp:', CAST(kk AS STRING))"))),
           k).as("sk"))
       .select(lit(rel).as("rel"), lit(key).as("key_col"), col("n_rows"),
-        col("n_bytes"),
+        col("n_bytes"), col("n_keys"), col("max_cnt"),
         round(IndexOps.kmvNdvEst(col("sk"), k), 2).as("ndv"),
         (col("max_cnt") * col("n_keys").cast("double") / col("n_rows"))
           .as("skew_raw"))
@@ -230,6 +233,12 @@ object JoinPlanner {
     * tables can't cancel. Same comparator-only discipline as
     * [[graft.sources.StandingIndex.tableSig]].
     */
+  /** Stored-stats layout version, folded into the signature — a schema
+    * change to the stats table (new columns, new convention) bumps
+    * this and invalidates every stored jpstats artifact at once.
+    */
+  private val JpStatsLayout = 2L
+
   private[graft] def statsSig(s: SparkSession, dir: String): (Long, Long) = {
     val M = graft.sources.StandingIndex.SigMod
     val per = statsTables.map { tn =>
@@ -238,7 +247,7 @@ object JoinPlanner {
       (n, Math.floorMod(
         scala.util.hashing.MurmurHash3.stringHash(tn).toLong + sg, M))
     }
-    (per.map(_._1).sum, Math.floorMod(per.map(_._2).sum, M))
+    (per.map(_._1).sum, Math.floorMod(per.map(_._2).sum + JpStatsLayout, M))
   }
 
   private val statsCache = new graft.SessionCache
@@ -366,22 +375,27 @@ object JoinPlanner {
   val q181SketchAnalyze: Q = (s, dir) => {
     import graft.functions.CountMinAgg.{D, W}
     graft.Functions.registerAll(s)
-    val k = PlannerK
+    // the exact baseline (n_rows, n_keys, max_cnt, KMV ndv) comes from
+    // the STANDING STATS ARTIFACT — q181's point is the sketch-vs-
+    // truth audit, and the truth side is exactly what the ANALYZE
+    // store already holds (same non-null convention, same rounding);
+    // only the CMS counter grid is computed fresh, as a production
+    // sketch-only ANALYZE would
+    val stored = ensureStats(s, dir)
     val parts = statsPairs.map { case (rel, key) =>
       val items = t(s, dir, rel).filter(col(key).isNotNull)
         .select(col(key).cast("string").as("item"))
-      val h = expr(LlmOps.hashS("concat('jp:', item)"))
-      val exact = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-        .agg(sum(col("cnt")).cast("long").as("n_rows"),
-          count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt_exact"),
-          graft.functions.KmvSample.kmv_sample(struct(h, h), k).as("sk"))
+      val exact = stored
+        .filter(col("rel") === rel && col("key_col") === key)
+        .select(col("n_rows"), col("n_keys"),
+          col("max_cnt").as("max_cnt_exact"), col("ndv").as("ndv_stored"))
       val cms = items
         .agg(graft.functions.CountMinAgg.count_min(col("item")).as("cm"))
       val rowMaxes = (0 until D).map(i =>
         expr(s"array_max(slice(cm, ${i * W + 1}, $W))"))
       exact.crossJoin(broadcast(cms))
         .withColumn("max_cnt_est", least(rowMaxes: _*))
-        .withColumn("ndv_est", round(IndexOps.kmvNdvEst(col("sk"), k), 2))
+        .withColumn("ndv_est", col("ndv_stored"))
         .withColumn("skew_exact_raw",
           col("max_cnt_exact") * col("n_keys").cast("double") / col("n_rows"))
         .withColumn("skew_est_raw",
@@ -525,7 +539,8 @@ object JoinPlanner {
           |       SELECT DISTINCT $h AS h FROM $rel WHERE $key IS NOT NULL)
           |       ORDER BY h LIMIT $k)) AS ndv
           |  FROM (SELECT $key AS kk, count(*) AS cnt,
-          |          sum($fixed$w) AS bts FROM $rel GROUP BY 1))"""
+          |          sum($fixed$w) AS bts FROM $rel
+          |          WHERE $key IS NOT NULL GROUP BY 1))"""
           .stripMargin
       }
       val rows = JoinCandidates.map { case (name, lrel, lkey, rrel, rkey) =>
