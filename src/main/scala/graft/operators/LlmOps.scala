@@ -909,34 +909,68 @@ object LlmOps {
     * a hash aggregation — no window over the corpus, no original
     * embeddings read after quantization.
     */
-  val q161PqAdc: Q = (s, dir) => {
+  /** Validate-or-build the PERSISTED plain-PQ artifact (subspace
+    * codebooks + the per-vector one-byte codes) and return its root —
+    * the [[ensureIvfArtifact]] discipline applied to q161's index:
+    * codebook training (seed assignment + one exact-arithmetic Lloyd
+    * refinement, two corpus scans) and corpus encoding run only when
+    * the embeddings signature changed; every other execution reads
+    * the PqM·PqK codebook rows and the 8-codes-per-vector table the
+    * way a vector service loads its trained index. Exact arithmetic +
+    * lossless parquet doubles ⇒ stored ≡ rebuilt, so q161's raw-row
+    * DuckDB oracle keeps hash-matching over the artifact path.
+    */
+  private[graft] def ensurePqArtifact(s: SparkSession, dir: String): String = {
+    import graft.sources.StandingIndex
     graft.Functions.registerAll(s)
-    val e = t(s, dir, "embeddings")
-    val subs = e
-      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+    val root = StandingIndex.artifactRoot(dir, "pq")
+    val sig = StandingIndex.tableSig(s, dir, "embeddings",
+      Seq("vec_id", "embedding"))
+    if (!StandingIndex.metaFresh(s, root, sig)) {
+      val subs = pqSubvectors(t(s, dir, "embeddings"))
+      val seeds = subs.filter(col("vec_id") < PqK)
+        .select(col("m").as("sm"), col("vec_id").as("cent_id"), col("sub").as("cent"))
+      val d2 = round(expr(
+        "aggregate(zip_with(sub, cent, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 6)
+      def assign(cents: DataFrame): DataFrame =
+        subs.join(broadcast(cents), col("m") === col("sm"))
+          .withColumn("d2", d2)
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("code"),
+            first(col("sub")).as("sub"))
+      // one exact-arithmetic Lloyd refinement per subspace codebook
+      lloydMean(assign(seeds), "sub", Seq("m", "code"), "cent")
+        .select(col("m").as("sm"), col("code").as("cent_id"), col("cent"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+      // encode the corpus against the STORED flat codebooks (the same
+      // re-broadcast the old localCheckpoint bought)
+      assign(s.read.parquet(s"$root/codebooks"))
+        .select(col("vec_id"), col("m"), col("code"))
+        .write.mode("overwrite").parquet(s"$root/codes")
+      // meta last — the commit marker (see StandingIndex.writeMeta)
+      StandingIndex.writeMeta(s, root, sig)
+    }
+    root
+  }
+
+  /** The (vec_id, m, sub) subvector split both PQ builds and the
+    * query-side LUTs share — doubles, the exact-arithmetic convention.
+    */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
         col("embedding"))
       .withColumn("sub", expr(
         s"transform(slice(embedding, m * $PqSubDim + 1, $PqSubDim), x -> CAST(x AS DOUBLE))"))
       .drop("embedding")
-    val seeds = subs.filter(col("vec_id") < PqK)
-      .select(col("m").as("sm"), col("vec_id").as("cent_id"), col("sub").as("cent"))
-    val d2 = round(expr(
-      "aggregate(zip_with(sub, cent, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 6)
-    def assign(cents: DataFrame): DataFrame =
-      subs.join(broadcast(cents), col("m") === col("sm"))
-        .withColumn("d2", d2)
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("code"),
-          first(col("sub")).as("sub"))
-    // one exact-arithmetic Lloyd refinement per subspace codebook
-    val cents1 = lloydMean(assign(seeds), "sub", Seq("m", "code"), "cent")
-      .select(col("m").as("sm"), col("code").as("cent_id"), col("cent"))
-      // PqM*PqK rows; localCheckpoint so the corpus re-assignment and the
-      // LUT build both broadcast a flat table instead of replaying the
-      // Lloyd lineage (whose seed assignment scans the corpus again)
-      .materialize(true)
-    val codes = assign(cents1).select(col("vec_id"), col("m"), col("code"))
-    val probes = subs.filter(col("vec_id") < 10)
+
+  val q161PqAdc: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val e = t(s, dir, "embeddings")
+    val root = ensurePqArtifact(s, dir)
+    val cents1 = s.read.parquet(s"$root/codebooks")
+    val codes = s.read.parquet(s"$root/codes")
+    // query side only — the probe filter prunes the corpus scan
+    val probes = pqSubvectors(e.filter(col("vec_id") < 10))
       .select(col("vec_id").as("qid"), col("m").as("qm"), col("sub").as("qsub"))
     val lut = probes.join(broadcast(cents1), col("qm") === col("sm"))
       .withColumn("pdot", round(expr(
@@ -989,40 +1023,65 @@ object LlmOps {
     * 10×[[PqM]]×[[PqK]] LUT + a broadcast 16-row centroid-dot table —
     * original embeddings are never read at search time.
     */
+  /** Validate-or-build the PERSISTED IVF-PQ (residual) artifact —
+    * residual codebooks + the (cell id, codes) table — and return its
+    * root. Same discipline as [[ensurePqArtifact]]; the signature is
+    * the embeddings table's (the coarse quantizer this build consumes
+    * is itself a deterministic function of the same signature, via
+    * [[ensureIvfArtifact]]).
+    */
+  private[graft] def ensurePqrArtifact(s: SparkSession, dir: String): String = {
+    import graft.sources.StandingIndex
+    graft.Functions.registerAll(s)
+    val root = StandingIndex.artifactRoot(dir, "pqr")
+    val sig = StandingIndex.tableSig(s, dir, "embeddings",
+      Seq("vec_id", "embedding"))
+    if (!StandingIndex.metaFresh(s, root, sig)) {
+      val e = t(s, dir, "embeddings")
+      val cents = ivfCentroids(s, dir)
+      val corpus = ivfAssign1(e, cents, "vec_id")
+      // residual r(x) = x - c(x), in doubles
+      val res = corpus
+        .join(broadcast(cents.select(col("cent_id").as("rc_id"), col("cent"))),
+          col("cent_id") === col("rc_id"))
+        .withColumn("residual", expr(
+          "zip_with(embedding, cent, (x, y) -> CAST(x AS DOUBLE) - y)"))
+        .select(col("vec_id"), col("cent_id"), col("residual"))
+      val subs = res
+        .select(col("vec_id"), col("cent_id"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("residual"))
+        .withColumn("sub", expr(
+          s"slice(residual, m * $PqSubDim + 1, $PqSubDim)"))
+        .drop("residual")
+      val seeds = subs.filter(col("vec_id") < PqK)
+        .select(col("m").as("sm"), col("vec_id").as("code_id"), col("sub").as("cw"))
+      val d2 = round(expr(
+        "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 6)
+      def assign(cbooks: DataFrame): DataFrame =
+        subs.join(broadcast(cbooks), col("m") === col("sm"))
+          .withColumn("d2", d2)
+          .groupBy(col("vec_id"), col("cent_id"), col("m"))
+          .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code"),
+            first(col("sub")).as("sub"))
+      lloydMean(assign(seeds), "sub", Seq("m", "code"), "cw")
+        .select(col("m").as("sm"), col("code").as("code_id"), col("cw"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+      // the stored index: one cell id + PqM one-byte codes per vector
+      assign(s.read.parquet(s"$root/codebooks"))
+        .select(col("vec_id"), col("cent_id"), col("m"), col("code"))
+        .write.mode("overwrite").parquet(s"$root/codes")
+      StandingIndex.writeMeta(s, root, sig)
+    }
+    root
+  }
+
   val q162IvfPq: Q = (s, dir) => {
     graft.Functions.registerAll(s)
     val e = t(s, dir, "embeddings")
     val cents = ivfCentroids(s, dir)
-    val corpus = ivfAssign1(e, cents, "vec_id")
-    // residual r(x) = x - c(x), in doubles
-    val res = corpus
-      .join(broadcast(cents.select(col("cent_id").as("rc_id"), col("cent"))),
-        col("cent_id") === col("rc_id"))
-      .withColumn("residual", expr(
-        "zip_with(embedding, cent, (x, y) -> CAST(x AS DOUBLE) - y)"))
-      .select(col("vec_id"), col("cent_id"), col("residual"))
-    val subs = res
-      .select(col("vec_id"), col("cent_id"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("residual"))
-      .withColumn("sub", expr(
-        s"slice(residual, m * $PqSubDim + 1, $PqSubDim)"))
-      .drop("residual")
-    val seeds = subs.filter(col("vec_id") < PqK)
-      .select(col("m").as("sm"), col("vec_id").as("code_id"), col("sub").as("cw"))
-    val d2 = round(expr(
-      "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 6)
-    def assign(cbooks: DataFrame): DataFrame =
-      subs.join(broadcast(cbooks), col("m") === col("sm"))
-        .withColumn("d2", d2)
-        .groupBy(col("vec_id"), col("cent_id"), col("m"))
-        .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code"),
-          first(col("sub")).as("sub"))
-    val cbooks = lloydMean(assign(seeds), "sub", Seq("m", "code"), "cw")
-      .select(col("m").as("sm"), col("code").as("code_id"), col("cw"))
-      // PqM*PqK rows; flattened for the same reason as q161's cents1
-      .materialize(true)
-    // the stored index: one cell id + PqM one-byte codes per vector
-    val codes = assign(cbooks).select(col("vec_id"), col("cent_id"), col("m"), col("code"))
+    val root = ensurePqrArtifact(s, dir)
+    val cbooks = s.read.parquet(s"$root/codebooks")
+    val codes = s.read.parquet(s"$root/codes")
     // query side: nprobe cells + exact q·c per (query, cell)
     val probes = ivfAssign(e.filter(col("vec_id") < 10), cents, "vec_id", NProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),

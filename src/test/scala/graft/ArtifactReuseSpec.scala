@@ -147,6 +147,52 @@ class ArtifactReuseSpec extends AnyFunSuite {
       "edited embeddings did not trigger a quantizer retrain")
   }
 
+  test("pq artifacts (plain + residual): reuse on match; edited embeddings retrain") {
+    import graft.operators.LlmOps
+    import graft.sources.StandingIndex
+    val dir = mkCorpus()
+    val pqRoot = LlmOps.ensurePqArtifact(spark, dir)
+    val pqrRoot = LlmOps.ensurePqrArtifact(spark, dir)
+    val (bPq, bPqr) = (newestMtime(pqRoot), newestMtime(pqrRoot))
+    assert(bPq > 0L && bPqr > 0L)
+    // stored index shapes: PqM x PqK codebook rows; PqM codes per vector
+    val nCb = spark.read.parquet(s"$pqRoot/codebooks").count()
+    assert(nCb == LlmOps.PqM.toLong * LlmOps.PqK)
+    val codes = spark.read.parquet(s"$pqRoot/codes")
+    val nVec = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(codes.count() == nVec * LlmOps.PqM)
+    Thread.sleep(1100)
+    LlmOps.ensurePqArtifact(spark, dir) // session 2: must reuse
+    LlmOps.ensurePqrArtifact(spark, dir)
+    assert(newestMtime(pqRoot) == bPq && newestMtime(pqrRoot) == bPqr,
+      "fresh pq artifact was retrained instead of reused")
+    // the same one-float embedding poison the ivf test uses must flip
+    // BOTH pq signatures (they key on the embeddings table)
+    val sigBefore = StandingIndex.tableSig(spark, dir, "embeddings",
+      Seq("vec_id", "embedding"))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val edited = e.map { r =>
+      if (r.getLong(0) == 0L) {
+        val v = r.getSeq[Float](1).toArray
+        v(0) = v(0) + 1.0f
+        org.apache.spark.sql.Row(r.getLong(0), v.toSeq, r.get(2))
+      } else r
+    }
+    val regen = spark.createDataFrame(
+      new java.util.ArrayList(edited.toSeq.asJava), schema)
+    Files.delete(Paths.get(s"$dir/embeddings.parquet"))
+    regen.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    assert(StandingIndex.tableSig(spark, dir, "embeddings",
+      Seq("vec_id", "embedding")) != sigBefore)
+    Thread.sleep(1100)
+    LlmOps.ensurePqArtifact(spark, dir) // session 3: must retrain
+    LlmOps.ensurePqrArtifact(spark, dir)
+    assert(newestMtime(pqRoot) > bPq && newestMtime(pqrRoot) > bPqr,
+      "edited embeddings did not retrain the pq artifacts")
+  }
+
   test("planner stats artifact: reuse on match; edited profiled table rebuilds") {
     import graft.operators.JoinPlanner
     // private corpus with every table the ANALYZE pass profiles
