@@ -1227,6 +1227,66 @@ object LlmOps {
         .union(vecAssign(delta, cents).withColumn("is_delta", lit(true))))
   }
 
+  /** q187: PQ INDEX MAINTENANCE — q167's frozen-model premise applied
+    * to the product quantizer: codebooks train on the STANDING side
+    * only (seeded by the [[PqK]] lowest standing vec_ids, one
+    * exact-arithmetic Lloyd refinement — the q161 recipe), the delta
+    * batch is ENCODED against those frozen codebooks, and the report
+    * is the per-(subspace, code) histogram with standing/delta counts
+    * and per-side code-assignment signatures (Σ hash(vec|m|code) mod
+    * 1e9 — one wrong code on either side flips a signature). This is
+    * how a production PQ index ingests: retraining codebooks per batch
+    * would re-encode the whole corpus; frozen codebooks make delta
+    * ingestion O(|delta|·PqM·PqK) with unchanged stored codes. The
+    * oracle replays split, seeds, Lloyd, both encodes, and the
+    * signature fold from raw rows.
+    */
+  val q187PqDelta: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val e = vecCorpusSplit(s, dir)
+    pqDeltaReport(
+      e.filter(!col("is_delta")).select(col("vec_id"), col("embedding")),
+      e.filter(col("is_delta")).select(col("vec_id"), col("embedding")))
+  }
+
+  /** The q187 report over explicit sides — PqDeltaSpec proves the
+    * frozen-codebook invariant by calling this with and without the
+    * delta: the standing half must be byte-identical (codebooks are a
+    * pure function of `standing`).
+    */
+  private[graft] def pqDeltaReport(standing: DataFrame, delta: DataFrame): DataFrame = {
+    val subsS = pqSubvectors(standing)
+    val seedIds = standing.orderBy(col("vec_id")).limit(PqK)
+      .select(col("vec_id").as("sid"))
+    val seeds = subsS.join(broadcast(seedIds), col("vec_id") === col("sid"))
+      .select(col("m").as("sm"), col("vec_id").as("cent_id"), col("sub").as("cent"))
+    val d2 = round(expr(
+      "aggregate(zip_with(sub, cent, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 6)
+    def assign(src: DataFrame, cents: DataFrame): DataFrame =
+      src.join(broadcast(cents), col("m") === col("sm"))
+        .withColumn("d2", d2)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("code"),
+          first(col("sub")).as("sub"))
+    val cbooks = lloydMean(assign(subsS, seeds), "sub", Seq("m", "code"), "cent")
+      .select(col("m").as("sm"), col("code").as("cent_id"), col("cent"))
+      .materialize(true)
+    val codesS = assign(subsS, cbooks)
+      .select(col("vec_id"), col("m"), col("code")).withColumn("is_delta", lit(false))
+    val codesD = assign(pqSubvectors(delta), cbooks)
+      .select(col("vec_id"), col("m"), col("code")).withColumn("is_delta", lit(true))
+    codesS.union(codesD)
+      .withColumn("ch", pmod(expr(hashS(
+        "concat('pc:', CAST(vec_id AS STRING), '|', CAST(m AS STRING), '|', CAST(code AS STRING))")),
+        lit(1000000000L)))
+      .groupBy(col("m"), col("code"))
+      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).cast("long").as("n_standing"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).cast("long").as("n_delta"),
+        sum(when(!col("is_delta"), col("ch")).otherwise(0L)).cast("long").as("sig_standing"),
+        sum(when(col("is_delta"), col("ch")).otherwise(0L)).cast("long").as("sig_delta"))
+      .orderBy(col("m"), col("code"))
+  }
+
   /** SemDeDup cosine threshold (q96) — calibrated to the fixture corpus
     * like [[CosineNearDupThreshold]]; real embedding corpora run ~0.9+.
     */
@@ -3078,6 +3138,7 @@ object LlmOps {
     "q161_pq_adc" -> q161PqAdc,
     "q162_ivfpq" -> q162IvfPq,
     "q167_vec_index_delta" -> q167VecIndexDelta,
+    "q187_pq_delta" -> q187PqDelta,
     "q96_semdedup" -> q96SemDedup,
     "q104_hard_negatives" -> q104HardNegatives,
     "q105_weighted_sample" -> q105WeightedSample,
@@ -3829,6 +3890,59 @@ object LlmOps {
         |  CAST(sum(CASE WHEN is_delta THEN ah ELSE 0 END) AS BIGINT) AS sig_delta,
         |  round(CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS delta_frac
         |FROM uh GROUP BY cent_id ORDER BY cent_id""".stripMargin
+    },
+    // q187: the q161 PQ replay restricted to the standing side for
+    // training (q167's split + seed rule), then BOTH sides encoded
+    // against the frozen codebooks and folded into per-(m, code)
+    // counts + signatures
+    "q187_pq_delta" -> {
+      val sd = PqSubDim
+      def d2(a: String, b: String): String =
+        s"round(list_sum(list_transform(range(1, ${sd + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 6)"
+      val sideH = hashD(s"'$VecDeltaSalt' || vec_id::VARCHAR")
+      val ch = hashD("'pc:' || vec_id::VARCHAR || '|' || m::VARCHAR || '|' || code::VARCHAR")
+      def subsOf(src: String): String =
+        s"""SELECT vec_id, mm.m AS m,
+           |    list_transform(range(mm.m * $sd + 1, mm.m * $sd + ${sd + 1}),
+           |      i -> CAST(embedding[i] AS DOUBLE)) AS sub
+           |  FROM $src, (SELECT unnest(range(0, $PqM)) AS m) mm""".stripMargin
+      def encode(subs: String, cents: String): String =
+        s"""SELECT vec_id, m, code FROM (
+           |    SELECT s.vec_id, s.m, c.cent_id AS code,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.m
+           |        ORDER BY ${d2("s.sub", "c.cent")} ASC, c.cent_id ASC) AS rn
+           |    FROM $subs s JOIN $cents c ON s.m = c.m) WHERE rn = 1""".stripMargin
+      s"""WITH emb_s AS (SELECT vec_id, embedding FROM embeddings WHERE $sideH % $DeltaSplitMod != 1),
+        |emb_d AS (SELECT vec_id, embedding FROM embeddings WHERE $sideH % $DeltaSplitMod = 1),
+        |subs_s AS (${subsOf("emb_s")}),
+        |subs_d AS (${subsOf("emb_d")}),
+        |seedids AS (SELECT vec_id FROM emb_s ORDER BY vec_id LIMIT $PqK),
+        |seeds AS (SELECT m, vec_id AS cent_id, sub AS cent FROM subs_s
+        |          WHERE vec_id IN (SELECT vec_id FROM seedids)),
+        |asg0 AS (
+        |  SELECT vec_id, m, code, sub FROM (
+        |    SELECT s.vec_id, s.m, c.cent_id AS code, s.sub,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY ${d2("s.sub", "c.cent")} ASC, c.cent_id ASC) AS rn
+        |    FROM subs_s s JOIN seeds c ON s.m = c.m) WHERE rn = 1),
+        |lloyd AS (
+        |  SELECT m, code, d.i - 1 AS dim,
+        |    CAST(sum(CAST(round(sub[d.i] * 1048576) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 1048576.0 AS c
+        |  FROM asg0, (SELECT unnest(range(1, ${sd + 1})) AS i) d
+        |  GROUP BY m, code, d.i),
+        |cents AS (SELECT m, code AS cent_id, list(c ORDER BY dim) AS cent FROM lloyd GROUP BY m, code),
+        |u AS (
+        |  SELECT vec_id, m, code, FALSE AS is_delta FROM (${encode("subs_s", "cents")})
+        |  UNION ALL
+        |  SELECT vec_id, m, code, TRUE AS is_delta FROM (${encode("subs_d", "cents")})),
+        |uh AS (SELECT *, $ch % 1000000000 AS ch FROM u)
+        |SELECT m, code,
+        |  CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_standing,
+        |  CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+        |  CAST(sum(CASE WHEN NOT is_delta THEN ch ELSE 0 END) AS BIGINT) AS sig_standing,
+        |  CAST(sum(CASE WHEN is_delta THEN ch ELSE 0 END) AS BIGINT) AS sig_delta
+        |FROM uh GROUP BY m, code ORDER BY m, code""".stripMargin
     },
     "q55_simhash_pairs" ->
       s"""WITH $simhashPairCtesD
