@@ -1255,27 +1255,48 @@ object LlmOps {
     * pure function of `standing`).
     */
   private[graft] def pqDeltaReport(standing: DataFrame, delta: DataFrame): DataFrame = {
+    val cbooks = pqFrozenCodebooks(standing)
+    pqCodeReport(
+      pqEncode(standing, cbooks).withColumn("is_delta", lit(false))
+        .union(pqEncode(delta, cbooks).withColumn("is_delta", lit(true))))
+  }
+
+  private def pqAssignD2 = round(expr(
+    "aggregate(zip_with(sub, cent, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 6)
+
+  private def pqAssign(src: DataFrame, cents: DataFrame): DataFrame =
+    src.join(broadcast(cents), col("m") === col("sm"))
+      .withColumn("d2", pqAssignD2)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("code"),
+        first(col("sub")).as("sub"))
+
+  /** q187's FROZEN codebooks: seeded by the [[PqK]] lowest standing
+    * vec_ids, one exact-arithmetic Lloyd refinement — a pure function
+    * of the standing side (the streaming twin's per-batch encodes and
+    * the one-shot query train against byte-identical codebooks).
+    */
+  private[graft] def pqFrozenCodebooks(standing: DataFrame): DataFrame = {
     val subsS = pqSubvectors(standing)
     val seedIds = standing.orderBy(col("vec_id")).limit(PqK)
       .select(col("vec_id").as("sid"))
     val seeds = subsS.join(broadcast(seedIds), col("vec_id") === col("sid"))
       .select(col("m").as("sm"), col("vec_id").as("cent_id"), col("sub").as("cent"))
-    val d2 = round(expr(
-      "aggregate(zip_with(sub, cent, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 6)
-    def assign(src: DataFrame, cents: DataFrame): DataFrame =
-      src.join(broadcast(cents), col("m") === col("sm"))
-        .withColumn("d2", d2)
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("code"),
-          first(col("sub")).as("sub"))
-    val cbooks = lloydMean(assign(subsS, seeds), "sub", Seq("m", "code"), "cent")
+    lloydMean(pqAssign(subsS, seeds), "sub", Seq("m", "code"), "cent")
       .select(col("m").as("sm"), col("code").as("cent_id"), col("cent"))
       .materialize(true)
-    val codesS = assign(subsS, cbooks)
-      .select(col("vec_id"), col("m"), col("code")).withColumn("is_delta", lit(false))
-    val codesD = assign(pqSubvectors(delta), cbooks)
-      .select(col("vec_id"), col("m"), col("code")).withColumn("is_delta", lit(true))
-    codesS.union(codesD)
+  }
+
+  /** Encode a (vec_id, embedding) frame against frozen codebooks →
+    * (vec_id, m, code).
+    */
+  private[graft] def pqEncode(src: DataFrame, cbooks: DataFrame): DataFrame =
+    pqAssign(pqSubvectors(src), cbooks)
+      .select(col("vec_id"), col("m"), col("code"))
+
+  /** The q187 report over a (vec_id, m, code, is_delta) code table. */
+  private[graft] def pqCodeReport(codes: DataFrame): DataFrame =
+    codes
       .withColumn("ch", pmod(expr(hashS(
         "concat('pc:', CAST(vec_id AS STRING), '|', CAST(m AS STRING), '|', CAST(code AS STRING))")),
         lit(1000000000L)))
@@ -1285,7 +1306,6 @@ object LlmOps {
         sum(when(!col("is_delta"), col("ch")).otherwise(0L)).cast("long").as("sig_standing"),
         sum(when(col("is_delta"), col("ch")).otherwise(0L)).cast("long").as("sig_delta"))
       .orderBy(col("m"), col("code"))
-  }
 
   /** SemDeDup cosine threshold (q96) — calibrated to the fixture corpus
     * like [[CosineNearDupThreshold]]; real embedding corpora run ~0.9+.
