@@ -95,6 +95,29 @@ class ArtifactReuseSpec extends AnyFunSuite {
     assert(Canonical.hash(stored) == Canonical.hash(fromRaw))
   }
 
+  test("shard store: matching signature reuses; edited corpus rewrites") {
+    import graft.sources.TrainingShards
+    val dir = mkCorpus()
+    val out = TrainingShards.shardOutDir(dir)
+    TrainingShards.ensureShardsValidated(spark, dir) // session 1: writes
+    val built = newestMtime(out)
+    assert(built > 0L)
+    val rowsBefore = TrainingShards.readBack(spark, out).count()
+    Thread.sleep(1100)
+    TrainingShards.ensureShardsValidated(spark, dir) // session 2: reuses
+    assert(newestMtime(out) == built,
+      "fresh shard store was rewritten instead of reused")
+    poisonCorpus(dir)
+    Thread.sleep(1100)
+    TrainingShards.ensureShardsValidated(spark, dir) // session 3: rewrites
+    assert(newestMtime(out) > built,
+      "edited corpus did not trigger a shard rewrite")
+    assert(TrainingShards.readBack(spark, out).count() == rowsBefore)
+    // rewritten store carries the poisoned text (content, not just mtime)
+    assert(TrainingShards.readBack(spark, out)
+      .filter(col("text").endsWith(" POISON")).count() == 1L)
+  }
+
   test("incremental artifact: reuse follows the same signature") {
     val dir = mkCorpus()
     val incRoot = StandingIndex.ensureIncremental(spark, dir)
