@@ -35,6 +35,11 @@ object Engine {
       // events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
       // default; read as long and convert in table() below.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table scans declare their per-bucket sort order so a
+      // co-located SMJ elides its Sorts (BucketStore's one-file-per-
+      // bucket writes make the planning-time file listing this flag
+      // pays for trivial: one status call per bucket)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // reliable-checkpoint mode (see materialize) runs a checkpoint
       // per iteration round; without the cleaner every round's RDD
       // directory stays in the checkpoint dir forever

@@ -28,7 +28,8 @@ object SparkEntry {
       operators.AnalyticsOps.queries ++ operators.JoinPlanner.queries ++
       operators.IndexOps.queries ++ operators.StatsOps.queries ++
       sources.TrainingShards.queries ++ sources.JsonlCorpus.queries ++
-      sources.StandingIndex.queries ++ sources.SimIndex.queries
+      sources.StandingIndex.queries ++ sources.SimIndex.queries ++
+      sources.BucketStore.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
@@ -38,5 +39,6 @@ object SparkEntry {
       operators.AnalyticsOps.oracles ++ operators.JoinPlanner.oracles ++
       operators.IndexOps.oracles ++ operators.StatsOps.oracles ++
       sources.TrainingShards.oracles ++ sources.JsonlCorpus.oracles ++
-      sources.StandingIndex.oracles ++ sources.SimIndex.oracles
+      sources.StandingIndex.oracles ++ sources.SimIndex.oracles ++
+      sources.BucketStore.oracles
 }

@@ -1,0 +1,166 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Bucketed-table store — the co-located-join layout as a STANDING
+  * ARTIFACT.
+  *
+  * A fact⋈fact equi-join (lineitem ⋈ orders on orderkey) shuffles both
+  * sides on every execution; at 100 TB the repeated shuffle of the big
+  * probe side IS the cost of the query family. The lakehouse answer is
+  * to pay the shuffle ONCE: write both tables hash-bucketed (and
+  * per-bucket sorted) on the join key, and every subsequent join plans
+  * with ZERO exchanges on the join inputs — Catalyst recognizes the
+  * bucket spec as a satisfied HashClusteredDistribution and the
+  * per-bucket sort as a satisfied ordering, so the SortMergeJoin needs
+  * neither Exchange nor Sort (BucketStoreSpec pins both elisions).
+  * Point lookups on the bucket key prune to ONE bucket
+  * (`SelectedBucketsCount: 1 out of N` — 1/N of the store scanned
+  * before any row-group pruning).
+  *
+  * Artifact discipline (the q156/q165/jpstats meta-row pattern): the
+  * bucketed FILES outlive the process under a signature-validated
+  * artifact root, but bucket METADATA lives in the session catalog,
+  * which dies with the JVM — so `ensure` has two reuse tiers:
+  *   1. signature fresh + table registered  → nothing to do;
+  *   2. signature fresh + catalog empty (a NEW session over a stored
+  *      artifact) → re-register the existing files with
+  *      `CREATE TABLE … USING PARQUET CLUSTERED BY … LOCATION` — a
+  *      metadata-only DDL, no data movement (BucketStoreSpec proves
+  *      the mtime witness stays put and the join stays exchange-free);
+  *   3. signature stale/missing → rewrite both tables, meta row LAST.
+  *
+  * The one-file-per-bucket invariant: each table is
+  * `repartition(NumBuckets, key)`-exchanged before the bucketed write.
+  * Spark's bucket id is `pmod(murmur3(key), N)` — the SAME function
+  * HashPartitioning uses — so task i holds exactly bucket i's rows and
+  * writes exactly one file. That invariant is what lets the scan
+  * declare its per-bucket sort order (multi-file buckets forfeit it)
+  * and keeps the join sort-free.
+  */
+object BucketStore {
+
+  /** Buckets per table. Fixture-scale; production sizes this as
+    * table_bytes / target_task_bytes, and both sides of a co-located
+    * join family must agree on it.
+    */
+  val NumBuckets = 16
+
+  /** (fixture table, bucket/sort key) — the co-located join family. */
+  val Tables: Seq[(String, String)] =
+    Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey")
+
+  /** Bucket-store layout version, folded into the signature. */
+  private val BktLayout = 1L
+
+  private[graft] def bktRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "bkt")
+
+  /** Catalog names carry the corpus key so two sf dirs never collide
+    * in one session's catalog.
+    */
+  private[graft] def tableName(dir: String, t: String): String = {
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    s"graft_bkt_${t}_$key"
+  }
+
+  private[graft] def bktSig(s: SparkSession, dir: String): (Long, Long) = {
+    val M = StandingIndex.SigMod
+    val per = Tables.map { case (t, _) =>
+      val (n, sg) = StandingIndex.tableSig(s, dir, t,
+        graft.Engine.table(s, dir, t).columns.toSeq)
+      (n, Math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(t).toLong + sg, M))
+    }
+    (per.map(_._1).sum, Math.floorMod(per.map(_._2).sum + BktLayout, M))
+  }
+
+  private val builtCache = new graft.SessionCache
+
+  /** Make both bucketed tables available in this session's catalog,
+    * reusing stored files when the corpus signature matches.
+    */
+  def ensureBucketed(s: SparkSession, dir: String): Unit =
+    builtCache.getOrElseUpdate(s, dir) {
+      ensureBucketedValidated(s, dir); s.emptyDataFrame
+    }
+
+  /** The validation+registration step a NEW session runs (spec hook). */
+  private[graft] def ensureBucketedValidated(s: SparkSession, dir: String): Unit = {
+    val root = bktRoot(dir)
+    val sig = bktSig(s, dir)
+    if (!StandingIndex.metaFresh(s, root, sig)) {
+      Tables.foreach { case (t, key) =>
+        val tn = tableName(dir, t)
+        s.sql(s"DROP TABLE IF EXISTS $tn")
+        deleteDir(new java.io.File(s"$root/$t"))
+        // repartition on the key with numPartitions == numBuckets:
+        // partition id == bucket id (same murmur3-pmod function), so
+        // each task writes its one bucket's one file
+        graft.Engine.table(s, dir, t)
+          .repartition(NumBuckets, col(key))
+          .write.mode("overwrite")
+          .option("path", s"$root/$t")
+          .bucketBy(NumBuckets, key).sortBy(key)
+          .saveAsTable(tn)
+      }
+      // meta LAST: a crashed build can never validate as fresh
+      StandingIndex.writeMeta(s, root, sig)
+    } else Tables.foreach { case (t, key) =>
+      val tn = tableName(dir, t)
+      if (!s.catalog.tableExists(tn)) {
+        // new session over a stored artifact: metadata-only
+        // re-registration of the existing bucketed files
+        val ddl = s.read.parquet(s"$root/$t").schema.toDDL
+        s.sql(s"""CREATE TABLE $tn ($ddl) USING PARQUET
+                 |CLUSTERED BY ($key) SORTED BY ($key)
+                 |INTO $NumBuckets BUCKETS
+                 |LOCATION '$root/$t'""".stripMargin)
+      }
+    }
+  }
+
+  private def deleteDir(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteDir))
+    f.delete()
+  }
+
+  /** Exact decimal sum emitted as double (oracle parity — the
+    * Relational.dsum convention).
+    */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(12, 2))).cast("double")
+
+  /** q189: the co-located join itself — lineitem ⋈ orders on orderkey
+    * over the bucketed store, aggregated per order priority. Result is
+    * IDENTICAL to the plain parquet join (the oracle is the verbatim
+    * raw-table SQL — bucketing is layout-only); what changes is the
+    * plan: zero exchanges and zero sorts under the join
+    * (BucketStoreSpec), vs a full shuffle+sort of BOTH sides every run
+    * without the store. The one aggregation exchange that remains moves
+    * |priorities| rows.
+    */
+  val q189BucketedJoin: (SparkSession, String) => DataFrame = (s, dir) => {
+    ensureBucketed(s, dir)
+    val li = s.table(tableName(dir, "lineitem"))
+    val ord = s.table(tableName(dir, "orders"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q189_bucketed_join" -> q189BucketedJoin)
+
+  val oracles: Map[String, String] = Map(
+    "q189_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

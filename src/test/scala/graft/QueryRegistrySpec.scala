@@ -25,7 +25,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     "TrainingShards" -> sources.TrainingShards.queries.keySet,
     "JsonlCorpus" -> sources.JsonlCorpus.queries.keySet,
     "StandingIndex" -> sources.StandingIndex.queries.keySet,
-    "SimIndex" -> sources.SimIndex.queries.keySet)
+    "SimIndex" -> sources.SimIndex.queries.keySet,
+    "BucketStore" -> sources.BucketStore.queries.keySet)
 
   test("no query name is defined by two modules (Map ++ would shadow one)") {
     val all = moduleMaps.flatMap { case (m, ks) => ks.map(_ -> m) }
