@@ -29,7 +29,7 @@ object SparkEntry {
       operators.IndexOps.queries ++ operators.StatsOps.queries ++
       sources.TrainingShards.queries ++ sources.JsonlCorpus.queries ++
       sources.StandingIndex.queries ++ sources.SimIndex.queries ++
-      sources.BucketStore.queries
+      sources.BucketStore.queries ++ sources.ClusteredStore.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
@@ -40,5 +40,5 @@ object SparkEntry {
       operators.IndexOps.oracles ++ operators.StatsOps.oracles ++
       sources.TrainingShards.oracles ++ sources.JsonlCorpus.oracles ++
       sources.StandingIndex.oracles ++ sources.SimIndex.oracles ++
-      sources.BucketStore.oracles
+      sources.BucketStore.oracles ++ sources.ClusteredStore.oracles
 }

@@ -1,0 +1,167 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Range-CLUSTERED document store + zone-map pruning — data skipping
+  * that the executor actually performs.
+  *
+  * q107 builds zone-map STATISTICS and q170 scores layouts through
+  * them; this store closes the loop the way a lakehouse does: the
+  * corpus is physically laid out in value-clustered zones (equi-depth
+  * `n_chars` ranges from the q173 boundary recipe — the deterministic
+  * kmv-sample replacement for Spark's RangePartitioner reservoir), a
+  * per-zone (min, max, count) stats table is persisted NEXT TO the
+  * data, and a range query consults the stats table first: zones whose
+  * [min, max] cannot intersect the predicate are never read — the scan
+  * lists only the surviving `zid=…/` directories
+  * (ClusteredStoreSpec observes fewer files read, not just a plan
+  * shape).
+  *
+  * Why a SECOND store when the shard store exists: zone maps only pay
+  * on a layout whose files are value-clustered. The hash-bucketed
+  * shard store spreads every `n_chars` range over every file — its
+  * per-file [min, max] all straddle any selective predicate, so
+  * nothing can be skipped (the spec PROVES this on the real shard
+  * files). Clustering is what turns file stats into file skipping;
+  * at 100 TB the choice of layout IS the query budget for range
+  * predicates (the q170 Z-order lesson, here with the read path
+  * actually pruned).
+  *
+  * The surviving-zone decision is a driver-side filter over the
+  * zones-per-corpus stats table (≈ [[ZoneParts]] rows) — metadata
+  * scale, the same shape as a Delta/Iceberg planner consulting its
+  * file manifest; the corpus itself never moves for the decision.
+  *
+  * Artifact discipline: data under `root/data/zid=…`, stats under
+  * `root/zones`, signature meta row written LAST (the
+  * q156/jpstats/bkt pattern) — reused across sessions, rebuilt on any
+  * corpus edit.
+  */
+object ClusteredStore {
+
+  /** Target zone count (equi-depth). Fixture-scale; production sizes
+    * this as corpus_bytes / target_file_bytes.
+    */
+  val ZoneParts = 8
+
+  /** Boundary sample size — the q173 regime (~k/p² balance). */
+  val SampleK = 512
+
+  /** Layout version, folded into the signature. */
+  private val ClsLayout = 1L
+
+  private[graft] def clsRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "cls")
+
+  private[graft] def clsSig(s: SparkSession, dir: String): (Long, Long) = {
+    val (n, sg) = StandingIndex.tableSig(s, dir, "documents",
+      graft.Engine.table(s, dir, "documents").columns.toSeq)
+    (n, Math.floorMod(sg + ClsLayout, StandingIndex.SigMod))
+  }
+
+  /** Documents with their zone id: equi-depth `n_chars` boundaries
+    * from the deterministic kmv bottom-k sample (the q173 recipe —
+    * reproducible across runs, engines, and partitionings, unlike a
+    * reservoir), `zid = |{b ∈ boundaries : n_chars > b}|`.
+    */
+  private[graft] def withZone(s: SparkSession, dir: String): DataFrame = {
+    graft.Functions.registerAll(s)
+    val docs = graft.Engine.table(s, dir, "documents")
+    val p = ZoneParts
+    val k = SampleK
+    val sample = docs
+      .select(expr(
+        graft.operators.LlmOps.hashS("concat('cls:', CAST(doc_id AS STRING))"))
+        .as("h"), col("n_chars").as("v"))
+      .agg(graft.functions.KmvSample
+        .kmv_sample(struct(col("h"), col("v")), k).as("sk"))
+      .select(col("sk"), size(col("sk")).cast("long").as("n_sample"))
+    val bnds = sample.select(
+      expr(s"CASE WHEN n_sample > 0 THEN transform(sequence(1, ${p - 1}), " +
+          s"j -> element_at(sk, CAST(greatest(1, least(j * ($k div $p), n_sample)) AS INT))) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END").as("bl"))
+    docs.crossJoin(broadcast(bnds))
+      .withColumn("zid",
+        expr("size(filter(bl, b -> n_chars > b))").cast("int"))
+      .drop("bl")
+  }
+
+  private val builtCache = new graft.SessionCache
+
+  /** Make the clustered store + zone stats available; reuse on a
+    * matching corpus signature.
+    */
+  def ensureClustered(s: SparkSession, dir: String): String = {
+    builtCache.getOrElseUpdate(s, dir) {
+      ensureClusteredValidated(s, dir); s.emptyDataFrame
+    }
+    clsRoot(dir)
+  }
+
+  /** The validation+build step a NEW session runs (spec hook). */
+  private[graft] def ensureClusteredValidated(s: SparkSession, dir: String): Unit = {
+    val root = clsRoot(dir)
+    val sig = clsSig(s, dir)
+    if (!StandingIndex.metaFresh(s, root, sig)) {
+      val zoned = withZone(s, dir)
+      zoned.write.mode("overwrite").partitionBy("zid")
+        .parquet(s"$root/data")
+      // zone stats FROM THE WRITTEN FILES, not the plan — the stats
+      // table must describe what a reader will actually see
+      s.read.parquet(s"$root/data")
+        .groupBy(col("zid"))
+        .agg(min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          count(lit(1)).as("n_docs"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/zones")
+      // meta LAST: a crashed build can never validate as fresh
+      StandingIndex.writeMeta(s, root, sig)
+    }
+  }
+
+  /** Zones whose [min, max] intersects [lo, hi] — the skipping
+    * decision, taken on the ≈[[ZoneParts]]-row stats table.
+    */
+  private[graft] def survivingZones(s: SparkSession, root: String,
+      lo: Long, hi: Long): Seq[Int] =
+    s.read.parquet(s"$root/zones")
+      .filter(!(col("max_chars") < lo || col("min_chars") > hi))
+      .select(col("zid")).collect().map(_.getInt(0)).toSeq.sorted
+
+  /** The q190 predicate window (chars). Equi-depth zones concentrate
+    * the corpus middle, so this low-tail window prunes most zones at
+    * every fixture SF.
+    */
+  val Lo = 100L
+  val Hi = 180L
+
+  /** q190: zone-map-pruned range scan — per-language stats of the
+    * documents whose length falls in [[Lo]], [[Hi]]. The store's zone
+    * stats eliminate non-intersecting `zid=…/` directories BEFORE the
+    * scan (static partition pruning on the surviving ids), the exact
+    * residual predicate still applies inside surviving zones, and the
+    * result is IDENTICAL to the full-scan filter — the oracle is the
+    * verbatim raw-table SQL, because skipping is layout-only.
+    */
+  val q190ZonePrunedScan: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureClustered(s, dir)
+    val zids = survivingZones(s, root, Lo, Hi)
+    s.read.parquet(s"$root/data")
+      .filter(col("zid").isin(zids: _*))
+      .filter(col("n_chars").between(Lo, Hi))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q190_zone_pruned_scan" -> q190ZonePrunedScan)
+
+  val oracles: Map[String, String] = Map(
+    "q190_zone_pruned_scan" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars BETWEEN $Lo AND $Hi
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+}

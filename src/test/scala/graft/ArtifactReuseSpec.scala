@@ -118,6 +118,34 @@ class ArtifactReuseSpec extends AnyFunSuite {
       .filter(col("text").endsWith(" POISON")).count() == 1L)
   }
 
+  test("clustered store: matching signature reuses; edited corpus re-clusters") {
+    import graft.sources.ClusteredStore
+    val dir = mkCorpus()
+    val root = ClusteredStore.clsRoot(dir)
+    ClusteredStore.ensureClusteredValidated(spark, dir) // session 1: builds
+    val built = newestMtime(root)
+    assert(built > 0L)
+    Thread.sleep(1100)
+    ClusteredStore.ensureClusteredValidated(spark, dir) // session 2: reuses
+    assert(newestMtime(root) == built,
+      "fresh clustered store was rebuilt instead of reused")
+    poisonCorpus(dir)
+    Thread.sleep(1100)
+    ClusteredStore.ensureClusteredValidated(spark, dir) // session 3: rebuilds
+    assert(newestMtime(root) > built,
+      "edited corpus did not trigger a re-cluster")
+    // zone stats still describe the rewritten files exactly
+    val stored = spark.read.parquet(s"$root/zones")
+      .collect().map(_.toString).sorted.toSeq
+    val recomputed = spark.read.parquet(s"$root/data")
+      .groupBy(col("zid"))
+      .agg(min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        count(lit(1)).as("n_docs"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored == recomputed && stored.nonEmpty)
+  }
+
   test("incremental artifact: reuse follows the same signature") {
     val dir = mkCorpus()
     val incRoot = StandingIndex.ensureIncremental(spark, dir)

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ClusteredStore, TrainingShards}
+
+/** q190 — zone-map file skipping over the range-clustered store, and
+  * the layout contrast that justifies its existence: the SAME zone
+  * stats computed over the hash-bucketed shard store can skip nothing,
+  * because hash placement spreads every value range over every file.
+  */
+class ClusteredStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session(master = "local[4]")
+  private val dir = "/root/testdata/sf0.001"
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FileSourceScanExec]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec => out += f; f.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    out.toSeq
+  }
+
+  test("q190 reads only surviving zones and equals the full-scan filter") {
+    val df = ClusteredStore.q190ZonePrunedScan(spark, dir)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+    val root = ClusteredStore.clsRoot(dir)
+    val zoneDirs = Option(new java.io.File(s"$root/data").listFiles())
+      .getOrElse(Array.empty).count(f => f.isDirectory && f.getName.startsWith("zid="))
+    val survivors = ClusteredStore.survivingZones(
+      spark, root, ClusteredStore.Lo, ClusteredStore.Hi)
+    assert(zoneDirs == ClusteredStore.ZoneParts,
+      s"expected ${ClusteredStore.ZoneParts} zone dirs, found $zoneDirs")
+    assert(survivors.nonEmpty && survivors.size < zoneDirs,
+      s"window [${ClusteredStore.Lo},${ClusteredStore.Hi}] must prune " +
+        s"some but not all zones; survivors=$survivors")
+
+    // the executed scan listed only the surviving directories
+    val scan = scans(df).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains(root))).head
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead == survivors.size,
+      s"scan read $partsRead partitions, zone map kept ${survivors.size}")
+
+    // value equality against the raw full-scan filter
+    val want = Engine.table(spark, dir, "documents")
+      .filter(col("n_chars").between(ClusteredStore.Lo, ClusteredStore.Hi))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("zone stats describe the written files exactly") {
+    val root = ClusteredStore.ensureClustered(spark, dir)
+    val stored = spark.read.parquet(s"$root/zones")
+      .collect().map(r => (r.getAs[Int]("zid"), r.getAs[Long]("min_chars"),
+        r.getAs[Long]("max_chars"), r.getAs[Long]("n_docs"))).sorted.toSeq
+    val recomputed = spark.read.parquet(s"$root/data")
+      .groupBy(col("zid"))
+      .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Int]("zid"), r.getAs[Long]("mn"),
+        r.getAs[Long]("mx"), r.getAs[Long]("n"))).sorted.toSeq
+    assert(stored == recomputed && stored.nonEmpty)
+    // zones are genuinely value-disjoint by construction (equi-depth
+    // boundaries): each zone's min exceeds the previous zone's max
+    stored.sliding(2).foreach {
+      case Seq((_, _, mxA, _), (_, mnB, _, _)) => assert(mxA <= mnB)
+      case _ =>
+    }
+    // and no zone is lost: counts sum to the corpus
+    assert(stored.map(_._4).sum ==
+      Engine.table(spark, dir, "documents").count())
+  }
+
+  test("the hash-bucketed shard store cannot skip on the same predicate") {
+    val out = TrainingShards.ensureShards(spark, dir)
+    // per-(lang,bucket) file stats over the REAL shard files
+    val fileStats = TrainingShards.readBack(spark, out)
+      .groupBy(col("lang"), col("bucket"))
+      .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+      .collect()
+    assert(fileStats.length >= 30)
+    // hash placement spreads the value range over every file: almost
+    // nothing is skippable (a few ~10-row buckets can miss the window
+    // by chance at sf0.001 — that's sampling noise, not clustering)
+    val skippable = fileStats.count(r =>
+      r.getAs[Long]("mx") < ClusteredStore.Lo ||
+        r.getAs[Long]("mn") > ClusteredStore.Hi)
+    val hashSkipFrac = skippable.toDouble / fileStats.length
+    assert(hashSkipFrac < 0.25,
+      s"$skippable/${fileStats.length} shard files skippable — hash store unexpectedly clustered")
+    // while the clustered store skips the MAJORITY of its zones on the
+    // same predicate — layout is what turns file stats into skipping
+    val root = ClusteredStore.ensureClustered(spark, dir)
+    val survivors = ClusteredStore.survivingZones(
+      spark, root, ClusteredStore.Lo, ClusteredStore.Hi)
+    val clusteredSkipFrac =
+      1.0 - survivors.size.toDouble / ClusteredStore.ZoneParts
+    assert(clusteredSkipFrac > 0.5 && clusteredSkipFrac > 2 * hashSkipFrac,
+      s"clustered store skipped $clusteredSkipFrac vs hash $hashSkipFrac")
+  }
+}

@@ -26,7 +26,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     "JsonlCorpus" -> sources.JsonlCorpus.queries.keySet,
     "StandingIndex" -> sources.StandingIndex.queries.keySet,
     "SimIndex" -> sources.SimIndex.queries.keySet,
-    "BucketStore" -> sources.BucketStore.queries.keySet)
+    "BucketStore" -> sources.BucketStore.queries.keySet,
+    "ClusteredStore" -> sources.ClusteredStore.queries.keySet)
 
   test("no query name is defined by two modules (Map ++ would shadow one)") {
     val all = moduleMaps.flatMap { case (m, ks) => ks.map(_ -> m) }
