@@ -505,10 +505,99 @@ object JoinPlanner {
           .cast("bigint").as("bucket_recommended"))
   }
 
+  /** q191: BUCKET-LAYOUT ADVICE — the planner arc extended to the
+    * [[graft.sources.BucketStore]] layout: the engine's own statistics
+    * decide WHICH KEY each table should be physically bucketed on, and
+    * which catalog joins that layout co-locates.
+    *
+    * The constraint that makes this a decision problem: a table has
+    * ONE physical layout, so a table joined on two different keys
+    * (lineitem on l_orderkey AND l_partkey) can co-locate only one
+    * family. The payoff model is per-run shuffle bytes saved:
+    *
+    *  - a `'shuffle'`-strategy join saves a side's exact byte size
+    *    (the ANALYZE store's `n_bytes`) when that side is bucketed on
+    *    its join key — the exchange Catalyst would plan is elided
+    *    (q189 proves the elision physically);
+    *  - a `'broadcast'` join saves NOTHING — neither side shuffles
+    *    under BHJ, so bucketing for it is wasted layout;
+    *  - a `'salt'` join saves nothing EITHER, for a subtler reason:
+    *    salting rewrites the shuffle key to (key, salt), which a
+    *    key-bucketed layout cannot satisfy — and a co-located merge
+    *    join would concentrate the hot key's merge work in one bucket,
+    *    recreating the straggler that made the planner salt in the
+    *    first place.
+    *
+    * Each table's bucket key is the argmax of summed savings over the
+    * catalog (ties break to the lexicographically smaller key, so the
+    * choice is deterministic); the advice row per join reports both
+    * sides' chosen keys, which sides end up co-located, and the bytes
+    * a run of that join stops shuffling. Self-joins count their table's
+    * bytes on BOTH sides — bucketing lineitem on l_partkey elides both
+    * exchanges of the l_partkey self-join, which is exactly why that
+    * key beats l_orderkey (whose joins all salt or broadcast) at every
+    * fixture SF.
+    *
+    * Everything is integer arithmetic over the standing stats artifact
+    * + the q179 decision table, so the oracle replays stats → decisions
+    * → benefit argmax → advice from raw rows (the full q179 CTE prelude
+    * reused verbatim), and BucketAdviceSpec closes the physical loop:
+    * bucketing the advised (table, key) and running the advised join
+    * plans ZERO exchanges under the join.
+    */
+  val q191BucketAdvice: Q = (s, dir) => {
+    import s.implicits._
+    bucketAdvice(q179JoinPlanner(s, dir), JoinCandidates
+      .map { case (n, _, lk, _, rk) => (n, lk, rk) }
+      .toDF("join_name", "left_key", "right_key"))
+  }
+
+  /** The advice algebra over explicit decision + key frames —
+    * factored out so BucketAdviceSpec can feed synthetic catalogs
+    * (competing keys, broadcast-only tables) through the exact path.
+    */
+  private[graft] def bucketAdvice(decisions: DataFrame,
+      keys: DataFrame): DataFrame = {
+    val d = decisions.join(broadcast(keys), Seq("join_name"))
+    val sides = d.select(col("left_rel").as("rel"), col("left_key").as("bkey"),
+        col("bytes_left").as("bts"), col("strategy"))
+      .unionByName(d.select(col("right_rel").as("rel"),
+        col("right_key").as("bkey"), col("bytes_right").as("bts"),
+        col("strategy")))
+    val benefit = sides.groupBy(col("rel"), col("bkey"))
+      .agg(sum(when(col("strategy") === "shuffle", col("bts"))
+        .otherwise(lit(0L))).cast("long").as("ben"))
+    val best = benefit.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("rel"))
+          .orderBy(col("ben").desc, col("bkey"))))
+      .filter(col("rn") === 1)
+      .select(col("rel"), col("bkey").as("bucket_key"), col("ben"))
+    val bl = best.select(col("rel").as("l_rel"),
+      col("bucket_key").as("bucket_key_left"))
+    val br = best.select(col("rel").as("r_rel"),
+      col("bucket_key").as("bucket_key_right"))
+    d.join(broadcast(bl), col("left_rel") === col("l_rel"))
+      .join(broadcast(br), col("right_rel") === col("r_rel"))
+      .withColumn("colocated_left",
+        (col("strategy") === "shuffle" &&
+          col("bucket_key_left") === col("left_key")).cast("bigint"))
+      .withColumn("colocated_right",
+        (col("strategy") === "shuffle" &&
+          col("bucket_key_right") === col("right_key")).cast("bigint"))
+      .select(col("join_name"), col("strategy"),
+        col("bucket_key_left"), col("bucket_key_right"),
+        col("colocated_left"), col("colocated_right"),
+        (col("colocated_left") * col("bytes_left") +
+          col("colocated_right") * col("bytes_right")).cast("long")
+          .as("saved_bytes_run"))
+      .orderBy(col("join_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q179_join_planner" -> q179JoinPlanner,
     "q181_sketch_analyze" -> q181SketchAnalyze,
-    "q186_interval_advice" -> q186IntervalAdvice)
+    "q186_interval_advice" -> q186IntervalAdvice,
+    "q191_bucket_advice" -> q191BucketAdvice)
 
   /** The oracle replays the WHOLE planner from raw rows: per profiled
     * (table, key) one CTE computing row count, q100 skew terms, and
@@ -518,54 +607,106 @@ object JoinPlanner {
     * ceil — so the hash match value-checks every estimate AND every
     * decision.
     */
+  // CTE names are the statsPairs INDEX (s_0, s_1, …), not a
+  // `s_${rel}_${key}` underscore concatenation — distinct (table,
+  // key) pairs can collide under plain concatenation (ADVICE r11)
+  private lazy val statsCteName = statsPairs.zipWithIndex
+    .map { case (p, i) => p -> s"s_$i" }.toMap
+
+  /** The per-(table, key) ANALYZE CTEs the q179 oracle replays from
+    * raw rows — shared with the q191 oracle, which consumes the same
+    * decision table.
+    */
+  private lazy val statsCtesSql: Seq[String] = {
+    val k = PlannerK
+    statsPairs.map { case pair @ (rel, key) =>
+      val h = LlmOps.hashD(s"'jp:' || CAST($key AS VARCHAR)")
+      val (fixed, strs) = TableWidths(rel)
+      val w = strs.map(c => s" + coalesce(strlen($c), 0)").mkString
+      s"""${statsCteName(pair)} AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(sum(bts) AS BIGINT) AS n_bytes,
+        |    max(cnt) * CAST(count(*) AS DOUBLE) / sum(cnt) AS skew_raw,
+        |    (SELECT round(${IndexOps.kmvNdvEstSqlD("count(*)", "max(h)", k)}, 2)
+        |     FROM (SELECT h FROM (
+        |       SELECT DISTINCT $h AS h FROM $rel WHERE $key IS NOT NULL)
+        |       ORDER BY h LIMIT $k)) AS ndv
+        |  FROM (SELECT $key AS kk, count(*) AS cnt,
+        |          sum($fixed$w) AS bts FROM $rel
+        |          WHERE $key IS NOT NULL GROUP BY 1))"""
+        .stripMargin
+    }
+  }
+
+  /** One decision row per candidate join (the q179 algebra in SQL). */
+  private lazy val decisionRowsSql: Seq[String] =
+    JoinCandidates.map { case (name, lrel, lkey, rrel, rkey) =>
+      val skew = "CASE WHEN r.n_rows <= l.n_rows THEN l.skew_raw ELSE r.skew_raw END"
+      s"""SELECT '$name' AS join_name, '$lrel' AS left_rel, '$rrel' AS right_rel,
+        |  l.n_rows AS n_left, r.n_rows AS n_right,
+        |  l.n_bytes AS bytes_left, r.n_bytes AS bytes_right,
+        |  l.ndv AS ndv_left, r.ndv AS ndv_right,
+        |  round(CAST(l.n_rows AS DOUBLE) * CAST(r.n_rows AS DOUBLE)
+        |    / greatest(l.ndv, r.ndv), 2) AS join_est,
+        |  round($skew, 4) AS skew_probe,
+        |  CASE WHEN r.n_rows <= l.n_rows THEN 'right' ELSE 'left' END AS build_side,
+        |  CASE WHEN least(l.n_bytes, r.n_bytes) <= $BroadcastMaxBytes THEN 'broadcast'
+        |       WHEN $skew >= $SaltSkewMin THEN 'salt'
+        |       ELSE 'shuffle' END AS strategy,
+        |  CASE WHEN least(l.n_bytes, r.n_bytes) > $BroadcastMaxBytes
+        |        AND $skew >= $SaltSkewMin
+        |       THEN least(CAST(ceil($skew) AS BIGINT), $SaltFactorCap)
+        |       ELSE CAST(1 AS BIGINT) END
+        |    AS salt_factor
+        |FROM ${statsCteName(lrel -> lkey)} l, ${statsCteName(rrel -> rkey)} r""".stripMargin
+    }
+
   val oracles: Map[String, String] = Map(
-    "q179_join_planner" -> {
-      val k = PlannerK
-      // CTE names are the statsPairs INDEX (s_0, s_1, …), not a
-      // `s_${rel}_${key}` underscore concatenation — distinct (table,
-      // key) pairs can collide under plain concatenation (ADVICE r11)
-      val cteName = statsPairs.zipWithIndex
-        .map { case (p, i) => p -> s"s_$i" }.toMap
-      val ctes = statsPairs.map { case pair @ (rel, key) =>
-        val h = LlmOps.hashD(s"'jp:' || CAST($key AS VARCHAR)")
-        val (fixed, strs) = TableWidths(rel)
-        val w = strs.map(c => s" + coalesce(strlen($c), 0)").mkString
-        s"""${cteName(pair)} AS (
-          |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
-          |    CAST(sum(bts) AS BIGINT) AS n_bytes,
-          |    max(cnt) * CAST(count(*) AS DOUBLE) / sum(cnt) AS skew_raw,
-          |    (SELECT round(${IndexOps.kmvNdvEstSqlD("count(*)", "max(h)", k)}, 2)
-          |     FROM (SELECT h FROM (
-          |       SELECT DISTINCT $h AS h FROM $rel WHERE $key IS NOT NULL)
-          |       ORDER BY h LIMIT $k)) AS ndv
-          |  FROM (SELECT $key AS kk, count(*) AS cnt,
-          |          sum($fixed$w) AS bts FROM $rel
-          |          WHERE $key IS NOT NULL GROUP BY 1))"""
-          .stripMargin
-      }
-      val rows = JoinCandidates.map { case (name, lrel, lkey, rrel, rkey) =>
-        val skew = "CASE WHEN r.n_rows <= l.n_rows THEN l.skew_raw ELSE r.skew_raw END"
-        s"""SELECT '$name' AS join_name, '$lrel' AS left_rel, '$rrel' AS right_rel,
-          |  l.n_rows AS n_left, r.n_rows AS n_right,
-          |  l.n_bytes AS bytes_left, r.n_bytes AS bytes_right,
-          |  l.ndv AS ndv_left, r.ndv AS ndv_right,
-          |  round(CAST(l.n_rows AS DOUBLE) * CAST(r.n_rows AS DOUBLE)
-          |    / greatest(l.ndv, r.ndv), 2) AS join_est,
-          |  round($skew, 4) AS skew_probe,
-          |  CASE WHEN r.n_rows <= l.n_rows THEN 'right' ELSE 'left' END AS build_side,
-          |  CASE WHEN least(l.n_bytes, r.n_bytes) <= $BroadcastMaxBytes THEN 'broadcast'
-          |       WHEN $skew >= $SaltSkewMin THEN 'salt'
-          |       ELSE 'shuffle' END AS strategy,
-          |  CASE WHEN least(l.n_bytes, r.n_bytes) > $BroadcastMaxBytes
-          |        AND $skew >= $SaltSkewMin
-          |       THEN least(CAST(ceil($skew) AS BIGINT), $SaltFactorCap)
-          |       ELSE CAST(1 AS BIGINT) END
-          |    AS salt_factor
-          |FROM ${cteName(lrel -> lkey)} l, ${cteName(rrel -> rkey)} r""".stripMargin
-      }
-      s"""WITH ${ctes.mkString(",\n")}
-        |${rows.mkString("\nUNION ALL\n")}
-        |ORDER BY join_name""".stripMargin
+    "q179_join_planner" ->
+      s"""WITH ${statsCtesSql.mkString(",\n")}
+        |${decisionRowsSql.mkString("\nUNION ALL\n")}
+        |ORDER BY join_name""".stripMargin,
+    // q191: the full q179 replay (stats → decisions) extended by the
+    // benefit argmax and the per-join co-location algebra
+    "q191_bucket_advice" -> {
+      val vals = JoinCandidates
+        .map { case (n, _, lk, _, rk) => s"('$n', '$lk', '$rk')" }
+        .mkString(",\n    ")
+      s"""WITH ${statsCtesSql.mkString(",\n")},
+        |d AS (${decisionRowsSql.mkString("\nUNION ALL\n")}),
+        |v(join_name, lkey, rkey) AS (VALUES
+        |    $vals),
+        |sides AS (
+        |  SELECT d.join_name, d.left_rel AS rel, v.lkey AS bkey,
+        |         d.bytes_left AS bts, d.strategy
+        |  FROM d JOIN v USING (join_name)
+        |  UNION ALL
+        |  SELECT d.join_name, d.right_rel, v.rkey, d.bytes_right, d.strategy
+        |  FROM d JOIN v USING (join_name)),
+        |benefit AS (
+        |  SELECT rel, bkey,
+        |    CAST(sum(CASE WHEN strategy = 'shuffle' THEN bts ELSE 0 END)
+        |      AS BIGINT) AS ben
+        |  FROM sides GROUP BY 1, 2),
+        |best AS (
+        |  SELECT rel, bkey AS bucket_key,
+        |    row_number() OVER (PARTITION BY rel ORDER BY ben DESC, bkey ASC)
+        |      AS rn
+        |  FROM benefit)
+        |SELECT d.join_name, d.strategy,
+        |  bl.bucket_key AS bucket_key_left, br.bucket_key AS bucket_key_right,
+        |  CAST(CASE WHEN d.strategy = 'shuffle' AND bl.bucket_key = v.lkey
+        |    THEN 1 ELSE 0 END AS BIGINT) AS colocated_left,
+        |  CAST(CASE WHEN d.strategy = 'shuffle' AND br.bucket_key = v.rkey
+        |    THEN 1 ELSE 0 END AS BIGINT) AS colocated_right,
+        |  CAST((CASE WHEN d.strategy = 'shuffle' AND bl.bucket_key = v.lkey
+        |      THEN d.bytes_left ELSE 0 END)
+        |    + (CASE WHEN d.strategy = 'shuffle' AND br.bucket_key = v.rkey
+        |      THEN d.bytes_right ELSE 0 END) AS BIGINT) AS saved_bytes_run
+        |FROM d JOIN v USING (join_name)
+        |JOIN best bl ON bl.rel = d.left_rel AND bl.rn = 1
+        |JOIN best br ON br.rel = d.right_rel AND br.rn = 1
+        |ORDER BY d.join_name""".stripMargin
     },
     // q181: per (table, key) the oracle rebuilds the exact per-key
     // baseline, the 4×64 Count-Min counter grid (the q123 replay), its
