@@ -60,31 +60,43 @@ object ClusteredStore {
     (n, Math.floorMod(sg + ClsLayout, StandingIndex.SigMod))
   }
 
-  /** Documents with their zone id: equi-depth `n_chars` boundaries
-    * from the deterministic kmv bottom-k sample (the q173 recipe —
-    * reproducible across runs, engines, and partitionings, unlike a
-    * reservoir), `zid = |{b ∈ boundaries : n_chars > b}|`.
+  /** Equi-depth `n_chars` boundaries over any frame carrying
+    * (doc_id, n_chars) — the deterministic kmv bottom-k sample (the
+    * q173 recipe: reproducible across runs, engines, and
+    * partitionings, unlike a reservoir). One row, one `bl` array.
     */
-  private[graft] def withZone(s: SparkSession, dir: String): DataFrame = {
-    graft.Functions.registerAll(s)
-    val docs = graft.Engine.table(s, dir, "documents")
+  private[graft] def boundariesOf(docs: DataFrame): DataFrame = {
+    graft.Functions.registerAll(docs.sparkSession)
     val p = ZoneParts
     val k = SampleK
-    val sample = docs
+    docs
       .select(expr(
         graft.operators.LlmOps.hashS("concat('cls:', CAST(doc_id AS STRING))"))
         .as("h"), col("n_chars").as("v"))
       .agg(graft.functions.KmvSample
         .kmv_sample(struct(col("h"), col("v")), k).as("sk"))
       .select(col("sk"), size(col("sk")).cast("long").as("n_sample"))
-    val bnds = sample.select(
-      expr(s"CASE WHEN n_sample > 0 THEN transform(sequence(1, ${p - 1}), " +
-          s"j -> element_at(sk, CAST(greatest(1, least(j * ($k div $p), n_sample)) AS INT))) " +
-          "ELSE CAST(array() AS ARRAY<BIGINT>) END").as("bl"))
+      .select(
+        expr(s"CASE WHEN n_sample > 0 THEN transform(sequence(1, ${p - 1}), " +
+            s"j -> element_at(sk, CAST(greatest(1, least(j * ($k div $p), n_sample)) AS INT))) " +
+            "ELSE CAST(array() AS ARRAY<BIGINT>) END").as("bl"))
+  }
+
+  /** Zone assignment against an explicit (frozen) boundary frame:
+    * `zid = |{b ∈ boundaries : n_chars > b}|`.
+    */
+  private[graft] def assignZones(docs: DataFrame, bnds: DataFrame): DataFrame =
     docs.crossJoin(broadcast(bnds))
       .withColumn("zid",
         expr("size(filter(bl, b -> n_chars > b))").cast("int"))
       .drop("bl")
+
+  /** Documents with their zone id (boundaries from the full corpus —
+    * the build path).
+    */
+  private[graft] def withZone(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Engine.table(s, dir, "documents")
+    assignZones(docs, boundariesOf(docs))
   }
 
   private val builtCache = new graft.SessionCache
@@ -155,13 +167,114 @@ object ClusteredStore {
       .orderBy(col("lang"))
   }
 
+  // ---- q192: frozen-boundary delta ingest ------------------------
+
+  /** The corpus with its standing/delta split flag — a ~10% hash
+    * residue (pure function of doc_id, the q160/q167/q187 convention).
+    */
+  private[graft] def docsSplit(s: SparkSession, dir: String): DataFrame = {
+    graft.Functions.registerAll(s)
+    graft.Engine.table(s, dir, "documents").withColumn("is_delta",
+      expr("stable_hash64(concat('cd:', CAST(doc_id AS STRING))) % 10 = 0"))
+  }
+
+  /** Post-ingest zone report over an assigned frame carrying
+    * (doc_id, n_chars, is_delta, zid): per-side counts, the MERGED
+    * zone stats a maintained zones table would hold (delta docs widen
+    * min/max — frozen boundaries don't cap values, they only place
+    * them), and per-side assignment signatures
+    * (Σ hash('cz:'|doc|zid) mod 1e9 — one misassigned doc flips its
+    * side's signature, the q187 discipline).
+    */
+  private[graft] def zoneIngestReport(assigned: DataFrame): DataFrame = {
+    val M = StandingIndex.SigMod
+    val zsig = expr("pmod(stable_hash64(concat('cz:', CAST(doc_id AS STRING), " +
+      s"':', CAST(zid AS STRING))), $M)")
+    assigned
+      .withColumn("zsig", zsig)
+      .groupBy(col("zid").cast("bigint").as("zid"))
+      .agg(
+        sum(when(col("is_delta"), 0L).otherwise(1L)).cast("long").as("n_standing"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).cast("long").as("n_delta"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+        (sum(when(col("is_delta"), 0L).otherwise(col("zsig"))) % M)
+          .cast("long").as("sig_standing"),
+        (sum(when(col("is_delta"), col("zsig")).otherwise(0L)) % M)
+          .cast("long").as("sig_delta"))
+      .orderBy(col("zid"))
+  }
+
+  /** q192: CLUSTERED-STORE MAINTENANCE under ingest — the q167/q187
+    * frozen-model premise applied to the zone layout. Zone boundaries
+    * are computed from the STANDING corpus only and FROZEN; the ~10%
+    * delta batch is assigned against those frozen boundaries — a pure
+    * per-row function, so delta ingestion is an O(|delta|) map + file
+    * append into the existing `zid=…/` directories, never a
+    * re-cluster of the standing data (re-deriving boundaries per batch
+    * would relocate existing files — the index-rebuild-per-batch
+    * anti-pattern). The report is the maintained zones table: per-side
+    * counts, merged min/max (delta rows WIDEN zone stats — the part
+    * maintenance must update for q190's pruning to stay correct), and
+    * per-side assignment signatures. StreamingClusterIndexSpec runs
+    * the same path as foreachBatch micro-batches with
+    * stored == from-scratch after every batch; the oracle replays
+    * split, frozen boundaries, both assignments, and the signature
+    * folds from raw rows.
+    */
+  val q192ClusterDelta: (SparkSession, String) => DataFrame = (s, dir) => {
+    val d = docsSplit(s, dir)
+    val bnds = boundariesOf(d.filter(!col("is_delta")))
+    zoneIngestReport(assignZones(d, bnds))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q190_zone_pruned_scan" -> q190ZonePrunedScan)
+    Map("q190_zone_pruned_scan" -> q190ZonePrunedScan,
+      "q192_cluster_delta" -> q192ClusterDelta)
 
   val oracles: Map[String, String] = Map(
     "q190_zone_pruned_scan" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE n_chars BETWEEN $Lo AND $Hi
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // q192: the oracle replays the standing/delta split, the frozen
+    // standing-side kmv boundaries (the q173 replay), both zone
+    // assignments, the merged zone stats, and the per-side signature
+    // folds — every assignment value-checked from raw rows
+    "q192_cluster_delta" -> {
+      val hSplit = graft.operators.LlmOps
+        .hashD("'cd:' || CAST(doc_id AS VARCHAR)")
+      val hSample = graft.operators.LlmOps
+        .hashD("'cls:' || CAST(doc_id AS VARCHAR)")
+      val hSig = graft.operators.LlmOps
+        .hashD("'cz:' || CAST(doc_id AS VARCHAR) || ':' || CAST(zid AS VARCHAR)")
+      val gap = SampleK / ZoneParts
+      val M = StandingIndex.SigMod
+      s"""WITH d AS (
+        |  SELECT doc_id, n_chars, ($hSplit % 10 = 0) AS is_delta
+        |  FROM documents),
+        |hh AS (SELECT n_chars AS v, $hSample AS h
+        |       FROM d WHERE NOT is_delta),
+        |sk AS (SELECT v FROM hh ORDER BY h, v LIMIT $SampleK),
+        |ska AS (SELECT list(v ORDER BY v) AS ss, count(*) AS n FROM sk),
+        |b AS (SELECT CASE WHEN n > 0 THEN list_transform(range(1, $ZoneParts),
+        |        j -> ss[CAST(greatest(1, least(j * $gap, n)) AS INT)])
+        |        ELSE CAST([] AS BIGINT[]) END AS bl
+        |      FROM ska),
+        |asg AS (
+        |  SELECT d.doc_id, d.n_chars, d.is_delta,
+        |    CAST(len(list_filter(b.bl, x -> d.n_chars > x)) AS BIGINT) AS zid
+        |  FROM d, b),
+        |sig AS (SELECT *, ($hSig % $M) AS zsig FROM asg)
+        |SELECT zid,
+        |  CAST(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS n_standing,
+        |  CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(sum(CASE WHEN is_delta THEN 0 ELSE zsig END) % $M AS BIGINT)
+        |    AS sig_standing,
+        |  CAST(sum(CASE WHEN is_delta THEN zsig ELSE 0 END) % $M AS BIGINT)
+        |    AS sig_delta
+        |FROM sig GROUP BY zid ORDER BY zid""".stripMargin
+    })
 }
