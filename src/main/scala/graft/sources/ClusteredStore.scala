@@ -227,9 +227,70 @@ object ClusteredStore {
     zoneIngestReport(assignZones(d, bnds))
   }
 
+  // ---- q193: compaction EXECUTED --------------------------------
+
+  /** Compacted-file target in content bytes (Σ n_chars) — the
+    * fixture-scaled stand-in for a 256 MB file target (the q133
+    * constant reused so planner and executor agree).
+    */
+  val CompactTarget: Long = graft.operators.PipelineOps.CompactTargetBytes
+
+  /** q193: the OPTIMIZE pass q133 only PLANS, executed on the real
+    * clustered store — zone-preserving small-file compaction.
+    *
+    * The partitioned write that builds the store leaves one file per
+    * (zid, input task): write-parallelism fragments, the classic
+    * small-file problem a lakehouse OPTIMIZE exists to fix. The
+    * compactor reassigns every doc a file index by the q133
+    * running-sum rule — within each zone, in doc_id order,
+    * `fidx = (Σ n_chars before this doc) div target` — and rewrites
+    * one file per (zid, fidx): content-defined boundaries, so the
+    * output layout is a pure function of the corpus (reproducible,
+    * oracle-checkable), NOT of the input parallelism that caused the
+    * fragmentation. Compaction never crosses a zone, so the zone maps
+    * — and q190's pruning — carry forward untouched.
+    *
+    * The returned manifest is read back from the REWRITTEN FILES
+    * (`_metadata.file_path`), not from the plan: `files_after` counts
+    * physical files, so the oracle's replay of the running-sum algebra
+    * (`count(DISTINCT fidx)`) value-checks that the rewrite actually
+    * achieved the planned layout — one file per group (the
+    * hash-repartition on (zid, fidx) puts each group in exactly one
+    * task, hence exactly one file). ClusteredStoreSpec additionally
+    * observes files_after < files_before and content preservation.
+    */
+  val q193CompactExec: (SparkSession, String) => DataFrame = (s, dir) =>
+    compactStore(s, ensureClustered(s, dir))
+
+  /** The compaction pass over any store root — factored out so
+    * ClusteredStoreSpec can fragment a private store first and observe
+    * the file-count drop (the shared fixture store is born compact at
+    * sf0.001: one input partition → one file per zone).
+    */
+  private[graft] def compactStore(s: SparkSession, root: String): DataFrame = {
+    val T = CompactTarget
+    val assigned = s.read.parquet(s"$root/data")
+      .withColumn("fidx", expr(
+        "(sum(n_chars) OVER (PARTITION BY zid ORDER BY doc_id " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) div $T"))
+    assigned
+      .repartition(col("zid"), col("fidx"))
+      .write.mode("overwrite").partitionBy("zid", "fidx")
+      .parquet(s"$root/compact")
+    s.read.parquet(s"$root/compact")
+      .select(col("zid").cast("bigint").as("zid"), col("n_chars"),
+        input_file_name().as("fp"))
+      .groupBy(col("zid"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("bytes"),
+        countDistinct(col("fp")).as("files_after"))
+      .orderBy(col("zid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q190_zone_pruned_scan" -> q190ZonePrunedScan,
-      "q192_cluster_delta" -> q192ClusterDelta)
+      "q192_cluster_delta" -> q192ClusterDelta,
+      "q193_compact_exec" -> q193CompactExec)
 
   val oracles: Map[String, String] = Map(
     "q190_zone_pruned_scan" ->
@@ -276,5 +337,34 @@ object ClusteredStore {
         |  CAST(sum(CASE WHEN is_delta THEN zsig ELSE 0 END) % $M AS BIGINT)
         |    AS sig_delta
         |FROM sig GROUP BY zid ORDER BY zid""".stripMargin
+    },
+    // q193: the oracle replays the store's full-corpus zone assignment
+    // and the running-sum file-boundary algebra; count(DISTINCT fidx)
+    // value-checks the number of PHYSICAL files the rewrite produced
+    "q193_compact_exec" -> {
+      val hSample = graft.operators.LlmOps
+        .hashD("'cls:' || CAST(doc_id AS VARCHAR)")
+      val gap = SampleK / ZoneParts
+      s"""WITH hh AS (SELECT n_chars AS v, $hSample AS h FROM documents),
+        |sk AS (SELECT v FROM hh ORDER BY h, v LIMIT $SampleK),
+        |ska AS (SELECT list(v ORDER BY v) AS ss, count(*) AS n FROM sk),
+        |b AS (SELECT CASE WHEN n > 0 THEN list_transform(range(1, $ZoneParts),
+        |        j -> ss[CAST(greatest(1, least(j * $gap, n)) AS INT)])
+        |        ELSE CAST([] AS BIGINT[]) END AS bl
+        |      FROM ska),
+        |asg AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(b.bl, x -> n_chars > x)) AS BIGINT) AS zid
+        |  FROM documents, b),
+        |f AS (
+        |  SELECT zid, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY zid ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT)
+        |      // $CompactTarget AS fidx
+        |  FROM asg)
+        |SELECT zid, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |  CAST(count(DISTINCT fidx) AS BIGINT) AS files_after
+        |FROM f GROUP BY zid ORDER BY zid""".stripMargin
     })
 }

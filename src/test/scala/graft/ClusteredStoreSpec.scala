@@ -86,6 +86,54 @@ class ClusteredStoreSpec extends AnyFunSuite {
       Engine.table(spark, dir, "documents").count())
   }
 
+  test("q193 compaction cuts file count, preserves content, and leaves zone stats intact") {
+    // a PRIVATE store, deliberately fragmented (5-way repartition →
+    // up to 5 files per zone) the way parallel writers fragment a real
+    // table; the shared fixture store is born compact at this SF
+    val d = java.nio.file.Files.createTempDirectory("graft_cmp_").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(s"$d/documents.parquet"))
+    val root = ClusteredStore.ensureClustered(spark, d)
+    val frag = spark.read.parquet(s"$root/data")
+    frag.repartition(5).write.mode("overwrite")
+      .partitionBy("zid").parquet(s"$root/data_frag")
+    // swap the fragmented layout in (content identical, layout worse)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(s"$root/data"))
+    new java.io.File(s"$root/data_frag").renameTo(new java.io.File(s"$root/data"))
+
+    def parquetFiles(p: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Nil
+      walk(new java.io.File(p))
+    }
+    val before = parquetFiles(s"$root/data").size
+    assert(before > ClusteredStore.ZoneParts, s"fragmentation setup failed: $before files")
+    val manifest = ClusteredStore.compactStore(spark, root).collect()
+    val after = parquetFiles(s"$root/compact").size
+    assert(after == manifest.map(_.getLong(3)).sum,
+      "manifest files_after must count the physical files")
+    assert(after < before,
+      s"compaction did not reduce files: $before -> $after")
+    // content multiset preserved (doc_id + n_chars both ways)
+    val a = spark.read.parquet(s"$root/data")
+      .select(col("doc_id"), col("n_chars"))
+    val c = spark.read.parquet(s"$root/compact")
+      .select(col("doc_id"), col("n_chars"))
+    assert(a.exceptAll(c).isEmpty && c.exceptAll(a).isEmpty)
+    // zone stats carry forward untouched: per-zid min/max/count equal
+    def stats(p: String) = spark.read.parquet(p)
+      .groupBy(col("zid").cast("long"))
+      .agg(min(col("n_chars")), max(col("n_chars")), count(lit(1)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stats(s"$root/data") == stats(s"$root/compact"))
+  }
+
   test("the hash-bucketed shard store cannot skip on the same predicate") {
     val out = TrainingShards.ensureShards(spark, dir)
     // per-(lang,bucket) file stats over the REAL shard files
