@@ -251,13 +251,19 @@ object ClusteredStore {
     * — and q190's pruning — carry forward untouched.
     *
     * The returned manifest is read back from the REWRITTEN FILES
-    * (`_metadata.file_path`), not from the plan: `files_after` counts
+    * (`input_file_name()`), not from the plan: `files_after` counts
     * physical files, so the oracle's replay of the running-sum algebra
     * (`count(DISTINCT fidx)`) value-checks that the rewrite actually
     * achieved the planned layout — one file per group (the
     * hash-repartition on (zid, fidx) puts each group in exactly one
     * task, hence exactly one file). ClusteredStoreSpec additionally
     * observes files_after < files_before and content preservation.
+    *
+    * Scale shape: the running-sum window is PER ZONE, and production
+    * sizes [[ZoneParts]] so a zone holds a handful of target files —
+    * the window's task is bounded by zone size, never corpus size, and
+    * zones compact independently (embarrassingly parallel, like a
+    * lakehouse OPTIMIZE's per-partition jobs).
     */
   val q193CompactExec: (SparkSession, String) => DataFrame = (s, dir) =>
     compactStore(s, ensureClustered(s, dir))

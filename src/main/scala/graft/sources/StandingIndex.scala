@@ -143,9 +143,16 @@ object StandingIndex {
       .write.mode("overwrite").parquet(s"$root/meta")
   }
 
-  /** The stored meta row, if the artifact has a readable one. */
+  /** The stored meta row, if the artifact has a readable one. The
+    * existence pre-check keeps a first build (no artifact yet — the
+    * COMMON case on a fresh machine) from detouring through an
+    * AnalysisException that Spark logs as a full ERROR stack trace.
+    */
   private[graft] def readMeta(s: SparkSession, root: String): Option[(Long, Long, Long)] =
     try {
+      val p = new org.apache.hadoop.fs.Path(s"$root/meta")
+      if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+        return None
       s.read.parquet(s"$root/meta").collect() match {
         case Array(r) => Some((r.getAs[Long]("format_version"),
           r.getAs[Long]("n_docs"), r.getAs[Long]("corpus_sig")))
