@@ -154,13 +154,139 @@ object BucketStore {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ---- q194: the ADVISED layout, built and executed ---------------
+
+  /** Artifact root for the advice-chosen layout (separate from the
+    * q189 orderkey store — different keys, different files).
+    */
+  private[graft] def advRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "bktadv")
+
+  private[graft] def advTableName(dir: String, t: String): String = {
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    s"graft_bktadv_${t}_$key"
+  }
+
+  /** The advised join: q191's co-located recommendation with the most
+    * saved bytes per run (ties break by join_name — deterministic).
+    * Returns (join_name, left_rel, left_key, right_rel, right_key).
+    */
+  private[graft] def advisedJoin(s: SparkSession, dir: String)
+      : (String, String, String, String, String) = {
+    val keys = graft.operators.JoinPlanner.JoinCandidates
+      .map { case (n, lr, lk, rr, rk) => n -> ((lr, lk, rr, rk)) }.toMap
+    val best = graft.operators.JoinPlanner.q191BucketAdvice(s, dir)
+      .filter(col("colocated_left") === 1 && col("colocated_right") === 1)
+      .orderBy(col("saved_bytes_run").desc, col("join_name"))
+      .select(col("join_name")).head().getString(0)
+    val (lr, lk, rr, rk) = keys(best)
+    (best, lr, lk, rr, rk)
+  }
+
+  private val advCache = new graft.SessionCache
+
+  /** Build (or reuse) the bucketed layout the PLANNER chose: the
+    * distinct (table, key) sides of [[advisedJoin]], written with the
+    * same one-file-per-bucket discipline as the q189 store under a
+    * signature-validated root. The engine picks its own layout — the
+    * q180 loop-closure discipline applied to q191.
+    */
+  def ensureAdvised(s: SparkSession, dir: String)
+      : (String, String, String, String, String) = {
+    val adv = advisedJoin(s, dir)
+    advCache.getOrElseUpdate(s, dir) {
+      ensureAdvisedValidated(s, dir, adv); s.emptyDataFrame
+    }
+    adv
+  }
+
+  private[graft] def ensureAdvisedValidated(s: SparkSession, dir: String,
+      adv: (String, String, String, String, String)): Unit = {
+    val (_, lr, lk, rr, rk) = adv
+    val sides = Seq(lr -> lk, rr -> rk).distinct
+    val root = advRoot(dir)
+    // signature covers the advised side tables AND the advice inputs'
+    // layout version (a changed advice algebra must rebuild)
+    val M = StandingIndex.SigMod
+    val per = sides.map { case (t, k) =>
+      val (n, sg) = StandingIndex.tableSig(s, dir, t,
+        graft.Engine.table(s, dir, t).columns.toSeq)
+      (n, Math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(s"$t:$k").toLong + sg, M))
+    }
+    val sig = (per.map(_._1).sum,
+      Math.floorMod(per.map(_._2).sum + BktLayout, M))
+    if (!StandingIndex.metaFresh(s, root, sig)) {
+      sides.foreach { case (t, k) =>
+        val tn = advTableName(dir, t)
+        s.sql(s"DROP TABLE IF EXISTS $tn")
+        deleteDir(new java.io.File(s"$root/$t"))
+        graft.Engine.table(s, dir, t)
+          .repartition(NumBuckets, col(k))
+          .write.mode("overwrite")
+          .option("path", s"$root/$t")
+          .bucketBy(NumBuckets, k).sortBy(k)
+          .saveAsTable(tn)
+      }
+      StandingIndex.writeMeta(s, root, sig)
+    } else sides.foreach { case (t, k) =>
+      val tn = advTableName(dir, t)
+      if (!s.catalog.tableExists(tn)) {
+        val ddl = s.read.parquet(s"$root/$t").schema.toDDL
+        s.sql(s"""CREATE TABLE $tn ($ddl) USING PARQUET
+                 |CLUSTERED BY ($k) SORTED BY ($k)
+                 |INTO $NumBuckets BUCKETS
+                 |LOCATION '$root/$t'""".stripMargin)
+      }
+    }
+  }
+
+  /** q194: the WHOLE planner loop as one query — statistics (q179's
+    * ANALYZE store) → layout advice (q191's argmax) → the layout
+    * BUILT (bucketed store on the advised keys, signature-reused
+    * across sessions) → the advised join EXECUTED over it. On the
+    * fixture catalog the advice is the l_partkey self-join, so this
+    * runs lineitem ⋈ lineitem on l_partkey co-located: zero exchanges
+    * and zero sorts under the SMJ (BucketAdviceSpec pins the plan),
+    * per-key pair counts aggregated per return-flag pair. The oracle
+    * is the verbatim raw-table self-join — layout, like planning, is
+    * answer-invariant; only the PLAN changes. The store build follows
+    * whatever the advice says; the QUERY's aggregate (and its static
+    * oracle SQL) pin the fixture-stable choice — BucketAdviceSpec
+    * proves li_self_partkey co-locates at every gate SF — and the
+    * require below fails LOUDLY if a regenerated corpus ever shifts
+    * the argmax, so a stale oracle can never silently pass.
+    */
+  val q194AdvisedJoin: (SparkSession, String) => DataFrame = (s, dir) => {
+    val adv @ (name, lr, lk, rr, rk) = ensureAdvised(s, dir)
+    require(name == "li_self_partkey" && lr == "lineitem" && lk == "l_partkey",
+      s"q194's oracle pins the li_self_partkey advice; the planner now " +
+        s"advises $adv — update the oracle SQL alongside")
+    val a = s.table(advTableName(dir, lr)).alias("a")
+    val b = s.table(advTableName(dir, rr)).alias("b")
+    a.join(b, col(s"a.$lk") === col(s"b.$rk"))
+      .groupBy(col("a.l_returnflag").as("flag_a"),
+        col("b.l_returnflag").as("flag_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("flag_a"), col("flag_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q189_bucketed_join" -> q189BucketedJoin)
+    Map("q189_bucketed_join" -> q189BucketedJoin,
+      "q194_advised_join" -> q194AdvisedJoin)
 
   val oracles: Map[String, String] = Map(
     "q189_bucketed_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q194: the raw-table replay of the ADVISED join (li_self_partkey
+    // — pinned by the require in the query body)
+    "q194_advised_join" ->
+      """SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -90,6 +90,27 @@ class BucketAdviceSpec extends AnyFunSuite {
       .foreach { case (_, _, l, r, s) => assert(l == 0L && r == 0L && s == 0L) }
   }
 
+  test("q194 runs the advised join over the advised store: SMJ with zero exchanges and sorts below") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val df = graft.sources.BucketStore.q194AdvisedJoin(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      assert(joinPart.split("Exchange").length - 1 == 0 &&
+        !joinPart.contains("+- Sort") && !joinPart.contains("+- *Sort"),
+        s"advised join re-shuffled or re-sorted its inputs:\n$p")
+      // the store was built on the key the advice chose
+      val (_, lr, lk, _, _) = graft.sources.BucketStore.ensureAdvised(spark, dir)
+      assert(lr == "lineitem" && lk == "l_partkey")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("advice→layout loop: bucketing the advised key plans the advised join with zero exchanges") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
