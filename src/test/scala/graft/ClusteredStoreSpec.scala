@@ -134,6 +134,52 @@ class ClusteredStoreSpec extends AnyFunSuite {
     assert(stats(s"$root/data") == stats(s"$root/compact"))
   }
 
+  test("degenerate value distributions keep the layout total and the pruning decision exact") {
+    import spark.implicits._
+    // constant n_chars: every kmv boundary collapses to the same value
+    // → one zone holds everything, the rest are empty — the assignment
+    // must stay TOTAL (every doc placed) and zone stats must still
+    // describe the placement
+    val const = (1L to 200L).map(i => (i, 57L)).toDF("doc_id", "n_chars")
+    val cAsg = ClusteredStore.assignZones(const, ClusteredStore.boundariesOf(const))
+    assert(cAsg.count() == 200L)
+    val cZones = cAsg.groupBy(col("zid")).count().collect()
+    assert(cZones.length == 1, s"constant corpus must land in one zone: ${cZones.toSeq}")
+    // every boundary equals 57; n_chars > 57 is false everywhere → zid 0
+    assert(cZones.head.getInt(0) == 0)
+
+    // Zipf-ish: half the corpus shares one hot length → the hot value
+    // spans adjacent boundary slots; zones stay value-disjoint and a
+    // window EXCLUDING the hot value prunes the hot mass
+    val zipf = ((1L to 500L).map(i => (i, 300L)) ++
+      (501L to 1000L).map(i => (i, (i % 400) + 50))).toDF("doc_id", "n_chars")
+    val zAsg = ClusteredStore.assignZones(zipf, ClusteredStore.boundariesOf(zipf))
+    assert(zAsg.count() == 1000L)
+    val zStats = zAsg.groupBy(col("zid"))
+      .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+        count(lit(1)).as("n"))
+      .collect().sortBy(_.getInt(0))
+    // zones value-disjoint even with the hot value repeated across
+    // boundary slots
+    zStats.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("mx") <= b.getAs[Long]("mn"))
+      case _ =>
+    }
+    // a window strictly below the hot value never touches the hot zone
+    val hotZids = zStats.filter(r => r.getAs[Long]("mn") <= 300L &&
+      300L <= r.getAs[Long]("mx")).map(_.getInt(0)).toSet
+    val loZids = zStats.filter(r => !(r.getAs[Long]("mx") < 60L ||
+      r.getAs[Long]("mn") > 200L)).map(_.getInt(0)).toSet
+    assert((loZids & hotZids).forall(z =>
+      zStats.find(_.getInt(0) == z).exists(_.getAs[Long]("mn") <= 200L)),
+      s"pruning decision must stay interval-exact: lo=$loZids hot=$hotZids")
+    // and the pruned read equals the brute filter
+    val want = zipf.filter(col("n_chars").between(60, 200)).count()
+    val got = zAsg.filter(col("zid").isin(loZids.toSeq: _*))
+      .filter(col("n_chars").between(60, 200)).count()
+    assert(got == want && want > 0)
+  }
+
   test("the hash-bucketed shard store cannot skip on the same predicate") {
     val out = TrainingShards.ensureShards(spark, dir)
     // per-(lang,bucket) file stats over the REAL shard files
