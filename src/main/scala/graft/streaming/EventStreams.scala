@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over the events fixture (SURVEY.md §2B
   * "Streaming"). Every transformation is written against a plain
@@ -88,6 +89,45 @@ object EventStreams {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** The same running-totals contract on the transformWithState
+    * (stateful v2) operator — Spark 4's successor API to
+    * flatMapGroupsWithState: state is DECLARED through a typed handle
+    * (`getValueState` with its own encoder + per-state TTL) instead of
+    * living implicitly in the function's closure type, timers replace
+    * GroupStateTimeout, and the operator requires the RocksDB state
+    * store (state scales to disk, not executor heap — the 100 TB
+    * answer to keyed-state growth; the v1 HDFS-backed store keeps
+    * every key's state in memory). EventStreamsSpec runs BOTH
+    * implementations over the same micro-batched input and pins
+    * v1 == v2 == batch groupBy — the migration path a production
+    * pipeline takes, verified by equality.
+    */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Event, UserAgg] {
+    @transient private var agg: ValueState[UserAgg] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[UserAgg]("agg",
+        Encoders.product[UserAgg], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserAgg] = {
+      val prev = if (agg.exists()) agg.get() else UserAgg(key, 0L, 0.0)
+      var n = prev.n_events
+      var total = prev.total_value
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserAgg(key, n, total)
+      agg.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[runningUserTotals]] on the stateful-v2 operator. */
+  def runningUserTotalsV2(events: Dataset[Event]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update)
   }
 
   /** Stream-stream INTERVAL JOIN: each click matched to the same user's

@@ -231,6 +231,61 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running totals == flatMapGroupsWithState == batch across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the stateful-v2 operator requires the RocksDB state store
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 3 micro-batches so per-user state genuinely carries across
+      // batch boundaries (a single batch never reads back state)
+      val batches = fixture.grouped((fixture.size + 2) / 3).toSeq
+      assert(batches.size == 3)
+      val ms = MemoryStream[Event]
+      val q = EventStreams.runningUserTotalsV2(ms.toDS())
+        .writeStream.format("memory").queryName("state_v2_out")
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        // final state per user (max running count == the last update)
+        val v2 = spark.table("state_v2_out")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val batch = EventStreams.batchEvents(spark, dir)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(v2 == batch && v2.nonEmpty)
+      } finally q.stop()
+      // and the v1 operator over the same 3-batch feed agrees (the
+      // migration-equality check, not just both-match-batch)
+      val ms1 = MemoryStream[Event]
+      val q1 = EventStreams.runningUserTotals(ms1.toDS())
+        .writeStream.format("memory").queryName("state_v1_out")
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => ms1.addData(b); q1.processAllAvailable() }
+        val v1 = spark.table("state_v1_out")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val v2 = spark.table("state_v2_out")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(v1 == v2)
+      } finally q1.stop()
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("hot-key monitor: streaming == batch, only crossing keys emitted") {
     val ms = streamOf(fixture)
     val q = EventStreams.hotKeyMonitor(ms.toDF())
