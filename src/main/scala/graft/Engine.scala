@@ -58,6 +58,9 @@ object Engine {
     if (!spark.experimental.extraOptimizations.contains(plans.BucketIntervalJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ plans.BucketIntervalJoin
+    if (!spark.experimental.extraOptimizations.contains(plans.MvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.MvRewrite
     if (!spark.experimental.extraStrategies.contains(plans.AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ plans.AsofJoinStrategy

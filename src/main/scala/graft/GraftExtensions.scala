@@ -157,6 +157,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // structural rewrite: interval joins -> time-bucketed layout
     // (opt-in via spark.graft.bucketIntervalJoin.enabled; see q183/q184)
     e.injectOptimizerRule(_ => graft.plans.BucketIntervalJoin)
+    e.injectOptimizerRule(_ => graft.plans.MvRewrite)
     // whole-operator extension: the native as-of join's planner strategy
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

@@ -29,7 +29,8 @@ object SparkEntry {
       operators.IndexOps.queries ++ operators.StatsOps.queries ++
       sources.TrainingShards.queries ++ sources.JsonlCorpus.queries ++
       sources.StandingIndex.queries ++ sources.SimIndex.queries ++
-      sources.BucketStore.queries ++ sources.ClusteredStore.queries
+      sources.BucketStore.queries ++ sources.ClusteredStore.queries ++
+      sources.MatView.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
@@ -40,5 +41,6 @@ object SparkEntry {
       operators.IndexOps.oracles ++ operators.StatsOps.oracles ++
       sources.TrainingShards.oracles ++ sources.JsonlCorpus.oracles ++
       sources.StandingIndex.oracles ++ sources.SimIndex.oracles ++
-      sources.BucketStore.oracles ++ sources.ClusteredStore.oracles
+      sources.BucketStore.oracles ++ sources.ClusteredStore.oracles ++
+      sources.MatView.oracles
 }

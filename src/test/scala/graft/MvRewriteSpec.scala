@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.MvRewrite
+import graft.sources.MatView
+
+/** q195 — the materialized-view rewrite: matching aggregates read the
+  * MV instead of the corpus (value-identical, plan-proven), every
+  * refusal branch holds, and the MV artifact follows the standard
+  * reuse/poison discipline.
+  */
+class MvRewriteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session(master = "local[4]")
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withMv[A](f: => A): A = {
+    val mv = MatView.ensureMv(spark, dir)
+    val prevE = spark.conf.getOption(MvRewrite.EnabledKey)
+    val prevP = spark.conf.getOption(MvRewrite.PathKey)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    spark.conf.set(MvRewrite.PathKey, mv)
+    try f finally {
+      prevE.fold(spark.conf.unset(MvRewrite.EnabledKey))(
+        spark.conf.set(MvRewrite.EnabledKey, _))
+      prevP.fold(spark.conf.unset(MvRewrite.PathKey))(
+        spark.conf.set(MvRewrite.PathKey, _))
+    }
+  }
+
+  private def docs = Engine.table(spark, dir, "documents")
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    MvRewrite.scanLocations(df.queryExecution.optimizedPlan)
+  private def readsMv(df: org.apache.spark.sql.DataFrame): Boolean =
+    scans(df).exists(_.contains("/mv")) &&
+      !scans(df).exists(_.contains("documents.parquet"))
+
+  test("matching aggregate reads the MV, not the corpus, and values are identical") {
+    val agg = () => docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val plainRows = agg().collect().map(_.toString).sorted.toSeq
+    assert(scans(agg()).exists(_.contains("documents.parquet")))
+    withMv {
+      assert(readsMv(agg()), s"rewrite did not fire: ${scans(agg())}")
+      val rows = agg().collect().map(_.toString).sorted.toSeq
+      assert(rows == plainRows && rows.nonEmpty)
+    }
+  }
+
+  test("lang-only grouping rolls the MV up a level; values identical") {
+    val agg = () => docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val plainRows = agg().collect().map(_.toString).sorted.toSeq
+    withMv {
+      assert(readsMv(agg()))
+      assert(agg().collect().map(_.toString).sorted.toSeq == plainRows)
+    }
+  }
+
+  test("refusal branches: filter, unsupported aggregate, non-dimension grouping, global aggregate") {
+    withMv {
+      // an extra filter the MV cannot see
+      val filtered = docs.filter(col("n_chars") > 100)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      assert(!readsMv(filtered))
+      // an aggregate the MV does not store (avg is not a stored rollup)
+      val avgAgg = docs.groupBy(col("lang")).agg(avg(col("n_chars")).as("a"))
+      assert(!readsMv(avgAgg))
+      // count(col) skips nulls — not the MV's n_docs
+      val countCol = docs.groupBy(col("lang")).agg(count(col("text")).as("n"))
+      assert(!readsMv(countCol))
+      // a grouping dimension the MV does not carry
+      val byLen = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("n"))
+      assert(!readsMv(byLen))
+      // the global aggregate (empty-input semantics differ)
+      val global = docs.agg(count(lit(1)).as("n"))
+      assert(!readsMv(global))
+      // and with the flag off, nothing rewrites
+      spark.conf.set(MvRewrite.EnabledKey, "false")
+      val plain = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      assert(!readsMv(plain))
+    }
+  }
+
+  test("q195 self-verifies the rewrite and equals the raw aggregate") {
+    val got = MatView.q195MvAggregate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want && got.nonEmpty)
+    // the scoped conf never leaks
+    assert(!spark.conf.getOption(MvRewrite.EnabledKey).contains("true"))
+  }
+
+  test("mv artifact: reuse on match; edited corpus rebuilds") {
+    val d = java.nio.file.Files.createTempDirectory("graft_mv_").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(s"$d/documents.parquet"))
+    def mtime(root: String): Long = {
+      val p = java.nio.file.Paths.get(root)
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
+          .foldLeft(0L)(math.max)
+      }
+    }
+    val root = MatView.mvRoot(d)
+    MatView.ensureMvValidated(spark, d)
+    val built = mtime(root)
+    assert(built > 0L)
+    Thread.sleep(1100)
+    MatView.ensureMvValidated(spark, d)
+    assert(mtime(root) == built, "fresh MV was rebuilt instead of reused")
+    // poison one doc (longer text → n_chars unchanged but text hash flips)
+    val d0 = spark.read.parquet(s"$d/documents.parquet")
+    val schema = d0.schema
+    val edited = d0.withColumn("text",
+      when(col("doc_id") === 1L, concat(col("text"), lit(" POISON")))
+        .otherwise(col("text"))).collect()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(s"$d/documents.parquet"))
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(edited.toSeq).asJava), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Thread.sleep(1100)
+    MatView.ensureMvValidated(spark, d)
+    assert(mtime(root) > built, "edited corpus did not rebuild the MV")
+  }
+}
