@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -17,7 +17,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *
   *   - `scan` is the documents relation (a parquet location matching
   *     [[SourceMatch]]), possibly under the attribute-only Project
-  *     that column pruning inserts;
+  *     that column pruning inserts, and possibly under FILTERS whose
+  *     predicates reference only the MV's dimensions — a
+  *     whole-group predicate commutes with the rollup and carries
+  *     over to the view (q196); any predicate touching a fact column
+  *     refuses the match;
   *   - `G` is nonempty and every grouping is a bare `lang` / `source`
   *     attribute (the MV's dimensions; the empty-grouping global
   *     aggregate is deliberately excluded — its empty-input semantics
@@ -60,9 +64,9 @@ object MvRewrite extends Rule[LogicalPlan] {
     val path = conf.getConfString(PathKey, "")
     if (path.isEmpty) return plan
     plan.transformUp {
-      case agg @ Aggregate(groupings, aggExprs, DocScan(), _)
+      case agg @ Aggregate(groupings, aggExprs, DocScan(dimFilters), _)
           if eligible(groupings, aggExprs) =>
-        rewrite(agg, path)
+        rewrite(agg, dimFilters, path)
     }
   }
 
@@ -75,18 +79,31 @@ object MvRewrite extends Rule[LogicalPlan] {
       fs.location.rootPaths.map(_.toString)
   }.flatten
 
-  /** The documents scan, with or without column pruning's Project. */
+  private val Dims = Set("lang", "source")
+
+  /** The documents scan, under any interleaving of column pruning's
+    * attribute-only Projects and filters — PROVIDED every filter
+    * references only the MV's dimensions: a whole-(lang, source)-group
+    * predicate commutes with the rollup (it keeps or drops entire MV
+    * rows), so the rewrite carries it over to the view. Any predicate
+    * touching a fact column (n_chars, text, doc_id) refuses the whole
+    * match — the MV cannot see inside a group. Yields the collected
+    * dimension-filter conjuncts (source-side attributes; remapped to
+    * MV attributes at rewrite).
+    */
   private object DocScan {
-    def unapply(plan: LogicalPlan): Boolean = plan match {
+    def unapply(plan: LogicalPlan): Option[Seq[Expression]] = plan match {
       case Project(projList, child) if projList.forall(
         _.isInstanceOf[AttributeReference]) => unapply(child)
-      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        fs.location.rootPaths.exists(_.toString.contains(SourceMatch))
-      case _ => false
+      case Filter(cond, child) if cond.deterministic &&
+          cond.references.forall(a => Dims(a.name)) =>
+        unapply(child).map(cond +: _)
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+          if fs.location.rootPaths.exists(_.toString.contains(SourceMatch)) =>
+        Some(Nil)
+      case _ => None
     }
   }
-
-  private val Dims = Set("lang", "source")
 
   private def eligible(groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression]): Boolean = {
@@ -109,11 +126,17 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  private def rewrite(agg: Aggregate, path: String): LogicalPlan = {
+  private def rewrite(agg: Aggregate, dimFilters: Seq[Expression],
+      path: String): LogicalPlan = {
     // a fresh analyzed read of the MV — public API, fresh exprIds
-    val mvPlan = SparkSession.active.read.parquet(path)
+    val mvRel = SparkSession.active.read.parquet(path)
       .queryExecution.analyzed
-    val mv = mvPlan.output.map(a => a.name -> a).toMap
+    val mv = mvRel.output.map(a => a.name -> a).toMap
+    // dimension filters carry over verbatim, re-anchored to MV attrs
+    val mvPlan = dimFilters.reduceOption(And).fold(mvRel: LogicalPlan)(c =>
+      Filter(c.transform {
+        case a: AttributeReference => mv(a.name)
+      }, mvRel))
     def rollup(col: String) = AggregateExpression(
       new Sum(mv(col)), Complete, isDistinct = false, None)
     val newGroupings = agg.groupingExpressions.map {

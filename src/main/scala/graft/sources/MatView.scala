@@ -70,12 +70,21 @@ object MatView {
     * the verbatim raw-table SQL: the MV path is exact arithmetic, so
     * answered-from-view == computed-from-corpus, hash-identical.
     */
-  val q195MvAggregate: (SparkSession, String) => DataFrame = (s, dir) => {
+  val q195MvAggregate: (SparkSession, String) => DataFrame = (s, dir) =>
+    withMvRewrite(s, dir) {
+      graft.Engine.table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }.orderBy(col("lang"))
+
+  /** Shared scoped-conf + self-registration wrapper for the MV
+    * queries: rule registered on bare sessions, flags restored however
+    * the body exits, result materialized UNDER the flags so they never
+    * leak into other queries' optimizations.
+    */
+  private def withMvRewrite(s: SparkSession, dir: String)(
+      body: => DataFrame): DataFrame = {
     import graft.plans.MvRewrite
-    // self-register on the session actually planning this frame:
-    // extensions/Engine.session wire the rule at construction, but the
-    // query must also work in a bare session (the driver's
-    // Verify/Bench mains build their own) — the AsofJoin discipline
     if (!s.experimental.extraOptimizations.contains(MvRewrite))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ MvRewrite
@@ -85,18 +94,12 @@ object MatView {
     s.conf.set(MvRewrite.EnabledKey, "true")
     s.conf.set(MvRewrite.PathKey, mv)
     try {
-      val agg = graft.Engine.table(s, dir, "documents")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val agg = body
       val scans = MvRewrite.scanLocations(agg.queryExecution.optimizedPlan)
       require(scans.exists(_.contains("/mv")) &&
         !scans.exists(_.contains(MvRewrite.SourceMatch)),
         s"MV rewrite did not fire — the plan still scans the corpus: $scans")
-      // materialize UNDER the scoped conf: optimization happens now,
-      // not at the driver's later write, so restoring the conf below
-      // cannot un-fire the rewrite (and the enabled flag never leaks
-      // into other queries planned in this session)
-      agg.materialize().orderBy(col("lang"))
+      agg.materialize()
     } finally {
       prevEnabled match {
         case Some(v) => s.conf.set(MvRewrite.EnabledKey, v)
@@ -109,12 +112,34 @@ object MatView {
     }
   }
 
+  /** q196: the rewrite under a DIMENSION FILTER — a whole-group
+    * predicate (`lang IN ('en','zh')`) commutes with the rollup, so
+    * the rule carries it over to the view and the filtered per-source
+    * aggregate is still answered from the |langs|×|sources|-row table.
+    * Any fact-column predicate refuses instead (MvRewriteSpec pins
+    * both directions). Same self-check + scoped-conf discipline as
+    * q195; oracle = the verbatim filtered raw-table SQL.
+    */
+  val q196MvFiltered: (SparkSession, String) => DataFrame = (s, dir) =>
+    withMvRewrite(s, dir) {
+      graft.Engine.table(s, dir, "documents")
+        .filter(col("lang").isin("en", "zh"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }.orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q195_mv_aggregate" -> q195MvAggregate)
+    Map("q195_mv_aggregate" -> q195MvAggregate,
+      "q196_mv_filtered" -> q196MvFiltered)
 
   val oracles: Map[String, String] = Map(
     "q195_mv_aggregate" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q196_mv_filtered" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'zh')
+        |GROUP BY source ORDER BY source""".stripMargin)
 }

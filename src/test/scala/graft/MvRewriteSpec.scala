@@ -61,12 +61,31 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("refusal branches: filter, unsupported aggregate, non-dimension grouping, global aggregate") {
+  test("dimension filters carry over to the view; values identical") {
+    val agg = () => docs.filter(col("lang").isin("en", "zh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val plainRows = agg().collect().map(_.toString).sorted.toSeq
     withMv {
-      // an extra filter the MV cannot see
+      assert(readsMv(agg()), s"dim-filtered aggregate must rewrite: ${scans(agg())}")
+      assert(agg().collect().map(_.toString).sorted.toSeq == plainRows)
+      // and the q196 surface query self-verifies + matches
+      val q = graft.sources.MatView.q196MvFiltered(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(q == plainRows)
+    }
+  }
+
+  test("refusal branches: fact filter, unsupported aggregate, non-dimension grouping, global aggregate") {
+    withMv {
+      // a FACT-column filter the MV cannot see inside a group
       val filtered = docs.filter(col("n_chars") > 100)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
       assert(!readsMv(filtered))
+      // a mixed filter (dim AND fact) must refuse too
+      val mixed = docs.filter(col("lang") === "en" && col("n_chars") > 100)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      assert(!readsMv(mixed))
       // an aggregate the MV does not store (avg is not a stored rollup)
       val avgAgg = docs.groupBy(col("lang")).agg(avg(col("n_chars")).as("a"))
       assert(!readsMv(avgAgg))
