@@ -111,6 +111,57 @@ class BucketAdviceSpec extends AnyFunSuite {
     }
   }
 
+  test("advised store: matching signature reuses; edited advised table rebuilds") {
+    import graft.sources.BucketStore
+    // private corpus carrying everything the PLANNER profiles (the
+    // advice itself reads the full ANALYZE catalog)
+    val d = java.nio.file.Files.createTempDirectory("graft_adv_").toString
+    for (t <- Seq("customer", "nation", "events", "orders", "lineitem",
+      "part", "supplier"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        java.nio.file.Paths.get(s"$d/$t.parquet"))
+    def mtime(root: String): Long = {
+      val p = java.nio.file.Paths.get(root)
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
+          .foldLeft(0L)(math.max)
+      }
+    }
+    val root = BucketStore.advRoot(d)
+    val adv = BucketStore.advisedJoin(spark, d)
+    assert(adv._1 == "li_self_partkey") // same catalog, same argmax
+    BucketStore.ensureAdvisedValidated(spark, d, adv) // session 1: builds
+    val built = mtime(root)
+    assert(built > 0L)
+    Thread.sleep(1100)
+    BucketStore.ensureAdvisedValidated(spark, d, adv) // session 2: reuses
+    assert(mtime(root) == built,
+      "fresh advised store was rebuilt instead of reused")
+    // poison the advised table: signature flips, store rebuilds
+    val li0 = spark.read.parquet(s"$d/lineitem.parquet")
+    val schema = li0.schema
+    val edited = li0.withColumn("l_linestatus",
+      when(col("l_orderkey") === li0.select(min(col("l_orderkey"))).head().get(0),
+        lit("Z")).otherwise(col("l_linestatus"))).collect()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(s"$d/lineitem.parquet"))
+    spark.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(edited.toSeq).asJava),
+      schema).coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    Thread.sleep(1100)
+    BucketStore.ensureAdvisedValidated(spark, d, adv) // session 3: rebuilds
+    assert(mtime(root) > built,
+      "edited advised table did not trigger a rebuild")
+  }
+
   test("advice→layout loop: bucketing the advised key plans the advised join with zero exchanges") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
