@@ -49,23 +49,43 @@ object Engine {
     Functions.registerAll(spark)
     // extensions only apply at session construction; wire the engine's
     // optimizer rules into pre-existing sessions too
-    if (!spark.experimental.extraOptimizations.contains(SimplifyEndsWithSource))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ SimplifyEndsWithSource
-    if (!spark.experimental.extraOptimizations.contains(BandedLevenshtein))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ BandedLevenshtein
-    if (!spark.experimental.extraOptimizations.contains(plans.BucketIntervalJoin))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ plans.BucketIntervalJoin
-    if (!spark.experimental.extraOptimizations.contains(plans.MvRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ plans.MvRewrite
-    if (!spark.experimental.extraStrategies.contains(plans.AsofJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ plans.AsofJoinStrategy
+    registerOptimization(spark, SimplifyEndsWithSource)
+    registerOptimization(spark, BandedLevenshtein)
+    registerOptimization(spark, plans.BucketIntervalJoin)
+    registerOptimization(spark, plans.MvRewrite)
+    registerOptimization(spark, plans.AsofPushDown)
+    registerStrategy(spark, plans.AsofJoinStrategy)
     spark
   }
+
+  /** Idempotent, THREAD-SAFE registration of an experimental optimizer
+    * rule. The raw pattern — check `extraOptimizations.contains` then
+    * reassign the Seq — is a non-atomic check-then-act on a plain var:
+    * two threads planning concurrently on one session could interleave
+    * and drop a registration (an "unplanned AsofJoin" planner error) or
+    * duplicate a rule entry (ADVICE r12). Every engine registration
+    * site funnels through these two helpers, which serialize on the
+    * session's `experimental` holder — the object that owns the var.
+    */
+  def registerOptimization(s: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit =
+    s.experimental.synchronized {
+      if (!s.experimental.extraOptimizations.contains(rule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ rule
+    }
+
+  /** Thread-safe twin of [[registerOptimization]] for planner
+    * strategies ([[plans.AsofJoinStrategy]]).
+    */
+  def registerStrategy(s: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit =
+    s.experimental.synchronized {
+      if (!s.experimental.extraStrategies.contains(strategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ strategy
+    }
 
   /** Conf key: when "true", [[materialize]] uses RELIABLE checkpoints
     * (persisted to [[CheckpointDirKey]] / the context's checkpoint dir)

@@ -158,6 +158,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (opt-in via spark.graft.bucketIntervalJoin.enabled; see q183/q184)
     e.injectOptimizerRule(_ => graft.plans.BucketIntervalJoin)
     e.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    // probe-side predicate pushdown through the native as-of join
+    e.injectOptimizerRule(_ => graft.plans.AsofPushDown)
     // whole-operator extension: the native as-of join's planner strategy
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

@@ -736,12 +736,27 @@ object LlmOps {
     * hash-matching over the artifact path, which IS the proof of
     * equivalence, re-run every gate.
     */
+  /** Artifact layout versions, folded into each vector-index signature
+    * (ADVICE r12): the stored centroids/codebooks/codes are functions
+    * of the corpus AND the training recipe ([[NumCentroids]], [[PqM]]/
+    * [[PqK]]/[[PqSubDim]], the seeding rule, the Lloyd round count) —
+    * a recipe change without a data change must invalidate the store,
+    * the same discipline every other standing artifact already follows
+    * (BktLayout, MvLayout, ClsLayout, ShardLayout, JpStatsLayout).
+    */
+  private val IvfLayout = 1L
+  private val PqLayout = 1L
+  private val PqrLayout = 1L
+
+  private def withLayout(sig: (Long, Long), layout: Long): (Long, Long) =
+    (sig._1, Math.floorMod(sig._2 + layout, graft.sources.StandingIndex.SigMod))
+
   private[graft] def ensureIvfArtifact(s: SparkSession, dir: String): String = {
     import graft.sources.StandingIndex
     graft.Functions.registerAll(s)
     val root = StandingIndex.artifactRoot(dir, "ivf")
-    val sig = StandingIndex.tableSig(s, dir, "embeddings",
-      Seq("vec_id", "embedding"))
+    val sig = withLayout(StandingIndex.tableSig(s, dir, "embeddings",
+      Seq("vec_id", "embedding")), IvfLayout)
     if (!StandingIndex.metaFresh(s, root, sig)) {
       val e = t(s, dir, "embeddings")
       val seeds = e.filter(col("vec_id") < NumCentroids)
@@ -924,8 +939,8 @@ object LlmOps {
     import graft.sources.StandingIndex
     graft.Functions.registerAll(s)
     val root = StandingIndex.artifactRoot(dir, "pq")
-    val sig = StandingIndex.tableSig(s, dir, "embeddings",
-      Seq("vec_id", "embedding"))
+    val sig = withLayout(StandingIndex.tableSig(s, dir, "embeddings",
+      Seq("vec_id", "embedding")), PqLayout)
     if (!StandingIndex.metaFresh(s, root, sig)) {
       val subs = pqSubvectors(t(s, dir, "embeddings"))
       val seeds = subs.filter(col("vec_id") < PqK)
@@ -1034,8 +1049,8 @@ object LlmOps {
     import graft.sources.StandingIndex
     graft.Functions.registerAll(s)
     val root = StandingIndex.artifactRoot(dir, "pqr")
-    val sig = StandingIndex.tableSig(s, dir, "embeddings",
-      Seq("vec_id", "embedding"))
+    val sig = withLayout(StandingIndex.tableSig(s, dir, "embeddings",
+      Seq("vec_id", "embedding")), PqrLayout)
     if (!StandingIndex.metaFresh(s, root, sig)) {
       val e = t(s, dir, "embeddings")
       val cents = ivfCentroids(s, dir)

@@ -1003,7 +1003,10 @@ object Relational {
     * shared q63 oracle, so the gate value-checks the RULE's output —
     * hand-written q183 and rule-rewritten q184 must both equal DuckDB.
     * IntervalRuleSpec covers the conf-gated path, idempotence, and
-    * non-matching shapes (q09's strict-bound form must not rewrite).
+    * both window directions — the generalized matcher rewrites q09's
+    * strict-bound forward window too (q185 depends on it); the shapes
+    * pinned as refusals are the genuinely unbucketable ones
+    * (sub-second lower offsets, month intervals).
     */
   val q184IntervalRule: Q = (s, dir) => {
     val e = t(s, dir, "events")

@@ -257,11 +257,67 @@ object Asof {
     // extensions/Engine.session wire the strategy at construction, but
     // the operator must also work in a bare session (the driver's
     // Verify/Bench mains build their own) — planning an AsofJoin node
-    // with no strategy for it is an internal planner error
-    val exp = spark.experimental
-    if (!exp.extraStrategies.contains(AsofJoinStrategy))
-      exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
+    // with no strategy for it is an internal planner error. The
+    // pushdown rule rides along so a bare session gets the same plans
+    // as an extensions-configured one. Registration goes through the
+    // synchronized Engine helpers (ADVICE r12: the raw check-then-act
+    // could drop a registration under concurrent planning).
+    graft.Engine.registerStrategy(spark, AsofJoinStrategy)
+    graft.Engine.registerOptimization(spark, AsofPushDown)
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
       node(left, right, keys, leftTime, rightTime))
+  }
+}
+
+/** Optimizer rule: push PROBE-side predicates through [[AsofJoin]]
+  * (VERDICT r12 item 2).
+  *
+  * The built-in `PushDownPredicates` has no case for the custom node,
+  * so a user filter written ABOVE `Asof.join` — the natural
+  * composition order — would otherwise pay a full-corpus merge before
+  * filtering. Probe-side predicates commute with as-of semantics:
+  * every output row is its probe row extended with a match derived
+  * only from that row's (keys, time), so dropping probe rows before
+  * the merge drops exactly the same output rows as filtering after
+  * it. BUILD-side predicates do NOT commute (removing a build row can
+  * change which earlier row becomes some probe row's match, and the
+  * filter's NULL semantics differ on unmatched rows) and stay above
+  * the join.
+  *
+  * Once below the node, the predicate sits directly on the probe
+  * child's Project/scan chain, where `FileSourceStrategy`'s
+  * `PhysicalOperation` extraction carries it into the parquet scan's
+  * pushed filters — AsofNativeSpec pins both the plan shape and the
+  * `PushedFilters` line, plus the generic-ColumnPruning behavior the
+  * node inherits (a narrow projection above `Asof.join` prunes unused
+  * build-side columns out of the scan's ReadSchema: Catalyst's
+  * catch-all "plans that inherit their output from children" case
+  * handles [[AsofJoin]] because its `references` are exactly the
+  * keys + times).
+  *
+  * Idempotent: after one application no probe-only conjunct remains
+  * above the node. Non-deterministic conjuncts never move (their
+  * evaluation count/order is observable).
+  */
+object AsofPushDown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsofJoin) =>
+      val (push, keep) = conjuncts(cond).partition(c =>
+        c.deterministic && c.references.subsetOf(aj.left.outputSet) &&
+          c.references.nonEmpty)
+      if (push.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(push.reduce(And), aj.left))
+        keep.reduceOption(And).map(Filter(_, pushed): LogicalPlan)
+          .getOrElse(pushed)
+      }
   }
 }

@@ -85,9 +85,7 @@ object MatView {
   private def withMvRewrite(s: SparkSession, dir: String)(
       body: => DataFrame): DataFrame = {
     import graft.plans.MvRewrite
-    if (!s.experimental.extraOptimizations.contains(MvRewrite))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ MvRewrite
+    graft.Engine.registerOptimization(s, MvRewrite)
     val mv = ensureMv(s, dir)
     val prevEnabled = s.conf.getOption(MvRewrite.EnabledKey)
     val prevPath = s.conf.getOption(MvRewrite.PathKey)

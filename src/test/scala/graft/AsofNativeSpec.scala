@@ -155,6 +155,74 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(s.contains("AsofJoin "))
   }
 
+  test("probe-side filter above Asof.join pushes below the node into the parquet scan") {
+    val e = Engine.table(spark, dir, "events")
+    val probe = e.select(col("event_id"), col("user_id"), col("ts"))
+    val build = e.select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+      col("value").as("p_value"))
+    // the natural composition order: filter written ABOVE the join
+    val joined = Asof.join(probe, build, Seq("user_id" -> "b_user"), "ts", "b_ts")
+      .filter(col("event_id") < 100L)
+    // logical: AsofPushDown moved the conjunct below the node
+    val aj = joined.queryExecution.optimizedPlan
+      .collectFirst { case a: graft.plans.AsofJoin => a }.get
+    assert(aj.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.nonEmpty, "probe-side filter did not move below AsofJoin")
+    // physical: PhysicalOperation carried it into the scan's pushed filters
+    joined.collect()
+    val p = finalPlan(joined)
+    assert(p.contains("LessThan(event_id,100)"),
+      s"filter not pushed to the parquet scan:\n$p")
+    // value check: filter-above == filter-below, and rows survive
+    val manual = Asof.join(probe.filter(col("event_id") < 100L), build,
+      Seq("user_id" -> "b_user"), "ts", "b_ts")
+      .collect().map(_.toString).sorted.toSeq
+    val auto = joined.collect().map(_.toString).sorted.toSeq
+    assert(auto.nonEmpty && auto == manual)
+  }
+
+  test("mixed filter splits: probe conjunct pushes, build-side conjunct stays above") {
+    val e = Engine.table(spark, dir, "events")
+    val probe = e.select(col("event_id"), col("user_id"), col("ts"))
+    val build = e.select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+      col("value").as("p_value"))
+    val joined = Asof.join(probe, build, Seq("user_id" -> "b_user"), "ts", "b_ts")
+      .filter(col("event_id") < 100L && col("p_value") > 0.0)
+    val opt = joined.queryExecution.optimizedPlan
+    val aj = opt.collectFirst { case a: graft.plans.AsofJoin => a }.get
+    // probe conjunct below the node...
+    assert(aj.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.exists(_.condition.references.map(_.name).toSet == Set("event_id")))
+    // ...build-side conjunct (does NOT commute with as-of semantics:
+    // dropping build rows changes matches; null semantics differ on
+    // unmatched rows) stays above it
+    val above = opt.collectFirst {
+      case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(_,
+        _: graft.plans.AsofJoin) => f
+    }
+    assert(above.exists(_.condition.references.map(_.name).toSet == Set("p_value")),
+      s"build-side conjunct must remain above the join:\n$opt")
+  }
+
+  test("narrow projection above Asof.join prunes unused build columns from the scan") {
+    // pins the GENERIC ColumnPruning behavior the node inherits
+    // (Catalyst's catch-all case works because AsofJoin.references are
+    // exactly the keys + times): projecting only probe columns must
+    // drop p_value (raw column `value`) out of the build scan entirely
+    val e = Engine.table(spark, dir, "events")
+    val probe = e.select(col("event_id"), col("user_id"), col("ts"))
+    val build = e.select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+      col("value").as("p_value"))
+    val joined = Asof.join(probe, build, Seq("user_id" -> "b_user"), "ts", "b_ts")
+      .select(col("event_id"), col("b_ts"))
+    joined.collect()
+    val p = finalPlan(joined)
+    assert(!p.contains("value:double"),
+      s"unused build column `value` still read by a scan:\n$p")
+  }
+
   test("result is identical across partition counts (merge is partition-local)") {
     val a = SparkEntry.queries("q182_asof_native")(spark, dir)
       .repartition(1).collect().map(_.toString).sorted.toSeq
