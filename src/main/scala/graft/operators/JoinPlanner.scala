@@ -210,8 +210,18 @@ object JoinPlanner {
         round(col("n_left").cast("double") * col("n_right").cast("double") /
           greatest(col("ndv_left"), col("ndv_right")), 2).as("join_est"),
         round(skewProbe, 4).as("skew_probe"),
-        when(col("n_right") <= col("n_left"), lit("right"))
-          .otherwise(lit("left")).as("build_side"),
+        // build side: BYTES for broadcast (what actually ships to every
+        // executor — choosing by rows could broadcast-hint a wide-few-
+        // rows side exceeding the planner's own byte budget, ADVICE
+        // r12), ROWS otherwise (probe = the larger merge/salt side,
+        // consistent with the skew-probe selection above). Ties build
+        // right in both denominations.
+        when(col("strategy") === "broadcast",
+          when(col("bytes_right") <= col("bytes_left"), lit("right"))
+            .otherwise(lit("left")))
+          .otherwise(
+            when(col("n_right") <= col("n_left"), lit("right"))
+              .otherwise(lit("left"))).as("build_side"),
         col("strategy"),
         when(col("strategy") === "salt",
           least(ceil(skewProbe).cast("long"), lit(SaltFactorCap)))
@@ -649,7 +659,10 @@ object JoinPlanner {
         |  round(CAST(l.n_rows AS DOUBLE) * CAST(r.n_rows AS DOUBLE)
         |    / greatest(l.ndv, r.ndv), 2) AS join_est,
         |  round($skew, 4) AS skew_probe,
-        |  CASE WHEN r.n_rows <= l.n_rows THEN 'right' ELSE 'left' END AS build_side,
+        |  CASE WHEN least(l.n_bytes, r.n_bytes) <= $BroadcastMaxBytes
+        |       THEN (CASE WHEN r.n_bytes <= l.n_bytes THEN 'right' ELSE 'left' END)
+        |       ELSE (CASE WHEN r.n_rows <= l.n_rows THEN 'right' ELSE 'left' END)
+        |       END AS build_side,
         |  CASE WHEN least(l.n_bytes, r.n_bytes) <= $BroadcastMaxBytes THEN 'broadcast'
         |       WHEN $skew >= $SaltSkewMin THEN 'salt'
         |       ELSE 'shuffle' END AS strategy,

@@ -131,6 +131,35 @@ class JoinPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast build side is chosen by BYTES, not rows (narrow-many vs wide-few)") {
+    import spark.implicits._
+    // the ADVICE r12 failure shape: the smaller-BY-ROWS side is the
+    // larger-BY-BYTES side (wide-few-rows dim vs narrow-many-rows
+    // fact). Broadcasting by rows would ship the bigger payload — the
+    // exact failure autoBroadcastJoinThreshold exists to prevent.
+    val stats = Seq(
+      ("narrow_many", "k", 10000L, 100000L, 10000.0, 1.0),
+      ("wide_few", "k", 100L, 200000L, 100.0, 1.0))
+      .toDF("rel", "key_col", "n_rows", "n_bytes", "ndv", "skew_raw")
+    val joins = Seq(("bj", "narrow_many", "k", "wide_few", "k"))
+      .toDF("join_name", "left_rel", "left_key", "right_rel", "right_key")
+    val d = JoinPlanner.decide(stats, joins).collect().head
+    assert(d.getAs[String]("strategy") == "broadcast")
+    assert(d.getAs[String]("build_side") == "left",
+      s"must broadcast the smaller-by-bytes (left) side, got $d")
+    // non-broadcast strategies still pick the build side by rows (the
+    // probe = larger merge side, consistent with the skew probe)
+    val stats2 = Seq(
+      ("narrow_many2", "k", 10000L, 400000L, 10000.0, 1.0),
+      ("wide_few2", "k", 100L, 800000L, 100.0, 1.0))
+      .toDF("rel", "key_col", "n_rows", "n_bytes", "ndv", "skew_raw")
+    val joins2 = Seq(("sj", "narrow_many2", "k", "wide_few2", "k"))
+      .toDF("join_name", "left_rel", "left_key", "right_rel", "right_key")
+    val d2 = JoinPlanner.decide(stats2, joins2).collect().head
+    assert(d2.getAs[String]("strategy") == "shuffle")
+    assert(d2.getAs[String]("build_side") == "right")
+  }
+
   test("salt factor is capped at the parallelism budget on a synthetic hot key") {
     import spark.implicits._
     // a skew-150 power-law key the fixtures don't contain: uncapped,
