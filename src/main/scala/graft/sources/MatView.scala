@@ -19,8 +19,11 @@ import graft.Engine.MaterializeSyntax
   */
 object MatView {
 
-  /** MV layout version, folded into the signature. */
-  private val MvLayout = 1L
+  /** MV layout version, folded into the signature. Bumped to 2 when
+    * the stored view gained min_chars/max_chars (every older stored MV
+    * invalidates and rebuilds once).
+    */
+  private val MvLayout = 2L
 
   private[graft] def mvRoot(dir: String): String =
     StandingIndex.artifactRoot(dir, "mv")
@@ -33,15 +36,41 @@ object MatView {
 
   private val builtCache = new graft.SessionCache
 
-  /** Make the MV available; reuse on a matching corpus signature.
-    * Returns the MV parquet path (what [[graft.plans.MvRewrite.PathKey]]
-    * takes).
+  /** Make the MV available and REGISTER it with the rewrite rule —
+    * reuse on a matching corpus signature. Returns the MV parquet
+    * path. Registration caches the analyzed MV relation under the
+    * calling session + the source scan's exact root path (the
+    * MvRewrite registry), so the optimizer never re-reads the view
+    * and a multi-session JVM can't cross sessions (ADVICE r12).
     */
   def ensureMv(s: SparkSession, dir: String): String = {
     builtCache.getOrElseUpdate(s, dir) {
-      ensureMvValidated(s, dir); s.emptyDataFrame
+      ensureMvValidated(s, dir)
+      registerRewrite(s, dir)
+      s.emptyDataFrame
     }
     s"${mvRoot(dir)}/mv"
+  }
+
+  /** Cache + register the analyzed MV relation for [[MvRewrite]]:
+    * dims (lang, source); fact n_chars; stored rollups n_docs /
+    * sum_chars / min_chars / max_chars.
+    */
+  private[graft] def registerRewrite(s: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.plans.MvRewrite
+    val src = graft.Engine.table(s, dir, "documents").queryExecution.analyzed
+      .collect { case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+      }.flatten
+    val mvRel = s.read.parquet(s"${mvRoot(dir)}/mv").queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }
+      .getOrElse(throw new IllegalStateException(
+        s"MV at ${mvRoot(dir)}/mv did not analyze to a file relation"))
+    MvRewrite.register(s, src, MvRewrite.MvEntry(mvRel,
+      dims = Set("lang", "source"), factCol = "n_chars",
+      countCol = "n_docs", sumCol = "sum_chars",
+      minCol = "min_chars", maxCol = "max_chars"))
   }
 
   /** The validation+build step a NEW session runs (spec hook). */
@@ -51,7 +80,8 @@ object MatView {
     if (!StandingIndex.metaFresh(s, root, sig)) {
       graft.Engine.table(s, dir, "documents")
         .groupBy(col("lang"), col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/mv")
       // meta LAST: a crashed build can never validate as fresh
       StandingIndex.writeMeta(s, root, sig)
@@ -86,26 +116,20 @@ object MatView {
       body: => DataFrame): DataFrame = {
     import graft.plans.MvRewrite
     graft.Engine.registerOptimization(s, MvRewrite)
-    val mv = ensureMv(s, dir)
+    ensureMv(s, dir)
     val prevEnabled = s.conf.getOption(MvRewrite.EnabledKey)
-    val prevPath = s.conf.getOption(MvRewrite.PathKey)
     s.conf.set(MvRewrite.EnabledKey, "true")
-    s.conf.set(MvRewrite.PathKey, mv)
     try {
       val agg = body
       val scans = MvRewrite.scanLocations(agg.queryExecution.optimizedPlan)
       require(scans.exists(_.contains("/mv")) &&
-        !scans.exists(_.contains(MvRewrite.SourceMatch)),
+        !scans.exists(_.contains("documents.parquet")),
         s"MV rewrite did not fire — the plan still scans the corpus: $scans")
       agg.materialize()
     } finally {
       prevEnabled match {
         case Some(v) => s.conf.set(MvRewrite.EnabledKey, v)
         case None => s.conf.unset(MvRewrite.EnabledKey)
-      }
-      prevPath match {
-        case Some(v) => s.conf.set(MvRewrite.PathKey, v)
-        case None => s.conf.unset(MvRewrite.PathKey)
       }
     }
   }
@@ -126,9 +150,32 @@ object MatView {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }.orderBy(col("source"))
 
+  /** q197: DERIVED rollups through the MV — `avg`/`min`/`max` of the
+    * fact column answered from the view (VERDICT r12 item 4): min/max
+    * roll up by min/max over the stored per-group extrema, and avg
+    * derives as Σsum_chars / Σn_docs — exact, because both operands
+    * are exact longs and the raw path's double partial sums are
+    * integer-valued and far below 2^53, so the one final division is
+    * IEEE-identical on both paths (rounded 6 dp ABOVE the aggregate
+    * for oracle parity — the rounding Project sits outside the
+    * rewrite-matched shape). Same self-check + scoped-conf discipline;
+    * oracle = the verbatim raw-table SQL.
+    */
+  val q197MvRollups: (SparkSession, String) => DataFrame = (s, dir) =>
+    withMvRewrite(s, dir) {
+      graft.Engine.table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(avg(col("n_chars")).as("avg_raw"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }.select(col("lang"), round(col("avg_raw"), 6).as("avg_chars"),
+        col("min_chars"), col("max_chars"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q195_mv_aggregate" -> q195MvAggregate,
-      "q196_mv_filtered" -> q196MvFiltered)
+      "q196_mv_filtered" -> q196MvFiltered,
+      "q197_mv_rollups" -> q197MvRollups)
 
   val oracles: Map[String, String] = Map(
     "q195_mv_aggregate" ->
@@ -139,5 +186,9 @@ object MatView {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'zh')
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q197_mv_rollups" ->
+      """SELECT lang, round(avg(n_chars), 6) AS avg_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -18,16 +18,12 @@ class MvRewriteSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def withMv[A](f: => A): A = {
-    val mv = MatView.ensureMv(spark, dir)
+    MatView.ensureMv(spark, dir) // builds + registers the view
     val prevE = spark.conf.getOption(MvRewrite.EnabledKey)
-    val prevP = spark.conf.getOption(MvRewrite.PathKey)
     spark.conf.set(MvRewrite.EnabledKey, "true")
-    spark.conf.set(MvRewrite.PathKey, mv)
     try f finally {
       prevE.fold(spark.conf.unset(MvRewrite.EnabledKey))(
         spark.conf.set(MvRewrite.EnabledKey, _))
-      prevP.fold(spark.conf.unset(MvRewrite.PathKey))(
-        spark.conf.set(MvRewrite.PathKey, _))
     }
   }
 
@@ -86,9 +82,17 @@ class MvRewriteSpec extends AnyFunSuite {
       val mixed = docs.filter(col("lang") === "en" && col("n_chars") > 100)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
       assert(!readsMv(mixed))
-      // an aggregate the MV does not store (avg is not a stored rollup)
-      val avgAgg = docs.groupBy(col("lang")).agg(avg(col("n_chars")).as("a"))
-      assert(!readsMv(avgAgg))
+      // an aggregate the MV cannot derive (a computed fact expression)
+      val exprAgg = docs.groupBy(col("lang"))
+        .agg(sum(col("n_chars") * 2).as("a"))
+      assert(!readsMv(exprAgg))
+      // ...and one over a different fact column entirely
+      val otherCol = docs.groupBy(col("lang")).agg(max(col("doc_id")).as("m"))
+      assert(!readsMv(otherCol))
+      // distinct aggregates are not derivable from the MV
+      val dist = docs.groupBy(col("lang"))
+        .agg(countDistinct(col("n_chars")).as("n"))
+      assert(!readsMv(dist))
       // count(col) skips nulls — not the MV's n_docs
       val countCol = docs.groupBy(col("lang")).agg(count(col("text")).as("n"))
       assert(!readsMv(countCol))
@@ -103,6 +107,38 @@ class MvRewriteSpec extends AnyFunSuite {
       val plain = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       assert(!readsMv(plain))
     }
+  }
+
+  test("avg/min/max derive through the MV and are value-identical") {
+    val agg = () => docs.groupBy(col("lang"))
+      .agg(avg(col("n_chars")).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+    val plainRows = agg().collect().map(_.toString).sorted.toSeq
+    withMv {
+      assert(readsMv(agg()), s"derived rollups must rewrite: ${scans(agg())}")
+      // bit-identical doubles: the MV avg is the same final division
+      // over exact integer sums as the raw path's
+      assert(agg().collect().map(_.toString).sorted.toSeq == plainRows)
+      // min/max under a dimension filter too
+      val f = () => docs.filter(col("source") === "web")
+        .groupBy(col("lang")).agg(min(col("n_chars")).as("mn"))
+      assert(readsMv(f()))
+      assert(f().collect().map(_.toString).sorted.toSeq ==
+        docs.filter(col("source") === "web").groupBy(col("lang"))
+          .agg(min(col("n_chars")).as("mn"))
+          .collect().map(_.toString).sorted.toSeq)
+    }
+    // q197 (the declared surface query) self-verifies + equals raw
+    val got = MatView.q197MvRollups(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val want = docs.groupBy(col("lang"))
+      .agg(round(avg(col("n_chars")), 6).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("lang"), col("avg_chars"), col("min_chars"), col("max_chars"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
   }
 
   test("q195 self-verifies the rewrite and equals the raw aggregate") {
