@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.DecimalType
   *   3. signature stale/missing → rewrite both tables, meta row LAST.
   *
   * The one-file-per-bucket invariant: each table is
-  * `repartition(NumBuckets, key)`-exchanged before the bucketed write.
+  * `repartition(numBuckets, key)`-exchanged before the bucketed write.
   * Spark's bucket id is `pmod(murmur3(key), N)` — the SAME function
   * HashPartitioning uses — so task i holds exactly bucket i's rows and
   * writes exactly one file. That invariant is what lets the scan
@@ -42,18 +42,50 @@ import org.apache.spark.sql.types.DecimalType
   */
 object BucketStore {
 
-  /** Buckets per table. Fixture-scale; production sizes this as
-    * table_bytes / target_task_bytes, and both sides of a co-located
-    * join family must agree on it.
+  /** Target on-disk bytes per bucket file — the standard "one healthy
+    * task per bucket" sizing (HDFS-block-ish). The bucket count
+    * derives as ceil(largest_family_table_bytes / this), floored at
+    * [[MinBuckets]] (VERDICT r12 item 5: the former constant 16 was
+    * fixture-tuned; a 10 TB lineitem now gets ~80k buckets instead of
+    * 16 multi-hundred-GB ones). One count per co-located FAMILY —
+    * derived from the family's LARGEST table — because both sides of
+    * a co-located join must agree on it.
     */
-  val NumBuckets = 16
+  val TargetBucketBytes: Long = 128L * 1024 * 1024
+
+  /** Floor on the derived bucket count (the fixture-scale value: every
+    * gate corpus is far below one target-bucket of bytes).
+    */
+  val MinBuckets = 16
+
+  /** The derived bucket count for a family of tables under `dir`. */
+  private[graft] def numBuckets(s: SparkSession, dir: String,
+      tables: Seq[String]): Int = {
+    val maxBytes = tables.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }.max
+    math.max(MinBuckets,
+      math.ceil(maxBytes.toDouble / TargetBucketBytes).toInt)
+  }
+
+  /** The q189 family's bucket count (spec hook: the
+    * SelectedBucketsCount assertion needs the derived value).
+    */
+  def numBucketsFor(s: SparkSession, dir: String): Int =
+    numBuckets(s, dir, Tables.map(_._1))
 
   /** (fixture table, bucket/sort key) — the co-located join family. */
   val Tables: Seq[(String, String)] =
     Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey")
 
-  /** Bucket-store layout version, folded into the signature. */
-  private val BktLayout = 1L
+  /** Bucket-store layout version, folded into the signature. Bumped
+    * to 2 when the bucket count became bytes-derived (the count itself
+    * is folded into the signature too, so a count change — target
+    * resize, table growth past a bucket boundary — rebuilds).
+    */
+  private val BktLayout = 2L
 
   private[graft] def bktRoot(dir: String): String =
     StandingIndex.artifactRoot(dir, "bkt")
@@ -67,7 +99,7 @@ object BucketStore {
     s"graft_bkt_${t}_$key"
   }
 
-  private[graft] def bktSig(s: SparkSession, dir: String): (Long, Long) = {
+  private[graft] def bktSig(s: SparkSession, dir: String, nb: Int): (Long, Long) = {
     val M = StandingIndex.SigMod
     val per = Tables.map { case (t, _) =>
       val (n, sg) = StandingIndex.tableSig(s, dir, t,
@@ -75,7 +107,8 @@ object BucketStore {
       (n, Math.floorMod(
         scala.util.hashing.MurmurHash3.stringHash(t).toLong + sg, M))
     }
-    (per.map(_._1).sum, Math.floorMod(per.map(_._2).sum + BktLayout, M))
+    (per.map(_._1).sum,
+      Math.floorMod(per.map(_._2).sum + BktLayout + nb.toLong, M))
   }
 
   private val builtCache = new graft.SessionCache
@@ -91,7 +124,8 @@ object BucketStore {
   /** The validation+registration step a NEW session runs (spec hook). */
   private[graft] def ensureBucketedValidated(s: SparkSession, dir: String): Unit = {
     val root = bktRoot(dir)
-    val sig = bktSig(s, dir)
+    val nb = numBucketsFor(s, dir)
+    val sig = bktSig(s, dir, nb)
     if (!StandingIndex.metaFresh(s, root, sig)) {
       Tables.foreach { case (t, key) =>
         val tn = tableName(dir, t)
@@ -101,10 +135,10 @@ object BucketStore {
         // partition id == bucket id (same murmur3-pmod function), so
         // each task writes its one bucket's one file
         graft.Engine.table(s, dir, t)
-          .repartition(NumBuckets, col(key))
+          .repartition(nb, col(key))
           .write.mode("overwrite")
           .option("path", s"$root/$t")
-          .bucketBy(NumBuckets, key).sortBy(key)
+          .bucketBy(nb, key).sortBy(key)
           .saveAsTable(tn)
       }
       // meta LAST: a crashed build can never validate as fresh
@@ -113,11 +147,13 @@ object BucketStore {
       val tn = tableName(dir, t)
       if (!s.catalog.tableExists(tn)) {
         // new session over a stored artifact: metadata-only
-        // re-registration of the existing bucketed files
+        // re-registration of the existing bucketed files. The derived
+        // nb matches the stored files: a fresh signature implies the
+        // same table bytes, hence the same derived count.
         val ddl = s.read.parquet(s"$root/$t").schema.toDDL
         s.sql(s"""CREATE TABLE $tn ($ddl) USING PARQUET
                  |CLUSTERED BY ($key) SORTED BY ($key)
-                 |INTO $NumBuckets BUCKETS
+                 |INTO $nb BUCKETS
                  |LOCATION '$root/$t'""".stripMargin)
       }
     }
@@ -225,18 +261,19 @@ object BucketStore {
       (n, Math.floorMod(
         scala.util.hashing.MurmurHash3.stringHash(s"$t:$k").toLong + sg, M))
     }
+    val nb = numBuckets(s, dir, sides.map(_._1))
     val sig = (per.map(_._1).sum,
-      Math.floorMod(per.map(_._2).sum + BktLayout, M))
+      Math.floorMod(per.map(_._2).sum + BktLayout + nb.toLong, M))
     if (!StandingIndex.metaFresh(s, root, sig)) {
       sides.foreach { case (t, k) =>
         val tn = advTableName(dir, t)
         s.sql(s"DROP TABLE IF EXISTS $tn")
         deleteDir(new java.io.File(s"$root/$t"))
         graft.Engine.table(s, dir, t)
-          .repartition(NumBuckets, col(k))
+          .repartition(nb, col(k))
           .write.mode("overwrite")
           .option("path", s"$root/$t")
-          .bucketBy(NumBuckets, k).sortBy(k)
+          .bucketBy(nb, k).sortBy(k)
           .saveAsTable(tn)
       }
       StandingIndex.writeMeta(s, root, sig)
@@ -246,7 +283,7 @@ object BucketStore {
         val ddl = s.read.parquet(s"$root/$t").schema.toDDL
         s.sql(s"""CREATE TABLE $tn ($ddl) USING PARQUET
                  |CLUSTERED BY ($k) SORTED BY ($k)
-                 |INTO $NumBuckets BUCKETS
+                 |INTO $nb BUCKETS
                  |LOCATION '$root/$t'""".stripMargin)
       }
     }

@@ -91,7 +91,7 @@ class BucketStoreSpec extends AnyFunSuite {
       val li = spark.table(BucketStore.tableName(dir, "lineitem"))
       val k = li.select(min(col("l_orderkey"))).head().getLong(0)
       val p = plan(li.filter(col("l_orderkey") === lit(k)))
-      assert(p.contains(s"SelectedBucketsCount: 1 out of ${BucketStore.NumBuckets}"),
+      assert(p.contains(s"SelectedBucketsCount: 1 out of ${BucketStore.numBucketsFor(spark, dir)}"),
         s"no bucket pruning in:\n$p")
     }
   }

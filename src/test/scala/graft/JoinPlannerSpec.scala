@@ -201,15 +201,17 @@ class JoinPlannerSpec extends AnyFunSuite {
       .toDF("join_name", "left_rel", "left_key", "right_rel", "right_key")
     val d = JoinPlanner.decide(stats, joins).collect().head
     assert(d.getAs[String]("strategy") == "salt")
-    assert(d.getAs[Long]("salt_factor") == JoinPlanner.SaltFactorCap,
-      s"factor must cap at ${JoinPlanner.SaltFactorCap}, got $d")
+    val cap = JoinPlanner.saltFactorCap(spark)
+    assert(cap == 32L, "Engine sessions pin 32 shuffle partitions")
+    assert(d.getAs[Long]("salt_factor") == cap,
+      s"factor must cap at $cap, got $d")
     // applying the capped factor to an actual hot-key frame is still
     // layout-only: same rows as the plain join
     val left = (1 to 3000).map(i => (1L, i)) ++ (1 to 50).map(i => (i.toLong + 1, i))
     val l = left.toDF("k", "payload")
     val r = (1L to 10L).map(k => (k, s"d$k")).toDF("rk", "name")
     val planned = JoinPlanner.plannedJoin(l, r, "k", "rk",
-      "salt", "right", JoinPlanner.SaltFactorCap, Seq("k", "payload"))
+      "salt", "right", JoinPlanner.saltFactorCap(spark), Seq("k", "payload"))
     val plain = l.join(r, col("k") === col("rk"))
     assert(planned.count() == plain.count())
   }
