@@ -1017,6 +1017,44 @@ object Relational {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** q198: the LEFT-OUTER interval join through the optimizer rule —
+    * the "every click, with its optional preceding-hour purchases"
+    * shape (VERDICT r12 item 6, the round-12 rule fired only on
+    * INNER). The rule re-anchors the window onto the PRESERVED click
+    * side (anchor rows are never replicated, so unmatched clicks
+    * surface exactly once, null-extended by the join itself) and
+    * explodes only the purchase side — per-task work bounded exactly
+    * as in q184, outer semantics intact. The `require` self-verifies
+    * the rewrite fired; the oracle is the verbatim raw left-join SQL,
+    * so the gate value-checks the outer path of the rule (matched
+    * rows AND the null-extended unmatched tail). IntervalRuleSpec
+    * pins re-anchoring, single-surfacing of unmatched rows, and the
+    * sub-second refusal asymmetry.
+    */
+  val q198IntervalLeftOuter: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    val plain = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("value"))
+    val rewritten = graft.plans.BucketIntervalJoin.rewrite(
+      plain.queryExecution.optimizedPlan)
+    require(rewritten.treeString.contains(
+      graft.plans.BucketIntervalJoin.BucketPrefix),
+      "q198: the left-outer interval rewrite did not fire")
+    org.apache.spark.sql.graft.Bridge.ofRows(s, rewritten)
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** The q183 operator over any events-shaped frame (event_id, user_id,
     * ts, event_type, value) — IntervalBucketedSpec drives synthetic
     * boundary/hot-key frames through this exact code path.
@@ -1071,6 +1109,7 @@ object Relational {
     "q63_interval_join" -> q63IntervalJoin,
     "q183_interval_bucketed" -> q183IntervalBucketed,
     "q184_interval_rule" -> q184IntervalRule,
+    "q198_interval_left_outer" -> q198IntervalLeftOuter,
     "q118_salted_join" -> q118SaltedJoin,
     "q31_collect_agg" -> q31CollectAgg,
     "q32_approx_distinct" -> q32ApproxDistinct,
@@ -1160,6 +1199,14 @@ object Relational {
     // value-checks all three physical strategies (the q33/q182 pattern)
     "q183_interval_bucketed" -> q63Sql,
     "q184_interval_rule" -> q63Sql,
+    "q198_interval_left_outer" ->
+      """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+        |  p.ts AS purchase_ts, p.value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        | AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q31_collect_agg" ->
       """SELECT g.c_nationkey, g.segments, p.poorest, r.richest, g.n_customers FROM
         |  (SELECT c_nationkey,

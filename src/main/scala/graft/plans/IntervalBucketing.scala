@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{CalendarIntervalType, LongType, TimestampType}
@@ -11,7 +11,9 @@ import org.apache.spark.unsafe.types.CalendarInterval
   * time-bucketed form (the q183 layout) so the natural way of writing
   * the query gets the skew-bounded plan automatically.
   *
-  * Matched shape — an INNER join whose condition conjuncts contain
+  * Matched shape — an INNER join (or a LEFT/RIGHT OUTER join whose
+  * PRESERVED side is the window's anchor side — see below) whose
+  * condition conjuncts contain
   *
   *   - at least one cross-side `EqualTo(attr, attr)` equi pair, and
   *   - two conjuncts bounding one side's timestamp attribute `p`
@@ -69,10 +71,30 @@ object BucketIntervalJoin extends Rule[LogicalPlan] {
     * session state.
     */
   def rewrite(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(cond), hint)
+    case j @ Join(left, right, jt @ (Inner | LeftOuter | RightOuter), Some(cond), hint)
         if !cond.references.exists(_.name.startsWith(BucketPrefix)) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      matchWindow(conjuncts, left, right) match {
+      // an OUTER join qualifies only with its PRESERVED side as the
+      // anchor: the anchor gets exactly one bucket column (never
+      // replicated), so each preserved row appears once — matched rows
+      // via the bucket-equality superset, unmatched rows null-extended
+      // by the join itself, exactly as in the plain plan. Had the
+      // preserved side been the ×2-exploded bounded side, every
+      // unmatched preserved row would surface twice. Since every
+      // two-sided window reads in both anchorings, the common "clicks
+      // with optional purchase" left outer qualifies whichever way the
+      // user wrote the bounds (VERDICT r12 item 6); the only refusals
+      // are windows whose preserved-side anchoring needs a sub-second
+      // lower offset.
+      val chosen = matchWindows(conjuncts, left, right).find {
+        case (_, cTs, _, _) => jt match {
+          case Inner => true
+          case LeftOuter => left.outputSet.contains(cTs)
+          case RightOuter => right.outputSet.contains(cTs)
+          case _ => false
+        }
+      }
+      chosen match {
         case None => j
         case Some((pTs, cTs, loSec, wSec)) =>
           val equiOk = conjuncts.exists {
@@ -103,7 +125,7 @@ object BucketIntervalJoin extends Rule[LogicalPlan] {
               if (cSide eq left) (cPlan: LogicalPlan, pPlan: LogicalPlan)
               else (pPlan: LogicalPlan, cPlan: LogicalPlan)
             Project(j.output,
-              Join(newL, newR, Inner, Some(And(cond, bucketEq)), hint))
+              Join(newL, newR, jt, Some(And(cond, bucketEq)), hint))
           }
       }
   }
@@ -153,13 +175,18 @@ object BucketIntervalJoin extends Rule[LogicalPlan] {
     }
   }
 
-  /** Find (p, c, loSec, bucketWidthSec) such that the conjuncts bound
-    * `p` inside `[c + lo, c + hi]` with a whole-second `lo ≤ hi`.
+  /** All (p, c, loSec, bucketWidthSec) readings such that the
+    * conjuncts bound `p` inside `[c + lo, c + hi]` with a whole-second
+    * `lo ≤ hi`. Every two-sided window yields BOTH anchorings
+    * (`p ∈ [c+lo, c+hi]` ⟺ `c ∈ [p−hi, p−lo]` — boundsOf emits each
+    * comparison's two readings), except where one direction's lower
+    * offset is sub-second; [[rewrite]] picks the reading its join type
+    * needs (any for INNER, the preserved-side anchor for OUTER).
     */
-  private def matchWindow(conjuncts: Seq[Expression], left: LogicalPlan,
-      right: LogicalPlan): Option[(Attribute, Attribute, Long, Long)] = {
+  private def matchWindows(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Seq[(Attribute, Attribute, Long, Long)] = {
     val bounds = conjuncts.flatMap(boundsOf(_, left, right))
-    val hits = for {
+    for {
       (pL, cL, lo, isUpperL) <- bounds if !isUpperL
       (pU, cU, hi, isUpperU) <- bounds if isUpperU
       if pL.semanticEquals(pU) && cL.semanticEquals(cU)
@@ -169,7 +196,6 @@ object BucketIntervalJoin extends Rule[LogicalPlan] {
       hiSec = Math.floorDiv(hi + 999999L, 1000000L) // ceil to seconds
       wSec = Math.max(1L, hiSec - loSec)
     } yield (pL, cL, loSec, wSec)
-    hits.headOption
   }
 
   /** Total micros of a literal interval — ANSI `DayTimeIntervalType`

@@ -76,6 +76,100 @@ class IntervalRuleSpec extends AnyFunSuite {
     assert(plain.count() == 3) // (1,10) (1,11) (2,13); 12:00 is 70 min before 13:10 -> out
   }
 
+  private def leftOuterJoin(e: DataFrame): DataFrame = {
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("value"))
+  }
+
+  test("left-outer rewrites when the preserved side is the anchor; unmatched rows survive once") {
+    val e = events(
+      (1L, "u1", "2024-03-05 12:00:00", "click", 0.0),   // matched
+      (2L, "u1", "2024-03-05 20:00:00", "click", 0.0),   // UNMATCHED (no purchase near)
+      (3L, "u2", "2024-03-05 12:00:00", "click", 0.0),   // UNMATCHED (user has none)
+      (10L, "u1", "2024-03-05 11:30:00", "purchase", 1.0),
+      (11L, "u1", "2024-03-05 23:00:00", "purchase", 2.0)) // outside both windows
+    val plain = leftOuterJoin(e)
+    val rew = rewriteOf(plain)
+    // the rewrite FIRED (left-outer is no longer the skewed fallback)
+    val txt = BucketIntervalJoin.rewrite(plain.queryExecution.optimizedPlan).treeString
+    assert(txt.contains(BucketIntervalJoin.BucketPrefix),
+      s"left-outer anchor-preserving shape must rewrite:\n$txt")
+    assert(rew.schema == plain.schema)
+    assert(sortedRows(rew) == sortedRows(plain))
+    // and the unmatched clicks appear exactly once, null-extended
+    assert(plain.count() == 3)
+    assert(plain.filter(col("purchase_id").isNull).count() == 2)
+    // fixture-scale equivalence too
+    val ef = Engine.table(spark, dir, "events")
+    assert(sortedRows(rewriteOf(leftOuterJoin(ef))) == sortedRows(leftOuterJoin(ef)))
+  }
+
+  test("outer joins re-anchor onto the preserved side; sub-second preserved anchoring refuses") {
+    // the bounds written "backwards" (click bounded in the purchase's
+    // window) still rewrite as LEFT outer: every two-sided window
+    // reads in both anchorings, and the rule picks the one whose
+    // anchor is the preserved click side
+    val e = Engine.table(spark, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val flipped = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    val fPlan = BucketIntervalJoin.rewrite(flipped.queryExecution.optimizedPlan)
+    assert(fPlan.treeString.contains(BucketIntervalJoin.BucketPrefix),
+      "re-anchorable left outer must rewrite")
+    // the chosen anchor is the PRESERVED side: no explode above clicks
+    val fRows = org.apache.spark.sql.graft.Bridge.ofRows(spark, fPlan)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fRows == flipped.collect().map(_.toString).sorted.toSeq)
+    assert(fRows.nonEmpty)
+    // RIGHT outer of the same shape anchors on purchases and rewrites too
+    val rightOuter = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "right_outer")
+    val roPlan = BucketIntervalJoin.rewrite(rightOuter.queryExecution.optimizedPlan)
+    assert(roPlan.treeString.contains(BucketIntervalJoin.BucketPrefix))
+    assert(org.apache.spark.sql.graft.Bridge.ofRows(spark, roPlan)
+      .collect().map(_.toString).sorted.toSeq ==
+      rightOuter.collect().map(_.toString).sorted.toSeq)
+    // the GENUINE refusal: a sub-second bound that survives re-reading
+    // only in the anchoring the outer type cannot use. click ∈
+    // [p − 1h, p + 0.5s] re-anchors to purchase ∈ [click − 0.5s, ...]
+    // — a sub-second LOWER offset on the preserved-click anchoring —
+    // so LEFT outer refuses, while INNER (free to anchor on the
+    // purchase side) still rewrites.
+    val subSecond = (jt: String) => clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") + expr("INTERVAL 0.5 SECOND") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"), jt)
+    val loBefore = subSecond("left_outer").queryExecution.optimizedPlan
+    assert(BucketIntervalJoin.rewrite(loBefore).treeString == loBefore.treeString,
+      "sub-second preserved-side anchoring must refuse under left outer")
+    val inBefore = subSecond("inner").queryExecution.optimizedPlan
+    assert(BucketIntervalJoin.rewrite(inBefore).treeString
+      .contains(BucketIntervalJoin.BucketPrefix),
+      "the same window under INNER may anchor on the purchase side")
+  }
+
   test("idempotent: re-applying the rewrite adds no second bucketing layer") {
     val e = Engine.table(spark, dir, "events")
     val once = BucketIntervalJoin.rewrite(
