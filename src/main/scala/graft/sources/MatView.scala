@@ -73,15 +73,45 @@ object MatView {
       minCol = "min_chars", maxCol = "max_chars"))
   }
 
+  /** The MV's aggregate shape over any documents-shaped frame — ONE
+    * definition serves the stored build, the streaming maintenance
+    * twin's per-batch partial, and StreamingMvSpec's recompute
+    * baseline, so the three can never drift.
+    */
+  def mvAggregate(df: DataFrame): DataFrame =
+    df.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+
+  /** Fold one INSERT-ONLY micro-batch of documents into a maintained
+    * MV — the STREAMING MAINTENANCE TWIN of the stored artifact
+    * (VERDICT r12 item 8, completing the artifact-twin matrix): the
+    * batch's partial aggregate unions with the standing view and
+    * re-aggregates with the rollup algebra the rewrite itself relies
+    * on (counts and sums roll up by summation, extrema by min/max) —
+    * so maintained == recomputed after every batch, which
+    * StreamingMvSpec pins through a foreachBatch loop. Insert-only by
+    * design: under DELETES the stored min/max are not incrementally
+    * maintainable (a deleted extremum forces re-aggregating its
+    * group); the count/sum-only delete path is q106's incremental
+    * view. Scale shape: the standing side is |dims| rows, the batch
+    * side aggregates map-side before the union — the fold never
+    * rescans the corpus.
+    */
+  def foldMvBatch(stored: DataFrame, batch: DataFrame): DataFrame =
+    stored.unionByName(mvAggregate(batch))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_chars")).as("sum_chars"),
+        min(col("min_chars")).as("min_chars"),
+        max(col("max_chars")).as("max_chars"))
+
   /** The validation+build step a NEW session runs (spec hook). */
   private[graft] def ensureMvValidated(s: SparkSession, dir: String): Unit = {
     val root = mvRoot(dir)
     val sig = mvSig(s, dir)
     if (!StandingIndex.metaFresh(s, root, sig)) {
-      graft.Engine.table(s, dir, "documents")
-        .groupBy(col("lang"), col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
-          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      mvAggregate(graft.Engine.table(s, dir, "documents"))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/mv")
       // meta LAST: a crashed build can never validate as fresh
       StandingIndex.writeMeta(s, root, sig)

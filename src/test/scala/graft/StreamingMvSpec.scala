@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.MatView
+
+/** The materialized view's STREAMING MAINTENANCE TWIN (VERDICT r12
+  * item 8 — the one standing artifact without one): documents arrive
+  * as an insert-only micro-batch stream, a foreachBatch sink folds
+  * each batch into the maintained view with [[MatView.foldMvBatch]],
+  * and after EVERY batch the maintained view equals a full recompute
+  * over all rows fed so far — the q106 "incremental == recomputed"
+  * bar applied to the MV's full rollup algebra (count/sum by
+  * summation, min/max by extremum; the min/max columns are exactly
+  * why this twin is insert-only — see foldMvBatch's scaladoc).
+  *
+  * The recompute baseline is [[MatView.mvAggregate]] over the fed
+  * frame — the same definition the stored artifact build uses, so
+  * convergence here is convergence to what q195/q196/q197 read.
+  */
+object StreamingMvSpec {
+  /** Top-level so the case-class Encoder doesn't capture the suite. */
+  case class Doc(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+}
+
+class StreamingMvSpec extends AnyFunSuite {
+  import StreamingMvSpec.Doc
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = Engine.session(master = "local[4]")
+
+  test("foreachBatch-maintained MV == full recompute after every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val docs = Engine.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(docs.length > 10, "fixture documents must be non-trivial")
+    // three micro-batches — a growing corpus arriving over time
+    val batches = docs.groupBy(d => math.floorMod(d.doc_id, 3L)).toSeq
+      .sortBy(_._1).map(_._2.toSeq)
+    assert(batches.size == 3)
+
+    // the maintained view starts EMPTY (a new corpus onboarding);
+    // schema matches the stored artifact's
+    var maintained: DataFrame = Engine.materialize(
+      MatView.mvAggregate(Seq.empty[Doc].toDF()))
+    val ms = MemoryStream[Doc]
+    val query = ms.toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        maintained = Engine.materialize(
+          MatView.foldMvBatch(maintained, batch))
+        ()
+      }
+      .start()
+    try {
+      var fed = Seq.empty[Doc]
+      batches.foreach { b =>
+        ms.addData(b)
+        query.processAllAvailable()
+        fed = fed ++ b
+        assert(Canonical.hash(maintained) ==
+          Canonical.hash(MatView.mvAggregate(fed.toDF())),
+          s"maintained MV diverged after ${fed.size} docs")
+      }
+      // end state == the full-corpus aggregate the stored artifact holds
+      assert(Canonical.hash(maintained) ==
+        Canonical.hash(MatView.mvAggregate(
+          Engine.table(spark, dir, "documents"))),
+        "maintained end state != the stored artifact's aggregate")
+    } finally query.stop()
+  }
+}
