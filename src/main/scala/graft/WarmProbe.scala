@@ -116,7 +116,12 @@ object WarmProbe {
     val known = SparkEntry.queries.keySet
     val (autoSel, noiseSkipped) =
       if (curr.isEmpty) (DefaultTop, Nil) else selectProbes(prev, curr, known)
-    val names = if (args.nonEmpty) args.toSeq else autoSel
+    // `ALL` probes the ENTIRE declared surface (VERDICT r12 item 1:
+    // a warm median for every query, not just the drift-selected set)
+    val names =
+      if (args.toSeq == Seq("ALL")) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
+      else autoSel
     System.err.println(s"[warm] probing ${names.size} queries " +
       s"(${noiseSkipped.size} sub-${NoiseFloorSec}s drifts skipped as noise)")
 

@@ -784,6 +784,34 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q199: the INNER native as-of join — q182's exact result produced
+    * by the exec's inner mode instead of a compose-then-filter: the
+    * merge DROPS unmatched probes at emission (zero null-extended rows
+    * ever materialize between operators), which is DuckDB's bare
+    * `ASOF JOIN` semantics — so the query reuses q33's oracle VERBATIM
+    * with no isNotNull anywhere on the Spark side. Same build-side
+    * dedup as q182 (one row per (user, ts), exec tie rule == oracle's
+    * row_number pick); AsofNativeSpec pins inner == outer+filter
+    * row-for-row and the unchanged plan contract.
+    */
+  val q199AsofInner: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val probes = e.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val builds = e.filter(col("event_type") === "purchase")
+      .withColumn("nts", lead(col("ts"), 1).over(wb))
+      .filter(col("nts").isNull || col("nts") =!= col("ts"))
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("value").as("p_value"))
+    graft.plans.Asof.innerJoin(probes, builds,
+        Seq("user_id" -> "b_user"), "ts", "b_ts")
+      .select(col("event_id"), col("user_id"),
+        col("p_value").as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** q35: explicit GROUPING SETS — ((returnflag, linestatus), (returnflag),
     * (linestatus)) without the grand total (which distinguishes it from
     * rollup/cube in q22/q23).
@@ -1115,6 +1143,7 @@ object Relational {
     "q32_approx_distinct" -> q32ApproxDistinct,
     "q33_asof_join" -> q33AsofJoin,
     "q182_asof_native" -> q182AsofNative,
+    "q199_asof_inner" -> q199AsofInner,
     "q34_local_supplier_volume" -> q34LocalSupplierVolume,
     "q180_planned_star" -> q180PlannedStar,
     "q35_grouping_sets" -> q35GroupingSets,
@@ -1250,6 +1279,9 @@ object Relational {
     // by the native AsofJoinExec instead of the window composition —
     // the shared oracle makes the physical-operator swap a value check
     "q182_asof_native" -> q33Sql,
+    // q199 reuses it a third time: the INNER exec mode == DuckDB's bare
+    // ASOF JOIN (which IS inner), no post-filter on either side
+    "q199_asof_inner" -> q33Sql,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  ${decSum("l_quantity")} AS sum_qty,

@@ -48,14 +48,19 @@ case class AsofJoin(
     leftKeys: Seq[Attribute],
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
-    rightTime: Attribute)
+    rightTime: Attribute,
+    isInner: Boolean = false)
   extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size, "as-of key arity mismatch")
 
-  // right side is the outer-extended side: its columns go nullable
+  // LEFT OUTER (default): the build side null-extends, its columns go
+  // nullable. INNER: unmatched probes are dropped instead, so build
+  // columns keep their scanned nullability (DuckDB's bare ASOF JOIN is
+  // this inner form — q199 value-checks it against that oracle).
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (isInner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
@@ -68,8 +73,8 @@ case class AsofJoin(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, inner) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, inner) :: Nil
     case _ => Nil
   }
 }
@@ -107,7 +112,8 @@ case class AsofJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    isInner: Boolean = false)
   extends BinaryExecNode {
 
   override lazy val metrics = Map(
@@ -115,7 +121,8 @@ case class AsofJoinExec(
     "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (isInner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
 
   // the merge walks left partitions in place: left's layout survives
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -140,6 +147,7 @@ case class AsofJoinExec(
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
+    val innerMode = isInner
     val allOut = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // executor-side codegen'd projections (created per partition)
@@ -149,15 +157,20 @@ case class AsofJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeExpr.dataType))
-      // bind against the NULLABLE view of the build side: the unmatched
+      // bind against the NULLABLE view of the build side: the outer
       // path feeds an all-null row, and a projection bound to the
       // original non-nullable attributes would skip the null check and
-      // read primitive zeros instead of nulls
+      // read primitive zeros instead of nulls (harmless extra null
+      // checks in inner mode, where matched rows are real build rows)
       val resultProj = UnsafeProjection.create(allOut, lOut ++ rOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
 
-      new Iterator[InternalRow] {
+      // the single forward merge: one (probe row, matched-or-null) pair
+      // per probe. The probe row reference is valid only until the next
+      // advance (shuffle iterators reuse row objects), which both
+      // consumers below respect by projecting immediately.
+      val merged = new Iterator[(InternalRow, InternalRow)] {
         private var rHead: InternalRow = _      // buffered unconsumed build row (copy)
         private var rHeadKey: InternalRow = _   // its key (copy)
         private var matched: InternalRow = _    // best as-of candidate for current key (copy)
@@ -173,14 +186,13 @@ case class AsofJoinExec(
 
         override def hasNext: Boolean = lIter.hasNext
 
-        override def next(): InternalRow = {
+        override def next(): (InternalRow, InternalRow) = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
-          numOutputRows += 1
           if (lKey.anyNull || lTimeProj(lRow).isNullAt(0)) {
             // SQL null semantics: no match possible; leave the build
             // buffer in place (nulls-first ordering ⇒ nothing skipped)
-            return resultProj(joined(lRow, nullRight))
+            return (lRow, null)
           }
           val lTime = lTimeProj(lRow).copy()
           if (matched != null && keyOrd.compare(matchedKey, lKey) != 0) {
@@ -199,11 +211,23 @@ case class AsofJoinExec(
               } else scanning = false                     // future build row: keep buffered
             } else scanning = false                       // next key group: keep buffered
           }
-          if (matched != null) {
-            numMatched += 1
-            resultProj(joined(lRow, matched))
-          } else resultProj(joined(lRow, nullRight))
+          (lRow, matched)
         }
+      }
+
+      if (innerMode) merged.collect {
+        // INNER: unmatched probes are dropped at emission — zero
+        // null-extended rows ever materialize
+        case (lRow, m) if m != null =>
+          numOutputRows += 1
+          numMatched += 1
+          resultProj(joined(lRow, m))
+      } else merged.map { case (lRow, m) =>
+        numOutputRows += 1
+        if (m != null) {
+          numMatched += 1
+          resultProj(joined(lRow, m))
+        } else resultProj(joined(lRow, nullRight))
       }
     }
   }
@@ -233,7 +257,8 @@ object Asof {
     * planning this without [[join]]'s self-registration fallback).
     */
   def node(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
-      leftTime: String, rightTime: String): AsofJoin = {
+      leftTime: String, rightTime: String,
+      inner: Boolean = false): AsofJoin = {
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
@@ -247,11 +272,12 @@ object Asof {
     AsofJoin(lp, rp,
       keys.map(k => attr(lp, k._1, "probe")),
       keys.map(k => attr(rp, k._2, "build")),
-      attr(lp, leftTime, "probe"), attr(rp, rightTime, "build"))
+      attr(lp, leftTime, "probe"), attr(rp, rightTime, "build"), inner)
   }
 
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      inner: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     // self-register on the session actually planning this frame:
     // extensions/Engine.session wire the strategy at construction, but
@@ -265,8 +291,19 @@ object Asof {
     graft.Engine.registerStrategy(spark, AsofJoinStrategy)
     graft.Engine.registerOptimization(spark, AsofPushDown)
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
-      node(left, right, keys, leftTime, rightTime))
+      node(left, right, keys, leftTime, rightTime, inner))
   }
+
+  /** The INNER as-of join — unmatched probes are DROPPED instead of
+    * null-extended (DuckDB's bare `ASOF JOIN`; the LEFT OUTER default
+    * is its `LEFT ASOF JOIN`). Same merge pass, same O(1) buffered
+    * state: the exec filters at emission, so an inner as-of never
+    * materializes the null-extended rows a compose-then-filter
+    * pipeline (q182's `.filter(isNotNull)`) carries between operators.
+    */
+  def innerJoin(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTime: String, rightTime: String): DataFrame =
+    join(left, right, keys, leftTime, rightTime, inner = true)
 }
 
 /** Optimizer rule: push PROBE-side predicates through [[AsofJoin]]

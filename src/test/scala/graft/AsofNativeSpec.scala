@@ -223,6 +223,43 @@ class AsofNativeSpec extends AnyFunSuite {
       s"unused build column `value` still read by a scan:\n$p")
   }
 
+  test("inner mode drops unmatched probes at emission; inner == outer+filter") {
+    // unit: the unmatched probe vanishes instead of null-extending
+    val p = probes((1L, "u1", "2024-01-10 00:00:00"), (2L, "u2", "2024-01-10 00:00:00"))
+    val b = builds(("u1", "2024-01-05 00:00:00", 5.0)) // u2 has no build
+    val inner = Asof.innerJoin(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts")
+    val out = inner.collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L), s"unmatched probe leaked: ${out.toSeq}")
+    // null probe key/time are unmatched-by-definition: dropped too
+    import spark.implicits._
+    val pn = Seq((3L, null.asInstanceOf[String], ts("2024-01-10 00:00:00")),
+      (4L, "u1", null.asInstanceOf[Timestamp]))
+      .toDF("event_id", "user_id", "ts")
+    assert(Asof.innerJoin(pn, b, Seq("user_id" -> "b_user"), "ts", "b_ts").count() == 0)
+    // fixtures: inner == the outer join post-filtered, row-for-row
+    val e = Engine.table(spark, dir, "events")
+    val probesF = e.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val buildsF = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("value").as("p_value"))
+    val innerF = Asof.innerJoin(probesF, buildsF,
+      Seq("user_id" -> "b_user"), "ts", "b_ts")
+      .collect().map(_.toString).sorted.toSeq
+    val outerFiltered = Asof.join(probesF, buildsF,
+      Seq("user_id" -> "b_user"), "ts", "b_ts")
+      .filter(col("p_value").isNotNull)
+      .collect().map(_.toString).sorted.toSeq
+    assert(innerF.nonEmpty && innerF == outerFiltered)
+    // and the declared q199 equals q182 (same result, inner-mode plan)
+    val q199 = SparkEntry.queries("q199_asof_inner")(spark, dir)
+    q199.collect()
+    assert(finalPlan(q199).contains("AsofJoin "), "q199 must plan the native exec")
+    assert(q199.collect().map(_.toString).sorted.toSeq ==
+      SparkEntry.queries("q182_asof_native")(spark, dir)
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
   test("result is identical across partition counts (merge is partition-local)") {
     val a = SparkEntry.queries("q182_asof_native")(spark, dir)
       .repartition(1).collect().map(_.toString).sorted.toSeq

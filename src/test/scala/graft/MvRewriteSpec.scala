@@ -153,6 +153,35 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(!spark.conf.getOption(MvRewrite.EnabledKey).contains("true"))
   }
 
+  test("registry: two corpora registered in one session resolve to their own views") {
+    // the registry is keyed by (session, exact source root path) — a
+    // second registered corpus must answer from ITS view, never the
+    // first's (the r12 substring matcher could not make this
+    // distinction at all)
+    val dir2 = "/root/testdata/sf0.1" // 5000 docs vs sf0.001's 500
+    MatView.ensureMv(spark, dir)
+    MatView.ensureMv(spark, dir2)
+    val prevE = spark.conf.getOption(MvRewrite.EnabledKey)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    try {
+      def aggOf(d: String) = Engine.table(spark, d, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val a1 = aggOf(dir); val a2 = aggOf(dir2)
+      // both rewrite, each to its own artifact root
+      val s1 = scans(a1); val s2 = scans(a2)
+      assert(s1.exists(_.contains("/mv")) && s2.exists(_.contains("/mv")))
+      assert(s1 != s2, s"both corpora resolved to one MV: $s1 vs $s2")
+      // and each answer is ITS corpus's own raw count
+      val n1 = a1.agg(sum(col("n_docs"))).head().getLong(0)
+      val n2 = a2.agg(sum(col("n_docs"))).head().getLong(0)
+      val raw1 = Engine.table(spark, dir, "documents").count()
+      val raw2 = Engine.table(spark, dir2, "documents").count()
+      assert(n1 == raw1 && n2 == raw2, s"($n1,$n2) != raw ($raw1,$raw2)")
+      assert(raw2 > raw1 * 3, "corpora must be distinguishable by size")
+    } finally prevE.fold(spark.conf.unset(MvRewrite.EnabledKey))(
+      spark.conf.set(MvRewrite.EnabledKey, _))
+  }
+
   test("mv artifact: reuse on match; edited corpus rebuilds") {
     val d = java.nio.file.Files.createTempDirectory("graft_mv_").toString
     java.nio.file.Files.copy(
