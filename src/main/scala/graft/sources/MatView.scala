@@ -140,20 +140,23 @@ object MatView {
   /** Shared scoped-conf + self-registration wrapper for the MV
     * queries: rule registered on bare sessions, flags restored however
     * the body exits, result materialized UNDER the flags so they never
-    * leak into other queries' optimizations.
+    * leak into other queries' optimizations. `mustScan`/`mustNotScan`
+    * are the self-check tokens (the rewrite FIRED: plan reads the
+    * view, not the corpus).
     */
-  private def withMvRewrite(s: SparkSession, dir: String)(
+  private def withRewrite(s: SparkSession, ensure: => Unit,
+      mustScan: String, mustNotScan: String)(
       body: => DataFrame): DataFrame = {
     import graft.plans.MvRewrite
     graft.Engine.registerOptimization(s, MvRewrite)
-    ensureMv(s, dir)
+    ensure
     val prevEnabled = s.conf.getOption(MvRewrite.EnabledKey)
     s.conf.set(MvRewrite.EnabledKey, "true")
     try {
       val agg = body
       val scans = MvRewrite.scanLocations(agg.queryExecution.optimizedPlan)
-      require(scans.exists(_.contains("/mv")) &&
-        !scans.exists(_.contains("documents.parquet")),
+      require(scans.exists(_.contains(mustScan)) &&
+        !scans.exists(_.contains(mustNotScan)),
         s"MV rewrite did not fire — the plan still scans the corpus: $scans")
       agg.materialize()
     } finally {
@@ -163,6 +166,10 @@ object MatView {
       }
     }
   }
+
+  private def withMvRewrite(s: SparkSession, dir: String)(
+      body: => DataFrame): DataFrame =
+    withRewrite(s, ensureMv(s, dir), "/mv", "documents.parquet")(body)
 
   /** q196: the rewrite under a DIMENSION FILTER — a whole-group
     * predicate (`lang IN ('en','zh')`) commutes with the rollup, so
@@ -202,10 +209,83 @@ object MatView {
         col("min_chars"), col("max_chars"))
       .orderBy(col("lang"))
 
+  // ---- a SECOND registered view, count-only, over a second table ----
+
+  /** Events-MV layout version. */
+  private val EvLayout = 1L
+
+  private[graft] def evRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "mvev")
+
+  private[graft] def evSig(s: SparkSession, dir: String): (Long, Long) = {
+    val (n, sg) = StandingIndex.tableSig(s, dir, "events",
+      Seq("event_id", "user_id", "event_type"))
+    (n, Math.floorMod(sg + EvLayout, StandingIndex.SigMod))
+  }
+
+  private val evBuiltCache = new graft.SessionCache
+
+  /** A COUNT-ONLY materialized view over a SECOND table — per
+    * event_type counts on events. Proves the MvRewrite registry is a
+    * registry: two heterogeneous views (different source table,
+    * different dims, no fact column at all) coexist in one session,
+    * each matching only its own exact source path. The entry's fact /
+    * sum / min / max columns are the reserved non-column `__none`, so
+    * every fact-derived aggregate refuses structurally and only
+    * `count(1)` rewrites — a view storing less derives less, with no
+    * rule changes. (The fixture `value` column is a DOUBLE, whose sum
+    * is order-dependent — NOT exactly derivable from a stored partial
+    * — which is precisely why this view must be count-only.)
+    */
+  def ensureEventsMv(s: SparkSession, dir: String): String = {
+    evBuiltCache.getOrElseUpdate(s, dir) {
+      val root = evRoot(dir)
+      val sig = evSig(s, dir)
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        graft.Engine.table(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/mv")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      // register: cached analyzed relation, exact source path, count-only
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      import graft.plans.MvRewrite
+      val src = graft.Engine.table(s, dir, "events").queryExecution.analyzed
+        .collect { case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+        }.flatten
+      val mvRel = s.read.parquet(s"$root/mv").queryExecution.analyzed
+        .collectFirst { case lr: LogicalRelation => lr }
+        .getOrElse(throw new IllegalStateException(
+          s"events MV at $root/mv did not analyze to a file relation"))
+      MvRewrite.register(s, src, MvRewrite.MvEntry(mvRel,
+        dims = Set("event_type"), factCol = "__none",
+        countCol = "n_rows", sumCol = "__none",
+        minCol = "__none", maxCol = "__none"))
+      s.emptyDataFrame
+    }
+    s"${evRoot(dir)}/mv"
+  }
+
+  /** q200: the count-only second view ANSWERING — per-type event
+    * counts from the |event_types|-row view instead of the event log.
+    * The interesting part is what it proves about the registry (see
+    * [[ensureEventsMv]]); the self-check + scoped conf + verbatim
+    * raw-table oracle discipline is q195's.
+    */
+  val q200MvEvents: (SparkSession, String) => DataFrame = (s, dir) =>
+    withRewrite(s, ensureEventsMv(s, dir), "mvev", "events.parquet") {
+      graft.Engine.table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    }.orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q195_mv_aggregate" -> q195MvAggregate,
       "q196_mv_filtered" -> q196MvFiltered,
-      "q197_mv_rollups" -> q197MvRollups)
+      "q197_mv_rollups" -> q197MvRollups,
+      "q200_mv_events" -> q200MvEvents)
 
   val oracles: Map[String, String] = Map(
     "q195_mv_aggregate" ->
@@ -220,5 +300,8 @@ object MatView {
     "q197_mv_rollups" ->
       """SELECT lang, round(avg(n_chars), 6) AS avg_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q200_mv_events" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

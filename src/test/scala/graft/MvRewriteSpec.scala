@@ -182,6 +182,39 @@ class MvRewriteSpec extends AnyFunSuite {
       spark.conf.set(MvRewrite.EnabledKey, _))
   }
 
+  test("count-only second view: count rewrites, every fact aggregate refuses") {
+    MatView.ensureEventsMv(spark, dir)
+    val prevE = spark.conf.getOption(MvRewrite.EnabledKey)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    try {
+      val events = Engine.table(spark, dir, "events")
+      val cnt = events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val sc = scans(cnt)
+      assert(sc.exists(_.contains("mvev")) && !sc.exists(_.contains("events.parquet")),
+        s"count-only view must answer the count: $sc")
+      // values identical to the raw log
+      assert(cnt.collect().map(_.toString).sorted.toSeq ==
+        events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .collect().map(_.toString).sorted.toSeq)
+      // a view that stores less derives less: sum/avg/min/max of the
+      // DOUBLE value column all refuse (order-dependent double sums
+      // are not exactly derivable — the reason this view is count-only)
+      for (agg <- Seq(sum(col("value")), avg(col("value")),
+          min(col("value")), max(col("value")))) {
+        val q = events.groupBy(col("event_type")).agg(agg.as("x"))
+        assert(scans(q).exists(_.contains("events.parquet")),
+          s"fact aggregate must refuse on the count-only view: ${scans(q)}")
+      }
+      // the q200 surface query self-verifies + equals raw
+      val got = MatView.q200MvEvents(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .collect().map(_.toString).sorted.toSeq && got.nonEmpty)
+    } finally prevE.fold(spark.conf.unset(MvRewrite.EnabledKey))(
+      spark.conf.set(MvRewrite.EnabledKey, _))
+  }
+
   test("mv artifact: reuse on match; edited corpus rebuilds") {
     val d = java.nio.file.Files.createTempDirectory("graft_mv_").toString
     java.nio.file.Files.copy(
