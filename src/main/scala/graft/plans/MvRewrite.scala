@@ -3,9 +3,10 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DoubleType
@@ -39,6 +40,18 @@ import org.apache.spark.sql.types.DoubleType
   *     Σsum_chars / Σn_docs (both exact longs; every partial double
   *     in the raw path is an integer-valued sum far below 2^53, so
   *     the one final division is IEEE-identical on both paths).
+  *
+  * A SECOND matched shape answers aggregates over a registered
+  * (fact ⋈ dim) INNER equi-join from a PRE-JOINED view
+  * ([[registerJoin]]): `Aggregate(G, A, Join(fact, dim))` with the
+  * registered single-key condition, groupings over dims from EITHER
+  * side, and dim-only filters wherever pushdown left them (above the
+  * join or inside a side). Same eligibility and rollup algebra — the
+  * view's groups are (fact row × its unique dim match), so counts and
+  * sums roll up identically. At 100 TB this is the rewrite that
+  * deletes a fact-side shuffle JOIN, not just a scan: the raw plan
+  * repartitions the fact table on the join key before it can group;
+  * the rewritten plan reads |dims| rows.
   *
   * The rewrite swaps the corpus scan for a FRESH INSTANCE of the
   * registered MV relation (`LogicalRelation.newInstance()` — new
@@ -88,11 +101,37 @@ object MvRewrite extends Rule[LogicalPlan] {
   def register(s: SparkSession, sourcePaths: Seq[String], entry: MvEntry): Unit =
     registry.put((s, sourcePaths), entry)
 
+  /** The equi-join key pair a JOIN MV is defined over (names on the
+    * fact and dim source scans). Registration contract: the two
+    * source tables have DISJOINT column names (true of every fixture
+    * pair — TPC-H prefixes), and `dimKey` is UNIQUE on the dim side —
+    * the precondition for the pre-joined aggregate to count each fact
+    * row exactly once, validated at registration by [[registerJoin]]'s
+    * caller building the view from the same inner join it registers.
+    */
+  final case class JoinKeys(factKey: String, dimKey: String)
+
+  /** (owning session, fact root paths, dim root paths) → pre-joined
+    * view. Looked up under BOTH side orders — the user may write
+    * either table on the left.
+    */
+  private val joinRegistry =
+    TrieMap.empty[(SparkSession, Seq[String], Seq[String]), (MvEntry, JoinKeys)]
+
+  /** Register (or replace) the JOIN MV for a (fact ⋈ dim) pair. */
+  def registerJoin(s: SparkSession, factPaths: Seq[String],
+      dimPaths: Seq[String], keys: JoinKeys, entry: MvEntry): Unit =
+    joinRegistry.put((s, factPaths, dimPaths), (entry, keys))
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
     plan.transformUp {
       case agg @ Aggregate(groupings, aggExprs, RegisteredScan(entry, dimFilters), _)
           if eligible(groupings, aggExprs, entry) =>
+        rewrite(agg, dimFilters, entry)
+      case agg @ Aggregate(groupings, aggExprs, RegisteredJoin(entry, dimFilters), _)
+          if dimFilters.forall(_.references.forall(a => entry.dims(a.name))) &&
+            eligible(groupings, aggExprs, entry) =>
         rewrite(agg, dimFilters, entry)
     }
   }
@@ -127,6 +166,75 @@ object MvRewrite extends Rule[LogicalPlan] {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         registry.get((fs.sparkSession, fs.location.rootPaths.map(_.toString)))
           .map(_ -> Nil)
+      case _ => None
+    }
+  }
+
+  /** One SIDE of a candidate join: (Project/Filter)* over a file
+    * scan, yielding the owning session, the scan's exact root paths,
+    * and every deterministic filter conjunct found on the way down
+    * (dim-membership is checked by the caller once the entry is
+    * known). Non-deterministic filters refuse the side — re-running
+    * them over the |dims|-row view would re-draw them.
+    */
+  /** Split an `And` tree into its conjuncts — filters arrive as one
+    * condition per node (`dim IN (…) AND isnotnull(key)`), and the
+    * key-implied conjunct must be separable from the dim predicate.
+    */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private object SideScan {
+    def unapply(plan: LogicalPlan): Option[(SparkSession, Seq[String], Seq[Expression])] = plan match {
+      case Project(projList, child) if projList.forall(
+        _.isInstanceOf[AttributeReference]) => unapply(child)
+      case Filter(cond, child) if cond.deterministic =>
+        unapply(child).map { case (s, p, fs) => (s, p, conjuncts(cond) ++ fs) }
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        Some((fs.sparkSession, fs.location.rootPaths.map(_.toString), Nil))
+      case _ => None
+    }
+  }
+
+  /** A registered (fact ⋈ dim) INNER equi-join, under column
+    * pruning's Projects and pushed-down filters on either side (and
+    * dim-only residual filters above the join — by the time the
+    * user-provided batch runs, PushDownPredicates has normally moved
+    * them into the sides already). Matches only the exact registered
+    * shape: INNER join type (an outer join's null-extended rows are
+    * not in the pre-joined view), a single `factKey = dimKey`
+    * condition (an extra conjunct would drop pairs the view counted),
+    * both sides' root paths registered under the scan's own session
+    * in either left/right order. Collected filter conjuncts are
+    * dim-checked at the match site.
+    */
+  private object RegisteredJoin {
+    def unapply(plan: LogicalPlan): Option[(MvEntry, Seq[Expression])] = plan match {
+      case Project(projList, child) if projList.forall(
+        _.isInstanceOf[AttributeReference]) => unapply(child)
+      case Filter(cond, child) if cond.deterministic =>
+        unapply(child).map { case (e, fs) => (e, conjuncts(cond) ++ fs) }
+      case Join(SideScan(ls, lp, lf), SideScan(_, rp, rf), Inner,
+          Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+        joinRegistry.get((ls, lp, rp)).orElse(joinRegistry.get((ls, rp, lp)))
+          .collect {
+            case (entry, keys)
+                if Set(a.name, b.name) == Set(keys.factKey, keys.dimKey) =>
+              // constraint propagation seeds `isnotnull(key)` on both
+              // sides of every inner equi-join; those conjuncts are
+              // IMPLIED by the join (null keys never match — the
+              // pre-joined view already excludes those rows), so they
+              // drop here instead of poisoning the dim-only check
+              val implied: Expression => Boolean = {
+                case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+                    k: AttributeReference) =>
+                  k.name == keys.factKey || k.name == keys.dimKey
+                case _ => false
+              }
+              (entry, (lf ++ rf).filterNot(implied))
+          }
       case _ => None
     }
   }

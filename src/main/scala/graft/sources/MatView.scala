@@ -281,11 +281,130 @@ object MatView {
         .agg(count(lit(1)).as("n_events"))
     }.orderBy(col("event_type"))
 
+  // ---- a JOIN MV: aggregates over (lineitem ⋈ orders) pre-joined ----
+
+  /** Join-MV layout version. */
+  private val JmLayout = 1L
+
+  private[graft] def jmRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "mvjoin")
+
+  private[graft] def jmSig(s: SparkSession, dir: String): (Long, Long) = {
+    val (nl, sl) = StandingIndex.tableSig(s, dir, "lineitem",
+      Seq("l_orderkey", "l_quantity", "l_returnflag"))
+    val (no, so) = StandingIndex.tableSig(s, dir, "orders",
+      Seq("o_orderkey", "o_orderpriority"))
+    (nl + no, Math.floorMod(sl * 31L + so + JmLayout, StandingIndex.SigMod))
+  }
+
+  private val jmBuiltCache = new graft.SessionCache
+
+  private def sourcePaths(s: SparkSession, dir: String, table: String): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    graft.Engine.table(s, dir, table).queryExecution.analyzed
+      .collect { case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+      }.flatten
+  }
+
+  /** The join MV's aggregate shape: the (lineitem ⋈ orders) inner
+    * equi-join pre-aggregated per (o_orderpriority, l_returnflag) —
+    * a dim from EACH side, ~15 rows. `l_quantity` is integer-valued
+    * (1–50), so its double sums are exact in any order and every
+    * rollup through the view is hash-identical to the raw join.
+    */
+  private def jmAggregate(s: SparkSession, dir: String): DataFrame =
+    graft.Engine.table(s, dir, "lineitem")
+      .join(graft.Engine.table(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+
+  /** Build (or reuse) and register the PRE-JOINED view — the MV that
+    * answers aggregates over `lineitem ⋈ orders` without executing
+    * the join. Registration contract holds by construction:
+    * `o_orderkey` is the orders table's unique key (so the pre-joined
+    * aggregate counts each lineitem row exactly once) and the two
+    * TPC-H tables have disjoint column names. At 100 TB the raw plan
+    * shuffles the entire fact table on `l_orderkey` before it can
+    * aggregate; the rewritten plan reads a 15-row parquet — this view
+    * removes a fact-side shuffle JOIN, not just a scan, which is the
+    * step up from q195's single-table rewrite.
+    */
+  def ensureJoinMv(s: SparkSession, dir: String): String = {
+    jmBuiltCache.getOrElseUpdate(s, dir) {
+      val root = jmRoot(dir)
+      val sig = jmSig(s, dir)
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        jmAggregate(s, dir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/mv")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      import graft.plans.MvRewrite
+      val mvRel = s.read.parquet(s"$root/mv").queryExecution.analyzed
+        .collectFirst { case lr: LogicalRelation => lr }
+        .getOrElse(throw new IllegalStateException(
+          s"join MV at $root/mv did not analyze to a file relation"))
+      MvRewrite.registerJoin(s,
+        factPaths = sourcePaths(s, dir, "lineitem"),
+        dimPaths = sourcePaths(s, dir, "orders"),
+        keys = MvRewrite.JoinKeys("l_orderkey", "o_orderkey"),
+        entry = MvRewrite.MvEntry(mvRel,
+          dims = Set("o_orderpriority", "l_returnflag"),
+          factCol = "l_quantity", countCol = "n_rows", sumCol = "sum_qty",
+          minCol = "min_qty", maxCol = "max_qty"))
+      s.emptyDataFrame
+    }
+    s"${jmRoot(dir)}/mv"
+  }
+
+  /** q201: a JOIN answered from the pre-joined view — the user writes
+    * the natural fact ⋈ dim aggregate (order priority × return flag,
+    * count/sum/min/max of quantity) and the optimized plan reads the
+    * 15-row view instead of joining 60k (or 60B) lineitem rows. The
+    * self-check asserts the plan scans NEITHER source table; oracle =
+    * the verbatim raw-join DuckDB SQL.
+    */
+  val q201MvJoin: (SparkSession, String) => DataFrame = (s, dir) =>
+    withRewrite(s, ensureJoinMv(s, dir), "mvjoin", "lineitem.parquet") {
+      graft.Engine.table(s, dir, "lineitem")
+        .join(graft.Engine.table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+    }.orderBy(col("o_orderpriority"), col("l_returnflag"))
+
+  /** q202: the join MV under a DIM FILTER + ROLLUP + DERIVED AVG —
+    * a dim-side predicate (order priority) that Catalyst pushes below
+    * the join into the orders scan, where the matcher collects it and
+    * carries it over to the view; grouping by the OTHER side's dim
+    * rolls the 15 rows up to 3; and `avg(l_quantity)` derives as
+    * Σsum_qty / Σn_rows (exact — integer-valued sums, one IEEE
+    * division on both paths, rounded 6 dp above the matched shape).
+    * One query exercising all three join-MV mechanisms at once.
+    */
+  val q202MvJoinFiltered: (SparkSession, String) => DataFrame = (s, dir) =>
+    withRewrite(s, ensureJoinMv(s, dir), "mvjoin", "lineitem.parquet") {
+      graft.Engine.table(s, dir, "lineitem")
+        .join(graft.Engine.table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), avg(col("l_quantity")).as("avg_raw"))
+    }.select(col("l_returnflag"), col("n_rows"),
+        round(col("avg_raw"), 6).as("avg_qty"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q195_mv_aggregate" -> q195MvAggregate,
       "q196_mv_filtered" -> q196MvFiltered,
       "q197_mv_rollups" -> q197MvRollups,
-      "q200_mv_events" -> q200MvEvents)
+      "q200_mv_events" -> q200MvEvents,
+      "q201_mv_join" -> q201MvJoin,
+      "q202_mv_join_filtered" -> q202MvJoinFiltered)
 
   val oracles: Map[String, String] = Map(
     "q195_mv_aggregate" ->
@@ -303,5 +422,18 @@ object MatView {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q200_mv_events" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q201_mv_join" ->
+      """SELECT o_orderpriority, l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_rows, sum(l_quantity) AS sum_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority, l_returnflag
+        |ORDER BY o_orderpriority, l_returnflag""".stripMargin,
+    "q202_mv_join_filtered" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(avg(l_quantity), 6) AS avg_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

@@ -215,6 +215,92 @@ class MvRewriteSpec extends AnyFunSuite {
       spark.conf.set(MvRewrite.EnabledKey, _))
   }
 
+  // ---- the JOIN MV ----
+
+  private def withJoinMv[A](f: => A): A = {
+    MatView.ensureJoinMv(spark, dir)
+    val prevE = spark.conf.getOption(MvRewrite.EnabledKey)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    try f finally {
+      prevE.fold(spark.conf.unset(MvRewrite.EnabledKey))(
+        spark.conf.set(MvRewrite.EnabledKey, _))
+    }
+  }
+
+  private def li = Engine.table(spark, dir, "lineitem")
+  private def ord = Engine.table(spark, dir, "orders")
+  private def readsJoinMv(df: org.apache.spark.sql.DataFrame): Boolean =
+    scans(df).exists(_.contains("mvjoin")) &&
+      !scans(df).exists(s => s.contains("lineitem.parquet") ||
+        s.contains("orders.parquet"))
+
+  test("join MV: the fact-dim aggregate reads the view, neither source; values identical") {
+    val agg = () => li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+    val plainRows = agg().collect().map(_.toString).sorted.toSeq
+    assert(scans(agg()).exists(_.contains("lineitem.parquet")))
+    withJoinMv {
+      assert(readsJoinMv(agg()), s"join rewrite did not fire: ${scans(agg())}")
+      val rows = agg().collect().map(_.toString).sorted.toSeq
+      assert(rows == plainRows && rows.nonEmpty)
+    }
+  }
+
+  test("join MV: either side order matches; rollup + dim filter + avg derive") {
+    // user writes orders on the LEFT — registry hit via the reversed order
+    val agg = () => ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), avg(col("l_quantity")).as("avg_qty"))
+    val plainRows = agg().collect().map(_.toString).sorted.toSeq
+    withJoinMv {
+      assert(readsJoinMv(agg()), s"join rewrite did not fire: ${scans(agg())}")
+      assert(agg().collect().map(_.toString).sorted.toSeq == plainRows)
+    }
+  }
+
+  test("join MV refusals: outer join, extra conjunct, fact filter, foreign column") {
+    withJoinMv {
+      def raw(df: org.apache.spark.sql.DataFrame) =
+        scans(df).exists(_.contains("lineitem.parquet"))
+      // LEFT OUTER: null-extended rows are not in the pre-joined view
+      assert(raw(li.join(ord, col("l_orderkey") === col("o_orderkey"), "left")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))))
+      // extra join conjunct drops pairs the view counted
+      assert(raw(li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+          col("l_quantity") > lit(10))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))))
+      // fact-column predicate cannot see inside a view group
+      assert(raw(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_quantity") > 10)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))))
+      // aggregate of a column the view does not store
+      assert(raw(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_extendedprice")).as("s"))))
+      // grouping by a non-dimension column
+      assert(raw(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))))
+    }
+  }
+
+  test("q201/q202 self-verify the join rewrite and equal the raw join") {
+    val got201 = MatView.q201MvJoin(spark, dir)
+      .collect().map(_.toString).toSeq
+    val raw201 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("o_orderpriority"), col("l_returnflag"))
+      .collect().map(_.toString).toSeq
+    assert(got201 == raw201 && got201.nonEmpty)
+    val got202 = MatView.q202MvJoinFiltered(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(got202.nonEmpty && got202.size <= 3)
+  }
+
   test("mv artifact: reuse on match; edited corpus rebuilds") {
     val d = java.nio.file.Files.createTempDirectory("graft_mv_").toString
     java.nio.file.Files.copy(
