@@ -30,7 +30,7 @@ object SparkEntry {
       sources.TrainingShards.queries ++ sources.JsonlCorpus.queries ++
       sources.StandingIndex.queries ++ sources.SimIndex.queries ++
       sources.BucketStore.queries ++ sources.ClusteredStore.queries ++
-      sources.MatView.queries
+      sources.MatView.queries ++ sources.SnapshotStore.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
@@ -42,5 +42,5 @@ object SparkEntry {
       sources.TrainingShards.oracles ++ sources.JsonlCorpus.oracles ++
       sources.StandingIndex.oracles ++ sources.SimIndex.oracles ++
       sources.BucketStore.oracles ++ sources.ClusteredStore.oracles ++
-      sources.MatView.oracles
+      sources.MatView.oracles ++ sources.SnapshotStore.oracles
 }
