@@ -251,6 +251,118 @@ object IndexOps {
   }
 
   // ---------------------------------------------------------------
+  // q207/q208 — HDR-histogram quantile sketch (mergeable, exact algebra)
+  // ---------------------------------------------------------------
+
+  /** Sub-bucket bits per octave: 32 linear sub-buckets inside every
+    * power of two, bounding the mid-point estimate's relative error at
+    * 1/64 (≈1.6%) for values ≥ 32 — and values < 32 get singleton
+    * buckets, i.e. EXACT. The HdrHistogram bucketing (public: Gil
+    * Tene's HDR histogram), chosen over GK/KLL/DDSketch for one
+    * engine-shaped reason: the bucket function is PURE INTEGER
+    * arithmetic (binary length, shift, mask — no log/exp), so the
+    * sketch is bit-reproducible across engines, partitionings and
+    * replays — the DuckDB oracle replays the identical algebra and the
+    * driver hash-compares the ESTIMATES themselves, not a tolerance.
+    */
+  val HdrSubBits = 5
+
+  /** Bucket id of non-negative integer column `v` — for v ≥ 32:
+    * exponent e = length(bin(v)) − 1, sub = top [[HdrSubBits]] mantissa
+    * bits, id = e·32 + sub (ids ≥ 160); for v < 32: id = v (singleton
+    * buckets 0–31; the id ranges cannot collide). Integer-exact in any
+    * engine with a binary-representation function.
+    */
+  private[graft] def hdrBid(v: String): String =
+    s"CASE WHEN $v < 32 THEN CAST($v AS BIGINT) ELSE CAST(" +
+      s"(length(bin($v)) - 1) * 32 + " +
+      s"(shiftright($v, length(bin($v)) - 6) & 31) AS BIGINT) END"
+
+  /** Mid-point representative of bucket `bid` — lower bound
+    * (32 + sub) · 2^(e−5) plus half the bucket width; exact value for
+    * the singleton buckets and for the e = 5 octave (width 1).
+    */
+  private[graft] val hdrRep: String =
+    "CASE WHEN bid < 32 THEN bid ELSE " +
+      "shiftleft(CAST(32 + bid % 32 AS BIGINT), CAST(bid div 32 AS INT) - 5) + " +
+      "shiftright(shiftleft(CAST(1 AS BIGINT), CAST(bid div 32 AS INT) - 5), 1) END"
+
+  /** The sketch of `valueCol` per `keys`: one (keys, bid, cnt) row per
+    * occupied bucket — ≤ 32·59 rows per group whatever the data, built
+    * by ONE map-side-combinable count aggregate.
+    */
+  private[graft] def hdrSketch(df: DataFrame, valueCol: String,
+      keys: Seq[String]): DataFrame =
+    df.select(keys.map(col) :+ expr(hdrBid(valueCol)).as("bid"): _*)
+      .groupBy((keys :+ "bid").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a (key, bid, cnt) sketch: rank
+    * r = ⌊q·(n−1)⌋, answer = representative of the first bucket whose
+    * cumulative count exceeds r. The windows run over SKETCH rows
+    * (≤ ~2k per key), never data rows.
+    */
+  private[graft] def hdrQuantiles(sk: DataFrame, key: String,
+      qs: Seq[(String, Double)]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy("bid")
+    val cum = sk
+      .withColumn("rep", expr(hdrRep))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(key)))
+    cum.groupBy(col(key))
+      .agg(max(col("n")).as("n_docs"),
+        qs.map { case (name, q) =>
+          min(when(col("cum") > floor(lit(q) * (col("n") - 1)), col("rep")))
+            .as(name)
+        }: _*)
+  }
+
+  /** q207: per-language n_chars quantiles (p50/p90/p99) from the HDR
+    * sketch — the mergeable-quantile family member next to q153's
+    * distinct-count KMV: the corpus dies into a ≤ ~2k-row bucket-count
+    * table in one map-side-combinable pass, and every later question
+    * (any quantile, any rank) is a window walk over sketch rows. At
+    * 100 TB the sketch is what you STORE; this query is the build +
+    * extraction. Estimates carry the documented ≤ 1/64 relative error
+    * (spec-pinned against exact percentiles); the oracle replays the
+    * integer bucket algebra verbatim, so the gate hash-checks the
+    * estimates exactly.
+    */
+  val q207HdrQuantiles: Q = (s, dir) =>
+    hdrQuantiles(hdrSketch(t(s, dir, "documents"), "n_chars", Seq("lang")),
+      "lang", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .orderBy(col("lang"))
+
+  /** q208: the MERGE property executed — per-(lang, source) sketches
+    * (the stored granularity) merged up to per-lang by SUMMING bucket
+    * counts, quantiles extracted from the merged sketch, and compared
+    * in-query against the direct per-lang build (q153's emit-both-plus-
+    * flag discipline: a broken merge flips `merge_exact` rows, so the
+    * oracle catches it by value). Merging histograms is count
+    * addition — associative, commutative, loss-free — which is exactly
+    * why the stored fine-grained sketches answer every coarser rollup
+    * without rescanning the corpus.
+    */
+  val q208HdrRollup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val fine = hdrSketch(docs, "n_chars", Seq("lang", "source"))
+    val merged = fine.groupBy(col("lang"), col("bid"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val fromMerged = hdrQuantiles(merged, "lang",
+      Seq("p50_merged" -> 0.5, "p90_merged" -> 0.9))
+    val direct = hdrQuantiles(hdrSketch(docs, "n_chars", Seq("lang")),
+      "lang", Seq("p50_direct" -> 0.5, "p90_direct" -> 0.9))
+      .drop("n_docs")
+    fromMerged.join(direct, Seq("lang"))
+      .select(col("lang"), col("n_docs"),
+        col("p50_merged"), col("p90_merged"),
+        (col("p50_merged") === col("p50_direct") &&
+          col("p90_merged") === col("p90_direct"))
+          .cast("bigint").as("merge_exact"))
+      .orderBy(col("lang"))
+  }
+
+  // ---------------------------------------------------------------
   // q151 — phrase search over positional postings
   // ---------------------------------------------------------------
 
@@ -928,6 +1040,8 @@ object IndexOps {
     "q97_inverted_index" -> q97InvertedIndex,
     "q151_phrase_search" -> q151PhraseSearch,
     "q153_sketch_rollup" -> q153SketchRollup,
+    "q207_hdr_quantiles" -> q207HdrQuantiles,
+    "q208_hdr_rollup" -> q208HdrRollup,
     "q98_fuzzy_join" -> q98FuzzyJoin,
     "q99_bpe_pairs" -> q99BpePairs,
     "q100_skew_report" -> q100SkewReport)
@@ -945,6 +1059,37 @@ object IndexOps {
        |  CAST(ceil(max(cnt) * CAST(count(*) AS DOUBLE) / sum(cnt)) AS BIGINT)
        |    AS salt_factor
        |FROM (SELECT $c AS k, count(*) AS cnt FROM $rel GROUP BY 1)""".stripMargin
+
+  /** q207/q208 bucket algebra in DuckDB's dialect (`>>`/`<<`/`//` for
+    * shiftright/shiftleft/div) — value-identical to [[hdrBid]]/
+    * [[hdrRep]]: both engines' `bin` is the minimal-length binary
+    * string and every other op is integer-exact.
+    */
+  private val hdrBidD =
+    "CASE WHEN n_chars < 32 THEN CAST(n_chars AS BIGINT) " +
+      "ELSE CAST((length(bin(n_chars)) - 1) * 32 + " +
+      "((n_chars >> (length(bin(n_chars)) - 6)) & 31) AS BIGINT) END"
+
+  private val hdrRepD =
+    "CASE WHEN bid < 32 THEN bid " +
+      "ELSE (CAST(32 + bid % 32 AS BIGINT) << CAST(bid // 32 - 5 AS INTEGER)) + " +
+      "((CAST(1 AS BIGINT) << CAST(bid // 32 - 5 AS INTEGER)) >> 1) END"
+
+  /** Cumulative sketch walk + rank extraction over a (lang, bid, cnt)
+    * relation named `src`, one output column per (name, q).
+    */
+  private def hdrQuantD(src: String, qs: Seq[(String, Double)]): String = {
+    val cols = qs.map { case (name, q) =>
+      s"CAST(min(CASE WHEN cum > floor($q*(n-1)) THEN rep END) AS BIGINT) AS $name"
+    }.mkString(",\n  ")
+    s"""SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       |  $cols
+       |FROM (SELECT lang, bid, $hdrRepD AS rep,
+       |    sum(cnt) OVER (PARTITION BY lang ORDER BY bid) AS cum,
+       |    sum(cnt) OVER (PARTITION BY lang) AS n
+       |  FROM $src)
+       |GROUP BY lang""".stripMargin
+  }
 
   private def kmvEstD(sk: String, name: String, exact: String): String =
     s"""SELECT '$name' AS set_name, ($exact) AS n_exact,
@@ -1234,6 +1379,29 @@ object IndexOps {
         |FROM occ WHERE len(hits) > 0
         |ORDER BY doc_id""".stripMargin
     },
+    "q207_hdr_quantiles" ->
+      s"""WITH sk AS (
+         |  SELECT lang, $hdrBidD AS bid, count(*) AS cnt
+         |  FROM documents GROUP BY 1, 2)
+         |${hdrQuantD("sk", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))}
+         |ORDER BY lang""".stripMargin,
+    "q208_hdr_rollup" ->
+      s"""WITH fine AS (
+         |  SELECT lang, source, $hdrBidD AS bid, count(*) AS cnt
+         |  FROM documents GROUP BY 1, 2, 3),
+         |merged AS (SELECT lang, bid, sum(cnt) AS cnt FROM fine GROUP BY 1, 2),
+         |direct AS (
+         |  SELECT lang, $hdrBidD AS bid, count(*) AS cnt
+         |  FROM documents GROUP BY 1, 2),
+         |mq AS (${hdrQuantD("merged",
+            Seq("p50_merged" -> 0.5, "p90_merged" -> 0.9))}),
+         |dq AS (${hdrQuantD("direct",
+            Seq("p50_direct" -> 0.5, "p90_direct" -> 0.9))})
+         |SELECT mq.lang, mq.n_docs, p50_merged, p90_merged,
+         |  CAST(CASE WHEN p50_merged = p50_direct AND p90_merged = p90_direct
+         |    THEN 1 ELSE 0 END AS BIGINT) AS merge_exact
+         |FROM mq JOIN dq ON mq.lang = dq.lang
+         |ORDER BY mq.lang""".stripMargin,
     "q153_sketch_rollup" -> {
       val h = LlmOps.hashD("'kru:' || CAST(user_id AS VARCHAR)")
       // rank on the BIGINT hash (the engine's kmv_sample order) and
