@@ -119,35 +119,48 @@ object SnapshotStore {
     * wrote instead of re-reading.
     */
   def append(s: SparkSession, root: String, df: DataFrame): Long = {
-    import s.implicits._
     val prev = currentSnapshot(s, root)
     val k = prev + 1
+    val added = writeCommitFiles(s, root, k, df)
+    val full = if (prev == 0L) added
+      else manifest(s, root, prev).unionByName(added)
+    commitManifest(s, root, k, full)
+    k
+  }
+
+  /** Write commit k's immutable, range-clustered data files and return
+    * their manifest rows (path, commit_id, n_rows, min_id, max_id).
+    * Overwrite mode: if a PREVIOUS attempt at commit k tore (data
+    * written, no manifest), its orphan files are unreferenced by every
+    * manifest — replacing them is the retry path, not a conflict.
+    */
+  private def writeCommitFiles(s: SparkSession, root: String, k: Long,
+      df: DataFrame): DataFrame = {
+    import s.implicits._
     val dataDir = s"$root/data/c$k"
-    // overwrite: if a PREVIOUS attempt at commit k tore (data written,
-    // no manifest), its orphan files are unreferenced by every
-    // manifest — replacing them is the retry path, not a conflict
     df.repartitionByRange(CommitFiles, col("doc_id"))
       .write.mode("overwrite").parquet(dataDir)
     val files = fs(s, root).listStatus(new Path(dataDir)).toSeq
       .map(_.getPath.toString)
       .filter(_.endsWith(".parquet"))
     require(files.nonEmpty, s"commit $k wrote no data files")
-    val added = files.map { p =>
+    files.map { p =>
       val st = s.read.parquet(p)
         .agg(count(lit(1)).cast("long"), min(col("doc_id")).cast("long"),
           max(col("doc_id")).cast("long")).head()
       (p, k, st.getLong(0), st.getLong(1), st.getLong(2))
     }.toDF("path", "commit_id", "n_rows", "min_id", "max_id")
-    val full = if (prev == 0L) added
-      else manifest(s, root, prev).unionByName(added)
-    // manifest LAST = the commit: a crash before this line leaves
-    // orphan data files no reader ever lists; overwrite because a
-    // torn manifest dir (no _SUCCESS — not a commit) must be
-    // retryable, and this store is single-writer by contract
-    full.coalesce(1).write.mode("overwrite")
-      .parquet(s"$root/manifests/m$k")
-    k
   }
+
+  /** Write manifest k — the commit point: a crash before this call
+    * leaves orphan data files no reader ever lists; overwrite because
+    * a torn manifest dir (no _SUCCESS — not a commit) must be
+    * retryable, and this store is single-writer by contract.
+    */
+  private def commitManifest(s: SparkSession, root: String, k: Long,
+      rows: DataFrame): Unit =
+    rows.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/manifests/m$k")
 
   /** TIME TRAVEL: the table as of snapshot k — exactly the files
     * manifest k names, handed to the scan as an explicit list (the
@@ -157,7 +170,11 @@ object SnapshotStore {
   def readSnapshot(s: SparkSession, root: String, k: Long): DataFrame = {
     val paths = manifest(s, root, k).select("path")
       .collect().map(_.getString(0)) // metadata scale: one row per file
-    s.read.parquet(paths.toIndexedSeq: _*)
+    // mergeSchema: the snapshot's schema is the UNION across its
+    // files, so an additive evolution (q212) surfaces as NULLs on
+    // pre-evolution files instead of being silently dropped — the
+    // table-format read contract (a no-op on uniform-schema stores)
+    s.read.option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
   }
 
   /** The file paths a doc_id range [lo, hi] can possibly touch in
@@ -201,6 +218,128 @@ object SnapshotStore {
       .filter(col("commit_id") > j).select("path")
       .collect().map(_.getString(0))
     s.read.parquet(paths.toIndexedSeq: _*)
+  }
+
+  // ---- lifecycle: copy-on-write delete, compaction, expiration ----
+
+  /** COPY-ON-WRITE DELETE of doc_id ∈ [lo, hi] as commit
+    * `current + 1`: the manifest stats decide which files the range
+    * can touch — UNTOUCHED files carry over into the new manifest
+    * verbatim (their bytes never move, their old commit_id stays);
+    * only the AFFECTED files are read back, filtered, and rewritten as
+    * this commit's files. Old snapshots still name the old files, so
+    * time travel reads the PRE-delete table forever — a delete in this
+    * format is just a new manifest. At 100 TB the stats pruning is the
+    * whole economics: a narrow delete rewrites the handful of files it
+    * intersects, never the table. Note diff semantics: [[readDiff]]'s
+    * `commit_id > j` reading is APPEND-ONLY history's; a rewrite
+    * commit carries surviving OLD rows under the new commit_id.
+    */
+  def deleteRange(s: SparkSession, root: String, lo: Long, hi: Long): Long = {
+    val prev = currentSnapshot(s, root)
+    require(prev > 0, "deleteRange on an empty table")
+    val k = prev + 1
+    val m = manifest(s, root, prev)
+    val affected = m.filter(col("max_id") >= lo && col("min_id") <= hi)
+      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val untouched = m.filter(!(col("max_id") >= lo && col("min_id") <= hi))
+    val survivors =
+      if (affected.isEmpty) None
+      else Some(s.read.parquet(affected: _*)
+        .filter(!col("doc_id").between(lo, hi)))
+        .filterNot(_.isEmpty) // every affected row deleted: rewrite nothing
+    commitManifest(s, root, k, survivors
+      .map(df => untouched.unionByName(writeCommitFiles(s, root, k, df)))
+      .getOrElse(untouched))
+    k
+  }
+
+  /** COPY-ON-WRITE MERGE (upsert) of `changes` keyed by doc_id, as
+    * commit `current + 1`: rows whose key exists in the table are
+    * REPLACED by their change row, keys absent from the table are
+    * INSERTED — the MERGE INTO the delete/append pair implies. File
+    * selection is stats-driven like [[deleteRange]]: a file is
+    * affected iff its [min_id, max_id] contains ANY changed key;
+    * unaffected files carry over verbatim, which is sound because a
+    * key inside an unaffected file's range would have made it
+    * affected — so every key the table holds lives in an affected
+    * file. The rewrite is then one anti-join:
+    * `affected_rows ⟕̸ changes ∪ changes` (replaced rows drop out,
+    * every change row lands exactly once, inserts included with no
+    * separate existence check). The changed-key interval check runs
+    * against a COLLECTED distinct-key bound list — metadata scale for
+    * CDC-sized change sets; at 100 TB the same decision is a range
+    * join between the manifest stats and a per-bucket key summary of
+    * the changes, never a data scan.
+    */
+  def mergeInto(s: SparkSession, root: String, changes: DataFrame): Long = {
+    val prev = currentSnapshot(s, root)
+    require(prev > 0, "mergeInto on an empty table")
+    val k = prev + 1
+    val keys = changes.select(col("doc_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    require(keys.nonEmpty, "mergeInto with an empty change set")
+    val m = manifest(s, root, prev).collect()
+    val (affected, untouchedPaths) = m.partition { r =>
+      val (mn, mx) = (r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))
+      // any changed key inside the file's stats interval?
+      val i = java.util.Arrays.binarySearch(keys, mn)
+      val next = if (i >= 0) i else -(i + 1)
+      next < keys.length && keys(next) <= mx
+    }
+    val untouched = manifest(s, root, prev)
+      .filter(col("path").isin(untouchedPaths.map(_.getString(0)).toSeq: _*))
+    val rewritten = {
+      val base =
+        if (affected.isEmpty) changes
+        else s.read.parquet(affected.map(_.getString(0)).toIndexedSeq: _*)
+          .join(changes.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(changes)
+      writeCommitFiles(s, root, k, base)
+    }
+    commitManifest(s, root, k, untouched.unionByName(rewritten))
+    k
+  }
+
+  /** COMPACTION as commit `current + 1`: the current snapshot's whole
+    * file set rewritten into [[CommitFiles]] range-clustered files —
+    * rows identical, small files gone, stats tight again. The old
+    * files stay on disk for the old snapshots until [[expire]] drops
+    * them; zone-local/content-defined compaction of a CLUSTERED store
+    * is q193's — this is the table-format variant where compaction is
+    * just another commit and readers never notice.
+    */
+  def compact(s: SparkSession, root: String): Long = {
+    val prev = currentSnapshot(s, root)
+    require(prev > 0, "compact on an empty table")
+    val k = prev + 1
+    val rewritten = writeCommitFiles(s, root, k, readSnapshot(s, root, prev))
+    commitManifest(s, root, k, rewritten)
+    k
+  }
+
+  /** SNAPSHOT EXPIRATION: drop every manifest with id < `keepFrom`,
+    * then physically delete data files referenced by NO retained
+    * manifest — reference counting as a set difference over manifest
+    * path lists (O(#files) metadata, never a data read). The one
+    * operation in this store that destroys history: snapshots
+    * < keepFrom stop being addressable, everything ≥ keepFrom is
+    * bit-identical before and after (spec-pinned).
+    */
+  def expire(s: SparkSession, root: String, keepFrom: Long): Unit = {
+    val f = fs(s, root)
+    val all = f.listStatus(new Path(s"$root/manifests")).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("m"))
+    val (dropped, kept) = all.partition(_.getName.drop(1).toLong < keepFrom)
+    val keptPaths: Set[String] = kept
+      .flatMap(p => s.read.parquet(p.toString)
+        .select("path").collect().map(_.getString(0))).toSet
+    val droppedOnly = dropped
+      .flatMap(p => s.read.parquet(p.toString)
+        .select("path").collect().map(_.getString(0))).toSet
+      .diff(keptPaths)
+    droppedOnly.foreach(p => f.delete(new Path(p), false))
+    dropped.foreach(p => f.delete(p, true))
   }
 
   private val builtCache = new graft.SessionCache
@@ -318,6 +457,202 @@ object SnapshotStore {
       .orderBy(col("lang"))
   }
 
+  // ---- the MERGE store (q211) and SCHEMA EVOLUTION (q212) ----------
+
+  /** Merge-store layout version. */
+  private val MgLayout = 1L
+
+  private[graft] def mgRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapmg")
+
+  private val mgBuiltCache = new graft.SessionCache
+
+  /** The deterministic CDC batch q211 merges: every doc_id % 7 == 0
+    * row UPDATED (n_chars + 1000), every doc_id % 11 == 0 row cloned
+    * as an INSERT under key doc_id + 1,000,000 — so the change set
+    * exercises both merge arms and the raw-table oracle is a UNION of
+    * two closed-form selects.
+    */
+  private def mergeChanges(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+
+  /** Seed + MERGE: the 2-commit seed, then [[mergeInto]] with the
+    * deterministic CDC batch as commit 3.
+    */
+  def ensureMerged(s: SparkSession, dir: String): String = {
+    mgBuiltCache.getOrElseUpdate(s, dir) {
+      val root = mgRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + MgLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+        mergeInto(s, root, mergeChanges(docs))
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    mgRoot(dir)
+  }
+
+  /** q211: MERGE INTO read back — the post-merge snapshot aggregated
+    * per lang. Oracle = the closed-form merge result on the raw table
+    * (updates folded in place, insert clones unioned on); correct iff
+    * the stats-driven rewrite replaced every updated row exactly once,
+    * dropped none, and landed every insert.
+    */
+  val q211SnapshotMerge: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureMerged(s, dir)
+    readSnapshot(s, root, currentSnapshot(s, root))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  // ---- SCHEMA EVOLUTION (q212): a later commit adds a column -------
+
+  /** Evolution-store layout version. */
+  private val SeLayout = 1L
+
+  private[graft] def seRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapse")
+
+  private val seBuiltCache = new graft.SessionCache
+
+  /** Seed a store whose SECOND commit carries a column the first
+    * never had (`quality = n_chars % 100`) — the additive schema
+    * evolution every long-lived table eventually needs. Nothing is
+    * rewritten: old files keep their narrow schema; [[readSnapshot]]'s
+    * schema-merging read surfaces `quality` as NULL for pre-evolution
+    * rows. The manifest protocol is untouched — evolution is a
+    * property of the READ, which is why it is free.
+    */
+  def ensureEvolved(s: SparkSession, dir: String): String = {
+    seBuiltCache.getOrElseUpdate(s, dir) {
+      val root = seRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + SeLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .withColumn("quality", pmod(col("n_chars"), lit(100))))
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    seRoot(dir)
+  }
+
+  /** q212: reading ACROSS the evolution — per-lang counts with the
+    * evolved column aggregated as `sum(coalesce(quality, -1))`, so
+    * pre-evolution rows (NULL quality → −1) and post-evolution rows
+    * (n_chars % 100) are both visible in one exact number. Oracle =
+    * the raw table with the evolution boundary re-derived from the
+    * commit predicate.
+    */
+  val q212SnapshotEvolution: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureEvolved(s, dir)
+    readSnapshot(s, root, currentSnapshot(s, root))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("quality"), lit(-1L))).as("sum_quality"))
+      .orderBy(col("lang"))
+  }
+
+  // ---- the LIFECYCLE store (q209/q210): delete → compact → expire ----
+
+  /** Lifecycle-store layout version. */
+  private val LcLayout = 1L
+
+  private[graft] def lcRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snaplc")
+
+  private val lcBuiltCache = new graft.SessionCache
+
+  /** The deleted window the lifecycle store carves out — q206's read
+    * range, reused so the two chapters witness the same stats pruning
+    * from both sides (read skips these files; delete rewrites ONLY
+    * them).
+    */
+  val DeleteLo = 100L
+  val DeleteHi = 250L
+
+  /** A SECOND snapshot table that lives the full lifecycle,
+    * deterministically: seed in two commits (the q203 split), COW
+    *-delete doc_id ∈ [100, 250] (commit 3), COMPACT (commit 4), then
+    * EXPIRE history before the delete — so snapshots 1–2 are gone,
+    * 3–4 remain addressable, and the files only the dropped manifests
+    * referenced are physically deleted (SnapshotStoreSpec pins each
+    * transition on a scratch copy; the standing store here holds the
+    * END state the queries read). Content-signature-guarded like
+    * every standing artifact.
+    */
+  def ensureLifecycle(s: SparkSession, dir: String): String = {
+    lcBuiltCache.getOrElseUpdate(s, dir) {
+      val root = lcRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + LcLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+        deleteRange(s, root, DeleteLo, DeleteHi)
+        compact(s, root)
+        expire(s, root, keepFrom = 3L)
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    lcRoot(dir)
+  }
+
+  /** q209: the COPY-ON-WRITE DELETE read back — the post-delete
+    * snapshot (which survived compaction AND expiration byte-
+    * identically) aggregated per lang. Oracle = the raw table minus
+    * the deleted window; correct iff the rewrite dropped exactly the
+    * range rows from the affected files and nothing else.
+    */
+  val q209SnapshotDelete: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureLifecycle(s, dir)
+    readSnapshot(s, root, 3L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** q210: the lifecycle END STATE — the compacted, history-expired
+    * current snapshot, aggregated per source. Same rows as q209 under
+    * a different grouping (compaction and expiration must be
+    * row-invariant); the file-count shrink and the history loss are
+    * pinned in SnapshotStoreSpec, where they belong (layout facts, not
+    * row facts).
+    */
+  val q210SnapshotLifecycle: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureLifecycle(s, dir)
+    readSnapshot(s, root, currentSnapshot(s, root))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   /** q206: MANIFEST-PRUNED range read — a doc_id window answered by
     * scanning only the files whose per-file manifest stats intersect
     * it (SnapshotStoreSpec proves files ARE skipped, not just that
@@ -336,7 +671,11 @@ object SnapshotStore {
     Map("q203_snapshot_time_travel" -> q203SnapshotTimeTravel,
       "q204_snapshot_diff" -> q204SnapshotDiff,
       "q205_snapshot_agg" -> q205SnapshotAgg,
-      "q206_snapshot_range" -> q206SnapshotRange)
+      "q206_snapshot_range" -> q206SnapshotRange,
+      "q209_snapshot_delete" -> q209SnapshotDelete,
+      "q210_snapshot_lifecycle" -> q210SnapshotLifecycle,
+      "q211_snapshot_merge" -> q211SnapshotMerge,
+      "q212_snapshot_evolution" -> q212SnapshotEvolution)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -357,5 +696,29 @@ object SnapshotStore {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id BETWEEN 100 AND 250
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q209_snapshot_delete" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id NOT BETWEEN 100 AND 250
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q210_snapshot_lifecycle" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id NOT BETWEEN 100 AND 250
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q211_snapshot_merge" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT lang, CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+        |    ELSE n_chars END AS n_chars FROM documents
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 11 = 0
+        |) GROUP BY lang ORDER BY lang""".stripMargin,
+    "q212_snapshot_evolution" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN n_chars % 100
+        |    ELSE -1 END) AS BIGINT) AS sum_quality
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -146,6 +146,138 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("lifecycle: COW delete rewrites only affected files; compact and expire are row-invariant") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    val sdocs = spark.read.parquet(s"$d/documents.parquet")
+    val preDelete = rows(SnapshotStore.readSnapshot(spark, root, 2L))
+    val m2 = SnapshotStore.manifest(spark, root, 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // --- COW delete [100, 250] as commit 3 ---
+    assert(SnapshotStore.deleteRange(spark, root, 100L, 250L) == 3L)
+    val m3 = SnapshotStore.manifest(spark, root, 3L).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // untouched files carried over VERBATIM (same path, old commit_id)
+    val untouched = m2.filter { case (_, (mn, mx)) => mx < 100L || mn > 250L }
+    assert(untouched.nonEmpty, "the delete window must miss some files")
+    untouched.keys.foreach(p => assert(m3.contains(p) && m3(p) <= 2L,
+      s"untouched file $p must carry over with its old commit_id"))
+    // affected files are GONE from the new manifest, replaced by c3 rewrites
+    m2.keys.filterNot(untouched.contains).foreach(p =>
+      assert(!m3.contains(p), s"affected file $p must be rewritten"))
+    assert(m3.values.exists(_ == 3L), "the rewrite files must join the manifest")
+    // rows: snapshot 3 == raw minus the window; snapshot 2 UNCHANGED
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 3L)) ==
+      rows(sdocs.filter(!col("doc_id").between(100, 250))))
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 2L)) == preDelete,
+      "time travel must still see the pre-delete table")
+    // --- compaction as commit 4: row-identical, fewer files ---
+    val filesBefore = SnapshotStore.manifest(spark, root, 3L).count()
+    assert(SnapshotStore.compact(spark, root) == 4L)
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 4L)) ==
+      rows(SnapshotStore.readSnapshot(spark, root, 3L)))
+    assert(SnapshotStore.manifest(spark, root, 4L).count() < filesBefore,
+      "compaction must reduce the live file count")
+    // --- expiration: history < 3 gone, 3..4 byte-identical, orphans deleted ---
+    val keep3 = rows(SnapshotStore.readSnapshot(spark, root, 3L))
+    val droppedOnly = SnapshotStore.manifest(spark, root, 2L)
+      .select("path").collect().map(_.getString(0)).toSet
+      .diff(SnapshotStore.manifest(spark, root, 3L)
+        .select("path").collect().map(_.getString(0)).toSet)
+      .diff(SnapshotStore.manifest(spark, root, 4L)
+        .select("path").collect().map(_.getString(0)).toSet)
+    assert(droppedOnly.nonEmpty)
+    SnapshotStore.expire(spark, root, keepFrom = 3L)
+    assert(SnapshotStore.currentSnapshot(spark, root) == 4L)
+    intercept[Exception](SnapshotStore.readSnapshot(spark, root, 2L).count())
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 3L)) == keep3,
+      "retained snapshots must be byte-identical across expiration")
+    droppedOnly.foreach(p => assert(!Files.exists(
+      Paths.get(p.stripPrefix("file:"))),
+      s"file $p referenced only by dropped manifests must be deleted"))
+  }
+
+  test("q209/q210 read the lifecycle end state and agree with the raw complement") {
+    val expect = docs.filter(!col("doc_id").between(
+      SnapshotStore.DeleteLo, SnapshotStore.DeleteHi))
+    assert(rows(SnapshotStore.q209SnapshotDelete(spark, dir)) ==
+      rows(expect.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))))
+    assert(rows(SnapshotStore.q210SnapshotLifecycle(spark, dir)) ==
+      rows(expect.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))))
+    // the standing lifecycle store really expired its history
+    val root = SnapshotStore.lcRoot(dir)
+    intercept[Exception](SnapshotStore.readSnapshot(spark, root, 1L).count())
+  }
+
+  test("mergeInto: updates replace in place, inserts land once, untouched keys survive") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    val sdocs = spark.read.parquet(s"$d/documents.parquet")
+    // update a NARROW key window (so stats leave most files untouched)
+    // and insert two far-away keys
+    val changes = sdocs.filter(col("doc_id").between(10, 20))
+      .withColumn("n_chars", col("n_chars") * 2)
+      .unionByName(sdocs.filter(col("doc_id").isin(3, 7))
+        .withColumn("doc_id", col("doc_id") + 5000000L))
+    val m2paths = SnapshotStore.manifest(spark, root, 2L)
+      .select("path").collect().map(_.getString(0)).toSet
+    val k = SnapshotStore.mergeInto(spark, root, changes)
+    assert(k == 3L)
+    // some files carried over verbatim (narrow update + stats pruning)
+    val m3paths = SnapshotStore.manifest(spark, root, 3L)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(m2paths.intersect(m3paths).nonEmpty,
+      "a narrow merge must leave stats-disjoint files untouched")
+    // row-level truth: replaced, inserted, everything else intact
+    val expected = sdocs.withColumn("n_chars",
+      when(col("doc_id").between(10, 20), col("n_chars") * 2)
+        .otherwise(col("n_chars")))
+      .unionByName(sdocs.filter(col("doc_id").isin(3, 7))
+        .withColumn("doc_id", col("doc_id") + 5000000L))
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 3L)) == rows(expected))
+    // pre-merge history intact
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 2L)) == rows(sdocs))
+  }
+
+  test("schema evolution: the merged read surfaces the new column as NULL on old files") {
+    val root = SnapshotStore.ensureEvolved(spark, dir)
+    val cur = SnapshotStore.readSnapshot(spark, root,
+      SnapshotStore.currentSnapshot(spark, root))
+    assert(cur.columns.toSet == Set("doc_id", "lang", "n_chars", "quality"))
+    // pre-evolution rows: NULL quality; post-evolution: n_chars % 100
+    val bad = cur.filter(
+      (pmod(col("doc_id"), lit(3)) =!= 0 && col("quality").isNotNull) ||
+      (pmod(col("doc_id"), lit(3)) === 0 &&
+        (col("quality").isNull ||
+          col("quality") =!= pmod(col("n_chars"), lit(100)))))
+    assert(bad.count() == 0, "evolution boundary must match the commit split")
+    // time travel to the PRE-evolution snapshot: the old schema, unpolluted
+    assert(!SnapshotStore.readSnapshot(spark, root, 1L)
+      .columns.contains("quality"),
+      "snapshot 1 predates the evolution and must not carry the column")
+  }
+
+  test("q211/q212 agree with their closed-form expectations") {
+    val got211 = rows(SnapshotStore.q211SnapshotMerge(spark, dir))
+    val exp211 = rows(docs.withColumn("n_chars",
+      when(pmod(col("doc_id"), lit(7)) === 0, col("n_chars") + 1000)
+        .otherwise(col("n_chars")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")))
+    assert(got211 == exp211 && got211.nonEmpty)
+    val got212 = rows(SnapshotStore.q212SnapshotEvolution(spark, dir))
+    val exp212 = rows(docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(pmod(col("doc_id"), lit(3)) === 0,
+          pmod(col("n_chars"), lit(100))).otherwise(lit(-1L)))
+          .as("sum_quality")))
+    assert(got212 == exp212 && got212.nonEmpty)
+  }
+
   test("q203/q204/q205 run green and agree with the raw table") {
     assert(rows(SnapshotStore.q203SnapshotTimeTravel(spark, dir)) ==
       rows(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0).groupBy(col("lang"))
