@@ -812,6 +812,38 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q213: the native as-of join under a TOLERANCE (pandas
+    * `merge_asof`'s knob, which neither plain SQL ASOF nor the q33
+    * composition expresses without a post-filter): a purchase older
+    * than the probe by more than 6 hours does not count as context.
+    * The exec checks the gap at EMISSION against its O(1) buffered
+    * candidate — stale matches are never materialized between
+    * operators, unlike the compose-then-filter equivalent that
+    * carries every match out of the join first. Inner mode, so the
+    * DuckDB oracle is q33's ASOF JOIN plus the verbatim gap predicate
+    * (for the inner form, post-filtering the gap is exactly the
+    * tolerance semantics — AsofNativeSpec pins that equivalence and
+    * the outer form's null-extension against composed baselines).
+    */
+  val q213AsofTolerance: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val probes = e.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val builds = e.filter(col("event_type") === "purchase")
+      .withColumn("nts", lead(col("ts"), 1).over(wb))
+      .filter(col("nts").isNull || col("nts") =!= col("ts"))
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("value").as("p_value"))
+    graft.plans.Asof.innerJoin(probes, builds,
+        Seq("user_id" -> "b_user"), "ts", "b_ts",
+        tolerance = Some(6L * 3600 * 1000000)) // 6 h in micros
+      .select(col("event_id"), col("user_id"),
+        col("p_value").as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** q35: explicit GROUPING SETS — ((returnflag, linestatus), (returnflag),
     * (linestatus)) without the grand total (which distinguishes it from
     * rollup/cube in q22/q23).
@@ -1144,6 +1176,7 @@ object Relational {
     "q33_asof_join" -> q33AsofJoin,
     "q182_asof_native" -> q182AsofNative,
     "q199_asof_inner" -> q199AsofInner,
+    "q213_asof_tolerance" -> q213AsofTolerance,
     "q34_local_supplier_volume" -> q34LocalSupplierVolume,
     "q180_planned_star" -> q180PlannedStar,
     "q35_grouping_sets" -> q35GroupingSets,
@@ -1279,6 +1312,16 @@ object Relational {
     // by the native AsofJoinExec instead of the window composition —
     // the shared oracle makes the physical-operator swap a value check
     "q182_asof_native" -> q33Sql,
+    "q213_asof_tolerance" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, value AS p_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type != 'purchase')
+        |SELECT p.event_id, p.user_id, b.p_value AS last_purchase_value
+        |FROM p ASOF JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
+        |WHERE p.ts - b.ts <= INTERVAL 6 HOUR
+        |ORDER BY p.event_id""".stripMargin,
     // q199 reuses it a third time: the INNER exec mode == DuckDB's bare
     // ASOF JOIN (which IS inner), no post-filter on either side
     "q199_asof_inner" -> q33Sql,

@@ -49,10 +49,18 @@ case class AsofJoin(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    isInner: Boolean = false)
+    isInner: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size, "as-of key arity mismatch")
+  tolerance.foreach { t =>
+    require(t >= 0, "as-of tolerance must be non-negative")
+    require(leftTime.dataType == rightTime.dataType,
+      "as-of tolerance needs same-typed time columns")
+    require(AsofJoin.toleranceTypes(leftTime.dataType),
+      s"as-of tolerance unsupported for ${leftTime.dataType} time columns")
+  }
 
   // LEFT OUTER (default): the build side null-extends, its columns go
   // nullable. INNER: unmatched probes are dropped instead, so build
@@ -67,14 +75,26 @@ case class AsofJoin(
     copy(left = newLeft, right = newRight)
 }
 
+object AsofJoin {
+  import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+
+  /** Time types the TOLERANCE option supports — those whose internal
+    * representation is an integer the merge can subtract (timestamps
+    * are Long microseconds internally, so a timestamp tolerance is in
+    * MICROSECONDS; dates are Int days).
+    */
+  private[plans] val toleranceTypes: Set[DataType] =
+    Set(TimestampType, TimestampNTZType, LongType, IntegerType, DateType)
+}
+
 /** Plans [[AsofJoin]] → [[AsofJoinExec]]. Injected via
   * `injectPlannerStrategy` so `--conf spark.sql.extensions=
   * graft.GraftExtensions` installs the operator into any deployment.
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, inner) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, inner) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, inner, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, inner, tol) :: Nil
     case _ => Nil
   }
 }
@@ -113,7 +133,8 @@ case class AsofJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    isInner: Boolean = false)
+    isInner: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   override lazy val metrics = Map(
@@ -148,6 +169,7 @@ case class AsofJoinExec(
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
     val innerMode = isInner
+    val tol = tolerance
     val allOut = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // executor-side codegen'd projections (created per partition)
@@ -165,6 +187,17 @@ case class AsofJoinExec(
       val resultProj = UnsafeProjection.create(allOut, lOut ++ rOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
+      // TOLERANCE: the integer reading of a (single-column) time row —
+      // Long micros for timestamps, Int days for dates (types gated at
+      // the logical node). Evaluated per probe at EMISSION: a
+      // too-stale candidate stays buffered (a later probe with the
+      // same key can never revive it, but a NEWER build row can still
+      // replace it), it just doesn't emit.
+      val timeAsLong: InternalRow => Long = lTimeExpr.dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType => r => r.getInt(0).toLong
+        case _ => r => r.getLong(0)
+      }
 
       // the single forward merge: one (probe row, matched-or-null) pair
       // per probe. The probe row reference is valid only until the next
@@ -175,6 +208,7 @@ case class AsofJoinExec(
         private var rHeadKey: InternalRow = _   // its key (copy)
         private var matched: InternalRow = _    // best as-of candidate for current key (copy)
         private var matchedKey: InternalRow = _
+        private var matchedTime: InternalRow = _ // its time (copy; tolerance check)
 
         private def advanceRight(): Unit =
           if (rIter.hasNext) {
@@ -207,11 +241,15 @@ case class AsofJoinExec(
               if (rTime.isNullAt(0)) advanceRight()       // null time never matches
               else if (timeOrd.compare(rTime, lTime) <= 0) {
                 matched = rHead; matchedKey = rHeadKey    // already copies
+                matchedTime = rTime.copy()
                 advanceRight()
               } else scanning = false                     // future build row: keep buffered
             } else scanning = false                       // next key group: keep buffered
           }
-          (lRow, matched)
+          if (matched != null && tol.exists(t =>
+              timeAsLong(lTime) - timeAsLong(matchedTime) > t))
+            (lRow, null) // candidate stays buffered; too stale to EMIT
+          else (lRow, matched)
         }
       }
 
@@ -258,7 +296,7 @@ object Asof {
     */
   def node(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftTime: String, rightTime: String,
-      inner: Boolean = false): AsofJoin = {
+      inner: Boolean = false, tolerance: Option[Long] = None): AsofJoin = {
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
@@ -272,12 +310,13 @@ object Asof {
     AsofJoin(lp, rp,
       keys.map(k => attr(lp, k._1, "probe")),
       keys.map(k => attr(rp, k._2, "build")),
-      attr(lp, leftTime, "probe"), attr(rp, rightTime, "build"), inner)
+      attr(lp, leftTime, "probe"), attr(rp, rightTime, "build"), inner,
+      tolerance)
   }
 
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftTime: String, rightTime: String,
-      inner: Boolean = false): DataFrame = {
+      inner: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     // self-register on the session actually planning this frame:
     // extensions/Engine.session wire the strategy at construction, but
@@ -291,7 +330,7 @@ object Asof {
     graft.Engine.registerStrategy(spark, AsofJoinStrategy)
     graft.Engine.registerOptimization(spark, AsofPushDown)
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
-      node(left, right, keys, leftTime, rightTime, inner))
+      node(left, right, keys, leftTime, rightTime, inner, tolerance))
   }
 
   /** The INNER as-of join — unmatched probes are DROPPED instead of
@@ -300,10 +339,21 @@ object Asof {
     * state: the exec filters at emission, so an inner as-of never
     * materializes the null-extended rows a compose-then-filter
     * pipeline (q182's `.filter(isNotNull)`) carries between operators.
+    *
+    * `tolerance` (the pandas `merge_asof` knob): with Some(t), a match
+    * older than the probe time by MORE than t — microseconds for
+    * timestamp columns, days for dates, raw units for integers — does
+    * not count: the probe drops (inner) or null-extends (outer). The
+    * check runs at emission against the O(1) buffered candidate, which
+    * stays buffered either way (a newer build row can still replace
+    * it for later probes; a later probe can never revive a stale one
+    * since its gap only grows). Equivalent to post-filtering the
+    * matched gap, without materializing the stale matches.
     */
   def innerJoin(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
-      leftTime: String, rightTime: String): DataFrame =
-    join(left, right, keys, leftTime, rightTime, inner = true)
+      leftTime: String, rightTime: String,
+      tolerance: Option[Long] = None): DataFrame =
+    join(left, right, keys, leftTime, rightTime, inner = true, tolerance)
 }
 
 /** Optimizer rule: push PROBE-side predicates through [[AsofJoin]]

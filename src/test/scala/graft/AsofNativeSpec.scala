@@ -260,6 +260,43 @@ class AsofNativeSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted.toSeq)
   }
 
+  test("tolerance: stale matches drop (inner) or null-extend (outer); candidates stay live") {
+    val hour = 3600L * 1000000 // micros
+    // unit: u1 probe at +2h from its build (within 6h), u2 at +10h (stale)
+    val p = probes((1L, "u1", "2024-01-10 02:00:00"),
+      (2L, "u2", "2024-01-10 10:00:00"),
+      (3L, "u2", "2024-01-10 23:00:00")) // matches u2's LATER build
+    val b = builds(("u1", "2024-01-10 00:00:00", 5.0),
+      ("u2", "2024-01-10 00:00:00", 7.0),
+      ("u2", "2024-01-10 22:00:00", 9.0))
+    val inner = Asof.innerJoin(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts",
+      tolerance = Some(6 * hour))
+    assert(inner.collect().map(r => (r.getLong(0), r.getDouble(5))).sorted.toSeq ==
+      Seq((1L, 5.0), (3L, 9.0)),
+      "probe 2's only candidate is 10h stale; probe 3 must still see the newer build")
+    // outer: the stale probe survives, null-extended
+    val outer = Asof.join(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts",
+      tolerance = Some(6 * hour))
+    val r2 = outer.filter(col("event_id") === 2).collect()
+    assert(r2.length == 1 && r2.head.isNullAt(5),
+      "outer mode must keep the stale probe with null build columns")
+    // fixtures: tolerance == the untoleranced join post-filtered by gap
+    val e = Engine.table(spark, dir, "events")
+    val probesF = e.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val buildsF = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("value").as("p_value"))
+    val tol = Asof.innerJoin(probesF, buildsF,
+      Seq("user_id" -> "b_user"), "ts", "b_ts", tolerance = Some(6 * hour))
+      .collect().map(_.toString).sorted.toSeq
+    val postFiltered = Asof.innerJoin(probesF, buildsF,
+      Seq("user_id" -> "b_user"), "ts", "b_ts")
+      .filter(col("ts").cast("long") - col("b_ts").cast("long") <= 6 * 3600)
+      .collect().map(_.toString).sorted.toSeq
+    assert(tol.nonEmpty && tol == postFiltered)
+  }
+
   test("result is identical across partition counts (merge is partition-local)") {
     val a = SparkEntry.queries("q182_asof_native")(spark, dir)
       .repartition(1).collect().map(_.toString).sorted.toSeq
