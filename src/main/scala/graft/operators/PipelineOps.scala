@@ -1065,7 +1065,78 @@ object PipelineOps {
       .orderBy(col("q"))
   }
 
+  // ---------------------------------------------------------------
+  // q214/q215 — deterministic corpus MIXTURE (down- and up-sampling)
+  // ---------------------------------------------------------------
+
+  /** Per-source sampling rate in basis points of 10000, derived
+    * deterministically from the source NAME (2500 + hash mod 5001 →
+    * [0.25, 0.75]) so the mixture needs no config table and replays
+    * bit-identically in the oracle. A production pipeline feeds real
+    * mixture weights here; everything downstream is unchanged.
+    */
+  private def rateBpSql(src: String): String =
+    s"2500 + pmod(${LlmOps.hashS(s"concat('rate:', $src)")}, 5001)"
+
+  /** q214: DETERMINISTIC DOWN-SAMPLING to a per-source mixture — the
+    * LLM data-mixing primitive: each document keeps or drops by
+    * comparing a content hash against its source's rate, so the
+    * sample is a pure function of (doc_id, source) — reproducible
+    * across runs, engines, partitionings, and retries, which `rand()`
+    * sampling never is (a retried task would re-draw, and a training
+    * run could not be rebuilt byte-identically). Scale shape: the
+    * keep-decision is a map-side filter (no shuffle, no per-source
+    * state); only the per-source AUDIT aggregate shuffles — at 100 TB
+    * the mixture costs one scan. Output: per source, the configured
+    * rate, totals, kept counts, and the realized rate — the oracle
+    * replays the hash threshold exactly.
+    */
+  val q214CorpusMixture: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val docs = t(s, dir, "documents")
+      .withColumn("rate_bp", expr(rateBpSql("source")))
+      .withColumn("keep",
+        expr(s"pmod(${LlmOps.hashS("concat('mix:', CAST(doc_id AS STRING))")}, 10000)")
+          < col("rate_bp"))
+    docs.groupBy(col("source"))
+      .agg(max(col("rate_bp")).cast("long").as("rate_bp"),
+        count(lit(1)).as("n_total"),
+        sum(col("keep").cast("long")).as("n_kept"))
+      .withColumn("realized_bp", expr("n_kept * 10000 div n_total"))
+      .orderBy(col("source"))
+  }
+
+  /** q215: DETERMINISTIC UP-SAMPLING (repetition) — the other half of
+    * mixture weighting: a source with rate r > 1 emits ⌊r⌋ copies of
+    * every document plus one more for the hash-selected fractional
+    * share (r = 1 + bp/10000 here, bp reusing the q214 derivation, so
+    * every source lands in (1, 2)×). Copies carry a replica index —
+    * the downstream shuffle/pack stages must see distinct rows, not a
+    * weight column. Emission is a map-side `explode(sequence(...))`:
+    * no shuffle, no state, reproducible like q214 (the training-mix
+    * property: re-running the pipeline yields the same epochs of the
+    * same documents). Output audits per source: totals, emitted rows,
+    * realized multiplier.
+    */
+  val q215CorpusUpsample: Q = (s, dir) => {
+    graft.Functions.registerAll(s)
+    val docs = t(s, dir, "documents")
+      .withColumn("frac_bp", expr(rateBpSql("source")))
+      .withColumn("extra",
+        (expr(s"pmod(${LlmOps.hashS("concat('rep:', CAST(doc_id AS STRING))")}, 10000)")
+          < col("frac_bp")).cast("int"))
+      .withColumn("replica", explode(expr("sequence(0, extra)")))
+    docs.groupBy(col("source"))
+      .agg(max(col("frac_bp")).cast("long").as("frac_bp"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_emitted"))
+      .withColumn("realized_x1000", expr("n_emitted * 1000 div n_docs"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q214_corpus_mixture" -> q214CorpusMixture,
+    "q215_corpus_upsample" -> q215CorpusUpsample,
     "q120_winsorize" -> q120Winsorize,
     "q109_pivot" -> q109Pivot,
     "q110_interpolate" -> q110Interpolate,
@@ -1098,6 +1169,32 @@ object PipelineOps {
   private val qualityCteD = LlmOps.qualityOracleCteD("qual", Seq("source"))
 
   val oracles: Map[String, String] = Map(
+    "q214_corpus_mixture" -> {
+      val rate = s"2500 + (${LlmOps.hashD("'rate:' || source")} % 5001)"
+      val mix = s"${LlmOps.hashD("'mix:' || doc_id::VARCHAR")} % 10000"
+      s"""SELECT source, CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+         |  CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) AS realized_bp
+         |FROM (SELECT source, $rate AS rate_bp,
+         |    ($mix) < ($rate) AS keep
+         |  FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q215_corpus_upsample" -> {
+      val rate = s"2500 + (${LlmOps.hashD("'rate:' || source")} % 5001)"
+      val rep = s"${LlmOps.hashD("'rep:' || doc_id::VARCHAR")} % 10000"
+      s"""SELECT source, CAST(max(frac_bp) AS BIGINT) AS frac_bp,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(sum(1 + extra) AS BIGINT) AS n_emitted,
+         |  CAST(sum(1 + extra) * 1000 // count(DISTINCT doc_id) AS BIGINT)
+         |    AS realized_x1000
+         |FROM (SELECT source, doc_id, $rate AS frac_bp,
+         |    CASE WHEN ($rep) < ($rate) THEN 1 ELSE 0 END AS extra
+         |  FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
     "q120_winsorize" ->
       """WITH c AS (SELECT value, count(*) AS c FROM events GROUP BY 1),
         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),

@@ -75,6 +75,46 @@ class HdrSketchSpec extends AnyFunSuite {
       "sub-32 buckets must be singletons with rep == value")
   }
 
+  test("streaming twin: a foreachBatch-maintained sketch == the recomputed sketch after every batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = Engine.table(spark, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val batches = all.groupBy(t => math.floorMod(t._1, 3L)).toSeq
+      .sortBy(_._1).map(_._2.toSeq)
+    def sketchOf(rows: Seq[(Long, String, Long)]) =
+      IndexOps.hdrSketch(rows.toDF("doc_id", "lang", "n_chars"),
+        "n_chars", Seq("lang"))
+    var maintained = Engine.materialize(
+      sketchOf(Seq.empty).toDF()) // empty, schema-setting
+    val ms = MemoryStream[(Long, String, Long)]
+    val query = ms.toDF().toDF("doc_id", "lang", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the sketch merge IS the maintenance: bucket counts add
+        maintained = Engine.materialize(
+          maintained.unionByName(
+            IndexOps.hdrSketch(batch, "n_chars", Seq("lang")))
+            .groupBy(col("lang"), col("bid"))
+            .agg(sum(col("cnt")).as("cnt")))
+        ()
+      }
+      .start()
+    try {
+      var fed = Seq.empty[(Long, String, Long)]
+      batches.foreach { b =>
+        ms.addData(b)
+        query.processAllAvailable()
+        fed = fed ++ b
+        assert(maintained.orderBy("lang", "bid").collect().map(_.toString).toSeq ==
+          sketchOf(fed).orderBy("lang", "bid").collect().map(_.toString).toSeq,
+          s"maintained sketch diverged after ${fed.size} rows")
+      }
+    } finally query.stop()
+  }
+
   test("q208 reports merge_exact == 1 on every fixture group") {
     val rows = IndexOps.q208HdrRollup(spark, dir).collect()
     assert(rows.nonEmpty &&
