@@ -28,7 +28,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     "SimIndex" -> sources.SimIndex.queries.keySet,
     "BucketStore" -> sources.BucketStore.queries.keySet,
     "ClusteredStore" -> sources.ClusteredStore.queries.keySet,
-    "MatView" -> sources.MatView.queries.keySet)
+    "MatView" -> sources.MatView.queries.keySet,
+    "SnapshotStore" -> sources.SnapshotStore.queries.keySet)
 
   test("no query name is defined by two modules (Map ++ would shadow one)") {
     val all = moduleMaps.flatMap { case (m, ks) => ks.map(_ -> m) }
