@@ -362,6 +362,57 @@ object IndexOps {
       .orderBy(col("lang"))
   }
 
+  /** HDR-artifact layout version. */
+  private val HdrLayout = 1L
+
+  private[graft] def hdrRoot(dir: String): String =
+    graft.sources.StandingIndex.artifactRoot(dir, "hdr")
+
+  private val hdrBuiltCache = new graft.SessionCache
+
+  /** The per-(lang, source) HDR sketch persisted as a STANDING
+    * ARTIFACT (signature-validated meta row, reuse/rebuild like every
+    * other store) — q207's scaladoc says the sketch is what you store
+    * at 100 TB; this is that store. ≤ ~2k rows per corpus, built in
+    * one pass, and every later quantile question at any rollup level
+    * is a sketch-row walk with ZERO corpus reads.
+    */
+  def ensureHdrArtifact(s: SparkSession, dir: String): String = {
+    hdrBuiltCache.getOrElseUpdate(s, dir) {
+      val root = hdrRoot(dir)
+      val sig = {
+        val (n, sg) = graft.sources.StandingIndex.tableSig(s, dir,
+          "documents", Seq("doc_id", "lang", "source", "n_chars"))
+        (n, Math.floorMod(sg + HdrLayout, graft.sources.StandingIndex.SigMod))
+      }
+      if (!graft.sources.StandingIndex.metaFresh(s, root, sig)) {
+        hdrSketch(t(s, dir, "documents"), "n_chars", Seq("lang", "source"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/sk")
+        graft.sources.StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    s"${hdrRoot(dir)}/sk"
+  }
+
+  /** q216: quantiles ANSWERED FROM THE STORED SKETCH — the standing
+    * artifact merged up to per-lang (count addition, loss-free) and
+    * walked for p50/p90/p99. Because the bucket algebra is
+    * deterministic and the merge exact, the answer is BIT-IDENTICAL
+    * to q207's direct build — so this query shares q207's raw-table
+    * oracle verbatim, proving store → merge → extract loses nothing.
+    * The plan reads ≤ ~2k sketch rows; the corpus is never scanned
+    * (after the one signature pass that guards artifact freshness).
+    */
+  val q216HdrStanding: Q = (s, dir) => {
+    val sk = s.read.parquet(ensureHdrArtifact(s, dir))
+      .groupBy(col("lang"), col("bid"))
+      .agg(sum(col("cnt")).as("cnt"))
+    hdrQuantiles(sk, "lang",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------
   // q151 — phrase search over positional postings
   // ---------------------------------------------------------------
@@ -1042,6 +1093,7 @@ object IndexOps {
     "q153_sketch_rollup" -> q153SketchRollup,
     "q207_hdr_quantiles" -> q207HdrQuantiles,
     "q208_hdr_rollup" -> q208HdrRollup,
+    "q216_hdr_standing" -> q216HdrStanding,
     "q98_fuzzy_join" -> q98FuzzyJoin,
     "q99_bpe_pairs" -> q99BpePairs,
     "q100_skew_report" -> q100SkewReport)
@@ -1380,6 +1432,14 @@ object IndexOps {
         |ORDER BY doc_id""".stripMargin
     },
     "q207_hdr_quantiles" ->
+      s"""WITH sk AS (
+         |  SELECT lang, $hdrBidD AS bid, count(*) AS cnt
+         |  FROM documents GROUP BY 1, 2)
+         |${hdrQuantD("sk", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))}
+         |ORDER BY lang""".stripMargin,
+    // q216 shares q207's oracle verbatim: the stored fine sketch
+    // merged up is bit-identical to the direct per-lang build
+    "q216_hdr_standing" ->
       s"""WITH sk AS (
          |  SELECT lang, $hdrBidD AS bid, count(*) AS cnt
          |  FROM documents GROUP BY 1, 2)

@@ -120,4 +120,20 @@ class HdrSketchSpec extends AnyFunSuite {
     assert(rows.nonEmpty &&
       rows.forall(_.getAs[Long]("merge_exact") == 1L))
   }
+
+  test("q216: the stored sketch answers bit-identically to the direct build, and is reused") {
+    val a = IndexOps.q216HdrStanding(spark, dir)
+      .collect().map(_.toString).toSeq
+    val b = IndexOps.q207HdrQuantiles(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty,
+      "store → merge → extract must lose nothing vs the direct build")
+    // artifact reuse: a second ensure leaves the stored file untouched
+    val p = IndexOps.ensureHdrArtifact(spark, dir)
+    val f = new java.io.File(p.stripPrefix("file:"))
+    val mtime = f.lastModified()
+    Thread.sleep(20)
+    IndexOps.ensureHdrArtifact(spark, dir)
+    assert(f.lastModified() == mtime)
+  }
 }
