@@ -41,17 +41,22 @@ import org.apache.spark.sql.types.DoubleType
   *     in the raw path is an integer-valued sum far below 2^53, so
   *     the one final division is IEEE-identical on both paths).
   *
-  * A SECOND matched shape answers aggregates over a registered
-  * (fact ⋈ dim) INNER equi-join from a PRE-JOINED view
-  * ([[registerJoin]]): `Aggregate(G, A, Join(fact, dim))` with the
-  * registered single-key condition, groupings over dims from EITHER
-  * side, and dim-only filters wherever pushdown left them (above the
-  * join or inside a side). Same eligibility and rollup algebra — the
-  * view's groups are (fact row × its unique dim match), so counts and
-  * sums roll up identically. At 100 TB this is the rewrite that
-  * deletes a fact-side shuffle JOIN, not just a scan: the raw plan
-  * repartitions the fact table on the join key before it can group;
-  * the rewritten plan reads |dims| rows.
+  * A SECOND matched shape answers aggregates over a registered STAR —
+  * any tree of INNER equi-joins across registered scans — from a
+  * PRE-JOINED view ([[registerStar]]; [[registerJoin]] is the
+  * two-table convenience): groupings over dims from ANY side,
+  * dim-only filters wherever pushdown left them (above any join or
+  * inside any side). The tree is fingerprinted as the SET of scan
+  * path groups × the SET of normalized key-name pairs, so the match
+  * is invariant under join reorder and parenthesization — inner
+  * equi-joins are associative and commutative, and MvRewriteSpec
+  * drives three orderings of the q217 star through one entry. Same
+  * eligibility and rollup algebra — each view group is (fact row ×
+  * its unique dim matches), so counts and sums roll up identically.
+  * At 100 TB this is the rewrite that deletes the star's shuffle
+  * JOINS, not just a scan: the raw plan repartitions the fact table
+  * once per chain link before it can group; the rewritten plan reads
+  * |dims| rows.
   *
   * The rewrite swaps the corpus scan for a FRESH INSTANCE of the
   * registered MV relation (`LogicalRelation.newInstance()` — new
@@ -111,17 +116,34 @@ object MvRewrite extends Rule[LogicalPlan] {
     */
   final case class JoinKeys(factKey: String, dimKey: String)
 
-  /** (owning session, fact root paths, dim root paths) → pre-joined
-    * view. Looked up under BOTH side orders — the user may write
-    * either table on the left.
+  /** (owning session, SET of scan root-path groups, SET of normalized
+    * equi-key name pairs) → pre-joined view. SET-keyed on purpose:
+    * inner equi-joins are associative and commutative, so Catalyst's
+    * join reorder (and the user writing tables in any order) leaves
+    * the {paths} × {conds} fingerprint invariant — ANY shape of the
+    * registered star matches, however the tree is parenthesized.
     */
-  private val joinRegistry =
-    TrieMap.empty[(SparkSession, Seq[String], Seq[String]), (MvEntry, JoinKeys)]
+  private val starRegistry = TrieMap.empty[
+    (SparkSession, Set[Seq[String]], Set[(String, String)]), MvEntry]
+
+  private def normPair(a: String, b: String): (String, String) =
+    if (a <= b) (a, b) else (b, a)
 
   /** Register (or replace) the JOIN MV for a (fact ⋈ dim) pair. */
   def registerJoin(s: SparkSession, factPaths: Seq[String],
       dimPaths: Seq[String], keys: JoinKeys, entry: MvEntry): Unit =
-    joinRegistry.put((s, factPaths, dimPaths), (entry, keys))
+    registerStar(s, Set(factPaths, dimPaths),
+      Set(keys.factKey -> keys.dimKey), entry)
+
+  /** Register (or replace) a STAR MV: an aggregate over any tree of
+    * INNER equi-joins across `paths` (one entry per table's exact scan
+    * root paths) joined on `conds` (column-name pairs; each dim-side
+    * key UNIQUE on its table — the caller's contract, met by building
+    * the view from the same join it registers).
+    */
+  def registerStar(s: SparkSession, paths: Set[Seq[String]],
+      conds: Set[(String, String)], entry: MvEntry): Unit =
+    starRegistry.put((s, paths, conds.map(c => normPair(c._1, c._2))), entry)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
@@ -129,7 +151,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       case agg @ Aggregate(groupings, aggExprs, RegisteredScan(entry, dimFilters), _)
           if eligible(groupings, aggExprs, entry) =>
         rewrite(agg, dimFilters, entry)
-      case agg @ Aggregate(groupings, aggExprs, RegisteredJoin(entry, dimFilters), _)
+      case agg @ Aggregate(groupings, aggExprs, RegisteredStar(entry, dimFilters), _)
           if dimFilters.forall(_.references.forall(a => entry.dims(a.name))) &&
             eligible(groupings, aggExprs, entry) =>
         rewrite(agg, dimFilters, entry)
@@ -198,45 +220,73 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** A registered (fact ⋈ dim) INNER equi-join, under column
-    * pruning's Projects and pushed-down filters on either side (and
-    * dim-only residual filters above the join — by the time the
+  /** A registered STAR — any tree of INNER equi-joins over registered
+    * scans, under column pruning's Projects and pushed-down filters on
+    * any side (and residual filters above any join — by the time the
     * user-provided batch runs, PushDownPredicates has normally moved
-    * them into the sides already). Matches only the exact registered
-    * shape: INNER join type (an outer join's null-extended rows are
-    * not in the pre-joined view), a single `factKey = dimKey`
-    * condition (an extra conjunct would drop pairs the view counted),
-    * both sides' root paths registered under the scan's own session
-    * in either left/right order. Collected filter conjuncts are
-    * dim-checked at the match site.
+    * them into the sides already). The tree is fingerprinted as the
+    * SET of scan path groups × the SET of normalized key-name pairs,
+    * so the match is invariant under join reorder and side swaps.
+    * Refusals are structural: any non-INNER join (null-extended rows
+    * are not in the view), any non-`EqualTo(attr, attr)` condition or
+    * extra conjunct (would drop pairs the view counted), any
+    * unregistered scan in the tree, a fingerprint the registry lacks.
+    * Collected filter conjuncts are dim-checked at the match site —
+    * after dropping the `isnotnull(key)` conjuncts constraint
+    * propagation seeds on every inner equi-join side (implied by the
+    * join: null keys never match, the view already excludes them).
     */
-  private object RegisteredJoin {
-    def unapply(plan: LogicalPlan): Option[(MvEntry, Seq[Expression])] = plan match {
-      case Project(projList, child) if projList.forall(
-        _.isInstanceOf[AttributeReference]) => unapply(child)
-      case Filter(cond, child) if cond.deterministic =>
-        unapply(child).map { case (e, fs) => (e, conjuncts(cond) ++ fs) }
-      case Join(SideScan(ls, lp, lf), SideScan(_, rp, rf), Inner,
-          Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
-        joinRegistry.get((ls, lp, rp)).orElse(joinRegistry.get((ls, rp, lp)))
-          .collect {
-            case (entry, keys)
-                if Set(a.name, b.name) == Set(keys.factKey, keys.dimKey) =>
-              // constraint propagation seeds `isnotnull(key)` on both
-              // sides of every inner equi-join; those conjuncts are
-              // IMPLIED by the join (null keys never match — the
-              // pre-joined view already excludes those rows), so they
-              // drop here instead of poisoning the dim-only check
+  private object RegisteredStar {
+    /** (session, path groups, normalized cond pairs, filter conjuncts)
+      * for a Project/Filter-wrapped tree of inner equi-joins whose
+      * leaves are file scans.
+      */
+    private def tree(plan: LogicalPlan): Option[
+        (SparkSession, Set[Seq[String]], Set[(String, String)], Seq[Expression])] =
+      plan match {
+        case Project(projList, child) if projList.forall(
+          _.isInstanceOf[AttributeReference]) => tree(child)
+        case Filter(cond, child) if cond.deterministic =>
+          tree(child).map { case (s, p, c, fs) =>
+            (s, p, c, conjuncts(cond) ++ fs)
+          }
+        case Join(l, r, Inner,
+            Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+          for {
+            (ls, lp, lc, lf) <- side(l)
+            (_, rp, rc, rf) <- side(r)
+          } yield (ls, lp ++ rp, lc ++ rc + normPair(a.name, b.name), lf ++ rf)
+        case _ => None
+      }
+
+    /** A join-tree side: a nested join tree, or a bare registered-able
+      * scan lifted into the tree shape.
+      */
+    private def side(plan: LogicalPlan): Option[
+        (SparkSession, Set[Seq[String]], Set[(String, String)], Seq[Expression])] =
+      tree(plan).orElse(plan match {
+        case SideScan(s, p, fs) => Some((s, Set(p), Set.empty, fs))
+        case _ => None
+      })
+
+    def unapply(plan: LogicalPlan): Option[(MvEntry, Seq[Expression])] =
+      plan match {
+        // only join-rooted shapes (single-table scans are RegisteredScan's)
+        case _: Join | _: Project | _: Filter =>
+          tree(plan).flatMap { case (s, paths, conds, fs) =>
+            starRegistry.get((s, paths, conds)).map { entry =>
+              val keyNames: Set[String] =
+                conds.flatMap(c => Set(c._1, c._2))
               val implied: Expression => Boolean = {
                 case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-                    k: AttributeReference) =>
-                  k.name == keys.factKey || k.name == keys.dimKey
+                    k: AttributeReference) => keyNames(k.name)
                 case _ => false
               }
-              (entry, (lf ++ rf).filterNot(implied))
+              (entry, fs.filterNot(implied))
+            }
           }
-      case _ => None
-    }
+        case _ => None
+      }
   }
 
   private def eligible(groupings: Seq[Expression],

@@ -313,13 +313,41 @@ object MatView {
     * (1–50), so its double sums are exact in any order and every
     * rollup through the view is hash-identical to the raw join.
     */
-  private def jmAggregate(s: SparkSession, dir: String): DataFrame =
-    graft.Engine.table(s, dir, "lineitem")
-      .join(graft.Engine.table(s, dir, "orders"),
-        col("l_orderkey") === col("o_orderkey"))
+  /** The join MV's aggregate shape over ANY (fact frame, dim frame)
+    * pair — one definition serves the stored build, the streaming
+    * twin's per-batch partial, and the spec's recompute baseline.
+    */
+  def jmAggregateOf(fact: DataFrame, dim: DataFrame): DataFrame =
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"), col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
         min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+
+  private def jmAggregate(s: SparkSession, dir: String): DataFrame =
+    jmAggregateOf(graft.Engine.table(s, dir, "lineitem"),
+      graft.Engine.table(s, dir, "orders"))
+
+  /** Fold one INSERT-ONLY micro-batch of FACT rows into a maintained
+    * JOIN view — incremental view maintenance one notch up from
+    * [[foldMvBatch]]: the batch joins the (standing) dimension table
+    * first, aggregates map-side, and merges with the stored view by
+    * the rollup algebra (counts/sums by Σ, extrema by min/max), so
+    * maintained == recomputed after every batch (StreamingMvSpec).
+    * Insert-only on the FACT side with a FROZEN dim — a dim update
+    * changes history attribution and needs the q89 SCD2 treatment,
+    * not a fold; fact deletes hit the min/max wall exactly as in
+    * [[foldMvBatch]]. Scale shape: the per-batch join is
+    * |batch| ⋈ broadcast-able dim, the standing side is |dims| rows —
+    * the corpus is never rescanned.
+    */
+  def foldJoinMvBatch(stored: DataFrame, factBatch: DataFrame,
+      dim: DataFrame): DataFrame =
+    stored.unionByName(jmAggregateOf(factBatch, dim))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_qty")).as("sum_qty"),
+        min(col("min_qty")).as("min_qty"),
+        max(col("max_qty")).as("max_qty"))
 
   /** Build (or reuse) and register the PRE-JOINED view — the MV that
     * answers aggregates over `lineitem ⋈ orders` without executing
@@ -398,13 +426,108 @@ object MatView {
         round(col("avg_raw"), 6).as("avg_qty"))
       .orderBy(col("l_returnflag"))
 
+  // ---- a 3-TABLE STAR MV: lineitem ⋈ orders ⋈ customer ------------
+
+  /** Star-MV layout version. */
+  private val StLayout = 1L
+
+  private[graft] def stRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "mvstar")
+
+  private[graft] def stSig(s: SparkSession, dir: String): (Long, Long) = {
+    val (nl, sl) = StandingIndex.tableSig(s, dir, "lineitem",
+      Seq("l_orderkey", "l_quantity"))
+    val (no, so) = StandingIndex.tableSig(s, dir, "orders",
+      Seq("o_orderkey", "o_custkey", "o_orderpriority"))
+    val (nc, sc) = StandingIndex.tableSig(s, dir, "customer",
+      Seq("c_custkey", "c_mktsegment"))
+    (nl + no + nc,
+      Math.floorMod((sl * 31L + so) * 31L + sc + StLayout, StandingIndex.SigMod))
+  }
+
+  private val stBuiltCache = new graft.SessionCache
+
+  private def stAggregate(s: SparkSession, dir: String): DataFrame =
+    graft.Engine.table(s, dir, "lineitem")
+      .join(graft.Engine.table(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Engine.table(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+
+  /** Build (or reuse) and register the 3-TABLE STAR view — per
+    * (order priority × market segment) aggregates over
+    * `lineitem ⋈ orders ⋈ customer`, ~25 rows. The registry
+    * fingerprint is the SET of the three scans' root paths × the SET
+    * of normalized key pairs, so the rewrite fires however the user
+    * (or Catalyst's join reorder) parenthesizes the star — q217
+    * deliberately writes the tables in the reverse order. Both chain
+    * keys are unique on their dim side (o_orderkey on orders,
+    * c_custkey on customer), the precondition for each fact row to
+    * count exactly once through the chain. At 100 TB this removes TWO
+    * shuffle joins and the corpus scan in one rewrite.
+    */
+  def ensureStarMv(s: SparkSession, dir: String): String = {
+    stBuiltCache.getOrElseUpdate(s, dir) {
+      val root = stRoot(dir)
+      val sig = stSig(s, dir)
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        stAggregate(s, dir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/mv")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      import graft.plans.MvRewrite
+      val mvRel = s.read.parquet(s"$root/mv").queryExecution.analyzed
+        .collectFirst { case lr: LogicalRelation => lr }
+        .getOrElse(throw new IllegalStateException(
+          s"star MV at $root/mv did not analyze to a file relation"))
+      MvRewrite.registerStar(s,
+        paths = Set(sourcePaths(s, dir, "lineitem"),
+          sourcePaths(s, dir, "orders"), sourcePaths(s, dir, "customer")),
+        conds = Set("l_orderkey" -> "o_orderkey", "o_custkey" -> "c_custkey"),
+        entry = MvRewrite.MvEntry(mvRel,
+          dims = Set("o_orderpriority", "c_mktsegment"),
+          factCol = "l_quantity", countCol = "n_rows", sumCol = "sum_qty",
+          minCol = "min_qty", maxCol = "max_qty"))
+      s.emptyDataFrame
+    }
+    s"${stRoot(dir)}/mv"
+  }
+
+  /** q217: the STAR answered from the pre-joined cube — written in
+    * the REVERSE table order (customer first) to exercise the
+    * fingerprint's join-order invariance, filtered on one dim,
+    * grouped by the other, with the derived-avg rollup. The optimized
+    * plan reads the ~25-row cube; neither fact nor either dimension
+    * table is scanned (self-checked). Oracle = the verbatim raw
+    * 3-table join SQL.
+    */
+  val q217MvStar: (SparkSession, String) => DataFrame = (s, dir) =>
+    withRewrite(s, ensureStarMv(s, dir), "mvstar", "lineitem.parquet") {
+      graft.Engine.table(s, dir, "customer")
+        .join(graft.Engine.table(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .join(graft.Engine.table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+          avg(col("l_quantity")).as("avg_raw"))
+    }.select(col("o_orderpriority"), col("n_rows"), col("sum_qty"),
+        round(col("avg_raw"), 6).as("avg_qty"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q195_mv_aggregate" -> q195MvAggregate,
       "q196_mv_filtered" -> q196MvFiltered,
       "q197_mv_rollups" -> q197MvRollups,
       "q200_mv_events" -> q200MvEvents,
       "q201_mv_join" -> q201MvJoin,
-      "q202_mv_join_filtered" -> q202MvJoinFiltered)
+      "q202_mv_join_filtered" -> q202MvJoinFiltered,
+      "q217_mv_star" -> q217MvStar)
 
   val oracles: Map[String, String] = Map(
     "q195_mv_aggregate" ->
@@ -435,5 +558,13 @@ object MatView {
         |  round(avg(l_quantity), 6) AS avg_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q217_mv_star" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  sum(l_quantity) AS sum_qty, round(avg(l_quantity), 6) AS avg_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

@@ -301,6 +301,69 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(got202.nonEmpty && got202.size <= 3)
   }
 
+  private def cust = Engine.table(spark, dir, "customer")
+
+  test("star MV: any join order matches the set fingerprint; values identical") {
+    MatView.ensureStarMv(spark, dir)
+    val prevE = spark.conf.getOption(MvRewrite.EnabledKey)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    try {
+      def readsStar(df: org.apache.spark.sql.DataFrame): Boolean =
+        scans(df).exists(_.contains("mvstar")) &&
+          !scans(df).exists(s => s.contains("lineitem.parquet") ||
+            s.contains("orders.parquet") || s.contains("customer.parquet"))
+      // three parenthesizations / orders of the same star
+      val shapes = Seq(
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey")),
+        cust.join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey")),
+        ord.join(cust, col("o_custkey") === col("c_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey")))
+      val aggd = shapes.map(_.groupBy(col("o_orderpriority"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sq")))
+      val expected = aggd.head.collect().map(_.toString).sorted.toSeq
+      aggd.foreach { q =>
+        assert(readsStar(q), s"star rewrite must fire for every order: ${scans(q)}")
+        assert(q.collect().map(_.toString).sorted.toSeq == expected)
+      }
+    } finally prevE.fold(spark.conf.unset(MvRewrite.EnabledKey))(
+      spark.conf.set(MvRewrite.EnabledKey, _))
+  }
+
+  test("star MV refusals: sub-tree, superset tree, outer link, extra conjunct") {
+    MatView.ensureStarMv(spark, dir)
+    MatView.ensureJoinMv(spark, dir) // the 2-table pair is ALSO registered
+    val prevE = spark.conf.getOption(MvRewrite.EnabledKey)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    try {
+      def rawFact(df: org.apache.spark.sql.DataFrame): Boolean =
+        scans(df).exists(_.contains("lineitem.parquet"))
+      // the li⋈ord SUB-tree resolves to the PAIR view, never the star
+      val pair = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(scans(pair).exists(_.contains("mvjoin")) &&
+        !scans(pair).exists(_.contains("mvstar")))
+      // a tree with an extra table has a fingerprint nothing registered
+      val sup = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(Engine.table(spark, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(rawFact(sup))
+      // an outer link anywhere in the chain refuses
+      assert(rawFact(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))))
+      // an extra conjunct on a chain link refuses
+      assert(rawFact(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("l_quantity") > 5)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))))
+    } finally prevE.fold(spark.conf.unset(MvRewrite.EnabledKey))(
+      spark.conf.set(MvRewrite.EnabledKey, _))
+  }
+
   test("mv artifact: reuse on match; edited corpus rebuilds") {
     val d = java.nio.file.Files.createTempDirectory("graft_mv_").toString
     java.nio.file.Files.copy(

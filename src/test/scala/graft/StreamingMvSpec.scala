@@ -80,4 +80,41 @@ class StreamingMvSpec extends AnyFunSuite {
         "maintained end state != the stored artifact's aggregate")
     } finally query.stop()
   }
+
+  test("JOIN-view maintenance: fact inserts folded through the frozen dim == recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dim = Engine.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val facts = Engine.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val batches = facts.zipWithIndex.groupBy(_._2 % 3).toSeq
+      .sortBy(_._1).map(_._2.map(_._1).toSeq)
+    def factDf(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("l_orderkey", "l_returnflag", "l_quantity")
+    var maintained = Engine.materialize(
+      MatView.jmAggregateOf(factDf(Seq.empty), dim))
+    val ms = MemoryStream[(Long, String, Double)]
+    val query = ms.toDF().toDF("l_orderkey", "l_returnflag", "l_quantity")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        maintained = Engine.materialize(
+          MatView.foldJoinMvBatch(maintained, batch, dim))
+        ()
+      }
+      .start()
+    try {
+      var fed = Seq.empty[(Long, String, Double)]
+      batches.foreach { b =>
+        ms.addData(b)
+        query.processAllAvailable()
+        fed = fed ++ b
+        assert(Canonical.hash(maintained) ==
+          Canonical.hash(MatView.jmAggregateOf(factDf(fed), dim)),
+          s"maintained join view diverged after ${fed.size} fact rows")
+      }
+    } finally query.stop()
+  }
 }
