@@ -92,19 +92,22 @@ object MvRewrite extends Rule[LogicalPlan] {
       factCol: String, countCol: String, sumCol: String,
       minCol: String, maxCol: String)
 
-  /** (owning session, exact source root paths) → view. Keyed by the
-    * session so concurrent sessions over different corpora (or
-    * different MV generations) never read each other's relation; the
-    * session arrives at lookup time from the scanned relation itself
+  /** (owning session, exact source root paths — SORTED, so a
+    * multi-file scan like a snapshot read matches whatever order its
+    * planner listed the files in) → view. Keyed by the session so
+    * concurrent sessions over different corpora (or different MV
+    * generations) never read each other's relation; the session
+    * arrives at lookup time from the scanned relation itself
     * (`HadoopFsRelation.sparkSession`), not from any global.
     */
   private val registry = TrieMap.empty[(SparkSession, Seq[String]), MvEntry]
 
   /** Register (or replace) the MV for a source table. `sourcePaths`
-    * are the EXACT `FileIndex.rootPaths` strings of the source scan.
+    * are the EXACT `FileIndex.rootPaths` strings of the source scan
+    * (any order).
     */
   def register(s: SparkSession, sourcePaths: Seq[String], entry: MvEntry): Unit =
-    registry.put((s, sourcePaths), entry)
+    registry.put((s, sourcePaths.sorted), entry)
 
   /** The equi-join key pair a JOIN MV is defined over (names on the
     * fact and dim source scans). Registration contract: the two
@@ -143,7 +146,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     */
   def registerStar(s: SparkSession, paths: Set[Seq[String]],
       conds: Set[(String, String)], entry: MvEntry): Unit =
-    starRegistry.put((s, paths, conds.map(c => normPair(c._1, c._2))), entry)
+    starRegistry.put((s, paths.map(_.sorted),
+      conds.map(c => normPair(c._1, c._2))), entry)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
@@ -186,7 +190,7 @@ object MvRewrite extends Rule[LogicalPlan] {
           cond.references.forall(a => entry.dims(a.name))
         }.map { case (entry, fs) => (entry, cond +: fs) }
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        registry.get((fs.sparkSession, fs.location.rootPaths.map(_.toString)))
+        registry.get((fs.sparkSession, fs.location.rootPaths.map(_.toString).sorted))
           .map(_ -> Nil)
       case _ => None
     }
@@ -215,7 +219,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       case Filter(cond, child) if cond.deterministic =>
         unapply(child).map { case (s, p, fs) => (s, p, conjuncts(cond) ++ fs) }
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        Some((fs.sparkSession, fs.location.rootPaths.map(_.toString), Nil))
+        Some((fs.sparkSession, fs.location.rootPaths.map(_.toString).sorted, Nil))
       case _ => None
     }
   }

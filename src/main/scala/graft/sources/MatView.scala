@@ -171,6 +171,14 @@ object MatView {
       body: => DataFrame): DataFrame =
     withRewrite(s, ensureMv(s, dir), "/mv", "documents.parquet")(body)
 
+  /** The scoped-conf + fired-rewrite-checked runner for OTHER modules'
+    * MV-answered queries (the caller has already ensured + registered
+    * its view — q218's snapshot MV).
+    */
+  def withRewriteChecked(s: SparkSession, mustScan: String,
+      mustNotScan: String)(body: => DataFrame): DataFrame =
+    withRewrite(s, (), mustScan, mustNotScan)(body)
+
   /** q196: the rewrite under a DIMENSION FILTER — a whole-group
     * predicate (`lang IN ('en','zh')`) commutes with the rollup, so
     * the rule carries it over to the view and the filtered per-source

@@ -457,6 +457,88 @@ object SnapshotStore {
       .orderBy(col("lang"))
   }
 
+  // ---- an MV OVER THE SNAPSHOT TABLE, fresh by snapshot id (q218) --
+
+  /** Snapshot-MV layout version. */
+  private val SnapMvLayout = 1L
+
+  private[graft] def smRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapmv")
+
+  private val smBuiltCache = new graft.SessionCache
+
+  /** A MATERIALIZED VIEW over the snapshot table — the two chapters
+    * composed the way a lakehouse composes them: the per-(lang,
+    * source) aggregate view is validated by SNAPSHOT ID (one
+    * `manifests/` listing — never a content scan, the q205
+    * discipline), and it registers with [[graft.plans.MvRewrite]]
+    * against the CURRENT snapshot's exact file list, so a plain
+    * aggregate over `readSnapshot(current)` transparently reads the
+    * view. A new commit moves the snapshot id, which invalidates the
+    * stored view AND retires the registration in one stroke — the new
+    * snapshot's file list is a different registry key, so a stale
+    * view can never answer a fresh table (the registry's exact-path
+    * discipline doing freshness work).
+    */
+  def ensureSnapshotMv(s: SparkSession, dir: String): String = {
+    smBuiltCache.getOrElseUpdate(s, dir) {
+      ensureSnapshotMvValidated(s, ensure(s, dir), dir)
+      s.emptyDataFrame
+    }
+    s"${smRoot(dir)}/mv"
+  }
+
+  /** The validation+build+register step a NEW session (or a
+    * post-commit refresh) runs — spec hook, like every other store's.
+    */
+  private[graft] def ensureSnapshotMvValidated(s: SparkSession,
+      storeRoot: String, dir: String): Unit = {
+    val root = smRoot(dir)
+    val snap = currentSnapshot(s, storeRoot)
+    val want = (snap, SnapMvLayout)
+    if (!StandingIndex.metaFresh(s, root, want)) {
+      readSnapshot(s, storeRoot, snap)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/mv")
+      StandingIndex.writeMeta(s, root, want)
+    }
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.plans.MvRewrite
+    val src = readSnapshot(s, storeRoot, snap).queryExecution.analyzed
+      .collect { case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+      }.flatten
+    val mvRel = s.read.parquet(s"$root/mv").queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }
+      .getOrElse(throw new IllegalStateException(
+        s"snapshot MV at $root/mv did not analyze to a file relation"))
+    MvRewrite.register(s, src, MvRewrite.MvEntry(mvRel,
+      dims = Set("lang", "source"), factCol = "n_chars",
+      countCol = "n_docs", sumCol = "sum_chars",
+      minCol = "min_chars", maxCol = "max_chars"))
+  }
+
+  /** q218: a plain aggregate over the CURRENT snapshot, answered from
+    * the snapshot-id-fresh view — per-source counts, sums and extrema
+    * from a |langs|×|sources|-row table instead of the snapshot's
+    * data files (the self-check asserts no `data/c…` file is
+    * scanned). Current snapshot = the whole seeded table, so the
+    * oracle is the verbatim raw-table SQL.
+    */
+  val q218SnapshotMv: (SparkSession, String) => DataFrame = (s, dir) => {
+    val storeRoot = snapRoot(dir)
+    val mv = ensureSnapshotMv(s, dir)
+    require(mv.nonEmpty)
+    graft.sources.MatView.withRewriteChecked(s, "snapmv", "/data/c") {
+      readSnapshot(s, storeRoot, currentSnapshot(s, storeRoot))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+    }.orderBy(col("source"))
+  }
+
   // ---- the MERGE store (q211) and SCHEMA EVOLUTION (q212) ----------
 
   /** Merge-store layout version. */
@@ -675,7 +757,8 @@ object SnapshotStore {
       "q209_snapshot_delete" -> q209SnapshotDelete,
       "q210_snapshot_lifecycle" -> q210SnapshotLifecycle,
       "q211_snapshot_merge" -> q211SnapshotMerge,
-      "q212_snapshot_evolution" -> q212SnapshotEvolution)
+      "q212_snapshot_evolution" -> q212SnapshotEvolution,
+      "q218_snapshot_mv" -> q218SnapshotMv)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -720,5 +803,10 @@ object SnapshotStore {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN n_chars % 100
         |    ELSE -1 END) AS BIGINT) AS sum_quality
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q218_snapshot_mv" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -278,6 +278,42 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(got212 == exp212 && got212.nonEmpty)
   }
 
+  test("snapshot MV: a commit retires both the stored view and its registration") {
+    import graft.plans.MvRewrite
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    SnapshotStore.ensureSnapshotMvValidated(spark, root, d)
+    val prevE = spark.conf.getOption(MvRewrite.EnabledKey)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    try {
+      def agg() = SnapshotStore.readSnapshot(spark, root,
+        SnapshotStore.currentSnapshot(spark, root))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      def scansOf(df: org.apache.spark.sql.DataFrame) =
+        MvRewrite.scanLocations(df.queryExecution.optimizedPlan)
+      // fresh: the snapshot aggregate reads the view, not data files
+      assert(scansOf(agg()).exists(_.contains("snapmv")) &&
+        !scansOf(agg()).exists(_.contains("/data/c")))
+      val before = agg().collect().map(_.toString).sorted.toSeq
+      // a commit moves the snapshot: the NEW file list is an
+      // unregistered key, so the aggregate falls back to the raw scan
+      // (a stale view can never answer the fresh table), with the
+      // appended rows visible immediately
+      SnapshotStore.append(spark, root, docs.limit(5))
+      assert(scansOf(agg()).exists(_.contains("/data/c")),
+        "post-commit aggregate must NOT read the stale view")
+      assert(agg().collect().map(_.getAs[Long]("n")).sum ==
+        before.map(_.split(",")(1).stripSuffix("]").toLong).sum + 5)
+      // re-validate: rebuilds for the new snapshot id and re-registers
+      SnapshotStore.ensureSnapshotMvValidated(spark, root, d)
+      assert(scansOf(agg()).exists(_.contains("snapmv")),
+        "the refreshed view must answer the new snapshot")
+      assert(agg().collect().map(_.getAs[Long]("n")).sum ==
+        before.map(_.split(",")(1).stripSuffix("]").toLong).sum + 5)
+    } finally prevE.fold(spark.conf.unset(MvRewrite.EnabledKey))(
+      spark.conf.set(MvRewrite.EnabledKey, _))
+  }
+
   test("q203/q204/q205 run green and agree with the raw table") {
     assert(rows(SnapshotStore.q203SnapshotTimeTravel(spark, dir)) ==
       rows(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0).groupBy(col("lang"))
