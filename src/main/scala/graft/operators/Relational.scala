@@ -844,6 +844,33 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q219: the FORWARD-direction native as-of — "which purchase came
+    * NEXT after each probe event" (the attribution mirror of q199's
+    * last-purchase-before): each probe matches the build row with the
+    * smallest `b_ts >= ts`. Same single-pass merge, mirror-image
+    * state (strictly-earlier build rows are consumed, the match IS
+    * the buffered head). Inner mode; DuckDB expresses the direction
+    * natively — `ASOF JOIN … ON p.ts <= b.ts` — so the oracle is the
+    * verbatim reversed-inequality q33 SQL. Build dedup as q182/q199.
+    */
+  val q219AsofForward: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val probes = e.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val builds = e.filter(col("event_type") === "purchase")
+      .withColumn("nts", lead(col("ts"), 1).over(wb))
+      .filter(col("nts").isNull || col("nts") =!= col("ts"))
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("value").as("p_value"))
+    graft.plans.Asof.forwardJoin(probes, builds,
+        Seq("user_id" -> "b_user"), "ts", "b_ts", inner = true)
+      .select(col("event_id"), col("user_id"),
+        col("p_value").as("next_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** q35: explicit GROUPING SETS — ((returnflag, linestatus), (returnflag),
     * (linestatus)) without the grand total (which distinguishes it from
     * rollup/cube in q22/q23).
@@ -1177,6 +1204,7 @@ object Relational {
     "q182_asof_native" -> q182AsofNative,
     "q199_asof_inner" -> q199AsofInner,
     "q213_asof_tolerance" -> q213AsofTolerance,
+    "q219_asof_forward" -> q219AsofForward,
     "q34_local_supplier_volume" -> q34LocalSupplierVolume,
     "q180_planned_star" -> q180PlannedStar,
     "q35_grouping_sets" -> q35GroupingSets,
@@ -1312,6 +1340,15 @@ object Relational {
     // by the native AsofJoinExec instead of the window composition —
     // the shared oracle makes the physical-operator swap a value check
     "q182_asof_native" -> q33Sql,
+    "q219_asof_forward" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, value AS p_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type != 'purchase')
+        |SELECT p.event_id, p.user_id, b.p_value AS next_purchase_value
+        |FROM p ASOF JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q213_asof_tolerance" ->
       """WITH b AS (
         |  SELECT user_id, ts, value AS p_value FROM (

@@ -50,7 +50,8 @@ case class AsofJoin(
     leftTime: Attribute,
     rightTime: Attribute,
     isInner: Boolean = false,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    forward: Boolean = false)
   extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size, "as-of key arity mismatch")
@@ -93,8 +94,9 @@ object AsofJoin {
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, inner, tol) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, inner, tol) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, inner, tol, fwd) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, inner, tol,
+        fwd) :: Nil
     case _ => Nil
   }
 }
@@ -134,7 +136,8 @@ case class AsofJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     isInner: Boolean = false,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    forward: Boolean = false)
   extends BinaryExecNode {
 
   override lazy val metrics = Map(
@@ -170,6 +173,7 @@ case class AsofJoinExec(
     val rTimeExpr = rightTime
     val innerMode = isInner
     val tol = tolerance
+    val fwd = forward
     val allOut = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // executor-side codegen'd projections (created per partition)
@@ -239,14 +243,32 @@ case class AsofJoinExec(
             else if (c == 0) {
               val rTime = rTimeProj(rHead)
               if (rTime.isNullAt(0)) advanceRight()       // null time never matches
-              else if (timeOrd.compare(rTime, lTime) <= 0) {
+              else if (fwd) {
+                // FORWARD: consume strictly-earlier rows (useless for
+                // this and every later probe — probe times ascend);
+                // the first row at time >= probe time IS the match
+                // and stays buffered (it may also match later probes)
+                if (timeOrd.compare(rTime, lTime) < 0) advanceRight()
+                else scanning = false
+              } else if (timeOrd.compare(rTime, lTime) <= 0) {
                 matched = rHead; matchedKey = rHeadKey    // already copies
                 matchedTime = rTime.copy()
                 advanceRight()
               } else scanning = false                     // future build row: keep buffered
             } else scanning = false                       // next key group: keep buffered
           }
-          if (matched != null && tol.exists(t =>
+          if (fwd) {
+            // the forward candidate is the buffered head iff it shares
+            // the key (its time is >= probe time by the loop above)
+            val cand =
+              if (rHead != null && !rHeadKey.anyNull &&
+                keyOrd.compare(rHeadKey, lKey) == 0 &&
+                !rTimeProj(rHead).isNullAt(0)) rHead else null
+            if (cand != null && tol.exists(t =>
+                math.abs(timeAsLong(rTimeProj(cand)) - timeAsLong(lTime)) > t))
+              (lRow, null)
+            else (lRow, cand)
+          } else if (matched != null && tol.exists(t =>
               timeAsLong(lTime) - timeAsLong(matchedTime) > t))
             (lRow, null) // candidate stays buffered; too stale to EMIT
           else (lRow, matched)
@@ -296,7 +318,8 @@ object Asof {
     */
   def node(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftTime: String, rightTime: String,
-      inner: Boolean = false, tolerance: Option[Long] = None): AsofJoin = {
+      inner: Boolean = false, tolerance: Option[Long] = None,
+      forward: Boolean = false): AsofJoin = {
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
@@ -311,12 +334,13 @@ object Asof {
       keys.map(k => attr(lp, k._1, "probe")),
       keys.map(k => attr(rp, k._2, "build")),
       attr(lp, leftTime, "probe"), attr(rp, rightTime, "build"), inner,
-      tolerance)
+      tolerance, forward)
   }
 
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftTime: String, rightTime: String,
-      inner: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
+      inner: Boolean = false, tolerance: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     // self-register on the session actually planning this frame:
     // extensions/Engine.session wire the strategy at construction, but
@@ -330,8 +354,25 @@ object Asof {
     graft.Engine.registerStrategy(spark, AsofJoinStrategy)
     graft.Engine.registerOptimization(spark, AsofPushDown)
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
-      node(left, right, keys, leftTime, rightTime, inner, tolerance))
+      node(left, right, keys, leftTime, rightTime, inner, tolerance, forward))
   }
+
+  /** The FORWARD-direction as-of join (pandas `merge_asof`
+    * direction="forward"; DuckDB's `ASOF JOIN … ON p.t <= b.t`): each
+    * probe matches the build row with equal keys and the SMALLEST
+    * `rightTime >= leftTime` (ties to the first in sort order).
+    * Mirror-image mechanics of the backward default with the same
+    * O(1) state: strictly-earlier build rows are consumed (probe
+    * times ascend, so they can never serve a later probe either) and
+    * the match IS the buffered head, which stays buffered because it
+    * may match later probes too. Composes with `inner` and
+    * `tolerance` (the gap check is |Δ|, direction-agnostic).
+    */
+  def forwardJoin(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTime: String, rightTime: String, inner: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame =
+    join(left, right, keys, leftTime, rightTime, inner, tolerance,
+      forward = true)
 
   /** The INNER as-of join — unmatched probes are DROPPED instead of
     * null-extended (DuckDB's bare `ASOF JOIN`; the LEFT OUTER default

@@ -297,6 +297,53 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(tol.nonEmpty && tol == postFiltered)
   }
 
+  test("forward direction: smallest later-or-equal build wins; equality counts; none-after drops") {
+    val p = probes((1L, "u1", "2024-01-10 00:00:00"),
+      (2L, "u1", "2024-01-15 00:00:00"),
+      (3L, "u1", "2024-01-30 00:00:00"), // after every build
+      (4L, "u2", "2024-01-10 00:00:00")) // u2 has no build
+    val b = builds(
+      ("u1", "2024-01-05 00:00:00", 5.0),   // before everything: never a forward match
+      ("u1", "2024-01-10 00:00:00", 10.0),  // equal ts: counts for probe 1
+      ("u1", "2024-01-20 00:00:00", 20.0))
+    val inner = Asof.forwardJoin(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts",
+      inner = true)
+    assert(inner.collect().map(r => (r.getLong(0), r.getDouble(5))).sorted.toSeq ==
+      Seq((1L, 10.0), (2L, 20.0)))
+    // outer keeps the unmatched probes null-extended
+    val outer = Asof.forwardJoin(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts")
+    assert(outer.count() == 4 &&
+      outer.filter(col("event_id").isin(3, 4)).collect().forall(_.isNullAt(5)))
+    // forward + tolerance: probe 2's next build is 5 days out — a
+    // 2-day window drops it, probe 1's equal-time match survives
+    val tol = Asof.forwardJoin(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts",
+      inner = true, tolerance = Some(2L * 86400 * 1000000))
+    assert(tol.collect().map(r => (r.getLong(0), r.getDouble(5))).toSeq ==
+      Seq((1L, 10.0)))
+  }
+
+  test("forward direction equals the all-pairs min-later composition on the fixtures") {
+    val e = Engine.table(spark, dir, "events")
+    val probesF = e.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val buildsF = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .agg(max(col("value")).as("p_value")) // dedup ties: max value == max event_id row? use min b_ts only
+    val native = Asof.forwardJoin(probesF,
+        buildsF.select(col("b_user"), col("b_ts"), col("p_value")),
+        Seq("user_id" -> "b_user"), "ts", "b_ts", inner = true)
+      .select(col("event_id"), col("b_ts"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    // composition: per probe, the minimum b_ts >= ts (timestamp only —
+    // tie VALUES depend on the dedup rule, the matched TIME does not)
+    val composed = probesF.join(buildsF,
+        col("user_id") === col("b_user") && col("b_ts") >= col("ts"))
+      .groupBy(col("event_id"))
+      .agg(min(col("b_ts")).as("b_ts"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(native.nonEmpty && native == composed)
+  }
+
   test("result is identical across partition counts (merge is partition-local)") {
     val a = SparkEntry.queries("q182_asof_native")(spark, dir)
       .repartition(1).collect().map(_.toString).sorted.toSeq
