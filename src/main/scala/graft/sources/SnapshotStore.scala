@@ -327,6 +327,11 @@ object SnapshotStore {
     * bit-identical before and after (spec-pinned).
     */
   def expire(s: SparkSession, root: String, keepFrom: Long): Unit = {
+    // the current snapshot is never expirable — a horizon beyond it
+    // would leave the table with no readable state at all
+    require(keepFrom <= currentSnapshot(s, root),
+      s"expire(keepFrom=$keepFrom) would drop the current snapshot " +
+        s"${currentSnapshot(s, root)}")
     val f = fs(s, root)
     val all = f.listStatus(new Path(s"$root/manifests")).toSeq
       .map(_.getPath).filter(_.getName.startsWith("m"))

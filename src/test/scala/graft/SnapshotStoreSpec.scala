@@ -196,6 +196,10 @@ class SnapshotStoreSpec extends AnyFunSuite {
     droppedOnly.foreach(p => assert(!Files.exists(
       Paths.get(p.stripPrefix("file:"))),
       s"file $p referenced only by dropped manifests must be deleted"))
+    // the current snapshot is never expirable
+    intercept[IllegalArgumentException](
+      SnapshotStore.expire(spark, root, keepFrom = 99L))
+    assert(SnapshotStore.currentSnapshot(spark, root) == 4L)
   }
 
   test("q209/q210 read the lifecycle end state and agree with the raw complement") {
