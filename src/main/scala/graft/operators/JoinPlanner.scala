@@ -371,6 +371,10 @@ object JoinPlanner {
     */
   def decisions(s: SparkSession, dir: String): Map[String, (String, String, Long)] = {
     import s.implicits._
+    // record the cap the ENGINE decided with, so an oracle dumped
+    // later (possibly with no active session) replays the identical
+    // salt ceiling instead of a divergent fallback (ADVICE r13 low)
+    lastDecisionCap.set(saltFactorCap(s))
     val stats =
       if (s.conf.getOption(SketchStatsKey).exists(_.toBoolean))
         sketchStatsDf(s, dir)
@@ -744,13 +748,24 @@ object JoinPlanner {
         |FROM ${statsCteName(lrel -> lkey)} l, ${statsCteName(rrel -> rkey)} r""".stripMargin
     }
 
-  /** The cap the ORACLE embeds: the active session's (Verify dumps
-    * oracle_sql.json from the session that computed every decision, so
-    * engine and replay always share one cap); 32 — the Engine.session
-    * default — when no session is active at generation time.
+  /** The last cap [[decisions]] actually decided with — threaded to
+    * the oracle explicitly so engine and replay share ONE cap even
+    * when the oracle map is materialized outside an active session
+    * (ADVICE r13 low: the old getActiveSession fallback could diverge
+    * from the session the decisions ran in).
     */
-  private def activeCap: Long =
-    SparkSession.getActiveSession.map(saltFactorCap).getOrElse(32L)
+  private val lastDecisionCap = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** The cap the ORACLE embeds: the cap the engine's own [[decisions]]
+    * run recorded, falling back to the active session's only when no
+    * decision has run in this JVM (a bare oracle dump), and to 32 —
+    * the Engine.session default — when neither exists.
+    */
+  private def activeCap: Long = {
+    val recorded = lastDecisionCap.get()
+    if (recorded > 0) recorded
+    else SparkSession.getActiveSession.map(saltFactorCap).getOrElse(32L)
+  }
 
   def oracles: Map[String, String] = Map(
     "q179_join_planner" ->

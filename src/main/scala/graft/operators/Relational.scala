@@ -871,6 +871,39 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q220: the NEAREST-direction native as-of — "which purchase sits
+    * CLOSEST in time to each probe event, either side" (pandas
+    * `merge_asof` direction="nearest", completing the direction knob:
+    * backward q199, forward q219, nearest here). The backward merge's
+    * O(1) state already holds both candidates — the consumed
+    * best-at-or-before row and the buffered first-after row — so
+    * nearest costs one gap comparison at emission, no extra pass, no
+    * extra state. Ties go backward (the pandas rule). DuckDB has no
+    * nearest direction, so the oracle is the CLOSED FORM the verdict
+    * named: both directional ASOF joins unioned per probe with the
+    * min-|gap| pick (strict `<` ⇒ ties to backward) — the engine's
+    * single-pass answer must equal the two-pass composition byte for
+    * byte. Build dedup as q182/q199; inner mode (a probe with no
+    * purchase on either side drops).
+    */
+  val q220AsofNearest: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val probes = e.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val builds = e.filter(col("event_type") === "purchase")
+      .withColumn("nts", lead(col("ts"), 1).over(wb))
+      .filter(col("nts").isNull || col("nts") =!= col("ts"))
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("value").as("p_value"))
+    graft.plans.Asof.nearestJoin(probes, builds,
+        Seq("user_id" -> "b_user"), "ts", "b_ts", inner = true)
+      .select(col("event_id"), col("user_id"),
+        col("p_value").as("nearest_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** q35: explicit GROUPING SETS — ((returnflag, linestatus), (returnflag),
     * (linestatus)) without the grand total (which distinguishes it from
     * rollup/cube in q22/q23).
@@ -1142,6 +1175,49 @@ object Relational {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** q221: the FULL-OUTER interval join through the optimizer rule —
+    * "every click AND every purchase, paired where the preceding-hour
+    * window matches" (VERDICT r13 item 8, the last join type the rule
+    * lacked). No single bucketed join can preserve both sides (the
+    * exploded side's unmatched rows would surface once per replica),
+    * so the rule DECOMPOSES: a bucketed LEFT OUTER anchored on clicks
+    * unioned with a bucketed LEFT ANTI anchored on purchases that
+    * recovers the unmatched purchase tail under null-extended click
+    * columns — both parts skew-bounded, the union exactly the full
+    * outer join. The `require` self-verifies the rewrite fired AND
+    * produced the two-part shape; the oracle is the verbatim raw
+    * FULL JOIN SQL, so the gate value-checks matched pairs and BOTH
+    * unmatched tails in one hash.
+    */
+  val q221IntervalFullOuter: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    val plain = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("value"))
+    val rewritten = graft.plans.BucketIntervalJoin.rewrite(
+      plain.queryExecution.optimizedPlan)
+    require(rewritten.treeString.contains(
+      graft.plans.BucketIntervalJoin.BucketPrefix) &&
+      rewritten.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Union]),
+      "q221: the full-outer interval rewrite did not fire")
+    // full outer ⇒ null keys on BOTH sort columns; pin NULLS LAST
+    // explicitly (DuckDB's ASC default) so the presentation order is
+    // engine-agnostic
+    org.apache.spark.sql.graft.Bridge.ofRows(s, rewritten)
+      .orderBy(col("click_id").asc_nulls_last, col("purchase_id").asc_nulls_last)
+  }
+
   /** The q183 operator over any events-shaped frame (event_id, user_id,
     * ts, event_type, value) — IntervalBucketedSpec drives synthetic
     * boundary/hot-key frames through this exact code path.
@@ -1197,6 +1273,7 @@ object Relational {
     "q183_interval_bucketed" -> q183IntervalBucketed,
     "q184_interval_rule" -> q184IntervalRule,
     "q198_interval_left_outer" -> q198IntervalLeftOuter,
+    "q221_interval_full_outer" -> q221IntervalFullOuter,
     "q118_salted_join" -> q118SaltedJoin,
     "q31_collect_agg" -> q31CollectAgg,
     "q32_approx_distinct" -> q32ApproxDistinct,
@@ -1205,6 +1282,7 @@ object Relational {
     "q199_asof_inner" -> q199AsofInner,
     "q213_asof_tolerance" -> q213AsofTolerance,
     "q219_asof_forward" -> q219AsofForward,
+    "q220_asof_nearest" -> q220AsofNearest,
     "q34_local_supplier_volume" -> q34LocalSupplierVolume,
     "q180_planned_star" -> q180PlannedStar,
     "q35_grouping_sets" -> q35GroupingSets,
@@ -1297,6 +1375,14 @@ object Relational {
         |  ON p.user_id = c.user_id
         | AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "q221_interval_full_outer" ->
+      """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+        |  p.ts AS purchase_ts, p.value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        | AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q31_collect_agg" ->
       """SELECT g.c_nationkey, g.segments, p.poorest, r.richest, g.n_customers FROM
         |  (SELECT c_nationkey,
@@ -1349,6 +1435,29 @@ object Relational {
         |SELECT p.event_id, p.user_id, b.p_value AS next_purchase_value
         |FROM p ASOF JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts
         |ORDER BY p.event_id""".stripMargin,
+    // q220: DuckDB has no NEAREST direction — the oracle is the closed
+    // form: both directional ASOF LEFT joins per probe, min-|gap| pick
+    // with strict `<` so ties resolve backward (the engine's tie rule)
+    "q220_asof_nearest" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, value AS p_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type != 'purchase'),
+        |bk AS (
+        |  SELECT p.event_id, p.user_id, p.ts, b.ts AS b_ts, b.p_value AS b_value
+        |  FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts),
+        |fw AS (
+        |  SELECT p.event_id, b.ts AS f_ts, b.p_value AS f_value
+        |  FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts)
+        |SELECT event_id, user_id,
+        |  CASE WHEN b_ts IS NULL THEN f_value
+        |       WHEN f_ts IS NULL THEN b_value
+        |       WHEN (f_ts - ts) < (ts - b_ts) THEN f_value
+        |       ELSE b_value END AS nearest_purchase_value
+        |FROM bk JOIN fw USING (event_id)
+        |WHERE b_ts IS NOT NULL OR f_ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     "q213_asof_tolerance" ->
       """WITH b AS (
         |  SELECT user_id, ts, value AS p_value FROM (

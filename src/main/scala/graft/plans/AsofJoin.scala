@@ -51,10 +51,18 @@ case class AsofJoin(
     rightTime: Attribute,
     isInner: Boolean = false,
     tolerance: Option[Long] = None,
-    forward: Boolean = false)
+    forward: Boolean = false,
+    nearest: Boolean = false)
   extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size, "as-of key arity mismatch")
+  require(!(forward && nearest),
+    "as-of direction is backward (default), forward, OR nearest")
+  // nearest compares the two candidates' integer gaps, so it needs the
+  // same integer-comparable time representation tolerance does
+  require(!nearest || (leftTime.dataType == rightTime.dataType &&
+    AsofJoin.toleranceTypes(leftTime.dataType)),
+    "as-of nearest needs same-typed integer-comparable time columns")
   tolerance.foreach { t =>
     require(t >= 0, "as-of tolerance must be non-negative")
     require(leftTime.dataType == rightTime.dataType,
@@ -94,9 +102,9 @@ object AsofJoin {
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, inner, tol, fwd) =>
+    case AsofJoin(l, r, lk, rk, lt, rt, inner, tol, fwd, near) =>
       AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, inner, tol,
-        fwd) :: Nil
+        fwd, near) :: Nil
     case _ => Nil
   }
 }
@@ -137,7 +145,8 @@ case class AsofJoinExec(
     rightTime: Expression,
     isInner: Boolean = false,
     tolerance: Option[Long] = None,
-    forward: Boolean = false)
+    forward: Boolean = false,
+    nearest: Boolean = false)
   extends BinaryExecNode {
 
   override lazy val metrics = Map(
@@ -174,6 +183,7 @@ case class AsofJoinExec(
     val innerMode = isInner
     val tol = tolerance
     val fwd = forward
+    val near = nearest
     val allOut = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // executor-side codegen'd projections (created per partition)
@@ -268,6 +278,26 @@ case class AsofJoinExec(
                 math.abs(timeAsLong(rTimeProj(cand)) - timeAsLong(lTime)) > t))
               (lRow, null)
             else (lRow, cand)
+          } else if (near) {
+            // NEAREST: the backward merge state already holds BOTH
+            // candidates for free — `matched` is the best row at time
+            // <= probe, and the buffered head (same key) is the FIRST
+            // row at time > probe. Pick the smaller |gap|; a tie goes
+            // BACKWARD (pandas merge_asof's tie rule; also forced when
+            // the gaps are equal because an exact-time row was already
+            // consumed into `matched` with gap 0). Tolerance bounds
+            // the CHOSEN candidate's gap.
+            val bGap = if (matched != null)
+              timeAsLong(lTime) - timeAsLong(matchedTime) else Long.MaxValue
+            val fCand =
+              if (rHead != null && !rHeadKey.anyNull &&
+                keyOrd.compare(rHeadKey, lKey) == 0 &&
+                !rTimeProj(rHead).isNullAt(0)) rHead else null
+            val fGap = if (fCand != null)
+              timeAsLong(rTimeProj(fCand)) - timeAsLong(lTime) else Long.MaxValue
+            val (cand, gap) = if (fGap < bGap) (fCand, fGap) else (matched, bGap)
+            if (cand == null || tol.exists(gap > _)) (lRow, null)
+            else (lRow, cand)
           } else if (matched != null && tol.exists(t =>
               timeAsLong(lTime) - timeAsLong(matchedTime) > t))
             (lRow, null) // candidate stays buffered; too stale to EMIT
@@ -319,7 +349,7 @@ object Asof {
   def node(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftTime: String, rightTime: String,
       inner: Boolean = false, tolerance: Option[Long] = None,
-      forward: Boolean = false): AsofJoin = {
+      forward: Boolean = false, nearest: Boolean = false): AsofJoin = {
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
@@ -334,13 +364,13 @@ object Asof {
       keys.map(k => attr(lp, k._1, "probe")),
       keys.map(k => attr(rp, k._2, "build")),
       attr(lp, leftTime, "probe"), attr(rp, rightTime, "build"), inner,
-      tolerance, forward)
+      tolerance, forward, nearest)
   }
 
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftTime: String, rightTime: String,
       inner: Boolean = false, tolerance: Option[Long] = None,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false, nearest: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     // self-register on the session actually planning this frame:
     // extensions/Engine.session wire the strategy at construction, but
@@ -354,8 +384,25 @@ object Asof {
     graft.Engine.registerStrategy(spark, AsofJoinStrategy)
     graft.Engine.registerOptimization(spark, AsofPushDown)
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
-      node(left, right, keys, leftTime, rightTime, inner, tolerance, forward))
+      node(left, right, keys, leftTime, rightTime, inner, tolerance, forward,
+        nearest))
   }
+
+  /** The NEAREST-direction as-of join (pandas `merge_asof`
+    * direction="nearest", completing the third and last direction
+    * knob): each probe matches the build row with equal keys and the
+    * SMALLEST |rightTime − leftTime|, ties to the BACKWARD candidate.
+    * Costs nothing over the backward merge — its O(1) state already
+    * holds both candidates (the consumed best-at-or-before row AND the
+    * buffered first-after row); nearest just compares their gaps at
+    * emission. Composes with `inner` and `tolerance` (|Δ| of the
+    * CHOSEN candidate).
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTime: String, rightTime: String, inner: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame =
+    join(left, right, keys, leftTime, rightTime, inner, tolerance,
+      nearest = true)
 
   /** The FORWARD-direction as-of join (pandas `merge_asof`
     * direction="forward"; DuckDB's `ASOF JOIN … ON p.t <= b.t`): each

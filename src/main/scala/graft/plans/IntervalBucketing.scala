@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{CalendarIntervalType, LongType, TimestampType}
 import org.apache.spark.unsafe.types.CalendarInterval
@@ -11,9 +11,11 @@ import org.apache.spark.unsafe.types.CalendarInterval
   * time-bucketed form (the q183 layout) so the natural way of writing
   * the query gets the skew-bounded plan automatically.
   *
-  * Matched shape — an INNER join (or a LEFT/RIGHT OUTER join whose
-  * PRESERVED side is the window's anchor side — see below) whose
-  * condition conjuncts contain
+  * Matched shape — an INNER join, a LEFT/RIGHT OUTER or LEFT ANTI
+  * join whose PRESERVED side is the window's anchor side (see
+  * [[bucketed]]), or a FULL OUTER join (decomposed into a bucketed
+  * left-outer plus a bucketed anti-recovered right tail — see
+  * [[rewrite]]), whose condition conjuncts contain
   *
   *   - at least one cross-side `EqualTo(attr, attr)` equi pair, and
   *   - two conjuncts bounding one side's timestamp attribute `p`
@@ -71,63 +73,93 @@ object BucketIntervalJoin extends Rule[LogicalPlan] {
     * session state.
     */
   def rewrite(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, jt @ (Inner | LeftOuter | RightOuter), Some(cond), hint)
+    case j @ Join(_, _, Inner | LeftOuter | RightOuter | LeftAnti, Some(cond), _)
         if !cond.references.exists(_.name.startsWith(BucketPrefix)) =>
-      val conjuncts = splitConjunctivePredicates(cond)
-      // an OUTER join qualifies only with its PRESERVED side as the
-      // anchor: the anchor gets exactly one bucket column (never
-      // replicated), so each preserved row appears once — matched rows
-      // via the bucket-equality superset, unmatched rows null-extended
-      // by the join itself, exactly as in the plain plan. Had the
-      // preserved side been the ×2-exploded bounded side, every
-      // unmatched preserved row would surface twice. Since every
-      // two-sided window reads in both anchorings, the common "clicks
-      // with optional purchase" left outer qualifies whichever way the
-      // user wrote the bounds (VERDICT r12 item 6); the only refusals
-      // are windows whose preserved-side anchoring needs a sub-second
-      // lower offset.
-      val chosen = matchWindows(conjuncts, left, right).find {
-        case (_, cTs, _, _) => jt match {
-          case Inner => true
-          case LeftOuter => left.outputSet.contains(cTs)
-          case RightOuter => right.outputSet.contains(cTs)
-          case _ => false
-        }
+      bucketed(j).getOrElse(j)
+    case j @ Join(left, right, FullOuter, Some(cond), hint)
+        if !cond.references.exists(_.name.startsWith(BucketPrefix)) =>
+      // FULL OUTER decomposes (VERDICT r13 item 8): no single bucketed
+      // join can preserve BOTH sides — whichever side explodes into
+      // two bucket replicas would surface its unmatched rows twice. So
+      // the rewrite is the classic two-part form, each part bucketable
+      // with ITS preserved side as the anchor:
+      //   part 1: LEFT OUTER (anchor = left) — every left row once,
+      //           matched or null-extended;
+      //   part 2: the RIGHT rows with NO match — a LEFT ANTI with the
+      //           right side as the preserved/anchor child — projected
+      //           under null-extended left columns.
+      // Their union is exactly the full outer join, and BOTH parts get
+      // the skew-bounded bucketed layout. Refused whole when either
+      // anchoring is unbucketable (sub-second lower offset), so
+      // semantics never split between strategies.
+      (for {
+        matchedPart <- bucketed(Join(left, right, LeftOuter, Some(cond), hint))
+        unmatchedRight <- bucketed(Join(right, left, LeftAnti, Some(cond), hint))
+      } yield Union(
+        Project(j.output, matchedPart),
+        Project(left.output.map(a =>
+          Alias(Literal(null, a.dataType), a.name)()) ++ right.output,
+          unmatchedRight))).getOrElse(j)
+  }
+
+  /** The single-join bucketing transform. An OUTER (or ANTI) join
+    * qualifies only with its PRESERVED side as the anchor: the anchor
+    * gets exactly one bucket column (never replicated), so each
+    * preserved row appears — and is match-tested — exactly once:
+    * matched rows via the bucket-equality superset, unmatched rows
+    * null-extended (outer) or kept (anti) by the join itself, exactly
+    * as in the plain plan. Had the preserved side been the ×2-exploded
+    * bounded side, every unmatched preserved row would surface twice
+    * (outer) or be tested per-replica against a partial candidate set
+    * (anti — a replica whose bucket misses the match would wrongly
+    * survive). Since every two-sided window reads in both anchorings,
+    * the common shapes qualify whichever way the user wrote the
+    * bounds (VERDICT r12 item 6); the only refusals are windows whose
+    * preserved-side anchoring needs a sub-second lower offset.
+    */
+  private def bucketed(j: Join): Option[LogicalPlan] = {
+    val Join(left, right, jt, Some(cond), hint) = j: @unchecked
+    val conjuncts = splitConjunctivePredicates(cond)
+    val chosen = matchWindows(conjuncts, left, right).find {
+      case (_, cTs, _, _) => jt match {
+        case Inner => true
+        case LeftOuter | LeftAnti => left.outputSet.contains(cTs)
+        case RightOuter => right.outputSet.contains(cTs)
+        case _ => false
       }
-      chosen match {
-        case None => j
-        case Some((pTs, cTs, loSec, wSec)) =>
-          val equiOk = conjuncts.exists {
-            case EqualTo(a: AttributeReference, b: AttributeReference) =>
-              crossSide(a, b, left, right)
-            case _ => false
-          }
-          if (!equiOk) j
-          else {
-            // anchor side: one bucket column at the window's start
-            val cSide = if (left.outputSet.contains(cTs)) left else right
-            val pSide = if (cSide eq left) right else left
-            val cBucket = Alias(
-              IntegralDivide(
-                Add(Cast(cTs, LongType), Literal(loSec)), Literal(wSec)),
-              s"${BucketPrefix}_c")()
-            val cPlan = Project(cSide.output :+ cBucket, cSide)
-            // bounded side: explode into (bucket - 1, bucket)
-            val pB = IntegralDivide(Cast(pTs, LongType), Literal(wSec))
-            val arr = CreateArray(Seq(Subtract(pB, Literal(1L)), pB))
-            val pOut = AttributeReference(s"${BucketPrefix}_p", LongType,
-              nullable = pB.nullable)()
-            val pPlan = Generate(Explode(arr), unrequiredChildIndex = Nil,
-              outer = false, qualifier = None,
-              generatorOutput = Seq(pOut), child = pSide)
-            val bucketEq = EqualTo(cBucket.toAttribute, pOut)
-            val (newL, newR) =
-              if (cSide eq left) (cPlan: LogicalPlan, pPlan: LogicalPlan)
-              else (pPlan: LogicalPlan, cPlan: LogicalPlan)
-            Project(j.output,
-              Join(newL, newR, jt, Some(And(cond, bucketEq)), hint))
-          }
+    }
+    chosen.flatMap { case (pTs, cTs, loSec, wSec) =>
+      val equiOk = conjuncts.exists {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          crossSide(a, b, left, right)
+        case _ => false
       }
+      if (!equiOk) None
+      else {
+        // anchor side: one bucket column at the window's start
+        val cSide = if (left.outputSet.contains(cTs)) left else right
+        val pSide = if (cSide eq left) right else left
+        val cBucket = Alias(
+          IntegralDivide(
+            Add(Cast(cTs, LongType), Literal(loSec)), Literal(wSec)),
+          s"${BucketPrefix}_c")()
+        val cPlan = Project(cSide.output :+ cBucket, cSide)
+        // bounded side: explode into (bucket - 1, bucket)
+        val pB = IntegralDivide(Cast(pTs, LongType), Literal(wSec))
+        val arr = CreateArray(Seq(Subtract(pB, Literal(1L)), pB))
+        val pOut = AttributeReference(s"${BucketPrefix}_p", LongType,
+          nullable = pB.nullable)()
+        val pPlan = Generate(Explode(arr), unrequiredChildIndex = Nil,
+          outer = false, qualifier = None,
+          generatorOutput = Seq(pOut), child = pSide)
+        val bucketEq = EqualTo(cBucket.toAttribute, pOut)
+        val (newL, newR) =
+          if (cSide eq left) (cPlan: LogicalPlan, pPlan: LogicalPlan)
+          else (pPlan: LogicalPlan, cPlan: LogicalPlan)
+        Some(Project(j.output,
+          Join(newL, newR, jt, Some(And(cond, bucketEq)), hint)))
+      }
+    }
   }
 
   private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {

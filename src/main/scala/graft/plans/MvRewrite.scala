@@ -37,9 +37,14 @@ import org.apache.spark.sql.types.DoubleType
   *     `sum`/`avg`/`min`/`max` of the registered fact column — the
   *     aggregates the MV stores or can derive: count and sum ROLL UP
   *     by summation, min/max by min/max, and avg derives EXACTLY as
-  *     Σsum_chars / Σn_docs (both exact longs; every partial double
-  *     in the raw path is an integer-valued sum far below 2^53, so
-  *     the one final division is IEEE-identical on both paths).
+  *     Σsum_chars / Σn_facts, where `n_facts` is the stored count of
+  *     NON-NULL fact values — never the all-rows count, because raw
+  *     `avg` skips nulls (facts (10, NULL, NULL) average to 10, not
+  *     10/3 — ADVICE r13 medium); a view registered without a
+  *     non-null fact count ([[NoCol]]) refuses Average structurally.
+  *     Both operands are exact longs; every partial double in the raw
+  *     path is an integer-valued sum far below 2^53, so the one final
+  *     division is IEEE-identical on both paths.
   *
   * A SECOND matched shape answers aggregates over a registered STAR —
   * any tree of INNER equi-joins across registered scans — from a
@@ -83,31 +88,73 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.mvRewrite.enabled"
 
+  /** Reserved non-column name: an entry field set to this declares the
+    * view does NOT store that rollup, so the matching aggregate
+    * refuses structurally (the count-only events view sets everything
+    * but `countCol` to it).
+    */
+  val NoCol = "__none"
+
   /** One registered view: the CACHED analyzed MV relation plus the
     * derivation metadata — dimension column names, the single fact
     * column the MV pre-aggregates, and the MV's stored column names
-    * for each rollup.
+    * for each rollup. `countCol` stores count(1) (all rows — what a
+    * rewritten count(*) sums); `factCountCol` stores count(fact)
+    * (non-null rows — what a rewritten avg divides by; [[NoCol]] if
+    * the view doesn't store it, which refuses Average).
     */
   final case class MvEntry(rel: LogicalRelation, dims: Set[String],
-      factCol: String, countCol: String, sumCol: String,
-      minCol: String, maxCol: String)
+      factCol: String, countCol: String, factCountCol: String,
+      sumCol: String, minCol: String, maxCol: String)
 
-  /** (owning session, exact source root paths — SORTED, so a
+  /** (owning session UUID, exact source root paths — SORTED, so a
     * multi-file scan like a snapshot read matches whatever order its
-    * planner listed the files in) → view. Keyed by the session so
-    * concurrent sessions over different corpora (or different MV
-    * generations) never read each other's relation; the session
-    * arrives at lookup time from the scanned relation itself
-    * (`HadoopFsRelation.sparkSession`), not from any global.
+    * planner listed the files in) → view. Keyed by the session's UUID
+    * (not the session object, so the MAP KEY never pins a closed
+    * session) so concurrent sessions over different corpora (or
+    * different MV generations) never read each other's relation; the
+    * session arrives at lookup time from the scanned relation itself
+    * (`HadoopFsRelation.sparkSession`), not from any global. Entries
+    * clear on application end via a SparkListener, and a long-lived
+    * multi-session host (a notebook server) calls [[evictSession]]
+    * when it retires a session — Spark exposes no per-session close
+    * event to hook (ADVICE r13 low).
     */
-  private val registry = TrieMap.empty[(SparkSession, Seq[String]), MvEntry]
+  private val registry = TrieMap.empty[(String, Seq[String]), MvEntry]
+
+  /** The session's stable UUID (via the `private[sql]` bridge). */
+  private def uuidOf(s: SparkSession): String =
+    org.apache.spark.sql.graft.Bridge.sessionUuid(s)
+
+  private val cleanupInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def installCleanup(s: SparkSession): Unit =
+    if (cleanupInstalled.compareAndSet(false, true))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          registry.clear(); starRegistry.clear()
+        }
+      })
+
+  /** Drop every registration owned by `s` — the hook a multi-session
+    * host calls on session retirement, releasing the cached relation
+    * trees and FileIndex state the entries hold.
+    */
+  def evictSession(s: SparkSession): Unit = {
+    val id = uuidOf(s)
+    registry.keys.filter(_._1 == id).foreach(registry.remove)
+    starRegistry.keys.filter(_._1 == id).foreach(starRegistry.remove)
+  }
 
   /** Register (or replace) the MV for a source table. `sourcePaths`
     * are the EXACT `FileIndex.rootPaths` strings of the source scan
     * (any order).
     */
-  def register(s: SparkSession, sourcePaths: Seq[String], entry: MvEntry): Unit =
-    registry.put((s, sourcePaths.sorted), entry)
+  def register(s: SparkSession, sourcePaths: Seq[String], entry: MvEntry): Unit = {
+    installCleanup(s)
+    registry.put((uuidOf(s), sourcePaths.sorted), entry)
+  }
 
   /** The equi-join key pair a JOIN MV is defined over (names on the
     * fact and dim source scans). Registration contract: the two
@@ -119,15 +166,17 @@ object MvRewrite extends Rule[LogicalPlan] {
     */
   final case class JoinKeys(factKey: String, dimKey: String)
 
-  /** (owning session, SET of scan root-path groups, SET of normalized
-    * equi-key name pairs) → pre-joined view. SET-keyed on purpose:
-    * inner equi-joins are associative and commutative, so Catalyst's
-    * join reorder (and the user writing tables in any order) leaves
-    * the {paths} × {conds} fingerprint invariant — ANY shape of the
-    * registered star matches, however the tree is parenthesized.
+  /** (owning session UUID, SET of scan root-path groups, SET of
+    * normalized equi-key name pairs) → pre-joined view. SET-keyed on
+    * purpose: inner equi-joins are associative and commutative, so
+    * Catalyst's join reorder (and the user writing tables in any
+    * order) leaves the {paths} × {conds} fingerprint invariant — ANY
+    * shape of the registered star matches, however the tree is
+    * parenthesized. A COMPOSITE-KEY join contributes one pair per
+    * `EqualTo` conjunct to the same set (VERDICT r13 item 4).
     */
   private val starRegistry = TrieMap.empty[
-    (SparkSession, Set[Seq[String]], Set[(String, String)]), MvEntry]
+    (String, Set[Seq[String]], Set[(String, String)]), MvEntry]
 
   private def normPair(a: String, b: String): (String, String) =
     if (a <= b) (a, b) else (b, a)
@@ -145,9 +194,11 @@ object MvRewrite extends Rule[LogicalPlan] {
     * the view from the same join it registers).
     */
   def registerStar(s: SparkSession, paths: Set[Seq[String]],
-      conds: Set[(String, String)], entry: MvEntry): Unit =
-    starRegistry.put((s, paths.map(_.sorted),
+      conds: Set[(String, String)], entry: MvEntry): Unit = {
+    installCleanup(s)
+    starRegistry.put((uuidOf(s), paths.map(_.sorted),
       conds.map(c => normPair(c._1, c._2))), entry)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
@@ -190,7 +241,8 @@ object MvRewrite extends Rule[LogicalPlan] {
           cond.references.forall(a => entry.dims(a.name))
         }.map { case (entry, fs) => (entry, cond +: fs) }
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        registry.get((fs.sparkSession, fs.location.rootPaths.map(_.toString).sorted))
+        registry.get((uuidOf(fs.sparkSession),
+            fs.location.rootPaths.map(_.toString).sorted))
           .map(_ -> Nil)
       case _ => None
     }
@@ -254,12 +306,21 @@ object MvRewrite extends Rule[LogicalPlan] {
           tree(child).map { case (s, p, c, fs) =>
             (s, p, c, conjuncts(cond) ++ fs)
           }
-        case Join(l, r, Inner,
-            Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
-          for {
+        case Join(l, r, Inner, Some(cond), _) =>
+          // every conjunct must be an attr-attr equality — a composite
+          // key contributes ALL its pairs to the fingerprint (VERDICT
+          // r13 item 4); any other conjunct (a non-equi residual)
+          // would admit pairs the view never counted, so it refuses
+          val pairs = conjuncts(cond).map {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              Some(normPair(a.name, b.name))
+            case _ => None
+          }
+          if (pairs.contains(None)) None
+          else for {
             (ls, lp, lc, lf) <- side(l)
             (_, rp, rc, rf) <- side(r)
-          } yield (ls, lp ++ rp, lc ++ rc + normPair(a.name, b.name), lf ++ rf)
+          } yield (ls, lp ++ rp, lc ++ rc ++ pairs.flatten, lf ++ rf)
         case _ => None
       }
 
@@ -278,7 +339,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         // only join-rooted shapes (single-table scans are RegisteredScan's)
         case _: Join | _: Project | _: Filter =>
           tree(plan).flatMap { case (s, paths, conds, fs) =>
-            starRegistry.get((s, paths, conds)).map { entry =>
+            starRegistry.get((uuidOf(s), paths, conds)).map { entry =>
               val keyNames: Set[String] =
                 conds.flatMap(c => Set(c._1, c._2))
               val implied: Expression => Boolean = {
@@ -312,7 +373,9 @@ object MvRewrite extends Rule[LogicalPlan] {
       case Alias(AggregateExpression(s: Sum, Complete, false, None, _), _) =>
         isFact(s.child)
       case Alias(AggregateExpression(a: Average, Complete, false, None, _), _) =>
-        isFact(a.child)
+        // avg skips null facts: only derivable when the view stores the
+        // NON-NULL fact count to divide by (ADVICE r13 medium)
+        isFact(a.child) && entry.factCountCol != NoCol
       case Alias(AggregateExpression(m: Min, Complete, false, None, _), _) =>
         isFact(m.child)
       case Alias(AggregateExpression(m: Max, Complete, false, None, _), _) =>
@@ -339,11 +402,13 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _: Count => sumOf(entry.countCol)
       case _: Sum => sumOf(entry.sumCol)
       case _: Average =>
-        // Σsum / Σcount, one division in doubles — exact while the
-        // integer sums stay below 2^53 (they are partial sums of the
-        // same integers the raw path folds into its double)
+        // Σsum / Σ(non-null fact count), one division in doubles —
+        // exact while the integer sums stay below 2^53 (they are
+        // partial sums of the same integers the raw path folds into
+        // its double); dividing by the all-rows count would be wrong
+        // the moment a fact is NULL (ADVICE r13 medium)
         Divide(Cast(sumOf(entry.sumCol), DoubleType),
-          Cast(sumOf(entry.countCol), DoubleType))
+          Cast(sumOf(entry.factCountCol), DoubleType))
       case _: Min => AggregateExpression(
         Min(mv(entry.minCol)), Complete, isDistinct = false, None)
       case _: Max => AggregateExpression(

@@ -16,4 +16,11 @@ import org.apache.spark.sql.classic
 object Bridge {
   def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The session's stable UUID (`private[sql]` on classic sessions) —
+    * the registry key MvRewrite uses so a map key never pins a closed
+    * session object.
+    */
+  def sessionUuid(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
 }
