@@ -344,6 +344,59 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(native.nonEmpty && native == composed)
   }
 
+  test("nearest direction: min-|gap| wins; ties go backward; tolerance bounds the chosen gap") {
+    val p = probes(
+      (1L, "u1", "2024-01-10 00:00:00"), // back gap 2d, fwd gap 1d → forward wins
+      (2L, "u1", "2024-01-13 00:00:00"), // back gap 2d, fwd gap 2d → TIE → backward
+      (3L, "u1", "2024-01-11 00:00:00"), // exact-time build → gap 0 backward
+      (4L, "u2", "2024-01-10 00:00:00")) // u2 has no build at all
+    val b = builds(
+      ("u1", "2024-01-08 00:00:00", 8.0),
+      ("u1", "2024-01-11 00:00:00", 11.0),
+      ("u1", "2024-01-15 00:00:00", 15.0))
+    val inner = Asof.nearestJoin(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts",
+      inner = true)
+    assert(inner.collect().map(r => (r.getLong(0), r.getDouble(5))).sorted.toSeq ==
+      Seq((1L, 11.0), (2L, 11.0), (3L, 11.0)))
+    // outer null-extends the candidate-less probe
+    val outer = Asof.nearestJoin(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts")
+    assert(outer.count() == 4 &&
+      outer.filter(col("event_id") === 4).collect().forall(_.isNullAt(5)))
+    // tolerance bounds the CHOSEN gap: 1 day keeps only probes 1 and 3
+    val tol = Asof.nearestJoin(p, b, Seq("user_id" -> "b_user"), "ts", "b_ts",
+      inner = true, tolerance = Some(86400L * 1000000))
+    assert(tol.collect().map(r => (r.getLong(0), r.getDouble(5))).sorted.toSeq ==
+      Seq((1L, 11.0), (3L, 11.0)))
+  }
+
+  test("nearest direction equals the all-pairs min-|gap| composition on the fixtures") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Engine.table(spark, dir, "events")
+    val probesF = e.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val buildsF = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .agg(max(col("value")).as("p_value"))
+    val native = Asof.nearestJoin(probesF,
+        buildsF.select(col("b_user"), col("b_ts"), col("p_value")),
+        Seq("user_id" -> "b_user"), "ts", "b_ts", inner = true)
+      .select(col("event_id"), col("b_ts"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    // composition: all pairs per user, min |gap| in MICROSECONDS, tie
+    // broken toward the backward (earlier-or-equal) candidate — the
+    // engine's single-pass answer must equal this quadratic baseline
+    val w = Window.partitionBy(col("event_id")).orderBy(
+      abs(unix_micros(col("b_ts")) - unix_micros(col("ts"))).asc,
+      (col("b_ts") <= col("ts")).cast("int").desc)
+    val composed = probesF.join(buildsF,
+        col("user_id") === col("b_user"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("b_ts"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(native.nonEmpty && native == composed)
+  }
+
   test("result is identical across partition counts (merge is partition-local)") {
     val a = SparkEntry.queries("q182_asof_native")(spark, dir)
       .repartition(1).collect().map(_.toString).sorted.toSeq

@@ -170,6 +170,81 @@ class IntervalRuleSpec extends AnyFunSuite {
       "the same window under INNER may anchor on the purchase side")
   }
 
+  private def fullOuterJoin(e: DataFrame): DataFrame = {
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("value"))
+  }
+
+  test("full outer decomposes into bucketed left-outer ∪ anti-recovered right tail; rows identical") {
+    val e = events(
+      (1L, "u1", "2024-03-05 12:00:00", "click", 0.0),   // matched with 10
+      (2L, "u1", "2024-03-05 20:00:00", "click", 0.0),   // UNMATCHED click
+      (3L, "u2", "2024-03-05 12:00:00", "click", 0.0),   // UNMATCHED click
+      (10L, "u1", "2024-03-05 11:30:00", "purchase", 1.0),
+      (11L, "u1", "2024-03-05 23:00:00", "purchase", 2.0), // UNMATCHED purchase
+      (12L, "u3", "2024-03-05 12:00:00", "purchase", 3.0)) // UNMATCHED purchase
+    val plain = fullOuterJoin(e)
+    val rewrittenPlan = BucketIntervalJoin.rewrite(
+      plain.queryExecution.optimizedPlan)
+    // shape: the two-part decomposition — bucket keys present AND a
+    // Union root stitching the left-outer part to the anti tail
+    assert(rewrittenPlan.treeString.contains(BucketIntervalJoin.BucketPrefix),
+      s"full outer must rewrite:\n${rewrittenPlan.treeString}")
+    assert(rewrittenPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Union]),
+      "full outer must decompose through a Union")
+    val rew = org.apache.spark.sql.graft.Bridge.ofRows(spark, rewrittenPlan)
+    assert(rew.schema.fieldNames.toSeq == plain.schema.fieldNames.toSeq)
+    def all(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(all(rew) == all(plain))
+    // both unmatched tails surface exactly once each
+    assert(plain.count() == 5)
+    assert(plain.filter(col("purchase_id").isNull).count() == 2)
+    assert(plain.filter(col("click_id").isNull).count() == 2)
+    // fixture-scale equivalence
+    val ef = Engine.table(spark, dir, "events")
+    assert(all(rewriteOf(fullOuterJoin(ef))) == all(fullOuterJoin(ef)))
+  }
+
+  test("full outer refuses whole when one anchoring needs a sub-second lower offset") {
+    val e = events(
+      (1L, "u1", "2024-03-05 12:00:00", "click", 0.0),
+      (10L, "u1", "2024-03-05 11:30:00", "purchase", 1.0))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    // purchase_ts ∈ [click − 1h, click − 0.5s]: the click-anchored
+    // reading still buckets (sub-second UPPER bounds ceil up), so the
+    // LEFT-OUTER half could rewrite — but the anti half needs the
+    // purchase-anchored reading, whose LOWER offset is +0.5s
+    // (sub-second ⇒ unbucketable). The decomposition is all-or-
+    // nothing: the FULL OUTER stays untouched rather than splitting
+    // its semantics across strategies
+    val j = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") <= col("click_ts") - expr("INTERVAL 0.5 SECONDS") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+      "full_outer")
+    val out = BucketIntervalJoin.rewrite(j.queryExecution.optimizedPlan)
+    assert(!out.treeString.contains(BucketIntervalJoin.BucketPrefix),
+      "a sub-second-offset full outer must refuse the rewrite")
+  }
+
   test("idempotent: re-applying the rewrite adds no second bucketing layer") {
     val e = Engine.table(spark, dir, "events")
     val once = BucketIntervalJoin.rewrite(

@@ -406,4 +406,124 @@ class MvRewriteSpec extends AnyFunSuite {
     MatView.ensureMvValidated(spark, d)
     assert(mtime(root) > built, "edited corpus did not rebuild the MV")
   }
+
+  test("avg over NULL facts derives from the stored non-null count (ADVICE r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val d = java.nio.file.Files.createTempDirectory("graft_mvnull_").toString
+    // facts (10, NULL, NULL) in group a: raw avg = 10.0, NOT 10/3 —
+    // the exact hazard the old Σsum/Σcount(1) rollup got wrong
+    Seq(("a", Some(10L)), ("a", None), ("a", None),
+        ("b", Some(4L)), ("b", Some(8L)))
+      .toDF("g", "v").coalesce(1).write.parquet(s"$d/tbl")
+    val tbl = () => spark.read.parquet(s"$d/tbl")
+    tbl().groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_facts"),
+        sum(col("v")).as("sum_v"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .coalesce(1).write.parquet(s"$d/mv")
+    val mvRel = spark.read.parquet(s"$d/mv").queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }.get
+    val srcPaths = scans(tbl())
+    MvRewrite.register(spark, srcPaths, MvRewrite.MvEntry(mvRel,
+      dims = Set("g"), factCol = "v", countCol = "n_rows",
+      factCountCol = "n_facts", sumCol = "sum_v",
+      minCol = "min_v", maxCol = "max_v"))
+    val agg = () => tbl().groupBy(col("g")).agg(avg(col("v")).as("avg_v"))
+    val plain = agg().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(plain == Map("a" -> 10.0, "b" -> 6.0))
+    val prevE = spark.conf.getOption(MvRewrite.EnabledKey)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    try {
+      assert(scans(agg()).exists(_.contains("/mv")) &&
+        !scans(agg()).exists(_.contains("/tbl")), "rewrite must fire")
+      val rewritten = agg().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(rewritten == plain,
+        s"avg through the view must skip NULL facts: $rewritten != $plain")
+    } finally prevE.fold(spark.conf.unset(MvRewrite.EnabledKey))(
+      spark.conf.set(MvRewrite.EnabledKey, _))
+  }
+
+  test("composite-key star: every equi conjunct joins the fingerprint; non-equi residual refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val d = java.nio.file.Files.createTempDirectory("graft_mvck_").toString
+    // fact keyed by a COMPOSITE (k1, k2); dim unique on (d1, d2)
+    Seq((1L, 1L, 5L), (1L, 2L, 7L), (2L, 1L, 11L), (1L, 1L, 3L))
+      .toDF("k1", "k2", "v").coalesce(1).write.parquet(s"$d/fact")
+    Seq((1L, 1L, "g1"), (1L, 2L, "g2"), (2L, 1L, "g3"))
+      .toDF("d1", "d2", "grp").coalesce(1).write.parquet(s"$d/dim")
+    val fact = () => spark.read.parquet(s"$d/fact")
+    val dim = () => spark.read.parquet(s"$d/dim")
+    def joined() = fact().join(dim(),
+      col("k1") === col("d1") && col("k2") === col("d2"))
+    joined().groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_v"),
+        sum(col("v")).as("sum_v"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .coalesce(1).write.parquet(s"$d/mv")
+    val mvRel = spark.read.parquet(s"$d/mv").queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }.get
+    MvRewrite.registerStar(spark,
+      paths = Set(scans(fact()), scans(dim())),
+      conds = Set("k1" -> "d1", "k2" -> "d2"),
+      entry = MvRewrite.MvEntry(mvRel, dims = Set("grp"), factCol = "v",
+        countCol = "n_rows", factCountCol = "n_v", sumCol = "sum_v",
+        minCol = "min_v", maxCol = "max_v"))
+    val agg = () => joined().groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val plain = agg().collect().map(_.toString).sorted.toSeq
+    val prevE = spark.conf.getOption(MvRewrite.EnabledKey)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    try {
+      // BOTH equi conjuncts fold into the fingerprint: the star fires
+      assert(scans(agg()).exists(_.contains("/mv")) &&
+        !scans(agg()).exists(_.contains("/fact")),
+        s"composite-key star must rewrite: ${scans(agg())}")
+      assert(agg().collect().map(_.toString).sorted.toSeq == plain)
+      // a single-pair join (missing one key) is a DIFFERENT fingerprint
+      val partial = fact().join(dim(), col("k1") === col("d1"))
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      assert(scans(partial).exists(_.contains("/fact")),
+        "a partial-key join must NOT match the composite registration")
+      // a non-equi residual conjunct refuses structurally
+      val residual = fact().join(dim(),
+          col("k1") === col("d1") && col("k2") === col("d2") && col("v") > 4L)
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      assert(scans(residual).exists(_.contains("/fact")),
+        "a non-equi residual conjunct must refuse the star")
+    } finally prevE.fold(spark.conf.unset(MvRewrite.EnabledKey))(
+      spark.conf.set(MvRewrite.EnabledKey, _))
+  }
+
+  test("auto-register: a FRESH session answers from the MV with no ensure call; eviction retires it") {
+    MatView.ensureMv(spark, dir) // artifact + sidecar exist on disk
+    val s2 = spark.newSession()
+    Engine.registerOptimization(s2, MvRewrite) // rule wiring, not an ensure
+    assert(MatView.autoRegisterAll(s2, dir) >= 1,
+      "at least the documents MV sidecar must auto-register")
+    val agg = () => Engine.table(s2, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val plain = agg().collect().map(_.toString).sorted.toSeq
+    s2.conf.set(MvRewrite.EnabledKey, "true")
+    try {
+      def scans2(df: org.apache.spark.sql.DataFrame) =
+        MvRewrite.scanLocations(df.queryExecution.optimizedPlan)
+      assert(scans2(agg()).exists(_.contains("/mv")) &&
+        !scans2(agg()).exists(_.contains("documents.parquet")),
+        s"fresh session must answer from the auto-registered MV: ${scans2(agg())}")
+      assert(agg().collect().map(_.toString).sorted.toSeq == plain)
+      // evicting the session retires its registrations (and only its
+      // own — the suite session keeps answering from its view)
+      MvRewrite.evictSession(s2)
+      assert(scans2(agg()).exists(_.contains("documents.parquet")),
+        "evicted session must fall back to the corpus scan")
+      withMv {
+        val ownAgg = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        assert(readsMv(ownAgg), "eviction must not touch other sessions' entries")
+      }
+    } finally s2.conf.unset(MvRewrite.EnabledKey)
+  }
 }

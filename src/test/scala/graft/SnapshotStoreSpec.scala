@@ -318,6 +318,145 @@ class SnapshotStoreSpec extends AnyFunSuite {
       spark.conf.set(MvRewrite.EnabledKey, _))
   }
 
+  test("claim CAS: two interleaved writers both commit, zero lost rows") {
+    val d = scratchCorpus()
+    val root = Files.createTempDirectory("graft_snapcas_").toString + "/tbl"
+    val sdocs = spark.read.parquet(s"$d/documents.parquet")
+    val halves = Seq(
+      sdocs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      sdocs.filter(pmod(col("doc_id"), lit(2)) =!= 0))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = halves.map(h => new Thread(() =>
+      try SnapshotStore.append(spark, root, h)
+      catch { case t: Throwable => errs.add(t) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent append failed: ${Option(errs.peek())}")
+    // strict serialization: exactly two commits, whoever won
+    assert(SnapshotStore.currentSnapshot(spark, root) == 2L)
+    // the pre-CAS failure mode was a silently clobbered manifest — the
+    // union must hold EVERY row of both halves exactly once
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 2L)) == rows(sdocs))
+    // and snapshot 1 is exactly ONE of the halves (a real prefix, not a mix)
+    val s1 = rows(SnapshotStore.readSnapshot(spark, root, 1L))
+    assert(halves.map(rows).contains(s1))
+  }
+
+  test("torn claim: a dead claimant blocks the id LOUDLY; breakClaim releases it") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    // simulate a claimant that died between claim and manifest
+    Files.createFile(Paths.get(s"${root.stripPrefix("file:")}/manifests/claim3"))
+    val prevWait = spark.conf.getOption(SnapshotStore.ClaimWaitKey)
+    spark.conf.set(SnapshotStore.ClaimWaitKey, "300")
+    try {
+      val e = intercept[IllegalStateException](
+        SnapshotStore.append(spark, root, docs.limit(3)))
+      assert(e.getMessage.contains("breakClaim"),
+        "the torn-claim failure must name the recovery procedure")
+      // the table is UNDAMAGED: current still 2, rows intact
+      assert(SnapshotStore.currentSnapshot(spark, root) == 2L)
+      // recovery: break the dead claim, then the append lands as 3
+      SnapshotStore.breakClaim(spark, root, 3L)
+      assert(SnapshotStore.append(spark, root, docs.limit(3)) == 3L)
+      assert(SnapshotStore.readSnapshot(spark, root, 3L).count() ==
+        docs.count() + 3)
+      // a COMMITTED snapshot is never breakable
+      intercept[IllegalArgumentException](
+        SnapshotStore.breakClaim(spark, root, 3L))
+    } finally prevWait.fold(spark.conf.unset(SnapshotStore.ClaimWaitKey))(
+      spark.conf.set(SnapshotStore.ClaimWaitKey, _))
+  }
+
+  test("whole-table delete commits an EMPTY snapshot that reads as zero rows of the stored schema") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    val schema = SnapshotStore.readSnapshot(spark, root, 2L).schema
+    val k = SnapshotStore.deleteRange(spark, root, 0L, Long.MaxValue)
+    assert(k == 3L)
+    val empty = SnapshotStore.readSnapshot(spark, root, 3L)
+    assert(empty.count() == 0L, "the all-deleted snapshot must read as zero rows")
+    assert(empty.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
+      "the empty snapshot must keep the stored table schema")
+    assert(SnapshotStore.readDiff(spark, root, 3L, 3L).count() == 0L)
+    // the table REVIVES: a later append is an ordinary commit
+    assert(SnapshotStore.append(spark, root, docs.limit(4)) == 4L)
+    assert(SnapshotStore.readSnapshot(spark, root, 4L).count() == 4L)
+    // and time travel still reads the pre-delete table
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 2L)) == rows(docs))
+  }
+
+  test("mergeInto join path == collect path (the distributed affected-file decision)") {
+    val changesOf = (sdocs: org.apache.spark.sql.DataFrame) =>
+      sdocs.filter(col("doc_id").between(10, 20))
+        .withColumn("n_chars", col("n_chars") * 3)
+        .unionByName(sdocs.filter(col("doc_id").isin(2, 5))
+          .withColumn("doc_id", col("doc_id") + 7000000L))
+    def mergedRows(forceJoin: Boolean): Seq[String] = {
+      val d = scratchCorpus()
+      val root = SnapshotStore.ensure(spark, d)
+      val sdocs = spark.read.parquet(s"$d/documents.parquet")
+      val prev = spark.conf.getOption(SnapshotStore.MergeJoinThresholdKey)
+      if (forceJoin) spark.conf.set(SnapshotStore.MergeJoinThresholdKey, "1")
+      try SnapshotStore.mergeInto(spark, root, changesOf(sdocs))
+      finally prev.fold(spark.conf.unset(SnapshotStore.MergeJoinThresholdKey))(
+        spark.conf.set(SnapshotStore.MergeJoinThresholdKey, _))
+      rows(SnapshotStore.readSnapshot(spark, root, 3L))
+    }
+    val viaJoin = mergedRows(forceJoin = true)
+    val viaCollect = mergedRows(forceJoin = false)
+    assert(viaJoin == viaCollect && viaJoin.nonEmpty,
+      "the granule range join must select a sound affected-file set")
+  }
+
+  test("incremental MV refresh: appends fold the diff; a rewrite commit falls back to recompute") {
+    val d = scratchCorpus()
+    val storeRoot = SnapshotStore.ensure(spark, d)
+    def recompute() = SnapshotStore.readSnapshot(spark, storeRoot,
+        SnapshotStore.currentSnapshot(spark, storeRoot))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), count(col("n_chars")).as("n_facts"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+    def mv() = spark.read.parquet(s"${SnapshotStore.smRoot(d)}/mv")
+    // first build: full recompute; second validate: fresh, untouched
+    assert(SnapshotStore.ensureSnapshotMvValidated(spark, storeRoot, d) == "recompute")
+    assert(SnapshotStore.ensureSnapshotMvValidated(spark, storeRoot, d) == "fresh")
+    // an append-only commit refreshes INCREMENTALLY (the fold's input
+    // is readDiff's delta files only, by construction) and equals the
+    // recompute exactly
+    SnapshotStore.append(spark, storeRoot, docs.limit(25))
+    assert(SnapshotStore.appendOnlySince(spark, storeRoot, 2L, 3L))
+    assert(SnapshotStore.ensureSnapshotMvValidated(spark, storeRoot, d) == "incremental")
+    assert(rows(mv()) == rows(recompute()),
+      "incrementally refreshed view must equal the full recompute")
+    // a DELETE rewrites files: append-only no longer holds, so the
+    // refresh falls back to recompute — and is still exact
+    SnapshotStore.deleteRange(spark, storeRoot, 50L, 120L)
+    assert(!SnapshotStore.appendOnlySince(spark, storeRoot, 3L, 4L),
+      "a rewrite commit must break the append-only precondition")
+    assert(SnapshotStore.ensureSnapshotMvValidated(spark, storeRoot, d) == "recompute")
+    assert(rows(mv()) == rows(recompute()))
+  }
+
+  test("q222/q223/q224 agree with their closed-form expectations") {
+    assert(rows(SnapshotStore.q222SnapshotMvIncremental(spark, dir)) ==
+      rows(docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), count(col("n_chars")).as("n_facts"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))))
+    assert(rows(SnapshotStore.q223SnapshotMergeJoin(spark, dir)) ==
+      rows(docs.withColumn("n_chars",
+        when(pmod(col("doc_id"), lit(5)) === 0, col("n_chars") + 500)
+          .otherwise(col("n_chars")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(13)) === 0))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))))
+    assert(rows(SnapshotStore.q224SnapshotConcurrent(spark, dir)) ==
+      rows(docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))))
+  }
+
   test("q203/q204/q205 run green and agree with the raw table") {
     assert(rows(SnapshotStore.q203SnapshotTimeTravel(spark, dir)) ==
       rows(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0).groupBy(col("lang"))
