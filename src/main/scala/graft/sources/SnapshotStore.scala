@@ -974,6 +974,78 @@ object SnapshotStore {
       .orderBy(col("lang"))
   }
 
+  /** ROW-LEVEL CHANGE DATA FEED between consecutive snapshots j → k —
+    * the table-format CDC that works across REWRITE commits, where the
+    * file-level [[readDiff]] (append-only semantics) cannot: the rows
+    * of the files commit k REPLACED are full-outer-joined on the key
+    * against the rows of the files commit k WROTE, and each key
+    * classifies as `insert` (new side only), `delete` (old side only),
+    * or `update` (both sides, any non-key column changed); keys
+    * rewritten verbatim (an affected file's untouched rows — the COW
+    * write amplification) join equal and are NOT changes, so the feed
+    * reports exactly the logical mutation, not the physical rewrite.
+    *
+    * Scale shape — the whole point: both inputs are pruned at FILE
+    * level from the two manifests (old side = paths in manifest j that
+    * k dropped; new side = paths in manifest k under commit id k), so
+    * a narrow merge diffs the handful of files it touched, never the
+    * table; carried-over files appear in neither input by
+    * construction. Columns compared are the OLD schema's (an additive
+    * evolution alone never flags an update). q87's operator computes
+    * the same feed for raw stores by hashing every row of both
+    * versions — this is what its scaladoc promised a table format
+    * makes cheap.
+    */
+  def changeFeed(s: SparkSession, root: String, j: Long, k: Long): DataFrame = {
+    require(j < k, s"changeFeed needs j < k, got $j -> $k")
+    val mj = manifest(s, root, j).select("path")
+      .collect().map(_.getString(0)).toSet
+    val mk = manifest(s, root, k)
+    val kept = mk.filter(col("commit_id") <= j).select("path")
+      .collect().map(_.getString(0)).toSet
+    val replaced = (mj -- kept).toIndexedSeq
+    val written = mk.filter(col("commit_id") > j).select("path")
+      .collect().map(_.getString(0)).toIndexedSeq
+    def readAll(paths: Seq[String], like: Long): DataFrame =
+      if (paths.isEmpty) s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema(s, root, like))
+      else s.read.option("mergeSchema", "true").parquet(paths: _*)
+    val oldRows = readAll(replaced, j)
+    val newRows = readAll(written, k)
+    val valueCols = oldRows.columns.filter(_ != "doc_id").toSeq
+    val o = oldRows.select((col("doc_id").as("o_id") +:
+      valueCols.map(c => col(c).as(s"o_$c"))): _*)
+    val n = newRows.select((col("doc_id").as("n_id") +:
+      valueCols.map(c => col(c).as(s"n_$c"))): _*)
+    val changed = valueCols.map(c =>
+      !(col(s"o_$c") <=> col(s"n_$c"))).reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, col("o_id") === col("n_id"), "full_outer")
+      .withColumn("change_type",
+        when(col("o_id").isNull, lit("insert"))
+          .when(col("n_id").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull) // verbatim rewrites are not changes
+      .withColumn("doc_id", coalesce(col("n_id"), col("o_id")))
+  }
+
+  /** q225: the CHANGE FEED of the q211 merge commit (snapshot 2 → 3 of
+    * the merge store) — per change type, how many keys and what the
+    * post-image n_chars sums to (pre-image for deletes; the merge
+    * batch has none). The feed reads ONLY the files the merge touched;
+    * the oracle is the closed form of the q211 CDC batch on the raw
+    * table, so a hash match proves the feed recovered exactly the
+    * logical changes from the physical rewrite — rewritten-verbatim
+    * rows excluded.
+    */
+  val q225SnapshotChangeFeed: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureMerged(s, dir)
+    changeFeed(s, root, 2L, 3L)
+      .withColumn("chars", coalesce(col("n_n_chars"), col("o_n_chars")))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("chars")).as("sum_chars"))
+      .orderBy(col("change_type"))
+  }
+
   // ---- the JOIN-path MERGE store (q223) -----------------------------
 
   /** Join-merge-store layout version. */
@@ -1272,7 +1344,8 @@ object SnapshotStore {
       "q218_snapshot_mv" -> q218SnapshotMv,
       "q222_snapshot_mv_incremental" -> q222SnapshotMvIncremental,
       "q223_snapshot_merge_join" -> q223SnapshotMergeJoin,
-      "q224_snapshot_concurrent" -> q224SnapshotConcurrent)
+      "q224_snapshot_concurrent" -> q224SnapshotConcurrent,
+      "q225_snapshot_change_feed" -> q225SnapshotChangeFeed)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -1341,5 +1414,14 @@ object SnapshotStore {
     "q224_snapshot_concurrent" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q225_snapshot_change_feed" ->
+      """SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT 'update' AS change_type, n_chars + 1000 AS chars
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'insert', n_chars FROM documents WHERE doc_id % 11 = 0
+        |) GROUP BY change_type ORDER BY change_type""".stripMargin)
 }

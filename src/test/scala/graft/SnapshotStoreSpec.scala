@@ -438,6 +438,46 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(rows(mv()) == rows(recompute()))
   }
 
+  test("change feed: inserts/updates/deletes recovered from rewrite commits; verbatim rewrites excluded") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    val sdocs = spark.read.parquet(s"$d/documents.parquet")
+    // commit 3 = a merge (updates + inserts)
+    val changes = sdocs.filter(col("doc_id").between(10, 30))
+      .withColumn("n_chars", col("n_chars") + 7)
+      .unionByName(sdocs.filter(col("doc_id").isin(4, 6))
+        .withColumn("doc_id", col("doc_id") + 9000000L))
+    SnapshotStore.mergeInto(spark, root, changes)
+    val feed3 = SnapshotStore.changeFeed(spark, root, 2L, 3L)
+    val byType = feed3.groupBy(col("change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nUpd = sdocs.filter(col("doc_id").between(10, 30)).count()
+    assert(byType == Map("update" -> nUpd, "insert" -> 2L),
+      s"merge feed must be exactly the logical changes: $byType")
+    // post-image values carried: every update's new n_chars = old + 7
+    assert(feed3.filter(col("change_type") === "update" &&
+      col("n_n_chars") =!= col("o_n_chars") + 7).count() == 0)
+    // commit 4 = a COW delete → the feed reports DELETES (file-level
+    // readDiff can't see these; the row-level feed must)
+    SnapshotStore.deleteRange(spark, root, 15L, 25L)
+    val feed4 = SnapshotStore.changeFeed(spark, root, 3L, 4L)
+    val nDel = SnapshotStore.readSnapshot(spark, root, 3L)
+      .filter(col("doc_id").between(15, 25)).count()
+    assert(nDel > 0 &&
+      feed4.groupBy(col("change_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("delete" -> nDel))
+    // pruning witness: the feed's inputs exclude every carried-over
+    // file — only the commit's replaced + written files are read
+    val carried = SnapshotStore.manifest(spark, root, 4L)
+      .filter(col("commit_id") <= 3L).select("path")
+      .collect().map(_.getString(0)).toSet
+    val scanned = graft.plans.MvRewrite.scanLocations(
+      feed4.queryExecution.optimizedPlan).toSet
+    assert(carried.nonEmpty && scanned.intersect(carried).isEmpty,
+      "the change feed must never read a carried-over file")
+  }
+
   test("q222/q223/q224 agree with their closed-form expectations") {
     assert(rows(SnapshotStore.q222SnapshotMvIncremental(spark, dir)) ==
       rows(docs.groupBy(col("lang"), col("source"))
