@@ -588,6 +588,57 @@ object SnapshotStore {
     }
   }
 
+  /** ORPHAN VACUUM: physically delete data files that NO manifest
+    * (committed or torn) references and that are older than
+    * `olderThanMs` — the files a crashed commit attempt or a lost
+    * claim race left behind, which every reader already ignores (the
+    * manifest-last protocol's guarantee) but which cost storage
+    * forever without this. The age floor is the safety contract: a
+    * LIVE writer's files exist before its manifest does, so anything
+    * younger than the longest plausible commit duration must survive;
+    * with `olderThanMs = 0` every unreferenced file qualifies (only
+    * safe when no writer is in flight — the spec's setting).
+    * Complements [[expire]], which reclaims files that dropped
+    * manifests referenced; vacuum reclaims files NOTHING ever
+    * referenced. Returns the deleted paths. O(#files) metadata — one
+    * recursive listing diffed against the unioned manifest path sets.
+    */
+  def vacuum(s: SparkSession, root: String, olderThanMs: Long): Seq[String] = {
+    val f = fs(s, root)
+    val dataDir = new Path(s"$root/data")
+    if (!f.exists(dataDir)) return Nil
+    val mdir = new Path(s"$root/manifests")
+    val referenced: Set[String] =
+      if (!f.exists(mdir)) Set.empty
+      else {
+        val committed = f.listStatus(mdir).toSeq.map(_.getPath)
+          .filter(p => p.getName.startsWith("m") &&
+            p.getName.drop(1).forall(_.isDigit) &&
+            f.exists(new Path(p, "_SUCCESS")))
+        if (committed.isEmpty) Set.empty
+        else s.read.parquet(committed.map(_.toString): _*)
+          .select("path").distinct()
+          .collect().map(_.getString(0)).toSet
+      }
+    val now = System.currentTimeMillis()
+    val orphans = f.listStatus(dataDir).toSeq.flatMap { d =>
+      if (!d.isDirectory) Seq(d) else f.listStatus(d.getPath).toSeq
+    }.filter(st => st.isFile &&
+      st.getPath.getName.endsWith(".parquet") && // committer markers stay with their dir
+      !referenced.contains(st.getPath.toString) &&
+      now - st.getModificationTime >= olderThanMs)
+      .map(_.getPath)
+    orphans.foreach(p => f.delete(p, false))
+    // drop commit-attempt dirs the sweep emptied of data (whatever
+    // committer markers remain go with the dir)
+    f.listStatus(dataDir).foreach { d =>
+      if (d.isDirectory &&
+        !f.listStatus(d.getPath).exists(_.getPath.getName.endsWith(".parquet")))
+        f.delete(d.getPath, true)
+    }
+    orphans.map(_.toString)
+  }
+
   private val builtCache = new graft.SessionCache
 
   /** Seed the fixture snapshot table: TWO deterministic commits over

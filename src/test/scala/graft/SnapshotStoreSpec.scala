@@ -438,6 +438,32 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(rows(mv()) == rows(recompute()))
   }
 
+  test("vacuum reclaims only never-referenced files; every snapshot survives; the age floor protects in-flight writes") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    val s1 = rows(SnapshotStore.readSnapshot(spark, root, 1L))
+    val s2 = rows(SnapshotStore.readSnapshot(spark, root, 2L))
+    // a crashed commit attempt: data files on disk, no manifest entry
+    docs.limit(9).write.parquet(s"$root/data/cdeadattempt")
+    val deleted = SnapshotStore.vacuum(spark, root, olderThanMs = 0L)
+    assert(deleted.nonEmpty && deleted.forall(_.contains("cdeadattempt")),
+      s"vacuum must delete exactly the orphan attempt's files: $deleted")
+    assert(!Files.exists(Paths.get(s"$root/data/cdeadattempt")),
+      "the emptied attempt dir must go too")
+    // every snapshot reads back byte-identically — vacuum never
+    // touches a referenced file
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 1L)) == s1)
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 2L)) == s2)
+    // the age floor: a FRESH unreferenced dir (an in-flight writer's
+    // files look exactly like this) survives a graced vacuum
+    docs.limit(3).write.parquet(s"$root/data/cinflight")
+    assert(SnapshotStore.vacuum(spark, root, olderThanMs = 3600000L).isEmpty)
+    assert(Files.exists(Paths.get(s"$root/data/cinflight")))
+    // ...and is reclaimed once old enough (grace elapsed ⇒ floor 0)
+    assert(SnapshotStore.vacuum(spark, root, olderThanMs = 0L).nonEmpty)
+    assert(!Files.exists(Paths.get(s"$root/data/cinflight")))
+  }
+
   test("change feed: inserts/updates/deletes recovered from rewrite commits; verbatim rewrites excluded") {
     val d = scratchCorpus()
     val root = SnapshotStore.ensure(spark, d)
