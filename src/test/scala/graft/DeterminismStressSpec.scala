@@ -53,7 +53,14 @@ class DeterminismStressSpec extends AnyFunSuite {
     // (id tie-breaks on every ranking)
     "q169_join_cardinality", "q170_zorder_layout", "q171_media_batches",
     "q172_bootstrap_ci", "q173_range_planner", "q175_hybrid_rrf",
-    "q176_column_stats", "q177_stats_maintenance")
+    "q176_column_stats", "q177_stats_maintenance",
+    // round-14: the nearest-direction tie rule (backward on equal
+    // gaps) must not depend on merge partitioning; the full-outer
+    // decomposition's union + NULLS LAST ordering must be stable; the
+    // change feed's full outer + verbatim-rewrite exclusion must hash
+    // identically however the join shuffles
+    "q220_asof_nearest", "q221_interval_full_outer",
+    "q225_snapshot_change_feed")
 
   test("canonical hashes stable across reruns and shuffle-partition settings") {
     val baselinePartitions = spark.conf.get("spark.sql.shuffle.partitions")

@@ -504,6 +504,68 @@ class SnapshotStoreSpec extends AnyFunSuite {
       "the change feed must never read a carried-over file")
   }
 
+  test("streaming CDC twin: every micro-batch MERGE commit's change feed equals the batch's logical changes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    val sdocs = spark.read.parquet(s"$d/documents.parquet")
+    // three deterministic CDC batches: each updates a key window
+    // (n_chars strictly changed, so every update is a LOGICAL change)
+    // and inserts two far clones
+    val batches = Seq((0L, 30L), (31L, 60L), (61L, 90L)).zipWithIndex.map {
+      case ((lo, hi), i) =>
+        sdocs.filter(col("doc_id").between(lo, hi))
+          .withColumn("n_chars", col("n_chars") + 100 * (i + 1))
+          .unionByName(sdocs.filter(col("doc_id").isin(lo + 1, lo + 2))
+            .withColumn("doc_id", col("doc_id") + 8000000L * (i + 1)))
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4))).toSeq
+    }
+    val ms = MemoryStream[(Long, String, String, String, Long)]
+    val query = ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        SnapshotStore.mergeInto(spark, root, batch); ()
+      }
+      .start()
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        ms.addData(b)
+        query.processAllAvailable()
+        val k = SnapshotStore.currentSnapshot(spark, root)
+        assert(k == 3L + i, "each CDC micro-batch must land as one commit")
+        // independent expectation: keys present in the PRE-commit
+        // snapshot are updates, absent keys are inserts
+        val preKeys = SnapshotStore.readSnapshot(spark, root, k - 1)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val expect = b.groupBy(t => preKeys.contains(t._1))
+          .map { case (present, rows) =>
+            (if (present) "update" else "insert") -> rows.size.toLong }
+        val feed = SnapshotStore.changeFeed(spark, root, k - 1, k)
+        assert(feed.groupBy(col("change_type")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect,
+          s"commit $k's feed must be exactly batch ${i + 1}'s logical changes")
+        // post-images in the feed match the batch rows
+        val fed = feed.select(col("doc_id"), col("n_n_chars"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(b.forall { case (id, _, _, _, n) => fed(id) == n })
+      }
+      // the end state equals a one-shot merge of all three batches
+      // applied in order (streamed-incremental == sequential batch)
+      val end = rows(SnapshotStore.readSnapshot(spark, root, 5L))
+      val oneShot = {
+        val all = batches.flatten.groupBy(_._1).map(_._2.last).toSeq // last write wins per key
+        val allDf = all.toDF("doc_id", "text", "lang", "source", "n_chars")
+        rows(sdocs.join(allDf.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(allDf))
+      }
+      assert(end == oneShot)
+    } finally query.stop()
+  }
+
   test("q222/q223/q224 agree with their closed-form expectations") {
     assert(rows(SnapshotStore.q222SnapshotMvIncremental(spark, dir)) ==
       rows(docs.groupBy(col("lang"), col("source"))
