@@ -697,9 +697,16 @@ object SnapshotStore {
     s"${aggRoot(dir)}/agg"
   }
 
+  private def aggShape(df: DataFrame): DataFrame =
+    df.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
   /** The validation+build step a NEW session runs (spec hook): ONE
     * `manifests/` listing + one meta-row read decide reuse — no data
-    * is scanned unless the snapshot id moved.
+    * is scanned unless the snapshot id moved. When it has moved and
+    * the gap is APPEND-ONLY, the refresh FOLDS the snapshot diff into
+    * the stored rows (the q222 discipline — O(|delta|), counts and
+    * sums add); only a rewrite commit pays the recompute.
     */
   private[graft] def ensureSnapshotAggValidated(s: SparkSession,
       storeRoot: String, dir: String): Unit = {
@@ -707,10 +714,23 @@ object SnapshotStore {
     val snap = currentSnapshot(s, storeRoot)
     val want = (snap, SnapAggLayout)
     if (!StandingIndex.metaFresh(s, root, want)) {
-      readSnapshot(s, storeRoot, snap)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/agg")
+      val stored = StandingIndex.readMeta(s, root)
+      val incremental = stored.exists { case (_, oldSnap, layout) =>
+        layout == SnapAggLayout && oldSnap > 0 && oldSnap < snap &&
+          appendOnlySince(s, storeRoot, oldSnap, snap)
+      }
+      val view =
+        if (incremental) {
+          val folded = aggShape(readDiff(s, storeRoot, stored.get._2, snap))
+            .unionByName(s.read.parquet(s"$root/agg"))
+            .groupBy(col("lang"))
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("sum_chars")).as("sum_chars"))
+            .collect() // |langs| rows — so the overwrite never races its own read
+          s.createDataFrame(s.sparkContext.parallelize(folded.toIndexedSeq, 1),
+            aggShape(readSnapshot(s, storeRoot, snap)).schema)
+        } else aggShape(readSnapshot(s, storeRoot, snap))
+      view.coalesce(1).write.mode("overwrite").parquet(s"$root/agg")
       StandingIndex.writeMeta(s, root, want)
     }
   }
