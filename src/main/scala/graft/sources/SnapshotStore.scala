@@ -925,6 +925,28 @@ object SnapshotStore {
     }.orderBy(col("source"))
   }
 
+  /** q226: the snapshot MV under a DIMENSION FILTER — a whole-group
+    * predicate (`lang IN ('en','de')`) over the CURRENT snapshot,
+    * grouped by the other dimension, still answered from the
+    * |langs|×|sources|-row view: the rewrite's filter-carryover
+    * (q196's mechanism) composing with the MULTI-FILE snapshot
+    * registration key — the filter must survive sitting above a scan
+    * whose registry key is the snapshot's whole file list, and the
+    * self-check asserts no data file is touched. Oracle = the verbatim
+    * filtered raw-table SQL.
+    */
+  val q226SnapshotMvFiltered: (SparkSession, String) => DataFrame = (s, dir) => {
+    val storeRoot = snapRoot(dir)
+    val mv = ensureSnapshotMv(s, dir)
+    require(mv.nonEmpty)
+    graft.sources.MatView.withRewriteChecked(s, "snapmv", "/data/c") {
+      readSnapshot(s, storeRoot, currentSnapshot(s, storeRoot))
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }.orderBy(col("source"))
+  }
+
   // ---- the INCREMENTAL-REFRESH store (q222): MV maintained by diff --
 
   /** Incremental-store layout version. */
@@ -1416,7 +1438,8 @@ object SnapshotStore {
       "q222_snapshot_mv_incremental" -> q222SnapshotMvIncremental,
       "q223_snapshot_merge_join" -> q223SnapshotMergeJoin,
       "q224_snapshot_concurrent" -> q224SnapshotConcurrent,
-      "q225_snapshot_change_feed" -> q225SnapshotChangeFeed)
+      "q225_snapshot_change_feed" -> q225SnapshotChangeFeed,
+      "q226_snapshot_mv_filtered" -> q226SnapshotMvFiltered)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -1494,5 +1517,10 @@ object SnapshotStore {
         |  FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
         |  SELECT 'insert', n_chars FROM documents WHERE doc_id % 11 = 0
-        |) GROUP BY change_type ORDER BY change_type""".stripMargin)
+        |) GROUP BY change_type ORDER BY change_type""".stripMargin,
+    "q226_snapshot_mv_filtered" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY source ORDER BY source""".stripMargin)
 }
