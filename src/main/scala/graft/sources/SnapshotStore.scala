@@ -588,6 +588,144 @@ object SnapshotStore {
     }
   }
 
+  // ---- the Z-CLUSTERED snapshot table (q227): 2-D stats pruning -----
+
+  /** Z-store layout version. */
+  private val ZsLayout = 1L
+
+  private[graft] def zsRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapz")
+
+  /** Files per Z-clustered commit — finer than [[CommitFiles]] so the
+    * 2-D skipping is observable at fixture scale; production sizes
+    * this as commit_bytes / target_file_bytes exactly as the 1-D path.
+    */
+  val ZCommitFiles = 8
+
+  /** APPEND with Z-ORDER clustering — the `OPTIMIZE ZORDER BY` write
+    * path fused into the commit: rows are laid out along the Morton
+    * interleave of (doc_id, n_chars) 16×16 grid coordinates (grid
+    * normalized by the COMMIT's own min/max — deterministic in the
+    * input, no global state), so every file covers a bounded range in
+    * BOTH dimensions, and the manifest carries both dimensions'
+    * per-file (min,max). q170 measured this layout's pruning through
+    * simulated zone maps; here the table format MAINTAINS it: a
+    * conjunctive predicate prunes the FILE LIST on both intervals at
+    * plan time ([[readRange2D]]), where the 1-D range-clustered store
+    * can prune on doc_id alone. Same commit protocol (claim CAS,
+    * manifest-last, schema sidecar) — clustering is a property of the
+    * WRITE, invisible to the protocol.
+    */
+  def appendZ(s: SparkSession, root: String, df: DataFrame): Long = {
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val dataDir = s"$root/data/c$token"
+    val dom = df.agg(
+      min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long"),
+      min(col("n_chars")).cast("long"), max(col("n_chars")).cast("long")).head()
+    val (i0, i1, c0, c1) = (dom.getLong(0), dom.getLong(1),
+      dom.getLong(2), dom.getLong(3))
+    def grid(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      least(lit(15L), floor(((c.cast("long") - lo) * 16L) /
+        lit(math.max(1L, hi - lo + 1L))).cast("long"))
+    val gu = grid(col("doc_id"), i0, i1)
+    val gc = grid(col("n_chars"), c0, c1)
+    // 4-bit × 4-bit Morton interleave (the q170 bit pattern, one level deeper)
+    val zval = (shiftright(gu, 3) % 2) * 128 + (shiftright(gc, 3) % 2) * 64 +
+      (shiftright(gu, 2) % 2) * 32 + (shiftright(gc, 2) % 2) * 16 +
+      (shiftright(gu, 1) % 2) * 8 + (shiftright(gc, 1) % 2) * 4 +
+      (gu % 2) * 2 + (gc % 2)
+    df.withColumn("__graft_z", zval)
+      .repartitionByRange(ZCommitFiles, col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(dataDir)
+    val f = fs(s, root)
+    val files = f.listStatus(new Path(dataDir)).toSeq
+      .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    val stats = files.flatMap { p =>
+      val st = s.read.parquet(p).agg(count(lit(1)).cast("long"),
+        min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long"),
+        min(col("n_chars")).cast("long"), max(col("n_chars")).cast("long")).head()
+      if (st.getLong(0) == 0L) { f.delete(new Path(p), false); None }
+      else Some((p, st.getLong(0), st.getLong(1), st.getLong(2),
+        st.getLong(3), st.getLong(4)))
+    }
+    commitRetry(s, root) { prev =>
+      import s.implicits._
+      val k = prev + 1
+      val rows = stats.map { case (p, n, a, b, c, d) => (p, k, n, a, b, c, d) }
+        .toDF("path", "commit_id", "n_rows", "min_id", "max_id",
+          "min_chars", "max_chars")
+      val full = if (prev == 0L) rows
+        else manifest(s, root, prev).unionByName(rows)
+      (full, mergedSchema(tableSchema(s, root, prev), df.schema))
+    }
+  }
+
+  /** 2-D MANIFEST-PRUNED READ: rows with doc_id ∈ [iLo, iHi] AND
+    * n_chars ∈ [cLo, cHi], scanning only files whose manifest stats
+    * intersect BOTH intervals — the read the Z layout exists for.
+    */
+  def readRange2D(s: SparkSession, root: String, k: Long,
+      iLo: Long, iHi: Long, cLo: Long, cHi: Long): DataFrame = {
+    val paths = manifest(s, root, k)
+      .filter(col("max_id") >= iLo && col("min_id") <= iHi &&
+        col("max_chars") >= cLo && col("min_chars") <= cHi)
+      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    if (paths.isEmpty) return readSnapshot(s, root, k).filter(lit(false))
+    s.read.option("mergeSchema", "true").parquet(paths: _*)
+      .filter(col("doc_id").between(iLo, iHi) &&
+        col("n_chars").between(cLo, cHi))
+  }
+
+  private val zsBuiltCache = new graft.SessionCache
+
+  /** Seed the Z-clustered fixture table: the q203 two-commit split,
+    * each commit Z-ordered on (doc_id, n_chars).
+    */
+  def ensureZ(s: SparkSession, dir: String): String = {
+    zsBuiltCache.getOrElseUpdate(s, dir) {
+      val root = zsRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + ZsLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        appendZ(s, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+        appendZ(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    zsRoot(dir)
+  }
+
+  /** The q227 predicate windows — integer constants mirrored verbatim
+    * by the oracle; chosen inside every gate SF's domain so both
+    * intervals are selective.
+    */
+  val ZIdLo = 100L; val ZIdHi = 400L
+  val ZChLo = 150L; val ZChHi = 350L
+
+  /** q227: the CONJUNCTIVE 2-D range read over the Z-clustered table —
+    * both predicate dimensions prune the file list from the manifest's
+    * 2-D stats before Spark sees a path (SnapshotStoreSpec proves the
+    * Z store scans strictly fewer files for this conjunction than the
+    * 1-D range-clustered store at equal file counts — the q170
+    * experiment, graduated from simulated zone maps to a real layout
+    * the format maintains at every commit). Oracle = the verbatim
+    * two-interval predicate on the raw table.
+    */
+  val q227SnapshotZRead: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureZ(s, dir)
+    readRange2D(s, root, currentSnapshot(s, root), ZIdLo, ZIdHi, ZChLo, ZChHi)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** ORPHAN VACUUM: physically delete data files that NO manifest
     * (committed or torn) references and that are older than
     * `olderThanMs` — the files a crashed commit attempt or a lost
@@ -1439,7 +1577,8 @@ object SnapshotStore {
       "q223_snapshot_merge_join" -> q223SnapshotMergeJoin,
       "q224_snapshot_concurrent" -> q224SnapshotConcurrent,
       "q225_snapshot_change_feed" -> q225SnapshotChangeFeed,
-      "q226_snapshot_mv_filtered" -> q226SnapshotMvFiltered)
+      "q226_snapshot_mv_filtered" -> q226SnapshotMvFiltered,
+      "q227_snapshot_zorder_read" -> q227SnapshotZRead)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -1522,5 +1661,12 @@ object SnapshotStore {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'de')
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q227_snapshot_zorder_read" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id BETWEEN $ZIdLo AND $ZIdHi
+        |  AND n_chars BETWEEN $ZChLo AND $ZChHi
+        |GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -566,6 +566,46 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("z-clustered store: the 2-D conjunction prunes more files than the 1-D layout; rows exact") {
+    val zroot = SnapshotStore.ensureZ(spark, dir)
+    val root1d = SnapshotStore.ensure(spark, dir)
+    val zk = SnapshotStore.currentSnapshot(spark, zroot)
+    val (iLo, iHi) = (SnapshotStore.ZIdLo, SnapshotStore.ZIdHi)
+    val (cLo, cHi) = (SnapshotStore.ZChLo, SnapshotStore.ZChHi)
+    // value truth first
+    assert(rows(SnapshotStore.readRange2D(spark, zroot, zk, iLo, iHi, cLo, cHi)) ==
+      rows(docs.filter(col("doc_id").between(iLo, iHi) &&
+        col("n_chars").between(cLo, cHi))))
+    def files(root: String, k: Long, both: Boolean): Long = {
+      val m = SnapshotStore.manifest(spark, root, k)
+      val idHit = col("max_id") >= iLo && col("min_id") <= iHi
+      (if (both) m.filter(idHit &&
+          col("max_chars") >= cLo && col("min_chars") <= cHi)
+        else m.filter(idHit)).count()
+    }
+    val zTotal = SnapshotStore.manifest(spark, zroot, zk).count()
+    val zScanned = files(zroot, zk, both = true)
+    assert(zScanned < zTotal, "the z layout must skip files on the conjunction")
+    // the 1-D doc_id-clustered store can only prune on doc_id; express
+    // both scans as FRACTIONS of their layout's file count (the stores
+    // write different files-per-commit) — the z layout's conjunctive
+    // scan fraction must be strictly smaller
+    val oneDTotal = SnapshotStore.manifest(spark, root1d,
+      SnapshotStore.currentSnapshot(spark, root1d)).count()
+    val oneDScanned = files(root1d,
+      SnapshotStore.currentSnapshot(spark, root1d), both = false)
+    assert(zScanned.toDouble / zTotal < oneDScanned.toDouble / oneDTotal,
+      s"z: $zScanned/$zTotal vs 1-D: $oneDScanned/$oneDTotal — " +
+        "the interleaved layout must prune a larger fraction on the conjunction")
+    // and the n_chars interval alone prunes SOMETHING on the z layout
+    // (on the doc_id-clustered layout every file spans the full
+    // n_chars domain, so the same predicate prunes nothing there)
+    val zCharsOnly = SnapshotStore.manifest(spark, zroot, zk)
+      .filter(col("max_chars") >= cLo && col("min_chars") <= cHi).count()
+    assert(zCharsOnly < zTotal,
+      "the non-clustering dimension must prune files under the z layout")
+  }
+
   test("q222/q223/q224 agree with their closed-form expectations") {
     assert(rows(SnapshotStore.q222SnapshotMvIncremental(spark, dir)) ==
       rows(docs.groupBy(col("lang"), col("source"))
