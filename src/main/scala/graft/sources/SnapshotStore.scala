@@ -193,6 +193,7 @@ object SnapshotStore {
       s"commit $k is COMMITTED — breaking it would destroy a snapshot")
     f.delete(new Path(s"$root/manifests/m$k"), true)
     f.delete(new Path(s"$root/manifests/s$k.json"), false)
+    f.delete(new Path(s"$root/manifests/t$k"), false)
     f.delete(claimPath(root, k), false)
   }
 
@@ -216,6 +217,7 @@ object SnapshotStore {
       val (rows, schema) = body(prev)
       if (tryClaim(s, root, k)) {
         writeSchema(s, root, k, schema)
+        writeCommitTime(s, root, k)
         commitManifest(s, root, k, rows)
         return k
       }
@@ -323,6 +325,58 @@ object SnapshotStore {
       b.toString("UTF-8")
     } finally in.close()
     Some(DataType.fromJson(json).asInstanceOf[StructType])
+  }
+
+  /** Record commit k's wall-clock timestamp (`manifests/t<k>`, epoch
+    * millis) — written by the claim holder before the manifest, so a
+    * committed snapshot always has one; the metadata behind
+    * `AS OF TIMESTAMP` time travel ([[snapshotAsOf]]).
+    */
+  private def writeCommitTime(s: SparkSession, root: String, k: Long): Unit = {
+    val out = fs(s, root).create(new Path(s"$root/manifests/t$k"), true)
+    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Commit k's recorded wall-clock time, falling back to the manifest
+    * directory's mtime for stores written before the sidecar existed.
+    */
+  def commitTimeOf(s: SparkSession, root: String, k: Long): Long = {
+    val p = new Path(s"$root/manifests/t$k")
+    val f = fs(s, root)
+    if (f.exists(p)) {
+      val in = f.open(p)
+      try new String({
+        val b = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n >= 0) { b.write(buf, 0, n); n = in.read(buf) }
+        b.toByteArray
+      }, "UTF-8").trim.toLong
+      finally in.close()
+    } else f.getFileStatus(new Path(s"$root/manifests/m$k")).getModificationTime
+  }
+
+  /** `AS OF TIMESTAMP` resolution: the LATEST committed snapshot whose
+    * commit time is ≤ `tsMillis` — 0 (the empty table) when every
+    * commit is later. One `manifests/` listing plus one tiny sidecar
+    * read per committed snapshot; commit times are monotone in k
+    * because commits serialize through the claim CAS, so the answer is
+    * well-defined. Wall-clock metadata is inherently
+    * environment-dependent, so this carries a spec (resolution at,
+    * between, before and after the recorded instants) rather than a
+    * DuckDB-oracled query.
+    */
+  def snapshotAsOf(s: SparkSession, root: String, tsMillis: Long): Long = {
+    val mdir = new Path(s"$root/manifests")
+    val f = fs(s, root)
+    if (!f.exists(mdir)) return 0L
+    f.listStatus(mdir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("m") && p.getName.drop(1).forall(_.isDigit) &&
+        f.exists(new Path(p, "_SUCCESS")))
+      .map(_.getName.drop(1).toLong)
+      .filter(k => commitTimeOf(s, root, k) <= tsMillis)
+      .foldLeft(0L)(math.max)
   }
 
   /** Snapshot k's schema: the stored sidecar, falling back to the
@@ -584,6 +638,7 @@ object SnapshotStore {
       val id = p.getName.drop(1).toLong
       f.delete(p, true)
       f.delete(new Path(s"$root/manifests/s$id.json"), false)
+      f.delete(new Path(s"$root/manifests/t$id"), false)
       f.delete(claimPath(root, id), false)
     }
   }

@@ -566,6 +566,26 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("AS OF TIMESTAMP: resolution at, between, before and after the recorded commit instants") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    val t1 = SnapshotStore.commitTimeOf(spark, root, 1L)
+    val t2 = SnapshotStore.commitTimeOf(spark, root, 2L)
+    assert(t1 <= t2, "commit times must be monotone in the snapshot id")
+    assert(SnapshotStore.snapshotAsOf(spark, root, t1 - 1) == 0L,
+      "before the first commit the table is empty")
+    assert(SnapshotStore.snapshotAsOf(spark, root, t1) == 1L ||
+      t1 == t2, // sub-ms commits collapse to the later snapshot
+      "at commit 1's instant the table is snapshot 1")
+    assert(SnapshotStore.snapshotAsOf(spark, root, t2) == 2L)
+    assert(SnapshotStore.snapshotAsOf(spark, root, t2 + 3600000L) == 2L,
+      "any later instant resolves to the current snapshot")
+    // the resolved id composes with readSnapshot — timestamp travel
+    // IS snapshot travel after resolution
+    val k = SnapshotStore.snapshotAsOf(spark, root, t2)
+    assert(rows(SnapshotStore.readSnapshot(spark, root, k)) == rows(docs))
+  }
+
   test("z-clustered store: the 2-D conjunction prunes more files than the 1-D layout; rows exact") {
     val zroot = SnapshotStore.ensureZ(spark, dir)
     val root1d = SnapshotStore.ensure(spark, dir)
