@@ -341,6 +341,48 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(halves.map(rows).contains(s1))
   }
 
+  test("claim CAS: a CONFLICTING pair (append vs COW delete) serializes — both effects land whoever wins") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    val sdocs = spark.read.parquet(s"$d/documents.parquet")
+    val extra = sdocs.limit(40)
+      .withColumn("doc_id", col("doc_id") + 4000000L)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    // an append and a REWRITE mutation race: the loser must RECOMPUTE
+    // against the winner's snapshot (a rebased manifest union would be
+    // wrong for the delete), which commitRetry does by re-running the
+    // whole body against the new current state
+    val threads = Seq(
+      new Thread(() => try SnapshotStore.append(spark, root, extra)
+        catch { case t: Throwable => errs.add(t) }),
+      new Thread(() => try SnapshotStore.deleteRange(spark, root, 100L, 250L)
+        catch { case t: Throwable => errs.add(t) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"conflicting writers failed: ${Option(errs.peek())}")
+    assert(SnapshotStore.currentSnapshot(spark, root) == 4L,
+      "both mutations must land as commits 3 and 4")
+    // the end state is ORDER-INDEPENDENT here: the deleted window and
+    // the appended keys are disjoint, so both serializations agree —
+    // every appended row present, every windowed row gone
+    val end = SnapshotStore.readSnapshot(spark, root, 4L)
+    assert(end.filter(col("doc_id") >= 4000000L).count() == 40L,
+      "the append must survive the concurrent delete")
+    assert(end.filter(col("doc_id").between(100L, 250L)).count() == 0L,
+      "the delete must survive the concurrent append")
+    assert(rows(end) == rows(sdocs.filter(!col("doc_id").between(100L, 250L))
+      .unionByName(extra)))
+  }
+
+  test("compaction breaks the append-only fold precondition exactly like a delete") {
+    val d = scratchCorpus()
+    val storeRoot = SnapshotStore.ensure(spark, d)
+    assert(SnapshotStore.ensureSnapshotMvValidated(spark, storeRoot, d) == "recompute")
+    SnapshotStore.compact(spark, storeRoot) // commit 3: every file replaced
+    assert(!SnapshotStore.appendOnlySince(spark, storeRoot, 2L, 3L))
+    assert(SnapshotStore.ensureSnapshotMvValidated(spark, storeRoot, d) == "recompute",
+      "a compaction commit must force the recompute path")
+  }
+
   test("torn claim: a dead claimant blocks the id LOUDLY; breakClaim releases it") {
     val d = scratchCorpus()
     val root = SnapshotStore.ensure(spark, d)
