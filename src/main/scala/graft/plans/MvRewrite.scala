@@ -48,8 +48,8 @@ import org.apache.spark.sql.types.DoubleType
   *
   * A SECOND matched shape answers aggregates over a registered STAR —
   * any tree of INNER equi-joins across registered scans — from a
-  * PRE-JOINED view ([[registerStar]]; [[registerJoin]] is the
-  * two-table convenience): groupings over dims from ANY side,
+  * PRE-JOINED view ([[registerStar]]; a two-table join MV is the
+  * one-condition special case): groupings over dims from ANY side,
   * dim-only filters wherever pushdown left them (above any join or
   * inside any side). The tree is fingerprinted as the SET of scan
   * path groups × the SET of normalized key-name pairs, so the match
@@ -156,16 +156,6 @@ object MvRewrite extends Rule[LogicalPlan] {
     registry.put((uuidOf(s), sourcePaths.sorted), entry)
   }
 
-  /** The equi-join key pair a JOIN MV is defined over (names on the
-    * fact and dim source scans). Registration contract: the two
-    * source tables have DISJOINT column names (true of every fixture
-    * pair — TPC-H prefixes), and `dimKey` is UNIQUE on the dim side —
-    * the precondition for the pre-joined aggregate to count each fact
-    * row exactly once, validated at registration by [[registerJoin]]'s
-    * caller building the view from the same inner join it registers.
-    */
-  final case class JoinKeys(factKey: String, dimKey: String)
-
   /** (owning session UUID, SET of scan root-path groups, SET of
     * normalized equi-key name pairs) → pre-joined view. SET-keyed on
     * purpose: inner equi-joins are associative and commutative, so
@@ -180,12 +170,6 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private def normPair(a: String, b: String): (String, String) =
     if (a <= b) (a, b) else (b, a)
-
-  /** Register (or replace) the JOIN MV for a (fact ⋈ dim) pair. */
-  def registerJoin(s: SparkSession, factPaths: Seq[String],
-      dimPaths: Seq[String], keys: JoinKeys, entry: MvEntry): Unit =
-    registerStar(s, Set(factPaths, dimPaths),
-      Set(keys.factKey -> keys.dimKey), entry)
 
   /** Register (or replace) a STAR MV: an aggregate over any tree of
     * INNER equi-joins across `paths` (one entry per table's exact scan
