@@ -126,16 +126,27 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def uuidOf(s: SparkSession): String =
     org.apache.spark.sql.graft.Bridge.sessionUuid(s)
 
-  private val cleanupInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Applications whose context already carries the cleanup listener —
+    * keyed by `applicationId`, NOT a JVM-global one-shot, so a LATER
+    * SparkContext in the same JVM (tests, notebook restarts) installs
+    * its own listener instead of leaking registrations forever after
+    * the first context stops (ADVICE r14 low). `onApplicationEnd`
+    * retires the key so the next context re-installs.
+    */
+  private val cleanupInstalled = TrieMap.empty[String, Boolean]
 
-  private def installCleanup(s: SparkSession): Unit =
-    if (cleanupInstalled.compareAndSet(false, true))
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+  private def installCleanup(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    val appId = sc.applicationId
+    if (cleanupInstalled.putIfAbsent(appId, true).isEmpty)
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           registry.clear(); starRegistry.clear()
+          cleanupInstalled.remove(appId)
         }
       })
+  }
 
   /** Drop every registration owned by `s` — the hook a multi-session
     * host calls on session retirement, releasing the cached relation

@@ -192,8 +192,10 @@ object SnapshotStore {
     require(!f.exists(new Path(s"$root/manifests/m$k/_SUCCESS")),
       s"commit $k is COMMITTED — breaking it would destroy a snapshot")
     f.delete(new Path(s"$root/manifests/m$k"), true)
-    f.delete(new Path(s"$root/manifests/s$k.json"), false)
-    f.delete(new Path(s"$root/manifests/t$k"), false)
+    // recursive: a sidecar path poisoned into a directory (fault
+    // injection, operator error) must still release cleanly
+    f.delete(new Path(s"$root/manifests/s$k.json"), true)
+    f.delete(new Path(s"$root/manifests/t$k"), true)
     f.delete(claimPath(root, k), false)
   }
 
@@ -216,9 +218,23 @@ object SnapshotStore {
       val k = prev + 1
       val (rows, schema) = body(prev)
       if (tryClaim(s, root, k)) {
-        writeSchema(s, root, k, schema)
-        writeCommitTime(s, root, k)
-        commitManifest(s, root, k, rows)
+        // Self-release on a RECOVERABLE post-claim failure: the claim
+        // holder knows its own commit failed, so it cleans up (partial
+        // manifest + sidecars + claim) before rethrowing instead of
+        // leaving the table blocked until a human runs [[breakClaim]]
+        // — that path is reserved for writers that DIED (ADVICE r14).
+        // If `_SUCCESS` already landed the commit is durable and must
+        // never be destroyed by its own error handling.
+        try {
+          writeSchema(s, root, k, schema)
+          writeCommitTime(s, root, k)
+          commitManifest(s, root, k, rows)
+        } catch {
+          case t: Throwable =>
+            if (!fs(s, root).exists(new Path(s"$root/manifests/m$k/_SUCCESS")))
+              try breakClaim(s, root, k) catch { case c: Throwable => t.addSuppressed(c) }
+            throw t
+        }
         return k
       }
       // lost the race: rebase on the winner's commit and retry
@@ -496,11 +512,17 @@ object SnapshotStore {
         .select("path").collect().map(_.getString(0)).toIndexedSeq
       val untouched = m.filter(!(col("max_id") >= lo && col("min_id") <= hi))
       val schema = tableSchema(s, root, prev)
+      // NULL-SAFE keep predicate: `!between` alone evaluates to NULL
+      // (dropped) for NULL doc_id — and all-null-id files are always
+      // "affected" (their stats are the open interval), so a plain
+      // range delete would erase every null-id row it touches. SQL
+      // DELETE semantics: a NULL key satisfies no range predicate,
+      // so null-id rows are KEPT (ADVICE r14 medium).
       val rewritten =
         if (affected.isEmpty) Nil
         else writeDataFiles(s, root,
           s.read.option("mergeSchema", "true").parquet(affected: _*)
-            .filter(!col("doc_id").between(lo, hi)))
+            .filter(col("doc_id").isNull || !col("doc_id").between(lo, hi)))
       (untouched.unionByName(manifestRows(s, rewritten, k)), schema)
     }
 
@@ -619,9 +641,16 @@ object SnapshotStore {
       s"expire(keepFrom=$keepFrom) would drop the current snapshot " +
         s"${currentSnapshot(s, root)}")
     val f = fs(s, root)
+    // COMMITTED manifests only (`_SUCCESS`) — the same filter every
+    // reader applies: a torn in-flight manifest (id current+1) must
+    // not land in `kept`, where reading its partial/empty directory
+    // could fail expire mid-sweep; its new files are protected by the
+    // committed predecessor and reclaimed by vacuum/breakClaim
+    // (ADVICE r14 low).
     val all = f.listStatus(new Path(s"$root/manifests")).toSeq
       .map(_.getPath)
-      .filter(p => p.getName.startsWith("m") && p.getName.drop(1).forall(_.isDigit))
+      .filter(p => p.getName.startsWith("m") && p.getName.drop(1).forall(_.isDigit) &&
+        f.exists(new Path(p, "_SUCCESS")))
     val (dropped, kept) = all.partition(_.getName.drop(1).toLong < keepFrom)
     if (dropped.isEmpty) return
     val paths = (ms: Seq[Path]) =>
@@ -1305,13 +1334,45 @@ object SnapshotStore {
       valueCols.map(c => col(c).as(s"n_$c"))): _*)
     val changed = valueCols.map(c =>
       !(col(s"o_$c") <=> col(s"n_$c"))).reduceOption(_ || _).getOrElse(lit(false))
-    o.join(n, col("o_id") === col("n_id"), "full_outer")
+    // Non-null keys carry row identity: the keyed full-outer join
+    // classifies them. A NULL key has NO identity — `===` never
+    // matches it (so a verbatim-carried null-key row would read as a
+    // spurious delete+insert pair), and a null-safe `<=>` would CROSS
+    // every null-key old row with every null-key new row. The correct
+    // semantics (ADVICE r14): compare the null-key rows as WHOLE-ROW
+    // MULTISETS — equal rows cancel (a verbatim rewrite is not a
+    // change), excess on the new side is that many inserts, excess on
+    // the old side that many deletes; "update" is undefined without
+    // identity.
+    val keyed = o.filter(col("o_id").isNotNull)
+      .join(n.filter(col("n_id").isNotNull),
+        col("o_id") === col("n_id"), "full_outer")
       .withColumn("change_type",
         when(col("o_id").isNull, lit("insert"))
           .when(col("n_id").isNull, lit("delete"))
           .when(changed, lit("update")))
       .filter(col("change_type").isNotNull) // verbatim rewrites are not changes
       .withColumn("doc_id", coalesce(col("n_id"), col("o_id")))
+    val idT = oldRows.schema("doc_id").dataType
+    val rowEq = valueCols.map(c => col(s"o_$c") <=> col(s"n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val ins = col("__d") > 0
+    val nullFeed = o.filter(col("o_id").isNull)
+      .groupBy(valueCols.map(c => col(s"o_$c")): _*).agg(count(lit(1)).as("__oc"))
+      .join(n.filter(col("n_id").isNull)
+          .groupBy(valueCols.map(c => col(s"n_$c")): _*).agg(count(lit(1)).as("__nc")),
+        rowEq, "full_outer")
+      .withColumn("__d",
+        coalesce(col("__nc"), lit(0L)) - coalesce(col("__oc"), lit(0L)))
+      .filter(col("__d") =!= 0)
+      .withColumn("__i", explode(sequence(lit(1L), abs(col("__d")))))
+      .select((Seq(lit(null).cast(idT).as("o_id")) ++
+        valueCols.map(c => when(!ins, col(s"o_$c")).as(s"o_$c")) ++
+        Seq(lit(null).cast(idT).as("n_id")) ++
+        valueCols.map(c => when(ins, col(s"n_$c")).as(s"n_$c")) ++
+        Seq(when(ins, lit("insert")).otherwise(lit("delete")).as("change_type"),
+          lit(null).cast(idT).as("doc_id"))): _*)
+    keyed.unionByName(nullFeed)
   }
 
   /** q225: the CHANGE FEED of the q211 merge commit (snapshot 2 → 3 of

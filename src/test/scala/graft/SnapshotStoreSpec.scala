@@ -427,6 +427,71 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(rows(SnapshotStore.readSnapshot(spark, root, 2L)) == rows(docs))
   }
 
+  test("null keys: range delete keeps null-id rows; the feed treats them as identity-less multisets") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_snapnull_").toString + "/tbl"
+    val base = Seq(
+      (Option(1L), "a", 10L), (Option(250L), "b", 20L),
+      (Option.empty[Long], "x", 30L), (Option.empty[Long], "x", 30L))
+      .toDF("doc_id", "tag", "v")
+    SnapshotStore.append(spark, root, base)
+    // SQL DELETE semantics: a NULL key satisfies no range predicate —
+    // the null-id rows survive even though their file (open-interval
+    // stats) is always in the affected set (ADVICE r14 medium)
+    SnapshotStore.deleteRange(spark, root, 200L, 300L)
+    val after = SnapshotStore.readSnapshot(spark, root, 2L)
+    assert(after.count() == 3L)
+    assert(after.filter(col("doc_id").isNull).count() == 2L,
+      "range delete must keep null-key rows")
+    assert(after.filter(col("doc_id") === 250L).count() == 0L)
+    // change feed across the rewrite: the verbatim-carried null rows
+    // are NOT changes (multiset cancel); the real delete is reported
+    val feed = SnapshotStore.changeFeed(spark, root, 1L, 2L)
+    assert(feed.count() == 1L, s"feed must report only the real delete")
+    val d0 = feed.head()
+    assert(d0.getAs[String]("change_type") == "delete" &&
+      d0.getAs[Long]("o_id") == 250L)
+    // an appended EXTRA null row surfaces as exactly one insert
+    SnapshotStore.append(spark, root,
+      Seq((Option.empty[Long], "x", 30L)).toDF("doc_id", "tag", "v"))
+    val feed2 = SnapshotStore.changeFeed(spark, root, 2L, 3L)
+    assert(feed2.count() == 1L)
+    val i0 = feed2.head()
+    assert(i0.getAs[String]("change_type") == "insert" &&
+      i0.isNullAt(i0.fieldIndex("n_id")) &&
+      i0.getAs[String]("n_tag") == "x")
+  }
+
+  test("post-claim failure self-releases: a transient commit error never blocks the table") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    // poison the schema-sidecar path into a non-empty DIRECTORY so the
+    // claim holder's writeSchema throws after a successful claim
+    val local = root.stripPrefix("file:")
+    Files.createDirectories(Paths.get(s"$local/manifests/s3.json/poison"))
+    intercept[Exception](SnapshotStore.append(spark, root, docs.limit(3)))
+    // the failed writer released its OWN claim (ADVICE r14): no human
+    // breakClaim needed — after removing the fault the next commit
+    // claims id 3 immediately (a leaked claim would throw torn-claim)
+    assert(!Files.exists(Paths.get(s"$local/manifests/claim3")),
+      "the failed claim holder must self-release its claim")
+    assert(SnapshotStore.currentSnapshot(spark, root) == 2L)
+    assert(SnapshotStore.append(spark, root, docs.limit(3)) == 3L)
+  }
+
+  test("expire ignores a torn in-flight manifest instead of failing on it") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    SnapshotStore.append(spark, root, docs.limit(4)) // commit 3
+    // a torn manifest directory (no _SUCCESS) from an in-flight writer
+    val local = root.stripPrefix("file:")
+    Files.createDirectories(Paths.get(s"$local/manifests/m4"))
+    SnapshotStore.expire(spark, root, keepFrom = 2L) // must not throw
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 3L)).size ==
+      docs.count() + 4)
+    intercept[Exception](SnapshotStore.manifest(spark, root, 1L).collect())
+  }
+
   test("mergeInto join path == collect path (the distributed affected-file decision)") {
     val changesOf = (sdocs: org.apache.spark.sql.DataFrame) =>
       sdocs.filter(col("doc_id").between(10, 20))
