@@ -582,28 +582,38 @@ object SnapshotStore {
     * their key set.
     */
   def mergeInto(s: SparkSession, root: String, changes: DataFrame): Long = {
-    val nChanges = changes.count()
-    require(nChanges > 0, "mergeInto with an empty change set")
-    val threshold = changes.sparkSession.conf
-      .getOption(MergeJoinThresholdKey).map(_.toLong).getOrElse(100000L)
-    commitRetry(s, root) { prev =>
-      require(prev > 0, "mergeInto on an empty table")
-      val k = prev + 1
-      val m = manifest(s, root, prev)
-      val affected =
-        if (nChanges >= threshold) affectedByJoin(s, m, changes)
-        else affectedByCollect(s, m, changes)
-      val untouched = m.filter(!col("path").isin(affected.toSeq: _*))
-      val base =
-        if (affected.isEmpty) changes
-        else s.read.option("mergeSchema", "true")
-          .parquet(affected.toIndexedSeq: _*)
-          .join(changes.select("doc_id"), Seq("doc_id"), "left_anti")
-          .unionByName(changes, allowMissingColumns = true)
-      val rewritten = manifestRows(s, writeDataFiles(s, root, base), k)
-      (untouched.unionByName(rewritten),
-        mergedSchema(tableSchema(s, root, prev), changes.schema))
-    }
+    // The change set is read by the path decision AND the rewrite (and
+    // again per claim-race retry) — but `changes` is caller-supplied
+    // and may be an arbitrarily expensive unmaterialized plan, so it
+    // is CACHED for the merge's duration and its input plan computes
+    // exactly ONCE (spec-witnessed with a side-effect-counting
+    // source; ADVICE/VERDICT r14). The cache is O(|commit|), never
+    // O(table) — the same bound as the data files the merge writes.
+    val cached = changes.persist()
+    try {
+      val nChanges = cached.count() // materializes the cache
+      require(nChanges > 0, "mergeInto with an empty change set")
+      val threshold = changes.sparkSession.conf
+        .getOption(MergeJoinThresholdKey).map(_.toLong).getOrElse(100000L)
+      commitRetry(s, root) { prev =>
+        require(prev > 0, "mergeInto on an empty table")
+        val k = prev + 1
+        val m = manifest(s, root, prev)
+        val affected =
+          if (nChanges >= threshold) affectedByJoin(s, m, cached)
+          else affectedByCollect(s, m, cached)
+        val untouched = m.filter(!col("path").isin(affected.toSeq: _*))
+        val base =
+          if (affected.isEmpty) cached
+          else s.read.option("mergeSchema", "true")
+            .parquet(affected.toIndexedSeq: _*)
+            .join(cached.select("doc_id"), Seq("doc_id"), "left_anti")
+            .unionByName(cached, allowMissingColumns = true)
+        val rewritten = manifestRows(s, writeDataFiles(s, root, base), k)
+        (untouched.unionByName(rewritten),
+          mergedSchema(tableSchema(s, root, prev), changes.schema))
+      }
+    } finally cached.unpersist(false)
   }
 
   /** COMPACTION as commit `current + 1`: the current snapshot's whole
@@ -620,6 +630,26 @@ object SnapshotStore {
       val k = prev + 1
       val rewritten = writeDataFiles(s, root, readSnapshot(s, root, prev))
       (manifestRows(s, rewritten, k), tableSchema(s, root, prev))
+    }
+
+  /** ROLLBACK: re-commit snapshot k's exact file list as
+    * `current + 1` through the same claim CAS — the recovery from a
+    * bad merge/delete that completes the lifecycle: the table returns
+    * to byte-identity with snapshot k while the bad commits REMAIN
+    * addressable history (time travel still reads them; [[expire]]
+    * eventually reclaims them). No data moves — a restore is pure
+    * metadata, O(#files) manifest rows; the carried rows keep their
+    * ORIGINAL commit ids, so append-only diffs against pre-restore
+    * snapshots stay meaningful, and [[changeFeed]] (path-set
+    * semantics) reports the restore as the INVERSE of the rolled-back
+    * mutation.
+    */
+  def restore(s: SparkSession, root: String, k: Long): Long =
+    commitRetry(s, root) { prev =>
+      require(k >= 1 && k <= prev, s"restore($k): snapshot must be committed (current $prev)")
+      require(fs(s, root).exists(new Path(s"$root/manifests/m$k/_SUCCESS")),
+        s"restore($k): snapshot $k is not addressable (expired or torn)")
+      (manifest(s, root, k), tableSchema(s, root, k))
     }
 
   /** SNAPSHOT EXPIRATION: drop every manifest with id < `keepFrom`,
@@ -1313,14 +1343,19 @@ object SnapshotStore {
     */
   def changeFeed(s: SparkSession, root: String, j: Long, k: Long): DataFrame = {
     require(j < k, s"changeFeed needs j < k, got $j -> $k")
+    // Replaced/written resolve by PATH-SET DIFFERENCE between the two
+    // manifests, not by commit id: for ordinary commits the two are
+    // equivalent (a path never re-enters a manifest), but a RESTORE
+    // commit re-adds paths that j dropped under their ORIGINAL commit
+    // ids — the set difference reports them as written, so the feed
+    // across a rollback is exactly the inverse of the rolled-back
+    // mutation.
     val mj = manifest(s, root, j).select("path")
       .collect().map(_.getString(0)).toSet
-    val mk = manifest(s, root, k)
-    val kept = mk.filter(col("commit_id") <= j).select("path")
+    val mkPaths = manifest(s, root, k).select("path")
       .collect().map(_.getString(0)).toSet
-    val replaced = (mj -- kept).toIndexedSeq
-    val written = mk.filter(col("commit_id") > j).select("path")
-      .collect().map(_.getString(0)).toIndexedSeq
+    val replaced = (mj -- mkPaths).toIndexedSeq
+    val written = (mkPaths -- mj).toIndexedSeq
     def readAll(paths: Seq[String], like: Long): DataFrame =
       if (paths.isEmpty) s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema(s, root, like))
@@ -1528,6 +1563,64 @@ object SnapshotStore {
       .orderBy(col("lang"))
   }
 
+  // ---- the RESTORE store (q228): rollback as a first-class commit --
+
+  /** Restore-store layout version. */
+  private val RsLayout = 1L
+
+  private[graft] def rsRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snaprs")
+
+  private val rsBuiltCache = new graft.SessionCache
+
+  /** Seed, DAMAGE, RESTORE: the 2-commit seed, a "bad" merge (q211's
+    * CDC batch standing in for the operator error) as commit 3, then
+    * [[restore]](2) as commit 4 — so the CURRENT snapshot is
+    * byte-identical to the pre-merge table while the bad commit stays
+    * addressable history. The build asserts the rollback round-trip;
+    * q228 hash-checks the restored table against the raw table — a
+    * restore that lost or duplicated a single row goes red.
+    */
+  def ensureRestored(s: SparkSession, dir: String): String = {
+    rsBuiltCache.getOrElseUpdate(s, dir) {
+      val root = rsRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + RsLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+        mergeInto(s, root, mergeChanges(docs)) // the "bad" commit
+        val k = restore(s, root, 2L)
+        require(k == 4L, s"restore must land as the next commit, got $k")
+        require(fs(s, root).exists(new Path(s"$root/manifests/m3/_SUCCESS")),
+          "the rolled-back commit must remain addressable history")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    rsRoot(dir)
+  }
+
+  /** q228: the RESTORED table read back — the current snapshot after
+    * rolling back the bad merge, aggregated per source. Oracle = the
+    * verbatim raw-table SQL: correct iff the rollback returned the
+    * table to exactly the pre-merge rows (the merge's updates and
+    * inserts all gone) without touching a data file.
+    */
+  val q228SnapshotRestore: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureRestored(s, dir)
+    readSnapshot(s, root, currentSnapshot(s, root))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"))
+  }
+
   // ---- SCHEMA EVOLUTION (q212): a later commit adds a column -------
 
   /** Evolution-store layout version. */
@@ -1694,7 +1787,8 @@ object SnapshotStore {
       "q224_snapshot_concurrent" -> q224SnapshotConcurrent,
       "q225_snapshot_change_feed" -> q225SnapshotChangeFeed,
       "q226_snapshot_mv_filtered" -> q226SnapshotMvFiltered,
-      "q227_snapshot_zorder_read" -> q227SnapshotZRead)
+      "q227_snapshot_zorder_read" -> q227SnapshotZRead,
+      "q228_snapshot_restore" -> q228SnapshotRestore)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -1784,5 +1878,10 @@ object SnapshotStore {
         |FROM documents
         |WHERE doc_id BETWEEN $ZIdLo AND $ZIdHi
         |  AND n_chars BETWEEN $ZChLo AND $ZChHi
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q228_snapshot_restore" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 }

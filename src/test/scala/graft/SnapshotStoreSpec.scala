@@ -427,6 +427,59 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(rows(SnapshotStore.readSnapshot(spark, root, 2L)) == rows(docs))
   }
 
+  test("restore: rollback is byte-identical to snapshot k; history stays addressable; the feed is the inverse mutation") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    val before = rows(SnapshotStore.readSnapshot(spark, root, 2L))
+    val bad = docs.filter(col("doc_id").between(10, 40))
+      .withColumn("n_chars", col("n_chars") + 5)
+      .unionByName(docs.filter(col("doc_id").isin(3, 6))
+        .withColumn("doc_id", col("doc_id") + 5000000L))
+    SnapshotStore.mergeInto(spark, root, bad) // commit 3: the damage
+    val feedBad = SnapshotStore.changeFeed(spark, root, 2L, 3L).collect()
+    assert(SnapshotStore.restore(spark, root, 2L) == 4L)
+    // byte-identity with the restored snapshot; pure metadata (the
+    // restore commit writes NO data files — manifest 4 == manifest 2)
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 4L)) == before)
+    assert(rows(SnapshotStore.manifest(spark, root, 4L)) ==
+      rows(SnapshotStore.manifest(spark, root, 2L)))
+    // the bad commit REMAINS addressable history
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 3L)) != before)
+    // the feed across the restore is the INVERSE of the bad mutation
+    val feedBack = SnapshotStore.changeFeed(spark, root, 3L, 4L).collect()
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id")
+    val badUpd = feedBad.filter(_.getAs[String]("change_type") == "update")
+      .map(r => (key(r), r.getAs[Long]("o_n_chars"), r.getAs[Long]("n_n_chars"))).sorted
+    val backUpd = feedBack.filter(_.getAs[String]("change_type") == "update")
+      .map(r => (key(r), r.getAs[Long]("n_n_chars"), r.getAs[Long]("o_n_chars"))).sorted
+    assert(badUpd.nonEmpty && badUpd.toSeq == backUpd.toSeq,
+      "restore must invert every update (pre/post images swapped)")
+    assert(feedBad.filter(_.getAs[String]("change_type") == "insert").map(key).sorted.toSeq ==
+      feedBack.filter(_.getAs[String]("change_type") == "delete").map(key).sorted.toSeq,
+      "the bad merge's inserts must come back as the restore's deletes")
+    // a non-addressable snapshot refuses
+    intercept[IllegalArgumentException](SnapshotStore.restore(spark, root, 99L))
+  }
+
+  test("mergeInto materializes its change plan exactly once") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    val acc = spark.sparkContext.longAccumulator("graft_change_scans")
+    val changeRows = docs.filter(col("doc_id").between(10, 30))
+      .withColumn("n_chars", col("n_chars") + 9).collect()
+    val rdd = spark.sparkContext.parallelize(changeRows.toIndexedSeq, 2)
+      .mapPartitions { it => acc.add(1L); it }
+    val changes = spark.createDataFrame(rdd, docs.schema)
+    SnapshotStore.mergeInto(spark, root, changes)
+    // the side-effecting source computed once per partition: the path
+    // decision, the anti-join and the rewrite all read the CACHE
+    assert(acc.value == 2L,
+      s"the change plan must compute exactly once, saw ${acc.value / 2.0}x")
+    assert(SnapshotStore.readSnapshot(spark, root, 3L)
+      .filter(col("doc_id").between(10, 30) &&
+        !(col("doc_id") - 9).isNull).count() == changeRows.length)
+  }
+
   test("null keys: range delete keeps null-id rows; the feed treats them as identity-less multisets") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_snapnull_").toString + "/tbl"
