@@ -18,13 +18,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * snapshot listing the table's full file set, and a commit protocol
   * where the manifest write is the commit point.
   *
-  * Layout under the artifact root:
+  * Layout under the artifact root (the MANIFEST-LIST shape — the
+  * Iceberg split of snapshot metadata into immutable manifest files
+  * plus a tiny per-snapshot list that REUSES them):
   * {{{
   *   data/c<token>/part-*.parquet -- one commit attempt's immutable
   *                                   data files (token-unique, so
   *                                   concurrent attempts never collide)
-  *   manifests/m<k>/              -- snapshot k: (path, commit_id,
-  *                                   n_rows, min_id, max_id), parquet;
+  *   manifests/f<token>/          -- an immutable MANIFEST FILE:
+  *                                   (path, commit_id, n_rows, min_id,
+  *                                   max_id[, min_chars, max_chars],
+  *                                   mpath) rows, one per data file;
+  *                                   written once, shared by every
+  *                                   snapshot whose list names it
+  *   manifests/m<k>/              -- snapshot k's MANIFEST LIST: one
+  *                                   (mpath) row per manifest file;
   *                                   _SUCCESS is the commit marker
   *   manifests/s<k>.json          -- snapshot k's table schema (JSON),
   *                                   so an EMPTY snapshot stays readable
@@ -32,6 +40,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *                                   that serializes concurrent writers
   *   meta/                        -- the store's own build signature
   * }}}
+  *
+  * Why the indirection: with m<k> holding the full data-file row set
+  * (the pre-round-15 shape), a ONE-FILE append onto a 10⁶-file table
+  * rewrites a million metadata rows every commit — O(#live files)
+  * write amplification on the metadata path. With the list shape, an
+  * append writes ONE new manifest file with O(|commit|) rows plus a
+  * list of O(#manifest files) path strings; every prior manifest file
+  * is reused BY REFERENCE. Rewrite commits (delete/merge) rewrite only
+  * the manifest files that actually reference a replaced data file;
+  * [[restore]] is pure list reuse (zero manifest rows written).
   *
   * Invariants the protocol buys (all spec-pinned):
   *   - APPEND-ONLY + MANIFEST-LAST: data files land first; the
@@ -72,10 +90,13 @@ object SnapshotStore {
 
   /** Store layout version, folded into the build signature. Bumped to
     * 3 when commits gained the claim-file CAS protocol, per-snapshot
-    * schema sidecars, and token-unique data directories (older stored
-    * stores rebuild once).
+    * schema sidecars, and token-unique data directories; to 4 when
+    * snapshots gained the MANIFEST-LIST shape (m<k> names immutable
+    * manifest FILES instead of repeating every data-file row), so
+    * commit metadata cost is O(|commit|), not O(#live files) (older
+    * stored stores rebuild once).
     */
-  private val SnapLayout = 3L
+  private val SnapLayout = 4L
 
   /** Files per commit in the seeded store — each commit is
     * range-clustered on doc_id across this many files, so the per-file
@@ -130,12 +151,66 @@ object SnapshotStore {
       .foldLeft(0L)(math.max)
   }
 
+  /** Snapshot k's MANIFEST LIST: the manifest-file paths composing it.
+    * One tiny read of m<k> (O(#manifest files) strings). A pre-list
+    * store (legacy: m<k> holds the data rows directly) reads as a
+    * single-entry list naming its own directory, so every reader
+    * below handles both shapes through one code path.
+    */
+  private[graft] def listOf(s: SparkSession, root: String, k: Long): Seq[String] = {
+    if (k == 0L) return Nil
+    val m = s.read.parquet(s"$root/manifests/m$k")
+    if (m.columns.contains("mpath"))
+      m.select("mpath").collect().map(_.getString(0)).toIndexedSeq
+    else Seq(s"$root/manifests/m$k")
+  }
+
+  /** The manifest-row schema of an EMPTY snapshot (a whole-table
+    * delete leaves a list naming one zero-row manifest file, but a
+    * fully-expired edge can leave none).
+    */
+  private def emptyManifest(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(String, Long, Long, Long, Long, String)]
+      .toDF("path", "commit_id", "n_rows", "min_id", "max_id", "mpath")
+  }
+
+  /** Manifest k WITH each row's owning manifest-file path (`mpath`) —
+    * the column rewrite commits group by to decide which manifest
+    * files they must rewrite vs carry by reference.
+    */
+  private[graft] def manifestFull(s: SparkSession, root: String, k: Long): DataFrame = {
+    val mpaths = listOf(s, root, k)
+    if (mpaths.isEmpty) return emptyManifest(s)
+    val rows = s.read.option("mergeSchema", "true").parquet(mpaths: _*)
+    if (rows.columns.contains("mpath")) rows
+    else rows.withColumn("mpath", lit(mpaths.head)) // legacy single-dir shape
+  }
+
   /** Manifest k as a DataFrame: one (path, commit_id, n_rows, min_id,
-    * max_id) row per data file in snapshot k. Metadata scale —
-    * O(#files) rows.
+    * max_id) row per data file in snapshot k — resolved through the
+    * manifest list. Metadata scale — O(#files) rows.
     */
   def manifest(s: SparkSession, root: String, k: Long): DataFrame =
-    s.read.parquet(s"$root/manifests/m$k")
+    manifestFull(s, root, k).drop("mpath")
+
+  /** Write one immutable MANIFEST FILE (token-unique, like data
+    * files) and return its path. Each row carries `mpath` = the
+    * file's own directory, so [[manifestFull]] can group rows by
+    * owner without path-normalization games. O(rows) — for an append,
+    * O(|commit files|), never O(#live files).
+    */
+  private def writeManifestFile(s: SparkSession, root: String,
+      rows: DataFrame): String = {
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    // QUALIFIED path (scheme + authority), so list entries compare
+    // byte-equal with `listStatus` output in expire/vacuum sweeps
+    val dir = fs(s, root)
+      .makeQualified(new Path(s"$root/manifests/f$token")).toString
+    rows.withColumn("mpath", lit(dir))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
 
   // ---- the commit protocol: claim CAS + manifest-last ---------------
 
@@ -200,23 +275,27 @@ object SnapshotStore {
   }
 
   /** The optimistic-concurrency commit loop every mutation routes
-    * through. `body(prev)` computes the FULL manifest rows and table
-    * schema for candidate commit `prev + 1`, reading only immutable
+    * through. `body(prev)` computes candidate commit `prev + 1`'s
+    * MANIFEST LIST (the manifest-file paths — carried ones by
+    * reference, new ones written by the body itself, token-unique so
+    * attempts never collide) and table schema, reading only immutable
     * state (manifest `prev` and older); the claim CAS then decides the
     * race. A losing writer waits for the winner's manifest, re-reads
     * the new current snapshot, and re-runs `body` against it — appends
-    * re-union the newer manifest, rewrites recompute their file
+    * re-list the newer manifest files, rewrites recompute their file
     * selection — so no commit is ever silently lost (SnapshotStoreSpec
     * pins two interleaved writers committing with zero lost rows, and
-    * the torn-claim failure path).
+    * the torn-claim failure path). A losing attempt's freshly-written
+    * manifest file is an orphan no list ever names ([[vacuum]]
+    * reclaims it, same story as orphaned data files).
     */
   private def commitRetry(s: SparkSession, root: String)(
-      body: Long => (DataFrame, StructType)): Long = {
+      body: Long => (Seq[String], StructType)): Long = {
     var attempts = 0
     while (attempts < 64) {
       val prev = currentSnapshot(s, root)
       val k = prev + 1
-      val (rows, schema) = body(prev)
+      val (mpaths, schema) = body(prev)
       if (tryClaim(s, root, k)) {
         // Self-release on a RECOVERABLE post-claim failure: the claim
         // holder knows its own commit failed, so it cleans up (partial
@@ -228,7 +307,7 @@ object SnapshotStore {
         try {
           writeSchema(s, root, k, schema)
           writeCommitTime(s, root, k)
-          commitManifest(s, root, k, rows)
+          commitManifest(s, root, k, mpaths)
         } catch {
           case t: Throwable =>
             if (!fs(s, root).exists(new Path(s"$root/manifests/m$k/_SUCCESS")))
@@ -248,18 +327,20 @@ object SnapshotStore {
   /** COMMIT: append `df` as snapshot `current + 1` through the claim
     * CAS. Data files land ONCE under an immutable token-unique
     * directory — range-clustered on `doc_id` across [[CommitFiles]]
-    * files, so the per-file stats below are tight; on a lost race only
-    * the cheap manifest union is rebased (the data files are already
-    * immutable and commit-id-agnostic). Returns the new snapshot id.
+    * files, so the per-file stats below are tight. The commit's
+    * metadata is ONE new manifest file with O(|commit files|) rows
+    * plus the list — every prior manifest file carries by REFERENCE
+    * (the incremental-manifest shape; on a lost race only the cheap
+    * manifest file + list are rebased, the data files are immutable
+    * and commit-id-agnostic). Returns the new snapshot id.
     */
   def append(s: SparkSession, root: String, df: DataFrame): Long = {
     val added = writeDataFiles(s, root, df)
     commitRetry(s, root) { prev =>
       val k = prev + 1
-      val rows = manifestRows(s, added, k)
-      val full = if (prev == 0L) rows
-        else manifest(s, root, prev).unionByName(rows)
-      (full, mergedSchema(tableSchema(s, root, prev), df.schema))
+      val mf = writeManifestFile(s, root, manifestRows(s, added, k))
+      (listOf(s, root, prev) :+ mf,
+        mergedSchema(tableSchema(s, root, prev), df.schema))
     }
   }
 
@@ -307,15 +388,18 @@ object SnapshotStore {
       .toDF("path", "commit_id", "n_rows", "min_id", "max_id")
   }
 
-  /** Write manifest k — the commit point (only ever called by the
+  /** Write manifest LIST k — the commit point (only ever called by the
     * writer holding claim k, so the target is uncontended): a crash
-    * before the committer's `_SUCCESS` leaves a torn manifest no
-    * reader counts.
+    * before the committer's `_SUCCESS` leaves a torn list no reader
+    * counts. O(#manifest files) strings — the tiny file that replaced
+    * the full O(#live files) row rewrite.
     */
   private def commitManifest(s: SparkSession, root: String, k: Long,
-      rows: DataFrame): Unit =
-    rows.coalesce(1).write.mode("overwrite")
+      mpaths: Seq[String]): Unit = {
+    import s.implicits._
+    mpaths.toDF("mpath").coalesce(1).write.mode("overwrite")
       .parquet(s"$root/manifests/m$k")
+  }
 
   /** Persist snapshot k's table schema next to its manifest — the
     * metadata a real table format keeps so an EMPTY snapshot (a
@@ -507,11 +591,19 @@ object SnapshotStore {
     commitRetry(s, root) { prev =>
       require(prev > 0, "deleteRange on an empty table")
       val k = prev + 1
-      val m = manifest(s, root, prev)
-      val affected = m.filter(col("max_id") >= lo && col("min_id") <= hi)
+      val mfull = manifestFull(s, root, prev)
+      val hit = col("max_id") >= lo && col("min_id") <= hi
+      val affected = mfull.filter(hit)
         .select("path").collect().map(_.getString(0)).toIndexedSeq
-      val untouched = m.filter(!(col("max_id") >= lo && col("min_id") <= hi))
       val schema = tableSchema(s, root, prev)
+      // manifest-file granularity: only the manifest files that
+      // reference an affected data file are rewritten (their surviving
+      // rows + this commit's new files move into ONE new manifest
+      // file); every other manifest file carries by reference —
+      // metadata cost O(touched), never O(#live files)
+      val touchedM = mfull.filter(hit).select("mpath").distinct()
+        .collect().map(_.getString(0)).toSet
+      val carried = listOf(s, root, prev).filterNot(touchedM)
       // NULL-SAFE keep predicate: `!between` alone evaluates to NULL
       // (dropped) for NULL doc_id — and all-null-id files are always
       // "affected" (their stats are the open interval), so a plain
@@ -523,7 +615,14 @@ object SnapshotStore {
         else writeDataFiles(s, root,
           s.read.option("mergeSchema", "true").parquet(affected: _*)
             .filter(col("doc_id").isNull || !col("doc_id").between(lo, hi)))
-      (untouched.unionByName(manifestRows(s, rewritten, k)), schema)
+      if (affected.isEmpty) (carried, schema) // no-op delete: pure list reuse
+      else {
+        val survivors = mfull
+          .filter(col("mpath").isin(touchedM.toSeq: _*) && !hit).drop("mpath")
+        val mf = writeManifestFile(s, root,
+          survivors.unionByName(manifestRows(s, rewritten, k)))
+        (carried :+ mf, schema)
+      }
     }
 
   /** The distributed affected-file decision for [[mergeInto]]: the
@@ -598,19 +697,28 @@ object SnapshotStore {
       commitRetry(s, root) { prev =>
         require(prev > 0, "mergeInto on an empty table")
         val k = prev + 1
-        val m = manifest(s, root, prev)
+        val mfull = manifestFull(s, root, prev)
         val affected =
-          if (nChanges >= threshold) affectedByJoin(s, m, cached)
-          else affectedByCollect(s, m, cached)
-        val untouched = m.filter(!col("path").isin(affected.toSeq: _*))
+          if (nChanges >= threshold) affectedByJoin(s, mfull, cached)
+          else affectedByCollect(s, mfull, cached)
         val base =
           if (affected.isEmpty) cached
           else s.read.option("mergeSchema", "true")
             .parquet(affected.toIndexedSeq: _*)
             .join(cached.select("doc_id"), Seq("doc_id"), "left_anti")
             .unionByName(cached, allowMissingColumns = true)
-        val rewritten = manifestRows(s, writeDataFiles(s, root, base), k)
-        (untouched.unionByName(rewritten),
+        // manifest-file granularity, as in [[deleteRange]]: rewrite
+        // only the manifest files referencing an affected data file
+        val isAffected = col("path").isin(affected.toSeq: _*)
+        val touchedM = mfull.filter(isAffected).select("mpath").distinct()
+          .collect().map(_.getString(0)).toSet
+        val carried = listOf(s, root, prev).filterNot(touchedM)
+        val survivors = mfull
+          .filter(col("mpath").isin(touchedM.toSeq: _*) && !isAffected)
+          .drop("mpath")
+        val mf = writeManifestFile(s, root, survivors.unionByName(
+          manifestRows(s, writeDataFiles(s, root, base), k)))
+        (carried :+ mf,
           mergedSchema(tableSchema(s, root, prev), changes.schema))
       }
     } finally cached.unpersist(false)
@@ -629,7 +737,9 @@ object SnapshotStore {
       require(prev > 0, "compact on an empty table")
       val k = prev + 1
       val rewritten = writeDataFiles(s, root, readSnapshot(s, root, prev))
-      (manifestRows(s, rewritten, k), tableSchema(s, root, prev))
+      // every file replaced → ONE fresh manifest file, nothing carried
+      (Seq(writeManifestFile(s, root, manifestRows(s, rewritten, k))),
+        tableSchema(s, root, prev))
     }
 
   /** ROLLBACK: re-commit snapshot k's exact file list as
@@ -649,7 +759,8 @@ object SnapshotStore {
       require(k >= 1 && k <= prev, s"restore($k): snapshot must be committed (current $prev)")
       require(fs(s, root).exists(new Path(s"$root/manifests/m$k/_SUCCESS")),
         s"restore($k): snapshot $k is not addressable (expired or torn)")
-      (manifest(s, root, k), tableSchema(s, root, k))
+      // pure LIST reuse: zero manifest rows written, zero data moved
+      (listOf(s, root, k), tableSchema(s, root, k))
     }
 
   /** SNAPSHOT EXPIRATION: drop every manifest with id < `keepFrom`,
@@ -683,16 +794,23 @@ object SnapshotStore {
         f.exists(new Path(p, "_SUCCESS")))
     val (dropped, kept) = all.partition(_.getName.drop(1).toLong < keepFrom)
     if (dropped.isEmpty) return
-    val paths = (ms: Seq[Path]) =>
-      if (ms.isEmpty) None
-      else Some(s.read.parquet(ms.map(_.toString): _*).select("path"))
-    val orphans = paths(dropped).map { d =>
-      paths(kept) match {
-        case Some(kp) => d.except(kp)
-        case None => d.distinct()
-      }
-    }.map(_.collect().map(_.getString(0))).getOrElse(Array.empty[String])
-    orphans.foreach(p => f.delete(new Path(p), false))
+    // reference counting at BOTH levels of the list shape: a manifest
+    // FILE survives while any kept list names it; a data file survives
+    // while any kept manifest file names it. Both diffs are O(metadata)
+    val mpathsOf = (ms: Seq[Path]) =>
+      ms.flatMap(p => listOf(s, root, p.getName.drop(1).toLong)).toSet
+    val keptM = mpathsOf(kept)
+    val deadM = mpathsOf(dropped) -- keptM
+    if (deadM.nonEmpty) {
+      val dPaths = s.read.option("mergeSchema", "true")
+        .parquet(deadM.toIndexedSeq: _*).select("path")
+      val orphans = (if (keptM.isEmpty) dPaths.distinct()
+        else dPaths.except(s.read.option("mergeSchema", "true")
+          .parquet(keptM.toIndexedSeq: _*).select("path")))
+        .collect().map(_.getString(0))
+      orphans.foreach(p => f.delete(new Path(p), false))
+      deadM.foreach(p => f.delete(new Path(p), true))
+    }
     dropped.foreach { p =>
       val id = p.getName.drop(1).toLong
       f.delete(p, true)
@@ -704,8 +822,8 @@ object SnapshotStore {
 
   // ---- the Z-CLUSTERED snapshot table (q227): 2-D stats pruning -----
 
-  /** Z-store layout version. */
-  private val ZsLayout = 1L
+  /** Z-store layout version (2: manifest-list shape). */
+  private val ZsLayout = 2L
 
   private[graft] def zsRoot(dir: String): String =
     StandingIndex.artifactRoot(dir, "snapz")
@@ -769,9 +887,8 @@ object SnapshotStore {
       val rows = stats.map { case (p, n, a, b, c, d) => (p, k, n, a, b, c, d) }
         .toDF("path", "commit_id", "n_rows", "min_id", "max_id",
           "min_chars", "max_chars")
-      val full = if (prev == 0L) rows
-        else manifest(s, root, prev).unionByName(rows)
-      (full, mergedSchema(tableSchema(s, root, prev), df.schema))
+      (listOf(s, root, prev) :+ writeManifestFile(s, root, rows),
+        mergedSchema(tableSchema(s, root, prev), df.schema))
     }
   }
 
@@ -860,18 +977,22 @@ object SnapshotStore {
     val dataDir = new Path(s"$root/data")
     if (!f.exists(dataDir)) return Nil
     val mdir = new Path(s"$root/manifests")
-    val referenced: Set[String] =
+    // both reference levels: committed lists → live manifest files →
+    // live data files. Orphans at either level (a crashed or race-
+    // losing attempt's manifest file, its data files) are reclaimable.
+    val refM: Set[String] =
       if (!f.exists(mdir)) Set.empty
-      else {
-        val committed = f.listStatus(mdir).toSeq.map(_.getPath)
-          .filter(p => p.getName.startsWith("m") &&
-            p.getName.drop(1).forall(_.isDigit) &&
-            f.exists(new Path(p, "_SUCCESS")))
-        if (committed.isEmpty) Set.empty
-        else s.read.parquet(committed.map(_.toString): _*)
-          .select("path").distinct()
-          .collect().map(_.getString(0)).toSet
-      }
+      else f.listStatus(mdir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("m") &&
+          p.getName.drop(1).forall(_.isDigit) &&
+          f.exists(new Path(p, "_SUCCESS")))
+        .flatMap(p => listOf(s, root, p.getName.drop(1).toLong)).toSet
+    val referenced: Set[String] =
+      if (refM.isEmpty) Set.empty
+      else s.read.option("mergeSchema", "true")
+        .parquet(refM.toIndexedSeq: _*)
+        .select("path").distinct()
+        .collect().map(_.getString(0)).toSet
     val now = System.currentTimeMillis()
     val orphans = f.listStatus(dataDir).toSeq.flatMap { d =>
       if (!d.isDirectory) Seq(d) else f.listStatus(d.getPath).toSeq
@@ -888,7 +1009,18 @@ object SnapshotStore {
         !f.listStatus(d.getPath).exists(_.getPath.getName.endsWith(".parquet")))
         f.delete(d.getPath, true)
     }
-    orphans.map(_.toString)
+    // manifest-FILE orphans: f<token> dirs no committed list names —
+    // a lost claim race's or crashed attempt's metadata, same age
+    // floor as its data
+    val deadM =
+      if (!f.exists(mdir)) Nil
+      else f.listStatus(mdir).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("f") &&
+          !refM.contains(d.getPath.toString) &&
+          now - d.getModificationTime >= olderThanMs)
+        .map(_.getPath)
+    deadM.foreach(p => f.delete(p, true))
+    (orphans ++ deadM).map(_.toString)
   }
 
   private val builtCache = new graft.SessionCache

@@ -427,6 +427,53 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(rows(SnapshotStore.readSnapshot(spark, root, 2L)) == rows(docs))
   }
 
+  test("incremental manifests: an append writes O(|commit|) manifest rows and reuses prior manifest files by reference") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d) // 2 commits
+    val local = Paths.get(s"${root.stripPrefix("file:")}/manifests")
+    def fDirs: Map[String, Long] = {
+      val st = Files.list(local).iterator()
+      var m = Map.empty[String, Long]
+      while (st.hasNext) {
+        val p = st.next()
+        if (p.getFileName.toString.startsWith("f"))
+          m += (p.toString -> Files.getLastModifiedTime(p).toMillis)
+      }
+      m
+    }
+    val before = fDirs
+    assert(before.size == 2, "the 2-commit seed must hold one manifest file per commit")
+    Thread.sleep(20)
+    SnapshotStore.append(spark, root,
+      docs.limit(40).withColumn("doc_id", col("doc_id") + 10000000L))
+    val after = fDirs
+    val fresh = (after.keySet -- before.keySet).toSeq
+    assert(fresh.size == 1, "an append must write exactly ONE new manifest file")
+    // the new manifest file's row count is the COMMIT's file count —
+    // not the table's (the O(#live files) rewrite this shape removes)
+    val newRows = spark.read.parquet(fresh.head).count()
+    val liveFiles = SnapshotStore.manifest(spark, root, 3L).count()
+    assert(newRows <= SnapshotStore.CommitFiles && newRows < liveFiles,
+      s"append wrote $newRows manifest rows for a $liveFiles-file table")
+    // prior manifest files are byte-untouched (reuse by reference)
+    assert(before.forall { case (p, t) => after(p) == t },
+      "an append must never rewrite a prior manifest file")
+    assert(SnapshotStore.listOf(spark, root, 3L).size == 3)
+    // a NARROW rewrite touches only the manifest files that reference
+    // an affected data file — the high-id commit's carries by reference
+    val list3 = SnapshotStore.listOf(spark, root, 3L)
+    SnapshotStore.deleteRange(spark, root, 0L, 5L)
+    val list4 = SnapshotStore.listOf(spark, root, 4L).map(_.stripPrefix("file:"))
+    assert(list4.contains(fresh.head),
+      "a delete below the new commit's id range must carry its manifest file verbatim")
+    assert(list4.toSet != list3.map(_.stripPrefix("file:")).toSet)
+    // restore is PURE list reuse: zero manifest rows written
+    val preF = fDirs.keySet
+    assert(SnapshotStore.restore(spark, root, 3L) == 5L)
+    assert(fDirs.keySet == preF, "restore must write no manifest file")
+    assert(SnapshotStore.listOf(spark, root, 5L).sorted == list3.sorted)
+  }
+
   test("restore: rollback is byte-identical to snapshot k; history stays addressable; the feed is the inverse mutation") {
     val d = scratchCorpus()
     val root = SnapshotStore.ensure(spark, d)
