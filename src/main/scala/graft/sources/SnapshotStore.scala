@@ -502,24 +502,120 @@ object SnapshotStore {
     StructType(prev.fields ++ next.fields.filterNot(f => have(f.name)))
   }
 
+  // ---- MERGE-ON-READ deletes: equality-delete files ----------------
+
+  /** Manifest rows with the `kind` discriminator normalized: stores
+    * that never committed a delete file have no `kind` column (and
+    * manifest files written before a store's first delete read it as
+    * NULL through the merging scan) — both mean `data`.
+    */
+  private def withKind(m: DataFrame): DataFrame =
+    if (m.columns.contains("kind"))
+      m.withColumn("kind", coalesce(col("kind"), lit("data")))
+    else m.withColumn("kind", lit("data"))
+
+  /** Snapshot k's manifest split into (data files with their commit
+    * ids, delete files with theirs, total delete-key count). One
+    * metadata read.
+    */
+  private def splitManifest(s: SparkSession, root: String,
+      k: Long): (Seq[(String, Long)], Seq[(String, Long)], Long) = {
+    val rows = withKind(manifest(s, root, k))
+      .select("path", "commit_id", "kind", "n_rows").collect()
+    val (del, dat) = rows.partition(_.getAs[String]("kind") == "delete")
+    (dat.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
+      del.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
+      del.map(_.getAs[Long]("n_rows")).sum)
+  }
+
+  /** Read a set of data files with their delete files applied under
+    * the SEQUENCE RULE: an equality-delete file (commit d) removes a
+    * key only from data files committed BEFORE it (commit c < d) — a
+    * later re-insert of the same key survives, exactly the Iceberg
+    * sequence-number semantics. Data rows are tagged with their
+    * file's commit id (one reader per commit group — commit counts
+    * between compactions are small, and [[compact]] folds every
+    * delete file away), then one LEFT ANTI join against the delete
+    * keys drops the dead rows; the delete side broadcasts when the
+    * manifest's n_rows total says it is small (the common case — the
+    * whole point of MOR is that deletes are tiny next to data). A
+    * NULL key matches no delete key — null-id rows are never
+    * MOR-deleted, consistent with [[deleteRange]]'s SQL semantics.
+    */
+  private def readWithDeletes(s: SparkSession, root: String, k: Long,
+      dataFiles: Seq[(String, Long)], deleteFiles: Seq[(String, Long)],
+      deleteRows: Long): DataFrame = {
+    if (dataFiles.isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        tableSchema(s, root, k))
+    if (deleteFiles.isEmpty)
+      return s.read.option("mergeSchema", "true")
+        .parquet(dataFiles.map(_._1): _*)
+    val data = dataFiles.groupBy(_._2).toSeq.map { case (cid, fs) =>
+      s.read.option("mergeSchema", "true").parquet(fs.map(_._1): _*)
+        .withColumn("__cid", lit(cid))
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val dels = deleteFiles.groupBy(_._2).toSeq.map { case (cid, fs) =>
+      s.read.parquet(fs.map(_._1): _*)
+        .select(col("doc_id").as("__dk")).withColumn("__dcid", lit(cid))
+    }.reduce(_ unionByName _)
+    val delSide = if (deleteRows <= 4000000L) broadcast(dels) else dels
+    data.join(delSide,
+        col("doc_id") === col("__dk") && col("__dcid") > col("__cid"),
+        "left_anti")
+      .drop("__cid")
+  }
+
+  /** MERGE-ON-READ DELETE: commit the given keys as an EQUALITY-DELETE
+    * FILE — a tiny parquet of doc_ids plus one `kind = delete`
+    * manifest row; ZERO data files are read or rewritten (the
+    * write-amplification complement to [[deleteRange]]'s copy-on-
+    * write: a 1-row correction costs 1 metadata row, not a file
+    * rewrite). Readers anti-join the delete keys under the sequence
+    * rule ([[readWithDeletes]]); [[compact]] folds every delete file
+    * into the data and drops it. Returns the new snapshot id.
+    */
+  def deleteKeys(s: SparkSession, root: String, keys: DataFrame): Long = {
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val dir = s"$root/data/d$token"
+    keys.select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val f = fs(s, root)
+    val file = f.listStatus(new Path(dir)).toSeq.map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).head
+    val st = s.read.parquet(file)
+      .agg(count(lit(1)).cast("long"), min(col("doc_id")).cast("long"),
+        max(col("doc_id")).cast("long")).head()
+    require(st.getLong(0) > 0, "deleteKeys with an empty key set")
+    commitRetry(s, root) { prev =>
+      require(prev > 0, "deleteKeys on an empty table")
+      val k = prev + 1
+      import s.implicits._
+      val row = Seq((file, k, st.getLong(0), st.getLong(1), st.getLong(2), "delete"))
+        .toDF("path", "commit_id", "n_rows", "min_id", "max_id", "kind")
+      (listOf(s, root, prev) :+ writeManifestFile(s, root, row),
+        tableSchema(s, root, prev))
+    }
+  }
+
   /** TIME TRAVEL: the table as of snapshot k — exactly the files
     * manifest k names, handed to the scan as an explicit list (the
     * table-format planner shape; no directory walk, so orphaned or
     * later files are invisible by construction). An EMPTY snapshot
     * (every row deleted) reads as zero rows of the STORED schema
-    * instead of erroring.
+    * instead of erroring. Live equality-delete files apply as the
+    * anti-join ([[readWithDeletes]]); the fast path (no delete files
+    * — every store until its first [[deleteKeys]], and again after
+    * each [[compact]]) is the plain merged scan.
     */
   def readSnapshot(s: SparkSession, root: String, k: Long): DataFrame = {
-    val paths = manifest(s, root, k).select("path")
-      .collect().map(_.getString(0)) // metadata scale: one row per file
-    if (paths.isEmpty)
-      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        tableSchema(s, root, k))
     // mergeSchema: the snapshot's schema is the UNION across its
     // files, so an additive evolution (q212) surfaces as NULLs on
     // pre-evolution files instead of being silently dropped — the
     // table-format read contract (a no-op on uniform-schema stores)
-    s.read.option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
+    val (dat, del, nDel) = splitManifest(s, root, k)
+    readWithDeletes(s, root, k, dat, del, nDel)
   }
 
   /** The file paths a doc_id range [lo, hi] can possibly touch in
@@ -530,8 +626,9 @@ object SnapshotStore {
     */
   private[graft] def prunedPaths(s: SparkSession, root: String, k: Long,
       lo: Long, hi: Long): Seq[String] =
-    manifest(s, root, k)
-      .filter(col("max_id") >= lo && col("min_id") <= hi)
+    withKind(manifest(s, root, k))
+      .filter(col("kind") === "data" &&
+        col("max_id") >= lo && col("min_id") <= hi)
       .select("path").collect().map(_.getString(0)).toIndexedSeq
 
   /** MANIFEST-PRUNED RANGE READ: rows of snapshot k with doc_id in
@@ -547,10 +644,14 @@ object SnapshotStore {
     */
   def readRange(s: SparkSession, root: String, k: Long,
       lo: Long, hi: Long): DataFrame = {
-    val paths = prunedPaths(s, root, k, lo, hi)
-    if (paths.isEmpty)
+    val (dat, del, nDel) = splitManifest(s, root, k)
+    val pruned = {
+      val hitSet = prunedPaths(s, root, k, lo, hi).toSet
+      dat.filter(p => hitSet(p._1))
+    }
+    if (pruned.isEmpty)
       return readSnapshot(s, root, k).filter(lit(false))
-    s.read.option("mergeSchema", "true").parquet(paths: _*)
+    readWithDeletes(s, root, k, pruned, del, nDel)
       .filter(col("doc_id") >= lo && col("doc_id") <= hi)
   }
 
@@ -560,13 +661,14 @@ object SnapshotStore {
     * as zero rows of the snapshot schema.
     */
   def readDiff(s: SparkSession, root: String, j: Long, k: Long): DataFrame = {
-    val paths = manifest(s, root, k)
-      .filter(col("commit_id") > j).select("path")
-      .collect().map(_.getString(0))
-    if (paths.isEmpty)
+    val (dat, del, nDel) = splitManifest(s, root, k)
+    val window = dat.filter(_._2 > j)
+    if (window.isEmpty)
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         tableSchema(s, root, k))
-    s.read.option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
+    // deletes with commit id ≤ a window file's never apply under the
+    // sequence rule, so passing ALL delete files is exact
+    readWithDeletes(s, root, k, window, del, nDel)
   }
 
   // ---- lifecycle: copy-on-write delete, merge, compaction, expiration
@@ -591,36 +693,43 @@ object SnapshotStore {
     commitRetry(s, root) { prev =>
       require(prev > 0, "deleteRange on an empty table")
       val k = prev + 1
-      val mfull = manifestFull(s, root, prev)
-      val hit = col("max_id") >= lo && col("min_id") <= hi
-      val affected = mfull.filter(hit)
-        .select("path").collect().map(_.getString(0)).toIndexedSeq
+      val mfull = withKind(manifestFull(s, root, prev))
+      // only DATA files rewrite; live equality-delete files carry, and
+      // the affected rows are read THROUGH them (a MOR-deleted row
+      // must not resurrect into this commit's k-id files, where older
+      // delete files no longer apply)
+      val hit = col("kind") === "data" &&
+        col("max_id") >= lo && col("min_id") <= hi
+      val affRows = mfull.filter(hit).select("path", "commit_id", "mpath").collect()
+      val affected = affRows.map(_.getAs[String]("path")).toIndexedSeq
       val schema = tableSchema(s, root, prev)
       // manifest-file granularity: only the manifest files that
       // reference an affected data file are rewritten (their surviving
       // rows + this commit's new files move into ONE new manifest
       // file); every other manifest file carries by reference —
       // metadata cost O(touched), never O(#live files)
-      val touchedM = mfull.filter(hit).select("mpath").distinct()
-        .collect().map(_.getString(0)).toSet
+      val touchedM = affRows.map(_.getAs[String]("mpath")).toSet
       val carried = listOf(s, root, prev).filterNot(touchedM)
-      // NULL-SAFE keep predicate: `!between` alone evaluates to NULL
-      // (dropped) for NULL doc_id — and all-null-id files are always
-      // "affected" (their stats are the open interval), so a plain
-      // range delete would erase every null-id row it touches. SQL
-      // DELETE semantics: a NULL key satisfies no range predicate,
-      // so null-id rows are KEPT (ADVICE r14 medium).
-      val rewritten =
-        if (affected.isEmpty) Nil
-        else writeDataFiles(s, root,
-          s.read.option("mergeSchema", "true").parquet(affected: _*)
-            .filter(col("doc_id").isNull || !col("doc_id").between(lo, hi)))
       if (affected.isEmpty) (carried, schema) // no-op delete: pure list reuse
       else {
+        val delFiles = mfull.filter(col("kind") === "delete")
+          .select("path", "commit_id", "n_rows").collect()
+        // NULL-SAFE keep predicate: `!between` alone evaluates to NULL
+        // (dropped) for NULL doc_id — and all-null-id files are always
+        // "affected" (their stats are the open interval), so a plain
+        // range delete would erase every null-id row it touches. SQL
+        // DELETE semantics: a NULL key satisfies no range predicate,
+        // so null-id rows are KEPT (ADVICE r14 medium).
+        val rewritten = writeDataFiles(s, root,
+          readWithDeletes(s, root, prev,
+            affRows.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
+            delFiles.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
+            delFiles.map(_.getAs[Long]("n_rows")).sum)
+            .filter(col("doc_id").isNull || !col("doc_id").between(lo, hi)))
         val survivors = mfull
           .filter(col("mpath").isin(touchedM.toSeq: _*) && !hit).drop("mpath")
-        val mf = writeManifestFile(s, root,
-          survivors.unionByName(manifestRows(s, rewritten, k)))
+        val mf = writeManifestFile(s, root, survivors.unionByName(
+          manifestRows(s, rewritten, k), allowMissingColumns = true))
         (carried :+ mf, schema)
       }
     }
@@ -697,19 +806,32 @@ object SnapshotStore {
       commitRetry(s, root) { prev =>
         require(prev > 0, "mergeInto on an empty table")
         val k = prev + 1
-        val mfull = manifestFull(s, root, prev)
+        val mfull = withKind(manifestFull(s, root, prev))
+        val dataOnly = mfull.filter(col("kind") === "data")
         val affected =
-          if (nChanges >= threshold) affectedByJoin(s, mfull, cached)
-          else affectedByCollect(s, mfull, cached)
+          if (nChanges >= threshold) affectedByJoin(s, dataOnly, cached)
+          else affectedByCollect(s, dataOnly, cached)
         val base =
           if (affected.isEmpty) cached
-          else s.read.option("mergeSchema", "true")
-            .parquet(affected.toIndexedSeq: _*)
-            .join(cached.select("doc_id"), Seq("doc_id"), "left_anti")
-            .unionByName(cached, allowMissingColumns = true)
+          else {
+            // affected rows read THROUGH live delete files — see
+            // [[deleteRange]]: MOR-deleted rows must not resurrect
+            val affRows = dataOnly
+              .filter(col("path").isin(affected.toSeq: _*))
+              .select("path", "commit_id").collect()
+              .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+            val delFiles = mfull.filter(col("kind") === "delete")
+              .select("path", "commit_id", "n_rows").collect()
+            readWithDeletes(s, root, prev, affRows,
+              delFiles.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq,
+              delFiles.map(_.getAs[Long]("n_rows")).sum)
+              .join(cached.select("doc_id"), Seq("doc_id"), "left_anti")
+              .unionByName(cached, allowMissingColumns = true)
+          }
         // manifest-file granularity, as in [[deleteRange]]: rewrite
         // only the manifest files referencing an affected data file
-        val isAffected = col("path").isin(affected.toSeq: _*)
+        val isAffected = col("kind") === "data" &&
+          col("path").isin(affected.toSeq: _*)
         val touchedM = mfull.filter(isAffected).select("mpath").distinct()
           .collect().map(_.getString(0)).toSet
         val carried = listOf(s, root, prev).filterNot(touchedM)
@@ -717,7 +839,8 @@ object SnapshotStore {
           .filter(col("mpath").isin(touchedM.toSeq: _*) && !isAffected)
           .drop("mpath")
         val mf = writeManifestFile(s, root, survivors.unionByName(
-          manifestRows(s, writeDataFiles(s, root, base), k)))
+          manifestRows(s, writeDataFiles(s, root, base), k),
+          allowMissingColumns = true))
         (carried :+ mf,
           mergedSchema(tableSchema(s, root, prev), changes.schema))
       }
@@ -1203,9 +1326,16 @@ object SnapshotStore {
       j: Long, k: Long): Boolean = {
     val oldPaths = manifest(s, root, j).select("path")
       .collect().map(_.getString(0)).toSet
-    val carried = manifest(s, root, k).filter(col("commit_id") <= j)
+    val mk = withKind(manifest(s, root, k))
+    val carried = mk.filter(col("commit_id") <= j)
       .select("path").collect().map(_.getString(0)).toSet
-    carried == oldPaths
+    // a MERGE-ON-READ delete commit carries every file yet still
+    // removes rows logically — it breaks the fold precondition
+    // exactly like a rewrite
+    val newDeletes = mk
+      .filter(col("kind") === "delete" && col("commit_id") > j)
+      .limit(1).count() > 0
+    carried == oldPaths && !newDeletes
   }
 
   /** A MATERIALIZED VIEW over the snapshot table — the two chapters
@@ -1482,18 +1612,20 @@ object SnapshotStore {
     // ids — the set difference reports them as written, so the feed
     // across a rollback is exactly the inverse of the rolled-back
     // mutation.
-    val mj = manifest(s, root, j).select("path")
-      .collect().map(_.getString(0)).toSet
-    val mkPaths = manifest(s, root, k).select("path")
-      .collect().map(_.getString(0)).toSet
-    val replaced = (mj -- mkPaths).toIndexedSeq
-    val written = (mkPaths -- mj).toIndexedSeq
-    def readAll(paths: Seq[String], like: Long): DataFrame =
-      if (paths.isEmpty) s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema(s, root, like))
-      else s.read.option("mergeSchema", "true").parquet(paths: _*)
-    val oldRows = readAll(replaced, j)
-    val newRows = readAll(written, k)
+    val (datJ, delJ, nDelJ) = splitManifest(s, root, j)
+    val (datK, delK, nDelK) = splitManifest(s, root, k)
+    val mj = datJ.map(_._1).toSet
+    val mkPaths = datK.map(_._1).toSet
+    val replaced = datJ.filter(t => !mkPaths(t._1))
+    val written = datK.filter(t => !mj(t._1))
+    def emptyLike(like: Long): DataFrame = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema(s, root, like))
+    // each side reads through ITS snapshot's delete files, so a row
+    // already MOR-dead at j (or at k) never enters the comparison
+    val oldRows = if (replaced.isEmpty) emptyLike(j)
+      else readWithDeletes(s, root, j, replaced, delJ, nDelJ)
+    val newRows = if (written.isEmpty) emptyLike(k)
+      else readWithDeletes(s, root, k, written, delK, nDelK)
     val valueCols = oldRows.columns.filter(_ != "doc_id").toSeq
     val o = oldRows.select((col("doc_id").as("o_id") +:
       valueCols.map(c => col(c).as(s"o_$c"))): _*)
@@ -1539,7 +1671,37 @@ object SnapshotStore {
         valueCols.map(c => when(ins, col(s"n_$c")).as(s"n_$c")) ++
         Seq(when(ins, lit("insert")).otherwise(lit("delete")).as("change_type"),
           lit(null).cast(idT).as("doc_id"))): _*)
-    keyed.unionByName(nullFeed)
+    // equality-delete files committed in (j, k]: each key live at j is
+    // a LOGICAL delete with its pre-image — file-pruned via the
+    // manifest stats of j (delete sets are small by design, so the
+    // key collect is metadata-scale, same bound as [[deleteKeys]]
+    // wrote)
+    val newDelFiles = withKind(manifest(s, root, k))
+      .filter(col("kind") === "delete" && col("commit_id") > j)
+      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val morDeletes =
+      if (newDelFiles.isEmpty) None
+      else {
+        val keys = s.read.parquet(newDelFiles: _*)
+          .select(col("doc_id")).distinct()
+        val mJdata = withKind(manifest(s, root, j))
+          .filter(col("kind") === "data")
+        val aff = affectedByCollect(s, mJdata, keys)
+        val affT = datJ.filter(t => aff(t._1))
+        val oldSchema = tableSchema(s, root, j)
+        val pre = (if (affT.isEmpty) emptyLike(j)
+          else readWithDeletes(s, root, j, affT, delJ, nDelJ))
+          .join(keys.select(col("doc_id").as("__dk")),
+            col("doc_id") === col("__dk"), "left_semi")
+        Some(pre.select((Seq(col("doc_id").as("o_id")) ++
+          valueCols.map(c => col(c).as(s"o_$c")) ++
+          Seq(lit(null).cast(idT).as("n_id")) ++
+          valueCols.map(c =>
+            lit(null).cast(oldSchema(c).dataType).as(s"n_$c")) ++
+          Seq(lit("delete").as("change_type"),
+            col("doc_id").as("doc_id"))): _*))
+      }
+    morDeletes.foldLeft(keyed.unionByName(nullFeed))(_ unionByName _)
   }
 
   /** q225: the CHANGE FEED of the q211 merge commit (snapshot 2 → 3 of
@@ -1689,6 +1851,67 @@ object SnapshotStore {
     */
   val q224SnapshotConcurrent: (SparkSession, String) => DataFrame = (s, dir) => {
     val root = s"${ensureConcurrent(s, dir)}/tbl"
+    readSnapshot(s, root, currentSnapshot(s, root))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  // ---- the MERGE-ON-READ store (q229): delete files, not rewrites --
+
+  /** MOR-store layout version. */
+  private val MdLayout = 1L
+
+  private[graft] def mdRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapmd")
+
+  private val mdBuiltCache = new graft.SessionCache
+
+  /** Seed + MERGE-ON-READ DELETE: the 2-commit seed, then
+    * [[deleteKeys]] of every doc_id % 9 == 0 as commit 3 — a commit
+    * that rewrites NOTHING (the build asserts every data file of
+    * snapshot 2 carries into snapshot 3 verbatim). q229 then reads the
+    * current snapshot through the delete anti-join and hash-checks it
+    * against the complement predicate on the raw table: MOR read ==
+    * the COW result, to the byte.
+    */
+  def ensureMorDeleted(s: SparkSession, dir: String): String = {
+    mdBuiltCache.getOrElseUpdate(s, dir) {
+      val root = mdRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + MdLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+        val dataBefore = manifest(s, root, 2L).select("path")
+          .collect().map(_.getString(0)).toSet
+        deleteKeys(s, root,
+          docs.filter(pmod(col("doc_id"), lit(9)) === 0).select("doc_id"))
+        val dataAfter = withKind(manifest(s, root, 3L))
+          .filter(col("kind") === "data").select("path")
+          .collect().map(_.getString(0)).toSet
+        require(dataAfter == dataBefore,
+          "a MOR delete must carry every data file verbatim")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    mdRoot(dir)
+  }
+
+  /** q229: the MERGE-ON-READ DELETE read back — the post-delete
+    * snapshot per lang, produced by the read-side anti-join against
+    * the equality-delete file (zero data files were rewritten; the
+    * build asserts it). Oracle = the complement predicate on the raw
+    * table: MOR and COW must agree to the byte.
+    */
+  val q229SnapshotMorDelete: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureMorDeleted(s, dir)
     readSnapshot(s, root, currentSnapshot(s, root))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
@@ -1920,7 +2143,8 @@ object SnapshotStore {
       "q225_snapshot_change_feed" -> q225SnapshotChangeFeed,
       "q226_snapshot_mv_filtered" -> q226SnapshotMvFiltered,
       "q227_snapshot_zorder_read" -> q227SnapshotZRead,
-      "q228_snapshot_restore" -> q228SnapshotRestore)
+      "q228_snapshot_restore" -> q228SnapshotRestore,
+      "q229_snapshot_mor_delete" -> q229SnapshotMorDelete)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -2015,5 +2239,10 @@ object SnapshotStore {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  max(n_chars) AS max_chars
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q229_snapshot_mor_delete" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 9 <> 0
+        |GROUP BY lang ORDER BY lang""".stripMargin)
 }

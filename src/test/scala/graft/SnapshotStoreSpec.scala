@@ -474,6 +474,58 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.listOf(spark, root, 5L).sorted == list3.sorted)
   }
 
+  test("merge-on-read delete: zero data files rewritten; sequence rule; COW rewrite doesn't resurrect; compact folds") {
+    import spark.implicits._
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    val victim = docs.agg(min(col("doc_id"))).head().getLong(0)
+    val dataBefore = rows(SnapshotStore.manifest(spark, root, 2L).select("path"))
+    SnapshotStore.deleteKeys(spark, root, Seq(victim).toDF("doc_id")) // commit 3
+    // ZERO rewritten data files: every data row of manifest 2 carries
+    val m3 = SnapshotStore.manifest(spark, root, 3L)
+    assert(rows(m3.filter(col("kind").isNull || col("kind") === "data")
+      .select("path")) == dataBefore,
+      "a 1-row MOR delete must not rewrite any data file")
+    // the read applies the delete; everything else is intact (== COW result)
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 3L)) ==
+      rows(docs.filter(col("doc_id") =!= victim)))
+    assert(SnapshotStore.readRange(spark, root, 3L, victim, victim).count() == 0)
+    // the feed reports the LOGICAL delete with its pre-image
+    val feed = SnapshotStore.changeFeed(spark, root, 2L, 3L).collect()
+    assert(feed.length == 1 && feed.head.getAs[String]("change_type") == "delete" &&
+      feed.head.getAs[Long]("o_id") == victim)
+    // a delete-file commit breaks the MV fold precondition
+    assert(!SnapshotStore.appendOnlySince(spark, root, 2L, 3L))
+    // SEQUENCE RULE: a later re-insert of the key SURVIVES the older delete
+    val reborn = docs.filter(col("doc_id") === victim)
+      .withColumn("n_chars", col("n_chars") + 7)
+    SnapshotStore.append(spark, root, reborn) // commit 4
+    val back = SnapshotStore.readSnapshot(spark, root, 4L)
+      .filter(col("doc_id") === victim).collect()
+    assert(back.length == 1 && rows(SnapshotStore.readSnapshot(spark, root, 4L)
+      .filter(col("doc_id") === victim)) == rows(reborn))
+    // a COW rewrite over the key's ORIGINAL file must not resurrect
+    // the MOR-dead copy: rewritten rows get this commit's id, where
+    // the old delete no longer applies — so they must be read THROUGH
+    // the delete first (commit 5 rewrites victim's original file)
+    SnapshotStore.deleteRange(spark, root, victim + 1L, victim + 2L)
+    val after = SnapshotStore.readSnapshot(spark, root, 5L)
+      .filter(col("doc_id") === victim)
+    assert(rows(after) == rows(reborn),
+      "a COW rewrite must not resurrect MOR-deleted rows")
+    // compact folds every delete file into data and drops it
+    SnapshotStore.compact(spark, root) // commit 6
+    val m6 = SnapshotStore.manifest(spark, root, 6L)
+    assert(!m6.columns.contains("kind") ||
+      m6.filter(col("kind") === "delete").count() == 0,
+      "compact must fold delete files away")
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 6L)) ==
+      rows(SnapshotStore.readSnapshot(spark, root, 5L)))
+    // time travel still reads the PRE-delete table
+    assert(SnapshotStore.readSnapshot(spark, root, 2L)
+      .filter(col("doc_id") === victim).count() == 1)
+  }
+
   test("restore: rollback is byte-identical to snapshot k; history stays addressable; the feed is the inverse mutation") {
     val d = scratchCorpus()
     val root = SnapshotStore.ensure(spark, d)
