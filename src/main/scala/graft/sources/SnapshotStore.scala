@@ -855,7 +855,11 @@ object SnapshotStore {
     * is q193's — this is the table-format variant where compaction is
     * just another commit and readers never notice.
     */
-  def compact(s: SparkSession, root: String): Long =
+  def compact(s: SparkSession, root: String): Long = {
+    // a Z-clustered store must not be flattened back to the 1-D
+    // layout by an unsuspecting maintenance job — delegate
+    if (isZStore(s, root, currentSnapshot(s, root)))
+      return compactZ(s, root)
     commitRetry(s, root) { prev =>
       require(prev > 0, "compact on an empty table")
       val k = prev + 1
@@ -864,6 +868,7 @@ object SnapshotStore {
       (Seq(writeManifestFile(s, root, manifestRows(s, rewritten, k))),
         tableSchema(s, root, prev))
     }
+  }
 
   /** ROLLBACK: re-commit snapshot k's exact file list as
     * `current + 1` through the same claim CAS — the recovery from a
@@ -971,7 +976,14 @@ object SnapshotStore {
     * manifest-last, schema sidecar) — clustering is a property of the
     * WRITE, invisible to the protocol.
     */
-  def appendZ(s: SparkSession, root: String, df: DataFrame): Long = {
+  /** Write one Z-ORDERED commit attempt's data files and return their
+    * 2-D stats — the shared write path of [[appendZ]] and [[compactZ]]
+    * (clustering is a property of the WRITE; the commit protocol never
+    * sees it). Grid normalized by the INPUT's own min/max —
+    * deterministic, no global state.
+    */
+  private def writeZDataFiles(s: SparkSession, root: String,
+      df: DataFrame): Seq[(String, Long, Long, Long, Long, Long)] = {
     val token = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$root/data/c$token"
     val dom = df.agg(
@@ -996,7 +1008,7 @@ object SnapshotStore {
     val f = fs(s, root)
     val files = f.listStatus(new Path(dataDir)).toSeq
       .map(_.getPath.toString).filter(_.endsWith(".parquet"))
-    val stats = files.flatMap { p =>
+    files.flatMap { p =>
       val st = s.read.parquet(p).agg(count(lit(1)).cast("long"),
         min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long"),
         min(col("n_chars")).cast("long"), max(col("n_chars")).cast("long")).head()
@@ -1004,16 +1016,47 @@ object SnapshotStore {
       else Some((p, st.getLong(0), st.getLong(1), st.getLong(2),
         st.getLong(3), st.getLong(4)))
     }
+  }
+
+  private def zManifestRows(s: SparkSession,
+      stats: Seq[(String, Long, Long, Long, Long, Long)], k: Long): DataFrame = {
+    import s.implicits._
+    stats.map { case (p, n, a, b, c, d) => (p, k, n, a, b, c, d) }
+      .toDF("path", "commit_id", "n_rows", "min_id", "max_id",
+        "min_chars", "max_chars")
+  }
+
+  def appendZ(s: SparkSession, root: String, df: DataFrame): Long = {
+    val stats = writeZDataFiles(s, root, df)
     commitRetry(s, root) { prev =>
-      import s.implicits._
-      val k = prev + 1
-      val rows = stats.map { case (p, n, a, b, c, d) => (p, k, n, a, b, c, d) }
-        .toDF("path", "commit_id", "n_rows", "min_id", "max_id",
-          "min_chars", "max_chars")
-      (listOf(s, root, prev) :+ writeManifestFile(s, root, rows),
+      (listOf(s, root, prev) :+
+        writeManifestFile(s, root, zManifestRows(s, stats, prev + 1)),
         mergedSchema(tableSchema(s, root, prev), df.schema))
     }
   }
+
+  /** True iff snapshot k's manifest carries the 2-D stats — the mark
+    * of a Z-clustered store, which [[compact]] must not flatten.
+    */
+  private def isZStore(s: SparkSession, root: String, k: Long): Boolean =
+    k > 0 && manifest(s, root, k).columns.contains("min_chars")
+
+  /** Z-PRESERVING COMPACTION: the current snapshot rewritten ALONG THE
+    * SAME MORTON INTERLEAVE, both dimensions' stats re-recorded — so
+    * small files merge without degrading [[readRange2D]]'s 2-D pruning
+    * back to the 1-D layout (the r14 gap: plain [[compact]] routed
+    * through the doc_id range writer and silently destroyed the Z
+    * layout). Re-laying the WHOLE snapshot through one interleave can
+    * only tighten the per-file boxes relative to per-commit grids
+    * (spec pins fraction preserved-or-improved).
+    */
+  def compactZ(s: SparkSession, root: String): Long =
+    commitRetry(s, root) { prev =>
+      require(prev > 0, "compactZ on an empty table")
+      val stats = writeZDataFiles(s, root, readSnapshot(s, root, prev))
+      (Seq(writeManifestFile(s, root, zManifestRows(s, stats, prev + 1))),
+        tableSchema(s, root, prev))
+    }
 
   /** 2-D MANIFEST-PRUNED READ: rows with doc_id ∈ [iLo, iHi] AND
     * n_chars ∈ [cLo, cHi], scanning only files whose manifest stats

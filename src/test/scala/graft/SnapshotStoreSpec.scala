@@ -526,6 +526,41 @@ class SnapshotStoreSpec extends AnyFunSuite {
       .filter(col("doc_id") === victim).count() == 1)
   }
 
+  test("compactZ preserves (or improves) the 2-D pruned fraction; plain compact delegates on a Z store") {
+    val root = Files.createTempDirectory("graft_zc_").toString + "/ztbl"
+    SnapshotStore.appendZ(spark, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+    SnapshotStore.appendZ(spark, root, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+    // a NARROW conjunction (a tenth of each dimension), so the pruned
+    // fraction is meaningful at fixture scale and file counts
+    val dom = docs.agg(min(col("doc_id")), max(col("doc_id")),
+      min(col("n_chars")), max(col("n_chars"))).head()
+    val (i0, i1, c0, c1) = (dom.getLong(0), dom.getLong(1),
+      dom.getLong(2), dom.getLong(3))
+    val (zIdLo, zIdHi) = (i0 + (i1 - i0) / 3, i0 + (i1 - i0) / 3 + (i1 - i0) / 10)
+    val (zChLo, zChHi) = (c0 + (c1 - c0) / 3, c0 + (c1 - c0) / 3 + (c1 - c0) / 10)
+    def frac(k: Long): (Double, Long) = {
+      val m = SnapshotStore.manifest(spark, root, k)
+      val hit = m.filter(col("max_id") >= zIdLo && col("min_id") <= zIdHi &&
+        col("max_chars") >= zChLo && col("min_chars") <= zChHi).count()
+      (hit.toDouble / m.count(), m.count())
+    }
+    val (fBefore, nBefore) = frac(2L)
+    val expect = rows(SnapshotStore.readRange2D(spark, root, 2L,
+      zIdLo, zIdHi, zChLo, zChHi))
+    // plain compact must DELEGATE, not flatten the layout to 1-D
+    assert(SnapshotStore.compact(spark, root) == 3L)
+    val m3 = SnapshotStore.manifest(spark, root, 3L)
+    assert(m3.columns.contains("min_chars"),
+      "compacting a Z store must re-record BOTH dimensions' stats")
+    val (fAfter, nAfter) = frac(3L)
+    assert(nAfter < nBefore, "compaction must merge small files")
+    assert(fAfter <= fBefore + 1e-9,
+      s"2-D pruned fraction must be preserved or improved: $fBefore -> $fAfter")
+    assert(fAfter < 1.0, "the conjunction must still skip files after compaction")
+    assert(rows(SnapshotStore.readRange2D(spark, root, 3L,
+      zIdLo, zIdHi, zChLo, zChHi)) == expect)
+  }
+
   test("restore: rollback is byte-identical to snapshot k; history stays addressable; the feed is the inverse mutation") {
     val d = scratchCorpus()
     val root = SnapshotStore.ensure(spark, d)
