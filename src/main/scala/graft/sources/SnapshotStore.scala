@@ -270,6 +270,7 @@ object SnapshotStore {
     // recursive: a sidecar path poisoned into a directory (fault
     // injection, operator error) must still release cleanly
     f.delete(new Path(s"$root/manifests/s$k.json"), true)
+    f.delete(new Path(s"$root/manifests/i$k.json"), true)
     f.delete(new Path(s"$root/manifests/t$k"), true)
     f.delete(claimPath(root, k), false)
   }
@@ -290,12 +291,24 @@ object SnapshotStore {
     * reclaims it, same story as orphaned data files).
     */
   private def commitRetry(s: SparkSession, root: String)(
-      body: Long => (Seq[String], StructType)): Long = {
+      body: Long => (Seq[String], StructType)): Long =
+    commitRetryIds(s, root) { prev =>
+      val (mpaths, schema) = body(prev); (mpaths, schema, None)
+    }
+
+  /** [[commitRetry]] with an explicit field-id map — only
+    * [[renameColumn]] needs one; every other commit evolves the
+    * previous map additively (fresh ids for new fields).
+    */
+  private def commitRetryIds(s: SparkSession, root: String)(
+      body: Long => (Seq[String], StructType, Option[Map[Long, String]])): Long = {
     var attempts = 0
     while (attempts < 64) {
       val prev = currentSnapshot(s, root)
       val k = prev + 1
-      val (mpaths, schema) = body(prev)
+      val (mpaths, schema, idsOpt) = body(prev)
+      val ids = idsOpt.getOrElse(
+        evolvedIdMap(readIdMap(s, root, prev), schema))
       if (tryClaim(s, root, k)) {
         // Self-release on a RECOVERABLE post-claim failure: the claim
         // holder knows its own commit failed, so it cleans up (partial
@@ -306,6 +319,7 @@ object SnapshotStore {
         // never be destroyed by its own error handling.
         try {
           writeSchema(s, root, k, schema)
+          writeIdMap(s, root, k, ids)
           writeCommitTime(s, root, k)
           commitManifest(s, root, k, mpaths)
         } catch {
@@ -411,6 +425,104 @@ object SnapshotStore {
     val out = fs(s, root).create(new Path(s"$root/manifests/s$k.json"), true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
   }
+
+  // ---- FIELD-ID mapping: rename-capable schema evolution -----------
+
+  /** Read the whole content of a tiny sidecar file as UTF-8. */
+  private def readSidecar(s: SparkSession, p: Path): Option[String] = {
+    val f = fs(s, p.toString)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    try {
+      val b = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { b.write(buf, 0, n); n = in.read(buf) }
+      Some(b.toString("UTF-8"))
+    } finally in.close()
+  }
+
+  /** Snapshot k's FIELD-ID map (`manifests/i<k>.json`): stable id →
+    * current column name — the Iceberg mechanism that makes RENAME a
+    * metadata operation: a renamed column keeps its id (old files'
+    * data surfaces under the new name), a re-added name gets a FRESH
+    * id (old data never leaks into it). Written by every commit;
+    * stores from before the sidecar read as empty (no renames ever
+    * happened there, so identity is fine).
+    */
+  private[graft] def readIdMap(s: SparkSession, root: String,
+      k: Long): Map[Long, String] =
+    readSidecar(s, new Path(s"$root/manifests/i$k.json")).map { json =>
+      // one flat string map, written by writeIdMap — parse without a
+      // JSON library: "id":"name" pairs (names are column identifiers,
+      // no quotes/escapes inside by construction — writeIdMap asserts)
+      """"(\d+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(json)
+        .map(m => m.group(1).toLong -> m.group(2)).toMap
+    }.getOrElse(Map.empty)
+
+  private def writeIdMap(s: SparkSession, root: String, k: Long,
+      idMap: Map[Long, String]): Unit = {
+    require(idMap.values.forall(n => !n.contains("\"") && !n.contains("\\")),
+      "column names with quotes/backslashes are not supported by the id sidecar")
+    val json = idMap.toSeq.sortBy(_._1)
+      .map { case (id, n) => s""""$id":"$n"""" }.mkString("{", ",", "}")
+    val out = fs(s, root).create(new Path(s"$root/manifests/i$k.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The id map commit k writes by default: the previous map, plus a
+    * fresh id (max + 1 …) for every field the new schema introduces —
+    * first-appearance order, deterministic.
+    */
+  private def evolvedIdMap(prev: Map[Long, String],
+      schema: StructType): Map[Long, String] = {
+    val have = prev.values.toSet
+    var next = if (prev.isEmpty) 1L else prev.keys.max + 1L
+    prev ++ schema.fieldNames.filterNot(have).map { n =>
+      val id = next; next += 1L; id -> n
+    }
+  }
+
+  /** The renames to apply when snapshot k reads files written by
+    * commit `cid`: every id whose name changed between the two maps.
+    * Empty for any store that never renamed (missing sidecars).
+    */
+  private def renamesFor(s: SparkSession, root: String, k: Long,
+      cid: Long): Seq[(String, String)] = {
+    if (cid == k) return Nil
+    val mk = readIdMap(s, root, k)
+    if (mk.isEmpty) return Nil
+    val mc = readIdMap(s, root, cid)
+    mc.toSeq.flatMap { case (id, oldN) =>
+      mk.get(id).filter(_ != oldN).map(oldN -> _)
+    }
+  }
+
+  /** RENAME a column — pure metadata, the field-id way: commit
+    * `current + 1` reuses the file list verbatim and changes ONLY the
+    * schema + id map (same id, new name). Every read of the new
+    * snapshot surfaces old files' data under the new name; time travel
+    * to pre-rename snapshots still reads the old name — both from the
+    * per-commit sidecars, no data touched. Refuses the table key
+    * (`doc_id` anchors stats, deletes and merges) and collisions with
+    * a live name.
+    */
+  def renameColumn(s: SparkSession, root: String,
+      oldName: String, newName: String): Long =
+    commitRetryIds(s, root) { prev =>
+      require(prev > 0, "renameColumn on an empty table")
+      require(oldName != "doc_id", "the table key cannot be renamed")
+      val schema = tableSchema(s, root, prev)
+      require(schema.fieldNames.contains(oldName), s"no column $oldName")
+      require(!schema.fieldNames.contains(newName), s"column $newName exists")
+      val renamed = StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val ids = evolvedIdMap(readIdMap(s, root, prev), schema)
+      val newIds = ids.map { case (id, n) =>
+        id -> (if (n == oldName) newName else n)
+      }
+      (listOf(s, root, prev), renamed, Some(newIds))
+    }
 
   private def readStoredSchema(s: SparkSession, root: String, k: Long): Option[StructType] = {
     val p = new Path(s"$root/manifests/s$k.json")
@@ -548,13 +660,26 @@ object SnapshotStore {
     if (dataFiles.isEmpty)
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         tableSchema(s, root, k))
-    if (deleteFiles.isEmpty)
+    // field-id renames per commit era (empty for any store that never
+    // renamed — one tiny sidecar read per distinct commit id)
+    val renames: Map[Long, Seq[(String, String)]] =
+      dataFiles.map(_._2).distinct
+        .map(c => c -> renamesFor(s, root, k, c)).toMap
+    val anyRename = renames.values.exists(_.nonEmpty)
+    if (deleteFiles.isEmpty && !anyRename)
       return s.read.option("mergeSchema", "true")
         .parquet(dataFiles.map(_._1): _*)
     val data = dataFiles.groupBy(_._2).toSeq.map { case (cid, fs) =>
-      s.read.option("mergeSchema", "true").parquet(fs.map(_._1): _*)
+      val base = s.read.option("mergeSchema", "true").parquet(fs.map(_._1): _*)
         .withColumn("__cid", lit(cid))
+      // rename BEFORE the union, so a pre-rename file's column lands
+      // under its field id's CURRENT name and a re-added old name
+      // (fresh id) reads as NULL on old files, never their stale data
+      renames(cid).foldLeft(base) { case (d, (o, n)) =>
+        d.withColumnRenamed(o, n)
+      }
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    if (deleteFiles.isEmpty) return data.drop("__cid")
     val dels = deleteFiles.groupBy(_._2).toSeq.map { case (cid, fs) =>
       s.read.parquet(fs.map(_._1): _*)
         .select(col("doc_id").as("__dk")).withColumn("__dcid", lit(cid))
@@ -943,6 +1068,7 @@ object SnapshotStore {
       val id = p.getName.drop(1).toLong
       f.delete(p, true)
       f.delete(new Path(s"$root/manifests/s$id.json"), false)
+      f.delete(new Path(s"$root/manifests/i$id.json"), false)
       f.delete(new Path(s"$root/manifests/t$id"), false)
       f.delete(claimPath(root, id), false)
     }

@@ -526,6 +526,50 @@ class SnapshotStoreSpec extends AnyFunSuite {
       .filter(col("doc_id") === victim).count() == 1)
   }
 
+  test("field-id rename: metadata-only; old files read under the new name; a re-added old name never leaks old data") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_snapren_").toString + "/tbl"
+    SnapshotStore.append(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("doc_id", "tag", "n_chars"))
+    // RENAME n_chars -> size (commit 2): pure metadata, file list reused
+    assert(SnapshotStore.renameColumn(spark, root, "n_chars", "size") == 2L)
+    assert(rows(SnapshotStore.manifest(spark, root, 2L).select("path")) ==
+      rows(SnapshotStore.manifest(spark, root, 1L).select("path")),
+      "a rename must not touch a data file")
+    val snap2 = SnapshotStore.readSnapshot(spark, root, 2L)
+    assert(snap2.columns.toSeq == Seq("doc_id", "tag", "size"))
+    assert(snap2.filter(col("doc_id") === 1L).head().getAs[Long]("size") == 10L,
+      "old files' data must surface under the NEW name (same field id)")
+    // post-rename writers use the new name (commit 3)
+    SnapshotStore.append(spark, root,
+      Seq((3L, "c", 30L)).toDF("doc_id", "tag", "size"))
+    val snap3 = SnapshotStore.readSnapshot(spark, root, 3L)
+    assert(snap3.agg(sum(col("size"))).head().getLong(0) == 60L)
+    // TIME TRAVEL reads the era's own names
+    assert(SnapshotStore.readSnapshot(spark, root, 1L)
+      .columns.contains("n_chars"))
+    // a RE-ADDED old name is a FRESH field id: old files' physical
+    // n_chars maps to `size`, never into the new column (commit 4)
+    SnapshotStore.append(spark, root,
+      Seq((4L, "d", 40L, 99L)).toDF("doc_id", "tag", "size", "n_chars"))
+    val snap4 = SnapshotStore.readSnapshot(spark, root, 4L)
+    val r1 = snap4.filter(col("doc_id") === 1L).head()
+    assert(r1.getAs[Long]("size") == 10L && r1.isNullAt(r1.fieldIndex("n_chars")),
+      "a re-added old name must read NULL on pre-rename files")
+    assert(snap4.filter(col("doc_id") === 4L).head().getAs[Long]("n_chars") == 99L)
+    // stats-pruned reads and MOR deletes compose across the boundary
+    assert(SnapshotStore.readRange(spark, root, 4L, 1L, 2L).count() == 2L)
+    SnapshotStore.deleteKeys(spark, root, Seq(2L).toDF("doc_id"))
+    val snap5 = SnapshotStore.readSnapshot(spark, root, 5L)
+    assert(snap5.count() == 3L &&
+      snap5.filter(col("doc_id") === 1L).head().getAs[Long]("size") == 10L)
+    // guardrails
+    intercept[IllegalArgumentException](
+      SnapshotStore.renameColumn(spark, root, "doc_id", "id"))
+    intercept[IllegalArgumentException](
+      SnapshotStore.renameColumn(spark, root, "tag", "size"))
+  }
+
   test("compactZ preserves (or improves) the 2-D pruned fraction; plain compact delegates on a Z store") {
     val root = Files.createTempDirectory("graft_zc_").toString + "/ztbl"
     SnapshotStore.appendZ(spark, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
