@@ -487,7 +487,7 @@ object SnapshotStore {
     * commit `cid`: every id whose name changed between the two maps.
     * Empty for any store that never renamed (missing sidecars).
     */
-  private def renamesFor(s: SparkSession, root: String, k: Long,
+  private[graft] def renamesFor(s: SparkSession, root: String, k: Long,
       cid: Long): Seq[(String, String)] = {
     if (cid == k) return Nil
     val mk = readIdMap(s, root, k)
@@ -1247,6 +1247,42 @@ object SnapshotStore {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"))
+  }
+
+  /** q230: the DSv2 SQL READ — the q206 range predicate expressed as
+    * PLAIN SQL over `spark.read.format("graft.sources
+    * .SnapshotTableSource")`, where the connector (not the caller)
+    * prunes the file list from the manifest stats and consumes the
+    * pushed range (SnapshotTableSourceSpec pins the pruned file count
+    * and the filter leaving the plan). Oracle = q206's raw-table
+    * BETWEEN.
+    */
+  val q230SnapshotSqlRead: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensure(s, dir)
+    val v = s"graft_snap_sql_${math.abs(dir.hashCode)}"
+    s.read.format("graft.sources.SnapshotTableSource")
+      .option("root", root).load().createOrReplaceTempView(v)
+    s.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |FROM $v WHERE doc_id BETWEEN 100 AND 250
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** q231: the DSv2 SQL read of the Z-CLUSTERED store — q227's 2-D
+    * conjunction as plain SQL; the connector prunes on BOTH manifest
+    * dimensions (`min_chars`/`max_chars` ride the same pushdown).
+    * Oracle = q227's.
+    */
+  val q231SnapshotSqlZRead: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureZ(s, dir)
+    val v = s"graft_snap_sqlz_${math.abs(dir.hashCode)}"
+    s.read.format("graft.sources.SnapshotTableSource")
+      .option("root", root).load().createOrReplaceTempView(v)
+    s.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |FROM $v WHERE doc_id BETWEEN $ZIdLo AND $ZIdHi
+         |  AND n_chars BETWEEN $ZChLo AND $ZChHi
+         |GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
   /** ORPHAN VACUUM: physically delete data files that NO manifest
@@ -2313,7 +2349,9 @@ object SnapshotStore {
       "q226_snapshot_mv_filtered" -> q226SnapshotMvFiltered,
       "q227_snapshot_zorder_read" -> q227SnapshotZRead,
       "q228_snapshot_restore" -> q228SnapshotRestore,
-      "q229_snapshot_mor_delete" -> q229SnapshotMorDelete)
+      "q229_snapshot_mor_delete" -> q229SnapshotMorDelete,
+      "q230_snapshot_sql_read" -> q230SnapshotSqlRead,
+      "q231_snapshot_sql_zread" -> q231SnapshotSqlZRead)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -2413,5 +2451,17 @@ object SnapshotStore {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 9 <> 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q230_snapshot_sql_read" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 250
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q231_snapshot_sql_zread" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id BETWEEN $ZIdLo AND $ZIdHi
+        |  AND n_chars BETWEEN $ZChLo AND $ZChHi
         |GROUP BY lang ORDER BY lang""".stripMargin)
 }
