@@ -1826,8 +1826,10 @@ object SnapshotStore {
     def emptyLike(like: Long): DataFrame = s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema(s, root, like))
     // each side reads through ITS snapshot's delete files, so a row
-    // already MOR-dead at j (or at k) never enters the comparison
-    val oldRows = if (replaced.isEmpty) emptyLike(j)
+    // already MOR-dead at j (or at k) never enters the comparison.
+    // j = 0 (the empty table — a CDC consumer's "from the beginning")
+    // borrows k's schema: the feed is then the initial load as inserts
+    val oldRows = if (replaced.isEmpty) emptyLike(if (j == 0L) k else j)
       else readWithDeletes(s, root, j, replaced, delJ, nDelJ)
     val newRows = if (written.isEmpty) emptyLike(k)
       else readWithDeletes(s, root, k, written, delK, nDelK)
@@ -1907,6 +1909,24 @@ object SnapshotStore {
             col("doc_id").as("doc_id"))): _*))
       }
     morDeletes.foldLeft(keyed.unionByName(nullFeed))(_ unionByName _)
+  }
+
+  /** The change feed in the COMPACT CDC shape a consumer subscribes
+    * to: `(change_type, commit_id, doc_id, <table columns>)` — the
+    * post-image for inserts/updates, the pre-image for deletes. The
+    * streaming source ([[SnapshotCdcSource]]) emits micro-batches in
+    * exactly this shape, and the spec's batch/streaming equivalence
+    * compares through it.
+    */
+  def changeFeedCompact(s: SparkSession, root: String, j: Long, k: Long): DataFrame = {
+    val feed = changeFeed(s, root, j, k)
+    // the columns the feed actually compared (snapshot j's era — an
+    // additive evolution inside the window surfaces next window)
+    val valueCols = feed.columns.filter(_.startsWith("o_"))
+      .filterNot(_ == "o_id").map(_.stripPrefix("o_")).toSeq
+    feed.select((Seq(col("change_type"), lit(k).as("commit_id"),
+      coalesce(col("n_id"), col("o_id")).as("doc_id")) ++
+      valueCols.map(c => coalesce(col(s"n_$c"), col(s"o_$c")).as(c))): _*)
   }
 
   /** q225: the CHANGE FEED of the q211 merge commit (snapshot 2 → 3 of

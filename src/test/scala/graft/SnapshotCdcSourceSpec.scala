@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SnapshotStore
+
+/** The streaming change-feed source: snapshot ids as checkpointed
+  * offsets; streaming collect == concatenated batch change feeds,
+  * including across a stop/restart with commits landing while the
+  * stream is down.
+  */
+class SnapshotCdcSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session(master = "local[4]")
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("commits tail as micro-batches; restart resumes from the checkpointed offset") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cdcsrc_").toString
+    val root = s"$base/tbl"
+    val ckpt = s"$base/ckpt"
+    SnapshotStore.append(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("doc_id", "tag", "v"))
+    SnapshotStore.append(spark, root,
+      Seq((3L, "c", 30L)).toDF("doc_id", "tag", "v"))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def start() = spark.readStream
+      .format("graft.sources.SnapshotCdcSource")
+      .option("root", root).option("startSnapshot", "0").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => buf.add(r.toString)); ()
+      }.start()
+    def drained: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSeq.sorted
+    }
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // the from-the-beginning subscription: initial load as inserts
+      assert(drained == rows(SnapshotStore.changeFeedCompact(spark, root, 0L, 2L)),
+        "the first batch must be changeFeedCompact(start, current)")
+      // a MERGE lands while the stream runs → one more batch, exactly
+      // the commit's logical changes
+      SnapshotStore.mergeInto(spark, root,
+        Seq((2L, "B", 21L), (4L, "d", 40L)).toDF("doc_id", "tag", "v")) // commit 3
+      q1.processAllAvailable()
+      assert(drained ==
+        (rows(SnapshotStore.changeFeedCompact(spark, root, 0L, 2L)) ++
+          rows(SnapshotStore.changeFeedCompact(spark, root, 2L, 3L))).sorted)
+    } finally q1.stop()
+    // commits land while the stream is DOWN
+    SnapshotStore.deleteKeys(spark, root, Seq(1L).toDF("doc_id")) // commit 4
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // restart resumed from the checkpointed offset: the missed window
+    // arrives exactly once — no re-delivery of batches ≤ 3, no gap
+    assert(drained ==
+      (rows(SnapshotStore.changeFeedCompact(spark, root, 0L, 2L)) ++
+        rows(SnapshotStore.changeFeedCompact(spark, root, 2L, 3L)) ++
+        rows(SnapshotStore.changeFeedCompact(spark, root, 3L, 4L))).sorted,
+      "streaming collect must equal the concatenated batch feeds across restart")
+  }
+}

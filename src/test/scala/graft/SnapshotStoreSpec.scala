@@ -776,6 +776,47 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(rows(mv()) == rows(recompute()))
   }
 
+  test("platform loop: streaming ingest -> snapshot commits -> the MV folds each batch incrementally") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = scratchCorpus()
+    val storeRoot = SnapshotStore.ensure(spark, d) // commits 1, 2
+    def recompute() = SnapshotStore.readSnapshot(spark, storeRoot,
+        SnapshotStore.currentSnapshot(spark, storeRoot))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), count(col("n_chars")).as("n_facts"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+    assert(SnapshotStore.ensureSnapshotMvValidated(spark, storeRoot, d) == "recompute")
+    // three deterministic late-arrival batches, keyed clear of the seed
+    val late = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0) + 10000000L, r.getString(1),
+        r.getString(2), r.getString(3), r.getLong(4)))
+    val batches = late.groupBy(t => math.floorMod(t._1, 3L)).toSeq
+      .sortBy(_._1).map(_._2.toSeq)
+    val modes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ms = MemoryStream[(Long, String, String, String, Long)]
+    val q = ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the loop: the stream COMMITS, then the derived view REFRESHES
+        SnapshotStore.append(spark, storeRoot, batch)
+        modes.add(SnapshotStore.ensureSnapshotMvValidated(spark, storeRoot, d))
+        ()
+      }.start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(modes.iterator().asScala.toSeq == Seq.fill(batches.size)("incremental"),
+      "every streaming batch must refresh the view by folding its diff")
+    // end state: the folded view == a full batch recompute on the same
+    // data — the stream-maintained platform equals the batch pipeline
+    assert(rows(spark.read.parquet(s"${SnapshotStore.smRoot(d)}/mv")) ==
+      rows(recompute()))
+    assert(SnapshotStore.currentSnapshot(spark, storeRoot) == 2L + batches.size)
+  }
+
   test("vacuum reclaims only never-referenced files; every snapshot survives; the age floor protects in-flight writes") {
     val d = scratchCorpus()
     val root = SnapshotStore.ensure(spark, d)
