@@ -627,18 +627,37 @@ object SnapshotStore {
     else m.withColumn("kind", lit("data"))
 
   /** Snapshot k's manifest split into (data files with their commit
-    * ids, delete files with theirs, total delete-key count). One
-    * metadata read.
+    * ids, equality-delete files with theirs, position-delete file
+    * paths, equality-delete row count, position-delete row count).
+    * One metadata read.
     */
-  private def splitManifest(s: SparkSession, root: String,
-      k: Long): (Seq[(String, Long)], Seq[(String, Long)], Long) = {
+  private def splitManifest(s: SparkSession, root: String, k: Long):
+      (Seq[(String, Long)], Seq[(String, Long)], Seq[String], Long, Long) = {
     val rows = withKind(manifest(s, root, k))
       .select("path", "commit_id", "kind", "n_rows").collect()
-    val (del, dat) = rows.partition(_.getAs[String]("kind") == "delete")
+    val dat = rows.filter(_.getAs[String]("kind") == "data")
+    val del = rows.filter(_.getAs[String]("kind") == "delete")
+    val pos = rows.filter(_.getAs[String]("kind") == "posdelete")
     (dat.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
       del.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
-      del.map(_.getAs[Long]("n_rows")).sum)
+      pos.map(_.getAs[String]("path")).toIndexedSeq,
+      del.map(_.getAs[Long]("n_rows")).sum,
+      pos.map(_.getAs[Long]("n_rows")).sum)
   }
+
+  /** Normalize a file path for identity comparison across producers:
+    * manifest rows record `FileSystem.listStatus` paths
+    * (`file:/tmp/x`) while the parquet reader's `_metadata.file_path`
+    * is a fully-qualified URI (`file:///tmp/x`) — scheme and empty
+    * authority strip to the same `/tmp/x`. A position delete joins on
+    * this form.
+    */
+  private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+
+  /** Driver-side twin of [[normPath]]. */
+  private[graft] def normPathStr(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
 
   /** Read a set of data files with their delete files applied under
     * the SEQUENCE RULE: an equality-delete file (commit d) removes a
@@ -656,7 +675,8 @@ object SnapshotStore {
     */
   private def readWithDeletes(s: SparkSession, root: String, k: Long,
       dataFiles: Seq[(String, Long)], deleteFiles: Seq[(String, Long)],
-      deleteRows: Long): DataFrame = {
+      posFiles: Seq[String] = Nil, deleteRows: Long = 0L,
+      posRows: Long = 0L, keepPos: Boolean = false): DataFrame = {
     if (dataFiles.isEmpty)
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         tableSchema(s, root, k))
@@ -666,12 +686,18 @@ object SnapshotStore {
       dataFiles.map(_._2).distinct
         .map(c => c -> renamesFor(s, root, k, c)).toMap
     val anyRename = renames.values.exists(_.nonEmpty)
-    if (deleteFiles.isEmpty && !anyRename)
+    val needPos = keepPos || posFiles.nonEmpty
+    if (deleteFiles.isEmpty && !anyRename && !needPos)
       return s.read.option("mergeSchema", "true")
         .parquet(dataFiles.map(_._1): _*)
     val data = dataFiles.groupBy(_._2).toSeq.map { case (cid, fs) =>
-      val base = s.read.option("mergeSchema", "true").parquet(fs.map(_._1): _*)
-        .withColumn("__cid", lit(cid))
+      val raw = s.read.option("mergeSchema", "true").parquet(fs.map(_._1): _*)
+      // a position delete addresses the physical row: (file, ordinal)
+      // from the reader's metadata columns — no table column needed
+      val base = (if (needPos)
+          raw.withColumn("__path", normPath(col("_metadata.file_path")))
+            .withColumn("__pos", col("_metadata.row_index"))
+        else raw).withColumn("__cid", lit(cid))
       // rename BEFORE the union, so a pre-rename file's column lands
       // under its field id's CURRENT name and a re-added old name
       // (fresh id) reads as NULL on old files, never their stale data
@@ -679,16 +705,35 @@ object SnapshotStore {
         d.withColumnRenamed(o, n)
       }
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    if (deleteFiles.isEmpty) return data.drop("__cid")
-    val dels = deleteFiles.groupBy(_._2).toSeq.map { case (cid, fs) =>
-      s.read.parquet(fs.map(_._1): _*)
-        .select(col("doc_id").as("__dk")).withColumn("__dcid", lit(cid))
-    }.reduce(_ unionByName _)
-    val delSide = if (deleteRows <= 4000000L) broadcast(dels) else dels
-    data.join(delSide,
-        col("doc_id") === col("__dk") && col("__dcid") > col("__cid"),
-        "left_anti")
-      .drop("__cid")
+    val eqApplied =
+      if (deleteFiles.isEmpty) data
+      else {
+        val dels = deleteFiles.groupBy(_._2).toSeq.map { case (cid, fs) =>
+          s.read.parquet(fs.map(_._1): _*)
+            .select(col("doc_id").as("__dk")).withColumn("__dcid", lit(cid))
+        }.reduce(_ unionByName _)
+        val delSide = if (deleteRows <= 4000000L) broadcast(dels) else dels
+        data.join(delSide,
+          col("doc_id") === col("__dk") && col("__dcid") > col("__cid"),
+          "left_anti")
+      }
+    // position deletes join on physical identity (normalized path,
+    // row ordinal) — no sequence rule needed: a path names exactly one
+    // immutable file, and a delete against a since-compacted file is
+    // inert by construction
+    val posApplied =
+      if (posFiles.isEmpty) eqApplied
+      else {
+        val pd = s.read.parquet(posFiles: _*)
+          .select(normPath(col("path")).as("__pp"), col("pos").as("__ppos"))
+          .distinct()
+        val pdSide = if (posRows <= 4000000L) broadcast(pd) else pd
+        eqApplied.join(pdSide,
+          col("__path") === col("__pp") && col("__pos") === col("__ppos"),
+          "left_anti")
+      }
+    val out = posApplied.drop("__cid")
+    if (keepPos) out else out.drop("__path", "__pos")
   }
 
   /** MERGE-ON-READ DELETE: commit the given keys as an EQUALITY-DELETE
@@ -724,6 +769,48 @@ object SnapshotStore {
     }
   }
 
+  /** MERGE-ON-READ DELETE BY PREDICATE: commit a POSITION-DELETE FILE
+    * — (normalized file path, row ordinal) pairs identifying the live
+    * rows matching `cond` — plus one `kind = posdelete` manifest row;
+    * ZERO data files are rewritten. This is the delete shape an engine
+    * emits when the predicate is NOT key-ranged (equality-delete files
+    * carry keys; a predicate on any other column has no key set):
+    * physical row identity comes free from the parquet reader's
+    * `_metadata` columns, needs no sequence rule (a path names exactly
+    * one immutable file; a later re-insert lands in a NEW file), and
+    * can even delete NULL-key rows, which key-based MOR never can.
+    * Positions are computed INSIDE the commit retry against the
+    * claim-time snapshot, so a raced writer's concurrent append is
+    * never missed or double-counted. [[compact]] folds every position
+    * file into data and drops it. Returns the new snapshot id.
+    */
+  def deleteWhere(s: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): Long =
+    commitRetry(s, root) { prev =>
+      require(prev > 0, "deleteWhere on an empty table")
+      val (dat, del, pos, nDel, nPos) = splitManifest(s, root, prev)
+      val hits = readWithDeletes(s, root, prev, dat, del, pos, nDel, nPos,
+          keepPos = true)
+        .filter(cond)
+        .select(col("__path").as("path"), col("__pos").as("pos"))
+      val token = java.util.UUID.randomUUID().toString.take(12)
+      val dirp = s"$root/data/p$token"
+      hits.coalesce(1).write.mode("overwrite").parquet(dirp)
+      val f = fs(s, root)
+      val file = f.listStatus(new Path(dirp)).toSeq.map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).head
+      val n = s.read.parquet(file).count()
+      require(n > 0, "deleteWhere matched no rows")
+      val k = prev + 1
+      import s.implicits._
+      // open-interval id stats: a position delete is keyless, so it
+      // must never be stats-pruned
+      val row = Seq((file, k, n, Long.MinValue, Long.MaxValue, "posdelete"))
+        .toDF("path", "commit_id", "n_rows", "min_id", "max_id", "kind")
+      (listOf(s, root, prev) :+ writeManifestFile(s, root, row),
+        tableSchema(s, root, prev))
+    }
+
   /** TIME TRAVEL: the table as of snapshot k — exactly the files
     * manifest k names, handed to the scan as an explicit list (the
     * table-format planner shape; no directory walk, so orphaned or
@@ -739,8 +826,8 @@ object SnapshotStore {
     // files, so an additive evolution (q212) surfaces as NULLs on
     // pre-evolution files instead of being silently dropped — the
     // table-format read contract (a no-op on uniform-schema stores)
-    val (dat, del, nDel) = splitManifest(s, root, k)
-    readWithDeletes(s, root, k, dat, del, nDel)
+    val (dat, del, pos, nDel, nPos) = splitManifest(s, root, k)
+    readWithDeletes(s, root, k, dat, del, pos, nDel, nPos)
   }
 
   /** The file paths a doc_id range [lo, hi] can possibly touch in
@@ -769,14 +856,14 @@ object SnapshotStore {
     */
   def readRange(s: SparkSession, root: String, k: Long,
       lo: Long, hi: Long): DataFrame = {
-    val (dat, del, nDel) = splitManifest(s, root, k)
+    val (dat, del, pos, nDel, nPos) = splitManifest(s, root, k)
     val pruned = {
       val hitSet = prunedPaths(s, root, k, lo, hi).toSet
       dat.filter(p => hitSet(p._1))
     }
     if (pruned.isEmpty)
       return readSnapshot(s, root, k).filter(lit(false))
-    readWithDeletes(s, root, k, pruned, del, nDel)
+    readWithDeletes(s, root, k, pruned, del, pos, nDel, nPos)
       .filter(col("doc_id") >= lo && col("doc_id") <= hi)
   }
 
@@ -786,14 +873,15 @@ object SnapshotStore {
     * as zero rows of the snapshot schema.
     */
   def readDiff(s: SparkSession, root: String, j: Long, k: Long): DataFrame = {
-    val (dat, del, nDel) = splitManifest(s, root, k)
+    val (dat, del, pos, nDel, nPos) = splitManifest(s, root, k)
     val window = dat.filter(_._2 > j)
     if (window.isEmpty)
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         tableSchema(s, root, k))
     // deletes with commit id ≤ a window file's never apply under the
-    // sequence rule, so passing ALL delete files is exact
-    readWithDeletes(s, root, k, window, del, nDel)
+    // sequence rule, so passing ALL delete files is exact; position
+    // deletes address physical files, exact by identity
+    readWithDeletes(s, root, k, window, del, pos, nDel, nPos)
   }
 
   // ---- lifecycle: copy-on-write delete, merge, compaction, expiration
@@ -839,6 +927,8 @@ object SnapshotStore {
       else {
         val delFiles = mfull.filter(col("kind") === "delete")
           .select("path", "commit_id", "n_rows").collect()
+        val posFiles = mfull.filter(col("kind") === "posdelete")
+          .select("path", "n_rows").collect()
         // NULL-SAFE keep predicate: `!between` alone evaluates to NULL
         // (dropped) for NULL doc_id — and all-null-id files are always
         // "affected" (their stats are the open interval), so a plain
@@ -849,7 +939,9 @@ object SnapshotStore {
           readWithDeletes(s, root, prev,
             affRows.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
             delFiles.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
-            delFiles.map(_.getAs[Long]("n_rows")).sum)
+            posFiles.map(_.getAs[String]("path")).toIndexedSeq,
+            delFiles.map(_.getAs[Long]("n_rows")).sum,
+            posFiles.map(_.getAs[Long]("n_rows")).sum)
             .filter(col("doc_id").isNull || !col("doc_id").between(lo, hi)))
         val survivors = mfull
           .filter(col("mpath").isin(touchedM.toSeq: _*) && !hit).drop("mpath")
@@ -947,9 +1039,13 @@ object SnapshotStore {
               .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
             val delFiles = mfull.filter(col("kind") === "delete")
               .select("path", "commit_id", "n_rows").collect()
+            val posFiles = mfull.filter(col("kind") === "posdelete")
+              .select("path", "n_rows").collect()
             readWithDeletes(s, root, prev, affRows,
               delFiles.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq,
-              delFiles.map(_.getAs[Long]("n_rows")).sum)
+              posFiles.map(_.getAs[String]("path")).toIndexedSeq,
+              delFiles.map(_.getAs[Long]("n_rows")).sum,
+              posFiles.map(_.getAs[Long]("n_rows")).sum)
               .join(cached.select("doc_id"), Seq("doc_id"), "left_anti")
               .unionByName(cached, allowMissingColumns = true)
           }
@@ -1035,6 +1131,10 @@ object SnapshotStore {
       s"expire(keepFrom=$keepFrom) would drop the current snapshot " +
         s"${currentSnapshot(s, root)}")
     val f = fs(s, root)
+    // NAMED REFS pin their snapshots across the horizon: a tagged id
+    // below keepFrom survives the sweep (the Iceberg retain-refs
+    // contract) — dropping the tag first is the explicit opt-out
+    val pinned = tags(s, root).values.toSet
     // COMMITTED manifests only (`_SUCCESS`) — the same filter every
     // reader applies: a torn in-flight manifest (id current+1) must
     // not land in `kept`, where reading its partial/empty directory
@@ -1045,7 +1145,10 @@ object SnapshotStore {
       .map(_.getPath)
       .filter(p => p.getName.startsWith("m") && p.getName.drop(1).forall(_.isDigit) &&
         f.exists(new Path(p, "_SUCCESS")))
-    val (dropped, kept) = all.partition(_.getName.drop(1).toLong < keepFrom)
+    val (dropped, kept) = all.partition { p =>
+      val id = p.getName.drop(1).toLong
+      id < keepFrom && !pinned(id)
+    }
     if (dropped.isEmpty) return
     // reference counting at BOTH levels of the list shape: a manifest
     // FILE survives while any kept list names it; a data file survives
@@ -1073,6 +1176,51 @@ object SnapshotStore {
       f.delete(claimPath(root, id), false)
     }
   }
+
+  // ---- NAMED REFS: tags over snapshot ids ---------------------------
+
+  private def tagPath(root: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9._\\-]+"), s"invalid tag name: $name")
+    new Path(s"$root/refs/$name")
+  }
+
+  /** TAG snapshot k under `name` — a durable, human-meaningful name a
+    * reader resolves instead of a raw id ("the validated training
+    * corpus", "audit-2026-08"). A tiny metadata file; re-tagging the
+    * same name retargets it (last write wins — tags name HISTORY, they
+    * are not a concurrency primitive). A tagged snapshot is PINNED
+    * across [[expire]] horizons until the tag is dropped.
+    */
+  def tag(s: SparkSession, root: String, name: String, k: Long): Unit = {
+    require(k >= 1 && k <= currentSnapshot(s, root),
+      s"tag($name → $k): snapshot must be committed")
+    require(fs(s, root).exists(new Path(s"$root/manifests/m$k/_SUCCESS")),
+      s"tag($name → $k): snapshot $k is not addressable (expired or torn)")
+    val out = fs(s, root).create(tagPath(root, name), true)
+    try out.write(k.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  def dropTag(s: SparkSession, root: String, name: String): Unit =
+    fs(s, root).delete(tagPath(root, name), false)
+
+  /** Every tag of the store: name → snapshot id. O(#tags) metadata. */
+  def tags(s: SparkSession, root: String): Map[String, Long] = {
+    val f = fs(s, root)
+    val dir = new Path(s"$root/refs")
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).toSeq.flatMap { st =>
+      readSidecar(s, st.getPath).flatMap(_.trim.toLongOption)
+        .map(st.getPath.getName -> _)
+    }.toMap
+  }
+
+  def resolveTag(s: SparkSession, root: String, name: String): Long =
+    tags(s, root).getOrElse(name,
+      throw new IllegalArgumentException(s"unknown tag: $name"))
+
+  /** The table as of the tagged snapshot. */
+  def readTag(s: SparkSession, root: String, name: String): DataFrame =
+    readSnapshot(s, root, resolveTag(s, root, name))
 
   // ---- the Z-CLUSTERED snapshot table (q227): 2-D stats pruning -----
 
@@ -1283,6 +1431,171 @@ object SnapshotStore {
          |FROM $v WHERE doc_id BETWEEN $ZIdLo AND $ZIdHi
          |  AND n_chars BETWEEN $ZChLo AND $ZChHi
          |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** q232: METADATA-ONLY aggregates — a global `COUNT(*) / MIN / MAX`
+    * over the snapshot table answered ENTIRELY from the manifest's
+    * per-file stats by the connector's `SupportsPushDownAggregates`
+    * (SnapshotTableSourceSpec pins zero planned data files). At 100 TB
+    * this is the difference between a metadata fold and a full scan.
+    * Oracle = the same aggregates over the raw table.
+    */
+  val q232SnapshotSqlAgg: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensure(s, dir)
+    val v = s"graft_snap_agg_${math.abs(dir.hashCode)}"
+    s.read.format("graft.sources.SnapshotTableSource")
+      .option("root", root).load().createOrReplaceTempView(v)
+    s.sql(
+      s"""SELECT count(*) AS n_docs, min(doc_id) AS min_doc,
+         |  max(doc_id) AS max_doc FROM $v""".stripMargin)
+  }
+
+  /** q235: a NAMED REF read as plain SQL — the `initial-load` tag is
+    * (re)pointed at snapshot 1 (idempotent metadata write), and the
+    * connector's `tag` option resolves it; the consumer addresses
+    * "the corpus we validated" by NAME, never a raw snapshot id.
+    * Oracle = snapshot 1's closed form (q203's).
+    */
+  val q235SnapshotTagRead: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensure(s, dir)
+    tag(s, root, "initial-load", 1L)
+    val v = s"graft_snap_tag_${math.abs(dir.hashCode)}"
+    s.read.format("graft.sources.SnapshotTableSource")
+      .option("root", root).option("tag", "initial-load")
+      .load().createOrReplaceTempView(v)
+    s.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |FROM $v GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  // ---- the CATEGORY-CLUSTERED snapshot table (q233): string stats ---
+
+  private[graft] def lsRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapl")
+
+  private val LsLayout = 1L
+
+  /** Files per category-clustered commit — finer than [[CommitFiles]]
+    * so the categorical skipping is observable at fixture scale.
+    */
+  val CatCommitFiles = 8
+
+  /** APPEND clustered by a CATEGORICAL column — the write path that
+    * makes point predicates on a low-cardinality STRING column (lang,
+    * source, tenant) file-prunable. Rows are range-laid on
+    * (cat, doc_id), so each file covers a contiguous slice of the
+    * category domain, and the manifest records the clustering column's
+    * per-file string (min, max) ALONGSIDE the doc_id stats — the
+    * per-column value-bounds idea real table formats keep for every
+    * column, here restricted to the one column the writer declared
+    * worth clustering on. `WHERE lang = 'de'` then prunes the file
+    * list at plan time exactly like a doc_id range does ([[readCat]],
+    * and the DSv2 connector pushes the same equality), where the plain
+    * store would scan every file. A file of all-null category values
+    * records null bounds and is never pruned (the open-interval rule).
+    * Same claim-CAS commit protocol — clustering is a property of the
+    * WRITE.
+    */
+  def appendClustered(s: SparkSession, root: String, df: DataFrame,
+      by: String): Long = {
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val dataDir = s"$root/data/c$token"
+    df.repartitionByRange(CatCommitFiles, col(by), col("doc_id"))
+      .write.mode("overwrite").parquet(dataDir)
+    val f = fs(s, root)
+    val files = f.listStatus(new Path(dataDir)).toSeq
+      .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    val stats = files.flatMap { p =>
+      val st = s.read.parquet(p).agg(count(lit(1)).cast("long"),
+        min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long"),
+        min(col(by)).cast("string"), max(col(by)).cast("string")).head()
+      if (st.getLong(0) == 0L) { f.delete(new Path(p), false); None }
+      else Some((p, st.getLong(0),
+        if (st.isNullAt(1)) Long.MinValue else st.getLong(1),
+        if (st.isNullAt(1)) Long.MaxValue else st.getLong(2),
+        Option(st.getString(3)), Option(st.getString(4))))
+    }
+    commitRetry(s, root) { prev =>
+      import s.implicits._
+      val m = stats.map { case (p, n, a, b, lo, hi) =>
+        (p, prev + 1, n, a, b, by, lo, hi)
+      }.toDF("path", "commit_id", "n_rows", "min_id", "max_id",
+        "cat_col", "min_cat", "max_cat")
+      (listOf(s, root, prev) :+ writeManifestFile(s, root, m),
+        mergedSchema(tableSchema(s, root, prev), df.schema))
+    }
+  }
+
+  /** The category-clustered store's declared clustering column at
+    * snapshot k, if any — how a reader (and the DSv2 connector)
+    * discovers which string equality is file-prunable.
+    */
+  private[graft] def catColOf(s: SparkSession, root: String, k: Long): Option[String] = {
+    if (k <= 0) return None
+    val m = manifest(s, root, k)
+    if (!m.columns.contains("cat_col") || !m.columns.contains("min_cat")) None
+    else m.select("cat_col").filter(col("cat_col").isNotNull)
+      .limit(1).collect().headOption.map(_.getString(0))
+  }
+
+  /** CATEGORY-PRUNED READ: rows with cat = value, scanning only files
+    * whose manifest string bounds contain the value (null bounds = the
+    * open interval, never pruned) — the categorical twin of
+    * [[readRange]].
+    */
+  def readCat(s: SparkSession, root: String, k: Long, value: String): DataFrame = {
+    val by = catColOf(s, root, k).getOrElse(
+      throw new IllegalArgumentException(s"$root@$k is not category-clustered"))
+    val paths = manifest(s, root, k)
+      .filter(col("min_cat").isNull ||
+        (col("max_cat") >= value && col("min_cat") <= value))
+      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    if (paths.isEmpty) return readSnapshot(s, root, k).filter(lit(false))
+    s.read.option("mergeSchema", "true").parquet(paths: _*)
+      .filter(col(by) === value)
+  }
+
+  private val lsBuiltCache = new graft.SessionCache
+
+  /** Seed the category-clustered fixture table: the q203 two-commit
+    * split, each commit clustered on `lang`.
+    */
+  def ensureClustered(s: SparkSession, dir: String): String = {
+    lsBuiltCache.getOrElseUpdate(s, dir) {
+      val root = lsRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + LsLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        appendClustered(s, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), "lang")
+        appendClustered(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === 0), "lang")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    lsRoot(dir)
+  }
+
+  /** q233: a CATEGORICAL point predicate over the lang-clustered table
+    * as plain SQL — the connector prunes the file list from the
+    * manifest's string bounds (SnapshotTableSourceSpec pins strictly
+    * fewer planned files than the manifest names, and that the plain
+    * 1-D store cannot prune this predicate at all). Oracle = the
+    * verbatim predicate on the raw table.
+    */
+  val q233SnapshotSqlCat: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureClustered(s, dir)
+    val v = s"graft_snap_cat_${math.abs(dir.hashCode)}"
+    s.read.format("graft.sources.SnapshotTableSource")
+      .option("root", root).load().createOrReplaceTempView(v)
+    s.sql(
+      s"""SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |FROM $v WHERE lang = 'de'
+         |GROUP BY source ORDER BY source""".stripMargin)
   }
 
   /** ORPHAN VACUUM: physically delete data files that NO manifest
@@ -1817,8 +2130,8 @@ object SnapshotStore {
     // ids — the set difference reports them as written, so the feed
     // across a rollback is exactly the inverse of the rolled-back
     // mutation.
-    val (datJ, delJ, nDelJ) = splitManifest(s, root, j)
-    val (datK, delK, nDelK) = splitManifest(s, root, k)
+    val (datJ, delJ, posJ, nDelJ, nPosJ) = splitManifest(s, root, j)
+    val (datK, delK, posK, nDelK, nPosK) = splitManifest(s, root, k)
     val mj = datJ.map(_._1).toSet
     val mkPaths = datK.map(_._1).toSet
     val replaced = datJ.filter(t => !mkPaths(t._1))
@@ -1830,9 +2143,9 @@ object SnapshotStore {
     // j = 0 (the empty table — a CDC consumer's "from the beginning")
     // borrows k's schema: the feed is then the initial load as inserts
     val oldRows = if (replaced.isEmpty) emptyLike(if (j == 0L) k else j)
-      else readWithDeletes(s, root, j, replaced, delJ, nDelJ)
+      else readWithDeletes(s, root, j, replaced, delJ, posJ, nDelJ, nPosJ)
     val newRows = if (written.isEmpty) emptyLike(k)
-      else readWithDeletes(s, root, k, written, delK, nDelK)
+      else readWithDeletes(s, root, k, written, delK, posK, nDelK, nPosK)
     val valueCols = oldRows.columns.filter(_ != "doc_id").toSeq
     val o = oldRows.select((col("doc_id").as("o_id") +:
       valueCols.map(c => col(c).as(s"o_$c"))): _*)
@@ -1897,7 +2210,7 @@ object SnapshotStore {
         val affT = datJ.filter(t => aff(t._1))
         val oldSchema = tableSchema(s, root, j)
         val pre = (if (affT.isEmpty) emptyLike(j)
-          else readWithDeletes(s, root, j, affT, delJ, nDelJ))
+          else readWithDeletes(s, root, j, affT, delJ, posJ, nDelJ, nPosJ))
           .join(keys.select(col("doc_id").as("__dk")),
             col("doc_id") === col("__dk"), "left_semi")
         Some(pre.select((Seq(col("doc_id").as("o_id")) ++
@@ -1908,7 +2221,39 @@ object SnapshotStore {
           Seq(lit("delete").as("change_type"),
             col("doc_id").as("doc_id"))): _*))
       }
-    morDeletes.foldLeft(keyed.unionByName(nullFeed))(_ unionByName _)
+    // position-delete files committed in (j, k]: each position names a
+    // physical row live at j (physical identity, so even a NULL-key
+    // row has a pre-image) — a LOGICAL delete read from exactly the
+    // targeted files
+    val newPosFiles = withKind(manifest(s, root, k))
+      .filter(col("kind") === "posdelete" && col("commit_id") > j)
+      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val posDeletes =
+      if (newPosFiles.isEmpty) None
+      else {
+        val pd = s.read.parquet(newPosFiles: _*)
+          .select(normPath(col("path")).as("__pp"), col("pos").as("__ppos"))
+          .distinct()
+        val targeted = pd.select("__pp").distinct()
+          .collect().map(_.getString(0)).toSet
+        val affT = datJ.filter(t => targeted(normPathStr(t._1)))
+        val oldSchema = tableSchema(s, root, j)
+        val pre = (if (affT.isEmpty) emptyLike(j)
+          else readWithDeletes(s, root, j, affT, delJ, posJ, nDelJ, nPosJ,
+            keepPos = true))
+          .join(broadcast(pd),
+            col("__path") === col("__pp") && col("__pos") === col("__ppos"),
+            "left_semi")
+        Some(pre.select((Seq(col("doc_id").as("o_id")) ++
+          valueCols.map(c => col(c).as(s"o_$c")) ++
+          Seq(lit(null).cast(idT).as("n_id")) ++
+          valueCols.map(c =>
+            lit(null).cast(oldSchema(c).dataType).as(s"n_$c")) ++
+          Seq(lit("delete").as("change_type"),
+            col("doc_id").as("doc_id"))): _*))
+      }
+    (morDeletes.toSeq ++ posDeletes.toSeq)
+      .foldLeft(keyed.unionByName(nullFeed))(_ unionByName _)
   }
 
   /** The change feed in the COMPACT CDC shape a consumer subscribes
@@ -2143,6 +2488,69 @@ object SnapshotStore {
       .orderBy(col("lang"))
   }
 
+  // ---- the POSITION-DELETE store (q234): keyless MOR ---------------
+
+  /** Position-delete-store layout version. */
+  private val PdLayout = 1L
+
+  private[graft] def pdRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snappd")
+
+  private val pdBuiltCache = new graft.SessionCache
+
+  /** The q234 predicate window — a NON-KEY predicate (n_chars, not
+    * doc_id), the case equality-delete files cannot express.
+    */
+  val PdChLo = 200L; val PdChHi = 260L
+
+  /** Seed the position-delete fixture: the 2-commit seed, then
+    * [[deleteWhere]] on the n_chars window — a keyless MOR delete
+    * committed as ONE position file; the build asserts every data
+    * file carried verbatim (zero rewrites).
+    */
+  def ensurePosDeleted(s: SparkSession, dir: String): String = {
+    pdBuiltCache.getOrElseUpdate(s, dir) {
+      val root = pdRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + PdLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+        val dataBefore = manifest(s, root, 2L).select("path")
+          .collect().map(_.getString(0)).toSet
+        deleteWhere(s, root, col("n_chars").between(PdChLo, PdChHi))
+        val dataAfter = withKind(manifest(s, root, 3L))
+          .filter(col("kind") === "data").select("path")
+          .collect().map(_.getString(0)).toSet
+        require(dataAfter == dataBefore,
+          "a position delete must carry every data file verbatim")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    pdRoot(dir)
+  }
+
+  /** q234: the POSITION-DELETE read back — the post-delete snapshot
+    * per lang after a KEYLESS predicate delete (`n_chars` window —
+    * inexpressible as an equality-delete key set), applied at read as
+    * the (file, ordinal) anti-join; zero data files were rewritten
+    * (the build asserts it). Oracle = the complement predicate on the
+    * raw table.
+    */
+  val q234SnapshotPosDelete: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensurePosDeleted(s, dir)
+    readSnapshot(s, root, currentSnapshot(s, root))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   // ---- the RESTORE store (q228): rollback as a first-class commit --
 
   /** Restore-store layout version. */
@@ -2371,7 +2779,11 @@ object SnapshotStore {
       "q228_snapshot_restore" -> q228SnapshotRestore,
       "q229_snapshot_mor_delete" -> q229SnapshotMorDelete,
       "q230_snapshot_sql_read" -> q230SnapshotSqlRead,
-      "q231_snapshot_sql_zread" -> q231SnapshotSqlZRead)
+      "q231_snapshot_sql_zread" -> q231SnapshotSqlZRead,
+      "q232_snapshot_sql_agg" -> q232SnapshotSqlAgg,
+      "q233_snapshot_sql_cat" -> q233SnapshotSqlCat,
+      "q234_snapshot_pos_delete" -> q234SnapshotPosDelete,
+      "q235_snapshot_tag_read" -> q235SnapshotTagRead)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -2483,5 +2895,24 @@ object SnapshotStore {
         |FROM documents
         |WHERE doc_id BETWEEN $ZIdLo AND $ZIdHi
         |  AND n_chars BETWEEN $ZChLo AND $ZChHi
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q232_snapshot_sql_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents""".stripMargin,
+    "q233_snapshot_sql_cat" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'de'
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q234_snapshot_pos_delete" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars NOT BETWEEN $PdChLo AND $PdChHi
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q235_snapshot_tag_read" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 <> 0
         |GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -13,9 +13,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -88,6 +89,8 @@ object SnapshotTableSource {
       if (options.containsKey("snapshot")) options.get("snapshot").toLong
       else if (options.containsKey("asofts"))
         SnapshotStore.snapshotAsOf(s, root, options.get("asofts").toLong)
+      else if (options.containsKey("tag"))
+        SnapshotStore.resolveTag(s, root, options.get("tag"))
       else SnapshotStore.currentSnapshot(s, root)
     (root, k)
   }
@@ -103,6 +106,11 @@ object SnapshotTableSource {
     * pruned the file list for a plain SQL predicate.
     */
   val lastPlannedFiles = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
+  /** Test hook: whether the LAST scan for a store root answered its
+    * aggregation from manifest metadata alone (zero data files read).
+    */
+  val lastAggPushed = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 }
 
 final class SnapshotTable(root: String, k: Long, schema: StructType)
@@ -117,12 +125,88 @@ final class SnapshotTable(root: String, k: Long, schema: StructType)
 
 final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   /** Accumulated [lo, hi] bounds per pushable column. */
   private val bounds = mutable.Map.empty[String, (Long, Long)]
+  /** Accumulated string [lo, hi] bounds on the clustering column —
+    * PRUNE-ONLY (the predicate stays in the plan; the bounds just
+    * shrink the file list, the parquet row-group-skipping contract).
+    */
+  private val strBounds = mutable.Map.empty[String, (String, String)]
   private var pushed = Array.empty[Filter]
   private var required: StructType = tableSchema
+  private var aggPlan: Option[(StructType, Array[Any])] = None
+
+  /** The category-clustered store's declared clustering column, if
+    * snapshot k's manifest carries string bounds (one metadata read).
+    */
+  private lazy val catCol: Option[String] =
+    SnapshotStore.catColOf(SparkSession.active, root, k)
+
+  /** METADATA-ONLY aggregation — the manifest already carries exact
+    * per-file `n_rows` and non-null `doc_id` (min, max), so a global
+    * `COUNT(*)` / `MIN(doc_id)` / `MAX(doc_id)` needs ZERO data files:
+    * the answer is a fold over O(#files) manifest rows on the driver
+    * (at 100 TB: thousands of metadata rows instead of a full scan —
+    * the Iceberg/Delta "answer from manifests" move). Declines —
+    * leaving Catalyst's ordinary scan+agg plan intact — whenever the
+    * stats can't answer EXACTLY: a GROUP BY (no per-group stats), a
+    * pushed residual filter (stats bound files, not rows), any live
+    * merge-on-read delete file (rows logically removed that `n_rows`
+    * still counts), or — for min/max only — an open-interval
+    * (all-null-key) file whose sentinel stats are indistinguishable
+    * from genuine extremes.
+    */
+  private def planAgg(aggregation: Aggregation): Option[(StructType, Array[Any])] = {
+    if (aggregation.groupByExpressions.nonEmpty || bounds.nonEmpty ||
+      strBounds.nonEmpty) return None
+    def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference =>
+          nr.fieldNames.length == 1 && nr.fieldNames()(0) == "doc_id"
+        case _ => false
+      }
+    val shapes: Array[String] = aggregation.aggregateExpressions.map {
+      case _: CountStar => "count"
+      case m: Min if isDocId(m.column) => "min"
+      case m: Max if isDocId(m.column) => "max"
+      case _ => return None
+    }
+    val s = SparkSession.active
+    val m = SnapshotStore.manifest(s, root, k)
+    val rows = m.collect()
+    val hasKind = m.columns.contains("kind")
+    if (hasKind && rows.exists { r =>
+        val i = r.fieldIndex("kind")
+        !r.isNullAt(i) && r.getString(i) != "data"
+      }) return None
+    val needMinMax = shapes.exists(sh => sh == "min" || sh == "max")
+    val sentinel = rows.exists(r =>
+      r.getAs[Long]("min_id") == Long.MinValue ||
+        r.getAs[Long]("max_id") == Long.MaxValue)
+    if (needMinMax && sentinel) return None
+    val nRows = rows.iterator.map(_.getAs[Long]("n_rows")).sum
+    val minV: Any = if (rows.isEmpty) null else rows.iterator.map(_.getAs[Long]("min_id")).min
+    val maxV: Any = if (rows.isEmpty) null else rows.iterator.map(_.getAs[Long]("max_id")).max
+    val fields = shapes.zipWithIndex.map { case (sh, i) =>
+      StructField(s"agg_$i", LongType, nullable = sh != "count")
+    }
+    val vals: Array[Any] = shapes.map {
+      case "count" => nRows: Any
+      case "min" => minV
+      case "max" => maxV
+    }
+    Some((StructType(fields), vals))
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    planAgg(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    aggPlan = planAgg(aggregation)
+    aggPlan.isDefined
+  }
 
   private def tighten(col: String, lo: Long, hi: Long): Unit = {
     val (l0, h0) = bounds.getOrElse(col, (Long.MinValue, Long.MaxValue))
@@ -160,6 +244,21 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType)
       case LessThanOrEqual(c, v) => tighten(c, Long.MinValue, asLong(v).get)
       case _ => ()
     }
+    // categorical equality/IN on the clustering column: PRUNE-ONLY —
+    // the string bounds shrink the file list from the manifest's
+    // (min_cat, max_cat); the filter itself stays in `rest`, so Spark
+    // re-applies it on rows (sound under any bound)
+    rest.foreach {
+      case EqualTo(c, v: String) if catCol.contains(c) =>
+        val (l0, h0) = strBounds.getOrElse(c, (v, v))
+        strBounds(c) = (if (v < l0) v else l0, if (v > h0) v else h0)
+      case In(c, vs) if catCol.contains(c) &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        val ss = vs.map(_.asInstanceOf[String])
+        val (l0, h0) = strBounds.getOrElse(c, (ss.min, ss.max))
+        strBounds(c) = (Seq(ss.min, l0).min, Seq(ss.max, h0).max)
+      case _ => ()
+    }
     pushed = ok
     rest
   }
@@ -168,8 +267,42 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SnapshotScan(root, k, tableSchema, required, bounds.toMap, pushed)
+  override def build(): Scan = aggPlan match {
+    case Some((sch, vals)) =>
+      SnapshotTableSource.lastAggPushed.put(root, true)
+      SnapshotTableSource.lastPlannedFiles.put(root, 0)
+      new SnapshotAggScan(root, k, sch, vals)
+    case None =>
+      SnapshotTableSource.lastAggPushed.put(root, false)
+      new SnapshotScan(root, k, tableSchema, required, bounds.toMap,
+        strBounds.toMap, pushed)
+  }
+}
+
+/** The single metadata row a completely-pushed aggregation returns —
+  * no data file is opened anywhere in this scan.
+  */
+final case class SnapshotAggPartition(values: Array[Any]) extends InputPartition
+
+final class SnapshotAggScan(root: String, k: Long, aggSchema: StructType,
+    values: Array[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftSnapshotScan(root=$root, snapshot=$k, metadata-only aggregation)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapshotAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val vals = p.asInstanceOf[SnapshotAggPartition].values
+          private var emitted = false
+          override def next(): Boolean = { val go = !emitted; emitted = true; go }
+          override def get(): InternalRow = new GenericInternalRow(vals.clone())
+          override def close(): Unit = ()
+        }
+    }
 }
 
 /** One data file of the snapshot: path, its commit id, the field-id
@@ -181,17 +314,47 @@ final case class SnapshotFilePartition(
     outToPhysical: Seq[(String, String)],
     required: StructType,
     bounds: Seq[(String, Long, Long)],
-    deleteKeys: Array[Long], deleteCids: Array[Long]) extends InputPartition
+    deleteKeys: Array[Long], deleteCids: Array[Long],
+    deletePositions: Array[Long] = Array.empty) extends InputPartition
 
 final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     required: StructType, bounds: Map[String, (Long, Long)],
-    pushed: Array[Filter]) extends Scan with Batch {
+    strBounds: Map[String, (String, String)],
+    pushed: Array[Filter]) extends Scan with Batch
+    with SupportsRuntimeFiltering {
+
+  /** Join-key values delivered at RUNTIME (Spark's dynamic pruning
+    * over a DSv2 source): a broadcast dim side's doc_ids arrive as an
+    * `In` filter after planning, and the next `planInputPartitions`
+    * re-prunes the FILE LIST against the manifest stats — the
+    * table-format analog of dynamic partition pruning, file-level and
+    * best-effort (the join re-filters rows, so a superset is sound).
+    */
+  @volatile private var runtimeKeys: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("doc_id", vs) =>
+      val ls = vs.collect {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+      }
+      // only a fully-numeric value list is a sound pruner (a NULL or
+      // odd-typed value would silently widen to "prune everything")
+      if (ls.length == vs.length) runtimeKeys = Some(ls.sorted)
+    case _ => ()
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftSnapshotScan(root=$root, snapshot=$k, " +
       s"PushedFilters=[${pushed.mkString(", ")}], " +
+      s"RuntimeFilters=[doc_id], " +
       s"ReadSchema=[${required.fieldNames.mkString(",")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -208,6 +371,7 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     // FILE PRUNING from the manifest stats — the pushed bounds decide
     // which files can possibly hold a matching row (1-D always, both
     // dimensions on a Z store)
+    val hasCat = m.columns.contains("min_cat")
     def hits(r: org.apache.spark.sql.Row): Boolean = {
       def live(c: String, loF: String, hiF: String): Boolean =
         bounds.get(c) match {
@@ -216,11 +380,35 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
               r.getAs[Long](hiF) >= lo && r.getAs[Long](loF) <= hi
           case None => true
         }
+      // string bounds on the clustering column: null stats = the
+      // open interval (an all-null-category file is never pruned)
+      def liveCat: Boolean = strBounds.forall { case (_, (lo, hi)) =>
+        !hasCat || r.isNullAt(r.fieldIndex("min_cat")) || {
+          r.getAs[String]("max_cat") >= lo && r.getAs[String]("min_cat") <= hi
+        }
+      }
+      // runtime join keys: a file lives iff its [min_id, max_id]
+      // interval holds at least one delivered key (binary search over
+      // the sorted key array — O(log #keys) per file); sentinel
+      // (all-null-id) stats never prune
+      def liveRuntime: Boolean = runtimeKeys.forall { keys =>
+        val iLo = r.fieldIndex("min_id")
+        r.isNullAt(iLo) || {
+          val (mn, mx) = (r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))
+          mn == Long.MinValue && mx == Long.MaxValue || {
+            val i = java.util.Arrays.binarySearch(keys, mn)
+            val next = if (i >= 0) i else -(i + 1)
+            next < keys.length && keys(next) <= mx
+          }
+        }
+      }
       live("doc_id", "min_id", "max_id") &&
-        (!has2D || live("n_chars", "min_chars", "max_chars"))
+        (!has2D || live("n_chars", "min_chars", "max_chars")) &&
+        liveCat && liveRuntime
     }
     val dataRows = rows.filter(_.getAs[String]("kind") == "data")
     val delRows = rows.filter(_.getAs[String]("kind") == "delete")
+    val posRows = rows.filter(_.getAs[String]("kind") == "posdelete")
     // equality-delete keys collect at PLAN time (metadata-scale by the
     // format's design — deleteKeys wrote them as one tiny parquet)
     val (dk, dc) =
@@ -233,6 +421,13 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
         }
         (pairs.map(_._1), pairs.map(_._2))
       }
+    // position deletes group by their (normalized) target path; each
+    // file partition carries its own sorted dead-ordinal list
+    val posByFile: Map[String, Array[Long]] =
+      if (posRows.isEmpty) Map.empty
+      else s.read.parquet(posRows.map(_.getAs[String]("path")).toIndexedSeq: _*)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (p, a) => p -> a.map(_._2).distinct.sorted }
     val chosen = dataRows.filter(hits)
     SnapshotTableSource.lastPlannedFiles.put(root, chosen.length)
     val boundSeq = bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
@@ -241,8 +436,11 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
       // invert the era's renames: current name → the file's physical name
       val outToPhys = SnapshotStore.renamesFor(s, root, k, cid)
         .map { case (oldN, newN) => (newN, oldN) }
-      SnapshotFilePartition(r.getAs[String]("path"), cid, outToPhys,
-        required, boundSeq, dk, dc): InputPartition
+      val path = r.getAs[String]("path")
+      SnapshotFilePartition(path, cid, outToPhys,
+        required, boundSeq, dk, dc,
+        posByFile.getOrElse(SnapshotStore.normPathStr(path),
+          Array.empty[Long])): InputPartition
     }
   }
 
@@ -308,6 +506,11 @@ final class SnapshotFileReader(p: SnapshotFilePartition)
   }
 
   private var current: InternalRow = _
+  // the streaming ordinal — rows arrive in file order, so it equals
+  // the parquet row index a position delete recorded; the dead list
+  // is sorted, so one forward pointer suffices
+  private var ordinal = -1L
+  private var posIdx = 0
 
   private def longOf(g: org.apache.parquet.example.data.Group,
       name: String): Option[Long] = {
@@ -318,7 +521,12 @@ final class SnapshotFileReader(p: SnapshotFilePartition)
   override def next(): Boolean = {
     var g = reader.read()
     while (g != null) {
-      val keep = p.bounds.forall { case (c, lo, hi) =>
+      ordinal += 1
+      while (posIdx < p.deletePositions.length &&
+        p.deletePositions(posIdx) < ordinal) posIdx += 1
+      val posDead = posIdx < p.deletePositions.length &&
+        p.deletePositions(posIdx) == ordinal
+      val keep = !posDead && p.bounds.forall { case (c, lo, hi) =>
         longOf(g, physName(c)).exists(v => v >= lo && v <= hi)
       } && (p.deleteKeys.isEmpty || {
         // sequence rule: a delete key kills the row only if the delete

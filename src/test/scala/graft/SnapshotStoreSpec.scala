@@ -1070,4 +1070,94 @@ class SnapshotStoreSpec extends AnyFunSuite {
       rows(docs.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))))
   }
+
+  test("position delete: keyless predicate, zero rewrites, null-key reach, feed pre-images, COW + compact fold") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_posdel_").toString + "/tbl"
+    SnapshotStore.append(spark, root,
+      Seq((Some(1L), "a", 10L), (Some(2L), "b", 250L), (Some(3L), "c", 30L),
+        (None: Option[Long], "n", 250L))
+        .toDF("doc_id", "tag", "n_chars"))            // commit 1
+    SnapshotStore.append(spark, root,
+      Seq((Some(4L), "d", 255L), (Some(5L), "e", 50L))
+        .toDF("doc_id", "tag", "n_chars"))            // commit 2
+    val dataBefore = rows(SnapshotStore.manifest(spark, root, 2L).select("path"))
+    // the keyless delete: n_chars window — hits keys 2, 4 AND the
+    // null-key row, which equality deletes can never address
+    SnapshotStore.deleteWhere(spark, root,
+      col("n_chars").between(200L, 300L))             // commit 3
+    val m3 = SnapshotStore.manifest(spark, root, 3L)
+    assert(rows(m3.filter(col("kind").isNull || col("kind") === "data")
+      .select("path")) == dataBefore,
+      "a position delete must not rewrite any data file")
+    assert(m3.filter(col("kind") === "posdelete").count() == 1)
+    val expect3 = Seq("1:a", "3:c", "5:e")
+    def tags3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => s"${r.getAs[Any]("doc_id")}:${r.getAs[String]("tag")}")
+        .sorted.toSeq
+    assert(tags3(SnapshotStore.readSnapshot(spark, root, 3L)) == expect3,
+      "the position delete must remove matching rows INCLUDING the null-key row")
+    // the feed reports each position's pre-image as a logical delete
+    val feed = SnapshotStore.changeFeed(spark, root, 2L, 3L).collect()
+    assert(feed.length == 3 &&
+      feed.forall(_.getAs[String]("change_type") == "delete"))
+    assert(feed.flatMap(r => Option(r.getAs[java.lang.Long]("o_id")))
+      .map(_.toLong).sorted.toSeq == Seq(2L, 4L))
+    // the DSv2 SQL read applies the positions too
+    spark.read.format("graft.sources.SnapshotTableSource")
+      .option("root", root).load().createOrReplaceTempView("posdel_sql")
+    assert(tags3(spark.sql("SELECT doc_id, tag FROM posdel_sql")) == expect3)
+    // a COW rewrite over a position-deleted file must not resurrect
+    SnapshotStore.deleteRange(spark, root, 3L, 3L)     // commit 4
+    assert(tags3(SnapshotStore.readSnapshot(spark, root, 4L)) == Seq("1:a", "5:e"))
+    // compact folds the position file into data and drops it
+    SnapshotStore.compact(spark, root)                 // commit 5
+    val m5 = SnapshotStore.manifest(spark, root, 5L)
+    assert(!m5.columns.contains("kind") ||
+      m5.filter(col("kind") === "posdelete").count() == 0)
+    assert(tags3(SnapshotStore.readSnapshot(spark, root, 5L)) == Seq("1:a", "5:e"))
+    // time travel still reads the pre-delete table (6 rows)
+    assert(SnapshotStore.readSnapshot(spark, root, 2L).count() == 6L)
+    // the q234 fixture agrees with the closed form
+    assert(rows(SnapshotStore.q234SnapshotPosDelete(spark, dir)) ==
+      rows(docs.filter(!col("n_chars").between(
+          SnapshotStore.PdChLo, SnapshotStore.PdChHi))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))))
+  }
+
+  test("tags: named refs resolve, retarget, pin snapshots across expire, and drop") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_tags_").toString + "/tbl"
+    SnapshotStore.append(spark, root, Seq((1L, "a")).toDF("doc_id", "tag")) // 1
+    SnapshotStore.append(spark, root, Seq((2L, "b")).toDF("doc_id", "tag")) // 2
+    SnapshotStore.append(spark, root, Seq((3L, "c")).toDF("doc_id", "tag")) // 3
+    SnapshotStore.tag(spark, root, "initial-load", 1L)
+    assert(SnapshotStore.resolveTag(spark, root, "initial-load") == 1L)
+    assert(rows(SnapshotStore.readTag(spark, root, "initial-load")) ==
+      rows(SnapshotStore.readSnapshot(spark, root, 1L)))
+    // the DSv2 tag option resolves the same snapshot
+    assert(rows(spark.read.format("graft.sources.SnapshotTableSource")
+      .option("root", root).option("tag", "initial-load").load()) ==
+      rows(SnapshotStore.readSnapshot(spark, root, 1L)))
+    // retarget: last write wins
+    SnapshotStore.tag(spark, root, "initial-load", 3L)
+    assert(SnapshotStore.resolveTag(spark, root, "initial-load") == 3L)
+    SnapshotStore.tag(spark, root, "audit", 1L)
+    // expire below the horizon: the TAGGED snapshot survives, the
+    // untagged one is dropped
+    SnapshotStore.expire(spark, root, 3L)
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 1L)) ==
+      rows(Seq((1L, "a")).toDF("doc_id", "tag")),
+      "a tagged snapshot must survive expire")
+    assertThrows[Exception](SnapshotStore.readSnapshot(spark, root, 2L).collect())
+    // dropping the tag releases the pin; the next expire reclaims it
+    SnapshotStore.dropTag(spark, root, "audit")
+    SnapshotStore.expire(spark, root, 3L)
+    assertThrows[Exception](SnapshotStore.readSnapshot(spark, root, 1L).collect())
+    assert(SnapshotStore.tags(spark, root).keySet == Set("initial-load"))
+    // a tag can never name an uncommitted or future snapshot
+    assertThrows[IllegalArgumentException](
+      SnapshotStore.tag(spark, root, "future", 9L))
+  }
 }

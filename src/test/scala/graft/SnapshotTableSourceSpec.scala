@@ -93,4 +93,120 @@ class SnapshotTableSourceSpec extends AnyFunSuite {
     assert(load(root).filter(col("doc_id") === 2L)
       .head().getAs[String]("tag") == "B")
   }
+
+  test("q232: global count/min/max answered from manifest metadata — zero data files planned") {
+    val root = SnapshotStore.ensure(spark, dir)
+    load(root).createOrReplaceTempView("snap_agg_spec")
+    val got = spark.sql(
+      """SELECT count(*) AS n, min(doc_id) AS lo, max(doc_id) AS hi
+        |FROM snap_agg_spec""".stripMargin).head()
+    val exp = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    assert(got.getLong(0) == exp.getLong(0) && got.getLong(1) == exp.getLong(1) &&
+      got.getLong(2) == exp.getLong(2), s"metadata aggregates must be exact: $got vs $exp")
+    assert(SnapshotTableSource.lastAggPushed.get(root),
+      "the aggregation must be answered from the manifest")
+    assert(SnapshotTableSource.lastPlannedFiles.get(root) == 0,
+      "a metadata-only aggregation must plan zero data files")
+  }
+
+  test("aggregate pushdown declines exactly when stats cannot answer: filter, group-by, deletes, null keys") {
+    import spark.implicits._
+    val root = SnapshotStore.ensure(spark, dir)
+    load(root).createOrReplaceTempView("snap_agg_decline")
+    // a residual predicate: stats bound files, not rows → fall back, stay correct
+    val filtered = spark.sql(
+      "SELECT count(*) AS n FROM snap_agg_decline WHERE doc_id BETWEEN 100 AND 250")
+    assert(filtered.head().getLong(0) ==
+      docs.filter(col("doc_id").between(100L, 250L)).count())
+    assert(!SnapshotTableSource.lastAggPushed.get(root),
+      "a pushed filter must decline the metadata path")
+    // GROUP BY: no per-group stats → fall back, stay correct
+    val grouped = spark.sql(
+      "SELECT lang, count(*) AS n FROM snap_agg_decline GROUP BY lang")
+    assert(rows(grouped) == rows(docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))))
+    assert(!SnapshotTableSource.lastAggPushed.get(root))
+    // a live MOR delete file: n_rows over-counts → fall back, stay correct
+    val droot = java.nio.file.Files.createTempDirectory("graft_dsv2_agg_")
+      .toString + "/tbl"
+    SnapshotStore.append(spark, droot,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "tag"))
+    SnapshotStore.deleteKeys(spark, droot, Seq(2L).toDF("doc_id"))
+    load(droot).createOrReplaceTempView("snap_agg_mor")
+    assert(spark.sql("SELECT count(*) AS n FROM snap_agg_mor").head().getLong(0) == 2L)
+    assert(!SnapshotTableSource.lastAggPushed.get(droot),
+      "live delete files must decline the metadata path")
+    // an all-null-key file (open-interval sentinel stats): count stays
+    // metadata-exact, min/max declines
+    val nroot = java.nio.file.Files.createTempDirectory("graft_dsv2_null_")
+      .toString + "/tbl"
+    SnapshotStore.append(spark, nroot,
+      Seq((Some(1L), "a"), (Some(5L), "b")).toDF("doc_id", "tag"))
+    SnapshotStore.append(spark, nroot,
+      Seq((None: Option[Long], "n")).toDF("doc_id", "tag"))
+    load(nroot).createOrReplaceTempView("snap_agg_null")
+    assert(spark.sql("SELECT count(*) AS n FROM snap_agg_null").head().getLong(0) == 3L)
+    assert(SnapshotTableSource.lastAggPushed.get(nroot),
+      "COUNT(*) stays metadata-exact under null keys")
+    val mm = spark.sql("SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM snap_agg_null").head()
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == 5L)
+    assert(!SnapshotTableSource.lastAggPushed.get(nroot),
+      "sentinel stats must decline min/max")
+  }
+
+  test("runtime filtering: a selective broadcast-dim join re-prunes the fact file list at execution") {
+    val root = SnapshotStore.ensure(spark, dir)
+    val cur = SnapshotStore.currentSnapshot(spark, root)
+    val total = SnapshotStore.manifest(spark, root, cur).count()
+    val fact = load(root)
+    // a selective dim side: a narrow doc_id slice with its own filter
+    // (the shape Spark's dynamic pruning rule looks for)
+    val dim = docs.filter(col("doc_id").between(100L, 130L))
+      .select(col("doc_id").as("d_id"))
+    val joined = fact.join(broadcast(dim), col("doc_id") === col("d_id"))
+    val got = joined.count()
+    val expect = docs.filter(col("doc_id").between(100L, 130L)).count()
+    assert(got == expect, "the runtime-filtered join must not lose rows")
+    // the decisive witness: the scan RE-planned fewer files after the
+    // dim side's keys arrived (no static predicate on the fact side
+    // exists to explain the pruning)
+    val planned = SnapshotTableSource.lastPlannedFiles.get(root)
+    assert(planned < total,
+      s"runtime join keys must re-prune the file list: planned $planned of $total")
+  }
+
+  test("q233: categorical equality prunes the clustered store's file list from string bounds") {
+    val root = SnapshotStore.ensureClustered(spark, dir)
+    val cur = SnapshotStore.currentSnapshot(spark, root)
+    load(root).createOrReplaceTempView("snap_cat_spec")
+    val q = spark.sql(
+      """SELECT source, count(*) AS n, sum(n_chars) AS sc FROM snap_cat_spec
+        |WHERE lang = 'de' GROUP BY source ORDER BY source""".stripMargin)
+    val expect = rows(docs.filter(col("lang") === "de").groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+      .orderBy(col("source")))
+    assert(rows(q) == expect, "the categorical SQL read must match the raw table")
+    val planned = SnapshotTableSource.lastPlannedFiles.get(root)
+    val total = SnapshotStore.manifest(spark, root, cur).count()
+    assert(planned > 0 && planned < total,
+      s"string bounds must prune the file list: planned $planned of $total")
+    // the library-routed read agrees with the filtered snapshot
+    assert(rows(SnapshotStore.readCat(spark, root, cur, "de")) ==
+      rows(SnapshotStore.readSnapshot(spark, root, cur)
+        .filter(col("lang") === "de")))
+    // IN-list pruning: bounds widen to the value span, stay sound
+    val inq = spark.sql(
+      "SELECT count(*) AS n FROM snap_cat_spec WHERE lang IN ('de', 'en')")
+    assert(inq.head().getLong(0) ==
+      docs.filter(col("lang").isin("de", "en")).count())
+    assert(SnapshotTableSource.lastPlannedFiles.get(root) <= total)
+    // the PLAIN (doc_id-clustered) store cannot prune this predicate:
+    // every file stays planned
+    val proot = SnapshotStore.ensure(spark, dir)
+    val pcur = SnapshotStore.currentSnapshot(spark, proot)
+    load(proot).createOrReplaceTempView("snap_cat_plain")
+    spark.sql("SELECT count(*) AS n FROM snap_cat_plain WHERE lang = 'de'").collect()
+    assert(SnapshotTableSource.lastPlannedFiles.get(proot) ==
+      SnapshotStore.manifest(spark, proot, pcur).count(),
+      "the 1-D store has no string bounds to prune on")
+  }
 }
