@@ -358,6 +358,25 @@ object SnapshotStore {
     }
   }
 
+  /** APPEND-COMMIT of files some OTHER writer already produced — the
+    * driver half of the DSv2 write path ([[SnapshotTableSource]]):
+    * executors wrote the data files and shipped back per-file
+    * (path, n_rows, min_id, max_id) stats as commit messages; this
+    * turns them into one manifest file + list through the same claim
+    * CAS as [[append]]. The at-scale division of labor every table
+    * format uses: data moves on executors, the commit is O(|commit|)
+    * driver metadata.
+    */
+  private[graft] def commitAppendStats(s: SparkSession, root: String,
+      stats: Seq[(String, Long, Long, Long)], schema: StructType): Long = {
+    val fstats = stats.map { case (p, n, mn, mx) => FileStat(p, n, mn, mx) }
+    commitRetry(s, root) { prev =>
+      val mf = writeManifestFile(s, root, manifestRows(s, fstats, prev + 1))
+      (listOf(s, root, prev) :+ mf,
+        mergedSchema(tableSchema(s, root, prev), schema))
+    }
+  }
+
   /** One data file's manifest stats. */
   private final case class FileStat(path: String, nRows: Long, minId: Long, maxId: Long)
 
@@ -2551,6 +2570,61 @@ object SnapshotStore {
       .orderBy(col("lang"))
   }
 
+  // ---- the DSv2-WRITTEN store (q236): executor-parallel appends ----
+
+  /** DSv2-write-store layout version. */
+  private val DwLayout = 1L
+
+  private[graft] def dwRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapdw")
+
+  private val dwBuiltCache = new graft.SessionCache
+
+  /** Seed the DSv2-write fixture: commit 1 through the library append,
+    * commit 2 through `df.write.format(...)` — executors write the
+    * files, the driver commits their stats through the claim CAS
+    * ([[SnapshotTableSource]]'s write path). The build asserts the
+    * write landed as exactly one commit.
+    */
+  def ensureDsvWritten(s: SparkSession, dir: String): String = {
+    dwBuiltCache.getOrElseUpdate(s, dir) {
+      val root = dwRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + DwLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .write.format("graft.sources.SnapshotTableSource")
+          .option("root", root).mode("append").save()
+        require(currentSnapshot(s, root) == 2L,
+          "the DSv2 write must land as exactly one commit")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    dwRoot(dir)
+  }
+
+  /** q236: the DSv2-WRITTEN table read back — commit 2 was produced by
+    * `df.write.format(...)` (executor-parallel files, stats shipped as
+    * commit messages, manifest committed through the CAS); the rollup
+    * hash-checks the whole table against the raw corpus, so a lost
+    * partition, double-committed task, or bad stats row goes red.
+    * Oracle = the full-table rollup.
+    */
+  val q236SnapshotDsvWrite: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureDsvWritten(s, dir)
+    readSnapshot(s, root, currentSnapshot(s, root))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   // ---- the RESTORE store (q228): rollback as a first-class commit --
 
   /** Restore-store layout version. */
@@ -2783,7 +2857,8 @@ object SnapshotStore {
       "q232_snapshot_sql_agg" -> q232SnapshotSqlAgg,
       "q233_snapshot_sql_cat" -> q233SnapshotSqlCat,
       "q234_snapshot_pos_delete" -> q234SnapshotPosDelete,
-      "q235_snapshot_tag_read" -> q235SnapshotTagRead)
+      "q235_snapshot_tag_read" -> q235SnapshotTagRead,
+      "q236_snapshot_dsv_write" -> q236SnapshotDsvWrite)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -2914,5 +2989,9 @@ object SnapshotStore {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 3 <> 0
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q236_snapshot_dsv_write" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -12,10 +12,11 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -114,13 +115,172 @@ object SnapshotTableSource {
 }
 
 final class SnapshotTable(root: String, k: Long, schema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_snapshot($root@$k)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(root, k, schema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val qs = info.schema()
+    require(qs.fieldNames.contains("doc_id") &&
+      qs("doc_id").dataType == LongType,
+      "graft-snapshot writes need a LONG doc_id column (the stats key)")
+    new SnapshotWriteBuilder(root, qs)
+  }
+}
+
+final class SnapshotWriteBuilder(root: String, schema: StructType)
+    extends WriteBuilder {
+  override def build(): Write = new SnapshotWrite(root, schema)
+}
+
+/** One written data file's stats, shipped driver-ward as the commit
+  * message (`allNullIds` marks the open-interval sentinel case).
+  */
+final case class SnapshotFileCommit(path: String, nRows: Long,
+    minId: Long, maxId: Long) extends WriterCommitMessage
+
+/** The DSv2 APPEND: executors stream their partitions into immutable
+  * parquet files under a token-unique commit directory (the same
+  * layout [[SnapshotStore.append]] uses) computing per-file doc_id
+  * stats as they write; the driver's `commit` turns the returned
+  * stats into ONE manifest file + list through the claim CAS. A task
+  * retry writes a task-unique file and only the committed attempt's
+  * message reaches `commit`; `abort` deletes whatever reported back.
+  * This is the table-format write shape at scale: data never moves
+  * through the driver, the commit is O(|commit|) metadata.
+  */
+final class SnapshotWrite(root: String, schema: StructType)
+    extends Write with BatchWrite {
+  private val token = java.util.UUID.randomUUID().toString.take(12)
+  private val dataDir = s"$root/data/c$token"
+
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"GraftSnapshotWrite(root=$root)"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    SnapshotWriterFactory(dataDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val stats = messages.collect {
+      case m: SnapshotFileCommit if m.nRows > 0 =>
+        (m.path, m.nRows, m.minId, m.maxId)
+    }
+    // an all-empty write is a no-op, not an empty commit
+    if (stats.nonEmpty)
+      SnapshotStore.commitAppendStats(SparkSession.active, root,
+        stats.toIndexedSeq, schema)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    messages.foreach {
+      case m: SnapshotFileCommit =>
+        val p = new Path(m.path)
+        val f = p.getFileSystem(conf)
+        if (f.exists(p)) f.delete(p, false)
+      case _ => ()
+    }
+  }
+}
+
+final case class SnapshotWriterFactory(dataDir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SnapshotFileWriter(dataDir, schema, partitionId, taskId)
+}
+
+/** Executor-side writer: one parquet file per non-empty partition via
+  * the parquet example Group API (the write twin of the reader above),
+  * tracking (n, min, max) of the non-null doc_ids inline — the footer
+  * stats the manifest will carry, computed for free on the write path.
+  */
+final class SnapshotFileWriter(dataDir: String, schema: StructType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroup
+  import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  private val filePath = new Path(
+    s"$dataDir/part-$partitionId-$taskId.parquet")
+  private val conf = new Configuration()
+
+  private val msgType: MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.addField(Types.optional(INT64).named(f.name))
+        case IntegerType => b.addField(Types.optional(INT32).named(f.name))
+        case DoubleType => b.addField(Types.optional(DOUBLE).named(f.name))
+        case BooleanType => b.addField(Types.optional(BOOLEAN).named(f.name))
+        case StringType => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case other => throw new UnsupportedOperationException(
+          s"graft-snapshot DSv2 write: unsupported column type $other")
+      }
+    }
+    b.named("graft_write")
+  }
+
+  GroupWriteSupport.setSchema(msgType, conf)
+  private val writer = ExampleParquetWriter.builder(filePath)
+    .withConf(conf).withType(msgType).build()
+
+  private val idIdx = schema.fieldIndex("doc_id")
+  private var n = 0L
+  private var minId = Long.MaxValue
+  private var maxId = Long.MinValue
+  private var sawId = false
+
+  override def write(row: InternalRow): Unit = {
+    val g = new SimpleGroup(msgType)
+    var i = 0
+    while (i < schema.fields.length) {
+      if (!row.isNullAt(i)) {
+        val f = schema.fields(i)
+        f.dataType match {
+          case LongType => g.add(f.name, row.getLong(i))
+          case IntegerType => g.add(f.name, row.getInt(i))
+          case DoubleType => g.add(f.name, row.getDouble(i))
+          case BooleanType => g.add(f.name, row.getBoolean(i))
+          case StringType => g.add(f.name, row.getUTF8String(i).toString)
+          case other => throw new UnsupportedOperationException(other.toString)
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+    n += 1
+    if (!row.isNullAt(idIdx)) {
+      val v = row.getLong(idIdx)
+      if (v < minId) minId = v
+      if (v > maxId) maxId = v
+      sawId = true
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    val f = filePath.getFileSystem(conf)
+    if (n == 0L) { f.delete(filePath, false); SnapshotFileCommit("", 0L, 0L, 0L) }
+    // all-null ids: the open-interval sentinel, same as the library path
+    else if (!sawId)
+      SnapshotFileCommit(f.makeQualified(filePath).toString, n,
+        Long.MinValue, Long.MaxValue)
+    else SnapshotFileCommit(f.makeQualified(filePath).toString, n, minId, maxId)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => () }
+    val f = filePath.getFileSystem(conf)
+    if (f.exists(filePath)) f.delete(filePath, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType)

@@ -174,6 +174,56 @@ class SnapshotTableSourceSpec extends AnyFunSuite {
       s"runtime join keys must re-prune the file list: planned $planned of $total")
   }
 
+  test("q236: the DSv2 write path — executor files + CAS commit, stats prune, deletes and evolution compose") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dsv2_w_")
+      .toString + "/tbl"
+    SnapshotStore.append(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("doc_id", "tag", "n_chars"))
+    // a MULTI-PARTITION DSv2 append: several executor files, one commit
+    val batch = (3L to 40L).map(i => (i, s"t$i", i * 10L))
+      .toDF("doc_id", "tag", "n_chars").repartition(4)
+    batch.write.format("graft.sources.SnapshotTableSource")
+      .option("root", root).mode("append").save()
+    assert(SnapshotStore.currentSnapshot(spark, root) == 2L,
+      "one DSv2 write = one commit")
+    val m2 = SnapshotStore.manifest(spark, root, 2L)
+    assert(m2.filter(col("commit_id") === 2L).count() >= 2L,
+      "a multi-partition write must land several files")
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 2L)
+      .select("doc_id", "tag", "n_chars")) ==
+      rows(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("doc_id", "tag", "n_chars")
+        .unionByName(batch)),
+      "the DSv2-written table must hold exactly the library + written rows")
+    // the written files carry REAL stats: a range read prunes them
+    val hit = SnapshotStore.readRange(spark, root, 2L, 1L, 2L)
+    assert(hit.count() == 2L)
+    assert(SnapshotStore.prunedPaths(spark, root, 2L, 1L, 2L).size <
+      m2.count(), "executor-written stats must participate in pruning")
+    // the write composes with the rest of the format: MOR delete + read
+    SnapshotStore.deleteKeys(spark, root, Seq(3L).toDF("doc_id"))
+    assert(spark.read.format("graft.sources.SnapshotTableSource")
+      .option("root", root).load().count() == 39L)
+    // null doc_ids ride the open-interval sentinel, rows intact
+    Seq((None: Option[Long], "n", 1L)).toDF("doc_id", "tag", "n_chars")
+      .write.format("graft.sources.SnapshotTableSource")
+      .option("root", root).mode("append").save()
+    assert(SnapshotStore.readSnapshot(spark, root,
+      SnapshotStore.currentSnapshot(spark, root))
+      .filter(col("doc_id").isNull).count() == 1L)
+    // a write OMITTING the nullable key column: Spark's by-name append
+    // pads it with NULLs, which land under the open-interval sentinel —
+    // the same semantics the library write gives explicit nulls
+    val before = SnapshotStore.currentSnapshot(spark, root)
+    Seq(("x", 1L)).toDF("tag", "n_chars")
+      .write.format("graft.sources.SnapshotTableSource")
+      .option("root", root).mode("append").save()
+    val cur = SnapshotStore.currentSnapshot(spark, root)
+    assert(cur == before + 1)
+    assert(SnapshotStore.readSnapshot(spark, root, cur)
+      .filter(col("doc_id").isNull && col("tag") === "x").count() == 1L)
+  }
+
   test("q233: categorical equality prunes the clustered store's file list from string bounds") {
     val root = SnapshotStore.ensureClustered(spark, dir)
     val cur = SnapshotStore.currentSnapshot(spark, root)
