@@ -1196,6 +1196,48 @@ object SnapshotStore {
     }
   }
 
+  // ---- INSPECTION: the metadata tables an operator reads ------------
+
+  /** `snapshots` metadata table — one row per ADDRESSABLE snapshot:
+    * (snapshot_id, committed_at_ms, n_data_files, n_rows,
+    * n_delete_files, n_delete_rows). The inspection surface a real
+    * table format exposes (Iceberg's `db.tbl.snapshots`), here a
+    * library call. Driver cost is O(#snapshots) manifest-list reads —
+    * metadata scale; expired ids are simply absent.
+    */
+  def metaSnapshots(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    val f = fs(s, root)
+    val cur = currentSnapshot(s, root)
+    (1L to cur).flatMap { k =>
+      if (!f.exists(new Path(s"$root/manifests/m$k/_SUCCESS"))) None
+      else {
+        val rowsArr = withKind(manifest(s, root, k))
+          .select("kind", "n_rows").collect()
+        val dat = rowsArr.filter(_.getString(0) == "data")
+        val del = rowsArr.filterNot(_.getString(0) == "data")
+        Some((k, commitTimeOf(s, root, k), dat.length.toLong,
+          dat.map(_.getLong(1)).sum, del.length.toLong,
+          del.map(_.getLong(1)).sum))
+      }
+    }.toDF("snapshot_id", "committed_at_ms", "n_data_files", "n_rows",
+      "n_delete_files", "n_delete_rows")
+  }
+
+  /** `files` metadata table — manifest k with its kind column
+    * normalized: what an operator reads to see file sizes-in-rows,
+    * stats spans, and live delete files before planning a compaction.
+    */
+  def metaFiles(s: SparkSession, root: String, k: Long): DataFrame =
+    withKind(manifest(s, root, k))
+
+  /** `refs` metadata table — (name, snapshot_id) per tag. */
+  def metaRefs(s: SparkSession, root: String): DataFrame = {
+    val s2 = s
+    import s2.implicits._
+    tags(s, root).toSeq.toDF("name", "snapshot_id")
+  }
+
   // ---- NAMED REFS: tags over snapshot ids ---------------------------
 
   private def tagPath(root: String, name: String): Path = {

@@ -1126,6 +1126,37 @@ class SnapshotStoreSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))))
   }
 
+  test("metadata tables: snapshots/files/refs expose the operator's inspection surface") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_meta_").toString + "/tbl"
+    SnapshotStore.append(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "tag")) // 1
+    SnapshotStore.append(spark, root, Seq((4L, "d")).toDF("doc_id", "tag")) // 2
+    SnapshotStore.deleteKeys(spark, root, Seq(2L).toDF("doc_id")) // 3
+    SnapshotStore.tag(spark, root, "validated", 2L)
+    val snaps = SnapshotStore.metaSnapshots(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).sortBy(_._1).toSeq
+    val nf1 = snaps(0)._2 // files of the first commit (data-dependent)
+    assert(snaps.map(_._1) == Seq(1L, 2L, 3L), "every addressable snapshot listed")
+    assert(snaps(0)._3 == 3L && snaps(0)._4 == 0L, "snapshot 1: 3 rows, no deletes")
+    assert(snaps(1)._3 == 4L, "snapshot 2 accumulates")
+    assert(snaps(2) == ((3L, snaps(1)._2, 4L, 1L, 1L)),
+      "the MOR delete adds one delete file of one row, data untouched")
+    // committed_at is monotone in the snapshot id (the CAS serializes)
+    val ts = SnapshotStore.metaSnapshots(spark, root)
+      .orderBy(col("snapshot_id")).collect().map(_.getLong(1)).toSeq
+    assert(ts == ts.sorted)
+    assert(nf1 >= 1L)
+    // files: kinds normalized, stats spans present
+    val files = SnapshotStore.metaFiles(spark, root, 3L)
+    assert(files.filter(col("kind") === "delete").count() == 1L)
+    assert(files.filter(col("kind") === "data" && col("min_id") <= 1L).count() >= 1L)
+    // refs
+    assert(SnapshotStore.metaRefs(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("validated", 2L)))
+  }
+
   test("tags: named refs resolve, retarget, pin snapshots across expire, and drop") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_tags_").toString + "/tbl"
