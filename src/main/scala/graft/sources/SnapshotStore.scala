@@ -651,7 +651,7 @@ object SnapshotStore {
     * One metadata read.
     */
   private def splitManifest(s: SparkSession, root: String, k: Long):
-      (Seq[(String, Long)], Seq[(String, Long)], Seq[String], Long, Long) = {
+      (Seq[(String, Long)], Seq[(String, Long)], Seq[(String, Long)], Long, Long) = {
     val rows = withKind(manifest(s, root, k))
       .select("path", "commit_id", "kind", "n_rows").collect()
     val dat = rows.filter(_.getAs[String]("kind") == "data")
@@ -659,7 +659,7 @@ object SnapshotStore {
     val pos = rows.filter(_.getAs[String]("kind") == "posdelete")
     (dat.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
       del.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
-      pos.map(_.getAs[String]("path")).toIndexedSeq,
+      pos.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
       del.map(_.getAs[Long]("n_rows")).sum,
       pos.map(_.getAs[Long]("n_rows")).sum)
   }
@@ -808,7 +808,7 @@ object SnapshotStore {
     commitRetry(s, root) { prev =>
       require(prev > 0, "deleteWhere on an empty table")
       val (dat, del, pos, nDel, nPos) = splitManifest(s, root, prev)
-      val hits = readWithDeletes(s, root, prev, dat, del, pos, nDel, nPos,
+      val hits = readWithDeletes(s, root, prev, dat, del, pos.map(_._1), nDel, nPos,
           keepPos = true)
         .filter(cond)
         .select(col("__path").as("path"), col("__pos").as("pos"))
@@ -846,7 +846,7 @@ object SnapshotStore {
     // pre-evolution files instead of being silently dropped — the
     // table-format read contract (a no-op on uniform-schema stores)
     val (dat, del, pos, nDel, nPos) = splitManifest(s, root, k)
-    readWithDeletes(s, root, k, dat, del, pos, nDel, nPos)
+    readWithDeletes(s, root, k, dat, del, pos.map(_._1), nDel, nPos)
   }
 
   /** The file paths a doc_id range [lo, hi] can possibly touch in
@@ -882,7 +882,7 @@ object SnapshotStore {
     }
     if (pruned.isEmpty)
       return readSnapshot(s, root, k).filter(lit(false))
-    readWithDeletes(s, root, k, pruned, del, pos, nDel, nPos)
+    readWithDeletes(s, root, k, pruned, del, pos.map(_._1), nDel, nPos)
       .filter(col("doc_id") >= lo && col("doc_id") <= hi)
   }
 
@@ -900,7 +900,7 @@ object SnapshotStore {
     // deletes with commit id ≤ a window file's never apply under the
     // sequence rule, so passing ALL delete files is exact; position
     // deletes address physical files, exact by identity
-    readWithDeletes(s, root, k, window, del, pos, nDel, nPos)
+    readWithDeletes(s, root, k, window, del, pos.map(_._1), nDel, nPos)
   }
 
   // ---- lifecycle: copy-on-write delete, merge, compaction, expiration
@@ -2204,9 +2204,9 @@ object SnapshotStore {
     // j = 0 (the empty table — a CDC consumer's "from the beginning")
     // borrows k's schema: the feed is then the initial load as inserts
     val oldRows = if (replaced.isEmpty) emptyLike(if (j == 0L) k else j)
-      else readWithDeletes(s, root, j, replaced, delJ, posJ, nDelJ, nPosJ)
+      else readWithDeletes(s, root, j, replaced, delJ, posJ.map(_._1), nDelJ, nPosJ)
     val newRows = if (written.isEmpty) emptyLike(k)
-      else readWithDeletes(s, root, k, written, delK, posK, nDelK, nPosK)
+      else readWithDeletes(s, root, k, written, delK, posK.map(_._1), nDelK, nPosK)
     val valueCols = oldRows.columns.filter(_ != "doc_id").toSeq
     val o = oldRows.select((col("doc_id").as("o_id") +:
       valueCols.map(c => col(c).as(s"o_$c"))): _*)
@@ -2257,9 +2257,9 @@ object SnapshotStore {
     // manifest stats of j (delete sets are small by design, so the
     // key collect is metadata-scale, same bound as [[deleteKeys]]
     // wrote)
-    val newDelFiles = withKind(manifest(s, root, k))
-      .filter(col("kind") === "delete" && col("commit_id") > j)
-      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    // delete files committed in (j, k] — resolved from the ALREADY
+    // collected manifest split, no second metadata read
+    val newDelFiles = delK.filter(_._2 > j).map(_._1)
     val morDeletes =
       if (newDelFiles.isEmpty) None
       else {
@@ -2271,7 +2271,7 @@ object SnapshotStore {
         val affT = datJ.filter(t => aff(t._1))
         val oldSchema = tableSchema(s, root, j)
         val pre = (if (affT.isEmpty) emptyLike(j)
-          else readWithDeletes(s, root, j, affT, delJ, posJ, nDelJ, nPosJ))
+          else readWithDeletes(s, root, j, affT, delJ, posJ.map(_._1), nDelJ, nPosJ))
           .join(keys.select(col("doc_id").as("__dk")),
             col("doc_id") === col("__dk"), "left_semi")
         Some(pre.select((Seq(col("doc_id").as("o_id")) ++
@@ -2286,9 +2286,7 @@ object SnapshotStore {
     // physical row live at j (physical identity, so even a NULL-key
     // row has a pre-image) — a LOGICAL delete read from exactly the
     // targeted files
-    val newPosFiles = withKind(manifest(s, root, k))
-      .filter(col("kind") === "posdelete" && col("commit_id") > j)
-      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val newPosFiles = posK.filter(_._2 > j).map(_._1)
     val posDeletes =
       if (newPosFiles.isEmpty) None
       else {
@@ -2300,7 +2298,7 @@ object SnapshotStore {
         val affT = datJ.filter(t => targeted(normPathStr(t._1)))
         val oldSchema = tableSchema(s, root, j)
         val pre = (if (affT.isEmpty) emptyLike(j)
-          else readWithDeletes(s, root, j, affT, delJ, posJ, nDelJ, nPosJ,
+          else readWithDeletes(s, root, j, affT, delJ, posJ.map(_._1), nDelJ, nPosJ,
             keepPos = true))
           .join(broadcast(pd),
             col("__path") === col("__pp") && col("__pos") === col("__ppos"),
