@@ -223,8 +223,13 @@ object SnapshotStore {
     * deployments swap in a conditional PUT — the claim is the one
     * pluggable primitive in the protocol).
     */
-  private def tryClaim(s: SparkSession, root: String, k: Long): Boolean = {
-    val p = claimPath(root, k)
+  private def tryClaim(s: SparkSession, root: String, k: Long): Boolean =
+    tryClaimAt(s, root, claimPath(root, k))
+
+  /** The CAS primitive over an arbitrary claim path — shared by the
+    * main commit protocol and the per-branch one.
+    */
+  private def tryClaimAt(s: SparkSession, root: String, p: Path): Boolean = {
     val f = fs(s, root)
     f.mkdirs(p.getParent)
     val scheme = p.toUri.getScheme
@@ -395,10 +400,14 @@ object SnapshotStore {
     * wrote instead of re-reading.
     */
   private def writeDataFiles(s: SparkSession, root: String,
-      df: DataFrame): Seq[FileStat] = {
+      df: DataFrame): Seq[FileStat] =
+    writeDataFilesN(s, root, df, CommitFiles)
+
+  private def writeDataFilesN(s: SparkSession, root: String,
+      df: DataFrame, nFiles: Int): Seq[FileStat] = {
     val token = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$root/data/c$token"
-    df.repartitionByRange(CommitFiles, col("doc_id"))
+    df.repartitionByRange(nFiles, col("doc_id"))
       .write.mode("overwrite").parquet(dataDir)
     val f = fs(s, root)
     val files = f.listStatus(new Path(dataDir)).toSeq
@@ -1110,6 +1119,160 @@ object SnapshotStore {
     }
   }
 
+  /** BIN-PACKING COMPACTION as commit `current + 1`: rewrite ONLY the
+    * data files under `minRows` into ~`targetRows`-sized range-
+    * clustered files; every file already at size carries over verbatim
+    * (same bytes, same commit id, its manifest file reused by
+    * REFERENCE when untouched). This is the maintenance shape a
+    * streaming or frequently-committing table needs at 100 TB: a table
+    * taking thousands of small commits accumulates thousands of small
+    * files, and full [[compact]] — O(table) — cannot run after every
+    * burst; `binPack` is O(small tail) in both data and metadata.
+    * Rewritten rows are read THROUGH live delete files (their new
+    * commit id postdates every delete, so folded deletes never
+    * re-apply and MOR-deleted rows never resurrect — the
+    * [[deleteRange]] argument); untouched files keep their delete
+    * files live. Returns the new snapshot id (prev when nothing to
+    * pack — no empty commits).
+    */
+  def binPack(s: SparkSession, root: String, minRows: Long,
+      targetRows: Long): Long = {
+    require(targetRows >= minRows && minRows > 0,
+      s"binPack needs 0 < minRows ($minRows) <= targetRows ($targetRows)")
+    // no-op pre-check: fewer than two undersized files → nothing to
+    // pack, NO empty commit (a racing writer making new small files
+    // after this read simply leaves them for the next binPack)
+    val pre = currentSnapshot(s, root)
+    require(pre > 0, "binPack on an empty table")
+    val nSmallPre = withKind(manifest(s, root, pre))
+      .filter(col("kind") === "data" && col("n_rows") < minRows).count()
+    if (nSmallPre < 2) return pre
+    commitRetry(s, root) { prev =>
+      val k = prev + 1
+      val mfull = withKind(manifestFull(s, root, prev))
+      val small = col("kind") === "data" && col("n_rows") < minRows
+      val smallRows = mfull.filter(small)
+        .select("path", "commit_id", "n_rows", "mpath").collect()
+      val schema = tableSchema(s, root, prev)
+      // a racing writer can shrink the small set below 2 before our
+      // claim lands — commit the list-reuse snapshot (rare, harmless)
+      if (smallRows.length < 2) (listOf(s, root, prev), schema)
+      else {
+        val delFiles = mfull.filter(col("kind") === "delete")
+          .select("path", "commit_id", "n_rows").collect()
+        val posFiles = mfull.filter(col("kind") === "posdelete")
+          .select("path", "n_rows").collect()
+        val total = smallRows.map(_.getAs[Long]("n_rows")).sum
+        val nOut = math.max(1L, (total + targetRows - 1L) / targetRows).toInt
+        val packed = writeDataFilesN(s, root,
+          readWithDeletes(s, root, prev,
+            smallRows.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
+            delFiles.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
+            posFiles.map(_.getAs[String]("path")).toIndexedSeq,
+            delFiles.map(_.getAs[Long]("n_rows")).sum,
+            posFiles.map(_.getAs[Long]("n_rows")).sum),
+          nOut)
+        // manifest-file granularity, as in [[deleteRange]]
+        val touchedM = smallRows.map(_.getAs[String]("mpath")).toSet
+        val carried = listOf(s, root, prev).filterNot(touchedM)
+        val survivors = mfull
+          .filter(col("mpath").isin(touchedM.toSeq: _*) && !small).drop("mpath")
+        val mf = writeManifestFile(s, root, survivors.unionByName(
+          manifestRows(s, packed, k), allowMissingColumns = true))
+        (carried :+ mf, schema)
+      }
+    }
+  }
+
+  /** DELETE-FILE FOLD (minor compaction) as commit `current + 1`:
+    * apply every live equality/position delete file to ONLY the data
+    * files it can touch, rewrite those, and drop the delete files —
+    * the read path returns to the plain no-anti-join scan while every
+    * untouched data file carries verbatim. The affected set is exact
+    * and metadata-priced: equality deletes collect their key sets
+    * (tiny by the format's design) and binary-search each file's
+    * [min_id, max_id] under the sequence rule (`dcid > cid`); position
+    * deletes name their target paths outright. A key the stats say no
+    * file holds — or one whose only candidate files PREdate nothing —
+    * folds away for free. This is the complement of [[binPack]]:
+    * together they bound BOTH accumulation channels (small files,
+    * delete files) without ever paying [[compact]]'s O(table) rewrite.
+    * Returns the current snapshot unchanged (no empty commit) when no
+    * delete file is live.
+    */
+  def foldDeletes(s: SparkSession, root: String): Long = {
+    val pre = currentSnapshot(s, root)
+    require(pre > 0, "foldDeletes on an empty table")
+    if (!withKind(manifest(s, root, pre))
+      .filter(col("kind") =!= "data").head(1).nonEmpty) return pre
+    commitRetry(s, root) { prev =>
+      val k = prev + 1
+      val mfull = withKind(manifestFull(s, root, prev))
+      val schema = tableSchema(s, root, prev)
+      val delRows = mfull.filter(col("kind") === "delete")
+        .select("path", "commit_id", "n_rows", "mpath").collect()
+      val posRows = mfull.filter(col("kind") === "posdelete")
+        .select("path", "n_rows", "mpath").collect()
+      if (delRows.isEmpty && posRows.isEmpty) (listOf(s, root, prev), schema)
+      else {
+        // equality targets: per delete commit, the keys (sorted) —
+        // a data file is hit iff some key lands in its stats interval
+        // AND the delete postdates it (the sequence rule, decided on
+        // metadata alone)
+        val keysByCid: Seq[(Long, Array[Long])] =
+          delRows.groupBy(_.getAs[Long]("commit_id")).toSeq.map { case (cid, fs) =>
+            cid -> s.read.parquet(fs.map(_.getAs[String]("path")).toIndexedSeq: _*)
+              .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+          }
+        // position targets: the (normalized) paths the delete names
+        val posTargets: Set[String] =
+          if (posRows.isEmpty) Set.empty
+          else s.read.parquet(posRows.map(_.getAs[String]("path")).toIndexedSeq: _*)
+            .select("path").distinct().collect().map(_.getString(0)).toSet
+        val dataRows = mfull.filter(col("kind") === "data")
+          .select("path", "commit_id", "min_id", "max_id", "mpath").collect()
+        def eqHit(r: org.apache.spark.sql.Row): Boolean = {
+          val (mn, mx) = (r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))
+          val cid = r.getAs[Long]("commit_id")
+          keysByCid.exists { case (dcid, keys) =>
+            dcid > cid && keys.nonEmpty && {
+              val i = java.util.Arrays.binarySearch(keys, mn)
+              val next = if (i >= 0) i else -(i + 1)
+              next < keys.length && keys(next) <= mx
+            }
+          }
+        }
+        val affRows = dataRows.filter(r => eqHit(r) ||
+          posTargets(normPathStr(r.getAs[String]("path"))))
+        val affected = affRows.map(_.getAs[String]("path")).toSet
+        // rewrite the affected files with every delete applied; new
+        // rows land under commit id k, so nothing re-applies
+        val newStats =
+          if (affRows.isEmpty) Nil
+          else writeDataFiles(s, root,
+            readWithDeletes(s, root, prev,
+              affRows.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
+              delRows.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
+              posRows.map(_.getAs[String]("path")).toIndexedSeq,
+              delRows.map(_.getAs[Long]("n_rows")).sum,
+              posRows.map(_.getAs[Long]("n_rows")).sum))
+        // every manifest file naming an affected data file OR any
+        // delete file rewrites its surviving rows; the rest carry
+        val touchedM = affRows.map(_.getAs[String]("mpath")).toSet ++
+          delRows.map(_.getAs[String]("mpath")) ++
+          posRows.map(_.getAs[String]("mpath"))
+        val carried = listOf(s, root, prev).filterNot(touchedM)
+        val dead = col("kind") =!= "data" ||
+          col("path").isin(affected.toSeq: _*)
+        val survivors = mfull
+          .filter(col("mpath").isin(touchedM.toSeq: _*) && !dead).drop("mpath")
+        val mf = writeManifestFile(s, root, survivors.unionByName(
+          manifestRows(s, newStats, k), allowMissingColumns = true))
+        (carried :+ mf, schema)
+      }
+    }
+  }
+
   /** ROLLBACK: re-commit snapshot k's exact file list as
     * `current + 1` through the same claim CAS — the recovery from a
     * bad merge/delete that completes the lifecycle: the table returns
@@ -1152,8 +1315,12 @@ object SnapshotStore {
     val f = fs(s, root)
     // NAMED REFS pin their snapshots across the horizon: a tagged id
     // below keepFrom survives the sweep (the Iceberg retain-refs
-    // contract) — dropping the tag first is the explicit opt-out
-    val pinned = tags(s, root).values.toSet
+    // contract) — dropping the tag first is the explicit opt-out.
+    // Branch BASES pin the same way: a zero-commit branch resolves its
+    // list through m<base>, and a staged branch's diff-vs-base
+    // semantics need the base addressable until the branch drops.
+    val pinned = tags(s, root).values.toSet ++
+      branches(s, root).values.map(_._1)
     // COMMITTED manifests only (`_SUCCESS`) — the same filter every
     // reader applies: a torn in-flight manifest (id current+1) must
     // not land in `kept`, where reading its partial/empty directory
@@ -1174,7 +1341,12 @@ object SnapshotStore {
     // while any kept manifest file names it. Both diffs are O(metadata)
     val mpathsOf = (ms: Seq[Path]) =>
       ms.flatMap(p => listOf(s, root, p.getName.drop(1).toLong)).toSet
-    val keptM = mpathsOf(kept)
+    // staged-branch lists keep referencing manifest files too (their
+    // bases are pinned above, but a staged list can also reuse files
+    // of snapshots BETWEEN the base and the horizon)
+    val keptM = mpathsOf(kept) ++
+      branchListRoots(s, root).flatMap(d =>
+        s.read.parquet(d).select("mpath").collect().map(_.getString(0)))
     val deadM = mpathsOf(dropped) -- keptM
     if (deadM.nonEmpty) {
       val dPaths = s.read.option("mergeSchema", "true")
@@ -1282,6 +1454,235 @@ object SnapshotStore {
   /** The table as of the tagged snapshot. */
   def readTag(s: SparkSession, root: String, name: String): DataFrame =
     readSnapshot(s, root, resolveTag(s, root, name))
+
+  // ---- WRITABLE BRANCHES: write-audit-publish ------------------------
+  //
+  // A branch stages APPEND commits invisibly to main readers, then
+  // publishes them atomically — the WAP (write-audit-publish) pattern a
+  // production ingest runs: land the day's crawl on `audit`, run the
+  // quality gates against the branch, fast-forward main only when they
+  // pass. Shape: the branch head is a per-branch commit sequence
+  // (`manifests/b_<name>_<j>`, its own claim CAS), each branch commit a
+  // manifest LIST = the previous branch list + one new manifest file —
+  // the same incremental-manifest economics as main. Staged rows carry
+  // commit ids in a reserved high band (BranchCidBase + j), so (a) main
+  // deletes committed while the branch was staged never kill staged
+  // rows (sequence rule: staged cid > every main dcid), matching WAP
+  // visibility — staged rows did not exist for those deletes — and (b)
+  // no field-id sidecar collision is possible. [[fastForward]]
+  // re-stamps the staged manifest rows under the PUBLISH commit id (an
+  // O(|staged files|) metadata rewrite, data immutable), so append-only
+  // diff/change-feed semantics see the published rows exactly once, at
+  // publish. Only appends stage on a branch — audit gates read, they
+  // do not mutate; a failed audit drops the branch and [[vacuum]]
+  // reclaims its files.
+
+  /** Staged branch rows' commit-id band — above any realistic main
+    * commit id, below the Long.MaxValue sentinels.
+    */
+  private[graft] val BranchCidBase = 1L << 40
+
+  private def branchHeadPath(root: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9.\\-]+"),
+      s"invalid branch name: $name (letters, digits, dot, dash)")
+    new Path(s"$root/heads/$name")
+  }
+
+  private def branchListDir(root: String, name: String, j: Long): String =
+    s"$root/manifests/b_${name}_$j"
+
+  /** CREATE a branch at snapshot k — one tiny head file recording the
+    * base. Refuses to clobber a live branch.
+    */
+  def createBranch(s: SparkSession, root: String, name: String, k: Long): Unit = {
+    require(k >= 1 && k <= currentSnapshot(s, root),
+      s"createBranch($name @ $k): snapshot must be committed")
+    val p = branchHeadPath(root, name)
+    val f = fs(s, root)
+    require(!f.exists(p), s"branch $name already exists")
+    val out = f.create(p, false)
+    try out.write(k.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The branch's base snapshot (where it forked from main). */
+  def branchBase(s: SparkSession, root: String, name: String): Long =
+    readSidecar(s, branchHeadPath(root, name))
+      .flatMap(_.trim.toLongOption)
+      .getOrElse(throw new IllegalArgumentException(s"unknown branch: $name"))
+
+  /** The branch's committed sequence head (0 = no staged commits). */
+  private[graft] def branchSeq(s: SparkSession, root: String, name: String): Long = {
+    val f = fs(s, root)
+    val mdir = new Path(s"$root/manifests")
+    if (!f.exists(mdir)) return 0L
+    val prefix = s"b_${name}_"
+    f.listStatus(mdir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) &&
+        p.getName.drop(prefix.length).forall(_.isDigit) &&
+        f.exists(new Path(p, "_SUCCESS")))
+      .map(_.getName.drop(prefix.length).toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Every live branch: name → (base snapshot, staged commit count). */
+  def branches(s: SparkSession, root: String): Map[String, (Long, Long)] = {
+    val f = fs(s, root)
+    val dir = new Path(s"$root/heads")
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      readSidecar(s, st.getPath).flatMap(_.trim.toLongOption)
+        .map(base => name -> (base, branchSeq(s, root, name)))
+    }.toMap
+  }
+
+  /** The branch head's manifest LIST: the base snapshot's list plus
+    * every staged commit's manifest file.
+    */
+  private[graft] def branchList(s: SparkSession, root: String,
+      name: String): Seq[String] = {
+    val j = branchSeq(s, root, name)
+    if (j == 0L) listOf(s, root, branchBase(s, root, name))
+    else s.read.parquet(branchListDir(root, name, j))
+      .select("mpath").collect().map(_.getString(0)).toIndexedSeq
+  }
+
+  /** STAGE an append on the branch — same protocol as main
+    * ([[append]]): data files land once under a token-unique dir, the
+    * branch's claim CAS arbitrates concurrent stagers, losers rebase
+    * on the winner's branch list and retry. Invisible to every main
+    * reader until [[fastForward]]. Returns the branch sequence number.
+    */
+  def appendBranch(s: SparkSession, root: String, name: String,
+      df: DataFrame): Long = {
+    val base = branchBase(s, root, name) // fails fast on unknown branch
+    val added = writeDataFiles(s, root, df)
+    val f = fs(s, root)
+    var attempts = 0
+    while (attempts < 64) {
+      val j = branchSeq(s, root, name) + 1
+      val prevList =
+        if (j == 1L) listOf(s, root, base) else branchList(s, root, name)
+      val mf = writeManifestFile(s, root,
+        manifestRows(s, added, BranchCidBase + j))
+      val claim = new Path(s"$root/manifests/claimb_${name}_$j")
+      if (tryClaimAt(s, root, claim)) {
+        import s.implicits._
+        (prevList :+ mf).toDF("mpath").coalesce(1).write
+          .mode("overwrite").parquet(branchListDir(root, name, j))
+        // the staged schema rides a sidecar so publish can merge it
+        val out = f.create(new Path(s"$root/manifests/bs_${name}_$j.json"), true)
+        try out.write(mergedSchema(
+            if (j == 1L) tableSchema(s, root, base)
+            else readBranchSchema(s, root, name, j - 1L)
+              .getOrElse(tableSchema(s, root, base)),
+            df.schema).json.getBytes("UTF-8"))
+        finally out.close()
+        return j
+      }
+      // lost the race: wait for the winner's list, rebase, retry
+      val marker = new Path(s"${branchListDir(root, name, j)}/_SUCCESS")
+      val deadline = System.nanoTime() + 60000L * 1000000L
+      while (!f.exists(marker)) {
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"branch commit $name/$j is claimed but never landed — " +
+              s"verify no stager is alive, then delete claimb_${name}_$j")
+        Thread.sleep(20L)
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"appendBranch($name) lost $attempts consecutive claim races")
+  }
+
+  private def readBranchSchema(s: SparkSession, root: String, name: String,
+      j: Long): Option[StructType] =
+    readSidecar(s, new Path(s"$root/manifests/bs_${name}_$j.json"))
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+
+  /** Read the BRANCH HEAD — base rows plus every staged append, under
+    * the base snapshot's delete files (staged rows postdate them, so
+    * they are never killed — WAP visibility).
+    */
+  def readBranch(s: SparkSession, root: String, name: String): DataFrame = {
+    val base = branchBase(s, root, name)
+    val mpaths = branchList(s, root, name)
+    if (mpaths.isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        tableSchema(s, root, base))
+    val rows = withKind(s.read.option("mergeSchema", "true").parquet(mpaths: _*))
+      .select("path", "commit_id", "kind", "n_rows").collect()
+    val dat = rows.filter(_.getAs[String]("kind") == "data")
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq
+    val del = rows.filter(_.getAs[String]("kind") == "delete")
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq
+    val pos = rows.filter(_.getAs[String]("kind") == "posdelete")
+    readWithDeletes(s, root, base, dat, del,
+      pos.map(_.getAs[String]("path")).toIndexedSeq,
+      rows.filter(_.getAs[String]("kind") == "delete")
+        .map(_.getAs[Long]("n_rows")).sum,
+      pos.map(_.getAs[Long]("n_rows")).sum)
+  }
+
+  /** PUBLISH the branch to main — the audit passed. Commits
+    * `main current + 1` through the ordinary claim CAS with the
+    * branch's staged manifest rows RE-STAMPED under the publish commit
+    * id (one O(|staged files|) manifest file; data files move nowhere).
+    * Because branches stage only appends, the publish composes with
+    * ANY main commits that landed while the branch was open (the
+    * append-only rebase: main's current list + the staged delta) —
+    * a true fast-forward when main never moved, a rebase otherwise.
+    * The branch stays live (re-publish is a no-op only if nothing new
+    * staged — callers normally [[dropBranch]] after). Returns the new
+    * main snapshot id.
+    */
+  def fastForward(s: SparkSession, root: String, name: String): Long = {
+    val base = branchBase(s, root, name)
+    val baseList = listOf(s, root, base).toSet
+    val staged = branchList(s, root, name).filterNot(baseList)
+    require(staged.nonEmpty, s"fastForward($name): nothing staged")
+    val stagedRows = s.read.option("mergeSchema", "true")
+      .parquet(staged: _*).drop("mpath")
+    val branchSchema = readBranchSchema(s, root, name,
+      branchSeq(s, root, name)).getOrElse(tableSchema(s, root, base))
+    commitRetry(s, root) { prev =>
+      val k = prev + 1
+      val mf = writeManifestFile(s, root,
+        stagedRows.withColumn("commit_id", lit(k)))
+      (listOf(s, root, prev) :+ mf,
+        mergedSchema(tableSchema(s, root, prev), branchSchema))
+    }
+  }
+
+  /** DROP the branch: head, staged lists, schema sidecars, claims.
+    * The staged manifest/data files become unreferenced; [[vacuum]]
+    * reclaims them behind its age floor.
+    */
+  def dropBranch(s: SparkSession, root: String, name: String): Unit = {
+    val f = fs(s, root)
+    f.delete(branchHeadPath(root, name), false)
+    val mdir = new Path(s"$root/manifests")
+    if (!f.exists(mdir)) return
+    val pats = Seq(s"b_${name}_", s"claimb_${name}_", s"bs_${name}_")
+    f.listStatus(mdir).toSeq.map(_.getPath)
+      .filter(p => pats.exists(p.getName.startsWith))
+      .foreach(p => f.delete(p, true))
+  }
+
+  /** Committed branch manifest LISTS across all branches — the extra
+    * reference roots [[vacuum]] and [[expire]] must honor so a staged
+    * branch's files survive maintenance.
+    */
+  private def branchListRoots(s: SparkSession, root: String): Seq[String] = {
+    val f = fs(s, root)
+    branches(s, root).keys.toSeq.flatMap { name =>
+      val j = branchSeq(s, root, name)
+      if (j == 0L) Nil
+      else Some(branchListDir(root, name, j))
+        .filter(d => f.exists(new Path(s"$d/_SUCCESS")))
+    }
+  }
 
   // ---- the Z-CLUSTERED snapshot table (q227): 2-D stats pruning -----
 
@@ -1683,12 +2084,16 @@ object SnapshotStore {
     // live data files. Orphans at either level (a crashed or race-
     // losing attempt's manifest file, its data files) are reclaimable.
     val refM: Set[String] =
-      if (!f.exists(mdir)) Set.empty
+      (if (!f.exists(mdir)) Set.empty[String]
       else f.listStatus(mdir).toSeq.map(_.getPath)
         .filter(p => p.getName.startsWith("m") &&
           p.getName.drop(1).forall(_.isDigit) &&
           f.exists(new Path(p, "_SUCCESS")))
-        .flatMap(p => listOf(s, root, p.getName.drop(1).toLong)).toSet
+        .flatMap(p => listOf(s, root, p.getName.drop(1).toLong)).toSet) ++
+        // a live branch's staged manifest files are referenced too —
+        // WAP staging must survive maintenance until the branch drops
+        branchListRoots(s, root).flatMap(d =>
+          s.read.parquet(d).select("mpath").collect().map(_.getString(0)))
     val referenced: Set[String] =
       if (refM.isEmpty) Set.empty
       else s.read.option("mergeSchema", "true")
@@ -2874,6 +3279,208 @@ object SnapshotStore {
       .orderBy(col("lang"))
   }
 
+  // ---- the WAP store (q237): branch staging → audit → publish -------
+
+  /** WAP-store layout version. */
+  private val WapLayout = 1L
+
+  private[graft] def wapRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapwap")
+
+  private val wapBuiltCache = new graft.SessionCache
+
+  /** Seed the WRITE-AUDIT-PUBLISH fixture: main gets the even rows
+    * (commit 1), the odd rows stage on branch `audit` (invisible to
+    * main — asserted in the builder: a reader between stage and
+    * publish sees commit 1 exactly), then [[fastForward]] publishes
+    * them as commit 2. The end state must equal the raw table — a
+    * staged row lost in the re-stamp, or a base row double-published,
+    * turns the q237 oracle red.
+    */
+  def ensureWap(s: SparkSession, dir: String): String = {
+    wapBuiltCache.getOrElseUpdate(s, dir) {
+      val root = wapRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + WapLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+        createBranch(s, root, "audit", 1L)
+        appendBranch(s, root, "audit", docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+        // the WAP invariant: staged rows are invisible to main readers
+        require(currentSnapshot(s, root) == 1L,
+          "staging on a branch must not advance main")
+        fastForward(s, root, "audit")
+        dropBranch(s, root, "audit")
+        require(currentSnapshot(s, root) == 2L,
+          "publish must land as exactly one main commit")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    wapRoot(dir)
+  }
+
+  /** q237: WRITE-AUDIT-PUBLISH read back — the post-publish main
+    * snapshot rolled up per lang. Oracle = the full raw table: green
+    * iff the branch staged every odd row once, publish re-stamped them
+    * all, and no base row duplicated through the rebase.
+    */
+  val q237SnapshotWap: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureWap(s, dir)
+    readSnapshot(s, root, currentSnapshot(s, root))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+  }
+
+  // ---- the BIN-PACK store (q238): small-file maintenance ------------
+
+  /** BinPack-store layout version. */
+  private val BpLayout = 1L
+
+  private[graft] def bpRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapbp")
+
+  private val bpBuiltCache = new graft.SessionCache
+
+  /** Seed the BIN-PACK fixture: one big commit (half the rows) then
+    * four small ones (an eighth each — the burst-commit shape), then
+    * [[binPack]] with a threshold between the two file sizes, so the
+    * sixteen small files merge and the four big ones carry verbatim
+    * (path identity pinned in SnapshotStoreSpec). Row-count thresholds
+    * derive from the table size, so the build is SF-independent.
+    */
+  def ensureBinPacked(s: SparkSession, dir: String): String = {
+    bpBuiltCache.getOrElseUpdate(s, dir) {
+      val root = bpRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + BpLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        val n = docs.count()
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+        Seq(1L, 3L, 5L, 7L).foreach { r =>
+          append(s, root, docs.filter(pmod(col("doc_id"), lit(8)) === r))
+        }
+        // big files ≈ n/8 rows, small ≈ n/32: the threshold separates
+        binPack(s, root, minRows = math.max(2L, n / 16L),
+          targetRows = math.max(2L, n / 8L))
+        require(currentSnapshot(s, root) == 6L,
+          "binPack must land as exactly one commit")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    bpRoot(dir)
+  }
+
+  /** q238: the BIN-PACKED table read back — rollup per lang with a
+    * min, so a row lost (or duplicated) in the pack goes red. File-
+    * level facts (big paths carried, small count shrunk) are pinned in
+    * SnapshotStoreSpec; the oracle checks row invariance.
+    */
+  val q238SnapshotBinpack: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureBinPacked(s, dir)
+    readSnapshot(s, root, currentSnapshot(s, root))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"))
+      .orderBy(col("lang"))
+  }
+
+  // ---- the DELETE-FOLD store (q239): minor compaction ---------------
+
+  /** Fold-store layout version. */
+  private val FdLayout = 1L
+
+  private[graft] def fdRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapfd")
+
+  private val fdBuiltCache = new graft.SessionCache
+
+  /** Seed the DELETE-FOLD fixture: the 2-commit seed, an equality
+    * delete (doc_id % 15 = 0), a position delete (the q234 n_chars
+    * window), then [[foldDeletes]] — so the current snapshot reads
+    * with ZERO anti-joins while untouched files carried verbatim
+    * (both pinned in SnapshotStoreSpec).
+    */
+  def ensureFolded(s: SparkSession, dir: String): String = {
+    fdBuiltCache.getOrElseUpdate(s, dir) {
+      val root = fdRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + FdLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+        deleteKeys(s, root, docs.filter(pmod(col("doc_id"), lit(15)) === 0)
+          .select("doc_id"))
+        deleteWhere(s, root, col("n_chars").between(PdChLo, PdChHi))
+        foldDeletes(s, root)
+        require(currentSnapshot(s, root) == 5L,
+          "foldDeletes must land as exactly one commit")
+        require(!withKind(manifest(s, root, 5L))
+          .filter(col("kind") =!= "data").head(1).nonEmpty,
+          "foldDeletes must drop every delete file")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    fdRoot(dir)
+  }
+
+  /** q239: the FOLDED table read back — equality + position deletes
+    * materialized into the affected data files, delete files gone.
+    * Oracle = the raw table minus both delete predicates; green iff
+    * the fold applied exactly the delete semantics the MOR read had.
+    */
+  val q239SnapshotDeleteFold: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureFolded(s, dir)
+    readSnapshot(s, root, currentSnapshot(s, root))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** q240: STATS-DRIVEN SQL JOIN over the connector — the snapshot
+    * table (range-pruned to a few files) joins the raw parquet table
+    * by key in PLAIN SQL, and Catalyst AUTO-BROADCASTS the snapshot
+    * side because the scan now reports manifest-derived statistics
+    * (`SupportsReportStatistics`): pruned row count and on-disk bytes
+    * scaled by the projection. Without reported stats a DSv2 relation
+    * sizes as `defaultSizeInBytes` ≈ ∞ and can NEVER auto-broadcast —
+    * at 100 TB that is the difference between a 2-minute broadcast
+    * join and a full-table shuffle. The broadcast choice is pinned in
+    * SnapshotTableSourceSpec; the oracle checks the join's rows.
+    */
+  val q240SnapshotSqlJoin: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensure(s, dir)
+    val v = s"graft_snap_sqljoin_${math.abs(dir.hashCode)}"
+    s.read.format("graft.sources.SnapshotTableSource")
+      .option("root", root).load().createOrReplaceTempView(v)
+    graft.Engine.table(s, dir, "documents").createOrReplaceTempView(s"${v}_docs")
+    s.sql(
+      s"""SELECT d.lang AS lang, count(*) AS n_docs,
+         |  sum(e.n_chars) AS sum_chars
+         |FROM ${v}_docs e JOIN $v d ON e.doc_id = d.doc_id
+         |WHERE d.doc_id BETWEEN 100 AND 250
+         |GROUP BY d.lang ORDER BY lang""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q203_snapshot_time_travel" -> q203SnapshotTimeTravel,
       "q204_snapshot_diff" -> q204SnapshotDiff,
@@ -2898,7 +3505,11 @@ object SnapshotStore {
       "q233_snapshot_sql_cat" -> q233SnapshotSqlCat,
       "q234_snapshot_pos_delete" -> q234SnapshotPosDelete,
       "q235_snapshot_tag_read" -> q235SnapshotTagRead,
-      "q236_snapshot_dsv_write" -> q236SnapshotDsvWrite)
+      "q236_snapshot_dsv_write" -> q236SnapshotDsvWrite,
+      "q237_snapshot_wap" -> q237SnapshotWap,
+      "q238_snapshot_binpack" -> q238SnapshotBinpack,
+      "q239_snapshot_delete_fold" -> q239SnapshotDeleteFold,
+      "q240_snapshot_sql_join" -> q240SnapshotSqlJoin)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -3033,5 +3644,28 @@ object SnapshotStore {
     "q236_snapshot_dsv_write" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q237_snapshot_wap" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q238_snapshot_binpack" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q239_snapshot_delete_fold" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id % 15 <> 0
+        |  AND (n_chars IS NULL OR n_chars NOT BETWEEN $PdChLo AND $PdChHi)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q240_snapshot_sql_join" ->
+      """SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(e.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents e JOIN documents d ON e.doc_id = d.doc_id
+        |WHERE d.doc_id BETWEEN 100 AND 250
+        |GROUP BY d.lang ORDER BY lang""".stripMargin)
 }

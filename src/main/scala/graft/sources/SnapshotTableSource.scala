@@ -481,7 +481,7 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     required: StructType, bounds: Map[String, (Long, Long)],
     strBounds: Map[String, (String, String)],
     pushed: Array[Filter]) extends Scan with Batch
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   /** Join-key values delivered at RUNTIME (Spark's dynamic pruning
     * over a DSv2 source): a broadcast dim side's doc_ids arrive as an
@@ -517,7 +517,13 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
       s"RuntimeFilters=[doc_id], " +
       s"ReadSchema=[${required.fieldNames.mkString(",")}])"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Snapshot k's manifest rows, collected once per scan — manifests
+    * are immutable, so the cache is sound across the (up to) three
+    * metadata passes a scan makes: statistics estimation, the initial
+    * partition planning, and a runtime-filtered re-plan. O(#files)
+    * driver metadata, the Iceberg planner shape.
+    */
+  private lazy val mRows: (Array[org.apache.spark.sql.Row], Boolean, Boolean) = {
     val s = SparkSession.active
     import org.apache.spark.sql.functions.col
     val m = SnapshotStore.manifest(s, root, k)
@@ -526,46 +532,93 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
         m.withColumn("kind", org.apache.spark.sql.functions
           .coalesce(col("kind"), org.apache.spark.sql.functions.lit("data")))
       else m.withColumn("kind", org.apache.spark.sql.functions.lit("data"))
-    val rows = withKind.collect()
-    val has2D = m.columns.contains("min_chars")
+    (withKind.collect(), m.columns.contains("min_chars"),
+      m.columns.contains("min_cat"))
+  }
+
+  /** MANIFEST-DERIVED STATISTICS (`SupportsReportStatistics`): row
+    * count = Σ `n_rows` over the files the pushed bounds keep, minus
+    * the live delete files' row counts (each delete row kills at most
+    * one data row, so the subtraction is a sound lower bound clamped
+    * at 0 — and stats need only be estimates); bytes = the kept
+    * files' actual on-disk lengths scaled by the projected-column
+    * fraction. This is what lets Catalyst AUTO-BROADCAST a small
+    * (or tightly-pruned) snapshot-table side of a join: a DSv2
+    * relation without reported statistics defaults to
+    * `spark.sql.defaultSizeInBytes` (≈ Long.MaxValue), so no SQL join
+    * against the store could ever broadcast, no matter how small the
+    * pruned read really is. O(#kept files) driver `getFileStatus`
+    * calls — metadata scale, cached for the scan's lifetime.
+    */
+  override def estimateStatistics(): Statistics = statsCache
+  private lazy val statsCache: Statistics = {
+    val (rows, _, _) = mRows
+    val kept = rows.filter(r => r.getAs[String]("kind") == "data" && hits(r))
+    val deleted = rows.iterator
+      .filter(_.getAs[String]("kind") != "data")
+      .map(_.getAs[Long]("n_rows")).sum
+    val n = math.max(0L, kept.iterator.map(_.getAs[Long]("n_rows")).sum - deleted)
+    val conf = new Configuration()
+    val onDisk = kept.iterator.map { r =>
+      val p = new Path(r.getAs[String]("path"))
+      try p.getFileSystem(conf).getFileStatus(p).getLen
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    val frac =
+      if (tableSchema.defaultSize <= 0) 1.0
+      else required.defaultSize.toDouble / tableSchema.defaultSize
+    val bytes = math.max(1L, (onDisk * frac).toLong)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
+    }
+  }
+
+  /** Whether a data-file manifest row survives the pushed bounds (and
+    * any runtime join keys) — shared by statistics and planning.
+    */
+  private def hits(r: org.apache.spark.sql.Row): Boolean = {
+    val (_, has2D, hasCat) = mRows
+    def live(c: String, loF: String, hiF: String): Boolean =
+      bounds.get(c) match {
+        case Some((lo, hi)) =>
+          !r.isNullAt(r.fieldIndex(loF)) &&
+            r.getAs[Long](hiF) >= lo && r.getAs[Long](loF) <= hi
+        case None => true
+      }
+    // string bounds on the clustering column: null stats = the
+    // open interval (an all-null-category file is never pruned)
+    def liveCat: Boolean = strBounds.forall { case (_, (lo, hi)) =>
+      !hasCat || r.isNullAt(r.fieldIndex("min_cat")) || {
+        r.getAs[String]("max_cat") >= lo && r.getAs[String]("min_cat") <= hi
+      }
+    }
+    // runtime join keys: a file lives iff its [min_id, max_id]
+    // interval holds at least one delivered key (binary search over
+    // the sorted key array — O(log #keys) per file); sentinel
+    // (all-null-id) stats never prune
+    def liveRuntime: Boolean = runtimeKeys.forall { keys =>
+      val iLo = r.fieldIndex("min_id")
+      r.isNullAt(iLo) || {
+        val (mn, mx) = (r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))
+        mn == Long.MinValue && mx == Long.MaxValue || {
+          val i = java.util.Arrays.binarySearch(keys, mn)
+          val next = if (i >= 0) i else -(i + 1)
+          next < keys.length && keys(next) <= mx
+        }
+      }
+    }
+    live("doc_id", "min_id", "max_id") &&
+      (!has2D || live("n_chars", "min_chars", "max_chars")) &&
+      liveCat && liveRuntime
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val s = SparkSession.active
+    val (rows, _, _) = mRows
     // FILE PRUNING from the manifest stats — the pushed bounds decide
     // which files can possibly hold a matching row (1-D always, both
-    // dimensions on a Z store)
-    val hasCat = m.columns.contains("min_cat")
-    def hits(r: org.apache.spark.sql.Row): Boolean = {
-      def live(c: String, loF: String, hiF: String): Boolean =
-        bounds.get(c) match {
-          case Some((lo, hi)) =>
-            !r.isNullAt(r.fieldIndex(loF)) &&
-              r.getAs[Long](hiF) >= lo && r.getAs[Long](loF) <= hi
-          case None => true
-        }
-      // string bounds on the clustering column: null stats = the
-      // open interval (an all-null-category file is never pruned)
-      def liveCat: Boolean = strBounds.forall { case (_, (lo, hi)) =>
-        !hasCat || r.isNullAt(r.fieldIndex("min_cat")) || {
-          r.getAs[String]("max_cat") >= lo && r.getAs[String]("min_cat") <= hi
-        }
-      }
-      // runtime join keys: a file lives iff its [min_id, max_id]
-      // interval holds at least one delivered key (binary search over
-      // the sorted key array — O(log #keys) per file); sentinel
-      // (all-null-id) stats never prune
-      def liveRuntime: Boolean = runtimeKeys.forall { keys =>
-        val iLo = r.fieldIndex("min_id")
-        r.isNullAt(iLo) || {
-          val (mn, mx) = (r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))
-          mn == Long.MinValue && mx == Long.MaxValue || {
-            val i = java.util.Arrays.binarySearch(keys, mn)
-            val next = if (i >= 0) i else -(i + 1)
-            next < keys.length && keys(next) <= mx
-          }
-        }
-      }
-      live("doc_id", "min_id", "max_id") &&
-        (!has2D || live("n_chars", "min_chars", "max_chars")) &&
-        liveCat && liveRuntime
-    }
+    // dimensions on a Z store); [[hits]] is shared with statistics
     val dataRows = rows.filter(_.getAs[String]("kind") == "data")
     val delRows = rows.filter(_.getAs[String]("kind") == "delete")
     val posRows = rows.filter(_.getAs[String]("kind") == "posdelete")

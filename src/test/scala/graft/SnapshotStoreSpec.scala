@@ -1191,4 +1191,181 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       SnapshotStore.tag(spark, root, "future", 9L))
   }
+
+  test("branches: staging invisible to main; publish rebases onto an advanced main; vacuum reclaims a dropped branch") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d) // 2 commits = all docs
+    val before = rows(SnapshotStore.readSnapshot(spark, root, 2L))
+    SnapshotStore.createBranch(spark, root, "audit", 2L)
+    assertThrows[IllegalArgumentException](
+      SnapshotStore.createBranch(spark, root, "audit", 1L)) // no clobber
+    val extra1 = docs.limit(5).withColumn("doc_id", col("doc_id") + 1000000L)
+    val extra2 = docs.limit(3).withColumn("doc_id", col("doc_id") + 2000000L)
+    assert(SnapshotStore.appendBranch(spark, root, "audit", extra1) == 1L)
+    assert(SnapshotStore.appendBranch(spark, root, "audit", extra2) == 2L)
+    // WAP invariant: main readers see NOTHING of the staged commits
+    assert(SnapshotStore.currentSnapshot(spark, root) == 2L)
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 2L)) == before)
+    // the branch reads base + both staged appends
+    assert(rows(SnapshotStore.readBranch(spark, root, "audit")) ==
+      rows(docs.unionByName(extra1).unionByName(extra2)))
+    assert(SnapshotStore.branches(spark, root) == Map("audit" -> (2L, 2L)))
+    // main ADVANCES while the branch is open — publish must rebase
+    val extraMain = docs.limit(2).withColumn("doc_id", col("doc_id") + 3000000L)
+    SnapshotStore.append(spark, root, extraMain) // commit 3
+    val k = SnapshotStore.fastForward(spark, root, "audit")
+    assert(k == 4L)
+    assert(rows(SnapshotStore.readSnapshot(spark, root, k)) ==
+      rows(docs.unionByName(extraMain).unionByName(extra1).unionByName(extra2)),
+      "publish must land every staged row once and lose no main row")
+    // published rows are re-stamped under the PUBLISH commit id: the
+    // append-only diff sees them exactly at publish, not before
+    assert(rows(SnapshotStore.readDiff(spark, root, 3L, 4L)) ==
+      rows(extra1.unionByName(extra2)))
+    // the change feed reports the publish as pure inserts
+    val feed = SnapshotStore.changeFeed(spark, root, 3L, 4L)
+    assert(feed.filter(col("change_type") =!= "insert").count() == 0L)
+    assert(feed.count() == 8L)
+    // pre-publish snapshots are untouched (time travel reads the
+    // unpublished table forever)
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 2L)) == before)
+    // drop + vacuum: the branch's own staged manifest files become
+    // orphans and are reclaimed; the PUBLISHED data files survive
+    // (main's manifest references them)
+    SnapshotStore.dropBranch(spark, root, "audit")
+    assert(SnapshotStore.branches(spark, root).isEmpty)
+    val reclaimed = SnapshotStore.vacuum(spark, root, 0L)
+    assert(reclaimed.nonEmpty, "the dropped branch's staged manifest files must reclaim")
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 4L)) ==
+      rows(docs.unionByName(extraMain).unionByName(extra1).unionByName(extra2)),
+      "vacuum must never touch a published (referenced) file")
+  }
+
+  test("branches: a staged branch's files survive vacuum and its base survives expire until the branch drops") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    SnapshotStore.createBranch(spark, root, "staged", 1L)
+    val extra = docs.limit(4).withColumn("doc_id", col("doc_id") + 5000000L)
+    SnapshotStore.appendBranch(spark, root, "staged", extra)
+    val branchRows = rows(SnapshotStore.readBranch(spark, root, "staged"))
+    // vacuum with a zero age floor: the staged (never-main-referenced)
+    // files must STILL survive — the branch list is a reference root
+    SnapshotStore.vacuum(spark, root, 0L)
+    assert(rows(SnapshotStore.readBranch(spark, root, "staged")) == branchRows,
+      "vacuum must honor branch references")
+    // expire everything below current: the branch BASE (snapshot 1) is
+    // pinned like a tag, so the branch keeps reading
+    SnapshotStore.append(spark, root, docs.limit(1)
+      .withColumn("doc_id", col("doc_id") + 6000000L)) // commit 3
+    SnapshotStore.expire(spark, root, 3L)
+    assert(rows(SnapshotStore.readBranch(spark, root, "staged")) == branchRows,
+      "expire must pin a live branch's base snapshot")
+    // dropping the branch releases both pins
+    SnapshotStore.dropBranch(spark, root, "staged")
+    SnapshotStore.expire(spark, root, 3L)
+    assertThrows[Exception](SnapshotStore.readSnapshot(spark, root, 1L).collect())
+    val reclaimed = SnapshotStore.vacuum(spark, root, 0L)
+    assert(reclaimed.nonEmpty, "a dropped branch's files must reclaim")
+  }
+
+  test("binPack: small files merge to target size, big files carry byte-identically, MOR deletes preserved") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_bp_spec_").toString
+    val root = s"$d/store"
+    val n = docs.count()
+    SnapshotStore.append(spark, root, docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    Seq(1L, 3L, 5L, 7L).foreach { r =>
+      SnapshotStore.append(spark, root, docs.filter(pmod(col("doc_id"), lit(8)) === r))
+    }
+    // a MOR delete BEFORE the pack: binPack must fold it into the
+    // packed rows without resurrecting or double-deleting
+    val delKeys = docs.filter(pmod(col("doc_id"), lit(11)) === 0).select("doc_id")
+    SnapshotStore.deleteKeys(spark, root, delKeys) // commit 6
+    val pre = rows(SnapshotStore.readSnapshot(spark, root, 6L))
+    val mPre = SnapshotStore.metaFiles(spark, root, 6L)
+      .filter(col("kind") === "data")
+    val minRows = math.max(2L, n / 16L)
+    val bigPre = mPre.filter(col("n_rows") >= minRows && col("commit_id") <= 5L)
+      .select("path").collect().map(_.getString(0)).toSet
+    val smallPre = mPre.filter(col("n_rows") < minRows).count()
+    assert(bigPre.nonEmpty && smallPre >= 2, "fixture must have both sizes")
+    val k = SnapshotStore.binPack(spark, root, minRows, math.max(2L, n / 8L))
+    assert(k == 7L)
+    val mPost = graft.sources.SnapshotStore.metaFiles(spark, root, 7L)
+    val postData = mPost.filter(col("kind") === "data")
+    // big files carried verbatim — same paths, same commit ids
+    val postPaths = postData.select("path").collect().map(_.getString(0)).toSet
+    assert(bigPre.subsetOf(postPaths), "big files must carry by path identity")
+    // the small tail shrank
+    assert(postData.count() < mPre.count())
+    // rows identical (delete semantics included)
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 7L)) == pre)
+    // the delete file stays live for the carried files
+    assert(mPost.filter(col("kind") === "delete").count() == 1L)
+    // idempotent: nothing left to pack → NO empty commit
+    assert(SnapshotStore.binPack(spark, root, minRows, math.max(2L, n / 8L)) == 7L)
+  }
+
+  test("foldDeletes: delete files fold into only the affected data files; untouched files carry; re-inserts survive") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_fd_spec_").toString
+    val root = s"$d/store"
+    SnapshotStore.append(spark, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+    SnapshotStore.append(spark, root, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+    SnapshotStore.deleteKeys(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(15)) === 0).select("doc_id")) // 3
+    // a RE-INSERT of one deleted key after the delete: the sequence
+    // rule keeps it alive, and the fold must too (picked OUTSIDE the
+    // position-delete window so its single-row file stays untouched)
+    val reKey = docs.filter(pmod(col("doc_id"), lit(15)) === 0 &&
+        (col("n_chars").isNull ||
+          !col("n_chars").between(SnapshotStore.PdChLo, SnapshotStore.PdChHi)))
+      .select(col("doc_id")).as[Long].head()
+    SnapshotStore.append(spark, root,
+      docs.filter(col("doc_id") === reKey)) // 4 (cid 4 > dcid 3)
+    SnapshotStore.deleteWhere(spark, root,
+      col("n_chars").between(SnapshotStore.PdChLo, SnapshotStore.PdChHi)) // 5
+    val pre = rows(SnapshotStore.readSnapshot(spark, root, 5L))
+    assert(SnapshotStore.readSnapshot(spark, root, 5L)
+      .filter(col("doc_id") === reKey).count() == 1L,
+      "the re-inserted key must be live pre-fold")
+    // files no delete can touch (stats + sequence rule + position
+    // targets) must carry by path identity
+    val k = SnapshotStore.foldDeletes(spark, root)
+    assert(k == 6L)
+    val mPost = SnapshotStore.metaFiles(spark, root, 6L)
+    assert(mPost.filter(col("kind") =!= "data").count() == 0L,
+      "every delete file must fold away")
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 6L)) == pre,
+      "the folded table must hash-equal the MOR read")
+    // the re-inserted file carried verbatim: its commit id is still 4
+    assert(mPost.filter(col("commit_id") === 4L).count() >= 1L,
+      "a file no delete touches must carry by reference")
+    // time travel to the pre-fold snapshot still applies the deletes
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 5L)) == pre)
+    // idempotent: no delete files left → NO empty commit
+    assert(SnapshotStore.foldDeletes(spark, root) == 6L)
+  }
+
+  test("q237/q238/q239 agree with their closed-form expectations") {
+    val wap = SparkEntry.queries("q237_snapshot_wap")(spark, dir)
+    val expectWap = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("n_chars")).as("max_chars")).orderBy(col("lang"))
+    assert(rows(wap) == rows(expectWap))
+    val bp = SparkEntry.queries("q238_snapshot_binpack")(spark, dir)
+    val expectBp = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars")).orderBy(col("lang"))
+    assert(rows(bp) == rows(expectBp))
+    val fd = SparkEntry.queries("q239_snapshot_delete_fold")(spark, dir)
+    val expectFd = docs
+      .filter(pmod(col("doc_id"), lit(15)) =!= 0 &&
+        (col("n_chars").isNull ||
+          !col("n_chars").between(SnapshotStore.PdChLo, SnapshotStore.PdChHi)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+    assert(rows(fd) == rows(expectFd))
+  }
 }

@@ -259,4 +259,68 @@ class SnapshotTableSourceSpec extends AnyFunSuite {
       SnapshotStore.manifest(spark, proot, pcur).count(),
       "the 1-D store has no string bounds to prune on")
   }
+
+  test("reported statistics: manifest-derived rows/bytes shrink under a pushed range; q240's join auto-broadcasts OUR side") {
+    val root = SnapshotStore.ensure(spark, dir)
+    def relStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.computeStats()
+      }.getOrElse(fail("no DSv2 relation in the plan"))
+    val fullStats = relStats(load(root))
+    // exact row count from the manifest; finite, plausible bytes — a
+    // stat-less DSv2 relation would read as defaultSizeInBytes (≈ ∞)
+    assert(fullStats.rowCount.exists(_.toLong == docs.count()),
+      s"full-scan rowCount must equal the table: $fullStats")
+    assert(fullStats.sizeInBytes > 0 &&
+      fullStats.sizeInBytes < BigInt(Long.MaxValue) / 4)
+    val prunedStats = relStats(load(root).filter(col("doc_id").between(100, 250)))
+    assert(prunedStats.sizeInBytes < fullStats.sizeInBytes,
+      "a pushed range must shrink the byte estimate (fewer planned files)")
+    assert(prunedStats.rowCount.exists(_.toLong < docs.count()),
+      "a pushed range must shrink the row estimate")
+    // column pruning shrinks bytes too (projection fraction)
+    val narrowStats = relStats(load(root).select("doc_id"))
+    assert(narrowStats.sizeInBytes < fullStats.sizeInBytes,
+      "a narrow projection must shrink the byte estimate")
+    // ... and the planner USES them: q240's SQL join broadcasts the
+    // pruned snapshot side with NO hint (AQE-final plan inspected)
+    val q = SnapshotStore.queries("q240_snapshot_sql_join")(spark, dir)
+    q.collect()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.SparkPlan]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        out += qs; walk(qs.plan)
+      case other => out += other; other.children.foreach(walk)
+    }
+    walk(q.queryExecution.executedPlan)
+    val bhj = out.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, s"q240 must plan a broadcast join:\n${q.queryExecution.executedPlan}")
+    // the BUILD (broadcast) side subtree holds OUR scan — walk the side
+    // the join's buildSide names
+    val buildHoldsOurScan = bhj.exists { b =>
+      val side = b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+      }
+      val sub = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.execution.SparkPlan]
+      def w(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          sub += qs; w(qs.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          sub += r; w(r.child)
+        case other => sub += other; other.children.foreach(w)
+      }
+      w(side)
+      sub.exists(_.toString.contains("GraftSnapshotScan"))
+    }
+    assert(buildHoldsOurScan,
+      s"the BROADCAST side must be the snapshot scan:\n${q.queryExecution.executedPlan}")
+  }
 }
