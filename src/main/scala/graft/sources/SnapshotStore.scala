@@ -3481,6 +3481,33 @@ object SnapshotStore {
          |GROUP BY d.lang ORDER BY lang""".stripMargin)
   }
 
+  /** Register the snapshot CATALOG (idempotent — constant values per
+    * session) and return the (catalog-qualified) SQL name of a store.
+    */
+  private[graft] def catalogName(s: SparkSession, root: String): String = {
+    val slash = root.lastIndexOf('/')
+    val (base, name) = (root.substring(0, slash), root.substring(slash + 1))
+    s.conf.set("spark.sql.catalog.graft_snap", "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graft_snap.base", base)
+    s"graft_snap.`$name`"
+  }
+
+  /** q241: SQL TIME TRAVEL through the catalog — `VERSION AS OF 1` as
+    * a plain SQL construct (no reader options anywhere): the
+    * [[SnapshotCatalog]] resolves the version to the snapshot-1 table
+    * and every connector capability (stats pruning, reported
+    * statistics) rides along. Oracle = the initial-load predicate,
+    * exactly q203's library-routed read.
+    */
+  val q241SnapshotSqlVersioned: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensure(s, dir)
+    val tbl = catalogName(s, root)
+    s.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |FROM $tbl VERSION AS OF 1
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q203_snapshot_time_travel" -> q203SnapshotTimeTravel,
       "q204_snapshot_diff" -> q204SnapshotDiff,
@@ -3509,7 +3536,8 @@ object SnapshotStore {
       "q237_snapshot_wap" -> q237SnapshotWap,
       "q238_snapshot_binpack" -> q238SnapshotBinpack,
       "q239_snapshot_delete_fold" -> q239SnapshotDeleteFold,
-      "q240_snapshot_sql_join" -> q240SnapshotSqlJoin)
+      "q240_snapshot_sql_join" -> q240SnapshotSqlJoin,
+      "q241_snapshot_sql_versioned" -> q241SnapshotSqlVersioned)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -3667,5 +3695,10 @@ object SnapshotStore {
         |  CAST(sum(e.n_chars) AS BIGINT) AS sum_chars
         |FROM documents e JOIN documents d ON e.doc_id = d.doc_id
         |WHERE d.doc_id BETWEEN 100 AND 250
-        |GROUP BY d.lang ORDER BY lang""".stripMargin)
+        |GROUP BY d.lang ORDER BY lang""".stripMargin,
+    "q241_snapshot_sql_versioned" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 <> 0
+        |GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -66,34 +66,48 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class SnapshotTableSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (root, k) = SnapshotTableSource.resolve(options)
-    SnapshotTableSource.publicTableSchema(SparkSession.active, root, k)
+    val (root, k, mlist) = SnapshotTableSource.resolve(options)
+    if (mlist.isDefined)
+      SnapshotStore.readBranch(SparkSession.active, root,
+        options.get("branch")).schema
+    else SnapshotTableSource.publicTableSchema(SparkSession.active, root, k)
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val (root, k) = SnapshotTableSource.resolve(opts)
-    new SnapshotTable(root, k, schema)
+    val (root, k, mlist) = SnapshotTableSource.resolve(opts)
+    new SnapshotTable(root, k, schema, mlist)
   }
 }
 
 object SnapshotTableSource {
-  /** Resolve (root, snapshot id) from the read options: explicit
-    * `snapshot`, else `asOfTs` time travel, else the current snapshot.
+  /** Resolve (root, snapshot id, manifest-list override) from the read
+    * options: explicit `snapshot`, else `asOfTs` time travel, else a
+    * `tag`, else a `branch` HEAD (staged WAP commits — the id is the
+    * branch BASE, which anchors schema/rename resolution, and the
+    * override carries the staged manifest list), else the current
+    * snapshot.
     */
-  private[sources] def resolve(options: CaseInsensitiveStringMap): (String, Long) = {
+  private[sources] def resolve(
+      options: CaseInsensitiveStringMap): (String, Long, Option[Seq[String]]) = {
     val root = options.get("root")
     require(root != null && root.nonEmpty,
       "graft-snapshot reads need .option(\"root\", <store root>)")
     val s = SparkSession.active
-    val k =
-      if (options.containsKey("snapshot")) options.get("snapshot").toLong
-      else if (options.containsKey("asofts"))
-        SnapshotStore.snapshotAsOf(s, root, options.get("asofts").toLong)
-      else if (options.containsKey("tag"))
-        SnapshotStore.resolveTag(s, root, options.get("tag"))
-      else SnapshotStore.currentSnapshot(s, root)
-    (root, k)
+    if (options.containsKey("branch")) {
+      val name = options.get("branch")
+      (root, SnapshotStore.branchBase(s, root, name),
+        Some(SnapshotStore.branchList(s, root, name)))
+    } else {
+      val k =
+        if (options.containsKey("snapshot")) options.get("snapshot").toLong
+        else if (options.containsKey("asofts"))
+          SnapshotStore.snapshotAsOf(s, root, options.get("asofts").toLong)
+        else if (options.containsKey("tag"))
+          SnapshotStore.resolveTag(s, root, options.get("tag"))
+        else SnapshotStore.currentSnapshot(s, root)
+      (root, k, None)
+    }
   }
 
   private[sources] def publicTableSchema(s: SparkSession, root: String,
@@ -114,14 +128,15 @@ object SnapshotTableSource {
   val lastAggPushed = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 }
 
-final class SnapshotTable(root: String, k: Long, schema: StructType)
+final class SnapshotTable(root: String, k: Long, schema: StructType,
+    mlist: Option[Seq[String]] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_snapshot($root@$k)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(root, k, schema)
+    new SnapshotScanBuilder(root, k, schema, mlist)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val qs = info.schema()
     require(qs.fieldNames.contains("doc_id") &&
@@ -283,7 +298,8 @@ final class SnapshotFileWriter(dataDir: String, schema: StructType,
   override def close(): Unit = ()
 }
 
-final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType)
+final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
+    mlist: Option[Seq[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -302,7 +318,8 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType)
     * snapshot k's manifest carries string bounds (one metadata read).
     */
   private lazy val catCol: Option[String] =
-    SnapshotStore.catColOf(SparkSession.active, root, k)
+    if (mlist.isDefined) None // branch heads carry no clustering claim
+    else SnapshotStore.catColOf(SparkSession.active, root, k)
 
   /** METADATA-ONLY aggregation — the manifest already carries exact
     * per-file `n_rows` and non-null `doc_id` (min, max), so a global
@@ -320,7 +337,7 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType)
     */
   private def planAgg(aggregation: Aggregation): Option[(StructType, Array[Any])] = {
     if (aggregation.groupByExpressions.nonEmpty || bounds.nonEmpty ||
-      strBounds.nonEmpty) return None
+      strBounds.nonEmpty || mlist.isDefined) return None
     def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e match {
         case nr: NamedReference =>
@@ -435,7 +452,7 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType)
     case None =>
       SnapshotTableSource.lastAggPushed.put(root, false)
       new SnapshotScan(root, k, tableSchema, required, bounds.toMap,
-        strBounds.toMap, pushed)
+        strBounds.toMap, pushed, mlist)
   }
 }
 
@@ -480,7 +497,8 @@ final case class SnapshotFilePartition(
 final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     required: StructType, bounds: Map[String, (Long, Long)],
     strBounds: Map[String, (String, String)],
-    pushed: Array[Filter]) extends Scan with Batch
+    pushed: Array[Filter],
+    mlist: Option[Seq[String]] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   /** Join-key values delivered at RUNTIME (Spark's dynamic pruning
@@ -526,7 +544,14 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
   private lazy val mRows: (Array[org.apache.spark.sql.Row], Boolean, Boolean) = {
     val s = SparkSession.active
     import org.apache.spark.sql.functions.col
-    val m = SnapshotStore.manifest(s, root, k)
+    // a branch read resolves through its manifest-list override (the
+    // staged WAP head); everything else through snapshot k's list
+    val m = mlist match {
+      case Some(paths) =>
+        s.read.option("mergeSchema", "true").parquet(paths: _*)
+          .drop("mpath")
+      case None => SnapshotStore.manifest(s, root, k)
+    }
     val withKind =
       if (m.columns.contains("kind"))
         m.withColumn("kind", org.apache.spark.sql.functions

@@ -323,4 +323,78 @@ class SnapshotTableSourceSpec extends AnyFunSuite {
     assert(buildHoldsOurScan,
       s"the BROADCAST side must be the snapshot scan:\n${q.queryExecution.executedPlan}")
   }
+
+  test("catalog: VERSION AS OF (id and tag), TIMESTAMP AS OF, INSERT INTO, pushdown — all plain SQL") {
+    import java.nio.file.{Files, Paths}
+    val d = {
+      val t = Files.createTempDirectory("graft_cat_").toString
+      Files.copy(Paths.get(s"$dir/documents.parquet"),
+        Paths.get(s"$t/documents.parquet"))
+      t
+    }
+    val root = SnapshotStore.ensure(spark, d)
+    val tbl = SnapshotStore.catalogName(spark, root)
+    // current read through the catalog == the library read
+    assert(rows(spark.sql(s"SELECT * FROM $tbl")) ==
+      rows(SnapshotStore.readSnapshot(spark, root, 2L)))
+    // VERSION AS OF a snapshot id
+    assert(rows(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1")) ==
+      rows(SnapshotStore.readSnapshot(spark, root, 1L)))
+    // VERSION AS OF a TAG name
+    SnapshotStore.tag(spark, root, "initial", 1L)
+    assert(rows(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 'initial'")) ==
+      rows(SnapshotStore.readSnapshot(spark, root, 1L)))
+    // TIMESTAMP AS OF: a wall-clock instant between commits 1 and 2
+    // cannot be manufactured after the fact, so use "now" (≥ commit 2)
+    assert(rows(spark.sql(
+      s"SELECT * FROM $tbl TIMESTAMP AS OF current_timestamp()")) ==
+      rows(SnapshotStore.readSnapshot(spark, root, 2L)))
+    // pushdown rides along: the catalog read prunes files
+    spark.sql(s"SELECT count(*) FROM $tbl WHERE doc_id BETWEEN 100 AND 250")
+      .collect()
+    val planned = SnapshotTableSource.lastPlannedFiles.get(root)
+    assert(planned > 0 &&
+      planned < SnapshotStore.manifest(spark, root, 2L).count(),
+      s"catalog reads must keep manifest pruning (planned $planned)")
+    // INSERT INTO commits through the CAS as snapshot 3
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id + 9000000, text, lang, source, n_chars
+         |FROM $tbl VERSION AS OF 1 LIMIT 3""".stripMargin)
+    assert(SnapshotStore.currentSnapshot(spark, root) == 3L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tbl").head().getLong(0) ==
+      docs.count() + 3)
+    // DDL is refused — lifecycle belongs to the commit protocol
+    assertThrows[UnsupportedOperationException](
+      spark.sql(s"DROP TABLE $tbl"))
+  }
+
+  test("branch option: a staged WAP head reads through the connector; main stays invisible") {
+    import java.nio.file.{Files, Paths}
+    val d = {
+      val t = Files.createTempDirectory("graft_cat_br_").toString
+      Files.copy(Paths.get(s"$dir/documents.parquet"),
+        Paths.get(s"$t/documents.parquet"))
+      t
+    }
+    val root = SnapshotStore.ensure(spark, d)
+    SnapshotStore.createBranch(spark, root, "audit", 2L)
+    val extra = docs.limit(4).withColumn("doc_id", col("doc_id") + 7000000L)
+    SnapshotStore.appendBranch(spark, root, "audit", extra)
+    // the connector's branch read == the library's
+    assert(rows(load(root, "branch" -> "audit")) ==
+      rows(SnapshotStore.readBranch(spark, root, "audit")))
+    // a plain (main) read through the connector sees none of it
+    assert(rows(load(root)) == rows(SnapshotStore.readSnapshot(spark, root, 2L)))
+    // pushed bounds still prune the branch read's file list
+    load(root, "branch" -> "audit").createOrReplaceTempView("snap_branch_spec")
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM snap_branch_spec WHERE doc_id >= 7000000")
+      .head().getLong(0)
+    assert(n == 4L)
+    val planned = SnapshotTableSource.lastPlannedFiles.get(root)
+    val total = SnapshotStore.branchList(spark, root, "audit").size
+    assert(planned > 0, "branch read must plan through the manifest list")
+    SnapshotStore.dropBranch(spark, root, "audit")
+  }
 }
