@@ -3279,6 +3279,70 @@ object SnapshotStore {
       .orderBy(col("lang"))
   }
 
+  // ---- the STREAM-SUNK store (q242): native streaming sink ----------
+
+  /** Stream-sink-store layout version. */
+  private val SsLayout = 1L
+
+  private[graft] def ssRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapss")
+
+  private val ssBuiltCache = new graft.SessionCache
+
+  /** Seed the STREAMING-SINK fixture: commit 1 through the library
+    * append, commit 2 through `writeStream.format(...)` — a file-
+    * sourced Structured Streaming query (Trigger.AvailableNow) whose
+    * single micro-batch lands as ONE CAS-committed snapshot with its
+    * epoch marker. The build asserts exactly one commit landed.
+    */
+  def ensureStreamSunk(s: SparkSession, dir: String): String = {
+    ssBuiltCache.getOrElseUpdate(s, dir) {
+      val root = ssRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + SsLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+        // the file source needs a DIRECTORY: stage the late arrivals
+        // as the landing zone a streaming ingest would tail
+        val landing = s"$root/_landing"
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .write.mode("overwrite").parquet(landing)
+        val q = s.readStream.schema(docs.schema).parquet(landing)
+          .writeStream.format("graft.sources.SnapshotTableSource")
+          .option("root", root)
+          .option("checkpointLocation", s"$root/_chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require(currentSnapshot(s, root) == 2L,
+          "the streaming sink must land its micro-batch as exactly one commit")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    ssRoot(dir)
+  }
+
+  /** q242: the STREAM-SUNK table read back — commit 2 was produced by
+    * a Structured Streaming query through the native sink (executor
+    * writers per epoch, the epoch-marker idempotence, the CAS commit).
+    * Oracle = the full-table rollup per source; a dropped or doubled
+    * micro-batch row goes red.
+    */
+  val q242SnapshotStreamSink: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureStreamSunk(s, dir)
+    readSnapshot(s, root, currentSnapshot(s, root))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"))
+      .orderBy(col("source"))
+  }
+
   // ---- the WAP store (q237): branch staging → audit → publish -------
 
   /** WAP-store layout version. */
@@ -3537,7 +3601,8 @@ object SnapshotStore {
       "q238_snapshot_binpack" -> q238SnapshotBinpack,
       "q239_snapshot_delete_fold" -> q239SnapshotDeleteFold,
       "q240_snapshot_sql_join" -> q240SnapshotSqlJoin,
-      "q241_snapshot_sql_versioned" -> q241SnapshotSqlVersioned)
+      "q241_snapshot_sql_versioned" -> q241SnapshotSqlVersioned,
+      "q242_snapshot_stream_sink" -> q242SnapshotStreamSink)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -3700,5 +3765,10 @@ object SnapshotStore {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 3 <> 0
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q242_snapshot_stream_sink" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 }

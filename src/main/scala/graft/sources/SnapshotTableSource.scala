@@ -134,7 +134,8 @@ final class SnapshotTable(root: String, k: Long, schema: StructType,
   override def name(): String = s"graft_snapshot($root@$k)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(root, k, schema, mlist)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -142,13 +143,13 @@ final class SnapshotTable(root: String, k: Long, schema: StructType,
     require(qs.fieldNames.contains("doc_id") &&
       qs("doc_id").dataType == LongType,
       "graft-snapshot writes need a LONG doc_id column (the stats key)")
-    new SnapshotWriteBuilder(root, qs)
+    new SnapshotWriteBuilder(root, qs, info.queryId())
   }
 }
 
-final class SnapshotWriteBuilder(root: String, schema: StructType)
-    extends WriteBuilder {
-  override def build(): Write = new SnapshotWrite(root, schema)
+final class SnapshotWriteBuilder(root: String, schema: StructType,
+    queryId: String) extends WriteBuilder {
+  override def build(): Write = new SnapshotWrite(root, schema, queryId)
 }
 
 /** One written data file's stats, shipped driver-ward as the commit
@@ -167,19 +168,24 @@ final case class SnapshotFileCommit(path: String, nRows: Long,
   * This is the table-format write shape at scale: data never moves
   * through the driver, the commit is O(|commit|) metadata.
   */
-final class SnapshotWrite(root: String, schema: StructType)
-    extends Write with BatchWrite {
+final class SnapshotWrite(root: String, schema: StructType,
+    queryId: String = "") extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val token = java.util.UUID.randomUUID().toString.take(12)
   private val dataDir = s"$root/data/c$token"
 
   override def toBatch: BatchWrite = this
+  override def toStreaming:
+      org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
+  // both parent traits default this — restate to disambiguate
+  override def useCommitCoordinator(): Boolean = true
   override def description(): String =
     s"GraftSnapshotWrite(root=$root)"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     SnapshotWriterFactory(dataDir, schema)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  private def commitStats(messages: Array[WriterCommitMessage]): Unit = {
     val stats = messages.collect {
       case m: SnapshotFileCommit if m.nRows > 0 =>
         (m.path, m.nRows, m.minId, m.maxId)
@@ -190,7 +196,10 @@ final class SnapshotWrite(root: String, schema: StructType)
         stats.toIndexedSeq, schema)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    commitStats(messages)
+
+  private def deleteReported(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
     messages.foreach {
       case m: SnapshotFileCommit =>
@@ -200,6 +209,54 @@ final class SnapshotWrite(root: String, schema: StructType)
       case _ => ()
     }
   }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteReported(messages)
+
+  // ---- the STREAMING sink: one CAS-committed snapshot per epoch ----
+  //
+  // writeStream.format("graft.sources.SnapshotTableSource") — each
+  // micro-batch appends as one snapshot commit through the claim CAS,
+  // and an EPOCH MARKER (`manifests/e<queryId>_<epoch>`) makes the
+  // commit idempotent: a restarted query that replays its last
+  // uncheckpointed epoch finds the marker and skips — exactly-once
+  // table state over Spark's at-least-once epoch replay, the Delta
+  // txn-version pattern. Markers are tiny and per-query; they expire
+  // with the checkpoint (dropping a retired query's markers is safe
+  // once its checkpoint is gone).
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo):
+      org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    SnapshotStreamingWriterFactory(dataDir, schema)
+
+  private def epochMarker(epochId: Long): Path = {
+    val q = if (queryId == null || queryId.isEmpty) "q" else queryId
+    new Path(s"$root/manifests/e${q}_$epochId")
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val f = new Path(root).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val marker = epochMarker(epochId)
+    if (f.exists(marker)) { deleteReported(messages); return } // replay
+    commitStats(messages)
+    val out = f.create(marker, true)
+    try out.write(Array.empty[Byte]) finally out.close()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    deleteReported(messages)
+}
+
+final case class SnapshotStreamingWriterFactory(dataDir: String,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new SnapshotFileWriter(s"$dataDir/e$epochId", schema, partitionId, taskId)
 }
 
 final case class SnapshotWriterFactory(dataDir: String, schema: StructType)
