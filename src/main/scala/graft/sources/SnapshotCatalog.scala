@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -79,6 +79,14 @@ class SnapshotCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // the INSPECTION surface as nested SQL tables, the Iceberg shape:
+    //   SELECT * FROM graft_snap.<store>.snapshots   (files | refs)
+    if (ident.namespace.length == 1 &&
+      SnapshotCatalog.MetaNames(ident.name)) {
+      val storeRoot = s"$base/${ident.namespace()(0)}"
+      if (SnapshotStore.currentSnapshot(spark, storeRoot) > 0L)
+        return new SnapshotMetaTable(storeRoot, ident.name)
+    }
     val root = rootOf(ident)
     val k = SnapshotStore.currentSnapshot(spark, root)
     if (k == 0L) throw new org.apache.spark.sql.catalyst.analysis
@@ -137,4 +145,44 @@ class SnapshotCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("stores are directory-addressed")
+}
+
+object SnapshotCatalog {
+  /** The nested metadata-table names (`<store>.snapshots` etc.). */
+  val MetaNames: Set[String] = Set("snapshots", "files", "refs")
+}
+
+/** A METADATA table of the catalog (`<store>.snapshots` / `.files` /
+  * `.refs`): driver-computed rows served through a [[LocalScan]] —
+  * correct altitude, because these ARE metadata-scale relations
+  * (O(#snapshots) / O(#files) / O(#refs) rows); shipping them through
+  * executor partitions would serialize a driver listing anyway.
+  */
+final class SnapshotMetaTable(storeRoot: String, which: String)
+    extends Table with SupportsRead {
+  private def spark = SparkSession.active
+
+  private def frame: org.apache.spark.sql.DataFrame = which match {
+    case "snapshots" => SnapshotStore.metaSnapshots(spark, storeRoot)
+    case "files" => SnapshotStore.metaFiles(spark, storeRoot,
+      SnapshotStore.currentSnapshot(spark, storeRoot))
+    case "refs" => SnapshotStore.metaRefs(spark, storeRoot)
+  }
+
+  override def name(): String = s"graft_snapshot_meta($storeRoot#$which)"
+  override def schema(): StructType = frame.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          private val df = frame
+          override def readSchema(): StructType = df.schema
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            df.queryExecution.executedPlan.executeCollect()
+          override def description(): String = name()
+        }
+    }
 }

@@ -1273,6 +1273,22 @@ object SnapshotStore {
     }
   }
 
+  /** TRUNCATE: the whole-table delete as a PURE-METADATA commit —
+    * snapshot `current + 1` is the empty manifest list (no file read,
+    * no rewrite; [[deleteRange]]'s whole-key-space spelling rewrites
+    * null-id files and cannot remove null-id rows — SQL TRUNCATE
+    * removes everything). The stored schema rides the commit, so the
+    * empty snapshot stays readable; history stays addressable; the
+    * table revives on the next append. This is also what the
+    * connector's SQL `DELETE FROM t` (no residual predicate) routes
+    * to. Returns the new snapshot id.
+    */
+  def truncate(s: SparkSession, root: String): Long =
+    commitRetry(s, root) { prev =>
+      require(prev > 0, "truncate on an empty table")
+      (Nil, tableSchema(s, root, prev))
+    }
+
   /** ROLLBACK: re-commit snapshot k's exact file list as
     * `current + 1` through the same claim CAS — the recovery from a
     * bad merge/delete that completes the lifecycle: the table returns
@@ -3018,7 +3034,7 @@ object SnapshotStore {
   // ---- the DSv2-WRITTEN store (q236): executor-parallel appends ----
 
   /** DSv2-write-store layout version. */
-  private val DwLayout = 1L
+  private val DwLayout = 2L
 
   private[graft] def dwRoot(dir: String): String =
     StandingIndex.artifactRoot(dir, "snapdw")
@@ -3282,7 +3298,7 @@ object SnapshotStore {
   // ---- the STREAM-SUNK store (q242): native streaming sink ----------
 
   /** Stream-sink-store layout version. */
-  private val SsLayout = 1L
+  private val SsLayout = 2L
 
   private[graft] def ssRoot(dir: String): String =
     StandingIndex.artifactRoot(dir, "snapss")

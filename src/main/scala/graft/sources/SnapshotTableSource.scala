@@ -130,8 +130,63 @@ object SnapshotTableSource {
 
 final class SnapshotTable(root: String, k: Long, schema: StructType,
     mlist: Option[Seq[String]] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft_snapshot($root@$k)"
+
+  /** SQL `DELETE FROM t [WHERE …]` — supported exactly where the
+    * store's metadata-priced machinery applies: a conjunction of
+    * range/equality predicates on `doc_id` routes to the stats-pruned
+    * copy-on-write [[SnapshotStore.deleteRange]] (null-key rows kept,
+    * SQL semantics), and an empty/always-true predicate routes to the
+    * pure-metadata [[SnapshotStore.truncate]]. Anything else is
+    * refused at ANALYSIS time (`canDeleteWhere` false) rather than
+    * silently rewriting the table — the engine's predicate deletes
+    * (`deleteWhere`'s position files) stay a deliberate library call.
+    */
+  private def docIdRange(filters: Array[Filter]): Option[(Long, Long)] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    val ok = filters.forall {
+      case org.apache.spark.sql.sources.AlwaysTrue() => true
+      case org.apache.spark.sql.sources.IsNotNull("doc_id") => true
+      case EqualTo("doc_id", v) => asLong(v).exists { l =>
+        lo = math.max(lo, l); hi = math.min(hi, l); true }
+      case GreaterThan("doc_id", v) => asLong(v).exists { l =>
+        lo = math.max(lo, if (l == Long.MaxValue) l else l + 1L); true }
+      case GreaterThanOrEqual("doc_id", v) => asLong(v).exists { l =>
+        lo = math.max(lo, l); true }
+      case LessThan("doc_id", v) => asLong(v).exists { l =>
+        hi = math.min(hi, if (l == Long.MinValue) l else l - 1L); true }
+      case LessThanOrEqual("doc_id", v) => asLong(v).exists { l =>
+        hi = math.min(hi, l); true }
+      case _ => false
+    }
+    if (ok) Some((lo, hi)) else None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    docIdRange(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val s = SparkSession.active
+    docIdRange(filters) match {
+      case Some((Long.MinValue, Long.MaxValue)) =>
+        SnapshotStore.truncate(s, root)
+      case Some((lo, hi)) =>
+        if (lo <= hi) SnapshotStore.deleteRange(s, root, lo, hi)
+        // contradictory bounds delete nothing — no empty commit
+      case None => throw new UnsupportedOperationException(
+        s"unsupported DELETE predicate: ${filters.mkString(", ")}")
+    }
+  }
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -170,9 +225,42 @@ final case class SnapshotFileCommit(path: String, nRows: Long,
   */
 final class SnapshotWrite(root: String, schema: StructType,
     queryId: String = "") extends Write with BatchWrite
-    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   private val token = java.util.UUID.randomUUID().toString.take(12)
   private val dataDir = s"$root/data/c$token"
+
+  /** RANGE-cluster the incoming rows on `doc_id` before the executors
+    * write (`RequiresDistributionAndOrdering` — Spark inserts the
+    * range exchange + local sort for us): each written file then
+    * covers a TIGHT, pairwise-disjoint id interval, so the manifest
+    * stats this write ships actually prune. Without it a DSv2/stream
+    * write lands whatever partitioning the query produced — every
+    * file's [min, max] spanning the whole key space, every later
+    * range read scanning every file. Same layout contract as the
+    * library write path's `repartitionByRange` (spec pins disjoint
+    * intervals on a shuffled input).
+    */
+  override def requiredDistribution():
+      org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    org.apache.spark.sql.connector.distributions.Distributions.ordered(
+      Array(Expressions.sort(Expressions.column("doc_id"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+  }
+  override def requiredOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    Array(Expressions.sort(Expressions.column("doc_id"),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+  }
+  /** Same file-count knob as the library write path's
+    * `repartitionByRange(CommitFiles, …)` — production sizes this as
+    * commit_bytes / target_file_bytes; pinning it here keeps the DSv2
+    * and library commits byte-layout twins (and stops AQE from
+    * coalescing a small commit into one stats-less megafile).
+    */
+  override def requiredNumPartitions(): Int = SnapshotStore.CommitFiles
 
   override def toBatch: BatchWrite = this
   override def toStreaming:

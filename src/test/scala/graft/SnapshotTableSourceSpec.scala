@@ -397,4 +397,81 @@ class SnapshotTableSourceSpec extends AnyFunSuite {
     assert(planned > 0, "branch read must plan through the manifest list")
     SnapshotStore.dropBranch(spark, root, "audit")
   }
+
+  test("SQL DELETE: ranged predicates route to the COW delete, bare DELETE to the metadata truncate, others refused") {
+    import java.nio.file.{Files, Paths}
+    val d = {
+      val t = Files.createTempDirectory("graft_del_").toString
+      Files.copy(Paths.get(s"$dir/documents.parquet"),
+        Paths.get(s"$t/documents.parquet"))
+      t
+    }
+    val root = SnapshotStore.ensure(spark, d)
+    val tbl = SnapshotStore.catalogName(spark, root)
+    spark.sql(s"DELETE FROM $tbl WHERE doc_id BETWEEN 100 AND 250")
+    assert(SnapshotStore.currentSnapshot(spark, root) == 3L,
+      "the ranged DELETE must land as one commit")
+    assert(rows(spark.sql(s"SELECT * FROM $tbl")) ==
+      rows(docs.filter(col("doc_id").isNull ||
+        !col("doc_id").between(100, 250))),
+      "SQL DELETE semantics: range rows gone, null-key rows kept")
+    // an unsupported predicate is refused at analysis, table unchanged
+    assertThrows[Exception](
+      spark.sql(s"DELETE FROM $tbl WHERE lang = 'de'"))
+    assert(SnapshotStore.currentSnapshot(spark, root) == 3L)
+    // bare DELETE = truncate: pure metadata, empty snapshot, schema kept
+    spark.sql(s"DELETE FROM $tbl")
+    assert(SnapshotStore.currentSnapshot(spark, root) == 4L)
+    val empty = spark.sql(s"SELECT * FROM $tbl")
+    assert(empty.count() == 0L &&
+      empty.schema.fieldNames.sameElements(docs.schema.fieldNames))
+    // history stays addressable
+    assert(rows(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2")) == rows(docs))
+  }
+
+  test("metadata tables: <store>.snapshots/.files/.refs readable as plain SQL") {
+    val root = SnapshotStore.ensure(spark, dir)
+    val tbl = SnapshotStore.catalogName(spark, root) // registers the catalog
+    val name = tbl.stripPrefix("graft_snap.")
+    val snaps = spark.sql(
+      s"SELECT * FROM graft_snap.$name.snapshots ORDER BY snapshot_id")
+    val got = snaps.collect()
+    assert(got.length == 2 && got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got.forall(_.getAs[Long]("n_rows") > 0L))
+    // files: matches the library's manifest row count
+    val nFiles = spark.sql(s"SELECT count(*) AS n FROM graft_snap.$name.files")
+      .head().getLong(0)
+    assert(nFiles == SnapshotStore.manifest(spark, root, 2L).count())
+    // refs reflect live tags
+    SnapshotStore.tag(spark, root, "meta-spec", 1L)
+    val refs = spark.sql(
+      s"SELECT * FROM graft_snap.$name.refs WHERE name = 'meta-spec'").collect()
+    assert(refs.length == 1 && refs(0).getAs[Long]("snapshot_id") == 1L)
+    SnapshotStore.dropTag(spark, root, "meta-spec")
+  }
+
+  test("DSv2 write distribution: a shuffled input lands as range-clustered files with disjoint id intervals") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_dist_").toString
+    val root = s"$d/store"
+    // seed schema, then DSv2-write a deliberately scrambled frame
+    SnapshotStore.append(spark, root, Seq((0L, "seed")).toDF("doc_id", "text"))
+    val scrambled = (1L to 400L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .repartition(8, col("text")) // hash-partitioned: every partition spans the key space
+    scrambled.write.format("graft.sources.SnapshotTableSource")
+      .option("root", root).mode("append").save()
+    val m = SnapshotStore.metaFiles(spark, root, 2L)
+      .filter(col("commit_id") === 2L)
+      .select("min_id", "max_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(m.length > 1, "the write must produce multiple files")
+    m.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2,
+          s"written files must cover DISJOINT id ranges: ${m.mkString(", ")}")
+      case _ => ()
+    }
+    // rows intact through the required distribution + ordering
+    assert(SnapshotStore.readSnapshot(spark, root, 2L).count() == 401L)
+  }
 }
