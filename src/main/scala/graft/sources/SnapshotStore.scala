@@ -1273,6 +1273,43 @@ object SnapshotStore {
     }
   }
 
+  /** REPLACE-FILES commit — the landing half of a SQL row-level
+    * operation (UPDATE / MERGE INTO / predicate DELETE through the
+    * connector's group-based copy-on-write): data files `replaced`
+    * leave the manifest, `written` (stats from the executor writers)
+    * enter under the new commit id, with the usual manifest-file
+    * granularity (only manifest files naming a replaced file rewrite;
+    * live delete-file rows in them survive — they never apply to the
+    * new commit's files). OPTIMISTIC CONCURRENCY at statement scope:
+    * the operation scanned snapshot `scanSnapshot`, so any commit
+    * landed since makes the scanned file set stale — fail loudly and
+    * let the user re-run, never splice a rewrite over someone else's
+    * commit (the Iceberg validation contract).
+    */
+  private[graft] def commitReplaceFiles(s: SparkSession, root: String,
+      scanSnapshot: Long, replaced: Seq[String],
+      written: Seq[(String, Long, Long, Long)], schema: StructType): Long =
+    commitRetry(s, root) { prev =>
+      if (prev != scanSnapshot)
+        throw new IllegalStateException(
+          s"concurrent commit detected: the row-level operation read snapshot " +
+            s"$scanSnapshot but the table is now at $prev — re-run the statement")
+      val k = prev + 1
+      val mfull = withKind(manifestFull(s, root, prev))
+      val isReplaced = col("kind") === "data" &&
+        col("path").isin(replaced: _*)
+      val touchedM = mfull.filter(isReplaced).select("mpath").distinct()
+        .collect().map(_.getString(0)).toSet
+      val carried = listOf(s, root, prev).filterNot(touchedM)
+      val survivors = mfull
+        .filter(col("mpath").isin(touchedM.toSeq: _*) && !isReplaced)
+        .drop("mpath")
+      val stats = written.map { case (p, n, lo, hi) => FileStat(p, n, lo, hi) }
+      val mf = writeManifestFile(s, root, survivors.unionByName(
+        manifestRows(s, stats, k), allowMissingColumns = true))
+      (carried :+ mf, mergedSchema(tableSchema(s, root, prev), schema))
+    }
+
   /** TRUNCATE: the whole-table delete as a PURE-METADATA commit —
     * snapshot `current + 1` is the empty manifest list (no file read,
     * no rewrite; [[deleteRange]]'s whole-key-space spelling rewrites
@@ -3561,6 +3598,72 @@ object SnapshotStore {
          |GROUP BY d.lang ORDER BY lang""".stripMargin)
   }
 
+  // ---- the SQL-MUTATED store (q243): UPDATE + MERGE INTO ------------
+
+  /** SQL-mutation-store layout version. */
+  private val SqLayout = 1L
+
+  private[graft] def sqRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapsql")
+
+  private val sqBuiltCache = new graft.SessionCache
+
+  /** Seed the SQL-MUTATION fixture: the 2-commit seed, then a plain
+    * SQL `UPDATE` (commit 3 — ranged, so manifest stats prune the
+    * rewrite) and a plain SQL `MERGE INTO` (commit 4 — matched rows
+    * re-set from the source, unmatched source rows inserted), both
+    * through the connector's group-based copy-on-write row-level
+    * protocol. No library call anywhere in the mutation path.
+    */
+  def ensureSqlMutated(s: SparkSession, dir: String): String = {
+    sqBuiltCache.getOrElseUpdate(s, dir) {
+      val root = sqRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + SqLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+        append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+        val tbl = catalogName(s, root)
+        s.sql(
+          s"""UPDATE $tbl SET n_chars = n_chars + 1000
+             |WHERE doc_id BETWEEN 100 AND 250""".stripMargin)
+        val srcView = s"graft_sql_merge_src_${math.abs(dir.hashCode)}"
+        docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+            .withColumn("doc_id", col("doc_id") + 10000000L))
+          .createOrReplaceTempView(srcView)
+        s.sql(
+          s"""MERGE INTO $tbl t USING $srcView s
+             |ON t.doc_id = s.doc_id
+             |WHEN MATCHED THEN UPDATE SET t.n_chars = s.n_chars + 5000
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        require(currentSnapshot(s, root) == 4L,
+          "UPDATE and MERGE must land as one commit each")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    sqRoot(dir)
+  }
+
+  /** q243: the SQL-MUTATED table read back — the UPDATE's ranged
+    * increment, the MERGE's matched re-set (overwriting the UPDATE on
+    * `% 13` keys) and its inserted tail, all applied through plain SQL
+    * row-level commits. The oracle replays the exact arithmetic.
+    */
+  val q243SnapshotSqlMutate: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureSqlMutated(s, dir)
+    readSnapshot(s, root, currentSnapshot(s, root))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Register the snapshot CATALOG (idempotent — constant values per
     * session) and return the (catalog-qualified) SQL name of a store.
     */
@@ -3618,7 +3721,8 @@ object SnapshotStore {
       "q239_snapshot_delete_fold" -> q239SnapshotDeleteFold,
       "q240_snapshot_sql_join" -> q240SnapshotSqlJoin,
       "q241_snapshot_sql_versioned" -> q241SnapshotSqlVersioned,
-      "q242_snapshot_stream_sink" -> q242SnapshotStreamSink)
+      "q242_snapshot_stream_sink" -> q242SnapshotStreamSink,
+      "q243_snapshot_sql_mutate" -> q243SnapshotSqlMutate)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -3786,5 +3890,15 @@ object SnapshotStore {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(n_chars) AS min_chars
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q243_snapshot_sql_mutate" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ch) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT lang, CASE WHEN doc_id % 13 = 0 THEN n_chars + 5000
+        |    WHEN doc_id BETWEEN 100 AND 250 THEN n_chars + 1000
+        |    ELSE n_chars END AS ch FROM documents
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 17 = 0
+        |) GROUP BY lang ORDER BY lang""".stripMargin)
 }

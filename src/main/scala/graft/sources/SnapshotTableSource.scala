@@ -131,8 +131,24 @@ object SnapshotTableSource {
 final class SnapshotTable(root: String, k: Long, schema: StructType,
     mlist: Option[Seq[String]] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft_snapshot($root@$k)"
+
+  /** SQL `UPDATE` / `MERGE INTO` / predicate `DELETE` — the
+    * GROUP-BASED (copy-on-write) row-level protocol: Spark reads the
+    * AFFECTED FILES through [[SnapshotRowLevelOperation]]'s scan
+    * (pushed predicates prune the file list from manifest stats but
+    * are NEVER enforced on rows — a rewritten group must carry its
+    * non-matching rows), computes the post-operation rows, and the
+    * paired write commits `replace(scanned files → written files)`
+    * through the claim CAS. Ranged deletes still take the cheaper
+    * [[SupportsDelete]] path above; everything else lands here.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new SnapshotRowLevelOperation(root, k, schema, info.command())
 
   /** SQL `DELETE FROM t [WHERE …]` — supported exactly where the
     * store's metadata-priced machinery applies: a conjunction of
@@ -396,18 +412,31 @@ final class SnapshotFileWriter(dataDir: String, schema: StructType,
   private var maxId = Long.MinValue
   private var sawId = false
 
+  /** Leading metadata offset: a group-based row-level write's rows
+    * carry Spark's `__row_operation` marker as their FIRST field (the
+    * ReplaceData query projects `[__row_operation, <data columns in
+    * table order>]`) — the data columns follow it, so the writer
+    * skips `numFields - |schema|` leading fields. 0 for every plain
+    * batch/streaming append.
+    */
+  private var fieldOff = -1
   override def write(row: InternalRow): Unit = {
+    if (fieldOff < 0) {
+      fieldOff = row.numFields - schema.fields.length
+      require(fieldOff >= 0,
+        s"write row has ${row.numFields} fields for a ${schema.fields.length}-column schema")
+    }
     val g = new SimpleGroup(msgType)
     var i = 0
     while (i < schema.fields.length) {
-      if (!row.isNullAt(i)) {
+      if (!row.isNullAt(i + fieldOff)) {
         val f = schema.fields(i)
         f.dataType match {
-          case LongType => g.add(f.name, row.getLong(i))
-          case IntegerType => g.add(f.name, row.getInt(i))
-          case DoubleType => g.add(f.name, row.getDouble(i))
-          case BooleanType => g.add(f.name, row.getBoolean(i))
-          case StringType => g.add(f.name, row.getUTF8String(i).toString)
+          case LongType => g.add(f.name, row.getLong(i + fieldOff))
+          case IntegerType => g.add(f.name, row.getInt(i + fieldOff))
+          case DoubleType => g.add(f.name, row.getDouble(i + fieldOff))
+          case BooleanType => g.add(f.name, row.getBoolean(i + fieldOff))
+          case StringType => g.add(f.name, row.getUTF8String(i + fieldOff).toString)
           case other => throw new UnsupportedOperationException(other.toString)
         }
       }
@@ -415,8 +444,8 @@ final class SnapshotFileWriter(dataDir: String, schema: StructType,
     }
     writer.write(g)
     n += 1
-    if (!row.isNullAt(idIdx)) {
-      val v = row.getLong(idIdx)
+    if (!row.isNullAt(idIdx + fieldOff)) {
+      val v = row.getLong(idIdx + fieldOff)
       if (v < minId) minId = v
       if (v > maxId) maxId = v
       sawId = true
@@ -443,10 +472,106 @@ final class SnapshotFileWriter(dataDir: String, schema: StructType,
   override def close(): Unit = ()
 }
 
+/** COPY-ON-WRITE row-level operation: the scan records the file set it
+  * finally plans (post static + runtime pruning) into this shared
+  * instance; the write replaces exactly that set. A commit that lands
+  * between the operation's scan and its own commit fails loudly
+  * (optimistic concurrency — re-run the statement), never merges
+  * blindly over someone else's files.
+  */
+final class SnapshotRowLevelOperation(root: String, k: Long,
+    tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** The files the operation's scan planned LAST — the replace set. */
+  @volatile private[sources] var scannedPaths: Array[String] = Array.empty
+
+  override def command():
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(root, k, tableSchema, None, Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = {
+        println("RLO WRITE SCHEMA: " + info.schema().map(f => f.name + ":" + f.dataType.simpleString).mkString(", "))
+        new SnapshotReplaceWrite(root, k, info.schema(), SnapshotRowLevelOperation.this)
+      }
+    }
+
+  override def description(): String = s"GraftSnapshotRowLevel($cmd, $root@$k)"
+}
+
+/** The REPLACE-DATA write of a row-level operation: executors write
+  * the post-operation rows range-clustered (same layout contract as
+  * every commit); the driver commits
+  * `replace(scanned files → written files)` with manifest-file
+  * granularity — untouched manifest files carry by reference, live
+  * delete files stay (they never apply to the new commit's files).
+  */
+final class SnapshotReplaceWrite(root: String, scanSnapshot: Long,
+    schema: StructType, op: SnapshotRowLevelOperation)
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  private val token = java.util.UUID.randomUUID().toString.take(12)
+  private val dataDir = s"$root/data/c$token"
+
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"GraftSnapshotReplaceWrite($root)"
+
+  override def requiredDistribution():
+      org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    org.apache.spark.sql.connector.distributions.Distributions.ordered(
+      Array(Expressions.sort(Expressions.column("doc_id"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+  }
+  override def requiredOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    Array(Expressions.sort(Expressions.column("doc_id"),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+  }
+  override def requiredNumPartitions(): Int = SnapshotStore.CommitFiles
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    SnapshotWriterFactory(dataDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val stats = messages.collect {
+      case m: SnapshotFileCommit if m.nRows > 0 =>
+        (m.path, m.nRows, m.minId, m.maxId)
+    }
+    SnapshotStore.commitReplaceFiles(SparkSession.active, root,
+      scanSnapshot, op.scannedPaths.toIndexedSeq, stats.toIndexedSeq, schema)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    messages.foreach {
+      case m: SnapshotFileCommit =>
+        val p = new Path(m.path)
+        val f = p.getFileSystem(conf)
+        if (f.exists(p)) f.delete(p, false)
+      case _ => ()
+    }
+  }
+}
+
 final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
-    mlist: Option[Seq[String]] = None)
+    mlist: Option[Seq[String]] = None,
+    rowLevelOp: Option[SnapshotRowLevelOperation] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  /** A row-level operation's scan prunes FILES from the pushed bounds
+    * but must never enforce them on rows: a copy-on-write group
+    * rewrite carries the group's non-matching rows, so every filter is
+    * reported residual and the reader applies none.
+    */
+  private def pruneOnly: Boolean = rowLevelOp.isDefined
 
   /** Accumulated [lo, hi] bounds per pushable column. */
   private val bounds = mutable.Map.empty[String, (Long, Long)]
@@ -482,7 +607,7 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
     */
   private def planAgg(aggregation: Aggregation): Option[(StructType, Array[Any])] = {
     if (aggregation.groupByExpressions.nonEmpty || bounds.nonEmpty ||
-      strBounds.nonEmpty || mlist.isDefined) return None
+      strBounds.nonEmpty || mlist.isDefined || pruneOnly) return None
     def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e match {
         case nr: NamedReference =>
@@ -581,8 +706,15 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
         strBounds(c) = (Seq(ss.min, l0).min, Seq(ss.max, h0).max)
       case _ => ()
     }
-    pushed = ok
-    rest
+    if (pruneOnly) {
+      // bounds tightened above prune the FILE list; every filter stays
+      // in the plan and the reader enforces nothing on rows
+      pushed = Array.empty
+      filters
+    } else {
+      pushed = ok
+      rest
+    }
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -597,7 +729,7 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
     case None =>
       SnapshotTableSource.lastAggPushed.put(root, false)
       new SnapshotScan(root, k, tableSchema, required, bounds.toMap,
-        strBounds.toMap, pushed, mlist)
+        strBounds.toMap, pushed, mlist, rowLevelOp)
   }
 }
 
@@ -643,7 +775,9 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     required: StructType, bounds: Map[String, (Long, Long)],
     strBounds: Map[String, (String, String)],
     pushed: Array[Filter],
-    mlist: Option[Seq[String]] = None) extends Scan with Batch
+    mlist: Option[Seq[String]] = None,
+    rowLevelOp: Option[SnapshotRowLevelOperation] = None)
+    extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   /** Join-key values delivered at RUNTIME (Spark's dynamic pruning
@@ -813,7 +947,15 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
         .groupBy(_._1).map { case (p, a) => p -> a.map(_._2).distinct.sorted }
     val chosen = dataRows.filter(hits)
     SnapshotTableSource.lastPlannedFiles.put(root, chosen.length)
-    val boundSeq = bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+    // a row-level operation replaces exactly the files its scan
+    // finally planned — record them (last plan wins; a runtime group
+    // filter re-plans with a smaller set before execution)
+    rowLevelOp.foreach(_.scannedPaths = chosen.map(_.getAs[String]("path")))
+    // pruneOnly (row-level) scans must carry every row of a planned
+    // file — the bounds pruned files above, the reader enforces none
+    val boundSeq =
+      if (rowLevelOp.isDefined) Nil
+      else bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
     chosen.map { r =>
       val cid = r.getAs[Long]("commit_id")
       // invert the era's renames: current name → the file's physical name

@@ -415,13 +415,19 @@ class SnapshotTableSourceSpec extends AnyFunSuite {
       rows(docs.filter(col("doc_id").isNull ||
         !col("doc_id").between(100, 250))),
       "SQL DELETE semantics: range rows gone, null-key rows kept")
-    // an unsupported predicate is refused at analysis, table unchanged
-    assertThrows[Exception](
-      spark.sql(s"DELETE FROM $tbl WHERE lang = 'de'"))
-    assert(SnapshotStore.currentSnapshot(spark, root) == 3L)
+    // a non-ranged predicate falls through to the ROW-LEVEL (COW) path:
+    // affected files rewrite, the rest carry
+    spark.sql(s"DELETE FROM $tbl WHERE lang = 'de'")
+    assert(SnapshotStore.currentSnapshot(spark, root) == 4L,
+      "the predicate DELETE must land as one row-level commit")
+    assert(rows(spark.sql(s"SELECT * FROM $tbl")) ==
+      rows(docs.filter(col("doc_id").isNull ||
+          !col("doc_id").between(100, 250))
+        .filter(col("lang").isNull || col("lang") =!= "de")),
+      "the row-level DELETE must drop exactly the matching rows")
     // bare DELETE = truncate: pure metadata, empty snapshot, schema kept
     spark.sql(s"DELETE FROM $tbl")
-    assert(SnapshotStore.currentSnapshot(spark, root) == 4L)
+    assert(SnapshotStore.currentSnapshot(spark, root) == 5L)
     val empty = spark.sql(s"SELECT * FROM $tbl")
     assert(empty.count() == 0L &&
       empty.schema.fieldNames.sameElements(docs.schema.fieldNames))
@@ -448,6 +454,76 @@ class SnapshotTableSourceSpec extends AnyFunSuite {
       s"SELECT * FROM graft_snap.$name.refs WHERE name = 'meta-spec'").collect()
     assert(refs.length == 1 && refs(0).getAs[Long]("snapshot_id") == 1L)
     SnapshotStore.dropTag(spark, root, "meta-spec")
+  }
+
+  test("SQL UPDATE and MERGE INTO: group-based COW — pruned files rewrite, the rest carry, rows exact") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val d = {
+      val t = Files.createTempDirectory("graft_upd_").toString
+      Files.copy(Paths.get(s"$dir/documents.parquet"),
+        Paths.get(s"$t/documents.parquet"))
+      t
+    }
+    val root = SnapshotStore.ensure(spark, d)
+    val tbl = SnapshotStore.catalogName(spark, root)
+    val mBefore = SnapshotStore.metaFiles(spark, root, 2L)
+      .select("path").collect().map(_.getString(0)).toSet
+    // UPDATE with a ranged predicate: manifest stats prune the rewrite
+    spark.sql(
+      s"UPDATE $tbl SET n_chars = n_chars + 10000 WHERE doc_id BETWEEN 100 AND 250")
+    assert(SnapshotStore.currentSnapshot(spark, root) == 3L,
+      "the UPDATE must land as one commit")
+    val expect = docs.withColumn("n_chars",
+      when(col("doc_id").between(100, 250), col("n_chars") + 10000)
+        .otherwise(col("n_chars")))
+    assert(rows(spark.sql(s"SELECT * FROM $tbl")) == rows(expect),
+      "UPDATE semantics: matching rows updated, every other row carried")
+    // file-level witness: some pre-update files carried by reference
+    val mAfter = SnapshotStore.metaFiles(spark, root, 3L)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert((mBefore & mAfter).nonEmpty,
+      "the ranged UPDATE must carry unaffected files verbatim")
+    assert((mAfter -- mBefore).nonEmpty, "and write replacement files")
+    // MERGE INTO: updates + inserts in one statement
+    (101L to 103L).map(i => (i + 8000000L, s"new$i"))
+      .toDF("doc_id", "text").createOrReplaceTempView("merge_src_spec")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING
+         |  (SELECT doc_id, text FROM merge_src_spec) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET t.text = s.text
+         |WHEN NOT MATCHED THEN INSERT (doc_id, text) VALUES (s.doc_id, s.text)""".stripMargin)
+    assert(SnapshotStore.currentSnapshot(spark, root) == 4L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tbl").head().getLong(0) ==
+      docs.count() + 3, "MERGE must insert the three unmatched keys")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $tbl WHERE text LIKE 'new%'")
+      .head().getLong(0) == 3L)
+  }
+
+  test("row-level concurrency: a commit landing between scan and write fails the statement loudly") {
+    import java.nio.file.{Files, Paths}
+    val d = {
+      val t = Files.createTempDirectory("graft_rlc_").toString
+      Files.copy(Paths.get(s"$dir/documents.parquet"),
+        Paths.get(s"$t/documents.parquet"))
+      t
+    }
+    val root = SnapshotStore.ensure(spark, d)
+    val before = rows(SnapshotStore.readSnapshot(spark, root, 2L))
+    // simulate the race through the commit primitive itself: the
+    // operation scanned snapshot 2, but snapshot 3 lands first
+    SnapshotStore.append(spark, root, docs.limit(1)
+      .withColumn("doc_id", col("doc_id") + 4000000L))
+    val ex = intercept[IllegalStateException] {
+      SnapshotStore.commitReplaceFiles(spark, root, 2L,
+        Seq.empty, Seq.empty, docs.schema)
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    assert(SnapshotStore.currentSnapshot(spark, root) == 3L,
+      "the stale replace must not commit")
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 2L)) == before)
   }
 
   test("DSv2 write distribution: a shuffled input lands as range-clustered files with disjoint id intervals") {
