@@ -382,6 +382,23 @@ object SnapshotStore {
     }
   }
 
+  /** The landing half of a SQL `INSERT OVERWRITE` — truncate + append
+    * as ONE snapshot: the new manifest list names exactly the written
+    * files (empty input ⇒ the empty table, per OVERWRITE semantics),
+    * so no reader ever observes an intermediate empty state and time
+    * travel keeps the pre-overwrite snapshots.
+    */
+  private[graft] def commitOverwriteStats(s: SparkSession, root: String,
+      stats: Seq[(String, Long, Long, Long)], schema: StructType): Long = {
+    val fstats = stats.map { case (p, n, mn, mx) => FileStat(p, n, mn, mx) }
+    commitRetry(s, root) { prev =>
+      require(prev > 0, "INSERT OVERWRITE on an uncommitted store")
+      if (fstats.isEmpty) (Nil, tableSchema(s, root, prev))
+      else (Seq(writeManifestFile(s, root, manifestRows(s, fstats, prev + 1))),
+        mergedSchema(tableSchema(s, root, prev), schema))
+    }
+  }
+
   /** One data file's manifest stats. */
   private final case class FileStat(path: String, nRows: Long, minId: Long, maxId: Long)
 

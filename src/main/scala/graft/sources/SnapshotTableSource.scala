@@ -206,7 +206,7 @@ final class SnapshotTable(root: String, k: Long, schema: StructType,
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(root, k, schema, mlist)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -219,8 +219,18 @@ final class SnapshotTable(root: String, k: Long, schema: StructType,
 }
 
 final class SnapshotWriteBuilder(root: String, schema: StructType,
-    queryId: String) extends WriteBuilder {
-  override def build(): Write = new SnapshotWrite(root, schema, queryId)
+    queryId: String) extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwriteAll = false
+  /** SQL `INSERT OVERWRITE t SELECT …` — Spark expresses the plain
+    * overwrite as truncate-then-append; the connector commits both
+    * halves as ONE atomic snapshot (new manifest list = only the new
+    * files), so readers never observe the empty intermediate state
+    * and time travel still reads the pre-overwrite table.
+    */
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+  override def build(): Write =
+    new SnapshotWrite(root, schema, queryId, overwriteAll)
 }
 
 /** One written data file's stats, shipped driver-ward as the commit
@@ -240,7 +250,8 @@ final case class SnapshotFileCommit(path: String, nRows: Long,
   * through the driver, the commit is O(|commit|) metadata.
   */
 final class SnapshotWrite(root: String, schema: StructType,
-    queryId: String = "") extends Write with BatchWrite
+    queryId: String = "", overwriteAll: Boolean = false)
+    extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   private val token = java.util.UUID.randomUUID().toString.take(12)
@@ -294,8 +305,14 @@ final class SnapshotWrite(root: String, schema: StructType,
       case m: SnapshotFileCommit if m.nRows > 0 =>
         (m.path, m.nRows, m.minId, m.maxId)
     }
-    // an all-empty write is a no-op, not an empty commit
-    if (stats.nonEmpty)
+    if (overwriteAll)
+      // INSERT OVERWRITE: truncate + append as ONE snapshot — the new
+      // manifest list is exactly the new files (an empty SELECT
+      // overwrites to the empty table, per SQL semantics)
+      SnapshotStore.commitOverwriteStats(SparkSession.active, root,
+        stats.toIndexedSeq, schema)
+    // an all-empty append is a no-op, not an empty commit
+    else if (stats.nonEmpty)
       SnapshotStore.commitAppendStats(SparkSession.active, root,
         stats.toIndexedSeq, schema)
   }

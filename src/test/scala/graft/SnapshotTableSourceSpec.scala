@@ -364,6 +364,19 @@ class SnapshotTableSourceSpec extends AnyFunSuite {
     assert(SnapshotStore.currentSnapshot(spark, root) == 3L)
     assert(spark.sql(s"SELECT count(*) AS n FROM $tbl").head().getLong(0) ==
       docs.count() + 3)
+    // INSERT OVERWRITE: truncate + append as ONE atomic snapshot
+    spark.sql(
+      s"""INSERT OVERWRITE $tbl
+         |SELECT * FROM $tbl VERSION AS OF 1 WHERE doc_id < 50""".stripMargin)
+    assert(SnapshotStore.currentSnapshot(spark, root) == 4L,
+      "the overwrite must land as exactly one commit")
+    assert(rows(spark.sql(s"SELECT * FROM $tbl")) ==
+      rows(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0 &&
+        col("doc_id") < 50)),
+      "OVERWRITE replaces the whole table with the query result")
+    // pre-overwrite history still addressable
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tbl VERSION AS OF 3")
+      .head().getLong(0) == docs.count() + 3)
     // DDL is refused — lifecycle belongs to the commit protocol
     assertThrows[UnsupportedOperationException](
       spark.sql(s"DROP TABLE $tbl"))
