@@ -1181,21 +1181,25 @@ object SnapshotStore {
           .select("path", "n_rows").collect()
         val total = smallRows.map(_.getAs[Long]("n_rows")).sum
         val nOut = math.max(1L, (total + targetRows - 1L) / targetRows).toInt
-        val packed = writeDataFilesN(s, root,
-          readWithDeletes(s, root, prev,
-            smallRows.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
-            delFiles.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
-            posFiles.map(_.getAs[String]("path")).toIndexedSeq,
-            delFiles.map(_.getAs[Long]("n_rows")).sum,
-            posFiles.map(_.getAs[Long]("n_rows")).sum),
-          nOut)
+        val packedDf = readWithDeletes(s, root, prev,
+          smallRows.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
+          delFiles.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
+          posFiles.map(_.getAs[String]("path")).toIndexedSeq,
+          delFiles.map(_.getAs[Long]("n_rows")).sum,
+          posFiles.map(_.getAs[Long]("n_rows")).sum)
+        // a Z store packs ALONG THE INTERLEAVE (both dims' stats
+        // re-recorded), so maintenance never degrades 2-D pruning
+        val packedRows =
+          if (isZStore(s, root, prev))
+            zManifestRows(s, writeZDataFiles(s, root, packedDf), k)
+          else manifestRows(s, writeDataFilesN(s, root, packedDf, nOut), k)
         // manifest-file granularity, as in [[deleteRange]]
         val touchedM = smallRows.map(_.getAs[String]("mpath")).toSet
         val carried = listOf(s, root, prev).filterNot(touchedM)
         val survivors = mfull
           .filter(col("mpath").isin(touchedM.toSeq: _*) && !small).drop("mpath")
         val mf = writeManifestFile(s, root, survivors.unionByName(
-          manifestRows(s, packed, k), allowMissingColumns = true))
+          packedRows, allowMissingColumns = true))
         (carried :+ mf, schema)
       }
     }
@@ -1263,16 +1267,16 @@ object SnapshotStore {
           posTargets(normPathStr(r.getAs[String]("path"))))
         val affected = affRows.map(_.getAs[String]("path")).toSet
         // rewrite the affected files with every delete applied; new
-        // rows land under commit id k, so nothing re-applies
-        val newStats =
-          if (affRows.isEmpty) Nil
-          else writeDataFiles(s, root,
-            readWithDeletes(s, root, prev,
-              affRows.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
-              delRows.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
-              posRows.map(_.getAs[String]("path")).toIndexedSeq,
-              delRows.map(_.getAs[Long]("n_rows")).sum,
-              posRows.map(_.getAs[Long]("n_rows")).sum))
+        // rows land under commit id k, so nothing re-applies — along
+        // the Morton interleave on a Z store (2-D stats preserved)
+        val foldedDf =
+          if (affRows.isEmpty) None
+          else Some(readWithDeletes(s, root, prev,
+            affRows.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
+            delRows.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
+            posRows.map(_.getAs[String]("path")).toIndexedSeq,
+            delRows.map(_.getAs[Long]("n_rows")).sum,
+            posRows.map(_.getAs[Long]("n_rows")).sum))
         // every manifest file naming an affected data file OR any
         // delete file rewrites its surviving rows; the rest carry
         val touchedM = affRows.map(_.getAs[String]("mpath")).toSet ++
@@ -1283,8 +1287,14 @@ object SnapshotStore {
           col("path").isin(affected.toSeq: _*)
         val survivors = mfull
           .filter(col("mpath").isin(touchedM.toSeq: _*) && !dead).drop("mpath")
+        val newRows = foldedDf match {
+          case None => manifestRows(s, Nil, k)
+          case Some(df) if isZStore(s, root, prev) =>
+            zManifestRows(s, writeZDataFiles(s, root, df), k)
+          case Some(df) => manifestRows(s, writeDataFiles(s, root, df), k)
+        }
         val mf = writeManifestFile(s, root, survivors.unionByName(
-          manifestRows(s, newStats, k), allowMissingColumns = true))
+          newRows, allowMissingColumns = true))
         (carried :+ mf, schema)
       }
     }
@@ -1870,9 +1880,14 @@ object SnapshotStore {
     */
   def readRange2D(s: SparkSession, root: String, k: Long,
       iLo: Long, iHi: Long, cLo: Long, cHi: Long): DataFrame = {
+    // NULL char-stats = the OPEN interval, never a prune: a mixed
+    // store (a plain append or a 1-D maintenance rewrite landing on a
+    // Z table) records no n_chars bounds for those files — they must
+    // still scan, or their rows silently vanish from 2-D reads
     val paths = manifest(s, root, k)
       .filter(col("max_id") >= iLo && col("min_id") <= iHi &&
-        col("max_chars") >= cLo && col("min_chars") <= cHi)
+        (col("min_chars").isNull ||
+          (col("max_chars") >= cLo && col("min_chars") <= cHi)))
       .select("path").collect().map(_.getString(0)).toIndexedSeq
     if (paths.isEmpty) return readSnapshot(s, root, k).filter(lit(false))
     s.read.option("mergeSchema", "true").parquet(paths: _*)

@@ -903,8 +903,10 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     def live(c: String, loF: String, hiF: String): Boolean =
       bounds.get(c) match {
         case Some((lo, hi)) =>
-          !r.isNullAt(r.fieldIndex(loF)) &&
-            r.getAs[Long](hiF) >= lo && r.getAs[Long](loF) <= hi
+          // NULL stats = the open interval (a mixed store's file with
+          // no bounds recorded for this column must still scan)
+          r.isNullAt(r.fieldIndex(loF)) ||
+            (r.getAs[Long](hiF) >= lo && r.getAs[Long](loF) <= hi)
         case None => true
       }
     // string bounds on the clustering column: null stats = the

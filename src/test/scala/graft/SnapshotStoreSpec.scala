@@ -1347,6 +1347,58 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.foldDeletes(spark, root) == 6L)
   }
 
+  test("mixed stats: plain appends on a Z store never vanish from 2-D reads; maintenance preserves the Z layout") {
+    val d = java.nio.file.Files.createTempDirectory("graft_zmix_").toString
+    val root = s"$d/store"
+    SnapshotStore.appendZ(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    // a PLAIN append lands with no n_chars stats (null = open interval)
+    SnapshotStore.append(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    val got = rows(SnapshotStore.readRange2D(spark, root, 2L,
+      SnapshotStore.ZIdLo, SnapshotStore.ZIdHi,
+      SnapshotStore.ZChLo, SnapshotStore.ZChHi))
+    val expect = rows(docs.filter(
+      col("doc_id").between(SnapshotStore.ZIdLo, SnapshotStore.ZIdHi) &&
+        col("n_chars").between(SnapshotStore.ZChLo, SnapshotStore.ZChHi)))
+    assert(got == expect,
+      "null char-stats files must scan, not prune — their rows were vanishing")
+    // same through the connector's SQL 2-D pruning
+    spark.read.format("graft.sources.SnapshotTableSource")
+      .option("root", root).load().createOrReplaceTempView("zmix_spec")
+    assert(rows(spark.sql(
+      s"""SELECT * FROM zmix_spec
+         |WHERE doc_id BETWEEN ${SnapshotStore.ZIdLo} AND ${SnapshotStore.ZIdHi}
+         |  AND n_chars BETWEEN ${SnapshotStore.ZChLo} AND ${SnapshotStore.ZChHi}""".stripMargin)) ==
+      expect)
+    // maintenance on the Z store re-records BOTH dims' stats: after a
+    // binPack that packs everything, no data file has null char-stats
+    val n = docs.count()
+    SnapshotStore.binPack(spark, root, minRows = n, targetRows = n)
+    val cur = SnapshotStore.currentSnapshot(spark, root)
+    val m = SnapshotStore.metaFiles(spark, root, cur)
+      .filter(col("kind") === "data")
+    assert(m.filter(col("min_chars").isNull).count() == 0L,
+      "binPack on a Z store must re-record 2-D stats")
+    assert(rows(SnapshotStore.readRange2D(spark, root, cur,
+      SnapshotStore.ZIdLo, SnapshotStore.ZIdHi,
+      SnapshotStore.ZChLo, SnapshotStore.ZChHi)) == expect)
+    // foldDeletes on the Z store keeps the layout too
+    SnapshotStore.deleteKeys(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(21)) === 0).select("doc_id"))
+    SnapshotStore.foldDeletes(spark, root)
+    val cur2 = SnapshotStore.currentSnapshot(spark, root)
+    assert(SnapshotStore.metaFiles(spark, root, cur2)
+      .filter(col("kind") === "data" && col("min_chars").isNull).count() == 0L,
+      "foldDeletes on a Z store must re-record 2-D stats")
+    assert(rows(SnapshotStore.readRange2D(spark, root, cur2,
+      SnapshotStore.ZIdLo, SnapshotStore.ZIdHi,
+      SnapshotStore.ZChLo, SnapshotStore.ZChHi)) ==
+      rows(docs.filter(pmod(col("doc_id"), lit(21)) =!= 0 &&
+        col("doc_id").between(SnapshotStore.ZIdLo, SnapshotStore.ZIdHi) &&
+        col("n_chars").between(SnapshotStore.ZChLo, SnapshotStore.ZChHi))))
+  }
+
   test("q237/q238/q239 agree with their closed-form expectations") {
     val wap = SparkEntry.queries("q237_snapshot_wap")(spark, dir)
     val expectWap = docs.groupBy(col("lang"))
