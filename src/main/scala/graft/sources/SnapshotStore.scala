@@ -373,8 +373,9 @@ object SnapshotStore {
     * driver metadata.
     */
   private[graft] def commitAppendStats(s: SparkSession, root: String,
-      stats: Seq[(String, Long, Long, Long)], schema: StructType): Long = {
-    val fstats = stats.map { case (p, n, mn, mx) => FileStat(p, n, mn, mx) }
+      stats: Seq[(String, Long, Long, Long, Long)], schema: StructType): Long = {
+    val fstats = stats.map { case (p, n, mn, mx, nn) =>
+      FileStat(p, n, mn, mx, Some(nn)) }
     commitRetry(s, root) { prev =>
       val mf = writeManifestFile(s, root, manifestRows(s, fstats, prev + 1))
       (listOf(s, root, prev) :+ mf,
@@ -389,8 +390,9 @@ object SnapshotStore {
     * travel keeps the pre-overwrite snapshots.
     */
   private[graft] def commitOverwriteStats(s: SparkSession, root: String,
-      stats: Seq[(String, Long, Long, Long)], schema: StructType): Long = {
-    val fstats = stats.map { case (p, n, mn, mx) => FileStat(p, n, mn, mx) }
+      stats: Seq[(String, Long, Long, Long, Long)], schema: StructType): Long = {
+    val fstats = stats.map { case (p, n, mn, mx, nn) =>
+      FileStat(p, n, mn, mx, Some(nn)) }
     commitRetry(s, root) { prev =>
       require(prev > 0, "INSERT OVERWRITE on an uncommitted store")
       if (fstats.isEmpty) (Nil, tableSchema(s, root, prev))
@@ -399,8 +401,13 @@ object SnapshotStore {
     }
   }
 
-  /** One data file's manifest stats. */
-  private final case class FileStat(path: String, nRows: Long, minId: Long, maxId: Long)
+  /** One data file's manifest stats. `nNulls` = null-key rows (the
+    * Iceberg null_value_counts shape — what lets readers DECIDE
+    * null-path work from metadata alone); None = the writer did not
+    * count, so readers must stay conservative.
+    */
+  private final case class FileStat(path: String, nRows: Long, minId: Long,
+    maxId: Long, nNulls: Option[Long] = None)
 
   /** Write one commit attempt's immutable, range-clustered data files
     * and return their stats. The directory is token-unique
@@ -433,18 +440,21 @@ object SnapshotStore {
     files.flatMap { p =>
       val st = s.read.parquet(p)
         .agg(count(lit(1)).cast("long"), min(col("doc_id")).cast("long"),
-          max(col("doc_id")).cast("long")).head()
+          max(col("doc_id")).cast("long"),
+          count(col("doc_id")).cast("long")).head()
+      val nulls = Some(st.getLong(0) - st.getLong(3))
       if (st.getLong(0) == 0L) { f.delete(new Path(p), false); None }
       // a file of all-null ids can never be stats-pruned: open interval
-      else if (st.isNullAt(1)) Some(FileStat(p, st.getLong(0), Long.MinValue, Long.MaxValue))
-      else Some(FileStat(p, st.getLong(0), st.getLong(1), st.getLong(2)))
+      else if (st.isNullAt(1))
+        Some(FileStat(p, st.getLong(0), Long.MinValue, Long.MaxValue, nulls))
+      else Some(FileStat(p, st.getLong(0), st.getLong(1), st.getLong(2), nulls))
     }
   }
 
   private def manifestRows(s: SparkSession, stats: Seq[FileStat], k: Long): DataFrame = {
     import s.implicits._
-    stats.map(st => (st.path, k, st.nRows, st.minId, st.maxId))
-      .toDF("path", "commit_id", "n_rows", "min_id", "max_id")
+    stats.map(st => (st.path, k, st.nRows, st.minId, st.maxId, st.nNulls))
+      .toDF("path", "commit_id", "n_rows", "min_id", "max_id", "n_nulls")
   }
 
   /** Write manifest LIST k — the commit point (only ever called by the
@@ -678,8 +688,24 @@ object SnapshotStore {
     */
   private def splitManifest(s: SparkSession, root: String, k: Long):
       (Seq[(String, Long)], Seq[(String, Long)], Seq[(String, Long)], Long, Long) = {
-    val rows = withKind(manifest(s, root, k))
-      .select("path", "commit_id", "kind", "n_rows").collect()
+    val (dat, del, pos, nDel, nPos, _) = splitManifestNulls(s, root, k)
+    (dat, del, pos, nDel, nPos)
+  }
+
+  /** [[splitManifest]] plus each data file's recorded null-key count
+    * (None = a pre-`n_nulls` writer — readers must stay conservative)
+    * — the SAME single metadata collect, so callers that consult the
+    * null counts pay nothing extra.
+    */
+  private def splitManifestNulls(s: SparkSession, root: String, k: Long):
+      (Seq[(String, Long)], Seq[(String, Long)], Seq[(String, Long)], Long, Long,
+        Map[String, Option[Long]]) = {
+    val m = withKind(manifest(s, root, k))
+    val withNulls =
+      if (m.columns.contains("n_nulls")) m
+      else m.withColumn("n_nulls", lit(null).cast("long"))
+    val rows = withNulls.select("path", "commit_id", "kind", "n_rows", "n_nulls")
+      .collect()
     val dat = rows.filter(_.getAs[String]("kind") == "data")
     val del = rows.filter(_.getAs[String]("kind") == "delete")
     val pos = rows.filter(_.getAs[String]("kind") == "posdelete")
@@ -687,7 +713,10 @@ object SnapshotStore {
       del.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
       pos.map(r => (r.getAs[String]("path"), r.getAs[Long]("commit_id"))).toIndexedSeq,
       del.map(_.getAs[Long]("n_rows")).sum,
-      pos.map(_.getAs[Long]("n_rows")).sum)
+      pos.map(_.getAs[Long]("n_rows")).sum,
+      dat.map(r => r.getAs[String]("path") ->
+        (if (r.isNullAt(r.fieldIndex("n_nulls"))) None
+         else Some(r.getAs[Long]("n_nulls")))).toMap)
   }
 
   /** Normalize a file path for identity comparison across producers:
@@ -1315,7 +1344,7 @@ object SnapshotStore {
     */
   private[graft] def commitReplaceFiles(s: SparkSession, root: String,
       scanSnapshot: Long, replaced: Seq[String],
-      written: Seq[(String, Long, Long, Long)], schema: StructType): Long =
+      written: Seq[(String, Long, Long, Long, Long)], schema: StructType): Long =
     commitRetry(s, root) { prev =>
       if (prev != scanSnapshot)
         throw new IllegalStateException(
@@ -1331,7 +1360,8 @@ object SnapshotStore {
       val survivors = mfull
         .filter(col("mpath").isin(touchedM.toSeq: _*) && !isReplaced)
         .drop("mpath")
-      val stats = written.map { case (p, n, lo, hi) => FileStat(p, n, lo, hi) }
+      val stats = written.map { case (p, n, lo, hi, nn) =>
+        FileStat(p, n, lo, hi, Some(nn)) }
       val mf = writeManifestFile(s, root, survivors.unionByName(
         manifestRows(s, stats, k), allowMissingColumns = true))
       (carried :+ mf, mergedSchema(tableSchema(s, root, prev), schema))
@@ -2681,8 +2711,8 @@ object SnapshotStore {
     // ids — the set difference reports them as written, so the feed
     // across a rollback is exactly the inverse of the rolled-back
     // mutation.
-    val (datJ, delJ, posJ, nDelJ, nPosJ) = splitManifest(s, root, j)
-    val (datK, delK, posK, nDelK, nPosK) = splitManifest(s, root, k)
+    val (datJ, delJ, posJ, nDelJ, nPosJ, nullsJ) = splitManifestNulls(s, root, j)
+    val (datK, delK, posK, nDelK, nPosK, nullsK) = splitManifestNulls(s, root, k)
     val mj = datJ.map(_._1).toSet
     val mkPaths = datK.map(_._1).toSet
     val replaced = datJ.filter(t => !mkPaths(t._1))
@@ -2724,10 +2754,20 @@ object SnapshotStore {
       .filter(col("change_type").isNotNull) // verbatim rewrites are not changes
       .withColumn("doc_id", coalesce(col("n_id"), col("o_id")))
     val idT = oldRows.schema("doc_id").dataType
+    // METADATA-DECIDED null path: when every window file RECORDS zero
+    // null-key rows (`n_nulls`, the null_value_counts shape), the
+    // whole-row-multiset comparison — two groupBys + a row-equality
+    // full outer + an explode — is provably empty and skips entirely.
+    // Files from pre-n_nulls manifests read the column as NULL =
+    // unknown and conservatively keep the pass.
+    val windowPaths = replaced.map(_._1).toSet ++ written.map(_._1)
+    val mayHaveNulls = (nullsJ ++ nullsK).exists { case (p, nn) =>
+      windowPaths(p) && nn.forall(_ > 0L)
+    }
     val rowEq = valueCols.map(c => col(s"o_$c") <=> col(s"n_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     val ins = col("__d") > 0
-    val nullFeed = o.filter(col("o_id").isNull)
+    lazy val nullFeedFull = o.filter(col("o_id").isNull)
       .groupBy(valueCols.map(c => col(s"o_$c")): _*).agg(count(lit(1)).as("__oc"))
       .join(n.filter(col("n_id").isNull)
           .groupBy(valueCols.map(c => col(s"n_$c")): _*).agg(count(lit(1)).as("__nc")),
@@ -2742,6 +2782,9 @@ object SnapshotStore {
         valueCols.map(c => when(ins, col(s"n_$c")).as(s"n_$c")) ++
         Seq(when(ins, lit("insert")).otherwise(lit("delete")).as("change_type"),
           lit(null).cast(idT).as("doc_id"))): _*)
+    val nullFeed =
+      if (mayHaveNulls) nullFeedFull
+      else keyed.filter(lit(false)) // provably empty from the manifest
     // equality-delete files committed in (j, k]: each key live at j is
     // a LOGICAL delete with its pre-image — file-pruned via the
     // manifest stats of j (delete sets are small by design, so the

@@ -237,7 +237,7 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
   * message (`allNullIds` marks the open-interval sentinel case).
   */
 final case class SnapshotFileCommit(path: String, nRows: Long,
-    minId: Long, maxId: Long) extends WriterCommitMessage
+    minId: Long, maxId: Long, nNulls: Long = 0L) extends WriterCommitMessage
 
 /** The DSv2 APPEND: executors stream their partitions into immutable
   * parquet files under a token-unique commit directory (the same
@@ -303,7 +303,7 @@ final class SnapshotWrite(root: String, schema: StructType,
   private def commitStats(messages: Array[WriterCommitMessage]): Unit = {
     val stats = messages.collect {
       case m: SnapshotFileCommit if m.nRows > 0 =>
-        (m.path, m.nRows, m.minId, m.maxId)
+        (m.path, m.nRows, m.minId, m.maxId, m.nNulls)
     }
     if (overwriteAll)
       // INSERT OVERWRITE: truncate + append as ONE snapshot — the new
@@ -428,6 +428,7 @@ final class SnapshotFileWriter(dataDir: String, schema: StructType,
   private var minId = Long.MaxValue
   private var maxId = Long.MinValue
   private var sawId = false
+  private var nNullIds = 0L
 
   /** Leading metadata offset: a group-based row-level write's rows
     * carry Spark's `__row_operation` marker as their FIRST field (the
@@ -466,7 +467,7 @@ final class SnapshotFileWriter(dataDir: String, schema: StructType,
       if (v < minId) minId = v
       if (v > maxId) maxId = v
       sawId = true
-    }
+    } else nNullIds += 1
   }
 
   override def commit(): WriterCommitMessage = {
@@ -476,8 +477,9 @@ final class SnapshotFileWriter(dataDir: String, schema: StructType,
     // all-null ids: the open-interval sentinel, same as the library path
     else if (!sawId)
       SnapshotFileCommit(f.makeQualified(filePath).toString, n,
-        Long.MinValue, Long.MaxValue)
-    else SnapshotFileCommit(f.makeQualified(filePath).toString, n, minId, maxId)
+        Long.MinValue, Long.MaxValue, nNullIds)
+    else SnapshotFileCommit(f.makeQualified(filePath).toString, n,
+      minId, maxId, nNullIds)
   }
 
   override def abort(): Unit = {
@@ -559,7 +561,7 @@ final class SnapshotReplaceWrite(root: String, scanSnapshot: Long,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val stats = messages.collect {
       case m: SnapshotFileCommit if m.nRows > 0 =>
-        (m.path, m.nRows, m.minId, m.maxId)
+        (m.path, m.nRows, m.minId, m.maxId, m.nNulls)
     }
     SnapshotStore.commitReplaceFiles(SparkSession.active, root,
       scanSnapshot, op.scannedPaths.toIndexedSeq, stats.toIndexedSeq, schema)

@@ -1399,6 +1399,28 @@ class SnapshotStoreSpec extends AnyFunSuite {
         col("n_chars").between(SnapshotStore.ZChLo, SnapshotStore.ZChHi))))
   }
 
+  test("change feed: a null-free window skips the multiset pass, decided from n_nulls metadata alone") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    SnapshotStore.append(spark, root, docs.limit(3)
+      .withColumn("doc_id", col("doc_id") + 7500000L)) // commit 3
+    val feed = SnapshotStore.changeFeed(spark, root, 2L, 3L)
+    // the multiset comparison is two aggregates + an exploded join —
+    // a window whose manifests RECORD zero null keys must plan NONE
+    val aggs = feed.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.isEmpty,
+      s"null-free window must skip the multiset aggregates:\n${feed.queryExecution.optimizedPlan}")
+    assert(feed.count() == 3L &&
+      feed.filter(col("change_type") === "insert").count() == 3L)
+    // and the metadata is present: every data file of commit 3 records
+    // an exact null count
+    assert(SnapshotStore.metaFiles(spark, root, 3L)
+      .filter(col("kind") === "data" && col("commit_id") === 3L &&
+        col("n_nulls").isNull).count() == 0L)
+  }
+
   test("q237/q238/q239 agree with their closed-form expectations") {
     val wap = SparkEntry.queries("q237_snapshot_wap")(spark, dir)
     val expectWap = docs.groupBy(col("lang"))
