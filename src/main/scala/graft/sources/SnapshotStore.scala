@@ -1756,13 +1756,39 @@ object SnapshotStore {
       .parquet(staged: _*).drop("mpath")
     val branchSchema = readBranchSchema(s, root, name,
       branchSeq(s, root, name)).getOrElse(tableSchema(s, root, base))
-    commitRetry(s, root) { prev =>
-      val k = prev + 1
-      val mf = writeManifestFile(s, root,
-        stagedRows.withColumn("commit_id", lit(k)))
-      (listOf(s, root, prev) :+ mf,
-        mergedSchema(tableSchema(s, root, prev), branchSchema))
-    }
+    // IDEMPOTENCE: if every staged data file is already in main's
+    // manifest, this staged set was published by an earlier call that
+    // crashed before consuming the branch — finish the cleanup, never
+    // re-publish (which would double every staged row)
+    val stagedPaths = stagedRows.select("path").collect()
+      .map(_.getString(0)).toSet
+    val cur = currentSnapshot(s, root)
+    val mainPaths = withKind(manifest(s, root, cur))
+      .filter(col("kind") === "data")
+      .select("path").collect().map(_.getString(0)).toSet
+    val k =
+      if (stagedPaths.subsetOf(mainPaths)) cur
+      else commitRetry(s, root) { prev =>
+        val kk = prev + 1
+        val mf = writeManifestFile(s, root,
+          stagedRows.withColumn("commit_id", lit(kk)))
+        (listOf(s, root, prev) :+ mf,
+          mergedSchema(tableSchema(s, root, prev), branchSchema))
+      }
+    // CONSUME the published staging: the branch ref survives, now
+    // based at the publish commit with zero staged work — the next
+    // appendBranch stages fresh, the next fastForward publishes ONLY
+    // it. The staged lists become orphans (vacuum reclaims; the data
+    // files live on under main's re-stamped manifest).
+    val f = fs(s, root)
+    val mdir = new Path(s"$root/manifests")
+    val pats = Seq(s"b_${name}_", s"claimb_${name}_", s"bs_${name}_")
+    f.listStatus(mdir).toSeq.map(_.getPath)
+      .filter(p => pats.exists(p.getName.startsWith))
+      .foreach(p => f.delete(p, true))
+    val out = f.create(branchHeadPath(root, name), true)
+    try out.write(k.toString.getBytes("UTF-8")) finally out.close()
+    k
   }
 
   /** DROP the branch: head, staged lists, schema sidecars, claims.

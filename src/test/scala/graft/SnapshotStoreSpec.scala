@@ -1268,6 +1268,33 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(reclaimed.nonEmpty, "a dropped branch's files must reclaim")
   }
 
+  test("branches: publish CONSUMES the staging — a second stage/publish cycle adds only the new rows") {
+    val d = scratchCorpus()
+    val root = SnapshotStore.ensure(spark, d)
+    SnapshotStore.createBranch(spark, root, "cycle", 2L)
+    val extra1 = docs.limit(4).withColumn("doc_id", col("doc_id") + 1100000L)
+    SnapshotStore.appendBranch(spark, root, "cycle", extra1)
+    val k1 = SnapshotStore.fastForward(spark, root, "cycle")
+    assert(k1 == 3L)
+    // the branch survived, re-based at the publish commit, EMPTY
+    assert(SnapshotStore.branches(spark, root) == Map("cycle" -> (3L, 0L)))
+    assert(rows(SnapshotStore.readBranch(spark, root, "cycle")) ==
+      rows(SnapshotStore.readSnapshot(spark, root, 3L)))
+    // round two: stage fresh, publish — ONLY the new rows land
+    val extra2 = docs.limit(2).withColumn("doc_id", col("doc_id") + 2200000L)
+    SnapshotStore.appendBranch(spark, root, "cycle", extra2)
+    val k2 = SnapshotStore.fastForward(spark, root, "cycle")
+    assert(k2 == 4L)
+    assert(rows(SnapshotStore.readSnapshot(spark, root, 4L)) ==
+      rows(docs.unionByName(extra1).unionByName(extra2)),
+      "the second publish must not re-publish the first batch")
+    assert(SnapshotStore.readDiff(spark, root, 3L, 4L).count() == 2L)
+    // a publish with nothing staged refuses rather than committing air
+    assertThrows[IllegalArgumentException](
+      SnapshotStore.fastForward(spark, root, "cycle"))
+    SnapshotStore.dropBranch(spark, root, "cycle")
+  }
+
   test("binPack: small files merge to target size, big files carry byte-identically, MOR deletes preserved") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_bp_spec_").toString
