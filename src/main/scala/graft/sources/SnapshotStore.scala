@@ -1855,7 +1855,7 @@ object SnapshotStore {
     * deterministic, no global state.
     */
   private def writeZDataFiles(s: SparkSession, root: String,
-      df: DataFrame): Seq[(String, Long, Long, Long, Long, Long)] = {
+      df: DataFrame): Seq[(String, Long, Long, Long, Long, Long, Long)] = {
     val token = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$root/data/c$token"
     val dom = df.agg(
@@ -1883,19 +1883,20 @@ object SnapshotStore {
     files.flatMap { p =>
       val st = s.read.parquet(p).agg(count(lit(1)).cast("long"),
         min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long"),
-        min(col("n_chars")).cast("long"), max(col("n_chars")).cast("long")).head()
+        min(col("n_chars")).cast("long"), max(col("n_chars")).cast("long"),
+        count(col("doc_id")).cast("long")).head()
       if (st.getLong(0) == 0L) { f.delete(new Path(p), false); None }
       else Some((p, st.getLong(0), st.getLong(1), st.getLong(2),
-        st.getLong(3), st.getLong(4)))
+        st.getLong(3), st.getLong(4), st.getLong(0) - st.getLong(5)))
     }
   }
 
   private def zManifestRows(s: SparkSession,
-      stats: Seq[(String, Long, Long, Long, Long, Long)], k: Long): DataFrame = {
+      stats: Seq[(String, Long, Long, Long, Long, Long, Long)], k: Long): DataFrame = {
     import s.implicits._
-    stats.map { case (p, n, a, b, c, d) => (p, k, n, a, b, c, d) }
+    stats.map { case (p, n, a, b, c, d, nn) => (p, k, n, a, b, c, d, nn) }
       .toDF("path", "commit_id", "n_rows", "min_id", "max_id",
-        "min_chars", "max_chars")
+        "min_chars", "max_chars", "n_nulls")
   }
 
   def appendZ(s: SparkSession, root: String, df: DataFrame): Long = {
