@@ -132,8 +132,36 @@ final class SnapshotTable(root: String, k: Long, schema: StructType,
     mlist: Option[Seq[String]] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_snapshot($root@$k)"
+
+  /** METADATA COLUMNS (`_file`, `_pos`) — physical row provenance as
+    * plain SQL (the Iceberg `_file`/`_pos` surface): which data file a
+    * row lives in and its ordinal there. What an operator reaches for
+    * at 100 TB to audit skew ("which files hold the hot key"), verify
+    * clustering, or construct a position-delete set from a SQL
+    * predicate. Virtual — the reader synthesizes them from the
+    * partition's path and its streaming ordinal; they never exist in
+    * parquet and cost nothing unless referenced.
+    */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    import org.apache.spark.sql.connector.catalog.MetadataColumn
+    Array(
+      new MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file the row lives in"
+      },
+      new MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "row ordinal within its data file"
+      })
+  }
 
   /** SQL `UPDATE` / `MERGE INTO` / predicate `DELETE` — the
     * GROUP-BASED (copy-on-write) row-level protocol: Spark reads the
@@ -1095,7 +1123,9 @@ final class SnapshotFileReader(p: SnapshotFilePartition)
           val f = p.required.fields(i)
           val pn = physName(f.name)
           vals(i) =
-            if (!projSet(pn) || g.getFieldRepetitionCount(pn) == 0) null
+            if (f.name == "_file") UTF8String.fromString(p.path)
+            else if (f.name == "_pos") ordinal
+            else if (!projSet(pn) || g.getFieldRepetitionCount(pn) == 0) null
             else f.dataType match {
               case LongType => g.getLong(pn, 0)
               case IntegerType => g.getInteger(pn, 0)

@@ -539,6 +539,45 @@ class SnapshotTableSourceSpec extends AnyFunSuite {
     assert(rows(SnapshotStore.readSnapshot(spark, root, 2L)) == before)
   }
 
+  test("metadata columns: _file and _pos expose physical row provenance through plain SQL") {
+    val root = SnapshotStore.ensure(spark, dir)
+    val cur = SnapshotStore.currentSnapshot(spark, root)
+    // metadata columns resolve on the RELATION (a temp view exposes
+    // only the data schema) — the catalog table is the SQL route
+    val tbl = SnapshotStore.catalogName(spark, root)
+    val got = spark.sql(
+      s"SELECT _file, _pos, doc_id FROM $tbl").collect()
+    assert(got.nonEmpty)
+    // _file values are exactly the manifest's data files
+    val files = got.map(_.getString(0)).toSet
+    val mPaths = SnapshotStore.metaFiles(spark, root, cur)
+      .filter(col("kind") === "data")
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(files == mPaths, "_file must name exactly the manifest's data files")
+    // (_file, _pos) is a unique physical identity; ordinals are
+    // 0-based and consecutive per file
+    assert(got.map(r => (r.getString(0), r.getLong(1))).distinct.length ==
+      got.length)
+    got.groupBy(_.getString(0)).values.foreach { g =>
+      val ps = g.map(_.getLong(1)).sorted
+      assert(ps.head == 0L && ps.last == ps.length - 1L,
+        "per-file ordinals must be 0-based and gap-free")
+    }
+    // _pos agrees with the parquet reader's row_index — the SAME
+    // identity position deletes record, so a SQL-selected (_file,_pos)
+    // is a valid delete target
+    val one = files.head
+    val viaSql = got.filter(_.getString(0) == one)
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    val viaMeta = spark.read.parquet(one)
+      .select(col("_metadata.row_index"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    assert(viaSql == viaMeta, "_pos must equal the parquet row index")
+    // virtual columns cost nothing unless referenced: a plain SELECT
+    // does not contain them
+    assert(!spark.sql(s"SELECT * FROM $tbl").columns.contains("_file"))
+  }
+
   test("DSv2 write distribution: a shuffled input lands as range-clustered files with disjoint id intervals") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_dist_").toString
