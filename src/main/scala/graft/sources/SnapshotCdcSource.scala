@@ -55,7 +55,13 @@ class SnapshotCdcSource extends TableProvider {
     val start =
       if (opts.containsKey("startsnapshot")) opts.get("startsnapshot").toLong
       else SnapshotStore.currentSnapshot(SparkSession.active, opts.get("root"))
-    new SnapshotCdcTable(opts.get("root"), start, schema)
+    val maxCommits =
+      if (opts.containsKey("maxcommitspertrigger"))
+        Some(opts.get("maxcommitspertrigger").toLong)
+      else None
+    maxCommits.foreach(m => require(m > 0,
+      s"maxCommitsPerTrigger must be positive: $m"))
+    new SnapshotCdcTable(opts.get("root"), start, schema, maxCommits)
   }
 }
 
@@ -74,7 +80,8 @@ object SnapshotCdcSource {
   }
 }
 
-final class SnapshotCdcTable(root: String, start: Long, schema: StructType)
+final class SnapshotCdcTable(root: String, start: Long, schema: StructType,
+    maxCommits: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft_snapshot_cdc($root)"
   override def schema(): StructType = schema
@@ -82,7 +89,8 @@ final class SnapshotCdcTable(root: String, start: Long, schema: StructType)
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new SnapshotCdcScan(root, start, schema)
+      override def build(): Scan =
+        new SnapshotCdcScan(root, start, schema, maxCommits)
     }
 }
 
@@ -91,16 +99,19 @@ final case class SnapshotOffset(k: Long) extends Offset {
   override def json(): String = k.toString
 }
 
-final class SnapshotCdcScan(root: String, start: Long, schema: StructType)
+final class SnapshotCdcScan(root: String, start: Long, schema: StructType,
+    maxCommits: Option[Long] = None)
     extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String = s"GraftSnapshotCdc(root=$root)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SnapshotCdcStream(root, start, schema)
+    new SnapshotCdcStream(root, start, schema, maxCommits)
 }
 
-final class SnapshotCdcStream(root: String, start: Long, schema: StructType)
-    extends MicroBatchStream {
+final class SnapshotCdcStream(root: String, start: Long, schema: StructType,
+    maxCommits: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def s: SparkSession = SparkSession.active
 
@@ -109,6 +120,35 @@ final class SnapshotCdcStream(root: String, start: Long, schema: StructType)
     SnapshotOffset(SnapshotStore.currentSnapshot(s, root))
   override def deserializeOffset(json: String): Offset =
     SnapshotOffset(json.toLong)
+
+  /** ADMISSION CONTROL (`maxCommitsPerTrigger`): a resumed stream that
+    * is N commits behind catches up in ceil(N/max) bounded micro-
+    * batches instead of one batch that computes (and spills) the
+    * entire backlog's change feed at once — the Delta
+    * `maxFilesPerTrigger` shape, denominated in COMMITS because the
+    * feed's unit of work is the commit window. The cap bounds each
+    * batch's spill size and keeps checkpoint progress (and failure
+    * retry cost) proportional to `max`, not to the backlog.
+    */
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxCommits
+      .map(m => org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .maxRows(m))
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .allAvailable())
+
+  override def latestOffset(startOffset: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val cur = SnapshotStore.currentSnapshot(s, root)
+    val j = startOffset.asInstanceOf[SnapshotOffset].k
+    val capped = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(cur, j + r.maxRows())
+      case _ => cur
+    }
+    SnapshotOffset(capped)
+  }
 
   override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] = {
     val j = startOff.asInstanceOf[SnapshotOffset].k

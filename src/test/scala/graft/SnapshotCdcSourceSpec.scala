@@ -67,4 +67,33 @@ class SnapshotCdcSourceSpec extends AnyFunSuite {
         rows(SnapshotStore.changeFeedCompact(spark, root, 3L, 4L))).sorted,
       "streaming collect must equal the concatenated batch feeds across restart")
   }
+
+  test("maxCommitsPerTrigger: a backlog catches up in bounded single-commit batches") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cdcrate_").toString
+    val root = s"$base/tbl"
+    SnapshotStore.append(spark, root, Seq((1L, "a")).toDF("doc_id", "tag"))
+    SnapshotStore.append(spark, root, Seq((2L, "b")).toDF("doc_id", "tag"))
+    SnapshotStore.append(spark, root, Seq((3L, "c")).toDF("doc_id", "tag"))
+    SnapshotStore.deleteKeys(spark, root, Seq(2L).toDF("doc_id")) // commit 4
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[String])]()
+    val q = spark.readStream.format("graft.sources.SnapshotCdcSource")
+      .option("root", root).option("startSnapshot", "0")
+      .option("maxCommitsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.add((id, df.collect().map(_.toString).sorted.toSeq)); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = batches.iterator().asScala.toSeq.sortBy(_._1)
+    assert(got.length == 4,
+      s"a 4-commit backlog at 1/trigger must take 4 batches, got ${got.length}")
+    got.zipWithIndex.foreach { case ((_, rs), i) =>
+      assert(rs == rows(SnapshotStore.changeFeedCompact(spark, root,
+        i.toLong, i + 1L)),
+        s"batch $i must be exactly commit ${i + 1}'s feed window")
+    }
+  }
 }
