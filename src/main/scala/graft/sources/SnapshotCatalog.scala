@@ -41,9 +41,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * lifecycle belongs to the engine's commit protocol, not to SQL DDL —
   * a dropped table would bypass the expire/vacuum retention contract.
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var base: String = _
+
+  /** The catalog's V2 FUNCTIONS — just `bucket`, the transform behind
+    * storage-partitioned joins: Spark resolves each scan's reported
+    * `KeyGroupedPartitioning(bucket(n, key))` through this lookup and
+    * joins two co-bucketed snapshot tables without an exchange when
+    * the bound functions (and bucket counts) agree.
+    */
+  override def listFunctions(namespace: Array[String]):
+      Array[Identifier] =
+    if (namespace.isEmpty || (namespace.length == 1 && namespace(0) == "default"))
+      Array(Identifier.of(Array.empty[String], "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -134,10 +154,56 @@ class SnapshotCatalog extends TableCatalog {
       "graft snapshot stores are created by their first commit " +
         "(SnapshotStore.append / df.write), not by DDL")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution goes through SnapshotStore commits (renameColumn, " +
-        "additive append), not ALTER TABLE")
+  /** `ALTER TABLE … RENAME COLUMN a TO b` — the SQL face of the
+    * store's FIELD-ID rename commit: a metadata-only snapshot that
+    * maps the column's field id to its new name, so files written
+    * under the old name keep serving their data ([[SnapshotStore
+    * .renameColumn]]; q212's evolution semantics, now reachable
+    * without a library call). Every other ALTER shape is refused —
+    * additive columns arrive with the commits that carry them, and
+    * type changes have no sound lazy-read story on immutable files.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"no nested columns here: ${r.fieldNames.mkString(".")}")
+        SnapshotStore.renameColumn(spark, root, r.fieldNames()(0), r.newName)
+      case other => throw new UnsupportedOperationException(
+        s"only RENAME COLUMN commits through ALTER TABLE " +
+          s"(schema is otherwise commit-carried): $other")
+    }
+    loadTable(ident)
+  }
+
+  /** SQL-CALLABLE MAINTENANCE (`ProcedureCatalog`): the store's
+    * lifecycle verbs as `CALL graft_snap.system.<proc>(…)` — the
+    * Iceberg procedures shape, so an operator runs compaction or
+    * retention from ANY SQL client without linking the library. Each
+    * procedure is one library call wrapped in argument plumbing; the
+    * commit protocol (claim CAS, retention floors) is identical to
+    * the library route.
+    */
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.isEmpty ||
+      (ident.namespace.length == 1 && ident.namespace()(0) == "system"),
+      s"procedures live under system: ${ident.namespace.mkString(".")}")
+    SnapshotProcedures.registry.get(
+      ident.name.toLowerCase(java.util.Locale.ROOT)) match {
+      case Some(mk) => mk(base)
+      case None => throw new UnsupportedOperationException(
+        s"no such procedure: ${ident.name} " +
+          s"(have: ${SnapshotProcedures.registry.keys.toSeq.sorted.mkString(", ")})")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || (namespace.length == 1 && namespace(0) == "system"))
+      SnapshotProcedures.registry.keys.toArray.sorted
+        .map(n => Identifier.of(Array("system"), n))
+    else Array.empty
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
@@ -150,6 +216,147 @@ class SnapshotCatalog extends TableCatalog {
 object SnapshotCatalog {
   /** The nested metadata-table names (`<store>.snapshots` etc.). */
   val MetaNames: Set[String] = Set("snapshots", "files", "refs")
+}
+
+/** The maintenance procedures [[SnapshotCatalog.loadProcedure]]
+  * serves. Each returns ONE summary row through a driver-local scan —
+  * maintenance results are metadata-scale by construction (a snapshot
+  * id, a reclaimed-file count), never data.
+  */
+object SnapshotProcedures {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+  private def str(in: InternalRow, i: Int): String =
+    in.getUTF8String(i).toString
+
+  /** One procedure: fixed IN parameters, a one-row result of `out`
+    * longs, and a body from (session, store base, bound args).
+    */
+  private def proc(procName: String, desc: String,
+      params: Seq[(String, DataType)], out: Seq[(String, String)])(
+      body: (SparkSession, String, InternalRow) => Seq[Long]):
+      (String, String => UnboundProcedure) =
+    procName -> { (base: String) =>
+      new UnboundProcedure {
+        override def name(): String = procName
+        override def description(): String = desc
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = procName
+            override def description(): String = desc
+            override def isDeterministic: Boolean = false
+            override def parameters(): Array[ProcedureParameter] =
+              params.map { case (n, t) =>
+                ProcedureParameter.in(n, t).build()
+              }.toArray
+            override def call(input: InternalRow): java.util.Iterator[Scan] = {
+              val vals = body(SparkSession.active, base, input)
+              val scan: Scan = new LocalScan {
+                override def readSchema(): StructType = StructType(out.map {
+                  case (n, comment) =>
+                    org.apache.spark.sql.types
+                      .StructField(n, LongType, nullable = false)
+                      .withComment(comment)
+                })
+                override def rows(): Array[InternalRow] =
+                  Array(new GenericInternalRow(
+                    vals.map(v => v: Any).toArray))
+                override def description(): String = s"graft_proc($procName)"
+              }
+              java.util.Collections.singletonList(scan).iterator()
+            }
+          }
+      }
+    }
+
+  /** name → (store base dir → the procedure). */
+  val registry: Map[String, String => UnboundProcedure] = Map(
+    proc("compact", "rewrite small data files into range-clustered ones",
+      Seq("table" -> StringType), Seq("snapshot" -> "the compaction commit")) {
+      (s, base, in) => Seq(SnapshotStore.compact(s, s"$base/${str(in, 0)}"))
+    },
+    proc("expire", "drop snapshot history before keep_from",
+      Seq("table" -> StringType, "keep_from" -> LongType),
+      Seq("keep_from" -> "first retained snapshot")) { (s, base, in) =>
+      SnapshotStore.expire(s, s"$base/${str(in, 0)}", in.getLong(1))
+      Seq(in.getLong(1))
+    },
+    proc("vacuum", "delete unreferenced files older than older_than_ms",
+      Seq("table" -> StringType, "older_than_ms" -> LongType),
+      Seq("removed" -> "reclaimed file count")) { (s, base, in) =>
+      Seq(SnapshotStore.vacuum(s, s"$base/${str(in, 0)}", in.getLong(1))
+        .length.toLong)
+    },
+    proc("restore", "commit snapshot k's file list as the new current",
+      Seq("table" -> StringType, "snapshot" -> LongType),
+      Seq("snapshot" -> "the restore commit")) { (s, base, in) =>
+      Seq(SnapshotStore.restore(s, s"$base/${str(in, 0)}", in.getLong(1)))
+    },
+    proc("fast_forward", "publish a branch's staged commits to main",
+      Seq("table" -> StringType, "branch" -> StringType),
+      Seq("snapshot" -> "the publish commit")) { (s, base, in) =>
+      Seq(SnapshotStore.fastForward(s, s"$base/${str(in, 0)}", str(in, 1)))
+    },
+    proc("create_tag", "pin snapshot k under a named ref expire honors",
+      Seq("table" -> StringType, "name" -> StringType, "snapshot" -> LongType),
+      Seq("snapshot" -> "the pinned snapshot")) { (s, base, in) =>
+      SnapshotStore.tag(s, s"$base/${str(in, 0)}", str(in, 1), in.getLong(2))
+      Seq(in.getLong(2))
+    },
+    proc("drop_tag", "release a named ref",
+      Seq("table" -> StringType, "name" -> StringType),
+      Seq("dropped" -> "always 1")) { (s, base, in) =>
+      SnapshotStore.dropTag(s, s"$base/${str(in, 0)}", str(in, 1))
+      Seq(1L)
+    })
+}
+
+/** The catalog's `bucket(n, key)` V2 function — the SAME arithmetic
+  * [[SnapshotStore.appendBucketed]] wrote with: `floorMod(key, n)`,
+  * null keys to bucket 0. Spark uses it two ways: (a) to prove two
+  * scans' bucket transforms COMPATIBLE (`canonicalName` equality +
+  * equal argument literals) so a storage-partitioned join can skip
+  * both exchanges, and (b) to evaluate the bucket of a row when one
+  * join side must be shuffled INTO the other's layout
+  * (`spark.sql.sources.v2.bucketing.shuffle.enabled`). Deliberately
+  * hash-free so any engine — including the correctness oracle —
+  * reproduces it in one SQL expression.
+  */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): floorMod(key, n) — the graft snapshot-store bucket transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields(0).dataType == IntegerType &&
+      inputType.fields(1).dataType == LongType,
+      s"bucket expects (int nBuckets, bigint key), got $inputType")
+    Bound
+  }
+
+  private object Bound extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket(int,bigint)"
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+      val n = input.getInt(0)
+      val v = if (input.isNullAt(1)) 0L else input.getLong(1)
+      Math.floorMod(v, n.toLong).toInt
+    }
+  }
 }
 
 /** A METADATA table of the catalog (`<store>.snapshots` / `.files` /
