@@ -401,6 +401,45 @@ object SnapshotStore {
     }
   }
 
+  /** The BUCKETED DSv2 landing — manifest rows carry each file's
+    * bucket id, so a SQL `INSERT INTO` (or streaming epoch) against a
+    * bucket-clustered table PRESERVES the layout claim instead of
+    * silently voiding it: the next storage-partitioned join still
+    * sees every data file honoring the spec.
+    */
+  private[graft] def commitAppendStatsBucketed(s: SparkSession, root: String,
+      stats: Seq[(String, Long, Long, Long, Long, Int)], schema: StructType,
+      nBuckets: Int, by: String): Long =
+    commitRetry(s, root) { prev =>
+      import s.implicits._
+      val m = stats.map { case (p, n, mn, mx, nn, b) =>
+        (p, prev + 1, n, mn, mx, nn, b, nBuckets, by)
+      }.toDF("path", "commit_id", "n_rows", "min_id", "max_id", "n_nulls",
+        "bucket_id", "bucket_n", "bucket_col")
+      (listOf(s, root, prev) :+ writeManifestFile(s, root, m),
+        mergedSchema(tableSchema(s, root, prev), schema))
+    }
+
+  /** Bucketed `INSERT OVERWRITE`: one atomic snapshot whose manifest
+    * list is exactly the new bucket-split files.
+    */
+  private[graft] def commitOverwriteStatsBucketed(s: SparkSession,
+      root: String, stats: Seq[(String, Long, Long, Long, Long, Int)],
+      schema: StructType, nBuckets: Int, by: String): Long =
+    commitRetry(s, root) { prev =>
+      require(prev > 0, "INSERT OVERWRITE on an uncommitted store")
+      import s.implicits._
+      if (stats.isEmpty) (Nil, tableSchema(s, root, prev))
+      else {
+        val m = stats.map { case (p, n, mn, mx, nn, b) =>
+          (p, prev + 1, n, mn, mx, nn, b, nBuckets, by)
+        }.toDF("path", "commit_id", "n_rows", "min_id", "max_id", "n_nulls",
+          "bucket_id", "bucket_n", "bucket_col")
+        (Seq(writeManifestFile(s, root, m)),
+          mergedSchema(tableSchema(s, root, prev), schema))
+      }
+    }
+
   /** One data file's manifest stats. `nNulls` = null-key rows (the
     * Iceberg null_value_counts shape — what lets readers DECIDE
     * null-path work from metadata alone); None = the writer did not
@@ -2159,6 +2198,99 @@ object SnapshotStore {
       .filter(col(by) === value)
   }
 
+  // ---- BUCKET-CLUSTERED commits (storage-partitioned joins) ----------
+
+  /** Buckets per bucketed commit — small enough that local[32] tests
+    * exercise multi-file groups, large enough to show key-grouped
+    * parallelism; a cluster deployment picks its own width per table.
+    */
+  val BkBuckets = 8
+
+  /** BUCKET-CLUSTERED APPEND: every data file of the commit holds
+    * exactly ONE bucket of the key domain — bucket = floorMod(key, n),
+    * null keys ride bucket 0 — and each file's manifest row records
+    * (bucket_id, bucket_n, bucket_col) alongside the usual stats. This
+    * is the physical contract behind STORAGE-PARTITIONED JOINS: two
+    * stores bucketed the same way join with ZERO shuffle on either
+    * side, because the DSv2 scan reports `KeyGroupedPartitioning` over
+    * the bucket transform and Spark aligns co-bucketed partitions
+    * directly (the v2 analog of Hive-bucketed joins; at 100 TB the
+    * difference between a metadata-aligned join and re-shuffling both
+    * fact tables every query). The bucket function is deliberately
+    * hash-free — `floorMod(key, n)` — so any engine (including the
+    * correctness oracle) reproduces it in pure SQL, and the catalog's
+    * V2 `bucket` function ([[GraftBucketFunction]]) evaluates the SAME
+    * arithmetic for Spark's transform-compatibility checks. Same
+    * claim-CAS commit protocol: bucketing is a property of the WRITE,
+    * re-verified per-file at plan time (any non-bucketed commit makes
+    * the store read as unpartitioned — a layout CLAIM never overrides
+    * what the files actually hold).
+    */
+  def appendBucketed(s: SparkSession, root: String, df: DataFrame,
+      nBuckets: Int = BkBuckets, by: String = "doc_id"): Long = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val dataDir = s"$root/data/b$token"
+    // partitionBy splits output files by bucket value even when the
+    // task-level repartition collides several buckets into one task,
+    // so one-file-one-bucket holds without relying on hash placement
+    df.withColumn("__gbucket",
+        pmod(coalesce(col(by), lit(0L)), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("__gbucket"))
+      .write.mode("overwrite").partitionBy("__gbucket").parquet(dataDir)
+    val f = fs(s, root)
+    val files = f.listStatus(new Path(dataDir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__gbucket="))
+      .flatMap { d =>
+        val b = d.getPath.getName.stripPrefix("__gbucket=").toInt
+        f.listStatus(d.getPath).toSeq.map(_.getPath.toString)
+          .filter(_.endsWith(".parquet")).map(p => (b, p))
+      }
+    val stats = files.flatMap { case (b, p) =>
+      val st = s.read.parquet(p)
+        .agg(count(lit(1)).cast("long"), min(col("doc_id")).cast("long"),
+          max(col("doc_id")).cast("long"), count(col("doc_id")).cast("long"))
+        .head()
+      if (st.getLong(0) == 0L) { f.delete(new Path(p), false); None }
+      else Some((p, st.getLong(0),
+        if (st.isNullAt(1)) Long.MinValue else st.getLong(1),
+        if (st.isNullAt(1)) Long.MaxValue else st.getLong(2),
+        st.getLong(0) - st.getLong(3), b))
+    }
+    commitRetry(s, root) { prev =>
+      import s.implicits._
+      val m = stats.map { case (p, n, lo, hi, nn, bkt) =>
+        (p, prev + 1, n, lo, hi, nn, bkt, nBuckets, by)
+      }.toDF("path", "commit_id", "n_rows", "min_id", "max_id", "n_nulls",
+        "bucket_id", "bucket_n", "bucket_col")
+      (listOf(s, root, prev) :+ writeManifestFile(s, root, m),
+        mergedSchema(tableSchema(s, root, prev), df.schema))
+    }
+  }
+
+  /** The bucket layout of snapshot k, if EVERY data file honors one —
+    * Some((n, col)) iff all data files declare the same (bucket_n,
+    * bucket_col) with a non-null bucket_id. A mixed store (any plain
+    * append, compaction, or COW rewrite in the history) reports None
+    * and its scans stay unpartitioned: correctness never rides a
+    * layout claim some file doesn't honor.
+    */
+  private[graft] def bucketSpecOf(s: SparkSession, root: String,
+      k: Long): Option[(Int, String)] = {
+    if (k <= 0) return None
+    val m = withKind(manifest(s, root, k))
+    if (!m.columns.contains("bucket_id") || !m.columns.contains("bucket_n") ||
+      !m.columns.contains("bucket_col")) return None
+    val rows = m.filter(col("kind") === "data")
+      .select("bucket_id", "bucket_n", "bucket_col").collect()
+    if (rows.isEmpty ||
+      rows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) None
+    else {
+      val specs = rows.map(r => (r.getInt(1), r.getString(2))).distinct
+      if (specs.length == 1) Some(specs.head) else None
+    }
+  }
+
   private val lsBuiltCache = new graft.SessionCache
 
   /** Seed the category-clustered fixture table: the q203 two-commit
@@ -3793,6 +3925,69 @@ object SnapshotStore {
          |GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  // ---- the BUCKETED PAIR (q244): storage-partitioned join -----------
+
+  /** Bucketed-pair layout version. */
+  private val BkLayout = 1L
+
+  private[graft] def bkRoot(dir: String, side: String): String =
+    StandingIndex.artifactRoot(dir, s"snapbk$side")
+
+  private val bkBuiltCache = new graft.SessionCache
+
+  /** Seed the BUCKETED PAIR: the documents table and a narrow per-doc
+    * profile derived from it, both committed through [[appendBucketed]]
+    * with the SAME (n, key) — the co-partitioned layout a 100 TB
+    * platform maintains precisely so its fact-to-fact joins never
+    * shuffle. SnapshotSpjSpec pins the zero-shuffle plan; q244's
+    * oracle checks the joined rows.
+    */
+  def ensureBucketedPair(s: SparkSession, dir: String): (String, String) = {
+    bkBuiltCache.getOrElseUpdate(s, dir) {
+      val left = bkRoot(dir, "l")
+      val right = bkRoot(dir, "r")
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + BkLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, left, sig) ||
+        !StandingIndex.metaFresh(s, right, sig)) {
+        val f = fs(s, left)
+        f.delete(new Path(left), true)
+        f.delete(new Path(right), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        appendBucketed(s, left, docs)
+        appendBucketed(s, right, docs.select(col("doc_id"), col("lang"),
+          (coalesce(col("n_chars"), lit(0L)) % 7L).as("band")))
+        StandingIndex.writeMeta(s, left, sig)
+        StandingIndex.writeMeta(s, right, sig)
+      }
+      s.emptyDataFrame
+    }
+    (bkRoot(dir, "l"), bkRoot(dir, "r"))
+  }
+
+  /** q244: STORAGE-PARTITIONED JOIN — two co-bucketed snapshot tables
+    * join in plain SQL with ZERO shuffle on either side: both scans
+    * report `KeyGroupedPartitioning(bucket(8, doc_id))`, the catalog's
+    * V2 `bucket` function proves the transforms compatible, and Spark
+    * aligns bucket i with bucket i directly. The zero-exchange plan is
+    * pinned in SnapshotSpjSpec; the oracle here checks the join's rows
+    * (bucketing must be semantically invisible).
+    */
+  val q244SnapshotSpj: (SparkSession, String) => DataFrame = (s, dir) => {
+    val (left, right) = ensureBucketedPair(s, dir)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    val lt = catalogName(s, left)
+    val rt = catalogName(s, right)
+    s.sql(
+      s"""SELECT r.band AS band, count(*) AS n_docs,
+         |  sum(l.n_chars) AS sum_chars
+         |FROM $lt l JOIN $rt r ON l.doc_id = r.doc_id
+         |GROUP BY r.band ORDER BY band""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q203_snapshot_time_travel" -> q203SnapshotTimeTravel,
       "q204_snapshot_diff" -> q204SnapshotDiff,
@@ -3824,7 +4019,8 @@ object SnapshotStore {
       "q240_snapshot_sql_join" -> q240SnapshotSqlJoin,
       "q241_snapshot_sql_versioned" -> q241SnapshotSqlVersioned,
       "q242_snapshot_stream_sink" -> q242SnapshotStreamSink,
-      "q243_snapshot_sql_mutate" -> q243SnapshotSqlMutate)
+      "q243_snapshot_sql_mutate" -> q243SnapshotSqlMutate,
+      "q244_snapshot_spj" -> q244SnapshotSpj)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -4002,5 +4198,12 @@ object SnapshotStore {
         |    ELSE n_chars END AS ch FROM documents
         |  UNION ALL
         |  SELECT lang, n_chars FROM documents WHERE doc_id % 17 = 0
-        |) GROUP BY lang ORDER BY lang""".stripMargin)
+        |) GROUP BY lang ORDER BY lang""".stripMargin,
+    "q244_snapshot_spj" ->
+      """SELECT r.band AS band, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(l.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents l JOIN (
+        |  SELECT doc_id, COALESCE(n_chars, 0) % 7 AS band FROM documents
+        |) r ON l.doc_id = r.doc_id
+        |GROUP BY r.band ORDER BY band""".stripMargin)
 }

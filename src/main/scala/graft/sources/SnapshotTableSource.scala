@@ -163,6 +163,19 @@ final class SnapshotTable(root: String, k: Long, schema: StructType,
       })
   }
 
+  /** The table's DECLARED partitioning: the bucket transform, when
+    * every data file of snapshot k honors one ([[SnapshotStore
+    * .bucketSpecOf]]) — the surface `DESCRIBE` and Spark's write
+    * distribution logic read. The load-bearing twin lives on the SCAN
+    * ([[SnapshotScan.outputPartitioning]]), which is what the
+    * storage-partitioned-join planner actually consumes.
+    */
+  override def partitioning(): Array[Transform] =
+    if (mlist.isDefined) Array.empty
+    else SnapshotStore.bucketSpecOf(SparkSession.active, root, k)
+      .map { case (n, by) => Array[Transform](Expressions.bucket(n, by)) }
+      .getOrElse(Array.empty)
+
   /** SQL `UPDATE` / `MERGE INTO` / predicate `DELETE` — the
     * GROUP-BASED (copy-on-write) row-level protocol: Spark reads the
     * AFFECTED FILES through [[SnapshotRowLevelOperation]]'s scan
@@ -257,8 +270,14 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
     * and time travel still reads the pre-overwrite table.
     */
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
-  override def build(): Write =
-    new SnapshotWrite(root, schema, queryId, overwriteAll)
+  override def build(): Write = {
+    val s = SparkSession.active
+    // a bucket-clustered table's writes PRESERVE the layout claim:
+    // the write splits per bucket and the commit records bucket ids
+    val spec = SnapshotStore.bucketSpecOf(s, root,
+      SnapshotStore.currentSnapshot(s, root))
+    new SnapshotWrite(root, schema, queryId, overwriteAll, spec)
+  }
 }
 
 /** One written data file's stats, shipped driver-ward as the commit
@@ -278,7 +297,8 @@ final case class SnapshotFileCommit(path: String, nRows: Long,
   * through the driver, the commit is O(|commit|) metadata.
   */
 final class SnapshotWrite(root: String, schema: StructType,
-    queryId: String = "", overwriteAll: Boolean = false)
+    queryId: String = "", overwriteAll: Boolean = false,
+    bucketSpec: Option[(Int, String)] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -295,13 +315,29 @@ final class SnapshotWrite(root: String, schema: StructType,
     * range read scanning every file. Same layout contract as the
     * library write path's `repartitionByRange` (spec pins disjoint
     * intervals on a shuffled input).
+    *
+    * A BUCKETED table's write clusters by the bucket transform
+    * instead (resolved through the catalog's V2 `bucket` function —
+    * the Iceberg write-distribution shape), so each bucket lands in
+    * one task and the commit is one file per present bucket. The
+    * format-route write (`df.write.format(…)`, no function catalog)
+    * cannot resolve the transform and fails at ANALYSIS — loud by
+    * design: a silently unbucketed commit would void the layout claim
+    * every storage-partitioned join depends on. Bucketed tables write
+    * through the catalog (`INSERT INTO`) or the library.
     */
   override def requiredDistribution():
       org.apache.spark.sql.connector.distributions.Distribution = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    org.apache.spark.sql.connector.distributions.Distributions.ordered(
-      Array(Expressions.sort(Expressions.column("doc_id"),
-        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+    bucketSpec match {
+      case Some((n, by)) =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          Array(Expressions.bucket(n, by)))
+      case None =>
+        org.apache.spark.sql.connector.distributions.Distributions.ordered(
+          Array(Expressions.sort(Expressions.column("doc_id"),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+    }
   }
   override def requiredOrdering():
       Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
@@ -315,7 +351,8 @@ final class SnapshotWrite(root: String, schema: StructType,
     * and library commits byte-layout twins (and stops AQE from
     * coalescing a small commit into one stats-less megafile).
     */
-  override def requiredNumPartitions(): Int = SnapshotStore.CommitFiles
+  override def requiredNumPartitions(): Int =
+    bucketSpec.map(_._1).getOrElse(SnapshotStore.CommitFiles)
 
   override def toBatch: BatchWrite = this
   override def toStreaming:
@@ -326,35 +363,52 @@ final class SnapshotWrite(root: String, schema: StructType,
     s"GraftSnapshotWrite(root=$root)"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    SnapshotWriterFactory(dataDir, schema)
+    SnapshotWriterFactory(dataDir, schema, bucketSpec)
 
-  private def commitStats(messages: Array[WriterCommitMessage]): Unit = {
-    val stats = messages.collect {
-      case m: SnapshotFileCommit if m.nRows > 0 =>
-        (m.path, m.nRows, m.minId, m.maxId, m.nNulls)
+  private def commitStats(messages: Array[WriterCommitMessage]): Unit =
+    bucketSpec match {
+      case Some((n, by)) =>
+        val stats = messages.collect { case m: SnapshotBucketedCommit =>
+          m.files.collect { case f if f.nRows > 0 =>
+            (f.path, f.nRows, f.minId, f.maxId, f.nNulls, f.bucket)
+          }
+        }.flatten
+        if (overwriteAll)
+          SnapshotStore.commitOverwriteStatsBucketed(SparkSession.active,
+            root, stats.toIndexedSeq, schema, n, by)
+        else if (stats.nonEmpty)
+          SnapshotStore.commitAppendStatsBucketed(SparkSession.active,
+            root, stats.toIndexedSeq, schema, n, by)
+      case None =>
+        val stats = messages.collect {
+          case m: SnapshotFileCommit if m.nRows > 0 =>
+            (m.path, m.nRows, m.minId, m.maxId, m.nNulls)
+        }
+        if (overwriteAll)
+          // INSERT OVERWRITE: truncate + append as ONE snapshot — the
+          // new manifest list is exactly the new files (an empty SELECT
+          // overwrites to the empty table, per SQL semantics)
+          SnapshotStore.commitOverwriteStats(SparkSession.active, root,
+            stats.toIndexedSeq, schema)
+        // an all-empty append is a no-op, not an empty commit
+        else if (stats.nonEmpty)
+          SnapshotStore.commitAppendStats(SparkSession.active, root,
+            stats.toIndexedSeq, schema)
     }
-    if (overwriteAll)
-      // INSERT OVERWRITE: truncate + append as ONE snapshot — the new
-      // manifest list is exactly the new files (an empty SELECT
-      // overwrites to the empty table, per SQL semantics)
-      SnapshotStore.commitOverwriteStats(SparkSession.active, root,
-        stats.toIndexedSeq, schema)
-    // an all-empty append is a no-op, not an empty commit
-    else if (stats.nonEmpty)
-      SnapshotStore.commitAppendStats(SparkSession.active, root,
-        stats.toIndexedSeq, schema)
-  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     commitStats(messages)
 
   private def deleteReported(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
+    def drop(path: String): Unit = if (path.nonEmpty) {
+      val p = new Path(path)
+      val f = p.getFileSystem(conf)
+      if (f.exists(p)) f.delete(p, false)
+    }
     messages.foreach {
-      case m: SnapshotFileCommit =>
-        val p = new Path(m.path)
-        val f = p.getFileSystem(conf)
-        if (f.exists(p)) f.delete(p, false)
+      case m: SnapshotFileCommit => drop(m.path)
+      case m: SnapshotBucketedCommit => m.files.foreach(f => drop(f.path))
       case _ => ()
     }
   }
@@ -377,7 +431,7 @@ final class SnapshotWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo):
       org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    SnapshotStreamingWriterFactory(dataDir, schema)
+    SnapshotStreamingWriterFactory(dataDir, schema, bucketSpec)
 
   private def epochMarker(epochId: Long): Path = {
     val q = if (queryId == null || queryId.isEmpty) "q" else queryId
@@ -401,17 +455,81 @@ final class SnapshotWrite(root: String, schema: StructType,
 }
 
 final case class SnapshotStreamingWriterFactory(dataDir: String,
-    schema: StructType)
+    schema: StructType, bucketSpec: Option[(Int, String)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    new SnapshotFileWriter(s"$dataDir/e$epochId", schema, partitionId, taskId)
+      epochId: Long): DataWriter[InternalRow] = bucketSpec match {
+    case Some((n, by)) =>
+      new SnapshotBucketedWriter(s"$dataDir/e$epochId", schema,
+        partitionId, taskId, n, by)
+    case None =>
+      new SnapshotFileWriter(s"$dataDir/e$epochId", schema, partitionId, taskId)
+  }
 }
 
-final case class SnapshotWriterFactory(dataDir: String, schema: StructType)
+final case class SnapshotWriterFactory(dataDir: String, schema: StructType,
+    bucketSpec: Option[(Int, String)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SnapshotFileWriter(dataDir, schema, partitionId, taskId)
+    bucketSpec match {
+      case Some((n, by)) =>
+        new SnapshotBucketedWriter(dataDir, schema, partitionId, taskId, n, by)
+      case None =>
+        new SnapshotFileWriter(dataDir, schema, partitionId, taskId)
+    }
+}
+
+/** One bucketed file's stats inside a [[SnapshotBucketedCommit]]. */
+final case class SnapshotBucketedFile(path: String, nRows: Long,
+    minId: Long, maxId: Long, nNulls: Long, bucket: Int)
+
+/** A bucketed task's commit message: one stats entry per bucket the
+  * task actually saw.
+  */
+final case class SnapshotBucketedCommit(files: Seq[SnapshotBucketedFile])
+    extends WriterCommitMessage
+
+/** Executor-side BUCKET-SPLITTING writer: routes each row to its
+  * bucket's [[SnapshotFileWriter]] (`floorMod(key, n)`, null keys to
+  * bucket 0 — [[GraftBucketFunction]]'s arithmetic exactly). Under the
+  * bucket-clustered required distribution every task sees one bucket
+  * and writes one file; the split is still enforced here so the
+  * LAYOUT never depends on how Spark happened to partition (a task
+  * handed two colliding buckets writes two single-bucket files).
+  */
+final class SnapshotBucketedWriter(dataDir: String, schema: StructType,
+    partitionId: Int, taskId: Long, nBuckets: Int, by: String)
+    extends DataWriter[InternalRow] {
+  private val byIdx = schema.fieldIndex(by)
+  private val open = mutable.Map.empty[Int, SnapshotFileWriter]
+  private var fieldOff = -1
+
+  override def write(row: InternalRow): Unit = {
+    if (fieldOff < 0) {
+      fieldOff = row.numFields - schema.fields.length
+      require(fieldOff >= 0,
+        s"write row has ${row.numFields} fields for a ${schema.fields.length}-column schema")
+    }
+    val b =
+      if (row.isNullAt(byIdx + fieldOff)) 0
+      else Math.floorMod(row.getLong(byIdx + fieldOff), nBuckets.toLong).toInt
+    open.getOrElseUpdate(b,
+      new SnapshotFileWriter(dataDir, schema, partitionId, taskId,
+        s"-b$b")).write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    SnapshotBucketedCommit(open.toSeq.sortBy(_._1).flatMap { case (b, w) =>
+      w.commit() match {
+        case f: SnapshotFileCommit if f.nRows > 0 =>
+          Some(SnapshotBucketedFile(f.path, f.nRows, f.minId, f.maxId,
+            f.nNulls, b))
+        case _ => None
+      }
+    })
+
+  override def abort(): Unit = open.values.foreach(_.abort())
+  override def close(): Unit = open.values.foreach(_.close())
 }
 
 /** Executor-side writer: one parquet file per non-empty partition via
@@ -420,14 +538,15 @@ final case class SnapshotWriterFactory(dataDir: String, schema: StructType)
   * stats the manifest will carry, computed for free on the write path.
   */
 final class SnapshotFileWriter(dataDir: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, suffix: String = "")
+    extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroup
   import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
   import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
   private val filePath = new Path(
-    s"$dataDir/part-$partitionId-$taskId.parquet")
+    s"$dataDir/part-$partitionId-$taskId$suffix.parquet")
   private val conf = new Configuration()
 
   private val msgType: MessageType = {
@@ -543,7 +662,6 @@ final class SnapshotRowLevelOperation(root: String, k: Long,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = {
-        println("RLO WRITE SCHEMA: " + info.schema().map(f => f.name + ":" + f.dataType.simpleString).mkString(", "))
         new SnapshotReplaceWrite(root, k, info.schema(), SnapshotRowLevelOperation.this)
       }
     }
@@ -825,7 +943,8 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     mlist: Option[Seq[String]] = None,
     rowLevelOp: Option[SnapshotRowLevelOperation] = None)
     extends Scan with Batch
-    with SupportsRuntimeFiltering with SupportsReportStatistics {
+    with SupportsRuntimeFiltering with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   /** Join-key values delivered at RUNTIME (Spark's dynamic pruning
     * over a DSv2 source): a broadcast dim side's doc_ids arrive as an
@@ -925,10 +1044,79 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     }
   }
 
+  /** The snapshot's bucket layout, derived from the ALREADY-COLLECTED
+    * manifest rows (no second metadata pass): Some((n, col)) iff every
+    * data file declares the same spec with a non-null bucket id. A
+    * row-level-operation scan never reports one — its replace-commit
+    * write is not bucket-preserving, so claiming alignment there could
+    * let Spark skip a shuffle the rewrite actually needs.
+    */
+  private lazy val bucketSpec: Option[(Int, String)] = {
+    if (mlist.isDefined || rowLevelOp.isDefined) None
+    else {
+      val (rows, _, _) = mRows
+      val data = rows.filter(_.getAs[String]("kind") == "data")
+      if (data.isEmpty) None
+      else {
+        val sch = data.head.schema
+        if (!sch.fieldNames.contains("bucket_id") ||
+          !sch.fieldNames.contains("bucket_n") ||
+          !sch.fieldNames.contains("bucket_col")) None
+        else if (data.exists(r => r.isNullAt(r.fieldIndex("bucket_id")) ||
+          r.isNullAt(r.fieldIndex("bucket_n")) ||
+          r.isNullAt(r.fieldIndex("bucket_col")))) None
+        else {
+          val specs = data.map(r =>
+            (r.getAs[Int]("bucket_n"), r.getAs[String]("bucket_col"))).distinct
+          if (specs.length == 1) Some(specs.head) else None
+        }
+      }
+    }
+  }
+
+  /** Bucket id → its STATICALLY-planned data files (pushed bounds
+    * applied; runtime join keys NOT): group membership must be stable
+    * between `outputPartitioning()` and a runtime-filtered re-plan, so
+    * a runtime filter may empty a group's file list but never remove
+    * the group — `KeyGroupedPartitioning.numPartitions` stays the
+    * number the exchange planner already committed to.
+    */
+  private lazy val bucketGroups: Array[(Int, Array[org.apache.spark.sql.Row])] = {
+    val (rows, _, _) = mRows
+    rows.filter(r => r.getAs[String]("kind") == "data" && staticHits(r))
+      .groupBy(_.getAs[Int]("bucket_id")).toArray.sortBy(_._1)
+  }
+
+  /** KEY-GROUPED OUTPUT (`SupportsReportPartitioning`): a bucketed
+    * snapshot reports `KeyGroupedPartitioning(bucket(n, key))`, one
+    * partition per present bucket — what Spark's storage-partitioned
+    * join consumes to align two co-bucketed tables WITHOUT an exchange
+    * on either side (`spark.sql.sources.v2.bucketing.enabled`). The
+    * transform resolves through the catalog's V2 `bucket` function
+    * ([[GraftBucketFunction]]), whose arithmetic is the writer's
+    * `floorMod(key, n)` exactly.
+    */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketSpec match {
+      case Some((n, by)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.bucket(n, by)), bucketGroups.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   /** Whether a data-file manifest row survives the pushed bounds (and
     * any runtime join keys) — shared by statistics and planning.
     */
-  private def hits(r: org.apache.spark.sql.Row): Boolean = {
+  private def hits(r: org.apache.spark.sql.Row): Boolean =
+    staticHits(r) && runtimeHits(r)
+
+  /** The PLAN-TIME part of [[hits]] — pushed bounds and category
+    * bounds only. Bucket-group membership keys off this, so a runtime
+    * filter can never change the group count.
+    */
+  private def staticHits(r: org.apache.spark.sql.Row): Boolean = {
     val (_, has2D, hasCat) = mRows
     def live(c: String, loF: String, hiF: String): Boolean =
       bounds.get(c) match {
@@ -946,11 +1134,18 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
         r.getAs[String]("max_cat") >= lo && r.getAs[String]("min_cat") <= hi
       }
     }
-    // runtime join keys: a file lives iff its [min_id, max_id]
-    // interval holds at least one delivered key (binary search over
-    // the sorted key array — O(log #keys) per file); sentinel
-    // (all-null-id) stats never prune
-    def liveRuntime: Boolean = runtimeKeys.forall { keys =>
+    live("doc_id", "min_id", "max_id") &&
+      (!has2D || live("n_chars", "min_chars", "max_chars")) &&
+      liveCat
+  }
+
+  /** The RUNTIME part of [[hits]]: a file lives iff its [min_id,
+    * max_id] interval holds at least one delivered join key (binary
+    * search over the sorted key array — O(log #keys) per file);
+    * sentinel (all-null-id) stats never prune.
+    */
+  private def runtimeHits(r: org.apache.spark.sql.Row): Boolean =
+    runtimeKeys.forall { keys =>
       val iLo = r.fieldIndex("min_id")
       r.isNullAt(iLo) || {
         val (mn, mx) = (r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))
@@ -961,10 +1156,6 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
         }
       }
     }
-    live("doc_id", "min_id", "max_id") &&
-      (!has2D || live("n_chars", "min_chars", "max_chars")) &&
-      liveCat && liveRuntime
-  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val s = SparkSession.active
@@ -1005,7 +1196,7 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     val boundSeq =
       if (rowLevelOp.isDefined) Nil
       else bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
-    chosen.map { r =>
+    def filePart(r: org.apache.spark.sql.Row): SnapshotFilePartition = {
       val cid = r.getAs[Long]("commit_id")
       // invert the era's renames: current name → the file's physical name
       val outToPhys = SnapshotStore.renamesFor(s, root, k, cid)
@@ -1014,7 +1205,19 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
       SnapshotFilePartition(path, cid, outToPhys,
         required, boundSeq, dk, dc,
         posByFile.getOrElse(SnapshotStore.normPathStr(path),
-          Array.empty[Long])): InputPartition
+          Array.empty[Long]))
+    }
+    bucketSpec match {
+      case Some(_) =>
+        // one KEY GROUP per present bucket (HasPartitionKey); runtime
+        // keys prune files WITHIN a group but never drop the group —
+        // the reported numPartitions must survive the re-plan
+        bucketGroups.map { case (b, rs) =>
+          SnapshotBucketPartition(b,
+            rs.filter(runtimeHits).map(filePart).toSeq): InputPartition
+        }
+      case None =>
+        chosen.map(r => filePart(r): InputPartition)
     }
   }
 
@@ -1022,9 +1225,50 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     new SnapshotReaderFactory
 }
 
+/** One KEY GROUP of a bucketed snapshot: every data file holding
+  * bucket `bucket`'s rows. `HasPartitionKey` is the executor-side half
+  * of the storage-partitioned-join contract — Spark aligns groups
+  * with equal keys across the two scans instead of exchanging rows.
+  */
+final case class SnapshotBucketPartition(bucket: Int,
+    files: Seq[SnapshotFilePartition]) extends InputPartition
+    with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 final class SnapshotReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new SnapshotFileReader(partition.asInstanceOf[SnapshotFilePartition])
+    partition match {
+      case f: SnapshotFilePartition => new SnapshotFileReader(f)
+      case b: SnapshotBucketPartition => new SnapshotBucketReader(b)
+    }
+}
+
+/** Streams a bucket group's files back-to-back — one file open at a
+  * time, each through the ordinary [[SnapshotFileReader]] (bounds,
+  * deletes, renames, metadata columns all apply per file).
+  */
+final class SnapshotBucketReader(p: SnapshotBucketPartition)
+    extends PartitionReader[InternalRow] {
+  private val it = p.files.iterator
+  private var cur: SnapshotFileReader = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = new SnapshotFileReader(it.next())
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false
+  }
+
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Streams one data file through the parquet example Group API with
