@@ -411,12 +411,8 @@ object SnapshotStore {
       stats: Seq[(String, Long, Long, Long, Long, Int)], schema: StructType,
       nBuckets: Int, by: String): Long =
     commitRetry(s, root) { prev =>
-      import s.implicits._
-      val m = stats.map { case (p, n, mn, mx, nn, b) =>
-        (p, prev + 1, n, mn, mx, nn, b, nBuckets, by)
-      }.toDF("path", "commit_id", "n_rows", "min_id", "max_id", "n_nulls",
-        "bucket_id", "bucket_n", "bucket_col")
-      (listOf(s, root, prev) :+ writeManifestFile(s, root, m),
+      (listOf(s, root, prev) :+ writeManifestFile(s, root,
+        bucketedManifestRows(s, stats, prev + 1, nBuckets, by)),
         mergedSchema(tableSchema(s, root, prev), schema))
     }
 
@@ -428,16 +424,10 @@ object SnapshotStore {
       schema: StructType, nBuckets: Int, by: String): Long =
     commitRetry(s, root) { prev =>
       require(prev > 0, "INSERT OVERWRITE on an uncommitted store")
-      import s.implicits._
       if (stats.isEmpty) (Nil, tableSchema(s, root, prev))
-      else {
-        val m = stats.map { case (p, n, mn, mx, nn, b) =>
-          (p, prev + 1, n, mn, mx, nn, b, nBuckets, by)
-        }.toDF("path", "commit_id", "n_rows", "min_id", "max_id", "n_nulls",
-          "bucket_id", "bucket_n", "bucket_col")
-        (Seq(writeManifestFile(s, root, m)),
-          mergedSchema(tableSchema(s, root, prev), schema))
-      }
+      else (Seq(writeManifestFile(s, root,
+        bucketedManifestRows(s, stats, prev + 1, nBuckets, by))),
+        mergedSchema(tableSchema(s, root, prev), schema))
     }
 
   /** One data file's manifest stats. `nNulls` = null-key rows (the
@@ -1194,6 +1184,10 @@ object SnapshotStore {
     // layout by an unsuspecting maintenance job — delegate
     if (isZStore(s, root, currentSnapshot(s, root)))
       return compactZ(s, root)
+    // likewise a bucketed store: compaction re-lays the SAME buckets
+    // (voiding the claim would silently cost every SPJ its alignment)
+    if (bucketSpecOf(s, root, currentSnapshot(s, root)).isDefined)
+      return compactBucketed(s, root)
     commitRetry(s, root) { prev =>
       require(prev > 0, "compact on an empty table")
       val k = prev + 1
@@ -1256,11 +1250,18 @@ object SnapshotStore {
           delFiles.map(_.getAs[Long]("n_rows")).sum,
           posFiles.map(_.getAs[Long]("n_rows")).sum)
         // a Z store packs ALONG THE INTERLEAVE (both dims' stats
-        // re-recorded), so maintenance never degrades 2-D pruning
+        // re-recorded), a bucketed store ALONG ITS BUCKETS (ids
+        // re-recorded), so maintenance never degrades 2-D pruning or
+        // voids the SPJ layout claim
         val packedRows =
           if (isZStore(s, root, prev))
             zManifestRows(s, writeZDataFiles(s, root, packedDf), k)
-          else manifestRows(s, writeDataFilesN(s, root, packedDf, nOut), k)
+          else bucketSpecOf(s, root, prev) match {
+            case Some((nb, by)) => bucketedManifestRows(s,
+              writeBucketedDataFiles(s, root, packedDf, nb, by), k, nb, by)
+            case None =>
+              manifestRows(s, writeDataFilesN(s, root, packedDf, nOut), k)
+          }
         // manifest-file granularity, as in [[deleteRange]]
         val touchedM = smallRows.map(_.getAs[String]("mpath")).toSet
         val carried = listOf(s, root, prev).filterNot(touchedM)
@@ -1359,7 +1360,11 @@ object SnapshotStore {
           case None => manifestRows(s, Nil, k)
           case Some(df) if isZStore(s, root, prev) =>
             zManifestRows(s, writeZDataFiles(s, root, df), k)
-          case Some(df) => manifestRows(s, writeDataFiles(s, root, df), k)
+          case Some(df) => bucketSpecOf(s, root, prev) match {
+            case Some((nb, by)) => bucketedManifestRows(s,
+              writeBucketedDataFiles(s, root, df, nb, by), k, nb, by)
+            case None => manifestRows(s, writeDataFiles(s, root, df), k)
+          }
         }
         val mf = writeManifestFile(s, root, survivors.unionByName(
           newRows, allowMissingColumns = true))
@@ -2229,11 +2234,26 @@ object SnapshotStore {
   def appendBucketed(s: SparkSession, root: String, df: DataFrame,
       nBuckets: Int = BkBuckets, by: String = "doc_id"): Long = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val stats = writeBucketedDataFiles(s, root, df, nBuckets, by)
+    commitRetry(s, root) { prev =>
+      (listOf(s, root, prev) :+ writeManifestFile(s, root,
+        bucketedManifestRows(s, stats, prev + 1, nBuckets, by)),
+        mergedSchema(tableSchema(s, root, prev), df.schema))
+    }
+  }
+
+  /** Write one commit attempt's bucket-split data files: one file per
+    * `floorMod(key, n)` bucket actually present (partitionBy splits
+    * output by bucket value even when the task-level repartition
+    * collides buckets into one task, so one-file-one-bucket never
+    * rides hash placement). Returns per-file
+    * (path, n_rows, min_id, max_id, n_nulls, bucket).
+    */
+  private def writeBucketedDataFiles(s: SparkSession, root: String,
+      df: DataFrame, nBuckets: Int, by: String):
+      Seq[(String, Long, Long, Long, Long, Int)] = {
     val token = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$root/data/b$token"
-    // partitionBy splits output files by bucket value even when the
-    // task-level repartition collides several buckets into one task,
-    // so one-file-one-bucket holds without relying on hash placement
     df.withColumn("__gbucket",
         pmod(coalesce(col(by), lit(0L)), lit(nBuckets.toLong)).cast("int"))
       .repartition(col("__gbucket"))
@@ -2246,25 +2266,66 @@ object SnapshotStore {
         f.listStatus(d.getPath).toSeq.map(_.getPath.toString)
           .filter(_.endsWith(".parquet")).map(p => (b, p))
       }
-    val stats = files.flatMap { case (b, p) =>
-      val st = s.read.parquet(p)
-        .agg(count(lit(1)).cast("long"), min(col("doc_id")).cast("long"),
-          max(col("doc_id")).cast("long"), count(col("doc_id")).cast("long"))
-        .head()
-      if (st.getLong(0) == 0L) { f.delete(new Path(p), false); None }
-      else Some((p, st.getLong(0),
-        if (st.isNullAt(1)) Long.MinValue else st.getLong(1),
-        if (st.isNullAt(1)) Long.MaxValue else st.getLong(2),
-        st.getLong(0) - st.getLong(3), b))
+    // per-file stats in ONE job, grouped by input_file_name — a
+    // production bucket width (hundreds to thousands) must not become
+    // that many driver-sequential jobs. Manifest paths stay the
+    // listStatus strings (what vacuum's reference set compares
+    // against); the URI-normalized path only keys the join here.
+    val statByPath: Map[String, (Long, Option[Long], Option[Long], Long)] =
+      s.read.parquet(dataDir)
+        .groupBy(input_file_name().as("p"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          min(col("doc_id")).cast("long").as("mn"),
+          max(col("doc_id")).cast("long").as("mx"),
+          count(col("doc_id")).cast("long").as("nid"))
+        .collect().map { r =>
+          new Path(r.getString(0)).toUri.getPath ->
+            ((r.getLong(1),
+              if (r.isNullAt(2)) None else Some(r.getLong(2)),
+              if (r.isNullAt(3)) None else Some(r.getLong(3)),
+              r.getLong(4)))
+        }.toMap
+    files.flatMap { case (b, p) =>
+      statByPath.get(new Path(p).toUri.getPath) match {
+        case None => // a zero-row part file — drop it
+          f.delete(new Path(p), false); None
+        case Some((n, mn, mx, nid)) => Some((p, n,
+          mn.getOrElse(Long.MinValue), mx.getOrElse(Long.MaxValue),
+          n - nid, b))
+      }
     }
+  }
+
+  /** Manifest rows for bucket-split files — the (bucket_id, bucket_n,
+    * bucket_col) triple next to the usual stats.
+    */
+  private def bucketedManifestRows(s: SparkSession,
+      stats: Seq[(String, Long, Long, Long, Long, Int)], k: Long,
+      nBuckets: Int, by: String): DataFrame = {
+    import s.implicits._
+    stats.map { case (p, n, lo, hi, nn, bkt) =>
+      (p, k, n, lo, hi, nn, bkt, nBuckets, by)
+    }.toDF("path", "commit_id", "n_rows", "min_id", "max_id", "n_nulls",
+      "bucket_id", "bucket_n", "bucket_col")
+  }
+
+  /** BUCKET-PRESERVING COMPACTION: the current snapshot rewritten as
+    * one file per bucket ALONG THE SAME floorMod layout, bucket ids
+    * re-recorded — so maintenance never silently voids the layout a
+    * storage-partitioned join depends on. [[compact]] delegates here
+    * on bucketed stores.
+    */
+  def compactBucketed(s: SparkSession, root: String): Long = {
+    val (n, by) = bucketSpecOf(s, root, currentSnapshot(s, root))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$root is not bucket-clustered"))
     commitRetry(s, root) { prev =>
-      import s.implicits._
-      val m = stats.map { case (p, n, lo, hi, nn, bkt) =>
-        (p, prev + 1, n, lo, hi, nn, bkt, nBuckets, by)
-      }.toDF("path", "commit_id", "n_rows", "min_id", "max_id", "n_nulls",
-        "bucket_id", "bucket_n", "bucket_col")
-      (listOf(s, root, prev) :+ writeManifestFile(s, root, m),
-        mergedSchema(tableSchema(s, root, prev), df.schema))
+      require(prev > 0, "compactBucketed on an empty table")
+      val stats = writeBucketedDataFiles(s, root,
+        readSnapshot(s, root, prev), n, by)
+      (Seq(writeManifestFile(s, root,
+        bucketedManifestRows(s, stats, prev + 1, n, by))),
+        tableSchema(s, root, prev))
     }
   }
 

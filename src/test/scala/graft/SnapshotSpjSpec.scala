@@ -230,6 +230,56 @@ class SnapshotSpjSpec extends AnyFunSuite {
       s"unexpected bucket layout: ${byBucket.toSeq.sorted}")
   }
 
+  test("maintenance preserves the bucket layout: foldDeletes, binPack, and compact all re-bucket") {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_spj_maint_${System.nanoTime()}"
+    val docs = Engine.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotStore.appendBucketed(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    SnapshotStore.appendBucketed(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    // a MOR delete file never voids the claim (kind != data)...
+    SnapshotStore.deleteKeys(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(15)) === 0).select("doc_id"))
+    assert(SnapshotStore.bucketSpecOf(spark, root, 3L)
+      .contains((SnapshotStore.BkBuckets, "doc_id")))
+    val want = rows(docs.filter(pmod(col("doc_id"), lit(15)) =!= 0)
+      .select("doc_id"))
+    def checkLayout(k: Long, label: String): Unit = {
+      assert(SnapshotStore.bucketSpecOf(spark, root, k)
+        .contains((SnapshotStore.BkBuckets, "doc_id")),
+        s"$label must re-record the bucket layout, not void it")
+      assert(rows(SnapshotStore.readSnapshot(spark, root, k)
+        .select("doc_id")) == want, s"$label must preserve the rows")
+    }
+    // ...and folding it rewrites the affected files ALONG the buckets
+    checkLayout(SnapshotStore.foldDeletes(spark, root), "foldDeletes")
+    // a small bucketed commit, then binPack repacks the tail per bucket
+    SnapshotStore.appendBucketed(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .filter(pmod(col("doc_id"), lit(15)) =!= 0))
+    val wantPlus = rows(docs.filter(pmod(col("doc_id"), lit(15)) =!= 0)
+      .select("doc_id").unionAll(
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .filter(pmod(col("doc_id"), lit(15)) =!= 0).select("doc_id")))
+    val kPack = SnapshotStore.binPack(spark, root, minRows = 50L,
+      targetRows = 1000L)
+    assert(SnapshotStore.bucketSpecOf(spark, root, kPack)
+      .contains((SnapshotStore.BkBuckets, "doc_id")),
+      "binPack must repack the small tail along the buckets")
+    assert(rows(SnapshotStore.readSnapshot(spark, root, kPack)
+      .select("doc_id")) == wantPlus)
+    // full compaction delegates to the bucket-preserving path
+    val kC = SnapshotStore.compact(spark, root)
+    assert(SnapshotStore.bucketSpecOf(spark, root, kC)
+      .contains((SnapshotStore.BkBuckets, "doc_id")),
+      "compact on a bucketed store must delegate to compactBucketed")
+    assert(rows(SnapshotStore.readSnapshot(spark, root, kC)
+      .select("doc_id")) == wantPlus)
+    assert(SnapshotStore.manifest(spark, root, kC).count() <=
+      SnapshotStore.BkBuckets, "compaction lands one file per bucket")
+  }
+
   test("the V2 bucket function is the writer's arithmetic exactly") {
     import org.apache.spark.sql.types._
     val bound = GraftBucketFunction.bind(StructType(Seq(
