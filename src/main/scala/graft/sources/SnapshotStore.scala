@@ -430,6 +430,29 @@ object SnapshotStore {
         mergedSchema(tableSchema(s, root, prev), schema))
     }
 
+  /** The identity-partitioned DSv2 landing — the [[
+    * commitAppendStatsBucketed]] twin for partition values.
+    */
+  private[graft] def commitAppendStatsPartitioned(s: SparkSession,
+      root: String, stats: Seq[(String, Long, Long, Long, Long, String)],
+      schema: StructType, by: String): Long =
+    commitRetry(s, root) { prev =>
+      (listOf(s, root, prev) :+ writeManifestFile(s, root,
+        partitionedManifestRows(s, stats, prev + 1, by)),
+        mergedSchema(tableSchema(s, root, prev), schema))
+    }
+
+  private[graft] def commitOverwriteStatsPartitioned(s: SparkSession,
+      root: String, stats: Seq[(String, Long, Long, Long, Long, String)],
+      schema: StructType, by: String): Long =
+    commitRetry(s, root) { prev =>
+      require(prev > 0, "INSERT OVERWRITE on an uncommitted store")
+      if (stats.isEmpty) (Nil, tableSchema(s, root, prev))
+      else (Seq(writeManifestFile(s, root,
+        partitionedManifestRows(s, stats, prev + 1, by))),
+        mergedSchema(tableSchema(s, root, prev), schema))
+    }
+
   /** One data file's manifest stats. `nNulls` = null-key rows (the
     * Iceberg null_value_counts shape — what lets readers DECIDE
     * null-path work from metadata alone); None = the writer did not
@@ -1188,6 +1211,9 @@ object SnapshotStore {
     // (voiding the claim would silently cost every SPJ its alignment)
     if (bucketSpecOf(s, root, currentSnapshot(s, root)).isDefined)
       return compactBucketed(s, root)
+    // and an identity-partitioned store re-lays its partition values
+    if (partSpecOf(s, root, currentSnapshot(s, root)).isDefined)
+      return compactPartitioned(s, root)
     commitRetry(s, root) { prev =>
       require(prev > 0, "compact on an empty table")
       val k = prev + 1
@@ -1259,8 +1285,12 @@ object SnapshotStore {
           else bucketSpecOf(s, root, prev) match {
             case Some((nb, by)) => bucketedManifestRows(s,
               writeBucketedDataFiles(s, root, packedDf, nb, by), k, nb, by)
-            case None =>
-              manifestRows(s, writeDataFilesN(s, root, packedDf, nOut), k)
+            case None => partSpecOf(s, root, prev) match {
+              case Some(by) => partitionedManifestRows(s,
+                writePartitionedDataFiles(s, root, packedDf, by), k, by)
+              case None =>
+                manifestRows(s, writeDataFilesN(s, root, packedDf, nOut), k)
+            }
           }
         // manifest-file granularity, as in [[deleteRange]]
         val touchedM = smallRows.map(_.getAs[String]("mpath")).toSet
@@ -1363,7 +1393,11 @@ object SnapshotStore {
           case Some(df) => bucketSpecOf(s, root, prev) match {
             case Some((nb, by)) => bucketedManifestRows(s,
               writeBucketedDataFiles(s, root, df, nb, by), k, nb, by)
-            case None => manifestRows(s, writeDataFiles(s, root, df), k)
+            case None => partSpecOf(s, root, prev) match {
+              case Some(by) => partitionedManifestRows(s,
+                writePartitionedDataFiles(s, root, df, by), k, by)
+              case None => manifestRows(s, writeDataFiles(s, root, df), k)
+            }
           }
         }
         val mf = writeManifestFile(s, root, survivors.unionByName(
@@ -2325,6 +2359,143 @@ object SnapshotStore {
         readSnapshot(s, root, prev), n, by)
       (Seq(writeManifestFile(s, root,
         bucketedManifestRows(s, stats, prev + 1, n, by))),
+        tableSchema(s, root, prev))
+    }
+  }
+
+  // ---- IDENTITY-PARTITIONED commits (hidden partitioning) -----------
+
+  /** IDENTITY-PARTITIONED APPEND: every data file of the commit holds
+    * exactly ONE value of a string partition column (`lang`, a date
+    * bucket, a source) — the hive/Iceberg identity-partition layout —
+    * and each file's manifest row records (part_col, part_val). The
+    * DSv2 scan then reports `KeyGroupedPartitioning(identity(col))`,
+    * which needs NO function catalog to resolve, so GROUP BY and joins
+    * on the partition column skip their exchanges through ANY read
+    * route (catalog tables and plain `format().load()` views alike) —
+    * at 100 TB, a per-partition rollup over a date-partitioned corpus
+    * becomes map-side-only. NULL partition values are refused loudly:
+    * a null key group would be indistinguishable in the manifest from
+    * "no layout claim", and identity-partition columns (dates,
+    * languages, sources) are non-null by construction in any real
+    * corpus. Same claim-CAS protocol; the claim is re-verified per
+    * file at plan time like every other layout.
+    */
+  def appendPartitioned(s: SparkSession, root: String, df: DataFrame,
+      by: String): Long = {
+    // STRING partition columns only: the key-group partition rows the
+    // scan reports must carry the column's exact type, and the
+    // identity-partition use cases (lang, source, date strings) are
+    // string-shaped — a numeric column wanting co-location is the
+    // bucket layout's job
+    require(df.schema(by).dataType == org.apache.spark.sql.types.StringType,
+      s"appendPartitioned($by): partition column must be STRING, " +
+        s"got ${df.schema(by).dataType.simpleString}")
+    val stats = writePartitionedDataFiles(s, root, df, by)
+    commitRetry(s, root) { prev =>
+      (listOf(s, root, prev) :+ writeManifestFile(s, root,
+        partitionedManifestRows(s, stats, prev + 1, by)),
+        mergedSchema(tableSchema(s, root, prev), df.schema))
+    }
+  }
+
+  /** Write one commit attempt's identity-partitioned files (one per
+    * value present; the partition column STAYS in the data — the split
+    * rides a shadow column). Returns per-file
+    * (path, n_rows, min_id, max_id, n_nulls, part_val); fails loudly
+    * on NULL partition values and verifies single-valuedness per file
+    * from the same stats pass.
+    */
+  private def writePartitionedDataFiles(s: SparkSession, root: String,
+      df: DataFrame, by: String): Seq[(String, Long, Long, Long, Long, String)] = {
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val dataDir = s"$root/data/p$token"
+    df.withColumn("__gpart", col(by).cast("string"))
+      .repartition(col("__gpart"))
+      .write.mode("overwrite").partitionBy("__gpart").parquet(dataDir)
+    val f = fs(s, root)
+    val files = f.listStatus(new Path(dataDir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__gpart="))
+      .flatMap(d => f.listStatus(d.getPath).toSeq.map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")))
+    // one stats job for every file; the value comes from the DATA
+    // (min == max verified), never from decoding directory names
+    val statByPath: Map[String, (Long, Option[Long], Option[Long], Long, String)] =
+      s.read.parquet(dataDir)
+        .groupBy(input_file_name().as("p"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          min(col("doc_id")).cast("long").as("mn"),
+          max(col("doc_id")).cast("long").as("mx"),
+          count(col("doc_id")).cast("long").as("nid"),
+          min(col(by).cast("string")).as("vlo"),
+          max(col(by).cast("string")).as("vhi"),
+          count(col(by)).cast("long").as("nv"))
+        .collect().map { r =>
+          require(r.getLong(7) == r.getLong(1),
+            s"appendPartitioned($by): NULL partition values are not allowed")
+          require(r.getString(5) == r.getString(6),
+            s"appendPartitioned($by): file spans values " +
+              s"${r.getString(5)}..${r.getString(6)}")
+          new Path(r.getString(0)).toUri.getPath ->
+            ((r.getLong(1),
+              if (r.isNullAt(2)) None else Some(r.getLong(2)),
+              if (r.isNullAt(3)) None else Some(r.getLong(3)),
+              r.getLong(4), r.getString(5)))
+        }.toMap
+    files.flatMap { p =>
+      statByPath.get(new Path(p).toUri.getPath) match {
+        case None => f.delete(new Path(p), false); None
+        case Some((n, mn, mx, nid, v)) => Some((p, n,
+          mn.getOrElse(Long.MinValue), mx.getOrElse(Long.MaxValue),
+          n - nid, v))
+      }
+    }
+  }
+
+  /** Manifest rows for identity-partitioned files. */
+  private def partitionedManifestRows(s: SparkSession,
+      stats: Seq[(String, Long, Long, Long, Long, String)], k: Long,
+      by: String): DataFrame = {
+    import s.implicits._
+    stats.map { case (p, n, lo, hi, nn, v) =>
+      (p, k, n, lo, hi, nn, by, v)
+    }.toDF("path", "commit_id", "n_rows", "min_id", "max_id", "n_nulls",
+      "part_col", "part_val")
+  }
+
+  /** The identity-partition layout of snapshot k, if EVERY data file
+    * honors one — Some(col) iff all data files declare the same
+    * part_col with a non-null part_val. Any plain commit voids the
+    * claim, exactly like [[bucketSpecOf]].
+    */
+  private[graft] def partSpecOf(s: SparkSession, root: String,
+      k: Long): Option[String] = {
+    if (k <= 0) return None
+    val m = withKind(manifest(s, root, k))
+    if (!m.columns.contains("part_col") || !m.columns.contains("part_val"))
+      return None
+    val rows = m.filter(col("kind") === "data")
+      .select("part_col", "part_val").collect()
+    if (rows.isEmpty || rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+    else {
+      val cols = rows.map(_.getString(0)).distinct
+      if (cols.length == 1) Some(cols.head) else None
+    }
+  }
+
+  /** PARTITION-PRESERVING COMPACTION: one file per partition value
+    * along the same identity layout. [[compact]] delegates here on
+    * identity-partitioned stores.
+    */
+  def compactPartitioned(s: SparkSession, root: String): Long = {
+    val by = partSpecOf(s, root, currentSnapshot(s, root)).getOrElse(
+      throw new IllegalArgumentException(s"$root is not identity-partitioned"))
+    commitRetry(s, root) { prev =>
+      require(prev > 0, "compactPartitioned on an empty table")
+      val stats = writePartitionedDataFiles(s, root,
+        readSnapshot(s, root, prev), by)
+      (Seq(writeManifestFile(s, root,
+        partitionedManifestRows(s, stats, prev + 1, by))),
         tableSchema(s, root, prev))
     }
   }
@@ -4049,6 +4220,64 @@ object SnapshotStore {
          |GROUP BY r.band ORDER BY band""".stripMargin)
   }
 
+  // ---- the IDENTITY-PARTITIONED store (q245) -------------------------
+
+  /** Identity-partition fixture layout version. */
+  private val IpLayout = 1L
+
+  private[graft] def ipRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapip")
+
+  private val ipBuiltCache = new graft.SessionCache
+
+  /** Seed the IDENTITY-PARTITIONED fixture: documents committed twice
+    * through [[appendPartitioned]] on `lang` — so every partition
+    * value's key group spans files from BOTH commits.
+    */
+  def ensurePartitioned(s: SparkSession, dir: String): String = {
+    ipBuiltCache.getOrElseUpdate(s, dir) {
+      val root = ipRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + IpLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        appendPartitioned(s, root,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "lang")
+        appendPartitioned(s, root,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), "lang")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    ipRoot(dir)
+  }
+
+  /** q245: PRE-PARTITIONED AGGREGATION — a per-lang rollup over the
+    * identity-partitioned store runs WITHOUT an aggregation exchange:
+    * the scan reports `KeyGroupedPartitioning(identity(lang))` (one
+    * key group per partition value, resolvable with no function
+    * catalog), which already satisfies the GROUP BY's clustered
+    * distribution. At 100 TB this is the difference between a map-side
+    * rollup and re-shuffling the corpus for every per-partition
+    * report. The zero-exchange plan is pinned in SnapshotPartitionSpec;
+    * the oracle checks the rollup's rows.
+    */
+  val q245SnapshotPartitioned: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensurePartitioned(s, dir)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    val tbl = catalogName(s, root)
+    s.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+         |  min(n_chars) AS min_chars
+         |FROM $tbl GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q203_snapshot_time_travel" -> q203SnapshotTimeTravel,
       "q204_snapshot_diff" -> q204SnapshotDiff,
@@ -4081,7 +4310,8 @@ object SnapshotStore {
       "q241_snapshot_sql_versioned" -> q241SnapshotSqlVersioned,
       "q242_snapshot_stream_sink" -> q242SnapshotStreamSink,
       "q243_snapshot_sql_mutate" -> q243SnapshotSqlMutate,
-      "q244_snapshot_spj" -> q244SnapshotSpj)
+      "q244_snapshot_spj" -> q244SnapshotSpj,
+      "q245_snapshot_partitioned" -> q245SnapshotPartitioned)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -4266,5 +4496,10 @@ object SnapshotStore {
         |FROM documents l JOIN (
         |  SELECT doc_id, COALESCE(n_chars, 0) % 7 AS band FROM documents
         |) r ON l.doc_id = r.doc_id
-        |GROUP BY r.band ORDER BY band""".stripMargin)
+        |GROUP BY r.band ORDER BY band""".stripMargin,
+    "q245_snapshot_partitioned" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -174,6 +174,8 @@ final class SnapshotTable(root: String, k: Long, schema: StructType,
     if (mlist.isDefined) Array.empty
     else SnapshotStore.bucketSpecOf(SparkSession.active, root, k)
       .map { case (n, by) => Array[Transform](Expressions.bucket(n, by)) }
+      .orElse(SnapshotStore.partSpecOf(SparkSession.active, root, k)
+        .map(by => Array[Transform](Expressions.identity(by))))
       .getOrElse(Array.empty)
 
   /** SQL `UPDATE` / `MERGE INTO` / predicate `DELETE` — the
@@ -272,11 +274,14 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
   override def build(): Write = {
     val s = SparkSession.active
-    // a bucket-clustered table's writes PRESERVE the layout claim:
-    // the write splits per bucket and the commit records bucket ids
-    val spec = SnapshotStore.bucketSpecOf(s, root,
-      SnapshotStore.currentSnapshot(s, root))
-    new SnapshotWrite(root, schema, queryId, overwriteAll, spec)
+    // a bucket- or identity-clustered table's writes PRESERVE the
+    // layout claim: the write splits per key and the commit records
+    // each file's bucket id / partition value
+    val cur = SnapshotStore.currentSnapshot(s, root)
+    val spec = SnapshotStore.bucketSpecOf(s, root, cur)
+    val pSpec =
+      if (spec.isDefined) None else SnapshotStore.partSpecOf(s, root, cur)
+    new SnapshotWrite(root, schema, queryId, overwriteAll, spec, pSpec)
   }
 }
 
@@ -298,7 +303,8 @@ final case class SnapshotFileCommit(path: String, nRows: Long,
   */
 final class SnapshotWrite(root: String, schema: StructType,
     queryId: String = "", overwriteAll: Boolean = false,
-    bucketSpec: Option[(Int, String)] = None)
+    bucketSpec: Option[(Int, String)] = None,
+    partSpec: Option[String] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -333,10 +339,17 @@ final class SnapshotWrite(root: String, schema: StructType,
       case Some((n, by)) =>
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
           Array(Expressions.bucket(n, by)))
-      case None =>
-        org.apache.spark.sql.connector.distributions.Distributions.ordered(
-          Array(Expressions.sort(Expressions.column("doc_id"),
-            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+      case None => partSpec match {
+        case Some(by) =>
+          // identity transforms resolve with no function catalog, so
+          // this path works through EVERY write route
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(Expressions.identity(by)))
+        case None =>
+          org.apache.spark.sql.connector.distributions.Distributions.ordered(
+            Array(Expressions.sort(Expressions.column("doc_id"),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+      }
     }
   }
   override def requiredOrdering():
@@ -363,7 +376,7 @@ final class SnapshotWrite(root: String, schema: StructType,
     s"GraftSnapshotWrite(root=$root)"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    SnapshotWriterFactory(dataDir, schema, bucketSpec)
+    SnapshotWriterFactory(dataDir, schema, bucketSpec, partSpec)
 
   private def commitStats(messages: Array[WriterCommitMessage]): Unit =
     bucketSpec match {
@@ -379,6 +392,19 @@ final class SnapshotWrite(root: String, schema: StructType,
         else if (stats.nonEmpty)
           SnapshotStore.commitAppendStatsBucketed(SparkSession.active,
             root, stats.toIndexedSeq, schema, n, by)
+      case None if partSpec.isDefined =>
+        val by = partSpec.get
+        val stats = messages.collect { case m: SnapshotPartitionedCommit =>
+          m.files.collect { case f if f.nRows > 0 =>
+            (f.path, f.nRows, f.minId, f.maxId, f.nNulls, f.value)
+          }
+        }.flatten
+        if (overwriteAll)
+          SnapshotStore.commitOverwriteStatsPartitioned(SparkSession.active,
+            root, stats.toIndexedSeq, schema, by)
+        else if (stats.nonEmpty)
+          SnapshotStore.commitAppendStatsPartitioned(SparkSession.active,
+            root, stats.toIndexedSeq, schema, by)
       case None =>
         val stats = messages.collect {
           case m: SnapshotFileCommit if m.nRows > 0 =>
@@ -409,6 +435,7 @@ final class SnapshotWrite(root: String, schema: StructType,
     messages.foreach {
       case m: SnapshotFileCommit => drop(m.path)
       case m: SnapshotBucketedCommit => m.files.foreach(f => drop(f.path))
+      case m: SnapshotPartitionedCommit => m.files.foreach(f => drop(f.path))
       case _ => ()
     }
   }
@@ -431,7 +458,7 @@ final class SnapshotWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo):
       org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    SnapshotStreamingWriterFactory(dataDir, schema, bucketSpec)
+    SnapshotStreamingWriterFactory(dataDir, schema, bucketSpec, partSpec)
 
   private def epochMarker(epochId: Long): Path = {
     val q = if (queryId == null || queryId.isEmpty) "q" else queryId
@@ -455,25 +482,33 @@ final class SnapshotWrite(root: String, schema: StructType,
 }
 
 final case class SnapshotStreamingWriterFactory(dataDir: String,
-    schema: StructType, bucketSpec: Option[(Int, String)] = None)
+    schema: StructType, bucketSpec: Option[(Int, String)] = None,
+    partSpec: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = bucketSpec match {
     case Some((n, by)) =>
       new SnapshotBucketedWriter(s"$dataDir/e$epochId", schema,
         partitionId, taskId, n, by)
+    case None if partSpec.isDefined =>
+      new SnapshotPartitionedWriter(s"$dataDir/e$epochId", schema,
+        partitionId, taskId, partSpec.get)
     case None =>
       new SnapshotFileWriter(s"$dataDir/e$epochId", schema, partitionId, taskId)
   }
 }
 
 final case class SnapshotWriterFactory(dataDir: String, schema: StructType,
-    bucketSpec: Option[(Int, String)] = None)
+    bucketSpec: Option[(Int, String)] = None,
+    partSpec: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     bucketSpec match {
       case Some((n, by)) =>
         new SnapshotBucketedWriter(dataDir, schema, partitionId, taskId, n, by)
+      case None if partSpec.isDefined =>
+        new SnapshotPartitionedWriter(dataDir, schema, partitionId, taskId,
+          partSpec.get)
       case None =>
         new SnapshotFileWriter(dataDir, schema, partitionId, taskId)
     }
@@ -524,6 +559,59 @@ final class SnapshotBucketedWriter(dataDir: String, schema: StructType,
         case f: SnapshotFileCommit if f.nRows > 0 =>
           Some(SnapshotBucketedFile(f.path, f.nRows, f.minId, f.maxId,
             f.nNulls, b))
+        case _ => None
+      }
+    })
+
+  override def abort(): Unit = open.values.foreach(_.abort())
+  override def close(): Unit = open.values.foreach(_.close())
+}
+
+/** One identity-partitioned file's stats inside a
+  * [[SnapshotPartitionedCommit]].
+  */
+final case class SnapshotPartitionedFile(path: String, nRows: Long,
+    minId: Long, maxId: Long, nNulls: Long, value: String)
+
+/** A partitioned task's commit message: one stats entry per partition
+  * value the task actually saw.
+  */
+final case class SnapshotPartitionedCommit(files: Seq[SnapshotPartitionedFile])
+    extends WriterCommitMessage
+
+/** Executor-side VALUE-SPLITTING writer — the identity twin of
+  * [[SnapshotBucketedWriter]]: one file per distinct partition value
+  * the task sees (one, under the identity-clustered required
+  * distribution). NULL partition values are refused at the row — the
+  * same loud contract as [[SnapshotStore.appendPartitioned]].
+  */
+final class SnapshotPartitionedWriter(dataDir: String, schema: StructType,
+    partitionId: Int, taskId: Long, by: String)
+    extends DataWriter[InternalRow] {
+  private val byIdx = schema.fieldIndex(by)
+  private val open = mutable.LinkedHashMap.empty[String, SnapshotFileWriter]
+  private var fieldOff = -1
+
+  override def write(row: InternalRow): Unit = {
+    if (fieldOff < 0) {
+      fieldOff = row.numFields - schema.fields.length
+      require(fieldOff >= 0,
+        s"write row has ${row.numFields} fields for a ${schema.fields.length}-column schema")
+    }
+    require(!row.isNullAt(byIdx + fieldOff),
+      s"identity-partitioned table: NULL $by values are not allowed")
+    val v = row.getUTF8String(byIdx + fieldOff).toString
+    open.getOrElseUpdate(v,
+      new SnapshotFileWriter(dataDir, schema, partitionId, taskId,
+        s"-p${open.size}")).write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    SnapshotPartitionedCommit(open.toSeq.flatMap { case (v, w) =>
+      w.commit() match {
+        case f: SnapshotFileCommit if f.nRows > 0 =>
+          Some(SnapshotPartitionedFile(f.path, f.nRows, f.minId, f.maxId,
+            f.nNulls, v))
         case _ => None
       }
     })
@@ -756,6 +844,19 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
     if (mlist.isDefined) None // branch heads carry no clustering claim
     else SnapshotStore.catColOf(SparkSession.active, root, k)
 
+  /** The identity-partition column, if the snapshot declares one —
+    * equality/IN on it prunes files by EXACT per-file partition value
+    * (the hive partition-pruning contract).
+    */
+  private lazy val partColB: Option[String] =
+    if (mlist.isDefined) None
+    else SnapshotStore.partSpecOf(SparkSession.active, root, k)
+
+  /** Intersection of every pushed equality/IN value set on the
+    * partition column; None = unconstrained.
+    */
+  private var partVals: Option[Set[String]] = None
+
   /** METADATA-ONLY aggregation — the manifest already carries exact
     * per-file `n_rows` and non-null `doc_id` (min, max), so a global
     * `COUNT(*)` / `MIN(doc_id)` / `MAX(doc_id)` needs ZERO data files:
@@ -772,7 +873,8 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
     */
   private def planAgg(aggregation: Aggregation): Option[(StructType, Array[Any])] = {
     if (aggregation.groupByExpressions.nonEmpty || bounds.nonEmpty ||
-      strBounds.nonEmpty || mlist.isDefined || pruneOnly) return None
+      strBounds.nonEmpty || partVals.isDefined || mlist.isDefined ||
+      pruneOnly) return None
     def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e match {
         case nr: NamedReference =>
@@ -869,6 +971,17 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
         val ss = vs.map(_.asInstanceOf[String])
         val (l0, h0) = strBounds.getOrElse(c, (ss.min, ss.max))
         strBounds(c) = (Seq(ss.min, l0).min, Seq(ss.max, h0).max)
+      // identity-partition pruning: equality/IN on the partition
+      // column keeps EXACTLY the named values' files — also PRUNE-ONLY
+      // (the filter stays residual; contradictory equalities intersect
+      // to the empty set, pruning everything, which the residual makes
+      // sound either way)
+      case EqualTo(c, v: String) if partColB.contains(c) =>
+        partVals = Some(partVals.fold(Set(v))(_ intersect Set(v)))
+      case In(c, vs) if partColB.contains(c) &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        val ss = vs.map(_.asInstanceOf[String]).toSet
+        partVals = Some(partVals.fold(ss)(_ intersect ss))
       case _ => ()
     }
     if (pruneOnly) {
@@ -894,7 +1007,7 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
     case None =>
       SnapshotTableSource.lastAggPushed.put(root, false)
       new SnapshotScan(root, k, tableSchema, required, bounds.toMap,
-        strBounds.toMap, pushed, mlist, rowLevelOp)
+        strBounds.toMap, pushed, mlist, rowLevelOp, partVals)
   }
 }
 
@@ -941,7 +1054,8 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     strBounds: Map[String, (String, String)],
     pushed: Array[Filter],
     mlist: Option[Seq[String]] = None,
-    rowLevelOp: Option[SnapshotRowLevelOperation] = None)
+    rowLevelOp: Option[SnapshotRowLevelOperation] = None,
+    partVals: Option[Set[String]] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -956,7 +1070,13 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
   @volatile private var runtimeKeys: Option[Array[Long]] = None
 
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("doc_id"))
+    // only when the scan output still carries it — Spark resolves
+    // these against the PRUNED relation, and a query that projects
+    // doc_id away (e.g. a partition-column-only rollup or join) would
+    // otherwise fail DPP planning with an unresolved-attribute error
+    if (required.fieldNames.contains("doc_id"))
+      Array(Expressions.column("doc_id"))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In("doc_id", vs) =>
@@ -1074,6 +1194,42 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     }
   }
 
+  /** The snapshot's identity-partition layout (part_col), when every
+    * data file honors one and no bucket layout claims first. Identity
+    * transforms resolve WITHOUT a function catalog, so this reporting
+    * elides exchanges through any read route, including plain
+    * `format().load()` temp views.
+    */
+  private lazy val partSpec: Option[String] = {
+    if (mlist.isDefined || rowLevelOp.isDefined || bucketSpec.isDefined) None
+    else {
+      val (rows, _, _) = mRows
+      val data = rows.filter(_.getAs[String]("kind") == "data")
+      if (data.isEmpty) None
+      else {
+        val sch = data.head.schema
+        if (!sch.fieldNames.contains("part_col") ||
+          !sch.fieldNames.contains("part_val")) None
+        else if (data.exists(r => r.isNullAt(r.fieldIndex("part_col")) ||
+          r.isNullAt(r.fieldIndex("part_val")))) None
+        else {
+          val cols = data.map(_.getAs[String]("part_col")).distinct
+          if (cols.length == 1) Some(cols.head) else None
+        }
+      }
+    }
+  }
+
+  /** Partition value → its statically-planned data files — the
+    * identity twin of [[bucketGroups]] (same stability contract under
+    * runtime re-plans).
+    */
+  private lazy val partGroups: Array[(String, Array[org.apache.spark.sql.Row])] = {
+    val (rows, _, _) = mRows
+    rows.filter(r => r.getAs[String]("kind") == "data" && staticHits(r))
+      .groupBy(_.getAs[String]("part_val")).toArray.sortBy(_._1)
+  }
+
   /** Bucket id → its STATICALLY-planned data files (pushed bounds
     * applied; runtime join keys NOT): group membership must be stable
     * between `outputPartitioning()` and a runtime-filtered re-plan, so
@@ -1102,8 +1258,13 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
       case Some((n, by)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(Expressions.bucket(n, by)), bucketGroups.length)
-      case None =>
-        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      case None => partSpec match {
+        case Some(by) =>
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            Array(Expressions.identity(by)), partGroups.length)
+        case None =>
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      }
     }
 
   /** Whether a data-file manifest row survives the pushed bounds (and
@@ -1134,9 +1295,17 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
         r.getAs[String]("max_cat") >= lo && r.getAs[String]("min_cat") <= hi
       }
     }
+    // identity-partition pruning: exact per-file value membership
+    // (null / absent part_val = the open interval, never pruned)
+    def livePartVal: Boolean = partVals.forall { vs =>
+      !r.schema.fieldNames.contains("part_val") || {
+        val i = r.fieldIndex("part_val")
+        r.isNullAt(i) || vs.contains(r.getString(i))
+      }
+    }
     live("doc_id", "min_id", "max_id") &&
       (!has2D || live("n_chars", "min_chars", "max_chars")) &&
-      liveCat
+      liveCat && livePartVal
   }
 
   /** The RUNTIME part of [[hits]]: a file lives iff its [min_id,
@@ -1216,8 +1385,15 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
           SnapshotBucketPartition(b,
             rs.filter(runtimeHits).map(filePart).toSeq): InputPartition
         }
-      case None =>
-        chosen.map(r => filePart(r): InputPartition)
+      case None => partSpec match {
+        case Some(_) =>
+          partGroups.map { case (v, rs) =>
+            SnapshotValuePartition(v,
+              rs.filter(runtimeHits).map(filePart).toSeq): InputPartition
+          }
+        case None =>
+          chosen.map(r => filePart(r): InputPartition)
+      }
     }
   }
 
@@ -1237,21 +1413,32 @@ final case class SnapshotBucketPartition(bucket: Int,
     new GenericInternalRow(Array[Any](bucket))
 }
 
+/** One KEY GROUP of an identity-partitioned snapshot: every data file
+  * holding partition value `value`'s rows.
+  */
+final case class SnapshotValuePartition(value: String,
+    files: Seq[SnapshotFilePartition]) extends InputPartition
+    with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(value)))
+}
+
 final class SnapshotReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case f: SnapshotFilePartition => new SnapshotFileReader(f)
-      case b: SnapshotBucketPartition => new SnapshotBucketReader(b)
+      case b: SnapshotBucketPartition => new SnapshotBucketReader(b.files)
+      case v: SnapshotValuePartition => new SnapshotBucketReader(v.files)
     }
 }
 
-/** Streams a bucket group's files back-to-back — one file open at a
+/** Streams a key group's files back-to-back — one file open at a
   * time, each through the ordinary [[SnapshotFileReader]] (bounds,
   * deletes, renames, metadata columns all apply per file).
   */
-final class SnapshotBucketReader(p: SnapshotBucketPartition)
+final class SnapshotBucketReader(files: Seq[SnapshotFilePartition])
     extends PartitionReader[InternalRow] {
-  private val it = p.files.iterator
+  private val it = files.iterator
   private var cur: SnapshotFileReader = _
 
   override def next(): Boolean = {
