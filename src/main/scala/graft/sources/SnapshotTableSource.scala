@@ -817,7 +817,24 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
     mlist: Option[Seq[String]] = None,
     rowLevelOp: Option[SnapshotRowLevelOperation] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
+
+  /** LIMIT pushdown — a FILE-LIST hint, not a row guarantee: the scan
+    * keeps a prefix of files whose manifest `n_rows` already covers
+    * the limit, and `isPartiallyPushed` keeps Spark's own limit in the
+    * plan (the scan may deliver more rows than asked, never fewer —
+    * enforced by applying the hint only when nothing else can drop
+    * rows: no pushed bounds, no delete files, no runtime keys). At
+    * 100 TB this is `SELECT * FROM t LIMIT 100` reading ONE file
+    * instead of the table.
+    */
+  private var limitHint: Option[Int] = None
+  override def pushLimit(limit: Int): Boolean = {
+    limitHint = Some(limit)
+    true
+  }
+  override def isPartiallyPushed: Boolean = true
 
   /** A row-level operation's scan prunes FILES from the pushed bounds
     * but must never enforce them on rows: a copy-on-write group
@@ -1007,7 +1024,8 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
     case None =>
       SnapshotTableSource.lastAggPushed.put(root, false)
       new SnapshotScan(root, k, tableSchema, required, bounds.toMap,
-        strBounds.toMap, pushed, mlist, rowLevelOp, partVals)
+        strBounds.toMap, pushed, mlist, rowLevelOp, partVals,
+        if (pruneOnly) None else limitHint)
   }
 }
 
@@ -1055,7 +1073,8 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     pushed: Array[Filter],
     mlist: Option[Seq[String]] = None,
     rowLevelOp: Option[SnapshotRowLevelOperation] = None,
-    partVals: Option[Set[String]] = None)
+    partVals: Option[Set[String]] = None,
+    limitHint: Option[Int] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -1392,7 +1411,23 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
               rs.filter(runtimeHits).map(filePart).toSeq): InputPartition
           }
         case None =>
-          chosen.map(r => filePart(r): InputPartition)
+          // LIMIT file-prefix truncation — only when nothing else can
+          // drop rows (the prefix must deliver AT LEAST `n` rows;
+          // Spark's retained limit trims the excess)
+          val limited = limitHint match {
+            case Some(n) if bounds.isEmpty && strBounds.isEmpty &&
+                partVals.isEmpty && runtimeKeys.isEmpty &&
+                delRows.isEmpty && posRows.isEmpty =>
+              var acc = 0L
+              chosen.takeWhile { r =>
+                val keep = acc < n
+                acc += r.getAs[Long]("n_rows")
+                keep
+              }
+            case _ => chosen
+          }
+          SnapshotTableSource.lastPlannedFiles.put(root, limited.length)
+          limited.map(r => filePart(r): InputPartition)
       }
     }
   }

@@ -602,4 +602,32 @@ class SnapshotTableSourceSpec extends AnyFunSuite {
     // rows intact through the required distribution + ordering
     assert(SnapshotStore.readSnapshot(spark, root, 2L).count() == 401L)
   }
+
+  test("LIMIT pushdown plans a file prefix; any delete file disables the shortcut") {
+    val root = SnapshotStore.ensure(spark, dir)
+    val cur = SnapshotStore.currentSnapshot(spark, root)
+    val total = SnapshotStore.manifest(spark, root, cur).count()
+    load(root).createOrReplaceTempView("snap_limit_spec")
+    assert(spark.sql("SELECT * FROM snap_limit_spec LIMIT 3")
+      .collect().length == 3, "the retained limit must still trim rows")
+    val planned = SnapshotTableSource.lastPlannedFiles.get(root)
+    assert(planned >= 1 && planned < total,
+      s"LIMIT 3 must plan a strict file prefix: $planned of $total")
+
+    // merge-on-read deletes drop rows AFTER the manifest counts, so a
+    // prefix could under-deliver — the shortcut must stand down
+    import spark.implicits._
+    val mor = s"${System.getProperty("java.io.tmpdir")}/graft_limit_${System.nanoTime()}"
+    SnapshotStore.append(spark, mor,
+      (1L to 40L).map(i => (i, s"p$i")).toDF("doc_id", "payload"))
+    SnapshotStore.deleteKeys(spark, mor, Seq(1L).toDF("doc_id"))
+    load(mor).createOrReplaceTempView("snap_limit_mor")
+    assert(spark.sql("SELECT * FROM snap_limit_mor LIMIT 3")
+      .collect().length == 3)
+    val dataFiles = graft.sources.SnapshotStore
+      .manifest(spark, mor, SnapshotStore.currentSnapshot(spark, mor))
+      .filter(col("kind").isNull || col("kind") === "data").count()
+    assert(SnapshotTableSource.lastPlannedFiles.get(mor) == dataFiles,
+      "live delete files must disable the prefix shortcut")
+  }
 }
