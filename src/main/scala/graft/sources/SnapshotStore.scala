@@ -295,9 +295,10 @@ object SnapshotStore {
     * manifest file is an orphan no list ever names ([[vacuum]]
     * reclaims it, same story as orphaned data files).
     */
-  private def commitRetry(s: SparkSession, root: String)(
+  private def commitRetry(s: SparkSession, root: String,
+      txn: Option[String] = None)(
       body: Long => (Seq[String], StructType)): Long =
-    commitRetryIds(s, root) { prev =>
+    commitRetryIds(s, root, txn) { prev =>
       val (mpaths, schema) = body(prev); (mpaths, schema, None)
     }
 
@@ -305,7 +306,8 @@ object SnapshotStore {
     * [[renameColumn]] needs one; every other commit evolves the
     * previous map additively (fresh ids for new fields).
     */
-  private def commitRetryIds(s: SparkSession, root: String)(
+  private def commitRetryIds(s: SparkSession, root: String,
+      txn: Option[String] = None)(
       body: Long => (Seq[String], StructType, Option[Map[Long, String]])): Long = {
     var attempts = 0
     while (attempts < 64) {
@@ -326,11 +328,25 @@ object SnapshotStore {
           writeSchema(s, root, k, schema)
           writeIdMap(s, root, k, ids)
           writeCommitTime(s, root, k)
+          // TRANSACTION MARKER inside the commit (the Delta txn-action
+          // shape): the marker (naming k) lands BEFORE the `_SUCCESS`
+          // that makes k durable, so "marker exists AND its snapshot
+          // committed" is exactly "this (queryId, epoch) landed" — no
+          // crash window between commit and marker (ADVICE r15 medium)
+          txn.foreach { name =>
+            val out = fs(s, root).create(new Path(s"$root/manifests/$name"), true)
+            try out.write(k.toString.getBytes("UTF-8")) finally out.close()
+          }
           commitManifest(s, root, k, mpaths)
         } catch {
           case t: Throwable =>
-            if (!fs(s, root).exists(new Path(s"$root/manifests/m$k/_SUCCESS")))
+            if (!fs(s, root).exists(new Path(s"$root/manifests/m$k/_SUCCESS"))) {
               try breakClaim(s, root, k) catch { case c: Throwable => t.addSuppressed(c) }
+              txn.foreach { name =>
+                try fs(s, root).delete(new Path(s"$root/manifests/$name"), false)
+                catch { case c: Throwable => t.addSuppressed(c) }
+              }
+            }
             throw t
         }
         return k
@@ -373,10 +389,11 @@ object SnapshotStore {
     * driver metadata.
     */
   private[graft] def commitAppendStats(s: SparkSession, root: String,
-      stats: Seq[(String, Long, Long, Long, Long)], schema: StructType): Long = {
+      stats: Seq[(String, Long, Long, Long, Long)], schema: StructType,
+      txn: Option[String] = None): Long = {
     val fstats = stats.map { case (p, n, mn, mx, nn) =>
       FileStat(p, n, mn, mx, Some(nn)) }
-    commitRetry(s, root) { prev =>
+    commitRetry(s, root, txn) { prev =>
       val mf = writeManifestFile(s, root, manifestRows(s, fstats, prev + 1))
       (listOf(s, root, prev) :+ mf,
         mergedSchema(tableSchema(s, root, prev), schema))
@@ -390,12 +407,16 @@ object SnapshotStore {
     * travel keeps the pre-overwrite snapshots.
     */
   private[graft] def commitOverwriteStats(s: SparkSession, root: String,
-      stats: Seq[(String, Long, Long, Long, Long)], schema: StructType): Long = {
+      stats: Seq[(String, Long, Long, Long, Long)], schema: StructType,
+      txn: Option[String] = None): Long = {
     val fstats = stats.map { case (p, n, mn, mx, nn) =>
       FileStat(p, n, mn, mx, Some(nn)) }
-    commitRetry(s, root) { prev =>
+    commitRetry(s, root, txn) { prev =>
       require(prev > 0, "INSERT OVERWRITE on an uncommitted store")
-      if (fstats.isEmpty) (Nil, tableSchema(s, root, prev))
+      // the empty overwrite still merges the WRITE's schema — an
+      // `INSERT OVERWRITE … SELECT <empty with new columns>` evolves
+      // the table exactly like its non-empty twin (ADVICE r15 low)
+      if (fstats.isEmpty) (Nil, mergedSchema(tableSchema(s, root, prev), schema))
       else (Seq(writeManifestFile(s, root, manifestRows(s, fstats, prev + 1))),
         mergedSchema(tableSchema(s, root, prev), schema))
     }
@@ -409,8 +430,8 @@ object SnapshotStore {
     */
   private[graft] def commitAppendStatsBucketed(s: SparkSession, root: String,
       stats: Seq[(String, Long, Long, Long, Long, Int)], schema: StructType,
-      nBuckets: Int, by: String): Long =
-    commitRetry(s, root) { prev =>
+      nBuckets: Int, by: String, txn: Option[String] = None): Long =
+    commitRetry(s, root, txn) { prev =>
       (listOf(s, root, prev) :+ writeManifestFile(s, root,
         bucketedManifestRows(s, stats, prev + 1, nBuckets, by)),
         mergedSchema(tableSchema(s, root, prev), schema))
@@ -421,10 +442,11 @@ object SnapshotStore {
     */
   private[graft] def commitOverwriteStatsBucketed(s: SparkSession,
       root: String, stats: Seq[(String, Long, Long, Long, Long, Int)],
-      schema: StructType, nBuckets: Int, by: String): Long =
-    commitRetry(s, root) { prev =>
+      schema: StructType, nBuckets: Int, by: String,
+      txn: Option[String] = None): Long =
+    commitRetry(s, root, txn) { prev =>
       require(prev > 0, "INSERT OVERWRITE on an uncommitted store")
-      if (stats.isEmpty) (Nil, tableSchema(s, root, prev))
+      if (stats.isEmpty) (Nil, mergedSchema(tableSchema(s, root, prev), schema))
       else (Seq(writeManifestFile(s, root,
         bucketedManifestRows(s, stats, prev + 1, nBuckets, by))),
         mergedSchema(tableSchema(s, root, prev), schema))
@@ -435,8 +457,8 @@ object SnapshotStore {
     */
   private[graft] def commitAppendStatsPartitioned(s: SparkSession,
       root: String, stats: Seq[(String, Long, Long, Long, Long, String)],
-      schema: StructType, by: String): Long =
-    commitRetry(s, root) { prev =>
+      schema: StructType, by: String, txn: Option[String] = None): Long =
+    commitRetry(s, root, txn) { prev =>
       (listOf(s, root, prev) :+ writeManifestFile(s, root,
         partitionedManifestRows(s, stats, prev + 1, by)),
         mergedSchema(tableSchema(s, root, prev), schema))
@@ -444,10 +466,10 @@ object SnapshotStore {
 
   private[graft] def commitOverwriteStatsPartitioned(s: SparkSession,
       root: String, stats: Seq[(String, Long, Long, Long, Long, String)],
-      schema: StructType, by: String): Long =
-    commitRetry(s, root) { prev =>
+      schema: StructType, by: String, txn: Option[String] = None): Long =
+    commitRetry(s, root, txn) { prev =>
       require(prev > 0, "INSERT OVERWRITE on an uncommitted store")
-      if (stats.isEmpty) (Nil, tableSchema(s, root, prev))
+      if (stats.isEmpty) (Nil, mergedSchema(tableSchema(s, root, prev), schema))
       else (Seq(writeManifestFile(s, root,
         partitionedManifestRows(s, stats, prev + 1, by))),
         mergedSchema(tableSchema(s, root, prev), schema))
@@ -503,10 +525,27 @@ object SnapshotStore {
     }
   }
 
+  /** A committed file's on-disk length, recorded into its manifest row
+    * at commit time (the Iceberg `file_size_in_bytes` shape) — one
+    * driver `getFileStatus` per COMMIT file, so readers never pay a
+    * per-file RPC again: `estimateStatistics` and scan-split sizing
+    * read the manifest instead of the filesystem (VERDICT r15
+    * what's-missing 7). -1 = unknown (the stat failed; readers fall
+    * back to a filesystem call).
+    */
+  private def fileLenOf(s: SparkSession, p: String): Long =
+    try {
+      val hp = new Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(hp).getLen
+    } catch { case _: java.io.IOException => -1L }
+
   private def manifestRows(s: SparkSession, stats: Seq[FileStat], k: Long): DataFrame = {
     import s.implicits._
-    stats.map(st => (st.path, k, st.nRows, st.minId, st.maxId, st.nNulls))
-      .toDF("path", "commit_id", "n_rows", "min_id", "max_id", "n_nulls")
+    stats.map(st => (st.path, k, st.nRows, st.minId, st.maxId, st.nNulls,
+        fileLenOf(s, st.path)))
+      .toDF("path", "commit_id", "n_rows", "min_id", "max_id", "n_nulls",
+        "n_bytes")
   }
 
   /** Write manifest LIST k — the commit point (only ever called by the
@@ -1770,7 +1809,9 @@ object SnapshotStore {
       }
       // lost the race: wait for the winner's list, rebase, retry
       val marker = new Path(s"${branchListDir(root, name, j)}/_SUCCESS")
-      val deadline = System.nanoTime() + 60000L * 1000000L
+      // same conf-read as [[awaitCommit]] — one knob for both paths
+      val waitMs = s.conf.getOption(ClaimWaitKey).map(_.toLong).getOrElse(60000L)
+      val deadline = System.nanoTime() + waitMs * 1000000L
       while (!f.exists(marker)) {
         if (System.nanoTime() > deadline)
           throw new IllegalStateException(
@@ -1972,9 +2013,10 @@ object SnapshotStore {
   private def zManifestRows(s: SparkSession,
       stats: Seq[(String, Long, Long, Long, Long, Long, Long)], k: Long): DataFrame = {
     import s.implicits._
-    stats.map { case (p, n, a, b, c, d, nn) => (p, k, n, a, b, c, d, nn) }
+    stats.map { case (p, n, a, b, c, d, nn) =>
+        (p, k, n, a, b, c, d, nn, fileLenOf(s, p)) }
       .toDF("path", "commit_id", "n_rows", "min_id", "max_id",
-        "min_chars", "max_chars", "n_nulls")
+        "min_chars", "max_chars", "n_nulls", "n_bytes")
   }
 
   def appendZ(s: SparkSession, root: String, df: DataFrame): Long = {
@@ -2200,9 +2242,9 @@ object SnapshotStore {
     commitRetry(s, root) { prev =>
       import s.implicits._
       val m = stats.map { case (p, n, a, b, lo, hi) =>
-        (p, prev + 1, n, a, b, by, lo, hi)
+        (p, prev + 1, n, a, b, by, lo, hi, fileLenOf(s, p))
       }.toDF("path", "commit_id", "n_rows", "min_id", "max_id",
-        "cat_col", "min_cat", "max_cat")
+        "cat_col", "min_cat", "max_cat", "n_bytes")
       (listOf(s, root, prev) :+ writeManifestFile(s, root, m),
         mergedSchema(tableSchema(s, root, prev), df.schema))
     }
@@ -2338,9 +2380,9 @@ object SnapshotStore {
       nBuckets: Int, by: String): DataFrame = {
     import s.implicits._
     stats.map { case (p, n, lo, hi, nn, bkt) =>
-      (p, k, n, lo, hi, nn, bkt, nBuckets, by)
+      (p, k, n, lo, hi, nn, bkt, nBuckets, by, fileLenOf(s, p))
     }.toDF("path", "commit_id", "n_rows", "min_id", "max_id", "n_nulls",
-      "bucket_id", "bucket_n", "bucket_col")
+      "bucket_id", "bucket_n", "bucket_col", "n_bytes")
   }
 
   /** BUCKET-PRESERVING COMPACTION: the current snapshot rewritten as
@@ -2458,9 +2500,9 @@ object SnapshotStore {
       by: String): DataFrame = {
     import s.implicits._
     stats.map { case (p, n, lo, hi, nn, v) =>
-      (p, k, n, lo, hi, nn, by, v)
+      (p, k, n, lo, hi, nn, by, v, fileLenOf(s, p))
     }.toDF("path", "commit_id", "n_rows", "min_id", "max_id", "n_nulls",
-      "part_col", "part_val")
+      "part_col", "part_val", "n_bytes")
   }
 
   /** The identity-partition layout of snapshot k, if EVERY data file
@@ -2633,7 +2675,19 @@ object SnapshotStore {
           now - d.getModificationTime >= olderThanMs)
         .map(_.getPath)
     deadM.foreach(p => f.delete(p, true))
-    (orphans ++ deadM).map(_.toString)
+    // RETIRED CDC streams' spill windows (`_cdc/b<j>_<k>`): a live
+    // stream reclaims its own spills at each checkpoint commit
+    // ([[SnapshotCdcSource]]); whatever outlives the age floor here
+    // belongs to a stream that stopped for good
+    val cdcDir = new Path(s"$root/_cdc")
+    val deadCdc =
+      if (!f.exists(cdcDir)) Nil
+      else f.listStatus(cdcDir).toSeq
+        .filter(d => d.isDirectory &&
+          now - d.getModificationTime >= olderThanMs)
+        .map(_.getPath)
+    deadCdc.foreach(p => f.delete(p, true))
+    (orphans ++ deadM ++ deadCdc).map(_.toString)
   }
 
   private val builtCache = new graft.SessionCache
