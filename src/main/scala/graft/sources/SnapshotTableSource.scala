@@ -663,7 +663,13 @@ final class SnapshotPartitionedWriter(dataDir: String, schema: StructType,
     }
     require(!row.isNullAt(byIdx + fieldOff),
       s"identity-partitioned table: NULL $by values are not allowed")
-    val v = row.getUTF8String(byIdx + fieldOff).toString
+    val v = schema(byIdx).dataType match {
+      case StringType => row.getUTF8String(byIdx + fieldOff).toString
+      case LongType => row.getLong(byIdx + fieldOff).toString
+      case IntegerType => row.getInt(byIdx + fieldOff).toString
+      case other => throw new UnsupportedOperationException(
+        s"identity partition column type: $other")
+    }
     open.getOrElseUpdate(v,
       new SnapshotFileWriter(dataDir, schema, partitionId, taskId,
         s"-p${open.size}")).write(row)
@@ -1155,11 +1161,18 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
         // part_val; sorted for determinism
         val groups = rows.groupBy(_.getAs[String]("part_val"))
           .toArray.sortBy(_._1)
+        val kt = tableSchema.fields.find(_.name == pc)
+          .map(_.dataType).getOrElse(StringType)
         val out = groups.map { case (v, rs) =>
-          (UTF8String.fromString(v): Any) +: aggOf(rs)
+          val key: Any = kt match {
+            case LongType => v.toLong
+            case IntegerType => v.toInt
+            case _ => UTF8String.fromString(v)
+          }
+          key +: aggOf(rs)
         }
         Some((StructType(
-          StructField(pc, StringType, nullable = false) +: aggFields), out))
+          StructField(pc, kt, nullable = false) +: aggFields), out))
     }
   }
 
@@ -1230,6 +1243,15 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
       case In(c, vs) if partColB.contains(c) &&
           vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         val ss = vs.map(_.asInstanceOf[String]).toSet
+        partVals = Some(partVals.fold(ss)(_ intersect ss))
+      // typed partition columns: integral equality/IN prunes by the
+      // value's canonical string form (exactly what the writer wrote)
+      case EqualTo(c, v) if partColB.contains(c) && asLong(v).isDefined =>
+        val sv = asLong(v).get.toString
+        partVals = Some(partVals.fold(Set(sv))(_ intersect Set(sv)))
+      case In(c, vs) if partColB.contains(c) &&
+          vs.nonEmpty && vs.forall(x => asLong(x).isDefined) =>
+        val ss = vs.map(x => asLong(x).get.toString).toSet
         partVals = Some(partVals.fold(ss)(_ intersect ss))
       case _ => ()
     }
@@ -1693,9 +1715,11 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
             rs.filter(runtimeHits).map(filePart).toSeq): InputPartition
         }
       case None => partSpec match {
-        case Some(_) =>
+        case Some(by) =>
+          val kt = tableSchema.fields.find(_.name == by)
+            .map(_.dataType).getOrElse(StringType)
           partGroups.map { case (v, rs) =>
-            SnapshotValuePartition(v,
+            SnapshotValuePartition(v, kt,
               rs.filter(runtimeHits).map(filePart).toSeq): InputPartition
           }
         case None =>
@@ -1750,13 +1774,21 @@ final case class SnapshotBucketPartition(bucket: Int,
 }
 
 /** One KEY GROUP of an identity-partitioned snapshot: every data file
-  * holding partition value `value`'s rows.
+  * holding partition value `value`'s rows. The manifest carries the
+  * value canonically as a string; `keyType` (the table schema's type
+  * for the partition column) re-types the key row, so a LONG-
+  * partitioned store's storage-partitioned joins and exchange elision
+  * see genuine longs.
   */
-final case class SnapshotValuePartition(value: String,
+final case class SnapshotValuePartition(value: String, keyType: DataType,
     files: Seq[SnapshotFilePartition]) extends InputPartition
     with HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](UTF8String.fromString(value)))
+    new GenericInternalRow(Array[Any](keyType match {
+      case LongType => value.toLong
+      case IntegerType => value.toInt
+      case _ => UTF8String.fromString(value)
+    }))
 }
 
 /** The connector's reader factory: every data file streams through

@@ -173,9 +173,11 @@ class SnapshotPartitionSpec extends AnyFunSuite {
       SnapshotStore.appendPartitioned(spark, root,
         Seq((1L, "a"), (2L, null)).toDF("doc_id", "tag"), "tag")
     }
+    // fractional types stay refused (LONG/INT are first-class since
+    // round 16 — SnapshotTypedPartitionSpec pins them)
     intercept[IllegalArgumentException] {
       SnapshotStore.appendPartitioned(spark, root,
-        Seq((1L, 5L)).toDF("doc_id", "num"), "num")
+        Seq((1L, 5.0)).toDF("doc_id", "num"), "num")
     }
     SnapshotStore.appendPartitioned(spark, root,
       Seq((1L, "a"), (2L, "b")).toDF("doc_id", "tag"), "tag")
