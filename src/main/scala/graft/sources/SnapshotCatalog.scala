@@ -173,6 +173,15 @@ class SnapshotCatalog extends TableCatalog
           s"unsupported transform reference: $t")
         refs(0).fieldNames()(0)
       }
+      // ONE transform total: the store's layouts are single-level, so a
+      // multi-transform spec (PARTITIONED BY (a, b), identity+bucket, …)
+      // must refuse at DDL time — silently keeping the LAST transform
+      // would create a table whose physical layout differs from what
+      // the DDL declared (ADVICE r16 medium).
+      if (bucket.isDefined || part.isDefined)
+        throw new UnsupportedOperationException(
+          "the snapshot layouts are single-level: declare exactly one " +
+            s"bucket(n, col) OR identity(col) transform (got extra: $t)")
       t.name() match {
         case "bucket" =>
           val n = t.arguments().collectFirst {

@@ -1556,7 +1556,6 @@ object SnapshotStore {
     bucket.foreach { case (n, by) =>
       require(n > 0 && schema.fieldNames.contains(by),
         s"bucket($n, $by): unknown column or non-positive count")
-      writeLayoutSidecar(s, root, s"""{"bucket_n":$n,"bucket_col":"$by"}""")
     }
     partition.foreach { by =>
       require(schema.fieldNames.contains(by) &&
@@ -1564,13 +1563,22 @@ object SnapshotStore {
           schema(by).dataType == org.apache.spark.sql.types.LongType ||
           schema(by).dataType == org.apache.spark.sql.types.IntegerType),
         s"identity($by): partition column must be an existing STRING/LONG/INT column")
-      writeLayoutSidecar(s, root, s"""{"part_col":"$by"}""")
     }
-    commitRetry(s, root) { prev =>
+    val k = commitRetry(s, root) { prev =>
       require(prev == 0L,
         s"createTable: $root already has commits (current snapshot $prev)")
       (Nil, schema)
     }
+    // the layout sidecar lands only AFTER the empty commit succeeds
+    // (ADVICE r16 low): a CREATE that loses the claim race (concurrent
+    // first append, racing CREATE with a different layout) must not
+    // leave a declaration that silently re-layouts future writes of a
+    // table whose creation never committed.
+    bucket.foreach { case (n, by) =>
+      writeLayoutSidecar(s, root, s"""{"bucket_n":$n,"bucket_col":"$by"}""") }
+    partition.foreach { by =>
+      writeLayoutSidecar(s, root, s"""{"part_col":"$by"}""") }
+    k
   }
 
   private def layoutPath(root: String) = new Path(s"$root/manifests/layout.json")

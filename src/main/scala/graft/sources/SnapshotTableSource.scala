@@ -1214,9 +1214,20 @@ final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
     }
     ok.foreach {
       case EqualTo(c, v) => val l = asLong(v).get; tighten(c, l, l)
-      case GreaterThan(c, v) => tighten(c, asLong(v).get + 1L, Long.MaxValue)
+      // strict bounds at the domain extremes select NOTHING — forced to
+      // a contradictory (lo > hi) range instead of ±1 arithmetic that
+      // WRAPS (`> Long.MaxValue` + 1 = MinValue would turn a
+      // selects-nothing predicate into a consumed full-range bound
+      // returning EVERY row — ADVICE r16 low, the docIdRange mirror)
+      case GreaterThan(c, v) =>
+        val l = asLong(v).get
+        if (l == Long.MaxValue) tighten(c, 1L, 0L)
+        else tighten(c, l + 1L, Long.MaxValue)
       case GreaterThanOrEqual(c, v) => tighten(c, asLong(v).get, Long.MaxValue)
-      case LessThan(c, v) => tighten(c, Long.MinValue, asLong(v).get - 1L)
+      case LessThan(c, v) =>
+        val l = asLong(v).get
+        if (l == Long.MinValue) tighten(c, 1L, 0L)
+        else tighten(c, Long.MinValue, l - 1L)
       case LessThanOrEqual(c, v) => tighten(c, Long.MinValue, asLong(v).get)
       case _ => ()
     }
@@ -1852,20 +1863,36 @@ final class SnapshotReaderFactory(
 }
 
 object SnapshotReaderFactory {
-  /** One broadcast Hadoop conf per SparkContext, lazily built from the
-    * session (SQL confs folded in — `newHadoopConf` — plus the parquet
-    * read-support wiring Spark's own scans set). Rebuilding and
-    * re-broadcasting per scan would serialize the same kilobytes for
-    * every query.
+  /** One broadcast Hadoop conf per (SparkContext, folded-conf-values)
+    * — lazily built from the session (SQL confs folded in —
+    * `newHadoopConf` — plus the parquet read-support wiring Spark's
+    * own scans set). Rebuilding and re-broadcasting per scan would
+    * serialize the same kilobytes for every query; but caching on
+    * SparkContext identity ALONE would freeze the first caller's
+    * session values forever (ADVICE r16 low) — a later
+    * `SET spark.sql.session.timeZone`, or a second session sharing the
+    * context with different parquet flags, would silently read with
+    * stale semantics. The cache key therefore includes every session
+    * value baked into the broadcast, so a changed conf re-broadcasts
+    * once and stable confs keep the single-broadcast fast path.
     */
-  @volatile private var cached: (org.apache.spark.SparkContext,
+  @volatile private var cached: (org.apache.spark.SparkContext, String,
     org.apache.spark.broadcast.Broadcast[
       org.apache.spark.util.SerializableConfiguration]) = null
+
+  /** The folded session values, as the cache key. */
+  private def foldKey(s: SparkSession): String = {
+    val sq = s.sessionState.conf
+    Seq(sq.isParquetBinaryAsString, sq.isParquetINT96AsTimestamp,
+      sq.caseSensitiveAnalysis, sq.parquetInferTimestampNTZEnabled,
+      sq.legacyParquetNanosAsLong, sq.sessionLocalTimeZone).mkString("|")
+  }
 
   def confBroadcast(s: SparkSession): org.apache.spark.broadcast.Broadcast[
       org.apache.spark.util.SerializableConfiguration] = synchronized {
     val sc = s.sparkContext
-    if (cached == null || !(cached._1 eq sc)) {
+    val key = foldKey(s)
+    if (cached == null || !(cached._1 eq sc) || cached._2 != key) {
       val c = s.sessionState.newHadoopConf()
       c.set("parquet.read.support.class",
         classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
@@ -1883,10 +1910,10 @@ object SnapshotReaderFactory {
       c.setBoolean("spark.sql.legacy.parquet.nanosAsLong",
         sq.legacyParquetNanosAsLong)
       c.set("spark.sql.session.timeZone", sq.sessionLocalTimeZone)
-      cached = (sc,
+      cached = (sc, key,
         sc.broadcast(new org.apache.spark.util.SerializableConfiguration(c)))
     }
-    cached._2
+    cached._3
   }
 }
 

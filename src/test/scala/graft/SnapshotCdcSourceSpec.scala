@@ -115,10 +115,15 @@ class SnapshotCdcSourceSpec extends AnyFunSuite {
     val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val cdir = new org.apache.hadoop.fs.Path(s"$root/_cdc")
+    // spill dirs live one level down, namespaced by stream id
+    // (`_cdc/<sid>/b<j>_<k>`, ADVICE r16 medium)
     def spills: Seq[String] =
       if (!f.exists(cdir)) Nil
-      else f.listStatus(cdir).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("b"))
+      else f.listStatus(cdir).toSeq.flatMap { sd =>
+        if (!sd.isDirectory) Nil
+        else f.listStatus(sd.getPath).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("b"))
+      }
     // 4 processed windows left AT MOST the last in-flight spill, not 4
     // (r15 what's-wrong 3: a long-lived stream must not accumulate one
     // spill dir per batch forever)
@@ -142,5 +147,48 @@ class SnapshotCdcSourceSpec extends AnyFunSuite {
     assert(buf.iterator().asScala.toSeq.sorted ==
       rows(SnapshotStore.changeFeedCompact(spark, root, 4L, 5L)),
       "the restarted stream must deliver exactly the missed window")
+  }
+
+  test("concurrent streams: one stream's checkpoint commit never reclaims another's spills (per-stream namespaces)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cdcconc_").toString
+    val root = s"$base/tbl"
+    SnapshotStore.append(spark, root, Seq((1L, "a")).toDF("doc_id", "tag"))
+    SnapshotStore.append(spark, root, Seq((2L, "b")).toDF("doc_id", "tag"))
+    SnapshotStore.append(spark, root, Seq((3L, "c")).toDF("doc_id", "tag"))
+    def subscribe(ckpt: String, sink: java.util.concurrent.ConcurrentLinkedQueue[String]) =
+      spark.readStream.format("graft.sources.SnapshotCdcSource")
+        .option("root", root).option("startSnapshot", "0").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => sink.add(r.toString)); ()
+        }.start()
+    // the FAST stream processes the whole backlog and commits — which
+    // reclaims ITS namespace's spills. Before the fix (shared
+    // `_cdc/b<j>_<k>` dirs, cleanup by `k <= end` alone) this wiped a
+    // second subscriber's identically-windowed spill out from under it.
+    val bufA = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val qA = subscribe(s"$base/ckptA", bufA)
+    try qA.processAllAvailable() finally qA.stop()
+    // the SLOW stream starts after, from offset 0: its window (0, 3]
+    // overlaps everything the fast stream already committed past
+    val bufB = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val qB = subscribe(s"$base/ckptB", bufB)
+    try qB.processAllAvailable() finally qB.stop()
+    import scala.jdk.CollectionConverters._
+    val expect = rows(SnapshotStore.changeFeedCompact(spark, root, 0L, 3L))
+    assert(bufA.iterator().asScala.toSeq.sorted == expect,
+      "fast stream delivers the full backlog")
+    assert(bufB.iterator().asScala.toSeq.sorted == expect,
+      "slow stream must deliver the same backlog — its spills are its own")
+    // and the namespaces really are distinct on disk
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cdir = new org.apache.hadoop.fs.Path(s"$root/_cdc")
+    val namespaces =
+      if (!f.exists(cdir)) Nil
+      else f.listStatus(cdir).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    assert(namespaces.size == 2,
+      s"two checkpoints must spill under two namespaces: $namespaces")
   }
 }
