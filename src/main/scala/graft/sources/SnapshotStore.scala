@@ -118,10 +118,21 @@ object SnapshotStore {
   /** Conf key: SQL row-level DELETE write mode — "cow" (default; the
     * group-based rewrite, merge-free reads) or "merge-on-read" (a
     * position-delete file per statement, zero data rewrites — the
-    * Iceberg `write.delete.mode` shape). UPDATE/MERGE always take the
-    * COW path.
+    * Iceberg `write.delete.mode` shape).
     */
   val DeleteModeKey = "spark.graft.snapshot.deleteMode"
+
+  /** Conf keys: SQL UPDATE / MERGE INTO write modes — same values as
+    * [[DeleteModeKey]] (the Iceberg `write.update.mode` /
+    * `write.merge.mode` shape). Under "merge-on-read" an UPDATE/MERGE
+    * lands as ONE delta commit: a position-delete file for the touched
+    * rows' physical identities plus ordinary data files for the
+    * post-images — write amplification O(|changed rows|), never
+    * O(|touched files|), which is what an hourly small-upsert pipeline
+    * against a 100 TB table needs (the r16 VERDICT's top item).
+    */
+  val UpdateModeKey = "spark.graft.snapshot.updateMode"
+  val MergeModeKey = "spark.graft.snapshot.mergeMode"
 
   /** Conf key: change-set row count at which [[mergeInto]] switches
     * from the collected-key interval check to the DISTRIBUTED
@@ -1515,6 +1526,40 @@ object SnapshotStore {
       }.toDF("path", "commit_id", "n_rows", "min_id", "max_id", "kind")
       (listOf(s, root, prev) :+ writeManifestFile(s, root, rows),
         tableSchema(s, root, prev))
+    }
+
+  /** The landing half of a DELTA-BASED (merge-on-read) SQL UPDATE /
+    * MERGE INTO ([[SnapshotDeltaWrite]] under `Command.UPDATE/MERGE`):
+    * ONE commit carrying both halves of the mutation — the executor-
+    * written position-delete files (`kind = posdelete`, the touched
+    * rows' old physical identities) AND ordinary data files (the
+    * post-image / not-matched-insert rows, exact per-file stats from
+    * the writers). Every prior manifest file carries by reference, so
+    * the commit is O(|changed rows|) data + O(1) metadata — never the
+    * COW path's O(|touched files|) rewrite. Statement-scoped OCC,
+    * exactly like [[commitReplaceFiles]].
+    */
+  private[graft] def commitDeltaMutation(s: SparkSession, root: String,
+      scanSnapshot: Long, posFiles: Seq[(String, Long)],
+      written: Seq[(String, Long, Long, Long, Long)],
+      schema: StructType): Long =
+    commitRetry(s, root) { prev =>
+      if (prev != scanSnapshot)
+        throw new IllegalStateException(
+          s"concurrent commit detected: the row-level operation read snapshot " +
+            s"$scanSnapshot but the table is now at $prev — re-run the statement")
+      val k = prev + 1
+      import s.implicits._
+      val posRows = posFiles.map { case (p, n) =>
+        (p, k, n, Long.MinValue, Long.MaxValue, "posdelete")
+      }.toDF("path", "commit_id", "n_rows", "min_id", "max_id", "kind")
+      val dataRows = manifestRows(s, written.map { case (p, n, lo, hi, nn) =>
+        FileStat(p, n, lo, hi, Some(nn)) }, k)
+      val mf = writeManifestFile(s, root,
+        posRows.unionByName(dataRows.withColumn("kind", lit("data")),
+          allowMissingColumns = true))
+      (listOf(s, root, prev) :+ mf,
+        mergedSchema(tableSchema(s, root, prev), schema))
     }
 
   /** TRUNCATE: the whole-table delete as a PURE-METADATA commit —
@@ -4575,6 +4620,138 @@ object SnapshotStore {
          |FROM $v GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  // ---- the MOR-upserted stores (q249/q250): UPDATE/MERGE as deltas --
+
+  private val MorUpdLayout = 1L
+  private[graft] def morUpdRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapmorupd")
+  private val morUpdCache = new graft.SessionCache
+
+  /** Seed the MERGE-ON-READ UPDATE fixture: one data commit, then a
+    * plain SQL `UPDATE` under `spark.graft.snapshot.updateMode =
+    * merge-on-read` — the statement lands as ONE delta commit (a
+    * position-delete file for the touched rows' old identities plus a
+    * post-image data file) with every pre-existing data file carried
+    * by reference (zero rewrites; the build asserts it).
+    */
+  def ensureMorSqlUpdated(s: SparkSession, dir: String): String = {
+    morUpdCache.getOrElseUpdate(s, dir) {
+      val root = morUpdRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + MorUpdLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        append(s, root, graft.Engine.table(s, dir, "documents"))
+        val dataBefore = withKind(manifest(s, root, 1L))
+          .filter(col("kind") === "data")
+          .select("path").collect().map(_.getString(0)).toSet
+        val tbl = catalogName(s, root)
+        s.conf.set(UpdateModeKey, "merge-on-read")
+        try s.sql(s"UPDATE $tbl SET n_chars = n_chars + 1000 WHERE lang = 'de'")
+        finally s.conf.unset(UpdateModeKey)
+        require(currentSnapshot(s, root) == 2L,
+          "the MOR UPDATE must land as one delta commit")
+        val m2 = withKind(manifest(s, root, 2L))
+        val dataAfter = m2.filter(col("kind") === "data")
+          .select("path").collect().map(_.getString(0)).toSet
+        require(dataBefore.subsetOf(dataAfter),
+          "merge-on-read UPDATE must rewrite zero data files")
+        require((dataAfter -- dataBefore).nonEmpty,
+          "the post-image rows must land in new data files")
+        require(m2.filter(col("kind") === "posdelete").count() > 0L,
+          "the MOR UPDATE must commit position-delete files")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    morUpdRoot(dir)
+  }
+
+  /** q249: the MOR-updated table read back — the SQL UPDATE's
+    * post-images serve from the delta commit's new files, the old
+    * versions die by position delete, and ZERO data files were
+    * rewritten. Oracle replays the SET arithmetic on the raw table.
+    */
+  val q249SnapshotMorUpdate: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureMorSqlUpdated(s, dir)
+    readSnapshot(s, root, currentSnapshot(s, root))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val MorMrgLayout = 1L
+  private[graft] def morMrgRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapmormrg")
+  private val morMrgCache = new graft.SessionCache
+
+  /** Seed the MERGE-ON-READ MERGE INTO fixture: one data commit, then
+    * one SQL `MERGE INTO` under `spark.graft.snapshot.mergeMode =
+    * merge-on-read` applying the q223 CDC batch shape — `% 5` rows
+    * updated (n_chars + 500), `% 13` rows cloned as inserts at
+    * doc_id + 2,000,000 — as ONE delta commit, zero data rewrites
+    * (asserted).
+    */
+  def ensureMorSqlMerged(s: SparkSession, dir: String): String = {
+    morMrgCache.getOrElseUpdate(s, dir) {
+      val root = morMrgRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + MorMrgLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        append(s, root, docs)
+        val dataBefore = withKind(manifest(s, root, 1L))
+          .filter(col("kind") === "data")
+          .select("path").collect().map(_.getString(0)).toSet
+        val src = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 500)
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .withColumn("doc_id", col("doc_id") + 2000000L))
+        val v = s"graft_mor_merge_src_${math.abs(dir.hashCode)}"
+        src.createOrReplaceTempView(v)
+        val tbl = catalogName(s, root)
+        s.conf.set(MergeModeKey, "merge-on-read")
+        try s.sql(
+          s"""MERGE INTO $tbl t USING $v s ON t.doc_id = s.doc_id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        finally s.conf.unset(MergeModeKey)
+        require(currentSnapshot(s, root) == 2L,
+          "the MOR MERGE must land as one delta commit")
+        val m2 = withKind(manifest(s, root, 2L))
+        val dataAfter = m2.filter(col("kind") === "data")
+          .select("path").collect().map(_.getString(0)).toSet
+        require(dataBefore.subsetOf(dataAfter),
+          "merge-on-read MERGE must rewrite zero data files")
+        require(m2.filter(col("kind") === "posdelete").count() > 0L,
+          "the MOR MERGE's matched updates need position deletes")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    morMrgRoot(dir)
+  }
+
+  /** q250: the MOR-merged table read back — one SQL MERGE INTO landed
+    * matched updates AND not-matched inserts as a single delta commit
+    * with zero data rewrites. Oracle = the same upsert in closed form
+    * on the raw table (q211's semantics with q223's constants).
+    */
+  val q250SnapshotMorMerge: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureMorSqlMerged(s, dir)
+    readSnapshot(s, root, currentSnapshot(s, root))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q203_snapshot_time_travel" -> q203SnapshotTimeTravel,
       "q204_snapshot_diff" -> q204SnapshotDiff,
@@ -4611,7 +4788,9 @@ object SnapshotStore {
       "q245_snapshot_partitioned" -> q245SnapshotPartitioned,
       "q246_snapshot_ctas" -> q246SnapshotCtas,
       "q247_snapshot_mor_delete" -> q247SnapshotMorDelete,
-      "q248_snapshot_meta_groupby" -> q248SnapshotMetaGroupBy)
+      "q248_snapshot_meta_groupby" -> q248SnapshotMetaGroupBy,
+      "q249_snapshot_mor_update" -> q249SnapshotMorUpdate,
+      "q250_snapshot_mor_merge" -> q250SnapshotMorMerge)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -4814,5 +4993,19 @@ object SnapshotStore {
     "q248_snapshot_meta_groupby" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q249_snapshot_mor_update" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN lang = 'de' THEN n_chars + 1000
+        |    ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q250_snapshot_mor_merge" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT lang, CASE WHEN doc_id % 5 = 0 THEN n_chars + 500
+        |    ELSE n_chars END AS n_chars FROM documents
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 13 = 0
+        |) GROUP BY lang ORDER BY lang""".stripMargin)
 }

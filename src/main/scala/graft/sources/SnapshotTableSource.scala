@@ -193,18 +193,21 @@ final class SnapshotTable(root: String, k: Long, schema: StructType,
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => {
       import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-      // MERGE-ON-READ mode for SQL DELETE (the Iceberg
-      // `write.delete.mode = merge-on-read` shape, conf-declared): a
-      // small DELETE against a huge table writes a tiny position-
-      // delete file instead of rewriting whole groups — the write
-      // amplification is O(|matches|), not O(|touched files|). COW
-      // stays the default (reads stay merge-free) and always serves
-      // UPDATE/MERGE.
-      val mor = SparkSession.active.conf
-        .getOption(SnapshotStore.DeleteModeKey)
-        .exists(_.equalsIgnoreCase("merge-on-read"))
-      if (mor && info.command() == Command.DELETE)
-        new SnapshotDeltaDeleteOperation(root, k, schema)
+      // MERGE-ON-READ mode per command (the Iceberg `write.delete.mode`
+      // / `write.update.mode` / `write.merge.mode` shape, conf-
+      // declared): a small DELETE writes a tiny position-delete file; a
+      // small UPDATE / MERGE writes that plus ordinary data files for
+      // the post-images — one delta commit either way, write
+      // amplification O(|changed rows|), not O(|touched files|). COW
+      // stays the default (reads stay merge-free).
+      def morOf(key: String): Boolean = SparkSession.active.conf
+        .getOption(key).exists(_.equalsIgnoreCase("merge-on-read"))
+      val mor = info.command() match {
+        case Command.DELETE => morOf(SnapshotStore.DeleteModeKey)
+        case Command.UPDATE => morOf(SnapshotStore.UpdateModeKey)
+        case Command.MERGE => morOf(SnapshotStore.MergeModeKey)
+      }
+      if (mor) new SnapshotDeltaMutationOperation(root, k, schema, info.command())
       else new SnapshotRowLevelOperation(root, k, schema, info.command())
     }
 
@@ -882,29 +885,47 @@ final class SnapshotReplaceWrite(root: String, scanSnapshot: Long,
   }
 }
 
-/** DELTA-BASED (merge-on-read) SQL DELETE: Spark scans only the
-  * MATCHING rows (filters fully enforced — unlike COW there is no
-  * group to carry), projects each row's physical identity through the
-  * `(_file, _pos)` metadata columns as the ROW ID, and this
-  * operation's write lands those identities as a position-delete file
-  * plus one `kind = posdelete` manifest row — ZERO data files
-  * rewritten, the exact shape [[SnapshotStore.deleteWhere]] commits
-  * from the library route. Statement-scoped OCC like the COW path: a
-  * commit landing between scan and write fails the statement loudly.
+/** DELTA-BASED (merge-on-read) SQL DELETE / UPDATE / MERGE INTO: Spark
+  * scans the table WITH each row's physical identity projected through
+  * the `(_file, _pos)` metadata columns as the ROW ID, and this
+  * operation's write lands the mutation as a DELTA —
+  *
+  *   - DELETE deltas: (path, pos) pairs into a position-delete file
+  *     plus one `kind = posdelete` manifest row (the exact shape
+  *     [[SnapshotStore.deleteWhere]] commits from the library route);
+  *   - INSERT deltas (MERGE's not-matched rows, and — because
+  *     [[representUpdateAsDeleteAndInsert]] — every UPDATE/MERGE
+  *     post-image): ordinary data files with exact per-file stats.
+  *
+  * Both halves land in ONE commit ([[SnapshotStore
+  * .commitDeltaMutation]]) — ZERO existing data files rewritten, write
+  * amplification O(|changed rows|) where COW pays O(|touched files|)
+  * (VERDICT r16 next-round item 1: the hourly-small-upsert shape).
+  * For DELETE the scan enforces filters on rows (no group to carry);
+  * for UPDATE/MERGE Spark's rewrite plans its own matching, the scan
+  * just supplies rows + identities. Statement-scoped OCC like the COW
+  * path: a commit landing between scan and write fails loudly.
   */
-final class SnapshotDeltaDeleteOperation(root: String, k: Long,
-    tableSchema: StructType)
+final class SnapshotDeltaMutationOperation(root: String, k: Long,
+    tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.SupportsDelta {
   import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 
-  override def command(): Command = Command.DELETE
+  override def command(): Command = cmd
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column("_file"), Expressions.column("_pos"))
 
+  /** An UPDATE delta arrives as delete(old identity) + insert(new row)
+    * — one writer shape serves all three commands, and the commit
+    * stays the two-file-kind manifest row set either way.
+    */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // a PLAIN scan: pushed bounds prune files AND enforce on rows —
-    // only matching rows become delete records
+    // sound for every delta command (no COW group to carry)
     new SnapshotScanBuilder(root, k, tableSchema)
 
   override def newWriteBuilder(
@@ -912,65 +933,89 @@ final class SnapshotDeltaDeleteOperation(root: String, k: Long,
       org.apache.spark.sql.connector.write.DeltaWriteBuilder =
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
-        new SnapshotDeltaWrite(root, k)
+        new SnapshotDeltaWrite(root, k, tableSchema)
     }
 
-  override def description(): String = s"GraftSnapshotMorDelete($root@$k)"
+  override def description(): String = s"GraftSnapshotMor($cmd, $root@$k)"
 }
 
-/** The position-delete landing of a delta DELETE: executors stream
-  * (normalized path, ordinal) pairs into tiny parquet files; the
-  * driver commits them as `posdelete` manifest rows through the CAS.
+/** The delta landing of a merge-on-read mutation: executors stream
+  * (normalized path, ordinal) delete pairs into tiny parquet files and
+  * insert rows into ordinary data files; the driver commits both kinds
+  * through the CAS as ONE snapshot.
   */
-final class SnapshotDeltaWrite(root: String, scanSnapshot: Long)
+final class SnapshotDeltaWrite(root: String, scanSnapshot: Long,
+    schema: StructType)
     extends org.apache.spark.sql.connector.write.DeltaWrite
     with org.apache.spark.sql.connector.write.DeltaBatchWrite {
   private val token = java.util.UUID.randomUUID().toString.take(12)
   private val dataDir = s"$root/data/p$token"
 
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = this
-  override def description(): String = s"GraftSnapshotMorDeleteWrite($root)"
+  override def description(): String = s"GraftSnapshotMorWrite($root)"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo):
       org.apache.spark.sql.connector.write.DeltaWriterFactory =
-    SnapshotDeltaWriterFactory(dataDir)
+    SnapshotDeltaWriterFactory(dataDir, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect {
-      case m: SnapshotFileCommit if m.nRows > 0 => (m.path, m.nRows)
+    val parts = messages.collect { case m: SnapshotDeltaCommit => m }
+    val posFiles = parts.collect {
+      case m if m.posRows > 0L => (m.posPath, m.posRows) }
+    val dataStats = parts.flatMap(_.dataFile).collect {
+      case f if f.nRows > 0L => (f.path, f.nRows, f.minId, f.maxId, f.nNulls) }
+    // a mutation matching nothing commits nothing
+    if (posFiles.nonEmpty || dataStats.nonEmpty) {
+      if (dataStats.isEmpty)
+        SnapshotStore.commitPositionDeleteFiles(SparkSession.active, root,
+          scanSnapshot, posFiles.toIndexedSeq)
+      else
+        SnapshotStore.commitDeltaMutation(SparkSession.active, root,
+          scanSnapshot, posFiles.toIndexedSeq, dataStats.toIndexedSeq, schema)
     }
-    // a DELETE matching nothing commits nothing
-    if (files.nonEmpty)
-      SnapshotStore.commitPositionDeleteFiles(SparkSession.active, root,
-        scanSnapshot, files.toIndexedSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
+    def rm(path: String): Unit = if (path.nonEmpty) {
+      val pth = new Path(path)
+      val f = pth.getFileSystem(conf)
+      if (f.exists(pth)) f.delete(pth, false)
+    }
     messages.foreach {
-      case m: SnapshotFileCommit if m.path.nonEmpty =>
-        val pth = new Path(m.path)
-        val f = pth.getFileSystem(conf)
-        if (f.exists(pth)) f.delete(pth, false)
+      case m: SnapshotDeltaCommit =>
+        rm(m.posPath); m.dataFile.foreach(f => rm(f.path))
       case _ => ()
     }
   }
 }
 
-final case class SnapshotDeltaWriterFactory(dataDir: String)
+/** A delta task's commit message: its position-delete file (if it saw
+  * deletes) plus its data file's stats (if it saw inserts).
+  */
+final case class SnapshotDeltaCommit(posPath: String, posRows: Long,
+    dataFile: Option[SnapshotFileCommit]) extends WriterCommitMessage
+
+final case class SnapshotDeltaWriterFactory(dataDir: String,
+    schema: StructType)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long):
       org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-    new SnapshotPosDeleteWriter(dataDir, partitionId, taskId)
+    new SnapshotDeltaMutationWriter(dataDir, schema, partitionId, taskId)
 }
 
-/** Executor-side position-delete writer: one `(path, pos)` parquet per
-  * task (the [[SnapshotStore.deleteWhere]] file shape — normalized
-  * paths, so the read path's per-file lookup matches). DELETE only:
-  * update/insert land on the COW path by construction.
+/** Executor-side delta writer: delete deltas into one `(path, pos)`
+  * parquet per task (the [[SnapshotStore.deleteWhere]] file shape —
+  * normalized paths, so the read path's per-file lookup matches);
+  * insert deltas into one ordinary stats-tracked data file per task
+  * ([[SnapshotFileWriter]] — the same parquet the append path writes).
+  * Both lazily opened: a delete-only task ships no data file, an
+  * insert-only task no delete file. `update` never arrives —
+  * [[SnapshotDeltaMutationOperation.representUpdateAsDeleteAndInsert]]
+  * splits it upstream.
   */
-final class SnapshotPosDeleteWriter(dataDir: String, partitionId: Int,
-    taskId: Long)
+final class SnapshotDeltaMutationWriter(dataDir: String,
+    schema: StructType, partitionId: Int, taskId: Long)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroup
   import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
@@ -991,6 +1036,7 @@ final class SnapshotPosDeleteWriter(dataDir: String, partitionId: Int,
   private lazy val writer = ExampleParquetWriter.builder(filePath)
     .withConf(conf).withType(msgType).build()
   private var n = 0L
+  private var dataWriter: SnapshotFileWriter = null
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val g = new SimpleGroup(msgType)
@@ -1000,27 +1046,39 @@ final class SnapshotPosDeleteWriter(dataDir: String, partitionId: Int,
     n += 1L
   }
 
+  override def insert(row: InternalRow): Unit = {
+    if (dataWriter == null)
+      dataWriter = new SnapshotFileWriter(dataDir, schema, partitionId,
+        taskId, "-ins")
+    dataWriter.write(row)
+  }
+
   override def update(meta: InternalRow, id: InternalRow,
       row: InternalRow): Unit =
     throw new UnsupportedOperationException(
-      "merge-on-read is DELETE-only; UPDATE/MERGE take the COW path")
-  override def insert(row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "merge-on-read is DELETE-only; UPDATE/MERGE take the COW path")
+      "updates are represented as delete+insert deltas")
 
   override def commit(): WriterCommitMessage = {
     if (n > 0L) writer.close()
     val f = filePath.getFileSystem(conf)
-    if (n == 0L) SnapshotFileCommit("", 0L, 0L, 0L)
-    else SnapshotFileCommit(f.makeQualified(filePath).toString, n, 0L, 0L)
+    val posPath =
+      if (n == 0L) "" else f.makeQualified(filePath).toString
+    val dataMsg =
+      if (dataWriter == null) None
+      else dataWriter.commit() match {
+        case fc: SnapshotFileCommit if fc.nRows > 0L => Some(fc)
+        case _ => None
+      }
+    SnapshotDeltaCommit(posPath, n, dataMsg)
   }
 
   override def abort(): Unit = {
     try writer.close() catch { case _: Throwable => () }
     val f = filePath.getFileSystem(conf)
     if (f.exists(filePath)) f.delete(filePath, false)
+    if (dataWriter != null) dataWriter.abort()
   }
-  override def close(): Unit = ()
+  override def close(): Unit = if (dataWriter != null) dataWriter.close()
 }
 
 final class SnapshotScanBuilder(root: String, k: Long, tableSchema: StructType,
