@@ -13,18 +13,30 @@ import graft.sources.SnapshotStore
   * ordinary data files for the post-images — with ZERO pre-existing
   * data files rewritten, and the read result is byte-identical to the
   * copy-on-write route's.
+  *
+  * MOR statements run through a DEDICATED session carrying the mode
+  * confs, so concurrently-running suites (whose fixtures assert the
+  * copy-on-write default) never see them.
   */
 class SnapshotMorUpsertSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = Engine.session(master = "local[4]")
+  /** The merge-on-read session: same context, isolated SQL confs. */
+  lazy val morSess: SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set(SnapshotStore.UpdateModeKey, "merge-on-read")
+    ss.conf.set(SnapshotStore.MergeModeKey, "merge-on-read")
+    ss
+  }
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  private def ownCatalog(name: String, base: String): Unit = {
-    spark.conf.set(s"spark.sql.catalog.$name",
-      "graft.sources.SnapshotCatalog")
-    spark.conf.set(s"spark.sql.catalog.$name.base", base)
-  }
+  private def ownCatalog(name: String, base: String): Unit =
+    Seq(spark, morSess).foreach { ss =>
+      ss.conf.set(s"spark.sql.catalog.$name",
+        "graft.sources.SnapshotCatalog")
+      ss.conf.set(s"spark.sql.catalog.$name.base", base)
+    }
 
   private def dataPaths(root: String, k: Long): Set[String] =
     SnapshotStore.metaFiles(spark, root, k)
@@ -48,9 +60,7 @@ class SnapshotMorUpsertSpec extends AnyFunSuite {
     ownCatalog("graft_r17cu", dCow)
     val before = dataPaths(rootMor, 1L)
     val upd = "SET v = v + 1000 WHERE doc_id = 17"
-    spark.conf.set(SnapshotStore.UpdateModeKey, "merge-on-read")
-    try spark.sql(s"UPDATE graft_r17mu.t $upd")
-    finally spark.conf.unset(SnapshotStore.UpdateModeKey)
+    morSess.sql(s"UPDATE graft_r17mu.t $upd")
     spark.sql(s"UPDATE graft_r17cu.t $upd") // the COW twin
     // the MOR commit: every pre-existing data file carried by
     // reference, plus a posdelete row and a post-image data file
@@ -76,9 +86,7 @@ class SnapshotMorUpsertSpec extends AnyFunSuite {
       "SELECT v FROM graft_r17mu.t VERSION AS OF 1 WHERE doc_id = 17")
       .head().getLong(0) == 17L * 3L)
     // a broader MOR UPDATE composes on top of the delta commit
-    spark.conf.set(SnapshotStore.UpdateModeKey, "merge-on-read")
-    try spark.sql("UPDATE graft_r17mu.t SET v = 0 WHERE tag = 'tag3'")
-    finally spark.conf.unset(SnapshotStore.UpdateModeKey)
+    morSess.sql("UPDATE graft_r17mu.t SET v = 0 WHERE tag = 'tag3'")
     spark.sql("UPDATE graft_r17cu.t SET v = 0 WHERE tag = 'tag3'")
     assert(rows(spark.sql("SELECT * FROM graft_r17mu.t")) ==
       rows(spark.sql("SELECT * FROM graft_r17cu.t")))
@@ -101,21 +109,28 @@ class SnapshotMorUpsertSpec extends AnyFunSuite {
     val rootCow = seed(dCow)
     ownCatalog("graft_r17mm", dMor)
     ownCatalog("graft_r17cm", dCow)
-    // a small upsert batch: 3 updates, 2 inserts, 1 delete
-    Seq((10L, "upd", 111L), (20L, "upd", 222L), (30L, "upd", 333L),
-      (900L, "new", 900L), (901L, "new", 901L), (40L, "del", 0L))
-      .toDF("doc_id", "tag", "v").createOrReplaceTempView("mor_merge_src")
-    val merge = (tbl: String) => spark.sql(
+    // a small upsert batch: 3 updates, 2 inserts, 1 delete — the view
+    // is session-scoped, so register it in BOTH sessions
+    val srcRows = Seq((10L, "upd", 111L), (20L, "upd", 222L),
+      (30L, "upd", 333L), (900L, "new", 900L), (901L, "new", 901L),
+      (40L, "del", 0L))
+    srcRows.toDF("doc_id", "tag", "v")
+      .createOrReplaceTempView("mor_merge_src")
+    locally {
+      val mi = morSess.implicits
+      import mi._
+      srcRows.toDF("doc_id", "tag", "v")
+        .createOrReplaceTempView("mor_merge_src")
+    }
+    val merge = (ss: SparkSession, tbl: String) => ss.sql(
       s"""MERGE INTO $tbl t USING mor_merge_src s ON t.doc_id = s.doc_id
          |WHEN MATCHED AND s.tag = 'del' THEN DELETE
          |WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
          |WHEN NOT MATCHED THEN INSERT (doc_id, tag, v)
          |  VALUES (s.doc_id, s.tag, s.v)""".stripMargin)
     val before = dataPaths(rootMor, 1L)
-    spark.conf.set(SnapshotStore.MergeModeKey, "merge-on-read")
-    try merge("graft_r17mm.t")
-    finally spark.conf.unset(SnapshotStore.MergeModeKey)
-    merge("graft_r17cm.t") // the COW twin
+    merge(morSess, "graft_r17mm.t")
+    merge(spark, "graft_r17cm.t") // the COW twin
     assert(SnapshotStore.currentSnapshot(spark, rootMor) == 2L,
       "the whole MERGE is ONE delta commit")
     assert(before.subsetOf(dataPaths(rootMor, 2L)),
@@ -147,9 +162,7 @@ class SnapshotMorUpsertSpec extends AnyFunSuite {
     SnapshotStore.append(spark, root,
       (1L to 100L).map(i => (i, i * 10L)).toDF("doc_id", "v"))
     ownCatalog("graft_r17mc", d)
-    spark.conf.set(SnapshotStore.UpdateModeKey, "merge-on-read")
-    try spark.sql("UPDATE graft_r17mc.t SET v = -1 WHERE doc_id IN (5, 50)")
-    finally spark.conf.unset(SnapshotStore.UpdateModeKey)
+    morSess.sql("UPDATE graft_r17mc.t SET v = -1 WHERE doc_id IN (5, 50)")
     // the change feed of the delta commit nets out to the logical diff:
     // applying (delete pre-images, insert post-images) to snapshot 1
     // yields snapshot 2 exactly
