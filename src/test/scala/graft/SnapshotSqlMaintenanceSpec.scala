@@ -120,8 +120,51 @@ class SnapshotSqlMaintenanceSpec extends AnyFunSuite {
     // the SQL route and the library route are the same commit shape
     val viaSql = rows(spark.sql("SELECT doc_id, label, v FROM graft_maint.atbl"))
     assert(viaSql == rows(df.select("doc_id", "label", "v")))
+    // type changes / drops stay refused — no sound lazy-read story
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft_maint.atbl ADD COLUMN extra BIGINT")
+      spark.sql("ALTER TABLE graft_maint.atbl DROP COLUMN v")
     }
+  }
+
+  test("ALTER TABLE ADD COLUMN is a metadata-only commit; old files read NULL, old snapshots keep their schema") {
+    import spark.implicits._
+    val root = seed("addtbl", commits = 2)
+    spark.sql("ALTER TABLE graft_maint.addtbl ADD COLUMN score BIGINT")
+    assert(SnapshotStore.currentSnapshot(spark, root) == 3L,
+      "ADD COLUMN must land as one metadata commit")
+    // zero data moved: snapshot 3 lists exactly snapshot 2's files
+    assert(SnapshotStore.manifest(spark, root, 3L)
+      .select("path").collect().map(_.getString(0)).toSet ==
+      SnapshotStore.manifest(spark, root, 2L)
+        .select("path").collect().map(_.getString(0)).toSet)
+    // existing rows read the new column as NULL
+    val df = spark.sql("SELECT doc_id, tag, v, score FROM graft_maint.addtbl")
+    assert(df.columns.toSeq == Seq("doc_id", "tag", "v", "score"))
+    assert(df.collect().forall(_.isNullAt(3)),
+      "pre-evolution files must read the added column as NULL")
+    // the next INSERT carries real values; old rows stay NULL
+    spark.sql("INSERT INTO graft_maint.addtbl " +
+      "SELECT CAST(9 AS BIGINT), 'new', CAST(90 AS BIGINT), CAST(7 AS BIGINT)")
+    val got = spark.sql(
+      "SELECT doc_id, score FROM graft_maint.addtbl ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(got == Seq((1L, -1L), (2L, -1L), (9L, 7L)))
+    // time travel: the pre-ALTER snapshot still has the narrow schema
+    assert(spark.sql(
+      "SELECT * FROM graft_maint.addtbl VERSION AS OF 2").columns.toSeq ==
+      Seq("doc_id", "tag", "v"))
+    // the catalog surfaces the widened schema (DESCRIBE reads
+    // loadTable's schema — the same sidecar the commit wrote)
+    assert(spark.sql("DESCRIBE TABLE graft_maint.addtbl")
+      .collect().map(_.getString(0)).contains("score"),
+      "DESCRIBE must show the added column")
+    // a duplicate add refuses; rename composes with the added column
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_maint.addtbl ADD COLUMN score BIGINT")
+    }
+    spark.sql("ALTER TABLE graft_maint.addtbl RENAME COLUMN score TO quality")
+    assert(spark.sql("SELECT quality FROM graft_maint.addtbl WHERE doc_id = 9")
+      .head().getLong(0) == 7L)
   }
 }
