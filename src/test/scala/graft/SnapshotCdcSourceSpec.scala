@@ -149,6 +149,64 @@ class SnapshotCdcSourceSpec extends AnyFunSuite {
       "the restarted stream must deliver exactly the missed window")
   }
 
+  test("MOR-delete commits stream as delete events: equality- and position-delete windows, restart-safe") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cdcmor_").toString
+    val root = s"$base/tbl"
+    val ckpt = s"$base/ckpt"
+    SnapshotStore.append(spark, root,
+      (1L to 40L).map(i => (i, s"t$i", i * 10L)).toDF("doc_id", "tag", "v"))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def start() = spark.readStream
+      .format("graft.sources.SnapshotCdcSource")
+      .option("root", root).option("startSnapshot", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => buf.add(r.toString)); ()
+      }.start()
+    def drained: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSeq.sorted
+    }
+    // window 1: an EQUALITY-delete commit only (library deleteKeys)
+    SnapshotStore.deleteKeys(spark, root,
+      Seq(3L, 7L).toDF("doc_id")) // commit 2
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      val w1 = rows(SnapshotStore.changeFeedCompact(spark, root, 1L, 2L))
+      assert(drained == w1,
+        "an equality-delete-only window must stream its delete events")
+      assert(SnapshotStore.changeFeedCompact(spark, root, 1L, 2L)
+        .filter(col("change_type") === "delete").count() == 2L,
+        "fixture: the window is exactly the two logical deletes")
+    } finally q1.stop()
+    // window 2: a POSITION-delete commit only (MOR SQL DELETE), landing
+    // while the stream is DOWN — the restart must deliver it exactly
+    // once, pre-images included
+    val morSess = spark.newSession()
+    morSess.conf.set("spark.sql.catalog.graft_cdcmor",
+      "graft.sources.SnapshotCatalog")
+    morSess.conf.set("spark.sql.catalog.graft_cdcmor.base", base)
+    morSess.conf.set(SnapshotStore.DeleteModeKey, "merge-on-read")
+    morSess.sql("DELETE FROM graft_cdcmor.tbl WHERE v >= 100 AND v <= 120") // commit 3
+    assert(SnapshotStore.metaFiles(spark, root, 3L)
+      .filter(col("kind") === "posdelete").count() >= 1L,
+      "fixture: the SQL DELETE landed merge-on-read")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(drained ==
+      (rows(SnapshotStore.changeFeedCompact(spark, root, 1L, 2L)) ++
+        rows(SnapshotStore.changeFeedCompact(spark, root, 2L, 3L))).sorted,
+      "the restarted stream must deliver the position-delete window exactly once")
+    // the pre-images are real rows of snapshot 2
+    val w2 = SnapshotStore.changeFeedCompact(spark, root, 2L, 3L)
+    assert(w2.filter(col("change_type") === "delete").count() == 3L,
+      "v in [100,120] is exactly doc_ids 10..12")
+    assert(w2.filter(col("doc_id") === 10L).head()
+      .getAs[String]("tag") == "t10")
+  }
+
   test("concurrent streams: one stream's checkpoint commit never reclaims another's spills (per-stream namespaces)") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_cdcconc_").toString
