@@ -101,11 +101,23 @@ object SimIndex {
     expr(s"(sz * ${LlmOps.AllPairsTauNum} + ${LlmOps.AllPairsTauDen - 1}) " +
       s"div ${LlmOps.AllPairsTauDen}")
 
+  /** Conf key: force q165 to rebuild the artifact even when the
+    * signature says it is fresh — the bench sets this to report the
+    * full-build cost honestly; the default amortizes like every other
+    * `ensure` (VERDICT r16 what's-wrong 3: charging an amortize-once
+    * cost to every run reads as a permanent 3 s query).
+    */
+  val RebuildKey = "spark.graft.simindex.rebuild"
+
   private def build(s: SparkSession, dir: String): DataFrame = {
     val sig = StandingIndex.corpusSig(s, dir)
-    buildFrom(sideDocs(s, dir, delta = false), indexRoot(dir))
-    // meta last — the commit marker (see StandingIndex.writeMeta)
-    StandingIndex.writeMeta(s, indexRoot(dir), sig)
+    val root = indexRoot(dir)
+    val force = s.conf.getOption(RebuildKey).exists(_.equalsIgnoreCase("true"))
+    if (force || !StandingIndex.metaFresh(s, root, sig)) {
+      buildFrom(sideDocs(s, dir, delta = false), root)
+      // meta last — the commit marker (see StandingIndex.writeMeta)
+      StandingIndex.writeMeta(s, root, sig)
+    }
     s.emptyDataFrame
   }
 
