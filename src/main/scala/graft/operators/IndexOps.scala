@@ -725,30 +725,34 @@ object IndexOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy("returnflag").orderBy("v")))
       .withColumn("d", count(lit(1)).over(Window.partitionBy("returnflag")))
-    val exactAggs =
-      max(col("d")).as("n_distinct") +:
+    // exact AND KMV estimators ride ONE aggregation over the ranked
+    // frame: the window's hash(returnflag) output partitioning already
+    // satisfies the groupBy, so the whole query is scan → distinct →
+    // window → final agg with NO second lineitem scan, NO second
+    // per-group exchange, and NO join (the old two-branch form planned
+    // `dv` twice — the window columns under one branch defeat exchange
+    // reuse — then paid a join to glue two single-row-per-group
+    // aggregates back together). kmv_sample sees the same (hv, v)
+    // multiset either way, so every output cell is unchanged.
+    val aggs =
+      (max(col("d")).as("n_distinct") +:
         KmvQProbs.map { case (nm, p) =>
           max(when(col("rn") - 1 === floor(lit(p) * (col("d") - 1)), col("v")))
             .as(s"exact_$nm")
-        }
-    val exact = ranked.groupBy(col("returnflag"))
-      .agg(exactAggs.head, exactAggs.tail: _*)
-    val estCols =
-      Seq(col("returnflag"), size(col("sample")).cast("long").as("sample_size")) ++
+        }) :+
+        graft.functions.KmvSample
+          .kmv_sample(struct(col("hv"), col("v")), KmvQK).as("sample")
+    val outCols =
+      Seq(col("returnflag"), col("n_distinct"),
+        size(col("sample")).cast("long").as("sample_size")) ++
+        KmvQProbs.map(p => col(s"exact_${p._1}")) ++
         KmvQProbs.map { case (nm, p) =>
           element_at(col("sample"),
             (floor(lit(p) * (size(col("sample")) - 1)) + 1).cast("int"))
             .as(s"kmv_$nm")
         }
-    val est = dv.groupBy(col("returnflag"))
-      .agg(graft.functions.KmvSample
-        .kmv_sample(struct(col("hv"), col("v")), KmvQK).as("sample"))
-      .select(estCols: _*)
-    val outCols =
-      Seq(col("returnflag"), col("n_distinct"), col("sample_size")) ++
-        KmvQProbs.map(p => col(s"exact_${p._1}")) ++
-        KmvQProbs.map(p => col(s"kmv_${p._1}"))
-    exact.join(est, Seq("returnflag"))
+    ranked.groupBy(col("returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(outCols: _*)
       .orderBy(col("returnflag"))
   }

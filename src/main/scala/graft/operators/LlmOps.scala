@@ -1276,15 +1276,33 @@ object LlmOps {
         .union(pqEncode(delta, cbooks).withColumn("is_delta", lit(true))))
   }
 
-  private def pqAssignD2 = round(expr(
-    "aggregate(zip_with(sub, cent, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 6)
-
-  private def pqAssign(src: DataFrame, cents: DataFrame): DataFrame =
-    src.join(broadcast(cents), col("m") === col("sm"))
-      .withColumn("d2", pqAssignD2)
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("code"),
-        first(col("sub")).as("sub"))
+  /** Nearest-code assignment per subvector, computed MAP-SIDE: the
+    * per-subspace codebook collapses to one broadcast array row
+    * (cent_id-ascending), and an array fold picks the lowest
+    * (d2, cent_id) — exactly min_by's tie policy, evaluating the same
+    * rounded d2 per codeword in the same order. The previous
+    * join-on-m + groupBy(vec_id, m) argmin materialized PqK candidate
+    * rows per subvector and paid a full shuffle of the corpus's
+    * subvector table per assignment; this form plans ZERO exchanges
+    * (guide §2.4/§3.1: the decision needs only a K-row broadcast, so
+    * nothing corpus-sized should move).
+    */
+  private def pqAssign(src: DataFrame, cents: DataFrame): DataFrame = {
+    val cbooks = cents
+      .groupBy(col("sm"))
+      .agg(expr("array_sort(collect_list(struct(cent_id, cent)))").as("cbook"))
+    src.join(broadcast(cbooks), col("m") === col("sm"))
+      .withColumn("code", expr(
+        """aggregate(
+          |  transform(cbook, e -> named_struct(
+          |    'd2', round(aggregate(zip_with(sub, e.cent,
+          |      (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6),
+          |    'cent_id', e.cent_id)),
+          |  CAST(NULL AS STRUCT<d2: DOUBLE, cent_id: BIGINT>),
+          |  (acc, e) -> CASE WHEN acc IS NULL OR e.d2 < acc.d2
+          |    THEN e ELSE acc END).cent_id""".stripMargin))
+      .drop("sm", "cbook")
+  }
 
   /** q187's FROZEN codebooks: seeded by the [[PqK]] lowest standing
     * vec_ids, one exact-arithmetic Lloyd refinement — a pure function
@@ -1687,6 +1705,12 @@ object LlmOps {
     // corpus size as a broadcast 1-row aggregate — the whole query is ONE
     // job (a driver-side count() literal would pay an extra job per run)
     val n = t(s, dir, "documents").agg(count(lit(1)).cast("double").as("n"))
+    // tf is deliberately NOT checkpoint-materialized (tried in r17,
+    // measured 2.3× SLOWER): a checkpointed tf carries no size stats,
+    // so the vocab-sized df side loses its broadcast and the join
+    // degrades — recomputing the tokenize+explode subtree for the df
+    // branch is the cheaper side of that trade here, unlike q67/q76
+    // whose second subtree is the expensive shingling pass.
     val tf = docsTok(s, dir)
       .select(col("doc_id"), explode(col("tok")).as("token"))
       .filter(length(col("token")) > 0)
@@ -1729,11 +1753,17 @@ object LlmOps {
     lmScoreCache.getOrElseUpdate(s, dir)( {
     // codegen'd shingles2 + substring_index: the struct-building HOF
     // formulation is interpreted per element and measured ~2× slower
+    // docBi materializes ONCE (lazy checkpoint): the bigram-count
+    // aggregation and the join probe side otherwise each replay the
+    // tokenize+shingle+explode subtree (same ReuseExchange gap as
+    // q65's tf; the count stays a groupBy + equi-join for the q76
+    // hot-key reason).
     val docBi = docsTok(s, dir)
       .filter(size(col("tok")) >= 2)
       .select(col("doc_id"),
         explode(graft.functions.Scalars.shingles2(col("tok"))).as("bigram"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .materialize(false)
     val uni = docsTok(s, dir)
       .select(explode(col("tok")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
@@ -1938,12 +1968,12 @@ object LlmOps {
     * projection computes content hash, quality, and repetition signals
     * in the same scan (all map-side kernels, shared via
     * withQualityScore/withRepetitionSignals so the gates are
-    * bit-identical to q54/q70); the canonical set is a map-side-combined
-    * groupBy over that projection (partial aggregation collapses
-    * duplicate hashes per task, so mass-duplicated texts can't skew a
-    * reducer — the window-over-hash formulation was rejected for exactly
-    * that reason) semi-joined back on the uniform doc_id key. Both
-    * gates filter BEFORE the join, shrinking its probe side.
+    * bit-identical to q54/q70); the canonical-row selection is ONE
+    * map-side-combined min_by groupBy over that projection (partial
+    * aggregation collapses duplicate hashes per task, so
+    * mass-duplicated texts can't skew a reducer — the window-over-hash
+    * formulation was rejected for exactly that reason), and the gates
+    * filter the hash-group winners directly — no join, no second scan.
     *
     * The >= 3-token floor commutes with the dedup: identical texts have
     * identical token counts, so a hash group is entirely inside or
@@ -1960,14 +1990,24 @@ object LlmOps {
       .withColumn("content_hash", md5(col("text").cast("binary")))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
         col("repetitive"), col("content_hash"))
-    val canonical = base
-      .groupBy(col("content_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+    // ONE pass: the kept rows ARE the per-hash min-doc_id rows that
+    // pass the gates (quality/repetition are pure text functions, so
+    // every row of a hash group carries identical gate values — and
+    // even under an md5 collision only the min doc could survive the
+    // old semi-join, judged on its own gate values, which is exactly
+    // what min_by returns). The old two-branch form scanned and
+    // tokenized the corpus once per branch and paid a semi-join to
+    // recombine; min_by collapses duplicate hashes map-side exactly
+    // like the min() the scaladoc's skew argument already relies on.
     base
-      .filter(col("quality") >= 0.6 && col("repetitive") === 0)
-      .join(canonical, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+      .groupBy(col("content_hash"))
+      .agg(min_by(
+        struct(col("doc_id"), col("lang"), col("n_tokens"),
+          col("quality"), col("repetitive")),
+        col("doc_id")).as("c"))
+      .filter(col("c.quality") >= 0.6 && col("c.repetitive") === 0)
+      .select(col("c.doc_id").as("doc_id"), col("c.lang").as("lang"),
+        col("c.n_tokens").as("n_tokens"), col("c.quality").as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -2101,10 +2141,15 @@ object LlmOps {
     * are BY DEFINITION the hottest keys (present in millions of docs),
     * and window skew cannot be split — whereas this equi-join's skewed
     * keys are handled by AQE skew-join and the df aggregate collapses
-    * map-side. The price is a second scan of one pruned column.
+    * map-side. The shingle table materializes once (lazy checkpoint),
+    * so the shape no longer pays a second shingling scan either.
     */
   val q76BoilerplateNgrams: Q = (s, dir) => {
+    // the exploded shingle table materializes ONCE (lazy checkpoint):
+    // the df aggregation and the join-back otherwise each replay the
+    // tokenize+shingle+explode subtree (the q65/q67 ReuseExchange gap)
     val ds = docsShingled(s, dir).select(col("doc_id"), explode(col("sh")).as("s"))
+      .materialize(false)
     val df = ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
     ds.join(df, Seq("s"))
       .groupBy(col("doc_id"))
@@ -2931,12 +2976,25 @@ object LlmOps {
       .filter(col("n_tokens") >= 1)
     // stride-1 windows; the n >= W guard matters: Spark sequence(1, 0)
     // generates a DESCENDING sequence, not an empty one
+    // The window table materializes ONCE (lazy checkpoint — no extra
+    // job; both consumers below share the computed blocks): the old
+    // plan re-ran the tokenize+slice-hash explode subtree for each
+    // consumer (the partial aggregation under the count exchange makes
+    // the two subtrees differ, so ReuseExchange never deduped them),
+    // and the slice/concat/hash work per window dwarfs the 20-byte row
+    // it produces — the q45 signature-table discipline applied to span
+    // hashes. The dup filter stays a groupBy + equi-join (NOT a
+    // count-over-window): boilerplate spans are by definition the
+    // hottest whash keys, window skew cannot be split, but the count
+    // aggregate collapses map-side and AQE skew-join splits the
+    // join-back (the q76 argument, verbatim).
     val wins = base.filter(col("n_tokens") >= SpanWindow)
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(1, size(tok) - ${SpanWindow - 1}), " +
             s"i -> stable_hash64(concat_ws(' ', slice(tok, i, $SpanWindow))))")))
       .toDF("doc_id", "start0", "whash")
+      .materialize(false)
     val dup = wins.groupBy(col("whash"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)

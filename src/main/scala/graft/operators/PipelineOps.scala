@@ -381,16 +381,23 @@ object PipelineOps {
     * columns at the scan.
     */
   val q102IntegrityAudit: Q = (s, dir) => {
+    // n_rows and n_violations fold in ONE pass over the child: a LEFT
+    // join against the DISTINCT parent key emits exactly one row per
+    // child row (so count(*) is still the child count) with a null pk
+    // marking the orphan — the old shape scanned the child twice (an
+    // anti-join count plus a separate row count) and cross-joined the
+    // two 1-row aggregates back together. Same shuffle bytes at any
+    // scale (both forms move only the key columns), one child scan and
+    // two jobs fewer per declared relationship.
     def fk(child: DataFrame, childRel: String, ck: String,
-        parent: DataFrame, pk: String, label: String): DataFrame = {
-      val orphans = child.select(col(ck))
-        .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-      child.agg(count(lit(1)).as("n_rows")).crossJoin(orphans)
+        parent: DataFrame, pk: String, label: String): DataFrame =
+      child.select(col(ck))
+        .join(parent.select(col(pk)).distinct(), col(ck) === col(pk), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col(pk).isNull.cast("bigint")).as("n_violations"))
         .select(lit(childRel).as("rel"), lit(label).as("test"),
           col("n_rows"), col("n_violations"),
           round(col("n_violations").cast("double") / col("n_rows"), 6).as("ratio"))
-    }
     def unique(child: DataFrame, childRel: String, keyExpr: Column,
         label: String): DataFrame =
       child.agg(count(lit(1)).as("n_rows"),
@@ -537,34 +544,40 @@ object PipelineOps {
     val docs = t(s, dir, "documents")
     def ntok(c: Column): Column =
       size(split(trim(lower(c)), "\\s+")).cast("long")
-    // old snapshot (q87's fixture derivation) and its stored aggregate
-    val old = docs.filter(col("doc_id") % 13 =!= 5)
-      .select(col("doc_id"), col("lang"), ntok(col("text")).as("nt"))
-    val oldAgg = old.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("toks"))
-    // delta rows with their old/new token contributions. Existence
-    // flags reuse q87's modular membership — no manifest join needed
-    // for the fixture derivation, and the non-delta 99% short-circuits
-    // to a zero contribution before tokenization.
+    // Existence flags reuse q87's modular membership — no manifest
+    // join needed for the fixture derivation.
     val inOld = col("doc_id") % 13 =!= 5
     val inNew = col("doc_id") % 11 =!= 7
     val changed = col("doc_id") % 7 === 0
-    val delta = docs
-      .filter((inOld && !inNew) || (!inOld && inNew) || (inOld && inNew && changed))
+    val isDelta =
+      (inOld && !inNew) || (!inOld && inNew) || (inOld && inNew && changed)
+    // Stored aggregate AND delta contributions fold in ONE scan + ONE
+    // map-side-combinable aggregation on lang: each row contributes its
+    // old-snapshot counts (the q87 derivation of "yesterday's stored
+    // aggregate") and, when it is a delta row, its signed refresh
+    // terms, all as row-local conditional arithmetic. The old
+    // two-branch form scanned and tokenized the corpus twice (the old
+    // side's ntok ran under both branches for changed docs) and paid a
+    // second shuffle plus a full-outer join to recombine — per-lang
+    // sums of row-local terms commute with the union, so the fused
+    // totals are value-identical, and a lang only ever seen by deleted
+    // docs still drops via the n_docs > 0 edge filter.
+    docs
+      .filter(inOld || isDelta)
       .select(col("lang"),
-        when(!inOld && inNew, 1L).when(inOld && !inNew, -1L)
+        when(inOld, 1L).otherwise(0L).as("o_docs"),
+        when(inOld, ntok(col("text"))).otherwise(0L).as("o_toks"),
+        when(isDelta,
+          when(!inOld && inNew, 1L).when(inOld && !inNew, -1L).otherwise(0L))
           .otherwise(0L).as("d_docs"),
-        (when(inNew, ntok(when(changed, concat(col("text"), lit(" rev2")))
-            .otherwise(col("text")))).otherwise(0L)
-          - when(inOld, ntok(col("text"))).otherwise(0L)).as("d_toks"))
+        when(isDelta,
+          when(inNew, ntok(when(changed, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")))).otherwise(0L)
+            - when(inOld, ntok(col("text"))).otherwise(0L))
+          .otherwise(0L).as("d_toks"))
       .groupBy(col("lang"))
-      .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_toks")).as("d_toks"))
-    oldAgg.join(delta, Seq("lang"), "full_outer")
-      .select(col("lang"),
-        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
-          .as("n_docs"),
-        (coalesce(col("toks"), lit(0L)) + coalesce(col("d_toks"), lit(0L)))
-          .as("total_tokens"))
+      .agg((sum(col("o_docs")) + sum(col("d_docs"))).as("n_docs"),
+        (sum(col("o_toks")) + sum(col("d_toks"))).as("total_tokens"))
       // a lang whose documents were ALL deleted refreshes to zero and
       // leaves the aggregate — the full recompute has no such group,
       // and "incremental == full" must hold on that edge too
@@ -1039,21 +1052,34 @@ object PipelineOps {
       expr(s"""stable_hash64(concat('qs:', l_orderkey, ':', l_linenumber,
         ':', cast(round(l_extendedprice * 100) as bigint))) % 100
         < $QuantileSamplePct""").as("in_sample"))
-    def quantilesOf(df: DataFrame): DataFrame = {
-      val counts = df.groupBy(col("x")).agg(count(lit(1)).as("c"))
-      val nRow = counts.agg(sum(col("c")).as("n"))
-      counts
-        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("x").asc)))
-        .crossJoin(broadcast(nRow))
-        .agg(
-          min(when(col("cum") >= ceil(col("n") * 0.5), col("x"))).as("p50"),
-          min(when(col("cum") >= ceil(col("n") * 0.9), col("x"))).as("p90"),
-          min(when(col("cum") >= ceil(col("n") * 0.99), col("x"))).as("p99"))
-    }
-    val exact = quantilesOf(base)
-      .select(col("p50").as("e50"), col("p90").as("e90"), col("p99").as("e99"))
-    val est = quantilesOf(base.filter(col("in_sample")))
-    est.crossJoin(broadcast(exact))
+    // ONE pass serves both estimators: per-value counts carry an
+    // all-rows count AND a sampled-rows count, the single cumulative
+    // window (same ordering ⇒ one sort, one WindowExec) accumulates
+    // both, and one final aggregate selects all six rank cutoffs. The
+    // old two-branch form re-planned the lineitem scan, the per-value
+    // shuffle, and the cumulative window once per branch (the sample
+    // filter sits below the aggregation, so no exchange is reusable).
+    // Equivalence: the sampled branch's candidate set gains the
+    // c_smp = 0 value rows, but their cumulative count equals the
+    // previous SAMPLED value's (the running sum only advances at
+    // sampled values), so the first value reaching each cutoff — the
+    // min the aggregate takes — is unchanged.
+    val counts = base.groupBy(col("x")).agg(
+      count(lit(1)).as("c"),
+      sum(col("in_sample").cast("bigint")).as("cs"))
+    val nRow = counts.agg(sum(col("c")).as("n"), sum(col("cs")).as("ns"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("x").asc)))
+      .withColumn("cums", sum(col("cs")).over(Window.orderBy(col("x").asc)))
+      .crossJoin(broadcast(nRow))
+    val both = cum.agg(
+      min(when(col("cum") >= ceil(col("n") * 0.5), col("x"))).as("e50"),
+      min(when(col("cum") >= ceil(col("n") * 0.9), col("x"))).as("e90"),
+      min(when(col("cum") >= ceil(col("n") * 0.99), col("x"))).as("e99"),
+      min(when(col("cums") >= ceil(col("ns") * 0.5), col("x"))).as("p50"),
+      min(when(col("cums") >= ceil(col("ns") * 0.9), col("x"))).as("p90"),
+      min(when(col("cums") >= ceil(col("ns") * 0.99), col("x"))).as("p99"))
+    both
       .selectExpr(
         """stack(3,
           |  'p50', e50, p50,

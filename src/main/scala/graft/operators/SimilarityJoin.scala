@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Engine.MaterializeSyntax
+
 /** Reusable exact all-pairs similarity join with prefix filtering
   * (the AllPairs/PPJoin family; promoted from q147's inline pipeline,
   * VERDICT r8 item 8) — the deterministic-recall complement to MinHash
@@ -59,13 +61,19 @@ object SimilarityJoin {
     require(maxDfNum > 0 && maxDfDen > 0, s"df cut must be positive: $maxDfNum/$maxDfDen")
     val docsArr = docs.select(
       col(idCol).as("doc_id"), array_distinct(col(tokCol)).as("ts"))
+    // toks and kept materialize ONCE (lazy checkpoint — no extra job):
+    // toks otherwise re-runs the tokenize+explode subtree for the df
+    // count and the kept join, and kept feeds both the prefix window
+    // and the verification arrays (partial aggregations under the df
+    // exchange defeat ReuseExchange — the q65/q145 gap)
     val toks = docsArr.select(col("doc_id"), explode(col("ts")).as("token"))
+      .materialize(false)
     val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nd = docsArr.agg(count(lit(1)).as("nd"))
     val keep = dfreq.crossJoin(nd)
       .filter(col("df") * maxDfDen <= col("nd") * maxDfNum)
       .select(col("token"), col("df"))
-    val kept = toks.join(keep, Seq("token"))
+    val kept = toks.join(keep, Seq("token")).materialize(false)
     val cand = candidatesFrom(kept, tauNum, tauDen)
     val keptArr = kept.groupBy(col("doc_id"))
       .agg(collect_list(col("token")).as("kt"))
@@ -173,13 +181,15 @@ object SimilarityJoin {
     val docsArr = docs.select(col(idCol).as("doc_id"),
       array_distinct(col(tokCol)).as("ts"), col(sideCol).cast("boolean").as("is_b"))
       .filter(col("is_b").isNotNull)
+    // same one-shot materialization as allPairs (q65/q145 gap)
     val toks = docsArr.select(col("doc_id"), col("is_b"), explode(col("ts")).as("token"))
+      .materialize(false)
     val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nd = docsArr.agg(count(lit(1)).as("nd"))
     val keep = dfreq.crossJoin(nd)
       .filter(col("df") * maxDfDen <= col("nd") * maxDfNum)
       .select(col("token"), col("df"))
-    val kept = toks.join(keep, Seq("token"))
+    val kept = toks.join(keep, Seq("token")).materialize(false)
     val cand = crossCandidatesFrom(kept, tauNum, tauDen)
     val keptArr = kept.groupBy(col("doc_id"))
       .agg(collect_list(col("token")).as("kt"))

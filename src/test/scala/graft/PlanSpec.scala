@@ -181,11 +181,14 @@ class PlanSpec extends AnyFunSuite {
 
   private def scans(p: String): Int = "Scan parquet".r.findAllIn(p).size
 
-  test("q73: ingest-select is single-pass — two pruned scans, dedup via semi join") {
+  test("q73: ingest-select is single-pass — one scan, min_by dedup, no join") {
     val p = finalPlan("q73_ingest_select")
-    assert(scans(p) == 2, s"expected base + canonical scans only:\n$p")
-    assert(p.contains("LeftSemi"), s"canonical set should semi-join back:\n$p")
-    assert(!p.contains("CartesianProduct"))
+    // r17: the per-hash canonical row comes from ONE map-side-combinable
+    // min_by aggregation; the old canonical-set branch (second scan +
+    // semi join) is gone
+    assert(scans(p) == 1, s"expected a single corpus scan:\n$p")
+    assert(p.contains("min_by"), s"canonical row should be a min_by aggregate:\n$p")
+    assert(!p.contains("Join"), s"no join should remain:\n$p")
   }
 
   test("q74: bigram/unigram count exchanges are computed once and reused") {
