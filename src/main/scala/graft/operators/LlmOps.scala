@@ -2876,6 +2876,9 @@ object LlmOps {
       .join(quality.select(col("doc_id"), col("quality")), Seq("doc_id"))
       .withColumn("rn", row_number().over(wRep))
       .select(col("doc_id"), (col("rn") === 1).cast("bigint").as("is_cluster_rep"))
+    // flags is deliberately NOT checkpoint-materialized (tried in r17,
+    // no win: 1.77 → 1.82 s — its inputs are session-cached manifests,
+    // so the replayed join tree is already cheap)
     val flags = quality
       .join(canon, Seq("doc_id"), "left")
       .join(reps, Seq("doc_id"))
