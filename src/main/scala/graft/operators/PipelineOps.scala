@@ -944,10 +944,18 @@ object PipelineOps {
     */
   val q110Interpolate: Q = (s, dir) => {
     val hourUs = 3600000000L
+    // ev materializes ONCE (lazy checkpoint — no extra job): its THREE
+    // consumers (the interval window, the grid-range aggregate feeding
+    // two broadcast cross joins, and the per-user first-event branch)
+    // otherwise each replay the scan + same-instant pre-average — the
+    // initial plan carried FOUR event scans. Stats loss is harmless
+    // here: every downstream join is an explicit broadcast() of a
+    // 1-row aggregate.
     val ev = t(s, dir, "events")
       .withColumn("us", unix_micros(col("ts")))
       .groupBy(col("user_id"), col("us"))
       .agg((sum(dec(col("value"))).cast("double") / count(lit(1))).as("v"))
+      .materialize(false)
     val range = ev.agg(
       ((min(col("us")) / hourUs).cast("long") * hourUs).as("g0"),
       ((max(col("us")) / hourUs).cast("long") * hourUs).as("g1"))
