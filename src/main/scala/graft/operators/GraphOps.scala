@@ -62,33 +62,54 @@ object GraphOps {
   private val edgeCache =
     new graft.SessionCache
 
-  private[operators] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate(s, dir)( {
-      // basket form, not a self-join: ONE shuffle groups each order's
-      // distinct parts (collect_set dedups map-side), then the ordered
-      // pairs explode map-side from the sorted basket — a self-join on
-      // l_orderkey would shuffle the scan twice and materialize the
-      // join; this ships each basket once. The quadratic pair fan-out
-      // is per-basket (bounded, O(10) items), never per-corpus.
+  private val basketCache =
+    new graft.SessionCache
+
+  /** Per-order sorted distinct-part baskets — the ONE lineitem pass the
+    * whole co-purchase family derives from (collect_set dedups
+    * map-side). Cached per (session, dir) like the LlmOps signature
+    * tables: the edge build AND q116's per-part supports / basket
+    * total all read it, so within a session the lineitem scan + basket
+    * shuffle run once (MEMORY_AND_DISK — spills, never recomputes).
+    */
+  private[operators] def orderBaskets(s: SparkSession, dir: String): DataFrame =
+    basketCache.getOrElseUpdate(s, dir)(
       t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> named_struct('pa', x, 'pb', y))))"))
-          .as("e"))
-        .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= CoPurchaseMinOrders)
-        // the thresholded edge list is ~n_edges ≪ the pair expansion
-        // (3.6k rows at sf0.1): materialize it eagerly ONCE — q93's
-        // iterations and q94's wedge joins then plan against a flat
-        // in-memory table instead of replaying the expansion per
-        // reference, and the pair-count scan never runs twice across
-        // the q93/q94 pair (same per-(session, dir) discipline as the
-        // LlmOps signature caches)
-        .materialize(true)
-    })
+        .cache())
+
+  /** The thresholded pair counting over a basket table — basket form,
+    * not a self-join: the ordered pairs explode map-side from the
+    * sorted basket; a self-join on l_orderkey would shuffle the scan
+    * twice and materialize the join; this ships each basket once. The
+    * quadratic pair fan-out is per-basket (bounded, O(10) items),
+    * never per-corpus.
+    */
+  private def basketPairs(baskets: DataFrame): DataFrame =
+    baskets
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> named_struct('pa', x, 'pb', y))))"))
+        .as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= CoPurchaseMinOrders)
+
+  private[operators] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    coPurchaseEdgesFrom(s, dir, orderBaskets(s, dir))
+
+  private def coPurchaseEdgesFrom(s: SparkSession, dir: String,
+      baskets: => DataFrame): DataFrame =
+    edgeCache.getOrElseUpdate(s, dir)(
+      // the thresholded edge list is ~n_edges ≪ the pair expansion
+      // (3.6k rows at sf0.1): materialize it eagerly ONCE — q93's
+      // iterations and q94's wedge joins then plan against a flat
+      // in-memory table instead of replaying the expansion per
+      // reference, and the pair-count scan never runs twice across
+      // the q93/q94 pair (same per-(session, dir) discipline as the
+      // LlmOps signature caches)
+      basketPairs(baskets).materialize(true))
 
   /** q93: PageRank over the co-purchase graph — [[PageRankIters]]
     * damped iterations (d = 0.85) in fixed-point longs.
@@ -299,13 +320,19 @@ object GraphOps {
     * engine-stable.
     */
   val q116AssocRules: Q = (s, dir) => {
-    val lp = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
-    val nOrders = lp.select(col("okey")).distinct()
-      .agg(count(lit(1)).as("nt"))
-    val psup = lp.groupBy(col("part")).agg(count(lit(1)).as("c_part"))
-    coPurchaseEdges(s, dir)
+    // ONE lineitem pass feeds everything (guide §1.2/§2.4): the cached
+    // basket table is shared by the edge build, the per-part supports
+    // (explode of the deduped baskets ≡ the old distinct-(okey, part)
+    // groupBy — collect_set already dedups), and the basket total (one
+    // basket row per distinct l_orderkey ≡ the old double-distinct
+    // count). The old form planned the (okey, part)-distinct subtree
+    // twice more on top of the edge build's own scan: 3 lineitem scans
+    // + 2 distinct shuffles → 1 scan + 1 basket shuffle, cached.
+    val baskets = orderBaskets(s, dir)
+    val nOrders = baskets.agg(count(lit(1)).as("nt"))
+    val psup = baskets.select(explode(col("ps")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("c_part"))
+    coPurchaseEdgesFrom(s, dir, baskets)
       .withColumnRenamed("n_orders", "c_ab")
       .join(psup.select(col("part").as("pa"), col("c_part").as("c_a")), Seq("pa"))
       .join(psup.select(col("part").as("pb"), col("c_part").as("c_b")), Seq("pb"))

@@ -341,21 +341,50 @@ object JoinPlanner {
     * no per-key state) — the exact per-key count table is the only
     * input the sketch path exists to avoid.
     */
+  /** The profiled (table → key columns) map in a deterministic order —
+    * the CMS passes below aggregate ONE sketch per key per TABLE SCAN
+    * (guide §1.2/§2.4, the q146 fusion): [[CountMinAgg]] skips NULL
+    * inputs in `update`, so the old per-pair `isNotNull` pre-filter
+    * folds into the aggregate and lineitem's three key sketches (and
+    * orders'/customer's two) ride one scan instead of one scan each
+    * (11 scans → 7 across the catalog).
+    */
+  private def statsKeysByTable: Seq[(String, Seq[String])] =
+    statsPairs.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+
+  /** One row of every key's CMS counter grid for `rel` (columns
+    * `cm_<key>`), plus the per-key upper-bound estimator column
+    * (min over sketch rows of the row's max bucket).
+    */
+  private def cmsRow(s: SparkSession, dir: String, rel: String,
+      keys: Seq[String]): (DataFrame, String => Column) = {
+    import graft.functions.CountMinAgg.{D, W}
+    val aggs = keys.map(k =>
+      graft.functions.CountMinAgg.count_min(col(k).cast("string")).as(s"cm_$k"))
+    val cms = t(s, dir, rel).agg(aggs.head, aggs.tail: _*)
+    val estOf = (k: String) => least((0 until D).map(i =>
+      expr(s"array_max(slice(cm_$k, ${i * W + 1}, $W))")): _*)
+    (cms, estOf)
+  }
+
+  /** The per-row estimator dispatched on `key_col` — one chained CASE
+    * over the table's keys, so every key's estimate reads the SAME
+    * broadcast CMS row.
+    */
+  private def estByKey(keys: Seq[String], estOf: String => Column): Column =
+    keys.tail.foldLeft(when(col("key_col") === keys.head, estOf(keys.head))) {
+      (acc, k) => acc.when(col("key_col") === k, estOf(k))
+    }
+
   private[graft] def sketchStatsDf(s: SparkSession, dir: String): DataFrame =
     sketchStatsCache.getOrElseUpdate(s, dir) {
-      import graft.functions.CountMinAgg.{D, W}
       graft.Functions.registerAll(s)
       val stored = ensureStats(s, dir)
-      val parts = statsPairs.map { case (rel, key) =>
-        val items = t(s, dir, rel).filter(col(key).isNotNull)
-          .select(col(key).cast("string").as("item"))
-        val cms = items
-          .agg(graft.functions.CountMinAgg.count_min(col("item")).as("cm"))
-        val rowMaxes = (0 until D).map(i =>
-          expr(s"array_max(slice(cm, ${i * W + 1}, $W))"))
-        stored.filter(col("rel") === rel && col("key_col") === key)
+      val parts = statsKeysByTable.map { case (rel, keys) =>
+        val (cms, estOf) = cmsRow(s, dir, rel, keys)
+        stored.filter(col("rel") === rel && col("key_col").isin(keys: _*))
           .crossJoin(broadcast(cms))
-          .withColumn("max_cnt_est", least(rowMaxes: _*))
+          .withColumn("max_cnt_est", estByKey(keys, estOf))
           .select(col("rel"), col("key_col"), col("n_rows"), col("n_bytes"),
             col("n_keys"), col("max_cnt_est").as("max_cnt"), col("ndv"),
             (col("max_cnt_est") * col("ndv") / col("n_rows")).as("skew_raw"))
@@ -455,34 +484,28 @@ object JoinPlanner {
     * would emit only the sketch path.
     */
   val q181SketchAnalyze: Q = (s, dir) => {
-    import graft.functions.CountMinAgg.{D, W}
     graft.Functions.registerAll(s)
     // the exact baseline (n_rows, n_keys, max_cnt, KMV ndv) comes from
     // the STANDING STATS ARTIFACT — q181's point is the sketch-vs-
     // truth audit, and the truth side is exactly what the ANALYZE
     // store already holds (same non-null convention, same rounding);
-    // only the CMS counter grid is computed fresh, as a production
-    // sketch-only ANALYZE would
+    // only the CMS counter grids are computed fresh — fused ONE SCAN
+    // PER TABLE (see [[statsKeysByTable]]), as a production sketch-only
+    // ANALYZE would batch its column sketches
     val stored = ensureStats(s, dir)
-    val parts = statsPairs.map { case (rel, key) =>
-      val items = t(s, dir, rel).filter(col(key).isNotNull)
-        .select(col(key).cast("string").as("item"))
-      val exact = stored
-        .filter(col("rel") === rel && col("key_col") === key)
-        .select(col("n_rows"), col("n_keys"),
+    val parts = statsKeysByTable.map { case (rel, keys) =>
+      val (cms, estOf) = cmsRow(s, dir, rel, keys)
+      stored.filter(col("rel") === rel && col("key_col").isin(keys: _*))
+        .select(col("rel"), col("key_col"), col("n_rows"), col("n_keys"),
           col("max_cnt").as("max_cnt_exact"), col("ndv").as("ndv_stored"))
-      val cms = items
-        .agg(graft.functions.CountMinAgg.count_min(col("item")).as("cm"))
-      val rowMaxes = (0 until D).map(i =>
-        expr(s"array_max(slice(cm, ${i * W + 1}, $W))"))
-      exact.crossJoin(broadcast(cms))
-        .withColumn("max_cnt_est", least(rowMaxes: _*))
+        .crossJoin(broadcast(cms))
+        .withColumn("max_cnt_est", estByKey(keys, estOf))
         .withColumn("ndv_est", col("ndv_stored"))
         .withColumn("skew_exact_raw",
           col("max_cnt_exact") * col("n_keys").cast("double") / col("n_rows"))
         .withColumn("skew_est_raw",
           col("max_cnt_est") * col("ndv_est") / col("n_rows"))
-        .select(lit(rel).as("rel"), lit(key).as("key_col"),
+        .select(col("rel"), col("key_col"),
           col("n_rows"), col("max_cnt_exact"), col("max_cnt_est"),
           col("ndv_est"),
           round(col("skew_exact_raw"), 4).as("skew_exact"),

@@ -469,15 +469,16 @@ object LlmOps {
     * also IS the jaccard > 0 predicate).
     */
   val q47NgramJaccard: Q = (s, dir) => {
-    // distinct_shingles3 is a codegen'd expression: the tight JVM
-    // shingle loop of a typed flatMap (the HOF chain costs ~3 ms/doc
-    // interpreted) without the flatMap's encoder boundary — the scan,
-    // shingling and explode stay in one whole-stage-codegen span.
-    val sh = docsTok(s, dir)
-      .filter(size(col("tok")) >= 3)
-      .withColumn("shd", graft.functions.Scalars.distinct_shingles3(col("tok")))
-      .select(col("doc_id"), col("lang"), size(col("shd")).as("sz"),
-        explode(col("shd")).as("shingle"))
+    // rides the session-cached SIGNATURE table (docsSigned): its `sh`
+    // IS this query's distinct-shingle set (same distinct_shingles3
+    // kernel behind the same ≥3-token filter), so BOTH join sides read
+    // the one cached table instead of each re-running the
+    // scan+tokenize+shingle subtree (guide §1.2 — the r17 materialize
+    // discipline, here via the cache q45/q55/q62/q127/q129 already
+    // share, so within a session the shingling scan runs once total).
+    val sh = docsSigned(s, dir)
+      .select(col("doc_id"), col("lang"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("shingle"))
     // Block the id-range predicate into the equi key: doc_a within 25
     // below doc_b spans at most blocks {blk(doc_b)-1, blk(doc_b)}, so
     // the b side probes two blocks and frequent shingles no longer
@@ -1299,8 +1300,9 @@ object LlmOps {
           |      (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6),
           |    'cent_id', e.cent_id)),
           |  CAST(NULL AS STRUCT<d2: DOUBLE, cent_id: BIGINT>),
-          |  (acc, e) -> CASE WHEN acc IS NULL OR e.d2 < acc.d2
-          |    THEN e ELSE acc END).cent_id""".stripMargin))
+          |  (acc, e) -> CASE
+          |    WHEN acc IS NULL THEN IF(e.d2 IS NULL, acc, e)
+          |    WHEN e.d2 < acc.d2 THEN e ELSE acc END).cent_id""".stripMargin))
       .drop("sm", "cbook")
   }
 

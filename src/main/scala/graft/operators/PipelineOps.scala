@@ -393,8 +393,11 @@ object PipelineOps {
         parent: DataFrame, pk: String, label: String): DataFrame =
       child.select(col(ck))
         .join(parent.select(col(pk)).distinct(), col(ck) === col(pk), "left")
+        // coalesce: sum over an EMPTY child is NULL where the old
+        // anti-join count returned 0 — keep the 0-on-empty behavior
+        // (ADVICE r17 low)
         .agg(count(lit(1)).as("n_rows"),
-          sum(col(pk).isNull.cast("bigint")).as("n_violations"))
+          coalesce(sum(col(pk).isNull.cast("bigint")), lit(0L)).as("n_violations"))
         .select(lit(childRel).as("rel"), lit(label).as("test"),
           col("n_rows"), col("n_violations"),
           round(col("n_violations").cast("double") / col("n_rows"), 6).as("ratio"))

@@ -194,11 +194,21 @@ object Relational {
 
   /** q22: ROLLUP over (returnflag, linestatus); NULL group keys coalesced
     * to 'ALL' so NULL-ordering differences can't bite.
+    *
+    * TWO-LEVEL shape (guide §2.3 "aggregate before you shuffle"): the
+    * corpus is first aggregated per (flag, status) — map-side
+    * combinable, |R×S| result rows — and the ROLLUP's Expand runs over
+    * that tiny aggregate instead of multiplying every corpus row ×3
+    * through the partial-agg hash. count/sum are decomposable (sums of
+    * sums, exact decimal accumulation), so every emitted value is
+    * bit-identical to the single-level form.
     */
   val q22Rollup: Q = (s, dir) => {
-    t(s, dir, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    val base = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sq"))
+    base.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n")).as("n_rows"), sum(col("sq")).cast("double").as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -206,11 +216,16 @@ object Relational {
       .orderBy(col("returnflag"), col("linestatus"))
   }
 
-  /** q23: CUBE over (orderstatus, orderpriority). */
+  /** q23: CUBE over (orderstatus, orderpriority) — same two-level shape
+    * as q22 (the Expand ×4 runs over the |status×priority| pre-
+    * aggregate, not the orders scan).
+    */
   val q23Cube: Q = (s, dir) => {
-    t(s, dir, "orders")
-      .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    val base = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("sp"))
+    base.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("sp")).cast("double").as("sum_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -910,12 +925,18 @@ object Relational {
     */
   val q35GroupingSets: Q = (s, dir) => {
     Engine.registerViews(s, dir)
+    // two-level shape (q22's rationale): the GROUPING SETS Expand ×3
+    // runs over the per-(flag, status) pre-aggregate — |R×S| rows —
+    // instead of tripling the lineitem scan through the partial agg;
+    // sums of counts / sums of exact decimal sums are value-identical
     s.sql(
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  count(*) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem
+        |  sum(n) AS n_rows,
+        |  CAST(sum(sq) AS DOUBLE) AS sum_qty
+        |FROM (SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |        sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+        |      FROM lineitem GROUP BY l_returnflag, l_linestatus)
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
         |ORDER BY returnflag, linestatus""".stripMargin)
   }

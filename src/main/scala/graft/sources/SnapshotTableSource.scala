@@ -1593,20 +1593,26 @@ final class SnapshotScan(root: String, k: Long, tableSchema: StructType,
     val s = SparkSession.active
     import org.apache.spark.sql.functions.col
     // a branch read resolves through its manifest-list override (the
-    // staged WAP head); everything else through snapshot k's list
-    val m = mlist match {
+    // staged WAP head); everything else through snapshot k's manifest
+    // rows, MEMOIZED in SnapshotStore (kind pre-normalized) — repeat
+    // scans of a committed snapshot plan from driver metadata with no
+    // collect job and no manifest-footer re-read
+    mlist match {
       case Some(paths) =>
-        s.read.option("mergeSchema", "true").parquet(paths: _*)
+        val m = s.read.option("mergeSchema", "true").parquet(paths: _*)
           .drop("mpath")
-      case None => SnapshotStore.manifest(s, root, k)
+        val withKind =
+          if (m.columns.contains("kind"))
+            m.withColumn("kind", org.apache.spark.sql.functions
+              .coalesce(col("kind"), org.apache.spark.sql.functions.lit("data")))
+          else m.withColumn("kind", org.apache.spark.sql.functions.lit("data"))
+        (withKind.collect(), m.columns.contains("min_chars"),
+          m.columns.contains("min_cat"))
+      case None =>
+        val (schema, rows) = SnapshotStore.manifestRowsOf(s, root, k)
+        (rows.toArray, schema.fieldNames.contains("min_chars"),
+          schema.fieldNames.contains("min_cat"))
     }
-    val withKind =
-      if (m.columns.contains("kind"))
-        m.withColumn("kind", org.apache.spark.sql.functions
-          .coalesce(col("kind"), org.apache.spark.sql.functions.lit("data")))
-      else m.withColumn("kind", org.apache.spark.sql.functions.lit("data"))
-    (withKind.collect(), m.columns.contains("min_chars"),
-      m.columns.contains("min_cat"))
   }
 
   /** MANIFEST-DERIVED STATISTICS (`SupportsReportStatistics`): row
