@@ -3162,12 +3162,18 @@ object LlmOps {
       .filter(col("n_tokens") >= 1)
       .withColumn("is_eval",
         pmod(expr(hashS("CAST(doc_id AS STRING)")), lit(EvalSplitMod)) === 0)
+    // the window table materializes ONCE (lazy checkpoint): the eval
+    // window set and the training-side probe below otherwise each
+    // replay the tokenize+slice-hash explode subtree — q145's r17 fix
+    // applied verbatim (same skew argument: the eval-set join stays a
+    // distinct + equi-join AQE can re-balance)
     val wins = base.filter(col("n_tokens") >= SpanWindow)
       .select(col("doc_id"), col("is_eval"),
         posexplode(expr(
           s"transform(sequence(1, size(tok) - ${SpanWindow - 1}), " +
             s"i -> stable_hash64(concat_ws(' ', slice(tok, i, $SpanWindow))))")))
       .toDF("doc_id", "is_eval", "start0", "whash")
+      .materialize(false)
     val evalSet = wins.filter(col("is_eval")).select(col("whash")).distinct()
     val hits = wins.filter(!col("is_eval"))
       .join(evalSet, Seq("whash"))
