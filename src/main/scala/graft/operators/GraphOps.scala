@@ -267,26 +267,34 @@ object GraphOps {
     val edges = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
       .materialize(true)
-    var dist = seeds.toDF("node").distinct()
+    var frontier = seeds.toDF("node").distinct()
       .select(col("node"), lit(0L).as("hops"))
       .materialize(true)
-    var frontier = dist
+    // the settled set is the UNION OF FRONTIERS — each frontier is its
+    // round's eager checkpoint (plan flatness preserved), but the union
+    // is left lazy: the old per-round `dist.unionAll(next).materialize`
+    // re-copied EVERY settled node each round (O(rounds × nodes)
+    // checkpoint traffic + one extra job per round) just to flatten a
+    // union of already-flat tables. Frontiers are disjoint by
+    // construction (the anti-join), so the union IS dist.
+    val frontiers = scala.collection.mutable.ArrayBuffer(frontier)
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       round += 1
+      val settled = frontiers.reduce(_ unionAll _)
       val next = frontier.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
         .materialize(true)
       if (next.isEmpty) done = true
       else {
-        dist = dist.unionAll(next).materialize(true)
+        frontiers += next
         frontier = next
       }
     }
-    dist
+    frontiers.reduce(_ unionAll _)
   }
 
   /** q117: product blast radius — hop distance from the seed set
